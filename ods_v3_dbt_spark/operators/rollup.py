@@ -1,0 +1,70 @@
+"""Datamart rollups with freshness guard (SURVEY §2.6 A3/A4).
+
+The reference calls closed-source stored procedures
+``sp_item_general_pos_day/month`` from
+``dags/sql/pns/update_des_table/update_datamart.sql:19-25``, guarded
+by MAX-freshness probes (lines 8-18). The measure set is therefore
+*our declared spec* (FIXTURES.md F13): per group — row count, sum of
+the measure columns.
+
+Day and month stay two explicit aggregations (not GROUP BY ROLLUP)
+for oracle parity with the reference's two procedures; the month
+rollup re-aggregates the day table (tiny), not the fact — at 100 TB
+that's the difference between scanning the fact twice and once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.cleansing import month_id_from_day_id
+
+
+def rollup_day(
+    fact: DataFrame,
+    group_cols: Sequence[str],
+    day_id_col: str,
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """Aggregate a fact to (group_cols, day_id).
+
+    ``aggs`` maps output alias → aggregate expression (the reference's
+    measure set is closed-source, so the spec is declared by the
+    caller — FIXTURES.md F13).
+    """
+    return fact.groupBy(*group_cols, day_id_col).agg(
+        *[expr.alias(alias) for alias, expr in aggs.items()]
+    )
+
+
+def rollup_month_from_day(
+    day_table: DataFrame,
+    group_cols: Sequence[str],
+    day_id_col: str,
+    month_id_col: str = "month_id",
+) -> DataFrame:
+    """Second-level rollup: day table → (group_cols, yyyymm).
+
+    yyyymm = floor(yyyymmdd / 100), the reference's integer division
+    (``update_datamart.sql:22-24``).
+    """
+    measure_cols = [
+        c for c in day_table.columns if c not in (*group_cols, day_id_col)
+    ]
+    return (
+        day_table.withColumn(month_id_col, month_id_from_day_id(F.col(day_id_col)))
+        .groupBy(*group_cols, month_id_col)
+        .agg(*[F.sum(c).alias(c) for c in measure_cols])
+    )
+
+
+def needs_rollup(fact: DataFrame, target: DataFrame, fact_day_col: str, target_day_col: str) -> bool:
+    """A3 freshness guard: recompute only when
+    ``MAX(fact.day) > MAX(target.day)`` or target is empty
+    (``update_datamart.sql:8-18``). Two 1-row aggregates — cheap."""
+    src_max = fact.agg(F.max(fact_day_col)).first()[0]
+    dst_max = target.agg(F.max(target_day_col)).first()[0]
+    return dst_max is None or (src_max is not None and src_max > dst_max)

@@ -1,0 +1,743 @@
+"""Declared queries for the DuckDB-oracle correctness gate.
+
+Each entry pairs a Spark implementation (built on the engine's
+operator library) with the equivalent ANSI SQL that DuckDB executes
+over the same parquet tables. These are the [Q]-marked operators from
+SURVEY.md §2 re-expressed over the driver's TPC-H-ish testdata
+(TESTDATA.md): the merge strategies M1-M9, window dedup W1, the
+revenue aggregation A1/J1, rollups A3/A4, quality metrics Q2, and the
+scalar-cleansing contract §2.4.
+
+Cross-engine determinism rules (SURVEY §7.3 risk 3/4):
+
+* Money/measure aggregates are summed as integer cents
+  (``ROUND(x*100)`` → BIGINT) — double summation order differs
+  between engines, integer sums don't. Scalar double arithmetic
+  before the round is written with identical nesting on both sides
+  (IEEE-deterministic).
+* Timestamps are output as epoch microseconds (BIGINT both engines).
+* Every window/dedup ordering is total (unique id as final
+  tiebreaker).
+* Aggregate results are CAST to BIGINT on the DuckDB side (DuckDB
+  SUM(BIGINT) is HUGEINT).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import cleansing as CL
+from ..operators import merge as M
+from ..operators import rollup as R
+from .. import quality as Q
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+#: Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as
+#: long (ns since epoch) under ``legacy.parquet.nanosAsLong`` — the
+#: loader restores µs TimestampType with an integer ``div`` (DuckDB
+#: truncates ns→µs the same way, keeping the oracle aligned).
+NS_TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in NS_TIMESTAMP_COLS.get(name, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def cents(col: F.Column) -> F.Column:
+    """double money → integer cents; exact to sum in any order."""
+    return F.round(col * 100).cast("bigint")
+
+
+def ts_us(col: F.Column) -> F.Column:
+    return F.unix_micros(col)
+
+
+def _ts(lit: str) -> F.Column:
+    return F.to_timestamp(F.lit(lit))
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+
+
+_REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        _REGISTRY[name] = QueryDef(fn, oracle)
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, QueryDef]:
+    return dict(_REGISTRY)
+
+
+# ---------------------------------------------------------------------------
+# Relational core — scans, filters, joins, aggregations
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+           CAST(SUM(CAST(ROUND((l_extendedprice*(1.0-l_discount))*100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+           CAST(SUM(CAST(ROUND(((l_extendedprice*(1.0-l_discount))*(1.0+l_tax))*100) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+           CAST(COUNT(1) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped scan+agg: the engine's B1-class headline scan.
+
+    Filter reaches the parquet scan (PushedFilters), grouping is a
+    two-key partial-agg — the canonical map-side-combine shape.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    ep, d, t = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    return (
+        li.filter(F.col("l_shipdate") <= _ts("2000-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents(F.col("l_quantity"))).alias("sum_qty_c"),
+            F.sum(cents(ep)).alias("sum_base_c"),
+            F.sum(F.round((ep * (F.lit(1.0) - d)) * 100).cast("bigint")).alias("sum_disc_c"),
+            F.sum(F.round(((ep * (F.lit(1.0) - d)) * (F.lit(1.0) + t)) * 100).cast("bigint")).alias("sum_charge_c"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_REVENUE_ORACLE = """
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment, n.n_name,
+           CAST(SUM(CAST(ROUND((l.l_extendedprice*(1.0-l.l_discount))*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+           CAST(SUM(CAST(ROUND((l.l_extendedprice*(1.0+l.l_tax))*100) AS BIGINT)) AS BIGINT) AS sales_c,
+           CAST(COUNT(1) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_mktsegment, n.n_name
+"""
+
+
+@register("revenue_by_customer", _REVENUE_ORACLE)
+def revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship A1/J1 analog: filter + fact⋈fact⋈dim joins + 4-col
+    group-by with two COALESCE-style money sums (reference
+    ``dags/sql/ods_to_llb/extract/staging_revenue_by_employee.sql:1-26``).
+
+    customer/nation are broadcast (small dims, J1 note in SURVEY
+    §2.5); the lineitem⋈orders join shuffles on the order key with the
+    date filter pushed below the join.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    ep, d, t = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("c_custkey", "c_name", "c_mktsegment", "n_name")
+        .agg(
+            F.sum(F.round((ep * (F.lit(1.0) - d)) * 100).cast("bigint")).alias("revenue_c"),
+            F.sum(F.round((ep * (F.lit(1.0) + t)) * 100).cast("bigint")).alias("sales_c"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "order_priority_count",
+    """
+    SELECT o_orderpriority, CAST(COUNT(1) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed count probe per group (A2-class, over a date window)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= _ts("1997-01-01"))
+            & (F.col("o_orderdate") < _ts("1997-07-01"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "top_customers_by_revenue",
+    f"""
+    SELECT * FROM ({_REVENUE_ORACLE})
+    ORDER BY revenue_c DESC, c_custkey ASC
+    LIMIT 10
+    """,
+)
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-k: total order (revenue desc, key asc) then
+    LIMIT — the only sort+limit shape the reference has (§2.8)."""
+    return revenue_by_customer(spark, sf_dir).orderBy(
+        F.col("revenue_c").desc(), F.col("c_custkey").asc()
+    ).limit(10)
+
+
+@register(
+    "count_window_probe",
+    """
+    SELECT CAST(COUNT(1) AS BIGINT) AS n_rows
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+    """,
+)
+def count_window_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: half-open cursor-window COUNT probe
+    (``helper1/optimize_compute.py:27-57``)."""
+    return (
+        load(spark, sf_dir, "events")
+        .filter((F.col("ts") >= _ts("2024-01-10")) & (F.col("ts") < _ts("2024-01-20")))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@register(
+    "max_freshness_probe",
+    "SELECT CAST(epoch_us(MAX(ts)) AS BIGINT) AS max_ts_us FROM events",
+)
+def max_freshness_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: MAX-freshness probe driving conditional rollups
+    (``update_datamart.sql:8-17``)."""
+    return load(spark, sf_dir, "events").agg(ts_us(F.max("ts")).alias("max_ts_us"))
+
+
+# ---------------------------------------------------------------------------
+# Merge strategies M1-M9 (targets/sources derived deterministically
+# from the events/lineitem tables; outputs in cents / epoch-us)
+# ---------------------------------------------------------------------------
+
+_EVENT_COLS = "event_id user_id event_type value ts".split()
+
+
+def _events_proj(spark, sf_dir):
+    return load(spark, sf_dir, "events").select(*_EVENT_COLS)
+
+
+@register(
+    "merge_upsert_single",
+    """
+    WITH tgt AS (
+      SELECT event_id, user_id, event_type, value, ts FROM events
+      WHERE ts < TIMESTAMP '2024-01-20'
+    ), src AS (
+      SELECT event_id, user_id, event_type, value + 1.0 AS value, ts FROM events
+      WHERE ts >= TIMESTAMP '2024-01-15'
+    )
+    SELECT event_id, user_id, event_type,
+           CAST(ROUND(value*100) AS BIGINT) AS value_c,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us
+    FROM (
+      SELECT * FROM src
+      UNION ALL
+      SELECT t.* FROM tgt t WHERE NOT EXISTS (
+        SELECT 1 FROM src s WHERE s.event_id = t.event_id)
+    )
+    """,
+)
+def merge_upsert_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: SCD-1 single-key upsert, source wins
+    (``casreport_mailsitemhdr.sql:1-399``). Target = history slice,
+    source = overlapping newer slice with changed measures."""
+    ev = _events_proj(spark, sf_dir)
+    tgt = ev.filter(F.col("ts") < _ts("2024-01-20"))
+    src = ev.filter(F.col("ts") >= _ts("2024-01-15")).withColumn(
+        "value", F.col("value") + F.lit(1.0)
+    )
+    return M.merge_upsert(tgt, src, ["event_id"]).select(
+        "event_id", "user_id", "event_type",
+        cents(F.col("value")).alias("value_c"),
+        ts_us(F.col("ts")).alias("ts_us"),
+    )
+
+
+@register(
+    "merge_upsert_composite",
+    """
+    WITH tgt AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1998-01-01'
+    ), src AS (
+      SELECT l_orderkey, l_linenumber, l_quantity + 5.0 AS l_quantity, l_extendedprice
+      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(l_quantity*100) AS BIGINT) AS qty_c,
+           CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_c
+    FROM (
+      SELECT * FROM src
+      UNION ALL
+      SELECT t.* FROM tgt t WHERE NOT EXISTS (
+        SELECT 1 FROM src s
+        WHERE s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber)
+    )
+    """,
+)
+def merge_upsert_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: composite-key upsert (``casreport_settlements.sql:3``)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    tgt = li.filter(F.col("l_shipdate") < _ts("1998-01-01")).drop("l_shipdate")
+    src = (
+        li.filter(F.col("l_shipdate") >= _ts("1997-06-01"))
+        .drop("l_shipdate")
+        .withColumn("l_quantity", F.col("l_quantity") + F.lit(5.0))
+    )
+    return M.merge_upsert(tgt, src, ["l_orderkey", "l_linenumber"]).select(
+        "l_orderkey", "l_linenumber",
+        cents(F.col("l_quantity")).alias("qty_c"),
+        cents(F.col("l_extendedprice")).alias("price_c"),
+    )
+
+
+def _fresh_oracle(tie_order: str) -> str:
+    return f"""
+    WITH t0 AS (
+      SELECT user_id, CAST(strftime(ts, '%Y%m%d') AS INT) AS day_id, value, event_type, event_id
+      FROM events WHERE ts < TIMESTAMP '2024-01-16'
+    ), tgt AS (
+      SELECT user_id, day_id, value, event_type, event_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY day_id DESC, event_id ASC) AS rn
+        FROM t0) WHERE rn = 1
+    ), s0 AS (
+      SELECT user_id, CAST(strftime(ts, '%Y%m%d') AS INT) AS day_id, value + 10.0 AS value, event_type, event_id
+      FROM events WHERE ts >= TIMESTAMP '2024-01-08'
+    ), src AS (
+      SELECT user_id, day_id, value, event_type, event_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY day_id DESC, event_id ASC) AS rn
+        FROM s0) WHERE rn = 1
+    ), u AS (
+      SELECT *, 0 AS is_src FROM tgt
+      UNION ALL
+      SELECT *, 1 AS is_src FROM src
+    )
+    SELECT user_id, day_id, CAST(ROUND(value*100) AS BIGINT) AS value_c, event_type, event_id
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY day_id DESC, is_src {tie_order}) AS rn2
+      FROM u) WHERE rn2 = 1
+    """
+
+
+def _merge_fresh(spark: SparkSession, sf_dir: str, tie_update: bool) -> DataFrame:
+    order = [F.col("day_id").desc(), F.col("event_id").asc()]
+    ev_all = _events_proj(spark, sf_dir)
+    tgt = M.dedup_keep_first(
+        ev_all.filter(F.col("ts") < _ts("2024-01-16"))
+        .withColumn("day_id", CL.day_id(F.col("ts")))
+        .drop("ts"),
+        ["user_id"],
+        order,
+    )
+    src = M.dedup_keep_first(
+        ev_all.filter(F.col("ts") >= _ts("2024-01-08"))
+        .withColumn("day_id", CL.day_id(F.col("ts")))
+        .withColumn("value", F.col("value") + F.lit(10.0))
+        .drop("ts"),
+        ["user_id"],
+        order,
+    )
+    merged = M.merge_upsert_fresh(tgt, src, ["user_id"], "day_id", tie_update=tie_update)
+    return merged.select(
+        "user_id", "day_id", cents(F.col("value")).alias("value_c"),
+        "event_type", "event_id",
+    )
+
+
+@register("merge_fresh_tie_keep_target", _fresh_oracle("ASC"))
+def merge_fresh_tie_keep_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 with ``des.ts < src.ts`` gate — ties keep the target row
+    (``bccp_item.sql:175``). Day-granularity cursor manufactures real
+    ties between the overlapping slices."""
+    return _merge_fresh(spark, sf_dir, tie_update=False)
+
+
+@register("merge_fresh_tie_take_source", _fresh_oracle("DESC"))
+def merge_fresh_tie_take_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 with ``src.ts >= des.ts`` gate — ties take the source row
+    (``khl_portal_billing_result.sql:3-4``)."""
+    return _merge_fresh(spark, sf_dir, tie_update=True)
+
+
+@register(
+    "dedup_window_keep_oldest",
+    """
+    SELECT user_id, event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts ASC, event_type DESC, event_id ASC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def dedup_window_keep_oldest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/M4: the reference's dedup window — ascending order keeps the
+    *oldest* row per key, tiebreak status DESC
+    (``hrm_employee.sql:23,51``; quirk preserved deliberately)."""
+    ev = _events_proj(spark, sf_dir)
+    out = M.dedup_keep_first(
+        ev, ["user_id"],
+        [F.col("ts").asc(), F.col("event_type").desc(), F.col("event_id").asc()],
+    )
+    return out.select("user_id", "event_id", "event_type", ts_us(F.col("ts")).alias("ts_us"))
+
+
+@register(
+    "merge_nullsafe_composite",
+    """
+    WITH tgt AS (
+      SELECT nullif(event_type, 'view') AS k1, user_id % 5 AS k2,
+             CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+             CAST(COUNT(1) AS BIGINT) AS n
+      FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1, 2
+    ), src AS (
+      SELECT nullif(event_type, 'view') AS k1, user_id % 5 AS k2,
+             CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+             CAST(COUNT(1) AS BIGINT) AS n
+      FROM events WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1, 2
+    )
+    SELECT * FROM src
+    UNION ALL
+    SELECT t.* FROM tgt t WHERE NOT EXISTS (
+      SELECT 1 FROM src s
+      WHERE (s.k1 IS NOT DISTINCT FROM t.k1) AND (s.k2 IS NOT DISTINCT FROM t.k2))
+    """,
+)
+def merge_nullsafe_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: null-safe composite-key merge — NULL keys match NULL keys
+    (``ods_to_llb/update_des_table/staging_revenue_by_employee.sql:3-12``,
+    MSSQL ``ISNULL(c,'')=ISNULL(c,'')``; Spark ``<=>``)."""
+    ev = _events_proj(spark, sf_dir)
+
+    def grp(df):
+        return (
+            df.withColumn("k1", F.nullif(F.col("event_type"), F.lit("view")))
+            .withColumn("k2", F.col("user_id") % 5)
+            .groupBy("k1", "k2")
+            .agg(
+                F.sum(cents(F.col("value"))).alias("revenue_c"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    tgt = grp(ev.filter(F.col("ts") < _ts("2024-01-16")))
+    src = grp(ev.filter(F.col("ts") >= _ts("2024-01-16")))
+    return M.merge_upsert(tgt, src, ["k1", "k2"], null_safe=True)
+
+
+@register(
+    "delete_insert_window",
+    """
+    WITH src AS (
+      SELECT event_id, value + 10.0 AS value, ts FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-15'
+    )
+    SELECT event_id, CAST(ROUND(value*100) AS BIGINT) AS value_c,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us
+    FROM (
+      SELECT event_id, value, ts FROM events
+      WHERE NOT (ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-15')
+      UNION ALL
+      SELECT * FROM src
+    )
+    """,
+)
+def delete_insert_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: half-open window DELETE + INSERT
+    (``casreport_rpt_full_item.sql:1-7``)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "value", "ts")
+    src = ev.filter(
+        (F.col("ts") >= _ts("2024-01-10")) & (F.col("ts") < _ts("2024-01-15"))
+    ).withColumn("value", F.col("value") + F.lit(10.0))
+    out = M.delete_insert_window(
+        ev, src, "ts",
+        _dt.datetime(2024, 1, 10), _dt.datetime(2024, 1, 15),
+    )
+    return out.select(
+        "event_id", cents(F.col("value")).alias("value_c"), ts_us(F.col("ts")).alias("ts_us")
+    )
+
+
+@register(
+    "partition_overwrite_days",
+    """
+    WITH src AS (
+      SELECT event_id, CAST(strftime(ts, '%Y%m%d') AS INT) AS day_id, value + 20.0 AS value
+      FROM events WHERE ts >= TIMESTAMP '2024-01-29'
+    )
+    SELECT event_id, day_id, CAST(ROUND(value*100) AS BIGINT) AS value_c
+    FROM (
+      SELECT event_id, CAST(strftime(ts, '%Y%m%d') AS INT) AS day_id, value
+      FROM events
+      WHERE CAST(strftime(ts, '%Y%m%d') AS INT) NOT IN (SELECT DISTINCT day_id FROM src)
+      UNION ALL
+      SELECT * FROM src
+    )
+    """,
+)
+def partition_overwrite_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: overwrite exactly the day-partitions present in the source
+    (``pns/item_delivery_detail.sql:1-6``); physical path is dynamic
+    partition overwrite."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", CL.day_id(F.col("ts")).alias("day_id"), "value", "ts"
+    )
+    tgt = ev.drop("ts")
+    src = (
+        ev.filter(F.col("ts") >= _ts("2024-01-29"))
+        .drop("ts")
+        .withColumn("value", F.col("value") + F.lit(20.0))
+    )
+    out = M.partition_overwrite(tgt, src, ["day_id"])
+    return out.select("event_id", "day_id", cents(F.col("value")).alias("value_c"))
+
+
+_CLEAN_SQL = (
+    "CASE WHEN trim(regexp_replace({col}, '[\\r\\n\\x00]', '', 'g')) IN ('', 'NULL', 'nan') "
+    "THEN NULL ELSE trim(regexp_replace({col}, '[\\r\\n\\x00]', '', 'g')) END"
+)
+
+
+@register(
+    "full_refresh_clean_dim",
+    f"""
+    SELECT c_custkey,
+           {_CLEAN_SQL.format(col="(' ' || c_name || chr(13))")} AS name_clean,
+           lower(c_mktsegment) AS mkt_lower,
+           CAST(ROUND(COALESCE(c_acctbal, 0.0)*100) AS BIGINT) AS acctbal_c,
+           c_nationkey
+    FROM customer
+    """,
+)
+def full_refresh_clean_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 + §2.4: full-refresh dimension load through the cleansing
+    contract (scrub control chars, trim, empty→NULL, COALESCE(x,0))
+    (``cms/update_des_table/customers.sql:1-2``; ``bccp_to_ods.py:243``).
+    Dirt is synthesized (pad + CR) so the scrub provably fires."""
+    c = load(spark, sf_dir, "customer")
+    dirty = F.concat(F.lit(" "), F.col("c_name"), F.lit("\r"))
+    return c.select(
+        "c_custkey",
+        CL.clean_string(dirty).alias("name_clean"),
+        F.lower(F.col("c_mktsegment")).alias("mkt_lower"),
+        cents(F.coalesce(F.col("c_acctbal"), F.lit(0.0))).alias("acctbal_c"),
+        "c_nationkey",
+    )
+
+
+@register(
+    "dedup_keep_first_ordered",
+    """
+    SELECT l_orderkey, l_linenumber, CAST(ROUND(l_quantity*100) AS BIGINT) AS qty_c
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ASC) AS rn
+      FROM lineitem) WHERE rn = 1
+    """,
+)
+def dedup_keep_first_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/M9: keep-first dedup with the arbitrary pandas order pinned
+    to an explicit deterministic ordering (SURVEY §2.6 A7 note)."""
+    li = load(spark, sf_dir, "lineitem")
+    out = M.dedup_keep_first(li, ["l_orderkey"], [F.col("l_linenumber").asc()])
+    return out.select("l_orderkey", "l_linenumber", cents(F.col("l_quantity")).alias("qty_c"))
+
+
+@register(
+    "incremental_watermark",
+    """
+    SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+    FROM events
+    WHERE ts > (SELECT COALESCE(MAX(ts), TIMESTAMP '1900-01-01')
+                FROM events WHERE ts < TIMESTAMP '2024-01-20')
+    """,
+)
+def incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt incremental high-watermark filter
+    (``dim_casreport_services.sql:25-30``): source rows newer than
+    MAX(target watermark); watermark computed distributed + broadcast,
+    no driver round-trip."""
+    ev = load(spark, sf_dir, "events").select("event_id", "ts")
+    tgt = ev.filter(F.col("ts") < _ts("2024-01-20"))
+    out = M.incremental_watermark_filter(tgt, ev, "ts")
+    return out.select("event_id", ts_us(F.col("ts")).alias("ts_us"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar transforms / date-ids / sentinel repair (§2.4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_cleanse_strings",
+    f"""
+    SELECT doc_id,
+           {_CLEAN_SQL.format(col="('  ' || text || chr(13) || chr(10))")} AS text_clean,
+           CAST(length({_CLEAN_SQL.format(col="('  ' || text || chr(13) || chr(10))")}) AS INT) AS clean_len,
+           lang, source
+    FROM documents
+    """,
+)
+def scalar_cleanse_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 string contract over documents: scrub \\r/\\n/\\x00, trim,
+    empty→NULL (``bccp_to_ods.py:243``, ``transformations.sql:4-6``)."""
+    d = load(spark, sf_dir, "documents")
+    dirty = F.concat(F.lit("  "), F.col("text"), F.lit("\r\n"))
+    clean = CL.clean_string(dirty)
+    return d.select(
+        "doc_id",
+        clean.alias("text_clean"),
+        F.length(clean).cast("int").alias("clean_len"),
+        "lang", "source",
+    )
+
+
+@register(
+    "date_id_conversions",
+    """
+    SELECT event_id,
+           CAST(strftime(ts, '%Y%m%d') AS INT) AS day_id,
+           CAST(floor(CAST(strftime(ts, '%Y%m%d') AS INT) / 100) AS INT) AS month_id,
+           CAST(strftime(ts, '%H') AS INT) AS hour_of_day
+    FROM events
+    """,
+)
+def date_id_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """yyyymmdd int day-ids + integer-division month-ids — the
+    reference's date-id convention (``casreport_to_ods.py:132-135``,
+    ``update_datamart.sql:22-24``)."""
+    ev = load(spark, sf_dir, "events")
+    day = CL.day_id(F.col("ts"))
+    return ev.select(
+        "event_id",
+        day.alias("day_id"),
+        CL.month_id_from_day_id(day).alias("month_id"),
+        F.date_format(F.col("ts"), "HH").cast("int").alias("hour_of_day"),
+    )
+
+
+@register(
+    "sentinel_date_repair",
+    """
+    WITH base AS (
+      SELECT o_orderkey,
+             CASE WHEN year(o_orderdate) >= 2000 THEN TIMESTAMP '2261-12-31' ELSE o_orderdate END AS d,
+             CASE WHEN o_orderkey % 7 = 0 THEN TIMESTAMP '0500-01-01' ELSE o_orderdate END AS dob
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(epoch_us(CASE WHEN year(d) = 2261 THEN TIMESTAMP '9999-12-31' ELSE d END) AS BIGINT) AS repaired_us,
+           CAST(epoch_us(CASE WHEN year(dob) < 1000 THEN NULL ELSE dob END) AS BIGINT) AS dob_us
+    FROM base
+    """,
+)
+def sentinel_date_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentinel-date round-trip (2261↔9999,
+    ``casreport_d_service_product.sql:9-17``) + pre-1000-CE date
+    sanitation (``cms/extract/customers.sql:7-8``). Sentinels are
+    synthesized since the testdata has none."""
+    o = load(spark, sf_dir, "orders")
+    d = F.when(F.year("o_orderdate") >= 2000, _ts("2261-12-31")).otherwise(F.col("o_orderdate"))
+    dob = F.when(F.col("o_orderkey") % 7 == 0, _ts("0500-01-01")).otherwise(F.col("o_orderdate"))
+    return o.select(
+        "o_orderkey",
+        ts_us(CL.restore_sentinel_date(d)).alias("repaired_us"),
+        ts_us(CL.null_bad_dates(dob, min_year=1000)).alias("dob_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollups A3/A4 + quality Q2
+# ---------------------------------------------------------------------------
+
+_ROLLUP_DAY_SQL = """
+    SELECT event_type, CAST(strftime(ts, '%Y%m%d') AS INT) AS day_id,
+           CAST(COUNT(1) AS BIGINT) AS item_count,
+           CAST(SUM(CAST(ROUND(COALESCE(value, 0.0)*100) AS BIGINT)) AS BIGINT) AS value_c
+    FROM events
+    GROUP BY event_type, CAST(strftime(ts, '%Y%m%d') AS INT)
+"""
+
+
+@register("rollup_day", _ROLLUP_DAY_SQL)
+def rollup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 day rollup: per (event_type, day) count + COALESCE-sum —
+    declared measure spec for the reference's closed-source
+    ``sp_item_general_pos_day`` (``update_datamart.sql:19-25``)."""
+    ev = load(spark, sf_dir, "events").withColumn("day_id", CL.day_id(F.col("ts")))
+    return R.rollup_day(
+        ev, ["event_type"], "day_id",
+        {
+            "item_count": F.count(F.lit(1)),
+            "value_c": F.sum(cents(F.coalesce(F.col("value"), F.lit(0.0)))),
+        },
+    )
+
+
+@register(
+    "rollup_month",
+    f"""
+    SELECT event_type, CAST(floor(day_id / 100) AS INT) AS month_id,
+           CAST(SUM(item_count) AS BIGINT) AS item_count,
+           CAST(SUM(value_c) AS BIGINT) AS value_c
+    FROM ({_ROLLUP_DAY_SQL})
+    GROUP BY event_type, CAST(floor(day_id / 100) AS INT)
+    """,
+)
+def rollup_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 month rollup re-aggregating the (tiny) day table, not the
+    fact — at 100 TB this scans the fact once, not twice."""
+    return R.rollup_month_from_day(rollup_day(spark, sf_dir), ["event_type"], "day_id")
+
+
+@register(
+    "quality_assertion_metrics",
+    """
+    SELECT CAST(COUNT(1) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT COALESCE(CAST(o_orderkey AS VARCHAR), ' ')) AS BIGINT) AS n_distinct_keys,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_o_orderkey
+    FROM orders
+    """,
+)
+def quality_assertion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: dbt not_null/unique/count>0 assertions folded into one
+    aggregate pass (``dbt/models/staging/casreport/schema.yml:1-53``)."""
+    return Q.assertion_metrics(load(spark, sf_dir, "orders"), ["o_orderkey"])

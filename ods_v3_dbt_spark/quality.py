@@ -1,0 +1,88 @@
+"""Data-quality checks (SURVEY §2.10): Soda-style schema validation
+(Q1) + dbt-style assertion tests (Q2) + row-count reconciliation (Q3).
+
+Reference: Soda in-flight scans per batch (``soda/check/**``, runner
+``bccp_to_ods.py:265-296``); dbt ``not_null``/``unique``/expression
+tests (``dbt/models/staging/casreport/schema.yml:1-53``, default
+severity warn ``dbt/dbt_project.yml:91``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+@dataclass
+class CheckResult:
+    name: str
+    passed: bool
+    severity: str = "error"  # or "warn"
+    detail: str = ""
+
+
+def validate_schema(
+    df: DataFrame,
+    expected: StructType,
+    check_types: bool = True,
+) -> list[CheckResult]:
+    """Q1: required columns present (all 17 Soda checks) and, where
+    declared, matching types (``soda/check/casadmin/fee_type.yml:5-14``).
+    Pure metadata comparison — no job runs."""
+    results: list[CheckResult] = []
+    have = {f.name: f.dataType for f in df.schema.fields}
+    for f in expected.fields:
+        if f.name not in have:
+            results.append(CheckResult(f"column_present:{f.name}", False, detail="missing"))
+            continue
+        results.append(CheckResult(f"column_present:{f.name}", True))
+        if check_types and have[f.name] != f.dataType:
+            results.append(
+                CheckResult(
+                    f"column_type:{f.name}",
+                    False,
+                    detail=f"expected {f.dataType.simpleString()}, got {have[f.name].simpleString()}",
+                )
+            )
+        elif check_types:
+            results.append(CheckResult(f"column_type:{f.name}", True))
+    return results
+
+
+def assertion_metrics(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Q2 as one aggregate pass: row count, per-key null count,
+    distinct-key count — enough to decide not_null/unique/row_count>0
+    in a single job (vs dbt's one query per test)."""
+    key = F.concat_ws("", *[F.coalesce(F.col(c).cast("string"), F.lit(" ")) for c in key_cols])
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(key).alias("n_distinct_keys"),
+    ] + [
+        F.sum(F.col(c).isNull().cast("bigint")).alias(f"n_null_{c}") for c in key_cols
+    ]
+    return df.agg(*aggs)
+
+
+def run_assertions(df: DataFrame, key_cols: list[str], severity: str = "warn") -> list[CheckResult]:
+    """Evaluate dbt-parity tests: not_null(key), unique(key), count>0."""
+    row = assertion_metrics(df, key_cols).first()
+    results = [
+        CheckResult("row_count_gt_0", row["n_rows"] > 0, severity),
+        CheckResult("unique_key", row["n_distinct_keys"] == row["n_rows"], severity),
+    ]
+    for c in key_cols:
+        results.append(CheckResult(f"not_null:{c}", row[f"n_null_{c}"] == 0, severity))
+    return results
+
+
+def reconcile_counts(extracted: int, loaded: int) -> CheckResult:
+    """Q3: extract-vs-load row-count reconciliation
+    (``bccp_to_ods.py:150-171,322-325``)."""
+    return CheckResult(
+        "rowcount_reconciliation",
+        extracted == loaded,
+        detail=f"extracted={extracted} loaded={loaded}",
+    )
