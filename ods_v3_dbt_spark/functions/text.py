@@ -1,0 +1,138 @@
+"""Text-analysis column functions for LLM-data pipelines.
+
+All JVM-side (``pyspark.sql.functions`` only — no Python UDFs), so
+they stay inside whole-stage codegen and scale linearly with corpus
+partitions. These extend the reference's surface per BASELINE.json
+(the reference has no text analytics; its string handling stops at
+the §2.4 scrubbing contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword profiles for the n-gram/lexicon lang-ID
+#: heuristic. Deliberately small and ASCII-safe; real deployments
+#: would swap in fastText-style models via mapInPandas.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "a"],
+    "fr": ["le", "la", "et", "les", "des", "un"],
+    "es": ["el", "los", "las", "una", "y", "que"],
+    "de": ["der", "die", "das", "und", "ein", "ist"],
+    "zh": ["de", "shi", "le", "zai", "he", "you"],
+}
+
+STOPWORDS_EN = LANG_PROFILES["en"]
+
+
+def normalize(col: Column) -> Column:
+    """lower + trim — the canonical form all text ops key on."""
+    return F.lower(F.trim(col))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of normalized text → array<string>."""
+    return F.split(normalize(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Number of whitespace tokens; 0 for empty/blank text."""
+    return F.when(F.length(normalize(col)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(col))
+    ).cast("int")
+
+
+def token_char_count(col: Column) -> Column:
+    """Total non-whitespace characters (per-token character mass)."""
+    return F.length(F.regexp_replace(normalize(col), r"\s+", "")).cast("int")
+
+
+def punct_count(col: Column) -> Column:
+    """Count of non-word, non-space characters."""
+    return F.regexp_count(col, F.lit(r"[^\w\s]")).cast("int")
+
+
+def digit_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(r"[0-9]")).cast("int")
+
+
+def stopword_count(col: Column, words: list[str] | None = None) -> Column:
+    """Occurrences of profile stopwords (word-boundary matched)."""
+    pattern = r"\b(" + "|".join(words or STOPWORDS_EN) + r")\b"
+    return F.regexp_count(normalize(col), F.lit(pattern)).cast("int")
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language lexicon hit counts — the lang-ID signal."""
+    return {lang: stopword_count(col, words) for lang, words in LANG_PROFILES.items()}
+
+
+def lang_guess(col: Column) -> Column:
+    """Deterministic argmax over :func:`lang_scores` with a fixed
+    precedence chain (en > fr > es > de > zh on ties) so results are
+    reproducible across engines."""
+    scores = lang_scores(col)
+    ordered = list(LANG_PROFILES)
+    expr = F.lit(ordered[-1])
+    for lang in reversed(ordered[:-1]):
+        later = [scores[o] for o in ordered[ordered.index(lang) + 1 :]]
+        cond = scores[lang] >= F.greatest(*later) if len(later) > 1 else scores[lang] >= later[0]
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Content fingerprint: md5 of normalized text (exact-dup key)."""
+    return F.md5(normalize(col))
+
+
+def rolling_hash(col: Column, base: int = 31, mod: int = 2**31 - 1) -> Column:
+    """Polynomial rolling hash over characters — a SQL-expressible
+    document fingerprint (sequential fold via ``aggregate``, no UDF).
+    """
+    chars = F.split(normalize(col), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * base + F.ascii(c)) % mod,
+    )
+
+
+def quality_score_milli(col: Column) -> Column:
+    """Heuristic doc-quality score in [0, 1000] (integer millis so the
+    score is cross-engine exact): rewards mid-length docs and prose-like
+    token length, penalizes punctuation/digit soup.
+
+    score = 1000 - penalties; clamped at 0.
+    """
+    n_tok = token_count(col)
+    n_char = F.length(col).cast("int")
+    # penalty terms, all integer arithmetic
+    short_pen = F.when(n_tok < 10, (10 - n_tok) * 50).otherwise(F.lit(0))
+    punct_pen = F.least(punct_count(col) * 20, F.lit(400))
+    digit_pen = F.least(digit_count(col) * 10, F.lit(200))
+    empty_pen = F.when(n_char == 0, F.lit(1000)).otherwise(F.lit(0))
+    raw = F.lit(1000) - short_pen - punct_pen - digit_pen - empty_pen
+    return F.greatest(raw, F.lit(0)).cast("int")
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (default 3) → array<string>.
+
+    1-indexed ``element_at`` so the construction mirrors ANSI-SQL
+    array semantics exactly. Docs with fewer than ``n`` tokens yield
+    an empty array (guarded — Spark's ``sequence(1, k)`` would count
+    *down* for k<1).
+    """
+    w = tokens(col)
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + off).cast("int")) for off in range(n)]
+        ),
+    )
+    return F.array_distinct(gram)

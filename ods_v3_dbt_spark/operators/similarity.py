@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers:
+
+* ``topk_bruteforce`` — expression-only exact top-k (quantized
+  integer inner product → cross-engine exact; or float cosine).
+  Query set must be small (it is broadcast).
+* ``topk_blockwise`` — the 100 TB path: Arrow-batched numpy matmul
+  over corpus partitions (``mapInPandas``), local top-k per batch,
+  global top-k via one small window. Corpus never leaves its
+  partitions; only ``|queries| × k`` rows per batch shuffle.
+* ``lsh_bucketed_topk`` — random-hyperplane LSH pre-filter: corpus
+  and queries bucketed by sign-pattern; only same-bucket pairs are
+  scored. Sub-linear candidate sets at the cost of recall.
+
+Hyperplanes are generated deterministically from xxhash64(plane,dim)
+— no RNG state, reproducible across runs/executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+
+
+def topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "dot_q",
+) -> DataFrame:
+    """Exact top-k: broadcast queries × corpus, score, window top-k.
+
+    ``metric='dot_q'`` uses the integer-quantized inner product
+    (cross-engine exact; the oracle-checked semantic);
+    ``metric='cosine'`` uses float cosine (engine API).
+    Output: (query_id, neighbor_id, sim_q|sim, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    crossed = c.crossJoin(F.broadcast(q))
+    if metric == "dot_q":
+        scored = crossed.select(
+            "query_id", "neighbor_id",
+            V.dot_quantized(F.col("__qv"), F.col("__cv")).alias("sim_q"),
+        )
+        order = [F.col("sim_q").desc(), F.col("neighbor_id").asc()]
+    else:
+        scored = crossed.select(
+            "query_id", "neighbor_id",
+            V.cosine(V.as_double(F.col("__qv")), V.as_double(F.col("__cv"))).alias("sim"),
+        )
+        order = [F.col("sim").desc_nulls_last(), F.col("neighbor_id").asc()]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def topk_blockwise(
+    corpus: DataFrame,
+    queries_pdf: pd.DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scale path: numpy matmul per Arrow batch, local top-k, then a
+    global top-k over |queries|×k×num_batches candidate rows.
+
+    ``queries_pdf`` is a small pandas frame (query_id, vector list) —
+    it rides to executors inside the closure (broadcast-by-value).
+    """
+    import numpy as np
+
+    qids = queries_pdf["query_id"].to_numpy()
+    qmat = np.vstack(queries_pdf["vector"].to_numpy()).astype("float64")
+    qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cmat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            cnorm = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+            sims = cnorm @ qnorm.T  # |batch| × |queries|
+            local_k = min(k, sims.shape[0])
+            top = np.argpartition(-sims, local_k - 1, axis=0)[:local_k]
+            rows = {
+                "query_id": np.repeat(qids, local_k),
+                "neighbor_id": pdf[id_col].to_numpy()[top].T.ravel(),
+                "sim": np.take_along_axis(sims, top, axis=0).T.ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    candidates = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return candidates.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _hyperplane_sign(vec, plane: int, dim_count: int):
+    """Deterministic pseudo-random hyperplane side: sign of
+    Σ_d w(plane,d)·x_d where w = xxhash64(plane,d) mapped to [-1,1].
+    Expression-only; reproducible everywhere."""
+    idx = F.sequence(F.lit(0), F.lit(dim_count - 1))
+    weights = F.transform(
+        idx, lambda d: (F.xxhash64(F.lit(plane), d) % 2001 - 1000).cast("double") / 1000.0
+    )
+    s = F.aggregate(
+        F.zip_with(weights, vec.cast("array<double>"), lambda w, x: w * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    dim_count: int = 64,
+) -> DataFrame:
+    """ANN: random-hyperplane bucket join then exact cosine within
+    buckets. Candidate set shrinks ~2^planes-fold; recall < 1 by
+    design (report alongside the exact path when evaluating)."""
+
+    def bucket(df: DataFrame, idc: str) -> DataFrame:
+        key = F.concat_ws(
+            "",
+            *[
+                _hyperplane_sign(F.col(vec_col), p, dim_count).cast("string")
+                for p in range(num_planes)
+            ],
+        )
+        return df.select(F.col(idc), F.col(vec_col), key.alias("bucket"))
+
+    c = bucket(corpus, id_col).withColumnRenamed(id_col, "neighbor_id").withColumnRenamed(vec_col, "__cv")
+    q = bucket(queries, id_col).withColumnRenamed(id_col, "query_id").withColumnRenamed(vec_col, "__qv")
+    joined = c.join(F.broadcast(q), "bucket")
+    scored = joined.select(
+        "query_id", "neighbor_id",
+        V.cosine(V.as_double(F.col("__qv")), V.as_double(F.col("__cv"))).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -741,3 +741,9 @@ def quality_assertion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2: dbt not_null/unique/count>0 assertions folded into one
     aggregate pass (``dbt/models/staging/casreport/schema.yml:1-53``)."""
     return Q.assertion_metrics(load(spark, sf_dir, "orders"), ["o_orderkey"])
+
+
+# Register the LLM-pipeline declared queries (dedup / similarity /
+# text analysis / multimodal) into the same registry. Import sits at
+# the bottom because llm_queries imports `register`/`load` from here.
+from . import llm_queries  # noqa: E402,F401

@@ -1,0 +1,402 @@
+"""LLM-data-pipeline declared queries (dedup, similarity, text
+analysis, multimodal) — the beyond-reference surface (BASELINE.json
+north star), oracle-checked like every other operator.
+
+The documents table has no duplicates, so the dedup queries build a
+deterministic corpus: documents ∪ exact copies (ids+10000 of every
+10th doc) ∪ near-dup variants (ids+20000 of every 25th doc with two
+appended tokens). Both engines construct the identical corpus in the
+query itself.
+
+Cross-engine determinism: minhashes are min-of-md5-hex (identical in
+any ANSI engine — the ``xxhash`` fast path is benchmarked, the
+``md5`` path is verified); similarities are integer (Jaccard in ppm,
+inner products quantized to 1e-3) — see dedup.py / vectors.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import dedup as DD
+from ..operators import multimodal as MM
+from ..operators import similarity as SIM
+from .declared_queries import load, register
+
+# ---------------------------------------------------------------------------
+# Shared corpus construction (Spark + SQL mirror)
+# ---------------------------------------------------------------------------
+
+NEAR_SUFFIX = " extra marker token"
+
+
+def corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    near = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 20000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(NEAR_SUFFIX)))
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+_CORPUS_SQL = f"""
+  corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 20000 AS doc_id, text || '{NEAR_SUFFIX}' AS text
+    FROM documents WHERE doc_id % 25 = 0
+  )
+"""
+
+#: Shared SQL fragments mirroring functions/text.py exactly.
+_NORM = "lower(trim({c}))"
+_NTOK = (
+    "CASE WHEN length(lower(trim({c}))) = 0 THEN 0 "
+    "ELSE len(string_split_regex(lower(trim({c})), '\\s+')) END"
+)
+
+_SHINGLE_SQL = """
+  words AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM corpus
+  ),
+  sh0 AS (
+    SELECT doc_id, w,
+           unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+    FROM words
+  ),
+  sh AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+    FROM sh0
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           CAST({_NTOK.format(c='text')} AS INT) AS n_tokens,
+           CAST(length(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) AS INT) AS n_token_chars,
+           CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS INT) AS n_punct,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS n_digits,
+           CAST(len(regexp_extract_all(lower(trim(text)), '\\b(the|and|of|to|is|a)\\b')) AS INT) AS n_stop_en,
+           CAST(greatest(
+             1000
+             - (CASE WHEN {_NTOK.format(c='text')} < 10 THEN (10 - {_NTOK.format(c='text')}) * 50 ELSE 0 END)
+             - least(len(regexp_extract_all(text, '[^\\w\\s]')) * 20, 400)
+             - least(len(regexp_extract_all(text, '[0-9]')) * 10, 200)
+             - (CASE WHEN length(text) = 0 THEN 1000 ELSE 0 END),
+             0) AS INT) AS quality_milli
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + punctuation/digit/stopword ratios + the
+    integer quality score — the text-quality signals a training-data
+    pipeline filters on. All JVM-side expressions."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        T.token_char_count(t).alias("n_token_chars"),
+        T.punct_count(t).alias("n_punct"),
+        T.digit_count(t).alias("n_digits"),
+        T.stopword_count(t).alias("n_stop_en"),
+        T.quality_score_milli(t).alias("quality_milli"),
+    )
+
+
+def _lang_score_sql(words: list[str]) -> str:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return f"len(regexp_extract_all(lower(trim(text)), '{pat}'))"
+
+
+_LANG_SCORES = {lang: _lang_score_sql(words) for lang, words in T.LANG_PROFILES.items()}
+
+
+@register(
+    "lang_id_heuristic",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang,
+             CAST({_LANG_SCORES['en']} AS INT) AS s_en,
+             CAST({_LANG_SCORES['fr']} AS INT) AS s_fr,
+             CAST({_LANG_SCORES['es']} AS INT) AS s_es,
+             CAST({_LANG_SCORES['de']} AS INT) AS s_de,
+             CAST({_LANG_SCORES['zh']} AS INT) AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang, s_en, s_fr, s_es, s_de, s_zh,
+           CASE WHEN s_en >= greatest(s_fr, s_es, s_de, s_zh) THEN 'en'
+                WHEN s_fr >= greatest(s_es, s_de, s_zh) THEN 'fr'
+                WHEN s_es >= greatest(s_de, s_zh) THEN 'es'
+                WHEN s_de >= s_zh THEN 'de'
+                ELSE 'zh' END AS lang_guess
+    FROM scored
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-profile language ID with a deterministic tie
+    precedence (en>fr>es>de>zh). The testdata's lang labels are
+    synthetic; the declared semantic is the heuristic itself."""
+    d = load(spark, sf_dir, "documents")
+    scores = T.lang_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[scores[lang].alias(f"s_{lang}") for lang in T.LANG_PROFILES],
+        T.lang_guess(F.col("text")).alias("lang_guess"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(trim(text))) AS fp_md5,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(lower(trim(text)), ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 2147483647) AS fp_rolling
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 content key + polynomial rolling
+    hash (base-31 mod 2^31-1), both as pure fold expressions."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.fingerprint_md5(F.col("text")).alias("fp_md5"),
+        T.rolling_hash(F.col("text")).alias("fp_rolling"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "exact_dedup_docs",
+    f"""
+    WITH {_CORPUS_SQL}
+    SELECT MIN(doc_id) AS doc_id, CAST(COUNT(1) AS BIGINT) AS dup_count
+    FROM corpus
+    GROUP BY md5(lower(trim(text)))
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the md5 fingerprint, keep the
+    min-id representative, count duplicates."""
+    c = corpus_with_dups(spark, sf_dir)
+    return DD.exact_dedup(c).select("doc_id", "dup_count")
+
+
+def _minhash_sql(num_hashes: int, bands: int, threshold_ppm: int) -> str:
+    rows = num_hashes // bands
+    mh_exprs = ",\n           ".join(
+        f"MIN(md5('{i}:' || shingle)) AS mh{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {b} AS band_idx, md5({key}) AS band_key FROM mh".format(
+            b=b,
+            key=" || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
+    mh AS (
+      SELECT doc_id, {mh_exprs}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+{band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(1) AS i
+      FROM cand c
+      JOIN sh s1 ON s1.doc_id = c.doc_a
+      JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(ROUND(i.i * 1000000.0 / (sa.n + sb.n - i.i)) AS BIGINT) AS jacc_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(ROUND(i.i * 1000000.0 / (sa.n + sb.n - i.i)) AS BIGINT) >= {threshold_ppm}
+    """
+
+
+@register("minhash_lsh_neardup", _minhash_sql(16, 4, 600000))
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection: 3-shingles → 16 minhashes →
+    4 banded buckets → candidate join → exact-Jaccard verify ≥ 0.6.
+
+    md5 hash mode here so the whole pipeline is oracle-checkable; the
+    production path flips one argument to xxhash64 (bench.py)."""
+    c = corpus_with_dups(spark, sf_dir)
+    return DD.minhash_lsh_pairs(
+        c, num_hashes=16, bands=4, threshold_ppm=600000, mode="md5"
+    )
+
+
+@register(
+    "ngram_jaccard_neardup",
+    f"""
+    WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
+    pairs AS (
+      SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+      FROM sh s1 JOIN sh s2
+        ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(1) AS i
+      FROM pairs p
+      JOIN sh s1 ON s1.doc_id = p.doc_a
+      JOIN sh s2 ON s2.doc_id = p.doc_b AND s2.shingle = s1.shingle
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(ROUND(i.i * 1000000.0 / (sa.n + sb.n - i.i)) AS BIGINT) AS jacc_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(ROUND(i.i * 1000000.0 / (sa.n + sb.n - i.i)) AS BIGINT) >= 500000
+    """,
+)
+def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup over shingle-blocked pairs,
+    threshold 0.5 — the exhaustive twin of the LSH path."""
+    c = corpus_with_dups(spark, sf_dir)
+    return DD.ngram_jaccard_pairs(c, threshold_ppm=500000)
+
+
+@register("simhash_neardup", None)  # xxhash64 not expressible in ANSI SQL
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signatures, prefix-blocked candidate
+    join, Hamming ≤ 6. Rows-only check (JVM xxhash64 has no DuckDB
+    twin); determinism is pytest-asserted instead."""
+    c = corpus_with_dups(spark, sf_dir)
+    sims = DD.simhash64(c)
+    return DD.simhash_near_pairs(sims, max_hamming=6, prefix_bits=8)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_topk",
+    """
+    WITH expl AS (
+      SELECT vec_id, embedding,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT vec_id, i,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS v
+      FROM expl
+    ),
+    q AS (SELECT vec_id AS query_id, i, v FROM dims WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, i, v FROM dims WHERE vec_id >= 10),
+    sims AS (
+      SELECT q.query_id, c.neighbor_id, CAST(SUM(q.v * c.v) AS BIGINT) AS sim_q
+      FROM q JOIN c ON q.i = c.i
+      GROUP BY q.query_id, c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim_q, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim_q DESC, neighbor_id ASC) AS rank
+      FROM sims) WHERE rank <= 5
+    """,
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-5 neighbors by quantized integer inner
+    product (queries = vec_id<10, corpus = rest). The float-cosine
+    and numpy-blockwise variants share this operator's API
+    (operators/similarity.py) — this is the engine-portable exact
+    semantic."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    out = SIM.topk_bruteforce(c, q, k=5, metric="dot_q")
+    return out.select("query_id", "neighbor_id", "sim_q", F.col("rank").cast("int").alias("rank"))
+
+
+@register("embedding_ann_lsh", None)  # hyperplanes use JVM xxhash64
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (bucketed cosine top-k) — the
+    sub-linear scale path. Rows-only: recall vs the exact path is
+    asserted in pytest, not hash-matched."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    return SIM.lsh_bucketed_topk(c, q, k=5, num_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing: payload as binary + JVM-side
+    metadata (byte length, content hash) — the metadata-only scan
+    path that must never decode (multimodal.py design note)."""
+    d = load(spark, sf_dir, "documents")
+    bin_col = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.octet_length(bin_col).cast("bigint").alias("byte_len"),
+        F.md5(bin_col).alias("content_md5"),
+    )
+
+
+@register("multimodal_decode", None)  # Python fake-decode kernel
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode pipeline over binary media rows
+    (deterministic fake decoder — media libs are stubbed per the
+    round brief). Exercises the real mapInPandas plumbing + schema."""
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "video")
+        .when(F.col("doc_id") % 3 == 1, "image")
+        .otherwise("audio")
+        .alias("media_type"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    return MM.decode_features(media, decoder="fake")
