@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the declared-query suite end-to-end.
+
+Protocol (BASELINE.md §3): every query in the registry executes
+against ``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]``; each result is fully materialized
+through the ``noop`` sink (forces the whole plan, no driver collect,
+no disk write skew). Output: ONE JSON line
+``{"metric", "value", "unit", "queries", "sf"}``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ods_v3_dbt_spark.plans import declared_queries as DQ  # noqa: E402
+from ods_v3_dbt_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(
+        "ods-v3-dbt-spark-bench",
+        master=f"local[{cpus}]",
+        # Local single-JVM: one shuffle partition per core; on a real
+        # cluster this comes from AQE coalescing instead.
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = DQ.registry()
+
+    # Warm the JVM + parquet footers so q1 doesn't pay session startup.
+    DQ.load(spark, sf_dir, "lineitem").count()
+
+    times: dict[str, float] = {}
+    for name, qd in registry.items():
+        t0 = time.perf_counter()
+        qd.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

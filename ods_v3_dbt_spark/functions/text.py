@@ -117,22 +117,29 @@ def quality_score_milli(col: Column) -> Column:
     return F.greatest(raw, F.lit(0)).cast("int")
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (default 3) → array<string>.
+def shingles_of_tokens(w: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token-array column.
 
-    1-indexed ``element_at`` so the construction mirrors ANSI-SQL
-    array semantics exactly. Docs with fewer than ``n`` tokens yield
-    an empty array (guarded — Spark's ``sequence(1, k)`` would count
-    *down* for k<1).
+    ``w`` must be a *materialized column reference* (not an inline
+    ``split(...)`` expression): the per-gram lambda references it once
+    per element, and an inline expression tree would re-tokenize the
+    whole document per gram — O(len²). ``slice`` + ``array_join``
+    mirrors the ANSI ``w[i] || ' ' || w[i+1] …`` oracle exactly for
+    full-width grams; docs with fewer than ``n`` tokens yield an empty
+    array (guarded — Spark's ``sequence(1, k)`` would count *down*
+    for k<1).
     """
-    w = tokens(col)
     idx = F.when(
         F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, (i + off).cast("int")) for off in range(n)]
-        ),
-    )
+    gram = F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
     return F.array_distinct(gram)
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of raw text → array<string>.
+
+    Convenience form; hot paths should project :func:`tokens` to a
+    column first and call :func:`shingles_of_tokens` (see note there).
+    """
+    return shingles_of_tokens(tokens(col), n)

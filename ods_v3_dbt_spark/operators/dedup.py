@@ -55,11 +55,23 @@ def exact_dedup(
 
 
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, shingle) exploded distinct shingle table."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(T.shingles(F.col(text_col), n)).alias("shingle"),
+    """(id, shingle) exploded distinct shingle table.
+
+    Tokenizes in its own projection so the shingle lambda references a
+    materialized array, not an inline split — see
+    :func:`..functions.text.shingles_of_tokens`.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), T.tokens(F.col(text_col)).alias("__w")
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(T.shingles_of_tokens(F.col("__w"), n)).alias("shingle"),
     ).distinct()
+    # 8-byte surrogate join key: pair joins shuffle/compare longs, not
+    # variable-width shingle strings (64-bit collision odds ~1e-9 for
+    # million-shingle corpora — below any float tolerance we hold).
+    return sh.withColumn("sid", F.xxhash64("shingle"))
 
 
 def _minhash_expr(i: int, mode: str) -> Column:
@@ -125,11 +137,25 @@ def lsh_candidate_pairs(
     )
 
 
+def _attach_jaccard(inter: DataFrame, sizes: DataFrame) -> DataFrame:
+    """Join per-doc shingle counts onto an intersection-count table and
+    derive ``jacc_ppm`` (Jaccard in parts-per-million — integer,
+    cross-engine exact). ``sizes`` is one row per doc (post-agg), so
+    AQE upgrades these joins to broadcast when the corpus allows."""
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "size_b"), "doc_b")
+    )
+    union = F.col("size_a") + F.col("size_b") - F.col("inter")
+    return out.withColumn(
+        "jacc_ppm", F.round(F.col("inter") * 1000000.0 / union).cast("bigint")
+    )
+
+
 def jaccard_for_pairs(pairs: DataFrame, shingle_tbl: DataFrame) -> DataFrame:
     """Exact Jaccard for given (doc_a, doc_b) pairs via shingle joins.
 
-    Output adds ``inter``, ``size_a``, ``size_b`` and ``jacc_ppm``
-    (Jaccard in parts-per-million — integer, cross-engine exact).
+    Output adds ``inter``, ``size_a``, ``size_b`` and ``jacc_ppm``.
     """
     sizes = shingle_tbl.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     s1 = shingle_tbl.alias("s1")
@@ -140,19 +166,12 @@ def jaccard_for_pairs(pairs: DataFrame, shingle_tbl: DataFrame) -> DataFrame:
         .join(
             s2,
             (F.col("p.doc_b") == F.col("s2.doc_id"))
-            & (F.col("s1.shingle") == F.col("s2.shingle")),
+            & (F.col("s1.sid") == F.col("s2.sid")),
         )
         .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    out = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "size_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "size_b"), "doc_b")
-    )
-    union = F.col("size_a") + F.col("size_b") - F.col("inter")
-    return out.withColumn(
-        "jacc_ppm", F.round(F.col("inter") * 1000000.0 / union).cast("bigint")
-    )
+    return _attach_jaccard(inter, sizes)
 
 
 def minhash_lsh_pairs(
@@ -170,7 +189,11 @@ def minhash_lsh_pairs(
 
     Returns (doc_a, doc_b, jacc_ppm) pairs with Jaccard ≥ threshold.
     """
-    sh = _shingle_table(df, text_col, id_col, shingle_n)
+    # The exploded shingle table feeds signatures, both sides of the
+    # verify join, and the size agg — persist it once instead of four
+    # explode+distinct recomputations. At cluster scale the same slot
+    # is a materialized intermediate (MEMORY_AND_DISK spills cleanly).
+    sh = _shingle_table(df, text_col, id_col, shingle_n).persist()
     sigs = minhash_signatures(sh, num_hashes, mode)
     cand = lsh_candidate_pairs(sigs, num_hashes, bands)
     verified = jaccard_for_pairs(cand, sh)
@@ -190,19 +213,25 @@ def ngram_jaccard_pairs(
     exact Jaccard, threshold. Shingle-blocked — no LSH approximation;
     quadratic in the worst case, use :func:`minhash_lsh_pairs` at
     scale."""
-    sh = _shingle_table(df, text_col, id_col, shingle_n)
+    sh = _shingle_table(df, text_col, id_col, shingle_n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     s1, s2 = sh.alias("s1"), sh.alias("s2")
-    pairs = (
+    # One self-join does double duty: each matched row IS one shared
+    # shingle, so groupBy counts the intersection directly — no
+    # distinct-pairs materialization, no re-join against the shingles.
+    inter = (
         s1.join(
             s2,
-            (F.col("s1.shingle") == F.col("s2.shingle"))
+            (F.col("s1.sid") == F.col("s2.sid"))
             & (F.col("s1.doc_id") < F.col("s2.doc_id")),
         )
-        .select(F.col("s1.doc_id").alias("doc_a"), F.col("s2.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(
+            F.col("s1.doc_id").alias("doc_a"), F.col("s2.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (
-        jaccard_for_pairs(pairs, sh)
+        _attach_jaccard(inter, sizes)
         .filter(F.col("jacc_ppm") >= threshold_ppm)
         .select("doc_a", "doc_b", "jacc_ppm")
     )
