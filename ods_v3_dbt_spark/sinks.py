@@ -1,0 +1,142 @@
+"""Sinks / loads L1-L4 (SURVEY.md §2.2) + the engine's table store.
+
+The reference lands CSV batches in MinIO then ``COPY``s into Postgres
+staging (``bccp_to_ods.py:245-332``); ODS tables mutate in place via
+SQL MERGE. On Spark-over-Parquet, in-place MERGE isn't atomic
+(SURVEY §7.3 risk 1), so the engine uses **snapshot-swap tables**: a
+table is a directory of immutable snapshot subdirs plus a ``_CURRENT``
+pointer file. Writers produce a full new snapshot and flip the
+pointer — readers never observe a half-written table, and a failed
+write leaves the previous snapshot intact. (Swap-by-pointer is the
+plain-Spark stand-in for Delta's transaction log; the merge operators
+in ``operators/merge.py`` stay storage-agnostic.)
+
+Partitioned facts write with ``partitionBy(day)`` so M6/M7 windows
+prune at read time; with ``partitionOverwriteMode=dynamic`` an
+in-place ``INSERT OVERWRITE`` of touched days is also offered
+(:func:`overwrite_partitions`) for the landing zone where snapshot
+isolation doesn't matter.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from collections.abc import Sequence
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+CURRENT_MARKER = "_CURRENT"
+
+
+class ParquetTable:
+    """Snapshot-swap Parquet table (see module docstring)."""
+
+    def __init__(self, root: str | Path, partition_cols: Sequence[str] = ()) -> None:
+        self.root = Path(root)
+        self.partition_cols = tuple(partition_cols)
+
+    # -- pointer management -------------------------------------------------
+
+    def _pointer(self) -> Path:
+        return self.root / CURRENT_MARKER
+
+    def current_snapshot(self) -> Path | None:
+        if not self._pointer().exists():
+            return None
+        name = self._pointer().read_text().strip()
+        snap = self.root / name
+        return snap if snap.exists() else None
+
+    def exists(self) -> bool:
+        return self.current_snapshot() is not None
+
+    # -- IO -----------------------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        snap = self.current_snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"table has no snapshot: {self.root}")
+        return spark.read.parquet(str(snap))
+
+    def write(self, df: DataFrame) -> Path:
+        """Write a new immutable snapshot, then flip the pointer.
+
+        The pointer flip is a single small-file write — the closest a
+        filesystem gives to atomic commit; stale snapshots stay until
+        :meth:`vacuum`, so concurrent readers finish safely.
+        """
+        self.root.mkdir(parents=True, exist_ok=True)
+        snap = f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
+        writer = df.write.mode("errorifexists")
+        if self.partition_cols:
+            writer = writer.partitionBy(*self.partition_cols)
+        writer.parquet(str(self.root / snap))
+        tmp = self.root / f".{CURRENT_MARKER}.{uuid.uuid4().hex[:8]}"
+        tmp.write_text(snap)
+        tmp.replace(self._pointer())
+        return self.root / snap
+
+    def vacuum(self, keep: int = 2) -> list[Path]:
+        """Drop all but the newest ``keep`` snapshots (never the
+        current one). Returns removed paths."""
+        import shutil
+
+        current = self.current_snapshot()
+        snaps = sorted(
+            (p for p in self.root.glob("snap-*") if p.is_dir()), reverse=True
+        )
+        victims = [p for p in snaps[keep:] if p != current]
+        for p in victims:
+            shutil.rmtree(p)
+        return victims
+
+
+def write_landing(df: DataFrame, path: str, partition_cols: Sequence[str] = ()) -> None:
+    """L1: landing-zone write — the reference's CSV-batch-to-MinIO spill
+    (``bccp_to_ods.py:245-255``) becomes a straight Parquet append (no
+    CSV detour; columnar from the first hop)."""
+    writer = df.write.mode("append")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def overwrite_staging(df: DataFrame, table: ParquetTable) -> None:
+    """L2/L3: TRUNCATE + load staging (``bccp_to_ods.py:298-356``) — a
+    full snapshot replace."""
+    table.write(df)
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_cols: Sequence[str]) -> None:
+    """M7 physical path for non-snapshot landings: dynamic partition
+    overwrite — only the day-partitions present in ``df`` rewrite
+    (requires ``spark.sql.sources.partitionOverwriteMode=dynamic``,
+    set in ``session.ENGINE_CONF``)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def jdbc_export_writer(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    batchsize: int = 50000,
+    properties: dict[str, str] | None = None,
+):
+    """L4: reverse export ODS→external warehouse (``ods_to_llb.py:
+    168-198``: truncate MSSQL target + chunked insert_rows). Returns
+    the configured writer (unstarted — tests inspect, jobs call
+    ``.save()``)."""
+    writer = (
+        df.write.format("jdbc")
+        .mode(mode)
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .option("truncate", "true")  # reference truncates, not drops
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    return writer

@@ -1,0 +1,351 @@
+"""Engine-layer tests: catalog, sources, sinks, model runner,
+streaming merge, EtlJob, run log.
+
+These cover the orchestration surface the oracle-parity suite can't
+(file layout, snapshot swap, streaming checkpoints, replay
+idempotency — the reference's backdate-DAG invariant, SURVEY §2.11).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ods_v3_dbt_spark.catalog import Catalog, TableSpec, fixture_catalog, to_spark_type
+from ods_v3_dbt_spark.jobs import EtlJob, freshness_guarded_rollup, split_day_windows
+from ods_v3_dbt_spark.models import Model, ModelGraph, ModelTest
+from ods_v3_dbt_spark.runlog import RunLog
+from ods_v3_dbt_spark.sinks import ParquetTable
+from ods_v3_dbt_spark.sources.readers import (
+    excel_rows_source,
+    rest_source,
+    window_predicate,
+    windowed_extract_sql,
+)
+from ods_v3_dbt_spark.streaming.incremental import IncrementalStream
+
+T0 = dt.datetime(2024, 9, 1)
+T1 = dt.datetime(2024, 9, 2)
+
+
+# ---------------------------------------------------------------------------
+# catalog
+# ---------------------------------------------------------------------------
+
+
+def test_fixture_catalog_schemas():
+    cat = fixture_catalog()
+    assert len(cat) >= 12
+    bccp = cat.get("bccp_item")
+    st = bccp.struct_type()
+    assert st["last_updated_time"].dataType.simpleString() == "timestamp"
+    assert st["is_domestic"].dataType.simpleString() == "boolean"
+    assert bccp.strategy == "merge_upsert_fresh" and bccp.tie_update is False
+    khl = cat.get("khl_portal_billing_result")
+    assert khl.tie_update is True
+    s98 = cat.get("f_item_s98")
+    assert s98.cursor_is_int_day()
+
+
+def test_catalog_json_round_trip(tmp_path):
+    params = {
+        "item": {
+            "des_schema_name": "ods_bccp",
+            "des_table_name": "bccp_item",
+            "columns": {"item_code": "string", "weight": "float64",
+                        "last_updated_time": "datetime64[ns]"},
+            "cursor_field": "last_updated_time",
+            "key": ["item_code"],
+            "strategy": "merge_upsert_fresh",
+        }
+    }
+    p = tmp_path / "bccp.json"
+    p.write_text(json.dumps(params))
+    cat = Catalog.from_params_json(p)
+    spec = cat.get("bccp_item")
+    assert spec.qualified_name == "ods_bccp.bccp_item"
+    assert spec.keys == ("item_code",)
+    assert spec.struct_type()["weight"].dataType.simpleString() == "double"
+
+
+def test_catalog_validation_errors():
+    with pytest.raises(ValueError):
+        TableSpec(name="x", schema_name="s", columns={"a": "string"}, keys=("b",))
+    with pytest.raises(ValueError):
+        TableSpec(name="x", schema_name="s", columns={"a": "string"}, strategy="nope")
+    with pytest.raises(ValueError):
+        to_spark_type("varchar(99)")
+
+
+# ---------------------------------------------------------------------------
+# sources
+# ---------------------------------------------------------------------------
+
+
+def test_windowed_extract_sql_dialects():
+    cat = fixture_catalog()
+    bccp = cat.get("bccp_item")
+    mssql = windowed_extract_sql(bccp, T0, T1, "mssql")
+    assert "CONVERT(DATETIME, '2024-09-01 00:00:00', 120)" in mssql
+    assert ">=" in mssql and "< CONVERT" in mssql  # half-open
+    khl = cat.get("khl_portal_billing_result")
+    ora = windowed_extract_sql(khl, T0, T1, "oracle")
+    assert "TO_DATE('2024-09-01 00:00:00', 'YYYY-MM-DD HH24:MI:SS')" in ora
+    # S3: int yyyymmdd cursor compares day-ids
+    s98 = cat.get("f_item_s98")
+    intq = windowed_extract_sql(s98, T0, T1, "oracle")
+    assert "tran_date_id >= 20240901 AND tran_date_id < 20240902" in intq
+    # S5: no cursor → unbounded
+    dim = cat.get("d_row_item")
+    assert "WHERE" not in windowed_extract_sql(dim, T0, T1)
+
+
+def test_window_predicate_halfopen(spark):
+    spec = fixture_catalog().get("bccp_item")
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 8, 31, 23, 59, 59)),
+         ("b", T0),                       # == start → in
+         ("c", dt.datetime(2024, 9, 1, 12)),
+         ("d", T1)],                      # == end → out
+        "item_code string, last_updated_time timestamp",
+    )
+    got = sorted(
+        r.item_code for r in df.filter(window_predicate(spec, T0, T1)).collect()
+    )
+    assert got == ["b", "c"]
+
+
+def test_rest_source_rename_and_mask(spark):
+    spec = fixture_catalog().get("hrm_unit")
+    rows = [
+        {"unitId": "u1", "parentId": None, "levelId": 2, "unitCode": "U1",
+         "unitName": "Unit 1", "provinceCode": "01",
+         "createdDate": T0, "updatedDate": T0, "status": "A"},
+        {"unitId": "u2", "levelId": 3, "unitCode": "U2", "unitName": "Unit 2",
+         "provinceCode": "02", "createdDate": T0, "updatedDate": T1, "status": "A"},
+    ]
+    df = rest_source(spark, rows, spec, mask_cols=["province_code"])
+    assert df.columns == list(spec.columns)
+    out = {r.unit_id: r for r in df.collect()}
+    assert out["u2"].unit_name == "Unit 2"
+    assert out["u1"].province_code is None and out["u2"].province_code is None
+
+
+def test_excel_rows_coercions(spark):
+    spec = fixture_catalog().get("item_delivery_detail")
+    header = [list(spec.columns)[:-1]]  # header row (no etl_date)
+    rows = header + [
+        ["L1", "P1", "PM1", "S", "1.5", "7", "100", "20240901", "10.1", "106.2"],
+        ["L2", "P1", "PM1", "S", "2.0", "99999999999", "", "20240901", "", "nan"],  # int32 overflow + empty
+        [None, "P2", "PM2", "S", "1.0", "3", "5", "20240902", "10.0", "106.0"],     # null key → dropped
+        ["L3", "P2", "PM2", "S", "NULL", "nan", "None", "20240902", "x", "y"],      # markers → NULL
+        ["junk-footer", None, None, None, None, None, None, None, None, None],
+    ]
+    df = excel_rows_source(
+        spark, rows, spec, header_rows=1, end_skip=1,
+        drop_null_cols=["lading_code"], etl_date=T0,
+    )
+    got = {r.lading_code: r for r in df.collect()}
+    assert set(got) == {"L1", "L2", "L3"}
+    assert got["L1"].quantity == 7 and got["L1"].status_date == 20240901
+    assert got["L2"].quantity is None          # out-of-int32 → NULL
+    assert got["L2"].so_tien_thu_ho is None    # "" → NULL
+    assert got["L3"].weight is None            # "NULL" marker
+    assert got["L1"].etl_date == T0
+
+
+# ---------------------------------------------------------------------------
+# sinks
+# ---------------------------------------------------------------------------
+
+
+def test_parquet_table_snapshot_swap(spark, tmp_path):
+    tbl = ParquetTable(tmp_path / "t")
+    assert not tbl.exists()
+    df1 = spark.range(5).withColumnRenamed("id", "k")
+    tbl.write(df1)
+    assert tbl.read(spark).count() == 5
+    tbl.write(spark.range(3).withColumnRenamed("id", "k"))
+    assert tbl.read(spark).count() == 3         # pointer flipped
+    assert len(list((tmp_path / "t").glob("snap-*"))) == 2  # old snapshot kept
+    removed = tbl.vacuum(keep=1)
+    assert len(removed) == 1
+    assert tbl.read(spark).count() == 3         # current untouched
+
+
+def test_parquet_table_partitioned(spark, tmp_path):
+    tbl = ParquetTable(tmp_path / "p", partition_cols=("day",))
+    df = spark.createDataFrame([(1, 20240901), (2, 20240902)], "v int, day int")
+    snap = tbl.write(df)
+    days = {p.name for p in snap.glob("day=*")}
+    assert days == {"day=20240901", "day=20240902"}
+
+
+# ---------------------------------------------------------------------------
+# model runner
+# ---------------------------------------------------------------------------
+
+
+def _orders_df(spark, n):
+    return spark.createDataFrame(
+        [(i, f"c{i % 3}", float(i), dt.datetime(2024, 9, 1 + i % 3)) for i in range(n)],
+        "order_id long, customer string, amount double, updated_at timestamp",
+    )
+
+
+def test_model_graph_view_table_incremental(spark, tmp_path):
+    g = ModelGraph(tmp_path / "wh")
+    src_holder = {"df": _orders_df(spark, 6)}
+    g.add(Model(
+        name="stg_orders",
+        fn=lambda s: src_holder["df"].filter(F.col("order_id").isNotNull()),
+        materialized="view",
+        tests=[ModelTest("not_null", column="order_id", severity="error")],
+    ))
+    g.add(Model(
+        name="mart_orders",
+        fn=lambda s, stg_orders: stg_orders,
+        materialized="incremental",
+        refs=["stg_orders"],
+        unique_key="order_id",
+        watermark_col="updated_at",
+        tests=[ModelTest("unique", column="order_id", severity="error"),
+               ModelTest("expression", expression="count(*) > 0", severity="warn")],
+    ))
+    results = g.run(spark)
+    assert all(r.passed for r in results)
+    assert g.table("mart_orders").read(spark).count() == 6
+
+    # incremental: feed 3 new + 6 old rows; watermark keeps only newer,
+    # unique-key merge dedups — dbt's is_incremental() contract
+    newer = spark.createDataFrame(
+        [(100, "c9", 1.0, dt.datetime(2024, 9, 9)), (5, "c9", 99.0, dt.datetime(2024, 9, 9))],
+        "order_id long, customer string, amount double, updated_at timestamp",
+    )
+    src_holder["df"] = _orders_df(spark, 6).unionByName(newer)
+    g.run(spark)
+    mart = g.table("mart_orders").read(spark)
+    assert mart.count() == 7                      # 6 + 1 new key
+    assert mart.filter("order_id = 5").head().amount == 99.0  # updated row
+
+
+def test_model_test_failure_raises(spark, tmp_path):
+    g = ModelGraph(tmp_path / "wh")
+    g.add(Model(
+        name="bad",
+        fn=lambda s: spark.createDataFrame([(None,), (1,)], "k int"),
+        materialized="table",
+        tests=[ModelTest("not_null", column="k", severity="error")],
+    ))
+    with pytest.raises(AssertionError):
+        g.run(spark)
+
+
+# ---------------------------------------------------------------------------
+# streaming foreachBatch merge
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_stream_fresh_merge_and_replay(spark, tmp_path):
+    spec = fixture_catalog().get("khl_portal_billing_result")
+    landing = tmp_path / "landing"
+    target = ParquetTable(tmp_path / "target")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, spec.struct_type())
+
+    r1 = [("1", "bg1", "SVC", 1.0, 0.1, 0.0, 0.0, 0.08, T0),
+          ("2", "bg2", "SVC", 2.0, 0.2, 0.0, 0.0, 0.08, T0)]
+    batch(r1).write.mode("append").parquet(str(landing))
+    stream = IncrementalStream(
+        spark, spec, landing, target, tmp_path / "ckpt", max_files_per_trigger=10
+    )
+    stream.run_once()
+    assert target.read(spark).count() == 2
+
+    # batch 2: id=1 updated (newer), id=2 stale (older) → gate drops it
+    r2 = [("1", "bg1", "SVC", 9.0, 0.9, 0.0, 0.0, 0.08, T1),
+          ("2", "bg2", "SVC", 0.0, 0.0, 0.0, 0.0, 0.08, dt.datetime(2024, 8, 1))]
+    batch(r2).write.mode("append").parquet(str(landing))
+    stream.run_once()
+    got = {r.id: r for r in target.read(spark).collect()}
+    assert got["1"].fee_public == 9.0          # updated
+    assert got["2"].fee_public == 2.0          # stale dropped
+    # replay the same landing data through a fresh checkpoint (backdate
+    # DAG semantics, O8) → idempotent
+    stream2 = IncrementalStream(spark, spec, landing, target, tmp_path / "ckpt2")
+    stream2.run_once()
+    got2 = {r.id: r for r in target.read(spark).collect()}
+    assert len(got2) == 2 and got2["1"].fee_public == 9.0 and got2["2"].fee_public == 2.0
+
+
+# ---------------------------------------------------------------------------
+# EtlJob end-to-end + run log + rollup guard
+# ---------------------------------------------------------------------------
+
+
+def test_etl_job_windowed_sync_and_replay(spark, tmp_path):
+    spec = fixture_catalog().get("bccp_item")
+    src_path = tmp_path / "src"
+    wh = tmp_path / "wh"
+
+    def row(code, ts, status):
+        return (code, "POS1", "name", True, 1.0, 10.0, status,
+                T0, T0, ts)
+
+    spark.createDataFrame(
+        [row("A", dt.datetime(2024, 9, 1, 5), "new"),
+         row("B", dt.datetime(2024, 9, 1, 6), "new"),
+         row("A", dt.datetime(2024, 9, 2, 5), "upd")],   # next-day update
+        spec.struct_type(),
+    ).write.parquet(str(src_path))
+
+    log = RunLog(tmp_path / "runlog")
+    job = EtlJob(spark, spec, wh, source_path=str(src_path), run_log=log)
+    res1 = job.run(window=(T0, T1))
+    assert res1.rows_extracted == 2 and res1.rows_loaded == 2
+    res2 = job.run(window=(T1, dt.datetime(2024, 9, 3)))
+    assert res2.rows_loaded == 2
+    got = {r.item_code: r.status for r in job.target().read(spark).collect()}
+    assert got == {"A": "upd", "B": "new"}
+    # O8 replay of window 1: stale rows, freshness gate → no-op
+    job.run(window=(T0, T1))
+    got2 = {r.item_code: r.status for r in job.target().read(spark).collect()}
+    assert got2 == {"A": "upd", "B": "new"}
+    # run log captured all three runs
+    entries = log.read(spark).collect()
+    assert len(entries) == 3 and all(e.is_success for e in entries)
+
+
+def test_split_day_windows():
+    wins = split_day_windows(dt.date(2024, 9, 1), 2)
+    assert wins[0] == (T0, dt.datetime(2024, 9, 1, 12))
+    assert wins[1] == (dt.datetime(2024, 9, 1, 12), T1)
+
+
+def test_freshness_guarded_rollup(spark, tmp_path):
+    fact_t = ParquetTable(tmp_path / "fact")
+    day_t = ParquetTable(tmp_path / "day")
+    month_t = ParquetTable(tmp_path / "month")
+    fact_t.write(spark.createDataFrame(
+        [("P1", 20240901, 1.0), ("P1", 20240901, 2.0), ("P1", 20241001, 5.0)],
+        "pos_code string, status_date int, weight double",
+    ))
+    measures = {"item_count": F.count(F.lit(1)), "total_weight": F.sum("weight")}
+    ran = freshness_guarded_rollup(
+        spark, fact_t, day_t, month_t, ["pos_code"], "status_date", measures
+    )
+    assert ran
+    day = {(r.pos_code, r.status_date): r for r in day_t.read(spark).collect()}
+    assert day[("P1", 20240901)].item_count == 2
+    assert day[("P1", 20240901)].total_weight == 3.0
+    month = {(r.pos_code, r.month_id): r for r in month_t.read(spark).collect()}
+    assert month[("P1", 202409)].total_weight == 3.0
+    assert month[("P1", 202410)].total_weight == 5.0
+    # second call: fact unchanged → guard skips
+    assert not freshness_guarded_rollup(
+        spark, fact_t, day_t, month_t, ["pos_code"], "status_date", measures
+    )
