@@ -43,6 +43,18 @@ def token_count(col: Column) -> Column:
     ).cast("int")
 
 
+#: BPE-ish pre-tokenization classes: letter runs, digit runs, single
+#: non-alnum marks — the shape GPT-2-style byte-pair pre-splitters use.
+BPE_SPLIT_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Count of BPE-ish pre-tokens (letter runs / digit runs / marks)
+    over normalized text — the subword-cost estimate a training-data
+    pipeline budgets with, without needing a vocab file."""
+    return F.regexp_count(normalize(col), F.lit(BPE_SPLIT_PATTERN)).cast("int")
+
+
 def token_char_count(col: Column) -> Column:
     """Total non-whitespace characters (per-token character mass)."""
     return F.length(F.regexp_replace(normalize(col), r"\s+", "")).cast("int")

@@ -55,3 +55,25 @@ def dot_quantized(a: Column, b: Column, scale: int = 1000) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
+
+
+def normsq_quantized(a: Column, scale: int = 1000) -> Column:
+    """Exact integer squared norm of the quantized vector."""
+    return dot_quantized(a, a, scale)
+
+
+def cosine_ppm_quantized(
+    dot_q: Column, normsq_a: Column, normsq_b: Column
+) -> Column:
+    """Cosine in parts-per-million from exact integer dot/norms.
+
+    ``floor(dot_q * 1e6 / sqrt(na*nb))`` — the only float ops are one
+    sqrt/divide over *identical integer inputs* in every engine, so the
+    double result is bit-identical (IEEE) and ``floor`` (not round —
+    half-up vs half-even traps) lands on the same integer. NULL on
+    zero vectors.
+    """
+    denom = F.sqrt((normsq_a * normsq_b).cast("double"))
+    return F.when(
+        denom > 0, F.floor(dot_q.cast("double") * 1000000.0 / denom).cast("bigint")
+    )

@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..functions import vectors as V
 
 
 def exact_dedup(
@@ -234,6 +235,44 @@ def ngram_jaccard_pairs(
         _attach_jaccard(inter, sizes)
         .filter(F.col("jacc_ppm") >= threshold_ppm)
         .select("doc_a", "doc_b", "jacc_ppm")
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_ppm: int = 400000,
+) -> DataFrame:
+    """Embedding-cosine near-dup: (id_a < id_b) pairs with quantized
+    cosine ≥ threshold (ppm). The integer-quantized dot/norm makes the
+    result engine-exact (``functions.vectors.cosine_ppm_quantized``).
+
+    This is the exhaustive baseline — one pair-join over per-dimension
+    rows, shuffled on the dimension index (64 rows per doc), then a
+    single groupBy per pair. The sub-linear scale path is LSH bucketing
+    (``operators.similarity.lsh_bucketed_topk``); at 100 TB run that
+    first and feed its candidate pairs through the same exact verify.
+    """
+    dims = df.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(V.quantized(F.col(vec_col))).alias("i", "v"),
+    )
+    norms = dims.groupBy("vid").agg(F.sum(F.col("v") * F.col("v")).alias("nsq"))
+    a, b = dims.alias("a"), dims.alias("b")
+    dots = (
+        a.join(b, (F.col("a.i") == F.col("b.i")) & (F.col("a.vid") < F.col("b.vid")))
+        .groupBy(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .agg(F.sum(F.col("a.v") * F.col("b.v")).alias("dot_q"))
+    )
+    na = norms.withColumnRenamed("vid", "id_a").withColumnRenamed("nsq", "nsq_a")
+    nb = norms.withColumnRenamed("vid", "id_b").withColumnRenamed("nsq", "nsq_b")
+    out = dots.join(na, "id_a").join(nb, "id_b").withColumn(
+        "cos_ppm",
+        V.cosine_ppm_quantized(F.col("dot_q"), F.col("nsq_a"), F.col("nsq_b")),
+    )
+    return out.filter(F.col("cos_ppm") >= threshold_ppm).select(
+        "id_a", "id_b", "cos_ppm"
     )
 
 

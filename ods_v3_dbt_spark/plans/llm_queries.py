@@ -119,6 +119,62 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "token_bpe_counts",
+    f"""
+    SELECT doc_id,
+           CAST({_NTOK.format(c='text')} AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(trim(text)),
+                '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-cost estimation both ways: whitespace tokens and BPE-ish
+    pre-tokens (letter runs / digit runs / marks) — the budget numbers
+    a training-data pipeline tracks per document."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count(t).alias("n_ws_tokens"),
+        T.bpe_token_count(t).alias("n_bpe_tokens"),
+    )
+
+
+_QUALITY_MILLI_SQL = f"""greatest(
+             1000
+             - (CASE WHEN {_NTOK.format(c='text')} < 10 THEN (10 - {_NTOK.format(c='text')}) * 50 ELSE 0 END)
+             - least(len(regexp_extract_all(text, '[^\\w\\s]')) * 20, 400)
+             - least(len(regexp_extract_all(text, '[0-9]')) * 10, 200)
+             - (CASE WHEN length(text) = 0 THEN 1000 ELSE 0 END),
+             0)"""
+
+
+@register(
+    "quality_filter_pipeline",
+    f"""
+    SELECT doc_id,
+           CAST({_NTOK.format(c='text')} AS INT) AS n_tokens,
+           CAST({_QUALITY_MILLI_SQL} AS INT) AS quality_milli
+    FROM documents
+    WHERE {_QUALITY_MILLI_SQL} >= 500
+      AND {_NTOK.format(c='text')} BETWEEN 5 AND 10000
+    """,
+)
+def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical pretraining filter chain: quality score ≥ 0.5 and
+    sane token count — one predicate pushdown-friendly pass (composes
+    text.py signals; no shuffle at all)."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        T.quality_score_milli(t).alias("quality_milli"),
+    ).filter((F.col("quality_milli") >= 500) & F.col("n_tokens").between(5, 10000))
+
+
 def _lang_score_sql(words: list[str]) -> str:
     pat = r"\b(" + "|".join(words) + r")\b"
     return f"len(regexp_extract_all(lower(trim(text)), '{pat}'))"
@@ -346,6 +402,43 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = emb.filter(F.col("vec_id") >= 10)
     out = SIM.topk_bruteforce(c, q, k=5, metric="dot_q")
     return out.select("query_id", "neighbor_id", "sim_q", F.col("rank").cast("int").alias("rank"))
+
+
+@register(
+    "embedding_cosine_neardup",
+    """
+    WITH expl AS (
+      SELECT vec_id, embedding,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT vec_id, i,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS v
+      FROM expl
+    ),
+    norms AS (SELECT vec_id, SUM(v*v) AS nsq FROM dims GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.v * b.v) AS dot_q
+      FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(FLOOR(CAST(dot_q AS DOUBLE) * 1000000.0
+                      / sqrt(CAST(na.nsq * nb.nsq AS DOUBLE))) AS BIGINT) AS cos_ppm
+    FROM dots
+    JOIN norms na ON na.vec_id = id_a
+    JOIN norms nb ON nb.vec_id = id_b
+    WHERE CAST(FLOOR(CAST(dot_q AS DOUBLE) * 1000000.0
+               / sqrt(CAST(na.nsq * nb.nsq AS DOUBLE))) AS BIGINT) >= 400000
+    """,
+)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (quantized cosine ≥ 0.4 ppm):
+    the exhaustive verify semantic; LSH bucketing is the candidate
+    generator at scale (operators/dedup.py:embedding_cosine_pairs)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return DD.embedding_cosine_pairs(emb, threshold_ppm=400000)
 
 
 @register("embedding_ann_lsh", None)  # hyperplanes use JVM xxhash64

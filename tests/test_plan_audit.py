@@ -1,0 +1,86 @@
+"""Physical-plan audits: the properties that keep these queries viable
+at 100 TB, asserted so a refactor can't silently regress them
+(SURVEY §4 — pushdown/pruning/broadcast are 'free' only while the plan
+stays declarative).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ods_v3_dbt_spark.plans import declared_queries as DQ
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name: str) -> str:
+    df = DQ.registry()[name].spark(spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushed_to_scan(spark):
+    """Window/filter predicates must reach the parquet scan."""
+    plan = _plan(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_ns_window_pushed_to_raw_column(spark):
+    """The events window must push to the raw ns-long column (the
+    monotone-rewrite in load_events_windowed), not stop at the
+    timestamp_micros conversion."""
+    plan = _plan(spark, "count_window_probe")
+    assert "GreaterThanOrEqual(ts," in plan and "LessThan(ts," in plan
+
+
+def test_column_pruning(spark):
+    """A 2-col aggregation must not read the full 16-col lineitem."""
+    plan = _plan(spark, "count_window_probe")
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    # events has 8+ columns; the count probe must scan only the cursor
+    assert read_schema.count(",") == 0 and "ts" in read_schema
+
+
+def test_dim_join_broadcasts(spark):
+    """J1-style fact⋈dim joins must broadcast the dim, not shuffle the
+    fact (revenue query: customer/nation dims)."""
+    plan = _plan(spark, "revenue_by_customer")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims are all broadcast-sized here
+
+
+def test_merge_is_single_shuffle(spark):
+    """M3 freshness merge = one window over the union: exactly one
+    hash exchange on the merge key, no join shuffles."""
+    from ods_v3_dbt_spark.operators.merge import merge_upsert_fresh
+
+    tgt = spark.createDataFrame(
+        [(1, "a", 10.0)], "k int, v string, ts double"
+    )
+    src = spark.createDataFrame(
+        [(1, "b", 11.0), (2, "c", 5.0)], "k int, v string, ts double"
+    )
+    merged = merge_upsert_fresh(tgt, src, ["k"], "ts", tie_update=False)
+    plan = merged._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan  # window-over-union, not join-based
+
+
+def test_partial_aggregation(spark):
+    """groupBy aggregates must map-side combine (partial_ functions
+    before the Exchange) — the difference between shuffling rows and
+    shuffling partial states at 100 TB."""
+    plan = _plan(spark, "pricing_summary")
+    assert "partial_sum" in plan
+
+
+def test_whole_stage_codegen_text(spark):
+    """Text analytics stay JVM-side: no BatchEvalPython (row-at-a-time
+    Python) anywhere in the scan→project pipeline."""
+    for name in ("text_stats", "token_bpe_counts", "doc_fingerprint"):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
