@@ -40,14 +40,22 @@ def main() -> None:
 
     registry = DQ.registry()
 
-    # Warm the JVM + parquet footers so q1 doesn't pay session startup.
+    # Warm the JVM + parquet footers so q1 doesn't pay session startup,
+    # and spin up the Arrow Python workers so the first Pandas-UDF
+    # query doesn't pay 32 interpreter spawns (+ numpy import) either.
     DQ.load(spark, sf_dir, "lineitem").count()
+    spark.range(0, cpus, 1, cpus).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name, qd in registry.items():
         t0 = time.perf_counter()
         qd.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        # Queries are independent; drop any persisted intermediates so
+        # one query's cache doesn't squeeze the next one's memory.
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     print(

@@ -243,36 +243,82 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold_ppm: int = 400000,
+    num_blocks: int = 8,
+    scale: int = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-dup: (id_a < id_b) pairs with quantized
-    cosine ≥ threshold (ppm). The integer-quantized dot/norm makes the
-    result engine-exact (``functions.vectors.cosine_ppm_quantized``).
+    cosine ≥ threshold (ppm), engine-exact (integer dot/norms, one
+    ``floor`` over identical IEEE doubles — matches the DuckDB oracle
+    bit-for-bit; ``.5`` rounding ties can't occur because (n+0.5)/1000
+    is not float-representable).
 
-    This is the exhaustive baseline — one pair-join over per-dimension
-    rows, shuffled on the dimension index (64 rows per doc), then a
-    single groupBy per pair. The sub-linear scale path is LSH bucketing
-    (``operators.similarity.lsh_bucketed_topk``); at 100 TB run that
-    first and feed its candidate pairs through the same exact verify.
+    Physical design is the classic distributed all-pairs **triangle
+    block join**: vectors hash into ``num_blocks`` buckets, each
+    unordered bucket pair (i ≤ j) becomes one task, and a numpy gram
+    kernel (``applyInPandas`` — Arrow batches, no driver collect)
+    scores that tile. Each vector replicates ~``num_blocks`` times;
+    tile memory is (N/num_blocks)² — tune ``num_blocks`` so a tile
+    fits an executor. The all-pairs product is inherently quadratic;
+    the sub-linear path is LSH bucketing
+    (``operators.similarity.lsh_bucketed_topk``) feeding candidates
+    through this same exact verify.
     """
-    dims = df.select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(V.quantized(F.col(vec_col))).alias("i", "v"),
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).withColumn("blk", F.pmod(F.xxhash64("vid"), F.lit(num_blocks)).cast("int"))
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(num_blocks) for j in range(num_blocks) if i <= j],
+        "bi int, bj int",
     )
-    norms = dims.groupBy("vid").agg(F.sum(F.col("v") * F.col("v")).alias("nsq"))
-    a, b = dims.alias("a"), dims.alias("b")
-    dots = (
-        a.join(b, (F.col("a.i") == F.col("b.i")) & (F.col("a.vid") < F.col("b.vid")))
-        .groupBy(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
-        .agg(F.sum(F.col("a.v") * F.col("b.v")).alias("dot_q"))
+    a_side = base.join(F.broadcast(block_pairs), base["blk"] == block_pairs["bi"]).select(
+        "vid", "vec", "bi", "bj", F.lit(0).alias("side")
     )
-    na = norms.withColumnRenamed("vid", "id_a").withColumnRenamed("nsq", "nsq_a")
-    nb = norms.withColumnRenamed("vid", "id_b").withColumnRenamed("nsq", "nsq_b")
-    out = dots.join(na, "id_a").join(nb, "id_b").withColumn(
-        "cos_ppm",
-        V.cosine_ppm_quantized(F.col("dot_q"), F.col("nsq_a"), F.col("nsq_b")),
-    )
-    return out.filter(F.col("cos_ppm") >= threshold_ppm).select(
-        "id_a", "id_b", "cos_ppm"
+    b_side = base.join(
+        F.broadcast(block_pairs),
+        (base["blk"] == block_pairs["bj"]) & (block_pairs["bi"] != block_pairs["bj"]),
+    ).select("vid", "vec", "bi", "bj", F.lit(1).alias("side"))
+    tiles = a_side.unionByName(b_side)
+
+    def gram(pdf: pd.DataFrame) -> pd.DataFrame:
+        def qmat(sub: pd.DataFrame):
+            m = np.round(
+                np.vstack(sub["vec"].to_numpy()).astype("float64") * scale
+            ).astype("int64")
+            return sub["vid"].to_numpy(), m, (m * m).sum(axis=1)
+
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        if not len(a):  # tile with only one populated block side
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_ppm": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_ppm": "int64"}
+            )
+        ids_a, ma, nsq_a = qmat(a)
+        if len(b):
+            ids_b, mb, nsq_b = qmat(b)
+            dots = ma @ mb.T
+            ia, ib = np.nonzero(np.ones_like(dots, dtype=bool))
+        else:  # diagonal tile: intra-block upper triangle
+            ids_b, mb, nsq_b = ids_a, ma, nsq_a
+            dots = ma @ mb.T
+            ia, ib = np.triu_indices(len(ids_a), k=1)
+        denom = np.sqrt(nsq_a[ia].astype("float64") * nsq_b[ib].astype("float64"))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos_ppm = np.floor(
+                dots[ia, ib].astype("float64") * 1000000.0 / denom
+            )
+        keep = (denom > 0) & (cos_ppm >= threshold_ppm)
+        lo = np.minimum(ids_a[ia[keep]], ids_b[ib[keep]])
+        hi = np.maximum(ids_a[ia[keep]], ids_b[ib[keep]])
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cos_ppm": cos_ppm[keep].astype("int64")}
+        )
+
+    return tiles.groupBy("bi", "bj").applyInPandas(
+        gram, schema="id_a long, id_b long, cos_ppm long"
     )
 
 
