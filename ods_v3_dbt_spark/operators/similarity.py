@@ -136,29 +136,54 @@ def lsh_bucketed_topk(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    num_planes: int = 8,
+    num_planes: int = 4,
+    num_tables: int = 4,
     dim_count: int = 64,
 ) -> DataFrame:
-    """ANN: random-hyperplane bucket join then exact cosine within
-    buckets. Candidate set shrinks ~2^planes-fold; recall < 1 by
-    design (report alongside the exact path when evaluating)."""
+    """ANN: random-hyperplane LSH with ``num_tables`` independent hash
+    tables — a candidate survives if it shares a bucket with the query
+    in ANY table (the classic recall lever: P(miss) ≈ (1-p^planes)^tables).
+    Exact cosine scores the unioned candidate set.
 
-    def bucket(df: DataFrame, idc: str) -> DataFrame:
-        key = F.concat_ws(
-            "",
-            *[
-                _hyperplane_sign(F.col(vec_col), p, dim_count).cast("string")
-                for p in range(num_planes)
-            ],
-        )
-        return df.select(F.col(idc), F.col(vec_col), key.alias("bucket"))
+    Scale shape: candidates shuffle on (table, bucket) — cardinality
+    ~ corpus × tables, never corpus × queries; per-bucket work shrinks
+    2^planes-fold. Tune planes↑ for speed, tables↑ for recall.
+    """
 
-    c = bucket(corpus, id_col).withColumnRenamed(id_col, "neighbor_id").withColumnRenamed(vec_col, "__cv")
-    q = bucket(queries, id_col).withColumnRenamed(id_col, "query_id").withColumnRenamed(vec_col, "__qv")
-    joined = c.join(F.broadcast(q), "bucket")
-    scored = joined.select(
+    def bucket(df: DataFrame, idc: str, renamed: str) -> DataFrame:
+        tables = F.array(*[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                F.concat_ws(
+                    "",
+                    *[
+                        _hyperplane_sign(
+                            F.col(vec_col), t * num_planes + p, dim_count
+                        ).cast("string")
+                        for p in range(num_planes)
+                    ],
+                ).alias("bucket"),
+            )
+            for t in range(num_tables)
+        ])
+        return df.select(
+            F.col(idc).alias(renamed),
+            F.col(vec_col).alias(f"__{renamed}_v"),
+            F.explode(tables).alias("tb"),
+        ).select(renamed, f"__{renamed}_v", "tb.table_id", "tb.bucket")
+
+    c = bucket(corpus, id_col, "neighbor_id")
+    q = bucket(queries, id_col, "query_id")
+    cand = (
+        c.join(F.broadcast(q), ["table_id", "bucket"])
+        .select("query_id", "neighbor_id", "__query_id_v", "__neighbor_id_v")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
         "query_id", "neighbor_id",
-        V.cosine(V.as_double(F.col("__qv")), V.as_double(F.col("__cv"))).alias("sim"),
+        V.cosine(
+            V.as_double(F.col("__query_id_v")), V.as_double(F.col("__neighbor_id_v"))
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc_nulls_last(), F.col("neighbor_id").asc()

@@ -449,7 +449,7 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     c = emb.filter(F.col("vec_id") >= 10)
-    return SIM.lsh_bucketed_topk(c, q, k=5, num_planes=4)
+    return SIM.lsh_bucketed_topk(c, q, k=5, num_planes=4, num_tables=8)
 
 
 # ---------------------------------------------------------------------------

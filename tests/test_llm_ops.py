@@ -1,0 +1,148 @@
+"""Semantic tests for the LLM-pipeline operators whose declared
+queries are rows-only checked (no ANSI oracle): simhash, LSH ANN,
+multimodal decode — plus invariants the oracle can't express
+(blocking invariance, recall floors, determinism across runs).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ods_v3_dbt_spark.operators import dedup as DD
+from ods_v3_dbt_spark.operators import multimodal as MM
+from ods_v3_dbt_spark.operators import similarity as SIM
+from ods_v3_dbt_spark.plans.llm_queries import corpus_with_dups
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return corpus_with_dups(spark, SF_SMOKE)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_deterministic_across_runs(spark, corpus):
+    s1 = {r.doc_id: r.simhash for r in DD.simhash64(corpus).collect()}
+    s2 = {r.doc_id: r.simhash for r in DD.simhash64(corpus).collect()}
+    assert s1 == s2 and len(s1) > 0
+
+
+def test_simhash_finds_exact_copies(spark, corpus):
+    """Every doc_id+10000 exact copy must pair with its original at
+    hamming 0 (identical token multiset → identical signature)."""
+    sims = DD.simhash64(corpus)
+    pairs = DD.simhash_near_pairs(sims, max_hamming=0, prefix_bits=8)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    originals = {r.doc_id for r in corpus.filter("doc_id < 10000").collect()}
+    expected = {
+        (i, i + 10000) for i in originals if i % 10 == 0
+    }
+    assert expected <= got
+
+
+def test_simhash_near_variant_low_hamming(spark, corpus):
+    """The +20000 near-dup variants (two extra tokens) stay within a
+    small hamming distance of their originals."""
+    sims = DD.simhash64(corpus)
+    pairs = DD.simhash_near_pairs(sims, max_hamming=10, prefix_bits=4)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    near_ids = [r.doc_id for r in corpus.filter("doc_id >= 20000").collect()]
+    hits = sum((i - 20000, i) in got for i in near_ids)
+    assert hits >= len(near_ids) * 0.5  # prefix blocking loses some, most survive
+
+
+# ---------------------------------------------------------------------------
+# ANN / similarity
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_ann_recall_floor(spark, emb):
+    """Bucketed ANN must recover a reasonable share of the exact float
+    top-k (deterministic hyperplanes → stable recall)."""
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    exact = SIM.topk_bruteforce(c, q, k=5, metric="cosine")
+    approx = SIM.lsh_bucketed_topk(c, q, k=5, num_planes=4, num_tables=8)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"recall {recall:.2f}"
+
+
+def test_blockwise_matches_bruteforce_cosine(spark, emb):
+    """The numpy mapInPandas scale path must return the same neighbor
+    sets as the expression-only exact path (float cosine both)."""
+    q = emb.filter(F.col("vec_id") < 5)
+    c = emb.filter(F.col("vec_id") >= 5)
+    exact = SIM.topk_bruteforce(c, q, k=3, metric="cosine")
+    qpdf = (
+        q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector"))
+        .toPandas()
+    )
+    block = SIM.topk_blockwise(c, qpdf, k=3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    b = {(r.query_id, r.neighbor_id) for r in block.collect()}
+    assert e == b
+
+
+def test_embedding_cosine_pairs_blocking_invariance(spark, emb):
+    """Result set must not depend on the physical num_blocks choice."""
+    p1 = {(r.id_a, r.id_b, r.cos_ppm) for r in
+          DD.embedding_cosine_pairs(emb, threshold_ppm=300000, num_blocks=1).collect()}
+    p8 = {(r.id_a, r.id_b, r.cos_ppm) for r in
+          DD.embedding_cosine_pairs(emb, threshold_ppm=300000, num_blocks=8).collect()}
+    assert p1 == p8 and len(p1) > 0
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+def _media(spark, corpus):
+    return corpus.limit(50).select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "video")
+        .when(F.col("doc_id") % 3 == 1, "image")
+        .otherwise("audio")
+        .alias("media_type"),
+        F.col("text").cast("binary").alias("content"),
+    )
+
+
+def test_multimodal_decode_deterministic_schema(spark, corpus):
+    m = _media(spark, corpus)
+    f1 = MM.decode_features(m, decoder="fake")
+    assert set(f1.columns) >= {"media_id", "media_type", "byte_len", "ok"}
+    key = lambda r: (r.media_id, r.byte_len, r.width, r.height, r.frame_count)  # noqa: E731
+    r1 = sorted(map(key, f1.collect()))
+    r2 = sorted(map(key, MM.decode_features(m, decoder="fake").collect()))
+    assert r1 == r2 and len(r1) == 50
+    assert all(r.ok for r in f1.collect())
+
+
+def test_multimodal_real_decoder_is_gated(spark, corpus):
+    """The real decode path must raise the documented NotImplementedError
+    (stubbed per round brief), not silently fake."""
+    m = _media(spark, corpus).limit(1)
+    with pytest.raises(NotImplementedError):
+        MM.decode_features(m, decoder="real")
+
+
+def test_frame_sample_plan(spark, corpus):
+    feats = MM.decode_features(_media(spark, corpus), decoder="fake")
+    sampled = MM.frame_sample_plan(feats, every_nth=10)
+    assert sampled.columns == ["media_id", "frame_idx"]
+    n_videos = feats.filter("media_type = 'video'").count()
+    assert sampled.count() >= n_videos  # ≥1 frame row per video
