@@ -633,6 +633,62 @@ def incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", ts_us(F.col("ts")).alias("ts_us"))
 
 
+@register(
+    "masked_extract",
+    """
+    SELECT c_custkey,
+           CAST(NULL AS VARCHAR) AS c_name_masked,
+           c_mktsegment,
+           CAST(ROUND(COALESCE(c_acctbal, 0) * 100) AS BIGINT) AS acctbal_c
+    FROM customer
+    """,
+)
+def masked_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S6: inline-anonymized extract — PII columns projected as
+    NULL at source (``khl_to_ods_backdate.py:225-247`` nulls
+    CUSTOMER_EMAIL/ADD/PHONE; ``bccp/extract/bccp_item.sql:7-9``
+    masks to ''), measures COALESCE-defaulted
+    (``transformations.sql:19-21``). Masking in the projection means
+    the sensitive column never leaves the scan."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        CL.mask_pii(F.col("c_name")).alias("c_name_masked"),
+        "c_mktsegment",
+        cents(CL.coalesce_zero(F.col("c_acctbal"))).alias("acctbal_c"),
+    )
+
+
+@register(
+    "events_tumbling_daily",
+    """
+    SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS window_start_us,
+           event_type,
+           CAST(COUNT(1) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(COALESCE(value, 0)) * 100) AS BIGINT) AS value_c
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11: tumbling daily window aggregation via ``F.window`` — the
+    batch twin of the streaming windowed agg (same expression works
+    under readStream + watermark; the reference's cron slices are this
+    with the window precomputed by the scheduler)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window(F.col("ts"), "1 day").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            cents(F.sum(CL.coalesce_zero(F.col("value")))).alias("value_c"),
+        )
+        .select(
+            ts_us(F.col("w.start")).alias("window_start_us"),
+            "event_type", "n_events", "value_c",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar transforms / date-ids / sentinel repair (§2.4)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,124 @@
+"""Custom stateful streaming operators (``applyInPandasWithState``).
+
+The reference has no true streaming runtime (SURVEY §2.11) — these
+cover the beyond-parity streaming surface a continuous ingest needs:
+
+* :func:`streaming_dedup_first_seen` — cross-batch keyed dedup: emit
+  each key's first-seen row exactly once, however many micro-batches
+  (or replays) later duplicates arrive. State = one marker per key,
+  persisted in the checkpoint, so a restart resumes exactly.
+* :func:`streaming_sessionize` — gap-based sessionization per user:
+  events within ``gap`` of the previous event extend the session;
+  a longer silence closes it and emits (user, session_start, end,
+  n_events). The classic ``applyInPandasWithState`` shape.
+
+Scale notes: state is partitioned by the grouping key (same hash
+shuffle as any groupBy); per-key state here is O(1) bytes, so state
+store size is linear in distinct keys, not events. Use watermarks +
+timeouts to bound it for unbounded key spaces.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_dedup_first_seen(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    output_schema: str,
+) -> DataFrame:
+    """Exactly-once-per-key emission across micro-batches.
+
+    ``output_schema`` must be the DDL of the input columns (the rows
+    pass through unchanged). Within one batch, the first row by
+    arrival order wins — pin an explicit ordering upstream if the
+    source can reorder (A7 determinism rule).
+    """
+
+    def dedup(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            return
+        first: pd.DataFrame | None = None
+        for pdf in pdfs:
+            if len(pdf):
+                first = pdf.head(1)
+                break
+        if first is not None:
+            state.update((True,))
+            yield first
+
+    return (
+        df.groupBy(*key_cols)
+        .applyInPandasWithState(
+            dedup,
+            outputStructType=output_schema,
+            stateStructType="seen boolean",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based session aggregation per user.
+
+    Emits one row per CLOSED session (a new event more than
+    ``gap_seconds`` after the last one closes the previous session);
+    the open session stays in state awaiting more events. Epoch-second
+    state keeps the state row fixed-width.
+    """
+
+    out_schema = f"{user_col} long, session_start_s long, session_end_s long, n_events long"
+
+    def sessionize(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (start_s, end_s, n) = state.get if state.exists else (None, None, 0)
+        closed: list[tuple[Any, int, int, int]] = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts = (
+                pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000_000
+            ).sort_values()
+            for t in ts:
+                t = int(t)
+                if start_s is None:
+                    start_s, end_s, n = t, t, 1
+                elif t - end_s <= gap_seconds:
+                    end_s, n = max(end_s, t), n + 1
+                else:
+                    closed.append((key[0], start_s, end_s, n))
+                    start_s, end_s, n = t, t, 1
+        if start_s is not None:
+            state.update((start_s, end_s, n))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[user_col, "session_start_s", "session_end_s", "n_events"],
+            )
+
+    return (
+        df.groupBy(user_col)
+        .applyInPandasWithState(
+            sessionize,
+            outputStructType=out_schema,
+            stateStructType="start_s long, end_s long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

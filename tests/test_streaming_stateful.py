@@ -1,0 +1,77 @@
+"""applyInPandasWithState operators: cross-batch dedup and
+sessionization, exercised through real file-source streams with
+checkpointed state surviving query restarts."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+SCHEMA = "event_id long, user_id long, ts timestamp, value double"
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(str(path))
+
+
+def _drain(spark, src, ckpt, out, transform):
+    q = (
+        transform(spark.readStream.schema(SCHEMA).parquet(str(src)))
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+T = dt.datetime(2024, 9, 1, 12, 0, 0)
+
+
+def test_streaming_dedup_first_seen_across_batches(spark, tmp_path):
+    from ods_v3_dbt_spark.streaming.stateful import streaming_dedup_first_seen
+
+    src, ckpt, out = tmp_path / "src", tmp_path / "ckpt", tmp_path / "out"
+    tf = lambda df: streaming_dedup_first_seen(df, ["event_id"], SCHEMA)  # noqa: E731
+
+    _write_batch(spark, src, [(1, 10, T, 1.0), (2, 10, T, 2.0)])
+    _drain(spark, src, ckpt, out, tf)
+    # batch 2 replays event 1+2 (different value) and adds event 3 —
+    # state in the checkpoint must suppress the replays
+    _write_batch(spark, src, [(1, 10, T, 99.0), (2, 10, T, 99.0), (3, 11, T, 3.0)])
+    _drain(spark, src, ckpt, out, tf)
+
+    got = {r.event_id: r.value for r in spark.read.parquet(str(out)).collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: 3.0}
+
+
+def test_streaming_sessionize_gap_close(spark, tmp_path):
+    from ods_v3_dbt_spark.streaming.stateful import streaming_sessionize
+
+    src, ckpt, out = tmp_path / "src", tmp_path / "ckpt", tmp_path / "out"
+    tf = lambda df: streaming_sessionize(df, gap_seconds=600)  # noqa: E731
+
+    def ev(eid, uid, offset_s):
+        return (eid, uid, T + dt.timedelta(seconds=offset_s), 1.0)
+
+    # user 10: 3 events within gap; user 11: 1 event
+    _write_batch(spark, src, [ev(1, 10, 0), ev(2, 10, 100), ev(3, 10, 500), ev(4, 11, 0)])
+    _drain(spark, src, ckpt, out, tf)
+    # nothing closed yet — sessions still open in state
+    assert spark.read.schema(
+        "user_id long, session_start_s long, session_end_s long, n_events long"
+    ).parquet(str(out)).count() == 0
+
+    # user 10 returns 2h later → previous session closes (3 events);
+    # user 11 within gap → still open
+    _write_batch(spark, src, [ev(5, 10, 7800), ev(6, 11, 300)])
+    _drain(spark, src, ckpt, out, tf)
+    rows = spark.read.parquet(str(out)).collect()
+    assert len(rows) == 1
+    s = rows[0]
+    base = int(T.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert s.user_id == 10 and s.n_events == 3
+    assert s.session_start_s == base and s.session_end_s == base + 500
