@@ -114,6 +114,119 @@ def topk_blockwise(
     )
 
 
+def ivf_assignments(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest coarse centroids
+    (cosine). ``centroids`` is a small (K × dim) numpy array riding in
+    the closure; assignment is one Arrow-batched pass, no shuffle."""
+    import numpy as np
+
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = mn @ cn.T
+            order = np.argsort(-sims, axis=1)[:, :nprobe]
+            out = pdf.loc[pdf.index.repeat(nprobe)].reset_index(drop=True)
+            out["cell"] = order.ravel().astype("int32")
+            yield out
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    return df.mapInPandas(assign, schema=f"{fields}, cell int")
+
+
+def ivf_train(
+    corpus: DataFrame,
+    num_cells: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Deterministic coarse quantizer: seed centroids = the
+    ``num_cells`` lowest-id vectors, then ``iters`` Lloyd rounds.
+
+    Per round: distributed assignment (one mapInPandas pass) +
+    per-cell mean via posexplode/groupBy; only the K×dim centroid
+    matrix ever reaches the driver — corpora stay partitioned. (The
+    driver-side loop over a handful of rounds is the standard shape of
+    iterative fitting on Spark, cf. MLlib KMeans.)
+    """
+    import numpy as np
+
+    seeds = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(num_cells)
+        .toPandas()
+    )
+    centroids = np.vstack(seeds[vec_col].to_numpy()).astype("float64")
+    for _ in range(iters):
+        assigned = ivf_assignments(corpus.select(id_col, vec_col), centroids, vec_col)
+        means = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        nxt = centroids.copy()
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r.cell, {})[r.dim] = r.m
+        for cell, dims in by_cell.items():
+            for d, v in dims.items():
+                nxt[cell, d] = v
+        centroids = nxt
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into ``num_cells`` inverted
+    lists, probe each query's ``nprobe`` nearest cells, score exact
+    cosine inside the probed cells only (~nprobe/num_cells of the
+    corpus per query).
+
+    Scale shape: the inverted lists ARE a partitioning of the corpus
+    (write them out partitioned by ``cell`` and probing becomes
+    partition pruning); the scoring join shuffles on ``cell``.
+    """
+    centroids = ivf_train(corpus, num_cells, iters, vec_col, id_col)
+    c = ivf_assignments(corpus.select(id_col, vec_col), centroids, vec_col, nprobe=1)
+    c = c.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "cell")
+    q = ivf_assignments(queries.select(id_col, vec_col), centroids, vec_col, nprobe=nprobe)
+    q = q.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "cell")
+    scored = c.join(F.broadcast(q), "cell").select(
+        "query_id", "neighbor_id",
+        V.cosine(V.as_double(F.col("__qv")), V.as_double(F.col("__cv"))).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _hyperplane_sign(vec, plane: int, dim_count: int):
     """Deterministic pseudo-random hyperplane side: sign of
     Σ_d w(plane,d)·x_d where w = xxhash64(plane,d) mapped to [-1,1].

@@ -452,6 +452,18 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_bucketed_topk(c, q, k=5, num_planes=4, num_tables=8)
 
 
+@register("embedding_ann_ivf", None)  # iterative fit — not SQL-expressible
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic coarse quantizer (lowest-id seeds + 2
+    Lloyd rounds) → inverted lists → nprobe cell search. Rows-only;
+    recall vs the exact path is pytest-asserted
+    (tests/test_llm_ops.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    return SIM.ivf_topk(c, q, k=5, num_cells=8, nprobe=3)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

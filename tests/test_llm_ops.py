@@ -80,6 +80,22 @@ def test_lsh_ann_recall_floor(spark, emb):
     assert recall >= 0.5, f"recall {recall:.2f}"
 
 
+def test_ivf_ann_recall_floor(spark, emb):
+    """IVF with nprobe=3/8 cells must beat random-subset recall and be
+    deterministic (seeded from lowest-id vectors)."""
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    exact = {(r.query_id, r.neighbor_id) for r in
+             SIM.topk_bruteforce(c, q, k=5, metric="cosine").collect()}
+    a1 = {(r.query_id, r.neighbor_id) for r in
+          SIM.ivf_topk(c, q, k=5, num_cells=8, nprobe=3).collect()}
+    a2 = {(r.query_id, r.neighbor_id) for r in
+          SIM.ivf_topk(c, q, k=5, num_cells=8, nprobe=3).collect()}
+    assert a1 == a2  # deterministic end to end
+    recall = len(exact & a1) / len(exact)
+    assert recall >= 0.5, f"recall {recall:.2f}"
+
+
 def test_blockwise_matches_bruteforce_cosine(spark, emb):
     """The numpy mapInPandas scale path must return the same neighbor
     sets as the expression-only exact path (float cosine both)."""
