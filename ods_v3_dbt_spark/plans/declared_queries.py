@@ -830,6 +830,57 @@ def quality_assertion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.assertion_metrics(load(spark, sf_dir, "orders"), ["o_orderkey"])
 
 
+@register(
+    "skewed_agg_salted",
+    """
+    SELECT event_type,
+           CAST(COUNT(1) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(COALESCE(value, 0.0)*100) AS BIGINT)) AS BIGINT) AS value_c,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def skewed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the skewed ``event_type`` key
+    (a handful of values across the whole fact — the shape of the
+    reference's status-code group-bys, ``bccp_item_status.sql:8``).
+
+    Salting is semantics-preserving, so the oracle is the plain GROUP
+    BY; phase 1 fans each hot key over 16 salts with map-side partial
+    aggregation, phase 2 merges 16 partials per key. The exact COUNT
+    DISTINCT is *not* salted: it shuffles on the high-cardinality
+    ``(event_type, user_id)`` pair (naturally unskewed), then counts
+    per key — the scalable exact-distinct shape. The two tiny per-key
+    aggregates meet in a broadcastable join.
+    """
+    from ..operators.skew import salted_agg
+
+    ev = load(spark, sf_dir, "events")
+    measures = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "value_c": F.sum(cents(F.coalesce(F.col("value"), F.lit(0.0)))),
+        },
+        salt_col="event_id",
+    )
+    users = (
+        ev.select("event_type", "user_id")
+        .filter(F.col("user_id").isNotNull())  # COUNT(DISTINCT x) skips NULLs
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    return measures.join(F.broadcast(users), "event_type", "left").select(
+        "event_type",
+        "n_events",
+        "value_c",
+        F.coalesce("n_users", F.lit(0)).cast("bigint").alias("n_users"),
+    )
+
+
 # Register the LLM-pipeline declared queries (dedup / similarity /
 # text analysis / multimodal) into the same registry. Import sits at
 # the bottom because llm_queries imports `register`/`load` from here.

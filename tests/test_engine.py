@@ -349,3 +349,55 @@ def test_freshness_guarded_rollup(spark, tmp_path):
     assert not freshness_guarded_rollup(
         spark, fact_t, day_t, month_t, ["pos_code"], "status_date", measures
     )
+
+
+def test_salted_agg_matches_plain(spark):
+    from ods_v3_dbt_spark.operators.skew import salted_agg
+
+    # one hot key (90% of rows) + a long tail — the shape salting targets
+    df = spark.range(2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("HOT")).otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 37).cast("string"))
+        ).alias("k"),
+        (F.col("id") * 3 % 101).alias("v"),
+        F.col("id"),
+    )
+    got = salted_agg(
+        df,
+        ["k"],
+        {"n": F.count(F.lit(1)), "s": F.sum("v"), "mx": F.max("v")},
+        {"n": F.sum("n"), "s": F.sum("s"), "mx": F.max("mx")},
+        num_salts=8,
+        salt_col="id",
+    )
+    want = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # default final_aggs (sum of partials) is correct for sum/count
+    got2 = salted_agg(df, ["k"], {"n": F.count(F.lit(1)), "s": F.sum("v")}, num_salts=8)
+    want2 = want.select("k", "n", "s")
+    assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, want2.collect()))
+
+
+def test_salted_join_matches_plain(spark):
+    import pytest
+    from ods_v3_dbt_spark.operators.skew import salted_join
+
+    big = spark.range(3000).select(
+        F.when(F.col("id") % 5 < 4, F.lit(0)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(40).select(
+        F.col("id").alias("k"), F.concat(F.lit("dim"), F.col("id")).alias("attr")
+    )
+    for how in ("inner", "left"):
+        got = salted_join(big, small, ["k"], how=how, num_salts=4)
+        want = big.join(small, ["k"], how)
+        assert sorted(got.columns) == sorted(want.columns)
+        cols = sorted(want.columns)
+        assert sorted(map(tuple, got.select(cols).collect()), key=repr) == sorted(
+            map(tuple, want.select(cols).collect()), key=repr
+        )
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, ["k"], how="full")
