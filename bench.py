@@ -39,6 +39,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     registry = DQ.registry()
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        registry = {n: q for n, q in registry.items() if n in keep}
 
     # Warm the JVM + parquet footers so q1 doesn't pay session startup,
     # and spin up the Arrow Python workers so the first Pandas-UDF

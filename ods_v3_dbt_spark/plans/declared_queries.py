@@ -881,6 +881,44 @@ def skewed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_asof_enrich",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS t
+      FROM events WHERE event_type = 'view'
+    ), r AS (
+      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS rt,
+             CAST(MAX(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS last_purchase_c
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, CAST(epoch_us(ts) AS BIGINT)
+    )
+    SELECT l.event_id, l.user_id, l.t, r.rt AS rt_matched, r.last_purchase_c
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.rt
+    """,
+)
+def events_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of enrichment: each 'view' event gets the user's most recent
+    'purchase' amount at-or-before its timestamp (point-in-time
+    lookup; ``operators/asof.py``). The right side is pre-aggregated
+    to one row per (user, time) so tie-carrying is deterministic on
+    both engines. Union+window plan: one exchange + one sort on
+    user_id, no range-join pair explosion.
+    """
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    l = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", ts_us(F.col("ts")).alias("t")
+    )
+    r = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", ts_us(F.col("ts")).alias("rt"))
+        .agg(F.max(cents(F.col("value"))).alias("last_purchase_c"))
+    )
+    return asof_join(l, r, ["user_id"], "t", "rt", ["last_purchase_c"])
+
+
 # Register the LLM-pipeline declared queries (dedup / similarity /
 # text analysis / multimodal) into the same registry. Import sits at
 # the bottom because llm_queries imports `register`/`load` from here.

@@ -140,3 +140,65 @@ def jdbc_export_writer(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     return writer
+
+
+class BucketedTable:
+    """Catalog-registered Parquet table, hash-bucketed on the merge key.
+
+    The layout for merge-heavy ODS facts: every incremental run joins
+    a small staging slice against the full target on the same key
+    (M1-M9, ``dags/sql/**/update_des_table/*.sql`` — always ``ON`` the
+    declared merge key). With the fact bucketed (+ sorted) by that key,
+    the target side of the merge join carries **no Exchange and no
+    Sort** — only the staging slice shuffles, into ``num_buckets``
+    partitions. At 100 TB that converts the nightly merge from
+    "re-shuffle the fact every run" to "stream the fact buckets once";
+    the same layout makes groupBy-on-key exchange-free.
+
+    Unlike :class:`ParquetTable` this lives in the session catalog
+    (``saveAsTable``) because Spark's bucketing metadata only exists
+    there; overwrite of a committed table is atomic at the catalog
+    level for a single-writer ETL job, which matches the reference's
+    one-scheduler model.
+    """
+
+    def __init__(self, name: str, keys: Sequence[str], num_buckets: int = 32) -> None:
+        if not keys:
+            raise ValueError("BucketedTable requires at least one bucket key")
+        self.name = name
+        self.keys = tuple(keys)
+        self.num_buckets = num_buckets
+
+    def exists(self, spark: SparkSession) -> bool:
+        return spark.catalog.tableExists(self.name)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.table(self.name)
+
+    def write(self, df: DataFrame) -> None:
+        """Bucketed snapshot write + catalog rename-swap.
+
+        Pre-repartitions on the bucket keys so each task holds exactly
+        one bucket's rows → one file per bucket, not
+        ``tasks × buckets`` shards (the classic bucketed-write
+        small-file trap). A merge result is usually already hash-
+        partitioned on the key from its own shuffle, so this
+        repartition reuses the existing exchange.
+
+        Writes land in a side table first, then swap into place via
+        catalog rename — Spark refuses to overwrite a table its own
+        plan reads (UNSUPPORTED_OVERWRITE), and a merge result always
+        reads its target. Same single-writer snapshot-swap contract as
+        :class:`ParquetTable`."""
+        spark = df.sparkSession
+        side = f"{self.name}__snap"
+        spark.sql(f"DROP TABLE IF EXISTS {side}")
+        (
+            df.repartition(self.num_buckets, *[df[k] for k in self.keys])
+            .write.format("parquet")
+            .bucketBy(self.num_buckets, self.keys[0], *self.keys[1:])
+            .sortBy(self.keys[0], *self.keys[1:])
+            .saveAsTable(side)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {self.name}")
+        spark.sql(f"ALTER TABLE {side} RENAME TO {self.name}")

@@ -401,3 +401,110 @@ def test_salted_join_matches_plain(spark):
         )
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(big, small, ["k"], how="full")
+
+
+def test_bucketed_table_merge_roundtrip(spark, tmp_path):
+    """BucketedTable: merge staging into a bucketed fact; correctness +
+    the bucketed scan carries no Exchange (only staging shuffles)."""
+    from ods_v3_dbt_spark.operators.merge import merge_upsert
+    from ods_v3_dbt_spark.sinks import BucketedTable
+
+    bt = BucketedTable("t_bucketed_fact", ["k"], num_buckets=4)
+    tgt = spark.createDataFrame(
+        [(i, f"old{i}") for i in range(1000)], "k long, v string"
+    )
+    bt.write(tgt)
+    try:
+        stg = spark.createDataFrame(
+            [(5, "new5"), (2000, "new2000")], "k long, v string"
+        )
+        merged = merge_upsert(bt.read(spark), stg, ["k"])
+        rows = {r.k: r.v for r in merged.collect()}
+        assert rows[5] == "new5" and rows[2000] == "new2000" and rows[7] == "old7"
+        assert len(rows) == 1001
+
+        # plan audit: with broadcast off, the bucketed side must scan
+        # Bucketed: true with no Exchange above it
+        def _get(k):
+            try:
+                return spark.conf.get(k)
+            except Exception:
+                return None
+
+        def _restore(k, v):
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+        old = _get("spark.sql.autoBroadcastJoinThreshold")
+        old_aqe = _get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = bt.read(spark).join(stg, "k")
+            j.write.format("noop").mode("overwrite").save()
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan
+            assert plan.count("Exchange") == 1  # staging side only
+        finally:
+            _restore("spark.sql.autoBroadcastJoinThreshold", old)
+            _restore("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+
+        # groupBy on the bucket key: exchange-free
+        g = bt.read(spark).groupBy("k").count()
+        gplan = g._jdf.queryExecution().executedPlan().toString()
+        assert gplan.count("Exchange") == 0
+
+        # write-back keeps one file per bucket (no small-file fanout)
+        bt.write(merged.select("k", "v"))
+        assert bt.read(spark).count() == 1001
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_fact")
+
+
+def test_asof_join_semantics(spark):
+    from ods_v3_dbt_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 50, "b"), (1, 10, "c"), (2, 100, "d")],
+        "k long, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 50, 5.0), (1, 90, 9.0), (3, 1, 1.0)], "k long, rt long, val double"
+    )
+    out = {
+        r.tag: (r.rt_matched, r.val)
+        for r in asof_join(left, right, ["k"], "t", "rt", ["val"]).collect()
+    }
+    assert out["a"] == (90, 9.0)   # latest <= 100
+    assert out["b"] == (50, 5.0)   # tie at 50 is inclusive
+    assert out["c"] == (None, None)  # nothing at or before 10
+    assert out["d"] == (None, None)  # key 2 has no right rows
+
+    # tolerance: match older than t - 20 is nulled
+    tol = {
+        r.tag: (r.rt_matched, r.val)
+        for r in asof_join(
+            left, right, ["k"], "t", "rt", ["val"], tolerance=20
+        ).collect()
+    }
+    assert tol["a"] == (90, 9.0)     # lag 10 <= 20
+    assert tol["b"] == (50, 5.0)     # lag 0
+    assert tol["c"] == (None, None)
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union+window as-of plan must shuffle exactly once (hash on
+    the key) — no range-join pair explosion, no extra exchanges."""
+    from ods_v3_dbt_spark.operators.asof import asof_join
+
+    left = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("t")
+    )
+    right = spark.range(100).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 9).alias("rt"),
+        F.col("id").alias("val"),
+    )
+    plan = (
+        asof_join(left, right, ["k"], "t", "rt", ["val"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
