@@ -881,6 +881,33 @@ def skewed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_orderkey", "o_custkey")
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS col_name,
+           CAST(COUNT(1) AS BIGINT) AS n_rows,
+           CAST(COUNT(1) - COUNT({c}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_val,
+           CAST(MAX({c}) AS VARCHAR) AS max_val
+    FROM orders
+    """
+    for c in _PROFILE_COLS
+)
+
+
+@register("column_profile_orders", _PROFILE_ORACLE)
+def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler (``quality.column_profile``): one
+    aggregation computes null/distinct/min/max for every column, then
+    ``stack`` unpivots to a row per column. The oracle is the naive
+    per-column UNION ALL — same result, N scans; the engine's point is
+    doing it in one."""
+    cols = [c for c in _PROFILE_COLS]
+    return Q.column_profile(load(spark, sf_dir, "orders"), cols)
+
+
 @register(
     "events_asof_enrich",
     """

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -86,3 +86,48 @@ def reconcile_counts(extracted: int, loaded: int) -> CheckResult:
         extracted == loaded,
         detail=f"extracted={extracted} loaded={loaded}",
     )
+
+
+def column_profile(
+    df: DataFrame, cols: list[str], approx: bool = False
+) -> DataFrame:
+    """Single-pass column profiler → one row per column:
+    ``(col_name, n_rows, n_null, n_distinct, min_val, max_val)``.
+
+    The at-scale sibling of the Soda/dbt checks above: where Q1/Q2
+    assert a fixed expectation, this *measures* the landed data (the
+    first step of any 100 TB ingest triage). All per-column aggregates
+    run in ONE aggregation over the scan; the wide 1-row result is then
+    unpivoted with ``stack`` — no per-column passes, no driver loop.
+
+    ``approx=True`` swaps exact COUNT(DISTINCT) for HyperLogLog
+    ``approx_count_distinct``: the exact form needs an Expand (input
+    ×len(cols)) before the shuffle, the approx form is a plain
+    single-pass partial agg — use it for wide tables at scale. Min/max
+    are computed in the column's own type and cast to string after, so
+    ordering is typed (no lexical '9' > '10' trap).
+    """
+    nd = (
+        (lambda c: F.approx_count_distinct(c))
+        if approx
+        else (lambda c: F.countDistinct(F.col(c)))
+    )
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"__null_{c}"),
+            nd(c).cast("bigint").alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `__null_{c}`, `__nd_{c}`, `__min_{c}`, `__max_{c}`" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col_name, n_null, n_distinct, min_val, max_val)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")

@@ -92,6 +92,39 @@ class ParquetTable:
             shutil.rmtree(p)
         return victims
 
+    def file_stats(self) -> tuple[int, int]:
+        """(n_data_files, total_bytes) of the current snapshot."""
+        snap = self.current_snapshot()
+        if snap is None:
+            return (0, 0)
+        files = [p for p in snap.rglob("*.parquet") if p.is_file()]
+        return (len(files), sum(p.stat().st_size for p in files))
+
+    def compact(
+        self, spark: SparkSession, target_file_bytes: int = 128 << 20
+    ) -> tuple[int, int]:
+        """Rewrite the current snapshot with right-sized files
+        (OPTIMIZE-style bin packing). Incremental appends and
+        per-window merges accrete small files; every downstream scan
+        then pays a task per file — at 100 TB the scheduler, not IO,
+        becomes the bottleneck. Compaction coalesces to
+        ``ceil(bytes / target_file_bytes)`` files (per partition for
+        partitioned tables via a shuffle-free coalesce / partition-key
+        repartition) and snapshot-swaps, so readers never see a
+        half-compacted table. Returns (files_before, files_after)."""
+        n_before, total = self.file_stats()
+        if n_before == 0:
+            return (0, 0)
+        df = self.read(spark)
+        if self.partition_cols:
+            # one task per partition value → one file per partition dir
+            df = df.repartition(*[df[c] for c in self.partition_cols])
+        else:
+            n_target = max(1, -(-total // target_file_bytes))
+            df = df.coalesce(n_target)
+        self.write(df)
+        return (n_before, self.file_stats()[0])
+
 
 def write_landing(df: DataFrame, path: str, partition_cols: Sequence[str] = ()) -> None:
     """L1: landing-zone write — the reference's CSV-batch-to-MinIO spill

@@ -508,3 +508,54 @@ def test_asof_join_single_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1
+
+
+def test_parquet_table_compact(spark, tmp_path):
+    from ods_v3_dbt_spark.sinks import ParquetTable
+
+    t = ParquetTable(tmp_path / "frag")
+    df = spark.range(10000).select(F.col("id"), (F.col("id") % 9).alias("v"))
+    t.write(df.repartition(32))  # fragment: 32 tiny files
+    n_before, _ = t.file_stats()
+    assert n_before >= 32
+    before_rows = sorted(r.id for r in t.read(spark).collect())
+    nb, na = t.compact(spark)
+    assert nb == n_before and na == 1  # 10k rows << 128MB → one file
+    assert sorted(r.id for r in t.read(spark).collect()) == before_rows
+
+    # partitioned: compaction keeps the partition layout, 1 file/dir
+    p = ParquetTable(tmp_path / "fragp", partition_cols=["v"])
+    p.write(df.repartition(16))
+    p_before, _ = p.file_stats()
+    assert p_before > 9
+    nb, na = p.compact(spark)
+    assert na == 9  # one file per partition value
+    assert p.read(spark).count() == 10000
+
+
+def test_column_profile_nulls_and_approx(spark):
+    from ods_v3_dbt_spark.quality import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, "a"), (None, "c")],
+        "x long, s string",
+    )
+    prof = {r.col_name: r for r in column_profile(df, ["x", "s"]).collect()}
+    assert prof["x"].n_rows == 5 and prof["x"].n_null == 1
+    assert prof["x"].n_distinct == 4
+    assert (prof["x"].min_val, prof["x"].max_val) == ("1", "4")  # typed, not lexical
+    assert prof["s"].n_null == 1 and prof["s"].n_distinct == 3
+
+    # approx path: single-pass plan (no Expand), HLL close on tiny input
+    ap = {r.col_name: r for r in column_profile(df, ["x", "s"], approx=True).collect()}
+    assert ap["x"].n_distinct == 4
+    plan = (
+        column_profile(df, ["x", "s"], approx=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in plan
+    exact_plan = (
+        column_profile(df, ["x", "s"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in exact_plan  # documents why approx exists
