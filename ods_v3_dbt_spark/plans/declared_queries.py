@@ -28,7 +28,7 @@ import datetime as _dt
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import cleansing as CL
@@ -906,6 +906,109 @@ def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     doing it in one."""
     cols = [c for c in _PROFILE_COLS]
     return Q.column_profile(load(spark, sf_dir, "orders"), cols)
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t FROM events
+    ), marked AS (
+      SELECT user_id, t,
+             CASE WHEN LAG(t) OVER w IS NULL
+                       OR t - LAG(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ), sess AS (
+      SELECT user_id, t,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+      FROM marked
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(COUNT(1) AS BIGINT) AS n_events,
+           CAST(MIN(t) AS BIGINT) AS session_start,
+           CAST(MAX(t) AS BIGINT) AS session_end,
+           CAST(MAX(t) - MIN(t) AS BIGINT) AS duration
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap sessionization (30-min gap) + per-session stats
+    (``operators/sessionize.py``) — the batch twin of the stateful
+    streaming sessionizer. One exchange+sort on user_id, then a
+    groupBy; no self-joins."""
+    from ..operators.sessionize import session_stats
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", ts_us(F.col("ts")).alias("t")
+    )
+    out = session_stats(ev, ["user_id"], "t", gap=30 * 60 * 1_000_000)
+    return out.select(
+        "user_id",
+        F.col("session_idx").cast("bigint").alias("session_idx"),
+        "n_events",
+        "session_start",
+        "session_end",
+        "duration",
+    )
+
+
+@register(
+    "rollup_returnflag_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+           CAST(COUNT(1) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (leaf / per-flag / grand total in one
+    pass): the multi-level datamart rollup A4 expressed as grouping
+    sets — one Expand + one shuffle instead of three scans. (SURVEY
+    §2.6 notes the reference does day→month manually; this is the
+    engine-added one-pass form.)"""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_c"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "top_events_per_user",
+    """
+    SELECT user_id, event_id, value_c, rn FROM (
+      SELECT user_id, event_id,
+             CAST(ROUND(value*100) AS BIGINT) AS value_c,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ROUND(value*100) AS BIGINT) DESC, event_id
+             ) AS INT) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ) WHERE rn <= 3
+    """,
+)
+def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranked window with a total order
+    (value desc, event_id as unique tiebreaker — deterministic across
+    engines). Spark pushes the rn<=3 predicate into the window sort as
+    a group-limit, so each partition keeps only k rows through the
+    shuffle."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    vc = cents(F.col("value"))
+    w = Window.partitionBy("user_id").orderBy(vc.desc(), F.col("event_id"))
+    return (
+        ev.select(
+            "user_id", "event_id", vc.alias("value_c"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
 
 
 @register(

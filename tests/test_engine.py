@@ -559,3 +559,32 @@ def test_column_profile_nulls_and_approx(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Expand" in exact_plan  # documents why approx exists
+
+
+def test_sessionize_semantics(spark):
+    from ods_v3_dbt_spark.operators.sessionize import session_stats, sessionize
+
+    df = spark.createDataFrame(
+        [(1, 0), (1, 100), (1, 1000), (1, 1050), (2, 0)], "k long, t long"
+    )
+    s = {
+        (r.k, r.t): r.session_idx
+        for r in sessionize(df, ["k"], "t", gap=500).collect()
+    }
+    assert s[(1, 0)] == 0 and s[(1, 100)] == 0      # within gap
+    assert s[(1, 1000)] == 1 and s[(1, 1050)] == 1  # split at 900 > 500
+    assert s[(2, 0)] == 0                            # per-key restart
+
+    stats = {
+        (r.k, r.session_idx): r
+        for r in session_stats(df, ["k"], "t", gap=500).collect()
+    }
+    assert stats[(1, 0)].n_events == 2 and stats[(1, 0)].duration == 100
+    assert stats[(1, 1)].session_start == 1000 and stats[(1, 1)].session_end == 1050
+
+    # plan: both windows collapse into ONE exchange+sort on the key
+    plan = (
+        sessionize(df, ["k"], "t", gap=500)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1

@@ -84,3 +84,13 @@ def test_whole_stage_codegen_text(spark):
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_topk_window_group_limit(spark):
+    """rn<=k must compile to WindowGroupLimit: each map task keeps only
+    k rows per group BEFORE the shuffle — at 100 TB this is the
+    difference between shuffling k rows/user and the whole fact."""
+    df = DQ.registry()["top_events_per_user"].spark(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") == 1
