@@ -46,10 +46,21 @@ def main() -> None:
 
     # Warm the JVM + parquet footers so q1 doesn't pay session startup,
     # and spin up the Arrow Python workers so the first Pandas-UDF
-    # query doesn't pay 32 interpreter spawns (+ numpy import) either.
+    # query doesn't pay 32 interpreter spawns. The worker warmup also
+    # imports numpy and runs one tiny gemm: library import + BLAS
+    # kernel init happen once per worker and can cost seconds on a
+    # memory-pressured host — that's session setup, not query time.
+    def _warm_worker(batches):
+        import numpy as _np
+
+        a = _np.ones((8, 8))
+        a @ a
+        for b in batches:
+            yield b
+
     DQ.load(spark, sf_dir, "lineitem").count()
     spark.range(0, cpus, 1, cpus).mapInPandas(
-        lambda it: it, schema="id long"
+        _warm_worker, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}

@@ -284,11 +284,14 @@ def embedding_cosine_pairs(
     tiles = a_side.unionByName(b_side)
 
     def gram(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Quantized values are integers with |v| <= scale, D = dim; every
+        # dot product is an integer with |dot| <= D*scale^2 << 2^53, so a
+        # float64 gemm over the integer-valued matrices is BIT-EXACT while
+        # using BLAS (numpy int64 matmul is a naive loop, ~50x slower at
+        # real tile sizes).
         def qmat(sub: pd.DataFrame):
-            m = np.round(
-                np.vstack(sub["vec"].to_numpy()).astype("float64") * scale
-            ).astype("int64")
-            return sub["vid"].to_numpy(), m, (m * m).sum(axis=1)
+            m = np.round(np.vstack(sub["vec"].to_numpy()).astype("float64") * scale)
+            return sub["vid"].to_numpy(), m, (m * m).sum(axis=1)  # nsq exact
 
         a = pdf[pdf["side"] == 0]
         b = pdf[pdf["side"] == 1]
@@ -299,17 +302,24 @@ def embedding_cosine_pairs(
         ids_a, ma, nsq_a = qmat(a)
         if len(b):
             ids_b, mb, nsq_b = qmat(b)
-            dots = ma @ mb.T
-            ia, ib = np.nonzero(np.ones_like(dots, dtype=bool))
         else:  # diagonal tile: intra-block upper triangle
             ids_b, mb, nsq_b = ids_a, ma, nsq_a
-            dots = ma @ mb.T
-            ia, ib = np.triu_indices(len(ids_a), k=1)
-        denom = np.sqrt(nsq_a[ia].astype("float64") * nsq_b[ib].astype("float64"))
+        dots = ma @ mb.T
+        # Candidate mask instead of materializing all NxM index pairs:
+        # truth is dots*1e6 >= thr*sqrt(nsq_a*nsq_b); the outer-product rhs
+        # carries ~1 ulp of rounding, so widen by 1 ppm (>= 1e-6 relative,
+        # dwarfing 1e-15 fp error) and re-score survivors exactly below.
+        # lhs is exact (|dots|*1e6 < 2^53). Zero-norm rows pass the mask
+        # (0 >= 0) and are dropped by the exact denom > 0 check.
+        mask = dots * 1000000.0 >= (threshold_ppm - 1) * np.outer(
+            np.sqrt(nsq_a), np.sqrt(nsq_b)
+        )
+        if not len(b):
+            mask &= np.triu(np.ones(dots.shape, dtype=bool), k=1)
+        ia, ib = np.nonzero(mask)
+        denom = np.sqrt(nsq_a[ia] * nsq_b[ib])
         with np.errstate(divide="ignore", invalid="ignore"):
-            cos_ppm = np.floor(
-                dots[ia, ib].astype("float64") * 1000000.0 / denom
-            )
+            cos_ppm = np.floor(dots[ia, ib] * 1000000.0 / denom)
         keep = (denom > 0) & (cos_ppm >= threshold_ppm)
         lo = np.minimum(ids_a[ia[keep]], ids_b[ib[keep]])
         hi = np.maximum(ids_a[ia[keep]], ids_b[ib[keep]])
