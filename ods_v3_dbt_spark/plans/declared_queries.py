@@ -1049,6 +1049,278 @@ def events_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(l, r, ["user_id"], "t", "rt", ["last_purchase_c"])
 
 
+#: 2024-01-01T00:00:00Z in epoch µs — anchor for the deterministic
+#: synthetic service windows derived from dim keys (range-join queries).
+_SVC_BASE_US = 1_704_067_200_000_000
+_HOUR_US = 3_600_000_000
+_DAY_US = 86_400_000_000
+
+
+def _supplier_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier half-open service window inside the events month:
+    start = base + (suppkey % 720) hours, length = (suppkey % 36)+1
+    hours. Pure integer arithmetic on the key — identical on both
+    engines, no data dependence."""
+    return load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.lit(_SVC_BASE_US) + (F.col("s_suppkey") % 720) * F.lit(_HOUR_US)).alias("lo"),
+        (
+            F.lit(_SVC_BASE_US)
+            + (F.col("s_suppkey") % 720) * F.lit(_HOUR_US)
+            + ((F.col("s_suppkey") % 36) + 1) * F.lit(_HOUR_US)
+        ).alias("hi"),
+    )
+
+
+_SUPPLIER_WINDOWS_SQL = """
+      SELECT s_suppkey,
+             1704067200000000 + (s_suppkey % 720) * 3600000000 AS lo,
+             1704067200000000 + (s_suppkey % 720) * 3600000000
+               + ((s_suppkey % 36) + 1) * 3600000000 AS hi
+      FROM supplier
+"""
+
+
+@register(
+    "events_in_service_windows",
+    f"""
+    WITH iv AS ({_SUPPLIER_WINDOWS_SQL}),
+    e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS t, value FROM events)
+    SELECT iv.s_suppkey,
+           CAST(COUNT(1) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM e JOIN iv ON e.t >= iv.lo AND e.t < iv.hi
+    GROUP BY iv.s_suppkey
+    """,
+)
+def events_in_service_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (``operators/rangejoin.py``):
+    events landing inside each supplier's service window, aggregated
+    per supplier. Banded rewrite — points bucket once, intervals
+    replicate to covered 6h buckets, hash equi-join on bucket id +
+    residual range predicate. No BroadcastNestedLoopJoin/cartesian:
+    the plan is an ordinary equi-join AQE can treat like any other."""
+    from ..operators.rangejoin import point_in_interval_join
+
+    pts = load(spark, sf_dir, "events").select(
+        ts_us(F.col("ts")).alias("t"), "value"
+    )
+    iv = _supplier_windows(spark, sf_dir)
+    joined = point_in_interval_join(pts, iv, "t", "lo", "hi", 6 * _HOUR_US)
+    return joined.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents(F.col("value"))).alias("sum_value_c"),
+    )
+
+
+@register(
+    "service_window_overlaps",
+    f"""
+    WITH sup AS ({_SUPPLIER_WINDOWS_SQL}),
+    nat AS (
+      SELECT n_nationkey,
+             1704067200000000 + (n_nationkey % 30) * 86400000000 AS nlo,
+             1704067200000000 + (n_nationkey % 30) * 86400000000
+               + ((n_nationkey % 5) + 1) * 86400000000 AS nhi
+      FROM nation
+    )
+    SELECT n.n_nationkey, s.s_suppkey,
+           CAST(LEAST(n.nhi, s.hi) - GREATEST(n.nlo, s.lo) AS BIGINT) AS overlap_us
+    FROM nat n JOIN sup s ON n.nlo < s.hi AND s.lo < n.nhi
+    """,
+)
+def service_window_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap range join: nation maintenance windows (days)
+    × supplier service windows (hours), one row per overlapping pair
+    with the overlap length. Each pair is emitted exactly once — in
+    the bucket where the overlap starts — so there is NO
+    distinct/dedup shuffle after the join."""
+    from ..operators.rangejoin import interval_overlap_join
+
+    nat = load(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        (F.lit(_SVC_BASE_US) + (F.col("n_nationkey") % 30) * F.lit(_DAY_US)).alias("nlo"),
+        (
+            F.lit(_SVC_BASE_US)
+            + (F.col("n_nationkey") % 30) * F.lit(_DAY_US)
+            + ((F.col("n_nationkey") % 5) + 1) * F.lit(_DAY_US)
+        ).alias("nhi"),
+    )
+    sup = _supplier_windows(spark, sf_dir)
+    pairs = interval_overlap_join(nat, sup, "nlo", "nhi", "lo", "hi", _DAY_US)
+    return pairs.select(
+        "n_nationkey",
+        "s_suppkey",
+        (F.least("nhi", "hi") - F.greatest("nlo", "lo")).alias("overlap_us"),
+    )
+
+
+@register(
+    "regional_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)
+             AS revenue_c,
+           CAST(COUNT(1) AS BIGINT) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shape six-table join: local-supplier revenue per
+    nation in one region-year. The deep join tree is left entirely to
+    Catalyst: dims (region/nation/supplier/customer) broadcast under
+    the default threshold, the date filter prunes orders before the
+    fact join, and only the orders⋈lineitem join shuffles. The test
+    suite asserts the dim joins are BroadcastHashJoins."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            sup,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_c"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@register(
+    "running_customer_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(c) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c,
+           CAST(c - COALESCE(LAG(c) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey), 0)
+                AS BIGINT) AS delta_c,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq
+    FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                 CAST(ROUND(o_totalprice*100) AS BIGINT) AS c
+          FROM orders)
+    """,
+)
+def running_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative/lead-lag analytics: per-customer running revenue,
+    order-over-order delta, and sequence number. All three window
+    functions share ONE spec (same partition, same total order with
+    unique orderkey tiebreak), so the plan is a single exchange + a
+    single sort — not one per function."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        cents(F.col("o_totalprice")).alias("c"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum("c").over(run).alias("running_c"),
+        (F.col("c") - F.coalesce(F.lag("c").over(w), F.lit(0))).alias("delta_c"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "orderpriority_quantiles",
+    """
+    WITH r AS (
+      SELECT o_orderpriority AS priority,
+             CAST(ROUND(o_totalprice*100) AS BIGINT) AS c,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT),
+                                         o_orderkey) AS rn,
+             COUNT(1) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT priority,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(0.5*n)  AS BIGINT) THEN c END) AS BIGINT) AS p50_c,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(0.9*n)  AS BIGINT) THEN c END) AS BIGINT) AS p90_c,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(0.99*n) AS BIGINT) THEN c END) AS BIGINT) AS p99_c,
+           CAST(MAX(n) AS BIGINT) AS n
+    FROM r GROUP BY priority
+    """,
+)
+def orderpriority_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group discrete quantiles (p50/p90/p99) of order value
+    via one sort shuffle: rank rows in group order, pick the
+    ceil(p·n)-th element. Deterministic across engines (integer cents,
+    unique tiebreak; the ceil(p·n) index is the same IEEE double
+    expression on both sides). The approximate single-pass alternative
+    for 100 TB is percentile_approx / the HLL-style profiler —
+    this is the exact oracle-checkable form."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+        cents(F.col("o_totalprice")).alias("c"),
+    )
+    w = Window.partitionBy("priority").orderBy("c", "o_orderkey")
+    wn = Window.partitionBy("priority")
+    r = o.select(
+        "priority", "c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(p: float, out: str) -> F.Column:
+        idx = F.ceil(F.lit(p) * F.col("n"))
+        return F.max(F.when(F.col("rn") == idx, F.col("c"))).alias(out)
+
+    return r.groupBy("priority").agg(
+        pick(0.5, "p50_c"), pick(0.9, "p90_c"), pick(0.99, "p99_c"),
+        F.max("n").alias("n"),
+    )
+
+
+@register(
+    "dormant_customers",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate < TIMESTAMP '2000-01-01')
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    """,
+)
+def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join in one query: customers who ordered before
+    1996 (left-semi) but never since (cutoff chosen so the result is non-empty at sf0.01) (left-anti). Both are
+    shuffle-free on the probe side when the filtered orders key set
+    broadcasts; no count/distinct materialization of the subqueries."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    before = orders.filter(F.col("o_orderdate") < _ts("2000-01-01"))
+    after = orders.filter(F.col("o_orderdate") >= _ts("2000-01-01"))
+    return (
+        cust.join(before, cust["c_custkey"] == before["o_custkey"], "left_semi")
+        .join(after, cust["c_custkey"] == after["o_custkey"], "left_anti")
+    )
+
+
 # Register the LLM-pipeline declared queries (dedup / similarity /
 # text analysis / multimodal) into the same registry. Import sits at
 # the bottom because llm_queries imports `register`/`load` from here.

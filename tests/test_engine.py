@@ -588,3 +588,54 @@ def test_sessionize_semantics(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1
+
+
+def test_rangejoin_semantics(spark):
+    """Banded range joins vs brute-force cross+filter on data chosen to
+    cross bucket boundaries; half-open [lo, hi) boundaries exact."""
+    from ods_v3_dbt_spark.operators.rangejoin import (
+        interval_overlap_join,
+        point_in_interval_join,
+    )
+
+    pts = [(i, 7 * i % 100) for i in range(30)]
+    ivs = [(100 + j, (13 * j) % 90, (13 * j) % 90 + (j % 25)) for j in range(20)]
+    p = spark.createDataFrame(pts, "pid long, t long")
+    iv = spark.createDataFrame(ivs, "ivid long, lo long, hi long")
+
+    got = {
+        (r.pid, r.ivid)
+        for r in point_in_interval_join(p, iv, "t", "lo", "hi", 8).collect()
+    }
+    want = {
+        (pid, ivid)
+        for pid, t in pts
+        for ivid, lo, hi in ivs
+        if lo <= t < hi
+    }
+    assert got == want  # includes lo-inclusive/hi-exclusive boundaries
+
+    left = point_in_interval_join(p, iv, "t", "lo", "hi", 8, how="left").collect()
+    matched_pids = {pid for pid, _ in want}
+    assert {(r.pid, r.ivid) for r in left if r.ivid is not None} == want
+    assert {r.pid for r in left if r.ivid is None} == {
+        pid for pid, _ in pts if pid not in matched_pids
+    }
+
+    # overlap join: exactly-once emission, no dedup needed
+    a = spark.createDataFrame(
+        [(1, 0, 50), (2, 40, 60), (3, 90, 91), (4, 5, 5)], "aid long, alo long, ahi long"
+    )
+    b = spark.createDataFrame(
+        [(10, 45, 95), (20, 0, 3), (30, 50, 55)], "bid long, blo long, bhi long"
+    )
+    rows = interval_overlap_join(a, b, "alo", "ahi", "blo", "bhi", 16).collect()
+    pairs = [(r.aid, r.bid) for r in rows]
+    assert sorted(pairs) == sorted(set(pairs))  # no duplicate emissions
+    want_pairs = {
+        (aid, bid)
+        for aid, alo, ahi in [(1, 0, 50), (2, 40, 60), (3, 90, 91), (4, 5, 5)]
+        for bid, blo, bhi in [(10, 45, 95), (20, 0, 3), (30, 50, 55)]
+        if alo < ahi and blo < bhi and alo < bhi and blo < ahi
+    }
+    assert set(pairs) == want_pairs

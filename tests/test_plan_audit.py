@@ -94,3 +94,34 @@ def test_topk_window_group_limit(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert plan.count("Exchange") == 1
+
+
+def test_range_join_is_equi_join(spark):
+    """The banded range join must compile to a hash equi-join on the
+    bucket id — never BroadcastNestedLoopJoin or a cartesian product,
+    which are what Spark emits for a raw inequality join and which are
+    O(|A|·|B|) at scale."""
+    for name in ("events_in_service_windows", "service_window_overlaps"):
+        plan = _plan(spark, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, name
+
+
+def test_q5_dims_broadcast(spark):
+    """Six-table Q5 shape: every dim join broadcasts; at most the
+    orders⋈lineitem fact join shuffles."""
+    plan = _plan(spark, "regional_supplier_volume")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_shared_window_spec_single_exchange(spark):
+    """running sum + lag + row_number over the SAME partition/order
+    must plan one exchange + one sort, not one per function."""
+    df = DQ.registry()["running_customer_revenue"].spark(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert plan.count("Sort ") <= 1
