@@ -22,6 +22,7 @@ from collections.abc import Iterable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as St
 
 from ..catalog import TableSpec
 from ..functions import cleansing as C
@@ -268,3 +269,61 @@ def excel_rows_source(
             "etl_date", F.lit(etl_date or dt.datetime.now()).cast("timestamp")
         )
     return typed
+
+
+# ---------------------------------------------------------------------------
+# CSV / JSON landing sources (L1 landing-zone formats)
+# ---------------------------------------------------------------------------
+
+
+def csv_landing_source(
+    spark: SparkSession,
+    path: str,
+    spec: TableSpec,
+    mode: str = "FAILFAST",
+    header: bool = True,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Schema-enforced CSV landing read.
+
+    The reference spills every 50k-row extract batch as CSV into MinIO
+    (``plugins/operators/bccp_to_ods.py:245-255``) before COPYing to
+    Postgres; the engine reads such a landing directory directly. The
+    catalog schema is DECLARED, never inferred — schema inference is a
+    second full pass over the data, a non-starter at 100 TB.
+    ``mode='FAILFAST'`` makes a malformed row fail the job (Soda-style
+    Q1 gate); ``mode='PERMISSIVE'`` captures malformed source lines in
+    ``corrupt_col`` for quarantine instead.
+    """
+    schema = spec.struct_type()
+    if mode.upper() == "PERMISSIVE":
+        schema = St.StructType(
+            [*schema.fields, St.StructField(corrupt_col, St.StringType(), True)]
+        )
+    return (
+        spark.read.schema(schema)
+        .options(header=str(header).lower(), mode=mode, columnNameOfCorruptRecord=corrupt_col)
+        .csv(path)
+    )
+
+
+def json_landing_source(
+    spark: SparkSession,
+    path: str,
+    spec: TableSpec,
+    mode: str = "FAILFAST",
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Schema-enforced JSON-lines landing read — same declared-schema
+    contract as :func:`csv_landing_source` (API sources like the
+    reference's HRM REST feed (S7) land as JSONL at scale)."""
+    schema = spec.struct_type()
+    if mode.upper() == "PERMISSIVE":
+        schema = St.StructType(
+            [*schema.fields, St.StructField(corrupt_col, St.StringType(), True)]
+        )
+    return (
+        spark.read.schema(schema)
+        .options(mode=mode, columnNameOfCorruptRecord=corrupt_col)
+        .json(path)
+    )

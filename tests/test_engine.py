@@ -639,3 +639,43 @@ def test_rangejoin_semantics(spark):
         if alo < ahi and blo < bhi and alo < bhi and blo < ahi
     }
     assert set(pairs) == want_pairs
+
+
+def test_csv_json_landing_sources(spark, tmp_path):
+    """Landing reads enforce the DECLARED catalog schema (no inference
+    pass): FAILFAST raises on a malformed row, PERMISSIVE quarantines
+    it in _corrupt_record with the other rows intact."""
+    from py4j.protocol import Py4JJavaError
+
+    from ods_v3_dbt_spark.sources.readers import (
+        csv_landing_source,
+        json_landing_source,
+    )
+
+    spec = TableSpec(
+        name="t", schema_name="staging",
+        columns={"id": "Int64", "amount": "float64", "label": "string"},
+    )
+    csv_dir = tmp_path / "csv"
+    csv_dir.mkdir()
+    (csv_dir / "b1.csv").write_text("id,amount,label\n1,1.5,a\n2,2.5,b\n")
+    (csv_dir / "b2.csv").write_text("id,amount,label\nNOTANINT,9.9,c\n")
+
+    ok = csv_landing_source(spark, str(csv_dir), spec, mode="PERMISSIVE")
+    rows = ok.collect()
+    good = {r.id: (r.amount, r.label) for r in rows if r._corrupt_record is None}
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert good == {1: (1.5, "a"), 2: (2.5, "b")}
+    assert len(bad) == 1 and "NOTANINT" in bad[0]._corrupt_record
+
+    with pytest.raises(Py4JJavaError):
+        csv_landing_source(spark, str(csv_dir), spec, mode="FAILFAST").collect()
+
+    j_dir = tmp_path / "json"
+    j_dir.mkdir()
+    (j_dir / "b1.json").write_text(
+        '{"id": 1, "amount": 1.5, "label": "a"}\n{"id": "x", "amount": "y"}\n'
+    )
+    jrows = json_landing_source(spark, str(j_dir), spec, mode="PERMISSIVE").collect()
+    assert {r.id for r in jrows if r._corrupt_record is None} == {1}
+    assert sum(r._corrupt_record is not None for r in jrows) == 1

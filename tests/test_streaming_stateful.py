@@ -75,3 +75,42 @@ def test_streaming_sessionize_gap_close(spark, tmp_path):
     base = int(T.replace(tzinfo=dt.timezone.utc).timestamp())
     assert s.user_id == 10 and s.n_events == 3
     assert s.session_start_s == base and s.session_end_s == base + 500
+
+
+def test_streaming_windowed_agg_drops_late_rows(spark, tmp_path):
+    """Watermarked tumbling windows in append mode: a row later than
+    the delay behind max event time is dropped; in-delay rows still
+    land; each window is emitted exactly once, after the watermark
+    passes its end (across checkpointed restarts)."""
+    from pyspark.sql import functions as F
+
+    from ods_v3_dbt_spark.streaming.windowed import windowed_agg
+
+    src, ckpt, out = tmp_path / "src", tmp_path / "ckpt", tmp_path / "out"
+    tf = lambda df: windowed_agg(  # noqa: E731
+        df, "ts", "1 hour", "30 minutes", aggs=[F.count(F.lit(1)).alias("n_events")]
+    )
+
+    def ev(eid, hh, mm):
+        return (eid, 10, dt.datetime(2024, 9, 1, hh, mm), 1.0)
+
+    # batch 1: two rows in [12:00,13:00), one at 14:00 → max event 14:00,
+    # so the checkpointed watermark becomes 13:30 after this drain
+    _write_batch(spark, src, [ev(1, 12, 5), ev(2, 12, 10), ev(3, 14, 0)])
+    _drain(spark, src, ckpt, out, tf)
+    # batch 2: 12:20 is older than the 13:30 watermark → DROPPED;
+    # 13:40 is within delay → counts into [13:00,14:00); 14:30 joins
+    # [14:00,15:00). Emits [12:00,13:00) with n=2 (late row excluded).
+    _write_batch(spark, src, [ev(4, 12, 20), ev(5, 13, 40), ev(6, 14, 30)])
+    _drain(spark, src, ckpt, out, tf)
+    # two flush batches: advance the watermark past 14:00 then 15:00
+    _write_batch(spark, src, [ev(7, 16, 0)])
+    _drain(spark, src, ckpt, out, tf)
+    _write_batch(spark, src, [ev(8, 17, 0)])
+    _drain(spark, src, ckpt, out, tf)
+
+    got = {
+        (r.window_start.hour): r.n_events
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == {12: 2, 13: 1, 14: 2}
