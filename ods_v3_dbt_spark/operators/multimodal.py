@@ -154,3 +154,58 @@ def frame_sample_plan(df: DataFrame, every_nth: int = 10) -> DataFrame:
     return df.filter(F.col("media_type") == "video").select(
         "media_id", F.explode(frames).alias("frame_idx")
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id long, content binary, width int, height int, ok boolean, error string"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    max_side: int = 256,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Bounded-box image resize → new payload + dims, partition-parallel.
+
+    ``decoder='real'`` is the clearly-marked stub (needs PIL, absent in
+    this container); ``decoder='fake'`` computes the REAL target
+    geometry (aspect-preserving fit into ``max_side``² from the fake
+    decoded dims) and emits a deterministic payload (sha256-seeded,
+    sized width·height·channels bytes) so downstream batch shapes and
+    memory behavior match a real resize.
+
+    Scale notes: payloads stream through Arrow batches worker-side
+    (never the driver); output rows are ≤ max_side² · channels bytes
+    regardless of input size, so the stage's output is bounded and a
+    shuffle after it is safe even when inputs are multi-MB originals.
+    """
+    if decoder == "real" and not _try_import_pillow():
+        raise NotImplementedError(
+            "real image resize requires PIL, not present in this container — "
+            "use decoder='fake' or install the optional deps"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["content"] or b"")
+                try:
+                    d = FakeDecoded.from_bytes(payload)
+                    scale = min(1.0, max_side / max(d.width, d.height))
+                    w, h = max(1, int(d.width * scale)), max(1, int(d.height * scale))
+                    seed = hashlib.sha256(payload + b"|resize").digest()
+                    body = (seed * (w * h * d.channels // len(seed) + 1))[: w * h * d.channels]
+                    out.append((row["media_id"], body, w, h, True, None))
+                except Exception as e:  # pragma: no cover - defensive
+                    out.append((row["media_id"], None, None, None, False, str(e)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "content", "width", "height", "ok", "error"]
+            )
+
+    return (
+        df.filter(F.col("media_type") == "image")
+        .select("media_id", "media_type", "content")
+        .mapInPandas(run, schema=RESIZED_SCHEMA)
+    )

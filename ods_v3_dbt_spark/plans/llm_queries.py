@@ -505,3 +505,24 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").cast("binary").alias("content"),
     )
     return MM.decode_features(media, decoder="fake")
+
+
+@register("multimodal_resize", None)  # Python fake-resize kernel
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-box image resize over the binary media rows (fake
+    decoder per the round brief): aspect-preserving target geometry,
+    deterministic payload sized w*h*channels — output bytes per row
+    are bounded by max_side^2*3 no matter how large the originals,
+    so the stage's shuffle/write volume is capped."""
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "video")
+        .when(F.col("doc_id") % 3 == 1, "image")
+        .otherwise("audio")
+        .alias("media_type"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    return MM.resize_images(media, max_side=128, decoder="fake").select(
+        "media_id", "width", "height", F.octet_length("content").alias("payload_len"), "ok"
+    )

@@ -162,3 +162,28 @@ def test_frame_sample_plan(spark, corpus):
     assert sampled.columns == ["media_id", "frame_idx"]
     n_videos = feats.filter("media_type = 'video'").count()
     assert sampled.count() >= n_videos  # ≥1 frame row per video
+
+
+def test_resize_images_bounded_and_deterministic(spark, corpus):
+    """Resize: only image rows; output dims fit max_side preserving
+    the (fake-)decoded aspect; payload size is exactly w*h*channels —
+    bounded output regardless of input size; deterministic."""
+    m = _media(spark, corpus)
+    out = MM.resize_images(m, max_side=32, decoder="fake").collect()
+    n_images = m.filter(F.col("media_type") == "image").count()
+    assert len(out) == n_images and all(r.ok for r in out)
+    dims = {r.media_id: (r.width, r.height, len(r.content)) for r in out}
+    feats = {
+        r.media_id: (r.width, r.height)
+        for r in MM.decode_features(m, decoder="fake").collect()
+    }
+    for mid, (w, h, blen) in dims.items():
+        W, H = feats[mid]
+        assert max(w, h) <= 32 and blen == w * h * 3
+        # aspect preserved within integer truncation
+        s = min(1.0, 32 / max(W, H))
+        assert (w, h) == (max(1, int(W * s)), max(1, int(H * s)))
+    out2 = {r.media_id: bytes(r.content) for r in MM.resize_images(m, max_side=32).collect()}
+    assert out2 == {r.media_id: bytes(r.content) for r in out}
+    with pytest.raises(NotImplementedError):
+        MM.resize_images(m, decoder="real")
