@@ -1321,6 +1321,41 @@ def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "user_event_type_pivot",
+    """
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS BIGINT) AS n_click,
+           CAST(COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS BIGINT) AS n_error,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+           CAST(COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS BIGINT) AS n_signup,
+           CAST(COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS BIGINT) AS n_view,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                THEN CAST(ROUND(value*100) AS BIGINT) END), 0) AS BIGINT) AS purchase_value_c
+    FROM events GROUP BY user_id
+    """,
+)
+def user_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-user event-type counts + purchase value
+    as ONE conditional aggregation — the expansion `pivot()` compiles
+    to when given an explicit value list (without the list Spark adds
+    a distinct-scan job to discover categories: a full extra pass over
+    the fact at 100 TB). Single groupBy shuffle, map-side partials,
+    no join with a second aggregate."""
+    ev = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+            for t in types
+        ],
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", cents(F.col("value")))),
+            F.lit(0),
+        ).alias("purchase_value_c"),
+    )
+
+
 # Register the LLM-pipeline declared queries (dedup / similarity /
 # text analysis / multimodal) into the same registry. Import sits at
 # the bottom because llm_queries imports `register`/`load` from here.
