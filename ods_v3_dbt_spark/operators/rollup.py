@@ -68,3 +68,28 @@ def needs_rollup(fact: DataFrame, target: DataFrame, fact_day_col: str, target_d
     src_max = fact.agg(F.max(fact_day_col)).first()[0]
     dst_max = target.agg(F.max(target_day_col)).first()[0]
     return dst_max is None or (src_max is not None and src_max > dst_max)
+
+
+def merge_day_rollups(
+    base: DataFrame,
+    delta: DataFrame,
+    group_cols: Sequence[str],
+    day_id_col: str,
+) -> DataFrame:
+    """Merge two partial day rollups by re-summing measures.
+
+    Valid for decomposable aggregates (COUNT/SUM/MIN/MAX — everything
+    the A4 datamart uses): sum-of-partials ≡ full recompute. Inputs
+    are already-aggregated day tables (≪ fact size), so the merge
+    shuffle is negligible; this is how the engine maintains the
+    datamart incrementally instead of re-scanning the fact per run.
+    """
+    measure_cols = [c for c in base.columns if c not in (*group_cols, day_id_col)]
+    assert measure_cols == [
+        c for c in delta.columns if c not in (*group_cols, day_id_col)
+    ]
+    return (
+        base.unionByName(delta)
+        .groupBy(*group_cols, day_id_col)
+        .agg(*[F.sum(c).alias(c) for c in measure_cols])
+    )

@@ -1356,6 +1356,374 @@ def user_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNPIVOT_ARMS = [
+    ("quantity", "l_quantity"),
+    ("extendedprice", "l_extendedprice"),
+    ("discount", "l_discount"),
+    ("tax", "l_tax"),
+]
+
+
+@register(
+    "unpivot_lineitem_measures",
+    "\nUNION ALL\n".join(
+        f"""SELECT l_orderkey, l_linenumber, '{m}' AS measure,
+            CAST(ROUND({c}*100) AS BIGINT) AS value_c FROM lineitem"""
+        for m, c in _UNPIVOT_ARMS
+    ),
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long): 4 measure columns → (measure, value)
+    rows via ``stack`` — a Generate node inside the scan's codegen
+    stage, one pass over the fact with zero shuffles, vs the 4-scan
+    UNION ALL the naive SQL implies (the oracle keeps that shape on
+    purpose: DuckDB reads the 240 KB fixture 4×, we read 100 TB 1×)."""
+    li = load(spark, sf_dir, "lineitem")
+    arms = ", ".join(
+        f"'{m}', CAST(ROUND({c}*100) AS BIGINT)" for m, c in _UNPIVOT_ARMS
+    )
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        f"stack({len(_UNPIVOT_ARMS)}, {arms}) AS (measure, value_c)",
+    )
+
+
+@register(
+    "smallqty_part_revenue",
+    """
+    WITH lif AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      FROM lineitem l JOIN part p
+        ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#4'
+    ),
+    pa AS (
+      SELECT l_partkey, COUNT(1) AS n,
+             SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sumq_c
+      FROM lif GROUP BY l_partkey
+    )
+    SELECT CAST(COALESCE(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)), 0) AS BIGINT) AS small_rev_c,
+           CAST(COUNT(1) AS BIGINT) AS n_small
+    FROM lif l JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE 5 * CAST(ROUND(l.l_quantity*100) AS BIGINT) * pa.n < pa.sumq_c
+    """,
+)
+def smallqty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar-agg subquery): revenue from
+    lineitems with quantity below 20% of that part's average.
+
+    Decorrelated Spark-first: broadcast the filtered part dim into the
+    fact scan FIRST (so the per-part aggregate runs over the ~1/25
+    brand slice, not the whole fact), then fact⨝agg co-partition on
+    ``l_partkey`` — AQE reuses the exchange. The 20%-of-avg predicate
+    is integer-exact: ``qty < 0.2·avg ⟺ 5·qty_c·n < Σqty_c`` — no
+    cross-engine double division."""
+    li = load(spark, sf_dir, "lineitem")
+    pt = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#4")
+        .select("p_partkey")
+    )
+    lif = li.join(
+        F.broadcast(pt), li["l_partkey"] == pt["p_partkey"]
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    pa = lif.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents(F.col("l_quantity"))).alias("sumq_c"),
+    )
+    return (
+        lif.join(pa, "l_partkey")
+        .filter(F.lit(5) * cents(F.col("l_quantity")) * F.col("n") < F.col("sumq_c"))
+        .agg(
+            F.coalesce(F.sum(cents(F.col("l_extendedprice"))), F.lit(0)).alias(
+                "small_rev_c"
+            ),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@register("incremental_rollup_merge", _ROLLUP_DAY_SQL)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a frozen base rollup (days
+    before the split) merged with a delta rollup (the new window) by
+    summing partials — count and sum are decomposable, so the merged
+    table is bit-identical to a full recompute (the oracle IS the
+    full recompute). At 100 TB this is the difference between
+    re-scanning the whole fact nightly and scanning one day: the
+    merge re-aggregates two already-tiny day tables."""
+    base = rollup_day_for_window(spark, sf_dir, end="2024-01-21")
+    delta = rollup_day_for_window(spark, sf_dir, start="2024-01-21")
+    return R.merge_day_rollups(base, delta, ["event_type"], "day_id")
+
+
+def rollup_day_for_window(
+    spark: SparkSession, sf_dir: str, start: str | None = None, end: str | None = None
+) -> DataFrame:
+    ev = load_events_windowed(spark, sf_dir, start, end).withColumn(
+        "day_id", CL.day_id(F.col("ts"))
+    )
+    return R.rollup_day(
+        ev,
+        ["event_type"],
+        "day_id",
+        {
+            "item_count": F.count(F.lit(1)),
+            "value_c": F.sum(cents(F.coalesce(F.col("value"), F.lit(0.0)))),
+        },
+    )
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(COUNT(CASE WHEN props->>'k' IS NOT NULL THEN 1 END) AS BIGINT) AS n_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON props column ONCE
+    with a declared schema (`from_json` — JVM-side, vectorizable, no
+    Python) and aggregate the typed field. The anti-pattern at 100 TB
+    is `get_json_object` per field (re-parses the blob per call) or
+    schema inference (extra full scan). Malformed rows → NULL field,
+    counted out by n_k, never a job abort."""
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "p", F.from_json(F.col("props"), "k BIGINT", {"mode": "PERMISSIVE"})
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.col("p.k")).alias("sum_k"),
+        F.count(F.col("p.k")).alias("n_k"),
+    )
+
+
+@register(
+    "events_day_spine_fill",
+    """
+    WITH spine AS (
+      SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS day_id
+      FROM generate_series(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY) AS t(d)
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+      SELECT event_type, CAST(strftime(ts, '%Y%m%d') AS INT) AS day_id,
+             COUNT(1) AS n
+      FROM events GROUP BY event_type, CAST(strftime(ts, '%Y%m%d') AS INT)
+    )
+    SELECT t.event_type, s.day_id,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN daily d ON d.event_type = t.event_type AND d.day_id = s.day_id
+    """,
+)
+def events_day_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily series: a generated date spine × the type dim
+    left-joins the day aggregate so missing days surface as explicit
+    zeros (the reference's datamart consumers assume dense days).
+    The spine is `sequence()`-generated — a few hundred rows on the
+    driver-side plan, broadcast into the join; the fact is scanned
+    once for the aggregate only."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", CL.day_id(F.col("ts")).alias("day_id")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.lit("2024-01-01")),
+                F.to_date(F.lit("2024-01-30")),
+                F.expr("interval 1 day"),
+            )
+        ).alias("d")
+    ).select(CL.day_id(F.col("d")).alias("day_id"))
+    types = ev.select("event_type").distinct()
+    return (
+        spine.crossJoin(types)
+        .join(daily, ["event_type", "day_id"], "left")
+        .select(
+            "event_type", "day_id", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+        )
+    )
+
+
+@register(
+    "customer_name_editdist_pairs",
+    """
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def customer_name_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by edit distance: candidate pairs blocked on
+    an equi-key (nation) so the join is a hash join producing
+    per-block pairs — never an all-pairs nested loop — with the
+    levenshtein residual evaluated only within blocks. The blocking
+    key is the knob: at 100 TB you block on a cheap canopy (prefix,
+    soundex, LSH bucket) sized so blocks fit in memory."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_name")
+    a, b = c.alias("a"), c.alias("b")
+    # Banded levenshtein(l, r, threshold): O(len·k) with early exit,
+    # returns -1 past the band — ~len/k cheaper than the full DP per
+    # candidate pair, which is the whole runtime of this operator.
+    # All predicates live in the ON clause ordered cheap-first so the
+    # join residual short-circuits on `custkey <` before touching the
+    # DP — written as a filter they'd merge back in lev-first order.
+    band = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 1)
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+            # band ∈ {-1, 0, 1}: ≥0 alone decides ≤1 — one DP eval,
+            # not two, in the residual
+            & (band >= 0),
+        )
+        .select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            band.cast("int").alias("dist"),
+        )
+    )
+
+
+@register(
+    "orders_price_histogram",
+    """
+    SELECT LEAST(CAST(ROUND(o_totalprice*100) AS BIGINT) // 5000000, 9) AS bucket,
+           CAST(COUNT(1) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+    FROM orders
+    GROUP BY LEAST(CAST(ROUND(o_totalprice*100) AS BIGINT) // 5000000, 9)
+    """,
+)
+def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram entirely in integer space ($50k buckets,
+    top-coded at bucket 9): integer cents `div` avoids the
+    cross-engine float-division edge cases that make float binning
+    nondeterministic at bucket boundaries. One groupBy on ≤10 keys —
+    partial aggregation collapses everything map-side."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.expr("CAST(ROUND(o_totalprice*100) AS BIGINT) div 5000000"), F.lit(9)
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents(F.col("o_totalprice"))).alias("total_c"),
+    )
+
+
+@register(
+    "repeat_vs_churned_customers",
+    """
+    WITH y1 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+    ),
+    y2 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    SELECT o_custkey, 'repeat' AS cohort FROM (SELECT o_custkey FROM y1 INTERSECT SELECT o_custkey FROM y2)
+    UNION ALL
+    SELECT o_custkey, 'churned' AS cohort FROM (SELECT o_custkey FROM y1 EXCEPT SELECT o_custkey FROM y2)
+    """,
+)
+def repeat_vs_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT): year-over-year repeat vs
+    churned customer cohorts. Spark compiles both to aggregate+join
+    on the key — the date predicates push to the scan, so each cohort
+    input is a pruned year slice, never a row-to-row comparison."""
+    o = load(spark, sf_dir, "orders")
+
+    def keys(start: str, end: str) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= _ts(start))
+                & (F.col("o_orderdate") < _ts(end))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y1 = keys("1995-01-01", "1996-01-01")
+    y2 = keys("1996-01-01", "1997-01-01")
+    rep = y1.intersect(y2).withColumn("cohort", F.lit("repeat"))
+    churn = y1.exceptAll(y2).withColumn("cohort", F.lit("churned"))
+    return rep.unionByName(churn)
+
+
+@register(
+    "rolling_7day_event_value",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 518400000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS roll7_value_c
+    FROM events
+    """,
+)
+def rolling_7day_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based rolling aggregate: per-user trailing 7-day value
+    sum via a RANGE frame [ts−6d, ts] over epoch-µs — an integer
+    axis with inclusive bounds on both engines, so frame membership
+    is bit-identical. One exchange+sort on user_id; the frame slides
+    in-place instead of the naive self-range-join rewrite that
+    replicates the fact ~7× at daily density."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-518400000000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(cents(F.col("value"))).over(w).alias("roll7_value_c"),
+    )
+
+
+@register(
+    "latest_order_per_customer",
+    """
+    WITH keyed AS (
+      SELECT *, strftime(o_orderdate, '%Y%m%d%H%M%S')
+                || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS ord_key
+      FROM orders
+    )
+    SELECT o_custkey,
+           arg_max(o_orderkey, ord_key) AS o_orderkey,
+           arg_max(o_orderstatus, ord_key) AS o_orderstatus,
+           CAST(ROUND(arg_max(o_totalprice, ord_key)*100) AS BIGINT) AS totalprice_c
+    FROM keyed GROUP BY o_custkey
+    """,
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-group via max_by on a (ts, unique-id) sort key —
+    an ordinary aggregate with map-side partials, NOT a window: the
+    row_number() rewrite sorts every group on one node post-shuffle,
+    while max_by ships one candidate row per group per map task. The
+    orderkey tiebreak makes the argmax total. The key is a sortable
+    string (timestamp || zero-padded id) because the oracle's arg_max
+    can't order by a struct; Spark-side a struct key works too."""
+    o = load(spark, sf_dir, "orders")
+    key = F.concat(
+        F.date_format(F.col("o_orderdate"), "yyyyMMddHHmmss"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+    )
+    return o.groupBy("o_custkey").agg(
+        F.max_by(F.col("o_orderkey"), key).alias("o_orderkey"),
+        F.max_by(F.col("o_orderstatus"), key).alias("o_orderstatus"),
+        cents(F.max_by(F.col("o_totalprice"), key)).alias("totalprice_c"),
+    )
+
+
 # Register the LLM-pipeline declared queries (dedup / similarity /
 # text analysis / multimodal) into the same registry. Import sits at
 # the bottom because llm_queries imports `register`/`load` from here.

@@ -526,3 +526,180 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.resize_images(media, max_side=128, decoder="fake").select(
         "media_id", "width", "height", F.octet_length("content").alias("payload_len"), "ok"
     )
+
+
+# ---------------------------------------------------------------------------
+# Dup-cluster resolution (pairs → components → canonical docs)
+# ---------------------------------------------------------------------------
+
+#: CTE chain: corpus → shingles → jaccard pairs (≥ 0.5) → undirected
+#: edges → recursive reachability → per-node min-reachable component.
+#: The recursive CTE is the oracle twin of the alternating-star
+#: algorithm in operators/dedup.py::connected_components.
+_COMPONENT_CTES = f"""{_CORPUS_SQL}, {_SHINGLE_SQL},
+  pairs AS (
+    SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+    FROM sh s1 JOIN sh s2
+      ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+  ),
+  sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT p.doc_a, p.doc_b, COUNT(1) AS i
+    FROM pairs p
+    JOIN sh s1 ON s1.doc_id = p.doc_a
+    JOIN sh s2 ON s2.doc_id = p.doc_b AND s2.shingle = s1.shingle
+    GROUP BY p.doc_a, p.doc_b
+  ),
+  jp AS (
+    SELECT i.doc_a, i.doc_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(ROUND(i.i * 1000000.0 / (sa.n + sb.n - i.i)) AS BIGINT) >= 500000
+  ),
+  edges AS (
+    SELECT doc_a AS eu, doc_b AS ev FROM jp
+    UNION ALL
+    SELECT doc_b AS eu, doc_a AS ev FROM jp
+  ),
+  reach(node, r) AS (
+    SELECT doc_id, doc_id FROM corpus
+    UNION
+    SELECT e.ev, r.r FROM reach r JOIN edges e ON e.eu = r.node
+  ),
+  comp AS (
+    SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS component_id
+    FROM reach GROUP BY node
+  )
+"""
+
+
+@register(
+    "neardup_components",
+    f"WITH RECURSIVE {_COMPONENT_CTES} SELECT doc_id, component_id FROM comp",
+)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: ngram-Jaccard pairs (≥0.5) → connected
+    components via alternating large-star/small-star (O(log² n)
+    rounds at any component diameter — see dedup.py), left-joined
+    back to the corpus so singletons keep their own id. The oracle
+    twin is a recursive min-reachable-label CTE."""
+    c = corpus_with_dups(spark, sf_dir)
+    pairs = DD.ngram_jaccard_pairs(c, threshold_ppm=500000)
+    comp = DD.connected_components(pairs, "doc_a", "doc_b")
+    return (
+        c.select("doc_id")
+        .join(comp, c["doc_id"] == comp["node"], "left")
+        .select(
+            c["doc_id"],
+            F.coalesce(F.col("component_id"), c["doc_id"]).alias("component_id"),
+        )
+    )
+
+
+@register(
+    "neardup_canonical_docs",
+    f"""WITH RECURSIVE {_COMPONENT_CTES}
+    SELECT component_id AS doc_id, CAST(COUNT(1) AS BIGINT) AS n_members
+    FROM comp GROUP BY component_id""",
+)
+def neardup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: one canonical doc (min id) per near-dup
+    cluster with member count — the 'keep one copy per cluster'
+    training-corpus contract."""
+    comps = neardup_components(spark, sf_dir)
+    return comps.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    ).select(F.col("component_id").alias("doc_id"), "n_members")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splits (training-pipeline contracts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "train_test_hash_split",
+    """
+    SELECT doc_id,
+           CASE WHEN substring(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def train_test_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/20 train/test split: first md5 hex byte of
+    a seeded key, compared lexicographically ('cd' = 205/256 ≈ 80%).
+    Pure projection — no shuffle, no state, no sampling RNG whose
+    sequence depends on partitioning; the assignment is a function of
+    the row alone, so it's stable under repartitioning, re-runs, and
+    engine swaps (md5 is md5 everywhere — same reason the minhash
+    oracle mode uses it)."""
+    d = load(spark, sf_dir, "documents")
+    h2 = F.substring(
+        F.md5(F.concat(F.lit("s42:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    return d.select(
+        "doc_id",
+        F.when(h2 < F.lit("cd"), F.lit("train")).otherwise(F.lit("test")).alias("split"),
+    )
+
+
+@register(
+    "stratified_sample_docs",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substring(md5('strat42:' || CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE WHEN lang = 'en' THEN '33' ELSE 'cc' END
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep-rates
+    ('en' is over-represented → 20%, others 80%) via the same seeded
+    md5-threshold device as the train/test split — `sampleBy` without
+    the RNG (Spark's sampleBy draws per-partition, so results change
+    whenever partitioning does; this doesn't). Predicate is a scan
+    filter: no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    h2 = F.substring(
+        F.md5(F.concat(F.lit("strat42:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    thr = F.when(F.col("lang") == "en", F.lit("33")).otherwise(F.lit("cc"))
+    return d.filter(h2 < thr).select("doc_id", "lang")
+
+
+@register(
+    "token_vocab_topk",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT token, CAST(COUNT(1) AS BIGINT) AS n
+    FROM toks WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 50
+    """,
+)
+def token_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head: whitespace tokens → global top-50 by count
+    (total order: count desc, token asc — the tie at rank 50 is
+    deterministic). Explode+count is one shuffle on token; the final
+    top-k is TakeOrderedAndProject — per-partition heaps, no global
+    sort shuffle."""
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )

@@ -187,3 +187,69 @@ def test_resize_images_bounded_and_deterministic(spark, corpus):
     assert out2 == {r.media_id: bytes(r.content) for r in out}
     with pytest.raises(NotImplementedError):
         MM.resize_images(m, decoder="real")
+
+
+# ---------------------------------------------------------------------------
+# Connected components (alternating star algorithm)
+# ---------------------------------------------------------------------------
+
+
+def _union_find_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in range(n_nodes)}
+
+
+def _cc_spark(spark, edges):
+    from ods_v3_dbt_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "doc_a: long, doc_b: long")
+    out = connected_components(df).collect()
+    return {int(r["node"]): int(r["component_id"]) for r in out}
+
+
+def test_connected_components_chain(spark):
+    """A 60-node chain: diameter 59, but the star algorithm must
+    converge inside its 25-round budget (log², not diameter)."""
+    edges = [(i, i + 1) for i in range(59)]
+    got = _cc_spark(spark, edges)
+    assert got == {i: 0 for i in range(60)}
+
+
+def test_connected_components_random(spark):
+    import random
+
+    rng = random.Random(7)
+    n = 80
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(70)]
+    edges = [(u, v) for u, v in edges if u != v]
+    want_root = _union_find_components(n, edges)
+    # union-find roots are path-compressed reps; normalize to min of
+    # each component for comparison
+    groups = {}
+    for x, r in want_root.items():
+        groups.setdefault(r, []).append(x)
+    want = {}
+    for members in groups.values():
+        m = min(members)
+        for x in members:
+            want[x] = m
+    got = _cc_spark(spark, edges)
+    touched = {u for e in edges for u in e}
+    assert got == {x: want[x] for x in touched}
+
+
+def test_connected_components_two_clusters_and_selfloop(spark):
+    edges = [(5, 9), (9, 2), (30, 40), (7, 7)]
+    got = _cc_spark(spark, edges)
+    assert got == {5: 2, 9: 2, 2: 2, 30: 30, 40: 30}

@@ -125,3 +125,29 @@ def test_shared_window_spec_single_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert plan.count("Sort ") <= 1
+
+
+def test_hash_split_and_unpivot_no_shuffle(spark):
+    """Deterministic split/sample assignments and the stack-based
+    unpivot are pure per-row maps — any Exchange here would be a
+    100 TB-sized accident."""
+    for name in ("train_test_hash_split", "stratified_sample_docs",
+                 "unpivot_lineitem_measures"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, name
+
+
+def test_vocab_topk_no_global_sort(spark):
+    """Top-k must be TakeOrderedAndProject (per-partition heaps),
+    never a global sort of the full vocabulary."""
+    df = DQ.registry()["token_vocab_topk"].spark(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_smallqty_broadcasts_part_dim(spark):
+    """Q17 shape: the brand-filtered part dim must broadcast into the
+    fact scan so the per-part aggregate runs over the brand slice."""
+    plan = _plan(spark, "smallqty_part_revenue")
+    assert "BroadcastHashJoin" in plan
