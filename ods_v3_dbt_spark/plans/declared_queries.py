@@ -1724,6 +1724,39 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hopping_window_event_agg",
+    """
+    SELECT event_type,
+           epoch_us(date_trunc('day', ts) - k * INTERVAL 1 DAY) AS window_start_us,
+           CAST(COUNT(1) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c
+    FROM events CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k) offs
+    GROUP BY event_type, epoch_us(date_trunc('day', ts) - k * INTERVAL 1 DAY)
+    """,
+)
+def hopping_window_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation: 7-day windows advancing
+    1 day — each event lands in 7 windows via the built-in `window()`
+    generator (epoch-aligned starts, same day boundaries the oracle
+    derives by explicit offset replication). The 7× row expansion is
+    inherent to the slide ratio, but it happens inside the scan stage
+    and collapses map-side: what shuffles is one partial per
+    (type, window) per task, not 7× the fact. The streaming twin is
+    the same expression over readStream (streaming/windowed.py)."""
+    ev = load(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "7 days", "1 day")
+    return ev.groupBy("event_type", win.alias("w")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents(F.col("value"))).alias("value_c"),
+    ).select(
+        "event_type",
+        ts_us(F.col("w.start")).alias("window_start_us"),
+        "n",
+        "value_c",
+    )
+
+
 # Register the LLM-pipeline declared queries (dedup / similarity /
 # text analysis / multimodal) into the same registry. Import sits at
 # the bottom because llm_queries imports `register`/`load` from here.

@@ -327,3 +327,18 @@ def json_landing_source(
         .options(mode=mode, columnNameOfCorruptRecord=corrupt_col)
         .json(path)
     )
+
+
+def orc_landing_source(
+    spark: SparkSession,
+    path: str,
+    spec: TableSpec,
+) -> DataFrame:
+    """Schema-enforced ORC landing read (columnar twin of the CSV/JSON
+    landing sources — for upstreams that hand over ORC instead of
+    parquet). Self-describing format, so there is no corrupt-row mode;
+    the declared catalog schema is still imposed so drift in the
+    landing files surfaces as an analysis error at read time instead
+    of a type surprise mid-pipeline. Predicate pushdown and column
+    pruning work as with parquet (native vectorized reader)."""
+    return spark.read.schema(spec.struct_type()).orc(path)

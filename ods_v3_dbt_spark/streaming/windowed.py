@@ -51,3 +51,40 @@ def windowed_agg(
         F.col("window.end").alias("window_end"),
         *[c for c in out.columns if c != "window"],
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    delay: str,
+    max_lag: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: match right-side rows
+    to left-side rows with the same ``key`` whose timestamp falls in
+    ``[left_ts − max_lag, left_ts]`` (e.g. attribute a purchase to the
+    click that preceded it by ≤ max_lag).
+
+    Both sides carry a watermark and the join condition bounds
+    ``right_ts`` relative to ``left_ts`` on BOTH ends — that pair of
+    constraints is what lets Spark evict buffered state once the
+    watermark passes, keeping state proportional to ``max_lag``'s
+    worth of traffic instead of the whole stream (the unbounded-state
+    failure mode of an unconstrained stream-stream join, which Spark
+    rejects in append mode for exactly that reason).
+
+    Works identically on batch frames (watermarks no-op) — the batch
+    twin is a plain range predicate join, so replays reconcile.
+    """
+    lw = left.withWatermark(left_ts, delay)
+    rw = right.withWatermark(right_ts, delay)
+    lcol, rcol = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rcol >= lcol - F.expr(f"INTERVAL {max_lag}"))
+        & (rcol <= lcol)
+    )
+    return lw.alias("l").join(rw.alias("r"), cond, how)

@@ -679,3 +679,26 @@ def test_csv_json_landing_sources(spark, tmp_path):
     jrows = json_landing_source(spark, str(j_dir), spec, mode="PERMISSIVE").collect()
     assert {r.id for r in jrows if r._corrupt_record is None} == {1}
     assert sum(r._corrupt_record is not None for r in jrows) == 1
+
+
+def test_orc_landing_source_roundtrip(spark, tmp_path):
+    """ORC landing read imposes the declared schema (columnar twin of
+    the CSV/JSON landing contract) and prunes columns at the scan."""
+    from ods_v3_dbt_spark.sources.readers import orc_landing_source
+
+    spec = TableSpec(
+        name="t", schema_name="staging",
+        columns={"id": "Int64", "amount": "float64", "label": "string"},
+    )
+    orc_dir = str(tmp_path / "orc")
+    spark.createDataFrame(
+        [(1, 1.5, "a"), (2, 2.5, "b")], schema=spec.struct_type()
+    ).write.orc(orc_dir)
+
+    df = orc_landing_source(spark, orc_dir, spec)
+    assert df.schema == spec.struct_type()
+    assert {(r.id, r.amount, r.label) for r in df.collect()} == {
+        (1, 1.5, "a"), (2, 2.5, "b")
+    }
+    plan = df.select("id")._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<id:bigint>" in plan

@@ -114,3 +114,57 @@ def test_streaming_windowed_agg_drops_late_rows(spark, tmp_path):
         for r in spark.read.parquet(str(out)).collect()
     }
     assert got == {12: 2, 13: 1, 14: 2}
+
+
+def test_streaming_interval_join_cross_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join: purchases match the
+    click from the same user within the 10-minute lookback, including
+    a click buffered in state from an earlier micro-batch; a purchase
+    with no in-window click never emits (inner join)."""
+    from pyspark.sql import functions as F
+
+    from ods_v3_dbt_spark.streaming.windowed import interval_join
+
+    clicks, buys = tmp_path / "clicks", tmp_path / "buys"
+    ckpt, out = tmp_path / "ckpt", tmp_path / "out"
+
+    def drain():
+        l = spark.readStream.schema(SCHEMA).parquet(str(buys))
+        r = spark.readStream.schema(SCHEMA).parquet(str(clicks))
+        j = interval_join(
+            l, r, key="user_id", left_ts="ts", right_ts="ts",
+            delay="30 minutes", max_lag="10 minutes",
+        ).select(
+            F.col("l.event_id").alias("purchase_id"),
+            F.col("r.event_id").alias("click_id"),
+            F.col("l.user_id").alias("user_id"),
+        )
+        q = (
+            j.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def ev(eid, uid, hh, mm):
+        return (eid, uid, dt.datetime(2024, 9, 1, hh, mm), 1.0)
+
+    # batch 1: click c1 then purchase p1 five minutes later — matches
+    _write_batch(spark, clicks, [ev(100, 10, 12, 0)])
+    _write_batch(spark, buys, [ev(1, 10, 12, 5)])
+    drain()
+    # batch 2: p4 (u10) matches c1 BUFFERED from batch 1; c2+p3 (u11)
+    # match within the batch
+    _write_batch(spark, clicks, [ev(101, 11, 12, 0)])
+    _write_batch(spark, buys, [ev(4, 10, 12, 7), ev(3, 11, 12, 8)])
+    drain()
+    # batch 3: p2 (u10, 14:00) has no click in (13:50, 14:00] → no row
+    _write_batch(spark, clicks, [ev(102, 99, 14, 0)])
+    _write_batch(spark, buys, [ev(2, 10, 14, 0)])
+    drain()
+
+    got = {(r.purchase_id, r.click_id) for r in spark.read.parquet(str(out)).collect()}
+    assert got == {(1, 100), (4, 100), (3, 101)}
