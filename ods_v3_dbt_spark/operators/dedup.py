@@ -406,7 +406,11 @@ def _edge_signature(e: DataFrame) -> tuple[int, int]:
 
 def _large_star(e: DataFrame) -> DataFrame:
     """Connect every strictly-larger neighbor of u to u's min
-    neighborhood label (min over Γ(u) ∪ {u})."""
+    neighborhood label (min over Γ(u) ∪ {u}).
+
+    Emits duplicates freely — min() is duplicate-insensitive, so the
+    round's single distinct lives at the end of the small-star
+    (2 exchanges/round instead of 4)."""
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     w = Window.partitionBy("u")
     m = F.least(F.min("v").over(w), F.col("u"))
@@ -414,19 +418,16 @@ def _large_star(e: DataFrame) -> DataFrame:
         sym.withColumn("m", m)
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
 def _small_star(e: DataFrame) -> DataFrame:
     """Direct edges large→small; connect every small neighbor (and u
-    itself) to u's min small neighbor."""
-    d = (
-        e.filter(F.col("u") != F.col("v"))
-        .select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
-        .distinct()
+    itself) to u's min small neighbor. The trailing distinct
+    canonicalizes the round's edge set (dup-tolerant inputs, exact
+    fixed-point signatures)."""
+    d = e.filter(F.col("u") != F.col("v")).select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     )
     w = Window.partitionBy("u")
     d = d.withColumn("m", F.min("v").over(w))

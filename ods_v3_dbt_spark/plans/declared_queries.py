@@ -1757,6 +1757,100 @@ def hopping_window_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "customer_balance_quartiles",
+    """
+    SELECT c_custkey,
+           CAST(ntile(4) OVER w AS INT) AS balance_quartile,
+           CAST(ROUND(percent_rank() OVER w * 1000000) AS BIGINT) AS pct_rank_ppm
+    FROM customer
+    WINDOW w AS (ORDER BY CAST(ROUND(c_acctbal*100) AS BIGINT), c_custkey)
+    """,
+)
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranking (ntile + percent_rank) over a total order
+    (cents balance, custkey tiebreak — rank functions are only
+    deterministic under a total order). Unpartitioned ORDER BY means
+    a single-partition sort: fine for a dim, and the audit-worthy
+    smell to avoid on facts — there you'd partition the window or use
+    approx quantile boundaries instead."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.orderBy(cents(F.col("c_acctbal")), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.round(F.percent_rank().over(w) * 1000000)
+        .cast("bigint")
+        .alias("pct_rank_ppm"),
+    )
+
+
+@register(
+    "orders_per_customer_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(COUNT(1) AS BIGINT) AS n_customers
+    FROM per_cust GROUP BY n_orders
+    """,
+)
+def orders_per_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer histogram including the
+    zero bucket — LEFT join so order-less customers count, then a
+    second aggregation over the (tiny) per-customer table. COUNT(col)
+    skips the NULLs the outer join introduces; the second groupBy has
+    ≤ a few dozen keys, so it collapses map-side."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "embedding_vector_stats",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(ROUND(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 1000) AS BIGINT) AS sqnorm_k,
+           CAST(ROUND(list_max(embedding) * 1000) AS BIGINT) AS max_k
+    FROM embeddings
+    """,
+)
+def embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions on the embedding column: per-row
+    squared L2 norm and max via `aggregate`/`transform`/`array_max` —
+    JVM-side lambda evaluation inside codegen, no explode (the
+    explode+groupBy rewrite shuffles dim× the table to compute a
+    per-row scalar), no Python. Quantized ×1000 for cross-engine
+    hashing; the float32→float64 widening is explicit on both sides
+    so the sums are IEEE-identical."""
+    e = load(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return e.select(
+        "vec_id",
+        F.size(F.col("embedding")).alias("dim"),
+        F.round(sq * 1000).cast("bigint").alias("sqnorm_k"),
+        F.round(F.array_max(F.col("embedding")).cast("double") * 1000)
+        .cast("bigint")
+        .alias("max_k"),
+    )
+
+
 # Register the LLM-pipeline declared queries (dedup / similarity /
 # text analysis / multimodal) into the same registry. Import sits at
 # the bottom because llm_queries imports `register`/`load` from here.
