@@ -208,3 +208,78 @@ def incremental_watermark_filter(
         .filter(F.col(watermark_col) > F.col("__wm"))
         .drop("__wm")
     )
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply an I/U/D changelog to a snapshot: per key, the
+    highest-``seq_col`` record wins; a winning delete removes the key.
+
+    The M-family merges (SURVEY §2.3) are the op-less special case —
+    this is the general CDC-apply the reference approximates with its
+    backdate re-scans. One window shuffle on the key over
+    base ∪ changes; no join, so a replay of already-applied changes
+    is idempotent (same winner). Base rows rank beneath every change
+    (seq = -∞ via null-first ordering).
+    """
+    keys = list(keys)
+    data_cols = [c for c in base.columns]
+    b = base.select(
+        *data_cols,
+        F.lit(None).cast(changes.schema[seq_col].dataType).alias("__seq"),
+        F.lit(None).cast("string").alias("__op"),
+    )
+    c = changes.select(
+        *data_cols,
+        F.col(seq_col).alias("__seq"),
+        F.col(op_col).alias("__op"),
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col("__seq").desc_nulls_last())
+    return (
+        b.unionByName(c)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter((F.col("__op").isNull()) | (F.col("__op") != F.lit(delete_op)))
+        .select(*data_cols)
+    )
+
+
+def scd2_from_changes(
+    changes: DataFrame,
+    keys: Sequence[str],
+    attr_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change feed:
+    collapse consecutive identical attribute states per key, then
+    interval-ize — ``valid_from`` = change timestamp, ``valid_to`` =
+    next change (NULL = current row).
+
+    Both windows share one (key, ts) sort spec, so the whole history
+    build is a single exchange+sort; no self-join against the feed.
+    The reference's SCD-1 merges overwrite history — this is the
+    auditable variant its `task_result` log hints at wanting.
+    Ordering must be total per key — pass ``tiebreak_cols`` (e.g. the
+    event id) if ``ts_col`` alone can tie.
+    """
+    keys = list(keys)
+    attrs = list(attr_cols)
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak_cols]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    state = F.struct(*[F.col(a) for a in attrs])
+    changed = (
+        changes.withColumn("__prev", F.lag(state).over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != state))
+    )
+    return (
+        changed.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .select(*keys, *attrs, "valid_from", "valid_to")
+    )

@@ -1851,6 +1851,204 @@ def embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_apply_orders",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus AS status,
+             CAST(ROUND(o_totalprice*100) AS BIGINT) AS totalprice_c,
+             CAST(NULL AS INT) AS seq, CAST(NULL AS VARCHAR) AS op
+      FROM orders
+    ),
+    ch AS (
+      SELECT o_orderkey, 'X' AS status,
+             CAST(ROUND(o_totalprice*100) AS BIGINT) AS totalprice_c,
+             1 AS seq, 'U' AS op
+      FROM orders WHERE o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice*100) AS BIGINT), 1, 'D'
+      FROM orders WHERE o_orderkey % 10 = 4
+      UNION ALL
+      SELECT o_orderkey, 'Y', CAST(ROUND(o_totalprice*100) AS BIGINT), 2, 'U'
+      FROM orders WHERE o_orderkey % 20 = 3
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'N', CAST(0 AS BIGINT), 1, 'I'
+      FROM orders WHERE o_orderkey % 1000 = 0
+    ),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM ch),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderkey ORDER BY seq DESC NULLS LAST
+      ) AS rn
+      FROM u
+    )
+    SELECT o_orderkey, status, totalprice_c
+    FROM r WHERE rn = 1 AND (op IS NULL OR op <> 'D')
+    """,
+)
+def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply (operators/merge.py::apply_cdc): a
+    deterministic I/U/D feed (updates on keys ≡3 mod 10, a
+    second-generation update on ≡3 mod 20, deletes on ≡4 mod 10,
+    inserts on fresh keys) applied to the orders snapshot — per key
+    the max-seq record wins, winning deletes drop the key, base ranks
+    beneath all changes. One window shuffle on the key, no join, and
+    replaying the same feed is a no-op (idempotent by construction,
+    the property the reference's backdate DAGs re-scan for)."""
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        cents(F.col("o_totalprice")).alias("totalprice_c"),
+    )
+    def ch(pred, status_col, tp_col, seq, op):
+        return o.filter(pred).select(
+            F.col("o_orderkey"),
+            status_col.alias("status"),
+            tp_col.alias("totalprice_c"),
+            F.lit(seq).cast("int").alias("seq"),
+            F.lit(op).alias("op"),
+        )
+    k = F.col("o_orderkey")
+    changes = (
+        ch(k % 10 == 3, F.lit("X"), cents(F.col("o_totalprice")), 1, "U")
+        .unionByName(ch(k % 10 == 4, F.col("o_orderstatus"), cents(F.col("o_totalprice")), 1, "D"))
+        .unionByName(ch(k % 20 == 3, F.lit("Y"), cents(F.col("o_totalprice")), 2, "U"))
+        .unionByName(
+            o.filter(k % 1000 == 0).select(
+                (k + 10000000).alias("o_orderkey"),
+                F.lit("N").alias("status"),
+                F.lit(0).cast("bigint").alias("totalprice_c"),
+                F.lit(1).cast("int").alias("seq"),
+                F.lit("I").alias("op"),
+            )
+        )
+    )
+    return M.apply_cdc(base, changes, ["o_orderkey"], "seq")
+
+
+@register(
+    "scd2_user_event_history",
+    """
+    WITH feed AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+    ),
+    marked AS (
+      SELECT *, lag(event_type) OVER (
+        PARTITION BY user_id ORDER BY ts_us, event_id
+      ) AS prev
+      FROM feed
+    ),
+    changed AS (
+      SELECT user_id, event_type, ts_us, event_id
+      FROM marked WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type,
+           ts_us AS valid_from_us,
+           lead(ts_us) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+           ) AS valid_to_us
+    FROM changed
+    """,
+)
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history build (operators/merge.py::scd2_from_changes):
+    collapse consecutive identical states per user, then interval-ize
+    with valid_from/valid_to (NULL = current). Both the change-point
+    lag and the interval lead share one (key, ts) sort spec — a
+    single exchange+sort builds the whole history, vs the
+    self-join-on-next-row rewrite that shuffles the feed twice."""
+    ev = load(spark, sf_dir, "events")
+    feed = ev.select(
+        "user_id",
+        "event_type",
+        ts_us(F.col("ts")).alias("ts_us"),
+        "event_id",
+    )
+    return M.scd2_from_changes(
+        feed, ["user_id"], ["event_type"], "ts_us", tiebreak_cols=["event_id"]
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+    )
+
+
+@register(
+    "fk_integrity_counts",
+    """
+    SELECT
+      (SELECT COUNT(1) FROM orders o
+        LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_custkey IS NULL) AS orphan_orders,
+      (SELECT COUNT(1) FROM lineitem l
+        LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IS NULL) AS orphan_lineitems
+    """,
+)
+def fk_integrity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphaned fact rows per FK edge via
+    left-anti joins (broadcast for the customer dim, co-partitioned
+    for lineitem→orders). The dbt relationship test generalized —
+    counts, not a boolean, so drift is quantified."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    orphan_o = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_orders"))
+    )
+    orphan_l = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+    )
+    return orphan_o.crossJoin(orphan_l)
+
+
+@register(
+    "nation_revenue_share",
+    """
+    WITH n AS (
+      SELECT na.n_name,
+             SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS rev_c
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation na ON na.n_nationkey = c.c_nationkey
+      GROUP BY na.n_name
+    )
+    SELECT n_name, CAST(rev_c AS BIGINT) AS rev_c,
+           CAST(ROUND(rev_c * 1000000.0 / SUM(rev_c) OVER ()) AS BIGINT) AS share_ppm
+    FROM n
+    """,
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: per-nation revenue share of the global total —
+    the grand total comes from an unpartitioned window over the
+    ALREADY-AGGREGATED 25-row table (the fact is scanned and shuffled
+    once for the groupBy; the total costs one single-partition pass
+    over 25 rows, not a second fact scan or a driver collect).
+    Dims broadcast into the fact scan."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_c"))
+    )
+    total = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        "rev_c",
+        F.round(F.col("rev_c") * 1000000.0 / F.sum("rev_c").over(total))
+        .cast("bigint")
+        .alias("share_ppm"),
+    )
+
+
 # Register the LLM-pipeline declared queries (dedup / similarity /
 # text analysis / multimodal) into the same registry. Import sits at
 # the bottom because llm_queries imports `register`/`load` from here.

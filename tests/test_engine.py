@@ -702,3 +702,46 @@ def test_orc_landing_source_roundtrip(spark, tmp_path):
     }
     plan = df.select("id")._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<id:bigint>" in plan
+
+
+def test_apply_cdc_semantics_and_replay(spark):
+    """apply_cdc: max-seq wins, winning delete drops the key, insert
+    lands, base survives untouched keys — and re-applying the same
+    changelog to the applied snapshot is a no-op (idempotent replay,
+    the backdate-DAG property)."""
+    from ods_v3_dbt_spark.operators.merge import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, val string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b1", 1, "U"), (2, "b2", 2, "U"),   # second-gen update wins
+            (3, "c", 1, "D"),                        # delete
+            (4, "d", 1, "I"),                        # insert
+        ],
+        "k long, val string, seq int, op string",
+    )
+    out = apply_cdc(base, changes, ["k"], "seq")
+    got = {(r.k, r.val) for r in out.collect()}
+    assert got == {(1, "a"), (2, "b2"), (4, "d")}
+
+    replay = apply_cdc(out, changes, ["k"], "seq")
+    assert {(r.k, r.val) for r in replay.collect()} == got
+
+
+def test_scd2_collapses_runs_and_intervalizes(spark):
+    from ods_v3_dbt_spark.operators.merge import scd2_from_changes
+
+    feed = spark.createDataFrame(
+        [
+            (1, "x", 10, 100), (1, "x", 20, 101), (1, "y", 30, 102),
+            (1, "x", 40, 103), (2, "z", 10, 104),
+        ],
+        "k long, attr string, ts long, eid long",
+    )
+    out = scd2_from_changes(feed, ["k"], ["attr"], "ts", tiebreak_cols=["eid"])
+    got = {(r.k, r.attr, r.valid_from, r.valid_to) for r in out.collect()}
+    assert got == {
+        (1, "x", 10, 30), (1, "y", 30, 40), (1, "x", 40, None), (2, "z", 10, None)
+    }
