@@ -78,6 +78,30 @@ class ParquetTable:
         tmp.replace(self._pointer())
         return self.root / snap
 
+    def history(self) -> list[Path]:
+        """All retained snapshots, newest first (current marked by the
+        pointer, prior ones readable until :meth:`vacuum`) — the
+        snapshot-swap design gives time travel for free within the
+        retention window."""
+        return sorted(
+            (p for p in self.root.glob("snap-*") if p.is_dir()), reverse=True
+        )
+
+    def read_snapshot(self, spark: SparkSession, version: int | str) -> DataFrame:
+        """Time-travel read: ``version`` is either a snapshot name from
+        :meth:`history` or a non-negative index into it (0 = newest
+        retained, 1 = previous, …)."""
+        snaps = self.history()
+        if isinstance(version, int):
+            if not 0 <= version < len(snaps):
+                raise IndexError(f"snapshot index {version} out of range ({len(snaps)} retained)")
+            snap = snaps[version]
+        else:
+            snap = self.root / version
+            if not snap.is_dir():
+                raise FileNotFoundError(f"no such snapshot: {snap}")
+        return spark.read.parquet(str(snap))
+
     def vacuum(self, keep: int = 2) -> list[Path]:
         """Drop all but the newest ``keep`` snapshots (never the
         current one). Returns removed paths."""

@@ -745,3 +745,24 @@ def test_scd2_collapses_runs_and_intervalizes(spark):
     assert got == {
         (1, "x", 10, 30), (1, "y", 30, 40), (1, "x", 40, None), (2, "z", 10, None)
     }
+
+
+def test_parquet_table_time_travel(spark, tmp_path):
+    """Snapshot-swap tables retain prior versions until vacuum:
+    history() lists them newest-first and read_snapshot() reads any
+    retained version while current() serves the latest."""
+    from ods_v3_dbt_spark.sinks import ParquetTable
+
+    t = ParquetTable(tmp_path / "t")
+    t.write(spark.createDataFrame([(1, "v1")], "k long, v string"))
+    t.write(spark.createDataFrame([(1, "v2"), (2, "v2")], "k long, v string"))
+
+    assert len(t.history()) == 2
+    assert t.read(spark).count() == 2
+    old = t.read_snapshot(spark, 1)
+    assert [(r.k, r.v) for r in old.collect()] == [(1, "v1")]
+    assert t.read_snapshot(spark, t.history()[0].name).count() == 2
+
+    t.vacuum(keep=1)
+    assert len(t.history()) == 1
+    assert t.read(spark).count() == 2

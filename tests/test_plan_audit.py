@@ -151,3 +151,21 @@ def test_smallqty_broadcasts_part_dim(spark):
     fact scan so the per-part aggregate runs over the brand slice."""
     plan = _plan(spark, "smallqty_part_revenue")
     assert "BroadcastHashJoin" in plan
+
+
+def test_cdc_apply_single_shuffle(spark):
+    """apply_cdc must be one window shuffle over base∪changes — a
+    join-based rewrite would shuffle both sides plus the join."""
+    df = DQ.registry()["cdc_apply_orders"].spark(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_scd2_single_sort_spec(spark):
+    """Both SCD-2 windows (lag change-points, lead intervals) must
+    share one exchange+sort, not re-shuffle between phases."""
+    df = DQ.registry()["scd2_user_event_history"].spark(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort ") <= 2  # one physical sort, AQE may re-list it
