@@ -2049,6 +2049,65 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cube_returnflag_status",
+    """
+    SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
+           COALESCE(l_linestatus, '<all>') AS l_linestatus,
+           CAST(COUNT(1) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS extprice_c
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all 4 grouping combinations in ONE pass
+    via the Expand operator — the hand-rolled alternative is 4 scans
+    + UNION ALL (4× the 100 TB read). Expand multiplies rows 4× but
+    map-side partials collapse each set before the single shuffle.
+    NULL group placeholders are COALESCEd to a sentinel so the
+    all-bucket is distinguishable from a NULL data value both engines
+    agree on."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("extprice_c"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("l_returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("l_linestatus"),
+            "n",
+            "extprice_c",
+        )
+    )
+
+
+@register(
+    "user_event_type_csv",
+    """
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types_csv,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def user_event_type_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic list aggregation: collect_set → sort_array →
+    array_join. collect_list/string_agg alone are ORDER-UNDEFINED in
+    a distributed engine — the explicit sort is what makes the result
+    reproducible (and hashable cross-engine). One shuffle; the set
+    dedups map-side."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.sort_array(F.collect_set("event_type")), ","
+        ).alias("event_types_csv"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+    )
+
+
 # Register the LLM-pipeline declared queries (dedup / similarity /
 # text analysis / multimodal) into the same registry. Import sits at
 # the bottom because llm_queries imports `register`/`load` from here.
