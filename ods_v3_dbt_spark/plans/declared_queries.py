@@ -2108,6 +2108,61 @@ def user_event_type_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "median_order_value_by_priority",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT), o_orderkey
+             ) AS rn,
+             COUNT(1) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ),
+    picks AS (
+      SELECT o_orderpriority,
+             MAX(CASE WHEN rn = (n+1)//2 THEN price_c END) AS lo_c,
+             MAX(CASE WHEN rn = n//2 + 1 THEN price_c END) AS hi_c
+      FROM ranked GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(lo_c*5 + hi_c*5 AS BIGINT) AS median_x10_c
+    FROM picks
+    """,
+)
+def median_order_value_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated median (percentile_cont 0.5) per group in PURE
+    integer arithmetic: rank the cents values, pick the two middle
+    ranks, and report (lo+hi)·5 = median×10 — odd groups collapse to
+    lo=hi. Calling each engine's percentile_cont would compare two
+    float interpolation formulas ((1−f)·lo+f·hi vs lo+f·(hi−lo)) that
+    differ in last-ulp; ×10 integerization sidesteps the class of bug
+    instead of tolerating it. Rank + count share one partition spec →
+    single exchange+sort, then a tiny per-group aggregate."""
+    o = load(spark, sf_dir, "orders")
+    price = cents(F.col("o_totalprice"))
+    wo = Window.partitionBy("o_orderpriority").orderBy(price, F.col("o_orderkey"))
+    wp = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        price.alias("price_c"),
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    lo_rank = F.expr("(n + 1) div 2")
+    hi_rank = F.expr("n div 2 + 1")
+    picks = ranked.groupBy("o_orderpriority").agg(
+        F.max(F.when(F.col("rn") == lo_rank, F.col("price_c"))).alias("lo_c"),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("price_c"))).alias("hi_c"),
+    )
+    return picks.select(
+        "o_orderpriority",
+        (F.col("lo_c") * 5 + F.col("hi_c") * 5).alias("median_x10_c"),
+    )
+
+
 # Register the LLM-pipeline declared queries (dedup / similarity /
 # text analysis / multimodal) into the same registry. Import sits at
 # the bottom because llm_queries imports `register`/`load` from here.
