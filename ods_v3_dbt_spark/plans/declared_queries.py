@@ -2163,6 +2163,52 @@ def median_order_value_by_priority(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "locf_fill_event_values",
+    """
+    WITH gappy AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CASE WHEN event_id % 5 = 0 THEN NULL
+                  ELSE CAST(ROUND(value*100) AS BIGINT) END AS value_c
+      FROM events
+    )
+    SELECT event_id, user_id,
+           last_value(value_c IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_c
+    FROM gappy
+    """,
+)
+def locf_fill_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward gap fill: sensor-style NULLs
+    (every 5th reading, injected deterministically) take the most
+    recent non-null value per key via `last_value(... IGNORE NULLS)`
+    over a running ROWS frame — one exchange+sort on the key, no
+    self-join against the history and no loop. Rows before the first
+    observation stay NULL (no lookahead — that would be leakage in a
+    training pipeline)."""
+    ev = load(spark, sf_dir, "events")
+    gappy = ev.select(
+        "event_id",
+        "user_id",
+        ts_us(F.col("ts")).alias("ts_us"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(None))
+        .otherwise(cents(F.col("value")))
+        .alias("value_c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return gappy.select(
+        "event_id",
+        "user_id",
+        F.last(F.col("value_c"), ignorenulls=True).over(w).alias("filled_c"),
+    )
+
+
 # Register the LLM-pipeline declared queries (dedup / similarity /
 # text analysis / multimodal) into the same registry. Import sits at
 # the bottom because llm_queries imports `register`/`load` from here.
