@@ -2209,6 +2209,187 @@ def locf_fill_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Correlated-subquery decorrelation family (TPC-H Q4/Q14/Q15/Q18 shapes)
+#
+# The reference's only subqueries are the implicit MERGE anti-inserts
+# (SURVEY §2.5 J2); these queries extend the engine with the classic
+# decision-support correlated shapes, each decorrelated into the join
+# the optimizer should produce — semi joins for EXISTS, a broadcast
+# scalar for the global aggregate — instead of a per-row re-execution.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exists_late_orders",
+    """
+    SELECT o_orderpriority, CAST(COUNT(1) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 365 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape) decorrelated to a LEFT SEMI
+    join: equi key (orderkey) hashes/shuffles, the correlated
+    inequality (shipped >1y after order) rides along as the join
+    residual — each order emitted at most once, no DISTINCT needed,
+    which is exactly what EXISTS means. The orderdate window filters
+    the probe side before the join, so only one year of orders
+    shuffles. Ref: dags/sql casreport merges use the same anti/semi
+    machinery implicitly (SURVEY §2.5 J2)."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = o.join(
+        l,
+        (o["o_orderkey"] == l["l_orderkey"])
+        & (l["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 365 DAYS")),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "promo_revenue_ratio",
+    """
+    WITH j AS (
+      SELECT CAST(ROUND((l_extendedprice*(1.0-l_discount))*100) AS BIGINT) AS rev_c,
+             p_type
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+        AND l_shipdate < TIMESTAMP '2000-04-01'
+    )
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END) AS BIGINT) AS promo_rev_c,
+           CAST(SUM(rev_c) AS BIGINT) AS total_rev_c,
+           CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END) * 1000000
+                // SUM(rev_c) AS BIGINT) AS promo_ppm
+    FROM j
+    """,
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-ratio aggregate (TPC-H Q14 shape): promo share of
+    revenue in one pass — the CASE folds the "two sums" into a single
+    scan+broadcast-join, no second subquery over the fact. The ratio
+    is integer ppm via floor division (both engines floor for
+    positives), so no cross-engine float division at the boundary."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("2000-01-01"))
+        & (F.col("l_shipdate") < _ts("2000-04-01"))
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+            "rev_c"
+        ),
+        "p_type",
+    )
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_c")).otherwise(F.lit(0)))
+        .alias("promo_rev_c"),
+        F.sum("rev_c").alias("total_rev_c"),
+    )
+    return agg.select(
+        "promo_rev_c",
+        "total_rev_c",
+        F.expr("promo_rev_c * 1000000 div total_rev_c").alias("promo_ppm"),
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(ROUND((l_extendedprice*(1.0-l_discount))*100) AS BIGINT)) AS total_rev_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+        AND l_shipdate < TIMESTAMP '2000-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev_c AS BIGINT) AS total_rev_c
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_rev_c = (SELECT MAX(total_rev_c) FROM rev)
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery-on-a-view (TPC-H Q15 shape): the max is taken
+    over the ALREADY-AGGREGATED per-supplier table (|suppliers| rows)
+    with an unpartitioned window — the fact is scanned and shuffled
+    exactly once, vs the naive plan's two scans (one for the view,
+    one for the scalar). Ties all surface (= on integer cents, no
+    float equality hazard). Supplier names arrive by broadcast."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("2000-01-01"))
+        & (F.col("l_shipdate") < _ts("2000-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        ).alias("total_rev_c")
+    )
+    mx = F.max("total_rev_c").over(Window.partitionBy())
+    top = rev.withColumn("mx", mx).filter(F.col("total_rev_c") == F.col("mx"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return top.join(
+        F.broadcast(s), top["l_suppkey"] == s["s_suppkey"]
+    ).select("s_suppkey", "s_name", "total_rev_c")
+
+
+@register(
+    "large_volume_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sum_qty_c
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) > 25000
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           epoch_us(o_orderdate) AS orderdate_us,
+           CAST(ROUND(o_totalprice*100) AS BIGINT) AS totalprice_c,
+           CAST(sum_qty_c AS BIGINT) AS sum_qty_c
+    FROM big
+    JOIN orders ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-(GROUP BY … HAVING) membership (TPC-H Q18 shape): the
+    qualifying-order set is the aggregate itself, so instead of a
+    semi join back onto lineitem the HAVING output (tiny: >250-unit
+    orders are the p99 tail) joins orders directly and carries
+    sum_qty along — one fact shuffle on orderkey, customer dim
+    broadcast. Threshold in integer cents."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(cents(F.col("l_quantity"))).alias("sum_qty_c"))
+        .filter(F.col("sum_qty_c") > 25000)
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            ts_us(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"),
+            cents(F.col("o_totalprice")).alias("totalprice_c"),
+            "sum_qty_c",
+        )
+    )
+
+
 # Register the LLM-pipeline declared queries (dedup / similarity /
 # text analysis / multimodal) into the same registry. Import sits at
 # the bottom because llm_queries imports `register`/`load` from here.

@@ -162,6 +162,24 @@ def test_cdc_apply_single_shuffle(spark):
     assert "Join" not in plan
 
 
+def test_exists_decorrelates_to_semi_join(spark):
+    """The Q4-shape EXISTS must plan as a LEFT SEMI equi-join with the
+    correlated inequality as residual — no Distinct, no nested-loop
+    re-execution per probe row."""
+    plan = _plan(spark, "exists_late_orders")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Deduplicate" not in plan and "Distinct" not in plan
+
+
+def test_top_supplier_single_fact_scan(spark):
+    """Q15 shape: the scalar MAX is taken over the aggregated view, so
+    lineitem must appear exactly once in the plan (naive correlated
+    rewrite scans it twice)."""
+    plan = _plan(spark, "top_supplier_revenue")
+    assert plan.count("lineitem.parquet") == 1
+
+
 def test_scd2_single_sort_spec(spark):
     """Both SCD-2 windows (lag change-points, lead intervals) must
     share one exchange+sort, not re-shuffle between phases."""
