@@ -2390,6 +2390,236 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "part_value_share",
+    """
+    WITH agg AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND((l_extendedprice*(1.0-l_discount))*100) AS BIGINT)) AS value_c
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(value_c AS BIGINT) AS value_c
+    FROM agg
+    WHERE value_c * (SELECT COUNT(1) FROM agg) * 4 > (SELECT SUM(value_c) FROM agg) * 5
+    """,
+)
+def part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-vs-global HAVING (TPC-H Q11 shape): keep parts holding
+    more than 1.25× the average per-part value — a scale-free threshold
+    (a fixed ppm cutoff empties out as |parts| grows). The global
+    (count, sum) pair is an unpartitioned window over the
+    ALREADY-AGGREGATED per-part table — one fact scan+shuffle total,
+    where the textbook rewrite scans the fact once per comparison
+    side. The share test multiplies through (value·4n > total·5) so no
+    division touches the bucket boundary."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_partkey").agg(
+        F.sum(
+            cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        ).alias("value_c")
+    )
+    w = Window.partitionBy()
+    return (
+        agg.withColumn("total_c", F.sum("value_c").over(w))
+        .withColumn("n_parts", F.count(F.lit(1)).over(w))
+        .filter(F.col("value_c") * F.col("n_parts") * 4 > F.col("total_c") * 5)
+        .select("l_partkey", "value_c")
+    )
+
+
+@register(
+    "part_supplier_counts",
+    """
+    SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 9, 19, 29, 39, 49)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_name LIKE '%9')
+    GROUP BY p_brand, p_size
+    """,
+)
+def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT-IN exclusion + distinct count (TPC-H Q16 shape): the
+    blacklist subquery becomes a broadcast LEFT ANTI join (s_suppkey
+    is never NULL here, so NOT IN ≡ anti join — with nullable keys
+    NOT IN needs the null-aware variant), the NOT/IN attribute
+    predicates push into the broadcast part dim BEFORE the join, and
+    COUNT(DISTINCT) runs as Spark's two-level Expand aggregate."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 9, 19, 29, 39, 49)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%9"))
+        .select(F.col("s_suppkey").alias("bad_suppkey"))
+    )
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).join(
+        F.broadcast(bad), li["l_suppkey"] == bad["bad_suppkey"], "left_anti"
+    )
+    return j.groupBy("p_brand", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+@register(
+    "disjunctive_part_revenue",
+    """
+    SELECT CAST(SUM(CAST(ROUND((l_extendedprice*(1.0-l_discount))*100) AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1.0 AND l_quantity <= 11.0)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10.0 AND l_quantity <= 20.0)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20.0 AND l_quantity <= 30.0)
+    """,
+)
+def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive join predicates (TPC-H Q19 shape): OR-of-AND
+    triples spanning both sides. Expressed as one equi-join on
+    partkey with the disjunction as residual — Catalyst additionally
+    factors side-local implied predicates (l_quantity ≤ 30, brand
+    set) below the join, so the scans prune before the broadcast
+    probe. The naive form — three joins unioned — scans the fact
+    three times."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & (q >= 1.0) & (q <= 11.0))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & (q >= 10.0) & (q <= 20.0))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & (q >= 20.0) & (q <= 30.0))
+    )
+    return j.filter(cond).agg(
+        F.sum(
+            cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        ).alias("revenue_c")
+    )
+
+
+@register(
+    "lonely_late_supplier",
+    """
+    WITH ls AS (
+      SELECT l_orderkey, l_suppkey,
+             MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 365 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_orderkey, l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(COUNT(1) AS BIGINT) AS numwait
+    FROM ls l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.late = 1
+      AND EXISTS (SELECT 1 FROM ls l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM ls l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late = 1)
+    GROUP BY s_suppkey, s_name
+    """,
+)
+def lonely_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-correlated EXISTS + NOT EXISTS (TPC-H Q21 shape):
+    suppliers who were the ONLY late shipper in a multi-supplier
+    order. The oracle keeps the textbook two-subquery form; the Spark
+    plan decorrelates BOTH into one per-order aggregate —
+    (distinct suppliers, late suppliers, the unique late suppkey) —
+    so the fact joins orders once and shuffles twice total, vs the
+    classic plan's two extra self-joins of lineitem. 'Late' is
+    shipped >1y after order date (this schema has no commit/receipt
+    dates; SURVEY §2.1)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    per_supp = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("late").alias("n_late"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    lonely = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        lonely.groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("late_supp") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+@register(
+    "rich_dormant_customers",
+    """
+    WITH pos AS (
+      SELECT COUNT(1) AS n,
+             SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS s
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment, CAST(COUNT(1) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS totacctbal_c
+    FROM customer, pos
+    WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) * pos.n > pos.s
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-07-01')
+    GROUP BY c_mktsegment
+    """,
+)
+def rich_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-average comparison + anti join (TPC-H Q22 shape):
+    above-average-balance customers with no recent orders. The global
+    average arrives as a broadcast (count, sum) pair and the test
+    multiplies through (bal·n > sum) — integer-exact, no division,
+    and no second customer scan shape in the oracle thanks to the
+    shared CTE. NOT EXISTS is a LEFT ANTI against the pruned recent
+    slice of orders (date filter pushed to the scan)."""
+    c = load(spark, sf_dir, "customer")
+    pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents(F.col("c_acctbal"))).alias("s"),
+    )
+    recent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= _ts("2000-07-01"))
+        .select("o_custkey")
+    )
+    rich = c.crossJoin(F.broadcast(pos)).filter(
+        cents(F.col("c_acctbal")) * F.col("n") > F.col("s")
+    )
+    dormant = rich.join(recent, rich["c_custkey"] == recent["o_custkey"], "left_anti")
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(cents(F.col("c_acctbal"))).alias("totacctbal_c"),
+    )
+
+
 # Register the LLM-pipeline declared queries (dedup / similarity /
 # text analysis / multimodal) into the same registry. Import sits at
 # the bottom because llm_queries imports `register`/`load` from here.

@@ -180,6 +180,31 @@ def test_top_supplier_single_fact_scan(spark):
     assert plan.count("lineitem.parquet") == 1
 
 
+def test_q21_decorrelation_single_fact_scan(spark):
+    """Q21 shape: the EXISTS + NOT EXISTS pair is decorrelated into
+    one per-order aggregate — lineitem must appear exactly once in
+    the plan (the textbook plan self-joins it three times)."""
+    plan = _plan(spark, "lonely_late_supplier")
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q19_single_scan_disjunction(spark):
+    """Q19 shape: OR-of-ANDs stays one equi-join with residual —
+    one fact scan, hash join, no union-of-three-joins and no
+    nested-loop fallback."""
+    plan = _plan(spark, "disjunctive_part_revenue")
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q11_single_fact_scan(spark):
+    """Q11 shape: the global total is a window over the aggregated
+    view — one lineitem scan, not one per comparison side."""
+    plan = _plan(spark, "part_value_share")
+    assert plan.count("lineitem.parquet") == 1
+
+
 def test_scd2_single_sort_spec(spark):
     """Both SCD-2 windows (lag change-points, lead intervals) must
     share one exchange+sort, not re-shuffle between phases."""
