@@ -2620,6 +2620,213 @@ def rich_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Behavioral analytics over the event stream — funnel, cohort
+# retention, interpolation, mode. The reference's event-shaped data is
+# its 5-min incremental feed (SURVEY §2.11); these are the analyses a
+# warehouse runs on top of it.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH w1 AS (
+      SELECT user_id, event_type, ts,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS v
+      FROM events),
+    w2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > v THEN ts END)
+                  OVER (PARTITION BY user_id) AS c
+      FROM w1),
+    w3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > c THEN ts END)
+                  OVER (PARTITION BY user_id) AS p
+      FROM w2)
+    SELECT
+      CAST(COUNT(DISTINCT CASE WHEN v IS NOT NULL THEN user_id END) AS BIGINT) AS n_view,
+      CAST(COUNT(DISTINCT CASE WHEN c IS NOT NULL THEN user_id END) AS BIGINT) AS n_view_click,
+      CAST(COUNT(DISTINCT CASE WHEN p IS NOT NULL THEN user_id END) AS BIGINT) AS n_full_funnel
+    FROM w3
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view → click → purchase, strictly
+    increasing timestamps): each stage's earliest qualifying time is a
+    whole-partition conditional MIN window that references the
+    previous stage — three chained Window ops over the SAME user
+    partitioning, so Catalyst plans ONE exchange and no sort (frames
+    are unordered). No per-stage self-join of the fact, which is the
+    naive funnel plan and replicates the stream once per stage."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t, ty = F.col("ts"), F.col("event_type")
+    staged = (
+        ev.withColumn("v", F.min(F.when(ty == "view", t)).over(w))
+        .withColumn(
+            "c", F.min(F.when((ty == "click") & (t > F.col("v")), t)).over(w)
+        )
+        .withColumn(
+            "p", F.min(F.when((ty == "purchase") & (t > F.col("c")), t)).over(w)
+        )
+    )
+    u = F.col("user_id")
+    return staged.agg(
+        F.countDistinct(F.when(F.col("v").isNotNull(), u)).alias("n_view"),
+        F.countDistinct(F.when(F.col("c").isNotNull(), u)).alias("n_view_click"),
+        F.countDistinct(F.when(F.col("p").isNotNull(), u)).alias("n_full_funnel"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH w AS (
+      SELECT user_id, ts, MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+      FROM events),
+    b AS (
+      SELECT user_id,
+             date_trunc('week', first_ts) AS cw,
+             date_trunc('week', ts) AS aw
+      FROM w)
+    SELECT CAST(epoch_us(cw) AS BIGINT) AS cohort_week_us,
+           CAST(date_diff('day', cw, aw) // 7 AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM b GROUP BY cohort_week_us, week_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen week,
+    counted distinct in each subsequent week offset. First-seen is a
+    whole-partition MIN window (one exchange on user, no sort), NOT a
+    groupBy+self-join — the fact is scanned once and re-keyed once
+    for the (cohort, offset) count. Weeks via date_trunc (ISO Monday
+    in both engines); offset in whole weeks by integer day-div."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    b = ev.withColumn("first_ts", F.min("ts").over(w)).select(
+        "user_id",
+        F.date_trunc("week", F.col("first_ts")).alias("cw"),
+        F.date_trunc("week", F.col("ts")).alias("aw"),
+    )
+    return (
+        b.select(
+            ts_us(F.col("cw")).alias("cohort_week_us"),
+            F.expr("datediff(aw, cw) div 7").cast("bigint").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week_us", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "linear_interp_event_values",
+    """
+    WITH gappy AS (
+      SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             CASE WHEN event_id % 5 = 0 THEN NULL
+                  ELSE CAST(ROUND(value*100) AS BIGINT) END AS value_c
+      FROM events),
+    nb AS (
+      SELECT *,
+        last_value(value_c IGNORE NULLS) OVER wp AS prev_v,
+        last_value(CASE WHEN value_c IS NOT NULL THEN ts_us END IGNORE NULLS)
+          OVER wp AS prev_t,
+        first_value(value_c IGNORE NULLS) OVER wn AS nxt_v,
+        first_value(CASE WHEN value_c IS NOT NULL THEN ts_us END IGNORE NULLS)
+          OVER wn AS nxt_t
+      FROM gappy
+      WINDOW
+        wp AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_id, user_id,
+           CASE WHEN value_c IS NOT NULL THEN value_c
+                WHEN prev_v IS NULL THEN NULL
+                WHEN nxt_v IS NULL THEN prev_v
+                ELSE prev_v + ((nxt_v - prev_v) * (ts_us - prev_t))
+                              // GREATEST(nxt_t - prev_t, 1)
+           END AS filled_c
+    FROM nb
+    """,
+)
+def linear_interp_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill: NULLed readings (every 5th,
+    injected deterministically) take the time-weighted blend of the
+    nearest observations on both sides. Neighbor (value, ts) pairs
+    come from IGNORE-NULLS last/first over two frames of ONE
+    partition+ordering — one exchange + one sort, no self-join. The
+    blend is pure BIGINT: cents × µs fits (≲1e17), and Spark `div` /
+    DuckDB `//` both truncate toward zero so the engines agree at
+    every boundary. Head rows stay NULL (no back-fill leakage);
+    tail rows degrade to LOCF."""
+    ev = load(spark, sf_dir, "events")
+    gappy = ev.select(
+        "event_id",
+        "user_id",
+        ts_us(F.col("ts")).alias("ts_us"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(None))
+        .otherwise(cents(F.col("value")))
+        .alias("value_c"),
+    )
+    base = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wp = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_ts = F.when(F.col("value_c").isNotNull(), F.col("ts_us"))
+    nb = (
+        gappy.withColumn("prev_v", F.last("value_c", ignorenulls=True).over(wp))
+        .withColumn("prev_t", F.last(obs_ts, ignorenulls=True).over(wp))
+        .withColumn("nxt_v", F.first("value_c", ignorenulls=True).over(wn))
+        .withColumn("nxt_t", F.first(obs_ts, ignorenulls=True).over(wn))
+    )
+    interp = F.col("prev_v") + F.expr(
+        "((nxt_v - prev_v) * (ts_us - prev_t)) div greatest(nxt_t - prev_t, 1L)"
+    )
+    return nb.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("value_c").isNotNull(), F.col("value_c"))
+        .when(F.col("prev_v").isNull(), F.lit(None))
+        .when(F.col("nxt_v").isNull(), F.col("prev_v"))
+        .otherwise(interp)
+        .alias("filled_c"),
+    )
+
+
+@register(
+    "mode_event_type_per_user",
+    """
+    WITH cnts AS (
+      SELECT user_id, event_type, CAST(COUNT(1) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id, event_type),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) AS rn
+      FROM cnts)
+    SELECT user_id, event_type AS mode_type, cnt FROM r WHERE rn = 1
+    """,
+)
+def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a pinned tiebreak (count DESC, then
+    lexicographic — rank picks are only deterministic under a total
+    order). Counting first collapses the fact to |user × type| rows
+    map-side, so the row_number window sorts the tiny aggregate, not
+    the stream; rn=1 compiles to WindowGroupLimit."""
+    ev = load(spark, sf_dir, "events")
+    cnts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type").asc()
+    )
+    return (
+        cnts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "cnt")
+    )
+
+
 # Register the LLM-pipeline declared queries (dedup / similarity /
 # text analysis / multimodal) into the same registry. Import sits at
 # the bottom because llm_queries imports `register`/`load` from here.

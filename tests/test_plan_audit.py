@@ -205,6 +205,37 @@ def test_q11_single_fact_scan(spark):
     assert plan.count("lineitem.parquet") == 1
 
 
+def test_funnel_chained_windows_share_exchange(spark):
+    """The three stage-MIN windows partition by the same key, so the
+    whole funnel must need only the user exchange plus the final
+    distinct-count aggregation — no per-stage self-join (events must
+    appear once) and no per-stage re-shuffle."""
+    plan = _plan(spark, "funnel_view_click_purchase")
+    assert plan.count("events.parquet") == 1
+    df = DQ.registry()["funnel_view_click_purchase"].spark(spark, SF)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange hashpartitioning") <= 2
+    assert phys.count("Sort ") <= 1
+
+
+def test_linear_interp_single_sort(spark):
+    """Both neighbor frames (backward last, forward first) share one
+    partition+ordering — one exchange, one sort, no self-join."""
+    df = DQ.registry()["linear_interp_event_values"].spark(spark, SF)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange") == 1
+    assert phys.count("Sort ") == 1
+    assert "Join" not in phys
+
+
+def test_mode_windows_aggregate_not_stream(spark):
+    """Mode-per-user sorts the (user,type) aggregate, not the event
+    stream: count-collapse first, then WindowGroupLimit on rn=1."""
+    df = DQ.registry()["mode_event_type_per_user"].spark(spark, SF)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in phys
+
+
 def test_scd2_single_sort_spec(spark):
     """Both SCD-2 windows (lag change-points, lead intervals) must
     share one exchange+sort, not re-shuffle between phases."""
