@@ -2827,6 +2827,253 @@ def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "nation_pair_trade",
+    """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(SUM(CAST(ROUND((l_extendedprice*(1.0-l_discount))*100) AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    WHERE ((cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+        OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1'))
+    GROUP BY cust_nation, supp_nation, ship_year
+    """,
+)
+def nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-nation trade flow (TPC-H Q7 shape): revenue between two
+    nations, both directions, by ship year. Six-table join — every
+    dim (orders side included? no: orders is a fact) — customer,
+    supplier and both nation copies broadcast; the only shuffle join
+    is lineitem⋈orders. The direction disjunction is applied AFTER
+    the dims resolve names, where the row is already dim-annotated —
+    no union-of-two-plans, one fact pass."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
+    )
+    pair = (
+        (F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2")
+    ) | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
+    return (
+        j.filter(pair)
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year(F.col("l_shipdate")).alias("ship_year"),
+        )
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            ).alias("revenue_c")
+        )
+    )
+
+
+@register(
+    "snapshot_diff_orders",
+    """
+    WITH base AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN CAST(ROUND(o_totalprice*100) AS BIGINT) - 500
+                  ELSE CAST(ROUND(o_totalprice*100) AS BIGINT) END AS price_c
+      FROM orders WHERE o_orderkey % 11 <> 0),
+    curr AS (
+      SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c
+      FROM orders WHERE o_orderkey % 13 <> 0)
+    SELECT change_type, CAST(COUNT(1) AS BIGINT) AS n
+    FROM (
+      SELECT CASE WHEN base.o_orderkey IS NULL THEN 'added'
+                  WHEN curr.o_orderkey IS NULL THEN 'removed'
+                  WHEN base.price_c <> curr.price_c THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM base FULL OUTER JOIN curr USING (o_orderkey)
+    ) d GROUP BY change_type
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (data-diff / reconciliation): classify every
+    key across two table versions as added / removed / changed /
+    unchanged via ONE co-partitioned FULL OUTER join — the two-anti-
+    joins-plus-inner rewrite scans both snapshots three times. The
+    'snapshots' here are deterministic residue-class slices of orders
+    (%11 drops rows from base → added, %13 from curr → removed,
+    %7 perturbs cents → changed) so the classes are all non-empty at
+    every SF. Pairs with sinks.ParquetTable time travel (read two
+    retained snapshots) and cdc_apply (the diff IS the changelog)."""
+    o = load(spark, sf_dir, "orders")
+    price = cents(F.col("o_totalprice"))
+    base = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("b_key"),
+        F.when(F.col("o_orderkey") % 7 == 0, price - 500)
+        .otherwise(price)
+        .alias("b_price_c"),
+    )
+    curr = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_orderkey").alias("c_key"), price.alias("c_price_c")
+    )
+    d = base.join(curr, base["b_key"] == curr["c_key"], "full_outer").select(
+        F.when(F.col("b_key").isNull(), "added")
+        .when(F.col("c_key").isNull(), "removed")
+        .when(F.col("b_price_c") != F.col("c_price_c"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type")
+    )
+    return d.groupBy("change_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics — TF-IDF and collocations (log-free integer
+# weighting so both engines rank identically; ln() differs in the
+# last ulp across engines and these are declared-query contracts).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(1) AS BIGINT) AS tf
+      FROM toks WHERE token <> '' GROUP BY doc_id, token),
+    wdf AS (
+      SELECT *, CAST(COUNT(1) OVER (PARTITION BY token) AS BIGINT) AS df FROM tf),
+    n AS (
+      SELECT CAST(COUNT(1) AS BIGINT) AS n_docs FROM documents
+      WHERE length(trim(text)) > 0),
+    scored AS (
+      SELECT doc_id, token, tf,
+             tf * (n_docs * 1000000 // df) AS score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tf * (n_docs * 1000000 // df) DESC,
+                                         token ASC) AS rn
+      FROM wdf, n)
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(score AS BIGINT) AS score
+    FROM scored WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. IDF is the LOG-FREE integer
+    rarity weight n_docs·1e6 ⫽ df — monotone in 1/df like ln(n/df),
+    but exact in BIGINT on both engines (ln() ranks can flip on the
+    last ulp). Everything after the explode runs on the collapsed
+    (doc, term) table: df is a count window over token (no separate
+    agg+join), n_docs a 1-row broadcast, and the per-doc top-3 is
+    WindowGroupLimit under a total (score, token) order."""
+    d = load(spark, sf_dir, "documents")
+    nonempty = d.filter(F.length(F.trim(F.col("text"))) > 0)
+    toks = nonempty.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    wdf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+    )
+    n = nonempty.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = wdf.crossJoin(F.broadcast(n)).withColumn(
+        "score", F.expr("tf * ((n_docs * 1000000) div df)")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tf", "score")
+    )
+
+
+@register(
+    "bigram_collocations",
+    """
+    WITH t AS (
+      SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    big AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM t),
+    uni AS (
+      SELECT unnest(toks) AS token FROM t),
+    bc AS (SELECT bigram, CAST(COUNT(1) AS BIGINT) AS n_ab FROM big GROUP BY bigram),
+    uc AS (SELECT token, CAST(COUNT(1) AS BIGINT) AS n FROM uni GROUP BY token),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tok FROM uc),
+    scored AS (
+      SELECT bigram, n_ab,
+             (n_ab * n_tok * 1000) // (ua.n * ub.n) AS lift_k
+      FROM bc, tot
+      JOIN uc ua ON ua.token = string_split(bigram, ' ')[1]
+      JOIN uc ub ON ub.token = string_split(bigram, ' ')[2]
+      WHERE n_ab >= 5)
+    SELECT bigram, n_ab, CAST(lift_k AS BIGINT) AS lift_k
+    FROM scored ORDER BY lift_k DESC, bigram ASC LIMIT 50
+    """,
+)
+def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: adjacent-token bigrams scored by integer
+    lift (n_ab·N·1000 ⫽ n_a·n_b — monotone in PMI without ln()).
+    Bigrams are built INSIDE the array with a transform lambda
+    (slice + index — no posexplode self-join, no window over the
+    exploded stream: the pairing never leaves the scan stage). Two
+    grouped counts (bigrams, unigrams), two broadcast joins to attach
+    unigram counts, TakeOrderedAndProject top-50."""
+    d = load(spark, sf_dir, "documents")
+    t = d.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        F.expr(r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')").alias(
+            "toks"
+        )
+    )
+    big = t.select(
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks)-1),"
+                " (x, i) -> concat(x, ' ', toks[i+1]))"
+            )
+        ).alias("bigram")
+    )
+    uni = t.select(F.explode("toks").alias("token"))
+    bc = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_ab"))
+    uc = uni.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    tot = uc.agg(F.sum("n").alias("n_tok"))
+    ua = uc.select(F.col("token").alias("tok_a"), F.col("n").alias("n_a"))
+    ub = uc.select(F.col("token").alias("tok_b"), F.col("n").alias("n_b"))
+    scored = (
+        bc.filter(F.col("n_ab") >= 5)
+        .crossJoin(F.broadcast(tot))
+        .withColumn("tok_a", F.split(F.col("bigram"), " ")[0])
+        .withColumn("tok_b", F.split(F.col("bigram"), " ")[1])
+        .join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .withColumn("lift_k", F.expr("(n_ab * n_tok * 1000) div (n_a * n_b)"))
+    )
+    return (
+        scored.select("bigram", "n_ab", "lift_k")
+        .orderBy(F.desc("lift_k"), F.asc("bigram"))
+        .limit(50)
+    )
+
+
 # Register the LLM-pipeline declared queries (dedup / similarity /
 # text analysis / multimodal) into the same registry. Import sits at
 # the bottom because llm_queries imports `register`/`load` from here.

@@ -236,6 +236,40 @@ def test_mode_windows_aggregate_not_stream(spark):
     assert "WindowGroupLimit" in phys
 
 
+def test_q7_dims_broadcast(spark):
+    """Q7 shape: customer/supplier/nation×2 broadcast; only the
+    lineitem⋈orders fact join may shuffle."""
+    plan = _plan(spark, "nation_pair_trade")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_single_join(spark):
+    """The diff must be ONE full-outer join — not the 3-scan
+    anti/anti/inner rewrite."""
+    plan = _plan(spark, "snapshot_diff_orders")
+    assert plan.count("SortMergeJoin FullOuter") == 1
+    assert "LeftAnti" not in plan
+
+
+def test_tfidf_topk_group_limit(spark):
+    """Per-doc top-3 must hit WindowGroupLimit on the collapsed
+    (doc,term) table."""
+    df = DQ.registry()["tfidf_top_terms"].spark(spark, SF)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in phys
+
+
+def test_bigram_pairing_stays_in_scan_stage(spark):
+    """Bigrams are built by an array transform — no Window over an
+    exploded token stream, no posexplode self-join."""
+    df = DQ.registry()["bigram_collocations"].spark(spark, SF)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in phys
+    assert "TakeOrderedAndProject" in phys
+
+
 def test_scd2_single_sort_spec(spark):
     """Both SCD-2 windows (lag change-points, lead intervals) must
     share one exchange+sort, not re-shuffle between phases."""
