@@ -3074,6 +3074,283 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "unshipped_order_revenue",
+    """
+    SELECT o_orderkey,
+           CAST(SUM(CAST(ROUND((l_extendedprice*(1.0-l_discount))*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+           epoch_us(o_orderdate) AS orderdate_us
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '2000-03-15'
+      AND l_shipdate > TIMESTAMP '2000-03-15'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue_c DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def unshipped_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority top-k (TPC-H Q3 shape): value still in flight
+    at the cutoff for one market segment. Both date predicates push
+    to their scans, the segment filter prunes customer BEFORE its
+    broadcast, and the final top-10 is TakeOrderedAndProject
+    (per-partition heaps) under a total (revenue, orderkey) order —
+    no global sort of the aggregate."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < _ts("2000-03-15")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > _ts("2000-03-15")
+    )
+    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).join(
+        li, o["o_orderkey"] == li["l_orderkey"]
+    )
+    return (
+        j.groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            ).alias("revenue_c")
+        )
+        .select(
+            "o_orderkey",
+            "revenue_c",
+            ts_us(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"),
+        )
+        .orderBy(F.desc("revenue_c"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "nation_market_share",
+    """
+    WITH sales AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(ROUND((l_extendedprice*(1.0-l_discount))*100) AS BIGINT) AS rev_c,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = cn.n_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      WHERE r_name = 'ASIA'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN rev_c ELSE 0 END) AS BIGINT) AS nation_rev_c,
+           CAST(SUM(rev_c) AS BIGINT) AS total_rev_c,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN rev_c ELSE 0 END) * 1000000
+                // SUM(rev_c) AS BIGINT) AS share_ppm
+    FROM sales GROUP BY o_year
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market share (TPC-H Q8 shape): one nation's slice of a
+    region's purchases per year. The share is a conditional sum over
+    ONE seven-table join pass (region filter pushed into the
+    customer-nation broadcast chain) — not two parallel aggregates
+    unioned — and lands as integer ppm floor-div."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation")
+    r = (
+        load(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    sales = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r["r_regionkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
+        .select(
+            F.year(F.col("o_orderdate")).alias("o_year"),
+            cents(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("rev_c"),
+            "supp_nation",
+        )
+    )
+    agg = sales.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_7", F.col("rev_c")).otherwise(0)
+        ).alias("nation_rev_c"),
+        F.sum("rev_c").alias("total_rev_c"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_rev_c",
+        "total_rev_c",
+        F.expr("nation_rev_c * 1000000 div total_rev_c").alias("share_ppm"),
+    )
+
+
+@register(
+    "product_profit_by_nation",
+    """
+    SELECT sn.n_name AS supp_nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(ROUND(((l_extendedprice*(1.0-l_discount))
+                               - ((l_quantity*p_retailprice)*0.1))*100) AS BIGINT)) AS BIGINT) AS profit_c
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY supp_nation, o_year
+    """,
+)
+def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-line profit (TPC-H Q9 shape): revenue minus a
+    10%-of-retail cost proxy (this schema has no ps_supplycost;
+    SURVEY §1), for parts matching a name pattern, by supplier
+    nation and year. The LIKE prunes the part dim before broadcast;
+    the profit expression keeps IDENTICAL double nesting on both
+    engines before the single cents round-off."""
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - (F.col("l_quantity") * F.col("p_retailprice")) * F.lit(0.1)
+    )
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
+    )
+    return j.groupBy(
+        "supp_nation", F.year(F.col("o_orderdate")).alias("o_year")
+    ).agg(F.sum(cents(profit)).alias("profit_c"))
+
+
+@register(
+    "returned_item_customers",
+    """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(ROUND((l_extendedprice*(1.0-l_discount))*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+           cn.n_name AS cust_nation
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '2000-01-01'
+      AND o_orderdate < TIMESTAMP '2000-07-01'
+    GROUP BY c_custkey, c_name, cust_nation
+    ORDER BY revenue_c DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item ranking (TPC-H Q10 shape): customers behind the
+    most returned revenue in a half-year window. Return-flag and date
+    predicates push to the fact scans; customer+nation broadcast;
+    top-20 via TakeOrderedAndProject under a total order."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("2000-01-01"))
+        & (F.col("o_orderdate") < _ts("2000-07-01"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cn = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn_key"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "cust_nation")
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            ).alias("revenue_c")
+        )
+        .select("c_custkey", "c_name", "revenue_c", "cust_nation")
+        .orderBy(F.desc("revenue_c"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "dominant_part_suppliers",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS qty_c
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%blue%'
+      GROUP BY l_partkey, l_suppkey),
+    tot AS (
+      SELECT *, SUM(qty_c) OVER (PARTITION BY l_partkey) AS part_total_c,
+             COUNT(1) OVER (PARTITION BY l_partkey) AS n_supp FROM ps)
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM tot WHERE qty_c * n_supp > part_total_c * 2)
+    """,
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-semi chain (TPC-H Q20 shape): suppliers who shipped
+    more than 2x the average supplier's volume of some name-filtered
+    part — a scale-free dominance test (an absolute majority never
+    survives growth in suppliers-per-part). The inner
+    membership set collapses the fact to (part, supplier) partials,
+    takes the part total as a window on that aggregate (no second
+    fact scan), majority-tests by multiply-through, and feeds a LEFT
+    SEMI join against the supplier dim — EXISTS-over-aggregate
+    without re-executing per supplier."""
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%blue%"))
+        .select("p_partkey")
+    )
+    ps = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(cents(F.col("l_quantity"))).alias("qty_c"))
+    )
+    wp = Window.partitionBy("l_partkey")
+    tot = ps.withColumn("part_total_c", F.sum("qty_c").over(wp)).withColumn(
+        "n_supp", F.count(F.lit(1)).over(wp)
+    )
+    dominant = tot.filter(
+        F.col("qty_c") * F.col("n_supp") > F.col("part_total_c") * 2
+    ).select("l_suppkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.join(dominant, s["s_suppkey"] == dominant["l_suppkey"], "left_semi")
+
+
 # Register the LLM-pipeline declared queries (dedup / similarity /
 # text analysis / multimodal) into the same registry. Import sits at
 # the bottom because llm_queries imports `register`/`load` from here.

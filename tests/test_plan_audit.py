@@ -270,6 +270,34 @@ def test_bigram_pairing_stays_in_scan_stage(spark):
     assert "TakeOrderedAndProject" in phys
 
 
+def test_topk_queries_use_heaps(spark):
+    """Q3/Q10-shape top-k must be TakeOrderedAndProject (per-partition
+    heaps), never a global sort of the aggregate."""
+    for name in ("unshipped_order_revenue", "returned_item_customers"):
+        df = DQ.registry()[name].spark(spark, SF)
+        phys = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in phys, name
+
+
+def test_q8_market_share_one_fact_pass(spark):
+    """Q8 shape: the share is a conditional sum over ONE 7-table join
+    pass — all dims broadcast, at most the lineitem⋈orders shuffle,
+    one lineitem scan."""
+    plan = _plan(spark, "nation_market_share")
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q20_semi_over_aggregate(spark):
+    """Q20 shape: majority membership feeds a LEFT SEMI against the
+    dim; the part total is a window on the aggregate, so lineitem is
+    scanned once."""
+    plan = _plan(spark, "dominant_part_suppliers")
+    assert "LeftSemi" in plan
+    assert plan.count("lineitem.parquet") == 1
+
+
 def test_scd2_single_sort_spec(spark):
     """Both SCD-2 windows (lag change-points, lead intervals) must
     share one exchange+sort, not re-shuffle between phases."""
