@@ -93,3 +93,49 @@ def merge_day_rollups(
         .groupBy(*group_cols, day_id_col)
         .agg(*[F.sum(c).alias(c) for c in measure_cols])
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-based distinct rollups (beyond-reference, 100 TB device)
+# ---------------------------------------------------------------------------
+
+
+def distinct_sketch_day(
+    fact: DataFrame,
+    group_cols: Sequence[str],
+    day_id_col: str,
+    key_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-(group, day) HLL sketches of ``key_col`` (Datasketches,
+    ``lg_k`` buckets → ~1.6%/sqrt(2^(lg_k-12)) rel. error, 4 KB each).
+
+    Exact distinct counts are NOT re-aggregatable — a month's
+    distinct users can't be summed from 30 daily counts, so the naive
+    pipeline re-scans the fact for every window it reports. A sketch
+    IS re-aggregatable: keep this day table and every coarser rollup
+    (month, region, all-time) is a cheap union over it
+    (``distinct_sketch_union``) — the incremental-aggregate-
+    maintenance pattern (merge_day_rollups) extended to COUNT
+    DISTINCT."""
+    return fact.groupBy(*group_cols, day_id_col).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(lg_k)).alias("key_sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def distinct_sketch_union(
+    day_sketches: DataFrame,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """Merge day-level sketches to a coarser grain: union is the
+    sketch monoid's +, so this re-aggregates the TINY sketch table —
+    the fact is never re-scanned. Estimate materialized alongside the
+    merged sketch (kept for further unions up the hierarchy)."""
+    merged = day_sketches.groupBy(*group_cols).agg(
+        F.hll_union_agg(F.col("key_sketch")).alias("key_sketch"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    return merged.withColumn(
+        "approx_distinct", F.hll_sketch_estimate(F.col("key_sketch")).cast("bigint")
+    )

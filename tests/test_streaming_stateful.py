@@ -168,3 +168,50 @@ def test_streaming_interval_join_cross_batch(spark, tmp_path):
 
     got = {(r.purchase_id, r.click_id) for r in spark.read.parquet(str(out)).collect()}
     assert got == {(1, 100), (4, 100), (3, 101)}
+
+
+def test_stream_static_enrich_sees_dim_refresh(spark, tmp_path):
+    """Stream-static enrichment across micro-batch cycles: rows
+    processed after the dim is rewritten must carry the NEW
+    attributes, and unmatched stream rows survive with NULLs (left
+    join — facts are never dropped). Each cycle re-reads the dim the
+    way the engine's run_available_now cadence does."""
+    from ods_v3_dbt_spark.streaming.enrich import enrich_stream
+
+    src, ckpt, out = tmp_path / "src", tmp_path / "ckpt", tmp_path / "out"
+    dim_path = tmp_path / "dim"
+
+    def dim_df():
+        return spark.read.parquet(str(dim_path))
+
+    def drain():
+        q = (
+            enrich_stream(
+                spark.readStream.schema(SCHEMA).parquet(str(src)),
+                dim_df().withColumnRenamed("uid", "user_id"),
+                on="user_id",
+            )
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(10, "bronze")], "uid long, tier string").write.parquet(
+        str(dim_path)
+    )
+    _write_batch(spark, src, [(1, 10, T, 1.0), (2, 77, T, 2.0)])
+    drain()
+
+    # dim refresh between cycles (snapshot-swap semantics)
+    spark.createDataFrame(
+        [(10, "gold"), (77, "silver")], "uid long, tier string"
+    ).write.mode("overwrite").parquet(str(dim_path))
+    _write_batch(spark, src, [(3, 10, T, 3.0), (4, 77, T, 4.0)])
+    drain()
+
+    got = {r.event_id: r.tier for r in spark.read.parquet(str(out)).collect()}
+    assert got == {1: "bronze", 2: None, 3: "gold", 4: "silver"}
