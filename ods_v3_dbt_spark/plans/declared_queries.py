@@ -3351,6 +3351,69 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(dominant, s["s_suppkey"] == dominant["l_suppkey"], "left_semi")
 
 
+@register(
+    "dq_rule_violations",
+    """
+    WITH o AS (
+      SELECT 'orders' AS table_name, r.rule,
+             CAST(r.n AS BIGINT) AS n_violations
+      FROM (
+        SELECT
+          SUM(CASE WHEN NOT (o_totalprice > 0.0) OR o_totalprice IS NULL
+                   THEN 1 ELSE 0 END) AS positive_price,
+          SUM(CASE WHEN NOT (o_orderstatus IN ('F','O','P'))
+                        OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS known_status,
+          SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS custkey_not_null
+        FROM orders) w
+      CROSS JOIN LATERAL (VALUES
+        ('positive_price', w.positive_price),
+        ('known_status', w.known_status),
+        ('custkey_not_null', w.custkey_not_null)) AS r(rule, n)),
+    c AS (
+      SELECT 'customer' AS table_name, r.rule,
+             CAST(r.n AS BIGINT) AS n_violations
+      FROM (
+        SELECT
+          SUM(CASE WHEN NOT (c_acctbal BETWEEN -100000.0 AND 100000.0)
+                        OR c_acctbal IS NULL THEN 1 ELSE 0 END) AS acctbal_range,
+          SUM(CASE WHEN NOT (c_name LIKE 'Customer#%') OR c_name IS NULL
+                   THEN 1 ELSE 0 END) AS name_format
+        FROM customer) w
+      CROSS JOIN LATERAL (VALUES
+        ('acctbal_range', w.acctbal_range),
+        ('name_format', w.name_format)) AS r(rule, n))
+    SELECT * FROM o UNION ALL SELECT * FROM c
+    """,
+)
+def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite audit (SURVEY §2.10 Q2 generalized): row
+    predicates per table → violation counts. All of a table's rules
+    evaluate in ONE conditional-sum scan (quality.rule_violations);
+    the per-rule rows come from unpivoting the 1-row aggregate —
+    adding a rule never adds a scan. NULL predicate results count as
+    violations (dbt strictness, not SQL WHERE semantics)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    oc = Q.rule_violations(
+        o,
+        {
+            "positive_price": F.col("o_totalprice") > 0.0,
+            "known_status": F.col("o_orderstatus").isin("F", "O", "P"),
+            "custkey_not_null": F.col("o_custkey").isNotNull(),
+        },
+        table_name="orders",
+    )
+    cc = Q.rule_violations(
+        c,
+        {
+            "acctbal_range": F.col("c_acctbal").between(-100000.0, 100000.0),
+            "name_format": F.col("c_name").like("Customer#%"),
+        },
+        table_name="customer",
+    )
+    return oc.unionByName(cc)
+
+
 # Register the LLM-pipeline declared queries (dedup / similarity /
 # text analysis / multimodal) into the same registry. Import sits at
 # the bottom because llm_queries imports `register`/`load` from here.

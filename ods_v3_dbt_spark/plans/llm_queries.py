@@ -16,7 +16,7 @@ inner products quantized to 1e-3) — see dedup.py / vectors.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -450,6 +450,67 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 10)
     c = emb.filter(F.col("vec_id") >= 10)
     return SIM.lsh_bucketed_topk(c, q, k=5, num_planes=4, num_tables=8)
+
+
+@register(
+    "embedding_centroid_assign",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE)*1000.0) AS BIGINT)) AS qe
+      FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, qe AS qc FROM q WHERE vec_id < 8),
+    dists AS (
+      SELECT q.vec_id, cent.centroid_id,
+             list_sum(list_transform(range(1, len(qe)+1),
+                                     i -> (qe[i]-qc[i])*(qe[i]-qc[i]))) AS dist2
+      FROM q CROSS JOIN cent
+      WHERE q.vec_id >= 8),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist2 ASC, centroid_id ASC) AS rn
+      FROM dists)
+    SELECT vec_id, centroid_id, CAST(dist2 AS BIGINT) AS dist2
+    FROM r WHERE rn = 1
+    """,
+)
+def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer assignment, ORACLE-CHECKED: every vector
+    lands in the cell of its nearest centroid (the 8 lowest-id
+    vectors — a deterministic seed set). The trick that makes a
+    FLOAT kernel hash-comparable across engines: quantize elements
+    to integer milli-units FIRST, then take L2² in pure BIGINT —
+    integer sums are order-independent, so no dot-product summation-
+    order hazard (the device float kernels can't use). All JVM-side:
+    transform/zip_with/aggregate lambdas, an 8-row broadcast, and a
+    WindowGroupLimit argmin under a total (dist2, centroid) order."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double)*1000.0) as bigint))"
+        ).alias("qe"),
+    )
+    cent = q.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("qe").alias("qc")
+    )
+    dist2 = F.expr(
+        "aggregate(zip_with(qe, qc, (x, y) -> (x-y)*(x-y)), 0L, (a, x) -> a + x)"
+    )
+    dists = (
+        q.filter(F.col("vec_id") >= 8)
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "centroid_id", dist2.alias("dist2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist2").asc(), F.col("centroid_id").asc()
+    )
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "dist2")
+    )
 
 
 @register("embedding_ann_ivf", None)  # iterative fit — not SQL-expressible

@@ -131,3 +131,32 @@ def column_profile(
         ),
         F.col("__n").alias("n_rows"),
     ).select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+
+
+def rule_violations(
+    df: DataFrame,
+    rules: dict[str, Column],
+    table_name: str = "",
+) -> DataFrame:
+    """Row-level expectation suite → per-rule violation counts.
+
+    ``rules`` maps rule name → a Column predicate that each row
+    SHOULD satisfy (dbt-test style, SURVEY §2.10 Q2 generalized from
+    not_null/unique to arbitrary row predicates). One conditional-sum
+    pass over the table — N rules never means N scans; NULL
+    predicate results count as violations (unknown ≠ pass, matching
+    dbt's not_null strictness rather than SQL WHERE semantics).
+    """
+    aggs = [
+        F.sum(
+            F.when(rule.isNull() | ~rule, F.lit(1)).otherwise(F.lit(0))
+        ).alias(name)
+        for name, rule in rules.items()
+    ]
+    wide = df.agg(*aggs)
+    stacked = wide.unpivot([], list(rules), "rule", "n_violations")
+    if table_name:
+        stacked = stacked.select(
+            F.lit(table_name).alias("table_name"), "rule", "n_violations"
+        )
+    return stacked

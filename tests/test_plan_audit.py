@@ -298,6 +298,23 @@ def test_q20_semi_over_aggregate(spark):
     assert plan.count("lineitem.parquet") == 1
 
 
+def test_dq_rules_one_scan_per_table(spark):
+    """N rules on a table must evaluate in ONE conditional-sum scan —
+    adding a rule never adds a scan."""
+    plan = _plan(spark, "dq_rule_violations")
+    assert plan.count("orders.parquet") == 1
+    assert plan.count("customer.parquet") == 1
+
+
+def test_centroid_assign_jvm_side_group_limit(spark):
+    """The IVF assignment kernel is integer lambdas in codegen (no
+    Python eval) and the argmin is a WindowGroupLimit."""
+    df = DQ.registry()["embedding_centroid_assign"].spark(spark, SF)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in phys
+    assert "WindowGroupLimit" in phys
+
+
 def test_scd2_single_sort_spec(spark):
     """Both SCD-2 windows (lag change-points, lead intervals) must
     share one exchange+sort, not re-shuffle between phases."""
