@@ -3414,6 +3414,151 @@ def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oc.unionByName(cc)
 
 
+@register(
+    "orders_equidepth_histogram",
+    """
+    WITH ranked AS (
+      SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c,
+             row_number() OVER (ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT),
+                                         o_orderkey) AS rn,
+             COUNT(1) OVER () AS n
+      FROM orders)
+    SELECT CAST(((rn - 1) * 8) // n AS INT) AS bucket,
+           CAST(COUNT(1) AS BIGINT) AS n_rows,
+           CAST(MIN(price_c) AS BIGINT) AS lo_c,
+           CAST(MAX(price_c) AS BIGINT) AS hi_c
+    FROM ranked GROUP BY bucket
+    """,
+)
+def orders_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (8 equal-population buckets with their
+    value bounds) — the complement of the equi-width
+    orders_price_histogram: bucket = (rank-1)·8 ⫽ n from a
+    row_number under a total (cents, orderkey) order, so bucket
+    edges are exact order statistics, not arithmetic grid lines.
+    Integer floor-div keeps the edges engine-identical. The
+    unpartitioned rank is the documented single-sort caveat (fine
+    for a dim/probe; on a 100 TB fact use approx quantile edges or
+    partition-wise ranks merged by offset — see
+    customer_balance_quartiles)."""
+    o = load(spark, sf_dir, "orders")
+    price = cents(F.col("o_totalprice"))
+    w = Window.orderBy(price, F.col("o_orderkey"))
+    ranked = o.select(
+        price.alias("price_c"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return (
+        ranked.withColumn("bucket", F.expr("CAST(((rn - 1) * 8) div n AS INT)"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("price_c").alias("lo_c"),
+            F.max("price_c").alias("hi_c"),
+        )
+    )
+
+
+@register(
+    "region_nation_revenue_share",
+    """
+    WITH per_nation AS (
+      SELECT r_name AS region, cn.n_name AS nation,
+             SUM(CAST(ROUND((l_extendedprice*(1.0-l_discount))*100) AS BIGINT)) AS rev_c
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = cn.n_regionkey
+      GROUP BY r_name, cn.n_name)
+    SELECT region, nation, CAST(rev_c AS BIGINT) AS rev_c,
+           CAST(rev_c * 1000000 // SUM(rev_c) OVER (PARTITION BY region) AS BIGINT)
+             AS share_of_region_ppm,
+           CAST(rev_c * 1000000 // SUM(rev_c) OVER () AS BIGINT)
+             AS share_of_total_ppm
+    FROM per_nation
+    """,
+)
+def region_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical percent-of-parent (region→nation): each nation's
+    ppm share of its region AND of the grand total, both as window
+    sums over the 25-row aggregate — the fact is scanned and shuffled
+    once for the base agg, then every level of the hierarchy is free
+    (generalizes nation_revenue_share to multi-level)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    per_nation = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            ).alias("rev_c")
+        )
+    )
+    wr = Window.partitionBy("region")
+    wt = Window.partitionBy()
+    return per_nation.select(
+        "region",
+        "nation",
+        "rev_c",
+        F.expr("rev_c * 1000000").cast("bigint").alias("_num"),
+        F.sum("rev_c").over(wr).alias("_rtot"),
+        F.sum("rev_c").over(wt).alias("_gtot"),
+    ).select(
+        "region",
+        "nation",
+        "rev_c",
+        F.expr("_num div _rtot").alias("share_of_region_ppm"),
+        F.expr("_num div _gtot").alias("share_of_total_ppm"),
+    )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(1) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over each user's event sequence
+    (the Markov-chain summary behind next-action models): lead()
+    under one total (ts, event_id) order per user — one exchange+sort
+    — then a count over the 25-cell (from, to) space that collapses
+    map-side. Terminal events drop (no synthetic END state)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # Register the LLM-pipeline declared queries (dedup / similarity /
 # text analysis / multimodal) into the same registry. Import sits at
 # the bottom because llm_queries imports `register`/`load` from here.
