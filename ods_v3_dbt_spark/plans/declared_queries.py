@@ -3559,6 +3559,156 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dow_hour_activity_profile",
+    """
+    SELECT CAST(isodow(ts) AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hod,
+           CAST(COUNT(1) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c
+    FROM events GROUP BY dow, hod
+    """,
+)
+def dow_hour_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality heatmap (ISO day-of-week × hour-of-day): the
+    168-cell activity profile behind load forecasting. Calendar-part
+    alignment is the cross-engine trap — Spark weekday() is 0=Monday
+    vs DuckDB isodow 1=Monday, reconciled by +1 (dayofweek() would
+    be 1=SUNDAY — worse). Pure map-side collapse: 168 keys."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.weekday(F.col("ts")) + 1).cast("int").alias("dow"),
+        F.hour(F.col("ts")).cast("int").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents(F.col("value"))).alias("value_c"),
+    )
+
+
+@register(
+    "grouping_sets_event_stats",
+    """
+    SELECT COALESCE(event_type, '<all>') AS event_type,
+           COALESCE(CAST(user_id % 10 AS BIGINT), -1) AS user_bucket,
+           CAST(COUNT(1) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id % 10))
+    """,
+)
+def grouping_sets_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM grouping sets — two disjoint profiles, (by type) and
+    (by user bucket), in ONE Expand pass: the fact is scanned once
+    and each row contributes to both sets map-side, vs two scans +
+    UNION ALL. Completes the grouping-analytics trio
+    (rollup_returnflag_status, cube_returnflag_status). NULL
+    sentinels (<all>/-1) disambiguate each set's inactive column —
+    neither grouping column is nullable in the data, so the sentinel
+    can't collide."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 10).alias("user_bucket"),
+        cents(F.col("value")).alias("value_c"),
+    )
+    gs = ev.groupingSets(
+        [["event_type"], ["user_bucket"]], "event_type", "user_bucket"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value_c").alias("value_c"),
+    )
+    return gs.select(
+        F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+        F.coalesce(F.col("user_bucket"), F.lit(-1)).cast("bigint").alias(
+            "user_bucket"
+        ),
+        "n",
+        "value_c",
+    )
+
+
+@register(
+    "doc_stats_by_lang",
+    """
+    SELECT lang, CAST(COUNT(1) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition audit (per-language volume/size/source
+    spread) — the first table a training-data curator asks for.
+    Single scan, distinct-source via Expand; n_chars comes from the
+    stored column, not a re-measure of text."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "part_abc_classification",
+    """
+    WITH agg AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND((l_extendedprice*(1.0-l_discount))*100) AS BIGINT)) AS rev_c
+      FROM lineitem GROUP BY l_partkey),
+    cum AS (
+      SELECT l_partkey, rev_c,
+             SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_c,
+             SUM(rev_c) OVER () AS tot_c
+      FROM agg)
+    SELECT l_partkey, CAST(rev_c AS BIGINT) AS rev_c,
+           CASE WHEN (run_c - rev_c) * 10 < tot_c * 7 THEN 'A'
+                WHEN (run_c - rev_c) * 10 < tot_c * 9 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM cum
+    """,
+)
+def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: parts ranked by revenue, class A
+    until the running share BEFORE the row reaches 70%, B to 90%,
+    C after — the standard inventory 80/20 cut. The running sum and
+    the grand total are two frames of one unpartitioned window over
+    the ALREADY-AGGREGATED per-part table (single fact shuffle);
+    share thresholds multiply through in BIGINT (run·10 < tot·7) so
+    no division anywhere. The prior-row share (run−rev) makes the
+    classification left-continuous: the part that crosses a
+    boundary still belongs to the richer class, matching the
+    inventory-management convention."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_partkey").agg(
+        F.sum(
+            cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        ).alias("rev_c")
+    )
+    wrun = (
+        Window.orderBy(F.desc("rev_c"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy()
+    cum = agg.select(
+        "l_partkey",
+        "rev_c",
+        F.sum("rev_c").over(wrun).alias("run_c"),
+        F.sum("rev_c").over(wtot).alias("tot_c"),
+    )
+    before = (F.col("run_c") - F.col("rev_c")) * 10
+    return cum.select(
+        "l_partkey",
+        "rev_c",
+        F.when(before < F.col("tot_c") * 7, "A")
+        .when(before < F.col("tot_c") * 9, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
 # Register the LLM-pipeline declared queries (dedup / similarity /
 # text analysis / multimodal) into the same registry. Import sits at
 # the bottom because llm_queries imports `register`/`load` from here.

@@ -315,6 +315,22 @@ def test_centroid_assign_jvm_side_group_limit(spark):
     assert "WindowGroupLimit" in phys
 
 
+def test_grouping_sets_single_expand_pass(spark):
+    """Custom GROUPING SETS must be one Expand over one scan — not
+    two scans UNION ALLed."""
+    plan = _plan(spark, "grouping_sets_event_stats")
+    assert plan.count("events.parquet") == 1
+    assert "Expand" in plan
+    assert "Union" not in plan
+
+
+def test_abc_single_fact_shuffle(spark):
+    """Pareto classification windows run over the per-part aggregate:
+    one lineitem scan, one hash shuffle for the agg."""
+    plan = _plan(spark, "part_abc_classification")
+    assert plan.count("lineitem.parquet") == 1
+
+
 def test_scd2_single_sort_spec(spark):
     """Both SCD-2 windows (lag change-points, lead intervals) must
     share one exchange+sort, not re-shuffle between phases."""
