@@ -3709,6 +3709,109 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "order_lines_bag_ops",
+    """
+    WITH a AS (
+      SELECT l_partkey, l_suppkey FROM lineitem WHERE l_orderkey % 3 = 0),
+    b AS (
+      SELECT l_partkey, l_suppkey FROM lineitem WHERE l_orderkey % 4 = 0)
+    SELECT
+      CAST((SELECT COUNT(1) FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) x)
+           AS BIGINT) AS n_except_all,
+      CAST((SELECT COUNT(1) FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) x)
+           AS BIGINT) AS n_intersect_all
+    """,
+)
+def order_lines_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL) —
+    multiplicities subtract/min rather than collapse, which is what
+    dedup accounting needs (set-semantics EXCEPT silently erases
+    duplicate counts; cf. repeat_vs_churned_customers for the set
+    variant). Spark's exceptAll/intersectAll implement the rewrite:
+    per-key count partials, then generate (replicate) the surviving
+    multiplicity — no row-identity join, scales as an aggregate."""
+    a = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0).select(
+        "l_partkey", "l_suppkey"
+    )
+    b = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0).select(
+        "l_partkey", "l_suppkey"
+    )
+    ex = a.exceptAll(b).agg(F.count(F.lit(1)).alias("n_except_all"))
+    ix = a.intersectAll(b).agg(F.count(F.lit(1)).alias("n_intersect_all"))
+    return ex.crossJoin(ix)
+
+
+@register(
+    "brand_weighted_avg_price",
+    """
+    SELECT p_brand,
+           CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)
+                    * CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_wx,
+           CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_w,
+           CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)
+                    * CAST(ROUND(l_extendedprice*100) AS BIGINT))
+                // SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS wavg_price_c
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY p_brand
+    """,
+)
+def brand_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per brand, entirely in BIGINT:
+    Σ(w·x) and Σw as integer partials (order-independent), the ratio
+    one floor-div at the end — avg() on doubles would accumulate in
+    shuffle-arrival order and drift between engines. Products peak
+    ~5e10/row, Σ well under 2^63. One broadcast join + one agg."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        "p_brand",
+        (cents(F.col("l_quantity")) * cents(F.col("l_extendedprice"))).alias("wx"),
+        cents(F.col("l_quantity")).alias("w"),
+    )
+    return (
+        j.groupBy("p_brand")
+        .agg(F.sum("wx").alias("sum_wx"), F.sum("w").alias("sum_w"))
+        .withColumn("wavg_price_c", F.expr("sum_wx div sum_w"))
+    )
+
+
+@register(
+    "order_rank_trio",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(rank() OVER w AS BIGINT) AS price_rank,
+           CAST(dense_rank() OVER w AS BIGINT) AS price_dense_rank,
+           CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) // 1000000 DESC,
+                                            o_orderkey) AS BIGINT) AS rn
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) // 1000000 DESC)
+    """,
+)
+def order_rank_trio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / row_number in one query, disambiguated on
+    deliberate ties ($10k price bands): rank gaps, dense_rank
+    doesn't, row_number needs the extra orderkey tiebreak to be
+    deterministic at all. All three share one partition+ordering
+    prefix, so Catalyst plans a single exchange+sort (the rn spec
+    adds a tiebreak suffix — same sort run)."""
+    o = load(spark, sf_dir, "orders")
+    band = F.expr("CAST(ROUND(o_totalprice*100) AS BIGINT) div 1000000")
+    wb = Window.partitionBy("o_orderpriority").orderBy(band.desc())
+    wr = Window.partitionBy("o_orderpriority").orderBy(
+        band.desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(wb).cast("bigint").alias("price_rank"),
+        F.dense_rank().over(wb).cast("bigint").alias("price_dense_rank"),
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+    )
+
+
 # Register the LLM-pipeline declared queries (dedup / similarity /
 # text analysis / multimodal) into the same registry. Import sits at
 # the bottom because llm_queries imports `register`/`load` from here.

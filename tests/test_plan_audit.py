@@ -331,6 +331,26 @@ def test_abc_single_fact_shuffle(spark):
     assert plan.count("lineitem.parquet") == 1
 
 
+def test_rank_trio_single_sort(spark):
+    """rank/dense_rank/row_number share one partition+order prefix —
+    ONE exchange. Catalyst still emits a second Sort for the
+    tiebreak-extended row_number spec (prefix-compatible, so it runs
+    on already-partitioned nearly-sorted data, no re-shuffle) — pin
+    that it never becomes a second exchange."""
+    df = DQ.registry()["order_rank_trio"].spark(spark, SF)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange hashpartitioning") == 1
+    assert phys.count("Sort ") <= 2
+
+
+def test_bag_ops_no_row_identity_join(spark):
+    """exceptAll/intersectAll must run as count-partial aggregates +
+    generate — no join on row identity."""
+    plan = _plan(spark, "order_lines_bag_ops")
+    assert "Generate" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_scd2_single_sort_spec(spark):
     """Both SCD-2 windows (lag change-points, lead intervals) must
     share one exchange+sort, not re-shuffle between phases."""
