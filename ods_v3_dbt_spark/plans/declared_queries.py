@@ -3812,6 +3812,144 @@ def order_rank_trio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "monthly_revenue_growth",
+    """
+    WITH m AS (
+      SELECT CAST(strftime(o_orderdate, '%Y%m') AS INT) AS month_id,
+             SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY month_id)
+    SELECT month_id, CAST(rev_c AS BIGINT) AS rev_c,
+           CAST(lag(rev_c) OVER (ORDER BY month_id) AS BIGINT) AS prev_rev_c,
+           CAST(CASE WHEN lag(rev_c) OVER (ORDER BY month_id) IS NULL THEN NULL
+                ELSE (rev_c - lag(rev_c) OVER (ORDER BY month_id)) * 1000000
+                     // lag(rev_c) OVER (ORDER BY month_id) END AS BIGINT)
+             AS growth_ppm
+    FROM m
+    """,
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth: lag over the ~80-row month aggregate
+    (single fact shuffle; the unpartitioned lag window sorts rows
+    that already fit one task). Growth in integer ppm — note the
+    truncation-toward-zero div both engines share applies to the
+    NEGATIVE growth months too, which is exactly where a floor-vs-
+    truncate disagreement would bite."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format("o_orderdate", "yyyyMM").cast("int").alias("month_id")
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_c"))
+    w = Window.orderBy("month_id")
+    prev = F.lag("rev_c").over(w)
+    return m.select(
+        "month_id",
+        "rev_c",
+        prev.alias("prev_rev_c"),
+        F.when(prev.isNull(), F.lit(None))
+        .otherwise(F.expr(
+            "(rev_c - lag(rev_c) OVER (ORDER BY month_id)) * 1000000"
+            " div lag(rev_c) OVER (ORDER BY month_id)"
+        ))
+        .cast("bigint")
+        .alias("growth_ppm"),
+    )
+
+
+@register(
+    "yoy_nation_revenue",
+    """
+    SELECT cn.n_name AS nation,
+           CAST(SUM(CASE WHEN year(o_orderdate) = 2000
+                         THEN CAST(ROUND(o_totalprice*100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS rev_2000_c,
+           CAST(SUM(CASE WHEN year(o_orderdate) = 1999
+                         THEN CAST(ROUND(o_totalprice*100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS rev_1999_c,
+           CAST(SUM(CASE WHEN year(o_orderdate) = 2000
+                         THEN CAST(ROUND(o_totalprice*100) AS BIGINT) ELSE 0 END)
+              - SUM(CASE WHEN year(o_orderdate) = 1999
+                         THEN CAST(ROUND(o_totalprice*100) AS BIGINT) ELSE 0 END)
+             AS BIGINT) AS delta_c
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+      AND o_orderdate < TIMESTAMP '2001-01-01'
+    GROUP BY nation
+    """,
+)
+def yoy_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year comparison WITHOUT a self-join: both years land
+    as conditional sums in one scan (the classic rewrite of
+    `t a JOIN t b ON a.year = b.year+1` — which scans twice and
+    shuffles twice). Two-year window pushed to the orders scan; dims
+    broadcast."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1999-01-01"))
+        & (F.col("o_orderdate") < _ts("2001-01-01"))
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("nation")
+    )
+    yr = F.year(F.col("o_orderdate"))
+    price = cents(F.col("o_totalprice"))
+    agg = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == F.col("cn_key"))
+        .groupBy("nation")
+        .agg(
+            F.sum(F.when(yr == 2000, price).otherwise(0)).alias("rev_2000_c"),
+            F.sum(F.when(yr == 1999, price).otherwise(0)).alias("rev_1999_c"),
+        )
+    )
+    return agg.withColumn("delta_c", F.col("rev_2000_c") - F.col("rev_1999_c"))
+
+
+@register(
+    "customer_order_gap_stats",
+    """
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap_days
+      FROM orders)
+    SELECT o_custkey,
+           CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap_days) AS BIGINT) AS total_gap_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap_days,
+           CAST(SUM(gap_days) // COUNT(gap_days) AS BIGINT) AS avg_gap_days
+    FROM gaps WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    """,
+)
+def customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase cadence per customer (the recency feature
+    behind churn models): consecutive-order gaps via lag under one
+    (date, orderkey) total order per customer, then integer gap
+    stats — the lag window and the aggregate share the same
+    partitioning key, so the second shuffle collapses to a local agg
+    after the window's exchange. First orders drop (no gap)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.groupBy("o_custkey").agg(
+        F.count("gap_days").alias("n_gaps"),
+        F.sum("gap_days").cast("bigint").alias("total_gap_days"),
+        F.max("gap_days").cast("bigint").alias("max_gap_days"),
+        F.expr("CAST(sum(gap_days) div count(gap_days) AS BIGINT)").alias(
+            "avg_gap_days"
+        ),
+    )
+
+
 # Register the LLM-pipeline declared queries (dedup / similarity /
 # text analysis / multimodal) into the same registry. Import sits at
 # the bottom because llm_queries imports `register`/`load` from here.

@@ -351,6 +351,21 @@ def test_bag_ops_no_row_identity_join(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_gap_stats_reuse_window_partitioning(spark):
+    """The per-customer aggregate after the lag window shares the
+    window's hash partitioning — one exchange total."""
+    df = DQ.registry()["customer_order_gap_stats"].spark(spark, SF)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange hashpartitioning") == 1
+
+
+def test_yoy_no_self_join(spark):
+    """YoY must be conditional sums over ONE scan — no self-join."""
+    plan = _plan(spark, "yoy_nation_revenue")
+    assert plan.count("orders.parquet") == 1
+    assert "SortMergeJoin" not in plan
+
+
 def test_scd2_single_sort_spec(spark):
     """Both SCD-2 windows (lag change-points, lead intervals) must
     share one exchange+sort, not re-shuffle between phases."""
