@@ -3950,6 +3950,92 @@ def customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "post_purchase_7d_activity",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      FROM events),
+    win AS (
+      SELECT event_id, user_id, event_type,
+             CAST(COUNT(1) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN 1 FOLLOWING AND 604800000000 FOLLOWING
+             ) AS BIGINT) AS n_next_7d
+      FROM e)
+    SELECT event_id, user_id, n_next_7d
+    FROM win WHERE event_type = 'purchase'
+    """,
+)
+def post_purchase_7d_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-looking RANGE frame: events in the 7 days AFTER each
+    purchase (the engagement-after-conversion feature). The frame is
+    (ts, ts+7d] in epoch-µs — strictly after, so simultaneous events
+    don't self-count — over one exchange+sort per user; the
+    complement of rolling_7day_event_value's PRECEDING frame, pinning
+    that frames work both directions. Window evaluated BEFORE the
+    purchase filter (the frame must see all event types), which is
+    why the filter can't push below the window — the one predicate
+    in this suite that legitimately must not reach the scan."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id", "user_id", "event_type", ts_us(F.col("ts")).alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(1, 604_800_000_000)
+    )
+    return (
+        e.withColumn("n_next_7d", F.count(F.lit(1)).over(w).cast("bigint"))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "n_next_7d")
+    )
+
+
+@register(
+    "user_value_outliers",
+    """
+    WITH w AS (
+      SELECT event_id, user_id,
+             CAST(ROUND(value*100) AS BIGINT) AS value_c,
+             SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (PARTITION BY user_id) AS sum_c,
+             COUNT(1) OVER (PARTITION BY user_id) AS n
+      FROM events)
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN value_c * n > 3 * sum_c THEN 1 END) AS BIGINT)
+             AS n_outliers,
+           CAST(MAX(CASE WHEN value_c * n > 3 * sum_c THEN value_c END) AS BIGINT)
+             AS max_outlier_c
+    FROM w GROUP BY user_id
+    """,
+)
+def user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user anomaly flags: events worth >3× the user's own
+    average, tested multiply-through (value·n > 3·Σ — no division,
+    no float stddev whose sqrt can land differently across engines).
+    Whole-partition windows (no sort) share one exchange with the
+    follow-up per-user aggregate — the same partitioning-reuse as
+    customer_order_gap_stats."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    base = ev.select(
+        "user_id",
+        cents(F.col("value")).alias("value_c"),
+    ).select(
+        "user_id",
+        "value_c",
+        F.sum("value_c").over(w).alias("sum_c"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    is_out = F.col("value_c") * F.col("n") > 3 * F.col("sum_c")
+    return base.groupBy("user_id").agg(
+        F.count(F.when(is_out, 1)).alias("n_outliers"),
+        F.max(F.when(is_out, F.col("value_c"))).alias("max_outlier_c"),
+    )
+
+
 # Register the LLM-pipeline declared queries (dedup / similarity /
 # text analysis / multimodal) into the same registry. Import sits at
 # the bottom because llm_queries imports `register`/`load` from here.
