@@ -4036,6 +4036,109 @@ def user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "session_conversion_rate",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id
+      FROM events),
+    flagged AS (
+      SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000
+                       OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    sess AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM flagged),
+    per_sess AS (
+      SELECT user_id, sess_no,
+             MIN(CASE WHEN event_type = 'view' THEN ts_us END) AS first_view,
+             MAX(CASE WHEN event_type = 'purchase' THEN ts_us END) AS last_purchase
+      FROM sess GROUP BY user_id, sess_no)
+    SELECT CAST(COUNT(1) AS BIGINT) AS n_sessions,
+           CAST(COUNT(CASE WHEN last_purchase > first_view THEN 1 END) AS BIGINT)
+             AS n_converting,
+           CAST(COUNT(CASE WHEN last_purchase > first_view THEN 1 END) * 1000000
+                // COUNT(1) AS BIGINT) AS conversion_ppm
+    FROM per_sess
+    """,
+)
+def session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized conversion: gap-sessionize (30-min silence starts
+    a session — the same running-sum-of-gap-flags device as
+    operators/sessionize.py) composed with an in-session funnel
+    (a view followed later by a purchase). Three window steps share
+    ONE user partitioning+ordering — one exchange, one sort — then
+    two tiny aggregates. The conversion test compares the session's
+    first view to its LAST purchase, so any later purchase counts,
+    in integer µs."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type", ts_us(F.col("ts")).alias("ts_us"), "event_id"
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts_us").over(wo)
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            prev.isNull() | (F.col("ts_us") - prev > 1_800_000_000), 1
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn("sess_no", F.sum("new_sess").over(run))
+    per_sess = sess.groupBy("user_id", "sess_no").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).alias(
+            "first_view"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts_us"))).alias(
+            "last_purchase"
+        ),
+    )
+    conv = F.count(F.when(F.col("last_purchase") > F.col("first_view"), 1))
+    return per_sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        conv.alias("n_converting"),
+    ).select(
+        "n_sessions",
+        "n_converting",
+        F.expr("n_converting * 1000000 div n_sessions").alias("conversion_ppm"),
+    )
+
+
+@register(
+    "dup_rate_by_source",
+    """
+    SELECT source,
+           CAST(COUNT(1) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+           CAST((COUNT(1) - COUNT(DISTINCT md5(text))) * 1000000
+                // COUNT(1) AS BIGINT) AS dup_ppm
+    FROM documents GROUP BY source
+    """,
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication rate per corpus source — the triage table that
+    decides where dedup effort goes. Content identity via md5 (same
+    hex both engines; the exact_dedup_docs device), distinct counted
+    through Spark's Expand, rate in integer ppm. One scan; at 100 TB
+    swap COUNT(DISTINCT) for the HLL sketch rollup
+    (rollup.distinct_sketch_day) and keep the same contract."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            F.expr("(n_docs - n_distinct) * 1000000 div n_docs").alias("dup_ppm"),
+        )
+    )
+
+
 # Register the LLM-pipeline declared queries (dedup / similarity /
 # text analysis / multimodal) into the same registry. Import sits at
 # the bottom because llm_queries imports `register`/`load` from here.

@@ -366,6 +366,15 @@ def test_yoy_no_self_join(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_session_conversion_one_sort(spark):
+    """Gap flag, session id, and the lag all share one user
+    partitioning+ordering — one exchange+sort before the aggregates."""
+    df = DQ.registry()["session_conversion_rate"].spark(spark, SF)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Sort ") <= 1
+    assert phys.count("events.parquet") == 1
+
+
 def test_scd2_single_sort_spec(spark):
     """Both SCD-2 windows (lag change-points, lead intervals) must
     share one exchange+sort, not re-shuffle between phases."""
