@@ -133,6 +133,42 @@ class EtlJob:
         return _run()
 
 
+def run_catalog(
+    jobs: list[EtlJob],
+    window: tuple[dt.datetime, dt.datetime] | None = None,
+    attempts: int = 1,
+) -> list[JobResult]:
+    """O5 TaskGroup-per-table fan-out + O12 failure accumulation: run
+    every table's EtlJob for one window, isolating failures — one
+    table's schema drift must not stop the other 16 (Airflow task
+    semantics; the reference's end-task callback collects the failed
+    list, ``helper1/task_callback.py:5-21``). ``attempts`` adds the
+    O9 retry loop (``reconciliation_batch_operator.py:106-131``'s
+    3-attempt pattern). Failed tables yield a JobResult with
+    success=False and zero counts, so the caller's reconciliation
+    report is total over the catalog.
+
+    Tables run sequentially here — on a cluster each job's stages
+    already parallelize across executors, and the scheduler
+    interleaves independent jobs submitted from one driver; submit
+    via a thread pool if per-table driver latency dominates."""
+    results: list[JobResult] = []
+    for job in jobs:
+        last_err: Exception | None = None
+        for attempt in range(1, attempts + 1):
+            try:
+                results.append(job.run(window=window, try_number=attempt))
+                last_err = None
+                break
+            except Exception as e:  # noqa: BLE001 — isolate per-table failures
+                last_err = e
+        if last_err is not None:
+            results.append(
+                JobResult(job.spec.qualified_name, window, 0, 0, False)
+            )
+    return results
+
+
 def freshness_guarded_rollup(
     spark: SparkSession,
     fact_table: ParquetTable,

@@ -15,7 +15,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from ods_v3_dbt_spark.catalog import Catalog, TableSpec, fixture_catalog, to_spark_type
-from ods_v3_dbt_spark.jobs import EtlJob, freshness_guarded_rollup, split_day_windows
+from ods_v3_dbt_spark.jobs import EtlJob, freshness_guarded_rollup, run_catalog, split_day_windows
 from ods_v3_dbt_spark.models import Model, ModelGraph, ModelTest
 from ods_v3_dbt_spark.runlog import RunLog
 from ods_v3_dbt_spark.sinks import ParquetTable
@@ -318,6 +318,32 @@ def test_etl_job_windowed_sync_and_replay(spark, tmp_path):
     # run log captured all three runs
     entries = log.read(spark).collect()
     assert len(entries) == 3 and all(e.is_success for e in entries)
+
+
+def test_run_catalog_isolates_failures(spark, tmp_path):
+    """O5 fan-out + O12 failure accumulation: a table whose extract
+    violates its declared schema fails ALONE; the healthy table still
+    syncs, and the result list reports both."""
+    spec = fixture_catalog().get("bccp_item")
+    good_src, bad_src, wh = tmp_path / "good", tmp_path / "bad", tmp_path / "wh"
+
+    def row(code, ts, status):
+        return (code, "POS1", "name", True, 1.0, 10.0, status, T0, T0, ts)
+
+    spark.createDataFrame(
+        [row("A", dt.datetime(2024, 9, 1, 5), "new")], spec.struct_type()
+    ).write.parquet(str(good_src))
+    # schema drift: missing columns entirely
+    spark.createDataFrame([(1, "x")], "a int, b string").write.parquet(str(bad_src))
+
+    jobs = [
+        EtlJob(spark, spec, wh, source_path=str(good_src)),
+        EtlJob(spark, spec, wh / "other", source_path=str(bad_src)),
+    ]
+    results = run_catalog(jobs, window=(T0, T1), attempts=2)
+    assert [r.success for r in results] == [True, False]
+    assert results[0].rows_loaded == 1
+    assert results[1].rows_extracted == 0
 
 
 def test_split_day_windows():
