@@ -4139,6 +4139,79 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "brand_distinct_buyers",
+    """
+    SELECT p_brand,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_buyers,
+           CAST(COUNT(DISTINCT CASE WHEN l_quantity >= 40.0 THEN o_custkey END)
+                AS BIGINT) AS n_bulk_buyers,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN part ON p_partkey = l_partkey
+    GROUP BY p_brand
+    """,
+)
+def brand_distinct_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE distinct aggregates over different columns in one
+    query — total buyers, bulk buyers (conditional distinct), and
+    suppliers per brand. Catalyst compiles N distinct columns into
+    one Expand (N× row replication, each copy keyed by its distinct
+    column) + two-level aggregate — one fact pass, not one scan per
+    distinct. The conditional distinct rides the same machinery with
+    a CASE-masked key."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).join(
+        F.broadcast(p), li["l_partkey"] == p["p_partkey"]
+    )
+    return j.groupBy("p_brand").agg(
+        F.countDistinct("o_custkey").alias("n_buyers"),
+        F.countDistinct(
+            F.when(F.col("l_quantity") >= 40.0, F.col("o_custkey"))
+        ).alias("n_bulk_buyers"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+@register(
+    "token_positions_long",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents WHERE doc_id % 50 = 0 AND length(trim(text)) > 0)
+    SELECT doc_id,
+           CAST(generate_subscripts(toks, 1) AS INT) AS pos,
+           unnest(toks) AS token
+    FROM t
+    """,
+)
+def token_positions_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (LATERAL VIEW posexplode): the long-format
+    (doc, position, token) table that positional n-gram / alignment
+    features build on. Position comes out of the SAME Generate as
+    the token (1-based to match SQL), never from a window over the
+    exploded stream — zero shuffles, pure scan-stage expansion.
+    Sampled to every 50th doc (a deterministic residue slice, not a
+    RNG sample)."""
+    d = load(spark, sf_dir, "documents")
+    t = d.filter(
+        (F.col("doc_id") % 50 == 0) & (F.length(F.trim(F.col("text"))) > 0)
+    ).select(
+        "doc_id",
+        F.expr(r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')").alias(
+            "toks"
+        ),
+    )
+    return t.select(
+        "doc_id", F.posexplode(F.col("toks")).alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "token")
+
+
 # Register the LLM-pipeline declared queries (dedup / similarity /
 # text analysis / multimodal) into the same registry. Import sits at
 # the bottom because llm_queries imports `register`/`load` from here.

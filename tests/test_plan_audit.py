@@ -375,6 +375,23 @@ def test_session_conversion_one_sort(spark):
     assert phys.count("events.parquet") == 1
 
 
+def test_multi_distinct_one_fact_pass(spark):
+    """Three distinct aggregates must compile to one Expand over one
+    fact scan — not a scan per distinct column."""
+    plan = _plan(spark, "brand_distinct_buyers")
+    assert plan.count("lineitem.parquet") == 1
+    assert "Expand" in plan
+
+
+def test_posexplode_no_shuffle(spark):
+    """Positional explode is pure scan-stage Generate — any Exchange
+    here would be an accident."""
+    plan = _plan(spark, "token_positions_long")
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+    assert "Window" not in plan
+
+
 def test_scd2_single_sort_spec(spark):
     """Both SCD-2 windows (lag change-points, lead intervals) must
     share one exchange+sort, not re-shuffle between phases."""
