@@ -4212,6 +4212,52 @@ def token_positions_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "token")
 
 
+@register(
+    "user_value_variance",
+    """
+    SELECT user_id,
+           CAST(COUNT(1) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_c,
+           CAST(COUNT(1) * SUM(CAST(ROUND(value*100) AS BIGINT)
+                               * CAST(ROUND(value*100) AS BIGINT))
+                - SUM(CAST(ROUND(value*100) AS BIGINT))
+                  * SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS var_num,
+           CAST((COUNT(1) * SUM(CAST(ROUND(value*100) AS BIGINT)
+                                * CAST(ROUND(value*100) AS BIGINT))
+                 - SUM(CAST(ROUND(value*100) AS BIGINT))
+                   * SUM(CAST(ROUND(value*100) AS BIGINT)))
+                // (COUNT(1) * COUNT(1)) AS BIGINT) AS pop_variance_c2
+    FROM events GROUP BY user_id
+    """,
+)
+def user_value_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT population variance per user in integer cents²:
+    n·Σx² − (Σx)² over n² — both moments are order-independent
+    BIGINT partials (map-side combinable like any sum), where
+    var_pop() on doubles accumulates M2 in arrival order and drifts
+    between engines. Magnitudes checked: x≲49e3 cents → x²≲2.4e9,
+    per-user Σx²≲2e11, ×n≲1.4e13 — five orders of magnitude under 2⁶³.
+    The raw numerator ships too: numerators ADD across re-partitions
+    (the sketch-style mergeability that a finished variance loses)."""
+    ev = load(spark, sf_dir, "events")
+    x = cents(F.col("value"))
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sum_c"),
+        F.sum(x * x).alias("sum_x2"),
+    )
+    num = F.col("n") * F.col("sum_x2") - F.col("sum_c") * F.col("sum_c")
+    return agg.select(
+        "user_id",
+        "n",
+        "sum_c",
+        num.alias("var_num"),
+        F.expr(
+            "(n * sum_x2 - sum_c * sum_c) div (n * n)"
+        ).alias("pop_variance_c2"),
+    )
+
+
 # Register the LLM-pipeline declared queries (dedup / similarity /
 # text analysis / multimodal) into the same registry. Import sits at
 # the bottom because llm_queries imports `register`/`load` from here.
