@@ -1,0 +1,47 @@
+"""Suite-WIDE plan hygiene: every declared query's physical plan is
+summarized (plans/planreport.py) and the global invariants pinned —
+the per-query audits in test_plan_audit.py catch local regressions,
+this catches a bad pattern sneaking into any of the 125."""
+
+from __future__ import annotations
+
+from ods_v3_dbt_spark.plans.planreport import suite_report
+
+SF = "/root/testdata/sf0.001"
+
+# Python evaluation is allowed ONLY where a Python kernel is the
+# design (Arrow-batched numpy/fake-decode paths) — never in a
+# relational query.
+PYTHON_KERNEL_QUERIES = {
+    "embedding_ann_ivf",
+    "embedding_cosine_neardup",
+    "multimodal_decode",
+    "multimodal_resize",
+}
+
+# Nested-loop joins are allowed ONLY as scalar/tiny-broadcast
+# crossJoins (1-to-8-row build side carrying a global aggregate or
+# seed set into the probe). Anything else is an accidental O(n·m).
+SCALAR_BROADCAST_QUERIES = {
+    "bigram_collocations",       # 1-row total-token count
+    "embedding_centroid_assign",  # 8-row centroid seed set
+    "embedding_topk",             # small query-vector side
+    "events_day_spine_fill",      # day-spine × type dim (tiny × tiny)
+    "fk_integrity_counts",        # per-edge 1-row counts unioned
+    "incremental_watermark",      # 1-row max-cursor scalar
+    "order_lines_bag_ops",        # two 1-row counts crossed
+    "rich_dormant_customers",     # 1-row (count,sum) avg pair
+    "tfidf_top_terms",            # 1-row n_docs scalar
+}
+
+
+def test_suite_plan_invariants(spark):
+    rep = suite_report(spark, SF)
+    assert not [k for k, v in rep.items() if "error" in v]
+    py = {k for k, v in rep.items() if v.get("python_evals", 0) > 0}
+    assert py <= PYTHON_KERNEL_QUERIES, py - PYTHON_KERNEL_QUERIES
+    nl = {k for k, v in rep.items() if v.get("nested_loop_joins", 0) > 0}
+    assert nl <= SCALAR_BROADCAST_QUERIES, nl - SCALAR_BROADCAST_QUERIES
+    # every query must read SOMETHING through the parquet scan path
+    scanless = {k for k, v in rep.items() if v.get("parquet_scans", 0) == 0}
+    assert not scanless, scanless
