@@ -526,6 +526,132 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Chunking / packing (training-sample assembly)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_chunking",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    chunks AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             unnest(range(0, GREATEST((len(toks) - 10 + 39) // 40, 1))) AS chunk_id,
+             toks
+      FROM t)
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(LEAST(chunk_id * 40 + 50, n_tokens) - chunk_id * 40 AS INT)
+             AS chunk_len,
+           md5(array_to_string(toks[chunk_id * 40 + 1 : LEAST(chunk_id * 40 + 50, n_tokens)],
+                               ' ')) AS chunk_md5
+    FROM chunks
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size chunking with overlap (50-token windows, stride 40
+    → 10-token overlap), the standard long-document split for
+    training/retrieval. Chunk COUNT is computed arithmetically
+    (⌈(n−overlap)/stride⌉, min 1) and chunks materialize by
+    exploding an index range + array-slicing INSIDE the row — no
+    self-join, no window, zero shuffles; identity via md5 of the
+    reassembled chunk (hex-identical both engines). Short docs yield
+    one whole-doc chunk."""
+    d = load(spark, sf_dir, "documents")
+    t = d.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        F.expr(r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')").alias(
+            "toks"
+        ),
+    )
+    chunks = t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.expr("CAST((size(toks) - 10 + 39) div 40 AS INT)") - 1,
+                    F.lit(0),
+                ),
+            )
+        ).alias("chunk_id"),
+    )
+    # slice() is 1-based; chunk i covers tokens [i*40+1, min(i*40+50, n)]
+    chunk_toks = F.expr(
+        "slice(toks, chunk_id * 40 + 1,"
+        " least(chunk_id * 40 + 50, n_tokens) - chunk_id * 40)"
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        (
+            F.least(F.col("chunk_id") * 40 + 50, F.col("n_tokens"))
+            - F.col("chunk_id") * 40
+        )
+        .cast("int")
+        .alias("chunk_len"),
+        F.md5(F.array_join(chunk_toks, " ").cast("binary")).alias("chunk_md5"),
+    )
+
+
+@register(
+    "sequence_packing",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents WHERE length(trim(text)) > 0),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             (SUM(n_tokens) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens) // 512 AS bin_id
+      FROM t)
+    SELECT CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(COUNT(1) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM packed GROUP BY bin_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential context-window packing: documents stream in doc_id
+    order and each opens in the 512-token bin its PRECEDING tokens
+    fill (running-sum-before ⫽ 512) — the deterministic streaming
+    approximation of bin packing (true first-fit-decreasing is
+    order-dependent and unparallelizable). One running-sum window +
+    one aggregate; at 100 TB the order-by becomes per-shard
+    (pack within partitions) since a global total order is the
+    documented single-sort caveat."""
+    d = load(spark, sf_dir, "documents")
+    t = d.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        F.size(
+            F.expr(r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')")
+        ).alias("n_tokens"),
+    )
+    packed = t.withColumn(
+        "bin_id",
+        F.expr(
+            "(sum(n_tokens) OVER (ORDER BY doc_id"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " - n_tokens) div 512"
+        ),
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
 

@@ -392,6 +392,15 @@ def test_posexplode_no_shuffle(spark):
     assert "Window" not in plan
 
 
+def test_chunking_zero_shuffle(spark):
+    """Chunk explosion + array slicing happen inside the row — no
+    shuffle, no window, no self-join."""
+    plan = _plan(spark, "doc_chunking")
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
 def test_scd2_single_sort_spec(spark):
     """Both SCD-2 windows (lag change-points, lead intervals) must
     share one exchange+sort, not re-shuffle between phases."""
