@@ -651,6 +651,146 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "test_set_decontamination",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN substring(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                  THEN 'train' ELSE 'test' END AS split,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    sh AS (
+      SELECT doc_id, split,
+             unnest(list_transform(range(1, len(toks) - 2),
+                    i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             || ' ' || toks[i+3]))) AS shingle
+      FROM t WHERE len(toks) >= 4),
+    train_sh AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
+    test_sh AS (SELECT doc_id, shingle FROM sh WHERE split = 'test')
+    SELECT ts.doc_id,
+           CAST(COUNT(1) AS BIGINT) AS n_shingles,
+           CAST(COUNT(CASE WHEN tr.shingle IS NOT NULL THEN 1 END) AS BIGINT)
+             AS n_contaminated,
+           CAST(COUNT(CASE WHEN tr.shingle IS NOT NULL THEN 1 END) * 1000000
+                // COUNT(1) AS BIGINT) AS contamination_ppm
+    FROM test_sh ts LEFT JOIN train_sh tr ON ts.shingle = tr.shingle
+    GROUP BY ts.doc_id
+    """,
+)
+def test_set_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination — THE eval-integrity op: for every
+    test document, how many of its 4-gram shingles also appear
+    anywhere in the train split. Composes the deterministic md5 hash
+    split (train_test_hash_split) with md5 shingle identity; the
+    train side is deduplicated BEFORE the join (distinct shingle set,
+    not the shingle stream) so the overlap join probes a set whose
+    size is vocabulary-bound, and the per-test-doc LEFT join keeps
+    zero-overlap docs in the report. At 100 TB the train shingle set
+    is the thing you'd bucket/bloom — the join stays an equi-join on
+    the hash either way."""
+    d = load(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("s42:"), F.col("doc_id").cast("string"))), 1, 2
+        )
+        < "cd",
+        "train",
+    ).otherwise("test")
+    t = d.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        split.alias("split"),
+        F.expr(r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')").alias(
+            "toks"
+        ),
+    )
+    sh = t.filter(F.size("toks") >= 4).select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks)-3),"
+                " (x, i) -> md5(concat(x, ' ', toks[i+1], ' ', toks[i+2],"
+                " ' ', toks[i+3])))"
+            )
+        ).alias("shingle"),
+    )
+    train_sh = (
+        sh.filter(F.col("split") == "train").select("shingle").distinct()
+    ).withColumnRenamed("shingle", "tr_shingle")
+    test_sh = sh.filter(F.col("split") == "test").select("doc_id", "shingle")
+    j = test_sh.join(
+        train_sh, test_sh["shingle"] == train_sh["tr_shingle"], "left"
+    )
+    hit = F.count(F.when(F.col("tr_shingle").isNotNull(), 1))
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            hit.alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_ppm",
+            F.expr("n_contaminated * 1000000 div n_shingles"),
+        )
+    )
+
+
+@register(
+    "doc_repetition_scores",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               AS grams
+      FROM t WHERE len(toks) >= 3)
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           CAST((len(grams) - len(list_distinct(grams))) * 1000000
+                // len(grams) AS BIGINT) AS repetition_ppm
+    FROM g
+    """,
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (the boilerplate/spam quality
+    signal): repeated-3-gram mass per doc, computed ENTIRELY inside
+    the row — gram construction, distinct, and ratio are array
+    lambdas; no explode, no shuffle, the scan is the whole plan. The
+    ratio is a within-row ppm (fixed threshold is fine here — it's a
+    proportion, not a share of a growing total)."""
+    d = load(spark, sf_dir, "documents")
+    t = d.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        F.expr(r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')").alias(
+            "toks"
+        ),
+    )
+    g = t.filter(F.size("toks") >= 3).select(
+        "doc_id",
+        F.expr(
+            "transform(slice(toks, 1, size(toks)-2),"
+            " (x, i) -> concat(x, ' ', toks[i+1], ' ', toks[i+2]))"
+        ).alias("grams"),
+    )
+    return g.select(
+        "doc_id",
+        F.size("grams").cast("bigint").alias("n_grams"),
+        F.size(F.array_distinct("grams")).cast("bigint").alias("n_distinct"),
+        F.expr(
+            "(size(grams) - size(array_distinct(grams))) * 1000000"
+            " div size(grams)"
+        ).alias("repetition_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

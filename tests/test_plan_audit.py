@@ -392,6 +392,13 @@ def test_posexplode_no_shuffle(spark):
     assert "Window" not in plan
 
 
+def test_repetition_scores_zero_shuffle(spark):
+    """Repetition scoring is all array lambdas — scan-only plan."""
+    plan = _plan(spark, "doc_repetition_scores")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode either — fully in-row
+
+
 def test_chunking_zero_shuffle(spark):
     """Chunk explosion + array slicing happen inside the row — no
     shuffle, no window, no self-join."""
