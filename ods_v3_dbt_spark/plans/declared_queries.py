@@ -41,18 +41,25 @@ TABLES = (
 ).split()
 
 
-#: Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as
-#: long (ns since epoch) under ``legacy.parquet.nanosAsLong`` — the
-#: loader restores µs TimestampType with an integer ``div`` (DuckDB
-#: truncates ns→µs the same way, keeping the oracle aligned).
+#: Columns the driver has generated as either parquet
+#: TIMESTAMP(NANOS) (read as ns-long under ``legacy.parquet
+#: .nanosAsLong``) or TIMESTAMP(MICROS) isAdjustedToUTC=false (read
+#: as TIMESTAMP_NTZ). The loader normalizes both to session-local
+#: µs TimestampType: ns → integer ``div`` (DuckDB truncates ns→µs
+#: the same way), NTZ → plain cast (session tz is pinned UTC, so
+#: the wall-clock reinterpretation is epoch-exact vs DuckDB's naive
+#: timestamps).
 NS_TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
     for c in NS_TIMESTAMP_COLS.get(name, ()):
-        if dict(df.dtypes).get(c) == "bigint":
+        if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtypes.get(c) == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
@@ -75,12 +82,22 @@ def load_events_windowed(
         d = dt.datetime.fromisoformat(lit).replace(tzinfo=dt.timezone.utc)
         return int(d.timestamp()) * 1_000_000_000
 
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_dtype = dict(df.dtypes).get("ts")
+    if ts_dtype == "bigint":
         if start is not None:
             df = df.filter(F.col("ts") >= F.lit(ns(start)))
         if end is not None:
             df = df.filter(F.col("ts") < F.lit(ns(end)))
         return df.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    if ts_dtype == "timestamp_ntz":
+        # Filter on the raw NTZ column with NTZ literals (pushable to
+        # the parquet scan), THEN reinterpret at UTC — filtering after
+        # the cast would hide the predicate behind an expression.
+        if start is not None:
+            df = df.filter(F.col("ts") >= F.expr(f"TIMESTAMP_NTZ '{start}'"))
+        if end is not None:
+            df = df.filter(F.col("ts") < F.expr(f"TIMESTAMP_NTZ '{end}'"))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     if start is not None:
         df = df.filter(F.col("ts") >= _ts(start))
     if end is not None:
