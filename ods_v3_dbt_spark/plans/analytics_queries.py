@@ -1,0 +1,544 @@
+"""Decision-support + corpus-curation declared queries, wave 2.
+
+Closes the remaining classic decision-support shapes (TPC-H Q6/Q12
+analogues), adds exact integer sufficient-statistics ops (OLS trend,
+Pearson co-moments — the mergeable-partials pattern from
+``user_value_variance`` extended to two variables), market-basket
+co-occurrence, a Benford first-digit audit, and four corpus-curation
+ops every training-data pipeline runs: OOV rate against a head
+vocabulary, greedy token-budget selection, source-mixture reweighting,
+and a capped inverted index.
+
+Cross-engine determinism follows declared_queries.py: integer cents /
+dollars for money, ppm for ratios, `div`/`//` truncation-toward-zero
+(verified signed-agreement in monthly_revenue_growth), total orders
+with unique-id tiebreaks everywhere a LIMIT or window ranks rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from .declared_queries import cents, load, register
+from .textsql import NTOK as _NTOK
+from .textsql import QUALITY_MILLI_SQL as _QUALITY_MILLI_SQL
+
+# ---------------------------------------------------------------------------
+# Decision-support shapes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "discount_band_revenue",
+    """
+    SELECT CAST(SUM(CAST(ROUND((l_extendedprice*l_discount)*100) AS BIGINT)) AS BIGINT)
+             AS promo_rev_c,
+           CAST(COUNT(1) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape — the minimal predicate-pushdown aggregate: all three
+    predicates (date window, discount band, quantity cap) reach the
+    parquet scan as PushedFilters + row-group stats pruning, and the
+    single-group sum is a pure map-side partial (no shuffle of data
+    rows, just the 1-row partial merge). The revenue product is
+    rounded to integer cents with identical nesting on both engines.
+    At 100 TB this query reads only the row groups whose shipdate
+    min/max straddle 1996."""
+    li = load(spark, sf_dir, "lineitem")
+    band = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return band.agg(
+        F.sum(cents(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+            "promo_rev_c"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "returnflag_priority_mix",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag
+    """,
+)
+def returnflag_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (shipmode→returnflag since the synthetic schema has
+    no shipmode): fact⋈orders equi-join with BOTH priority classes as
+    conditional sums in one pass — never two scans or two joins for
+    the high/low split. The orders side is projected to (key,
+    priority) before the join so the shuffle moves 2 columns, not 6;
+    the 3-group aggregate collapses map-side after the join."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_lines"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact integer sufficient statistics (mergeable partials)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_trend_ols",
+    """
+    WITH day AS (
+      SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS x,
+             SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) // 100 AS y
+      FROM orders GROUP BY x),
+    m AS (
+      SELECT CAST(COUNT(1) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*y) AS BIGINT) AS sxy,
+             CAST(SUM(x*x) AS BIGINT) AS sx2
+      FROM day)
+    SELECT n, sx, sy, sxy, sx2,
+           CAST(n*sxy - sx*sy AS BIGINT) AS slope_num,
+           CAST(n*sx2 - sx*sx AS BIGINT) AS slope_den,
+           CAST((n*sxy - sx*sy) // (n*sx2 - sx*sx) AS BIGINT)
+             AS slope_dollars_per_day
+    FROM m
+    """,
+)
+def revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact single-variable OLS over the daily-revenue series:
+    x = day index from a fixed origin, y = daily revenue in whole
+    dollars (cents-sum ``div`` 100 — deterministic), slope =
+    (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) computed entirely in BIGINT. The five
+    moments are order-independent, ADDITIVE partials — shards ship
+    (n,Σx,Σy,Σxy,Σx²) and any combiner re-derives the fit, the same
+    mergeability argument as user_value_variance. One fact shuffle
+    (the day groupBy); the regression runs over the ~2.4k-row day
+    table. Magnitudes: |nΣxy| ≲ 2·10^18 at sf0.1 (documented bound;
+    rescale y to k$ beyond sf1)."""
+    o = load(spark, sf_dir, "orders")
+    day = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lit("1995-01-01"))
+        ).alias("x")
+    ).agg(F.expr("sum(cast(round(o_totalprice*100) as bigint)) div 100").alias("y"))
+    m = day.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    return m.select(
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sx2",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("slope_num"),
+        (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).alias("slope_den"),
+        F.expr("(n*sxy - sx*sy) div (n*sx2 - sx*sx)").alias(
+            "slope_dollars_per_day"
+        ),
+    )
+
+
+@register(
+    "qty_price_comoments",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(1) AS BIGINT) AS n,
+           CAST(SUM(q) AS BIGINT) AS sq,
+           CAST(SUM(p) AS BIGINT) AS sp,
+           CAST(SUM(q*p) AS BIGINT) AS sqp,
+           CAST(SUM(q*q) AS BIGINT) AS sq2,
+           CAST(SUM(p*p) AS BIGINT) AS sp2,
+           CAST(COUNT(1)*SUM(q*p) - SUM(q)*SUM(p) AS BIGINT) AS cov_num
+    FROM (
+      SELECT l_returnflag,
+             CAST(ROUND(l_quantity) AS BIGINT) AS q,
+             CAST(ROUND(l_extendedprice) AS BIGINT) AS p
+      FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+)
+def qty_price_comoments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-variable sufficient statistics per group: the six moments
+    (n, Σq, Σp, Σqp, Σq², Σp²) that reconstruct covariance,
+    correlation, and the regression line — all BIGINT (quantity is
+    integral in the data; price rounded to whole dollars), all
+    order-independent and additive across re-partitions, unlike a
+    finished corr()/covar_pop() whose double accumulation drifts with
+    shuffle arrival order. cov_num = nΣqp−ΣqΣp ships too (≤2·10^17
+    at sf0.1, 40× under 2^63; the square-root step of corr is left
+    to the consumer — no float op crosses the engine boundary). One
+    scan, 3-group map-side collapse, no shuffle of data rows."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity")).cast("bigint")
+    p = F.round(F.col("l_extendedprice")).cast("bigint")
+    agg = li.select(
+        "l_returnflag", q.alias("q"), p.alias("p")
+    ).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("p").alias("sp"),
+        F.sum(F.col("q") * F.col("p")).alias("sqp"),
+        F.sum(F.col("q") * F.col("q")).alias("sq2"),
+        F.sum(F.col("p") * F.col("p")).alias("sp2"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        "sq",
+        "sp",
+        "sqp",
+        "sq2",
+        "sp2",
+        (F.col("n") * F.col("sqp") - F.col("sq") * F.col("sp")).alias("cov_num"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market basket + distribution audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "copurchased_part_pairs",
+    """
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(1) AS BIGINT) AS n_orders
+    FROM lp a JOIN lp b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def copurchased_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: parts appearing in the same order,
+    counted over the DEDUPLICATED (order, part) table so multi-line
+    orders don't inflate pairs. The self-join is an equi-join on the
+    order key — both sides hash-partition on l_orderkey, so the pair
+    blow-up happens co-partitioned (bounded by lines-per-order², ~11
+    max here), never as a cartesian. The `part_a < part_b` residual
+    emits each unordered pair exactly once. Top-20 under a total
+    order (count desc, pair asc) runs as TakeOrderedAndProject —
+    per-partition heaps, no global sort. Catalyst reuses the distinct
+    exchange for both join sides (ReusedExchange) so the fact is
+    scanned/shuffled once."""
+    lp = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = lp.alias("a")
+    b = lp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
+@register(
+    "benford_order_totals",
+    """
+    WITH d AS (
+      SELECT substr(CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) AS VARCHAR), 1, 1)
+               AS digit
+      FROM orders WHERE o_totalprice > 0)
+    SELECT digit, CAST(COUNT(1) AS BIGINT) AS n,
+           CAST(COUNT(1)*1000000 // SUM(COUNT(1)) OVER () AS BIGINT) AS share_ppm
+    FROM d GROUP BY digit
+    """,
+)
+def benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals — the classic
+    anomaly screen for fabricated monetary data. The first
+    significant digit is taken from the integer-cents decimal string
+    (scaling by 100 never changes the leading digit; no float log10
+    whose boundary behavior could differ between engines). One scan,
+    9-key aggregate collapsing map-side; the ppm share is a window
+    total over the 9-row result, not a second scan."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(cents(F.col("o_totalprice")).cast("string"), 1, 1).alias(
+            "digit"
+        )
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy()
+    return counts.select(
+        "digit",
+        "n",
+        F.sum("n").over(total).alias("_tot"),
+    ).select(
+        "digit",
+        "n",
+        F.expr("n * 1000000 div _tot").cast("bigint").alias("share_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "oov_rate_by_lang",
+    """
+    WITH toks AS (
+      SELECT lang,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0),
+    t2 AS (SELECT lang, token FROM toks WHERE token <> ''),
+    vocab AS (
+      SELECT token FROM t2 GROUP BY token
+      ORDER BY COUNT(1) DESC, token LIMIT 1000)
+    SELECT lang,
+           CAST(COUNT(1) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000000
+                // COUNT(1) AS BIGINT) AS oov_ppm
+    FROM t2 LEFT JOIN vocab v ON t2.token = v.token
+    GROUP BY lang
+    """,
+)
+def oov_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language against the corpus's own
+    top-1000 head vocabulary (count desc, token asc — the rank-1000
+    tie is pinned). The vocabulary is ONE token-count shuffle +
+    TakeOrderedAndProject heap, then joins back as a BROADCAST left
+    join (1000 rows — never a shuffle of the token stream); the
+    per-lang rate is a 5-key conditional sum collapsing map-side,
+    ppm as integer floor-div. At 100 TB the head vocab is computed
+    once and persisted; every downstream pass is scan + broadcast."""
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "lang",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.desc("_n"), F.asc("token"))
+        .limit(1000)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), "token", "left")
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            oov.alias("oov_tokens"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "oov_tokens",
+            F.expr("oov_tokens * 1000000 div n_tokens").alias("oov_ppm"),
+        )
+    )
+
+
+@register(
+    "token_budget_selection",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST({_NTOK.format(c='text')} AS INT) AS n_tokens,
+             CAST({_QUALITY_MILLI_SQL} AS INT) AS quality_milli
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens, quality_milli,
+             SUM(n_tokens) OVER (ORDER BY quality_milli DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM s)
+    SELECT doc_id, n_tokens, quality_milli,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 50000
+    """,
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget curation: rank every document by quality
+    (doc_id tiebreak — total order), admit the quality-ordered prefix
+    whose running token sum stays within a 50k-token training budget.
+    The running sum is ONE window over (quality desc, doc_id); the
+    budget cut is a filter on that column — prefix-stop semantics,
+    deterministic on both engines. The global order is the documented
+    single-sort caveat: at 100 TB budgets are allocated per shard
+    (quality-stratified) and this exact plan runs within each."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    s = d.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        T.quality_score_milli(t).alias("quality_milli"),
+    )
+    w = Window.orderBy(F.desc("quality_milli"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = s.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return c.filter(F.col("cum_tokens") <= 50000)
+
+
+@register(
+    "source_mixture_weights",
+    """
+    WITH t AS (
+      SELECT source,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents WHERE length(trim(text)) > 0),
+    s AS (
+      SELECT source, CAST(COUNT(1) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+      FROM t GROUP BY source)
+    SELECT source, n_docs, src_tokens,
+           CAST(src_tokens * 1000000 // SUM(src_tokens) OVER () AS BIGINT)
+             AS share_ppm,
+           CAST((SUM(src_tokens) OVER () // COUNT(1) OVER ()) * 1000000
+                // src_tokens AS BIGINT) AS weight_ppm
+    FROM s
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture reweighting toward a uniform target: per-source
+    token volume, actual share (ppm), and the sampling weight that
+    equalizes sources — weight = (total/n_sources)/src_tokens in ppm,
+    all BIGINT floor-div (no float shares crossing engines). Token
+    counting happens in-row (filtered split — no explode); the
+    per-source aggregate collapses map-side to ~10 rows and both
+    window totals run over that tiny table, never a second fact
+    scan. Upsampling weights >1e6 fall out naturally for starved
+    sources."""
+    d = load(spark, sf_dir, "documents")
+    t = d.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "source",
+        F.size(
+            F.expr(r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')")
+        ).alias("n_tokens"),
+    )
+    s = t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("src_tokens"),
+    )
+    tot = Window.partitionBy()
+    return s.select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        F.sum("src_tokens").over(tot).alias("_tot"),
+        F.count(F.lit(1)).over(tot).alias("_nsrc"),
+    ).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        F.expr("src_tokens * 1000000 div _tot").alias("share_ppm"),
+        F.expr("(_tot div _nsrc) * 1000000 div src_tokens").alias("weight_ppm"),
+    )
+
+
+@register(
+    "inverted_index_capped",
+    """
+    WITH td AS (
+      SELECT DISTINCT token, doc_id FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+        FROM documents WHERE length(trim(text)) > 0)
+      WHERE token <> ''),
+    r AS (
+      SELECT token, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+      FROM td)
+    SELECT token, CAST(COUNT(1) AS BIGINT) AS df,
+           string_agg(CASE WHEN rn <= 5 THEN CAST(doc_id AS VARCHAR) END,
+                      ',' ORDER BY doc_id) AS postings
+    FROM r GROUP BY token HAVING COUNT(1) >= 5
+    """,
+)
+def inverted_index_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped inverted index: token → document frequency + the first
+    5 doc_ids (ascending) as the posting sample, tokens with df ≥ 5.
+    The cap is enforced BEFORE collection via a row_number window —
+    never collect_list over a stopword's full posting list (an
+    unbounded per-group array is the classic curation OOM at 100 TB).
+    The window partitions by token and the groupBy keys on token, so
+    Catalyst reuses the hash partitioning — one token shuffle total.
+    Postings render as a sorted CSV string (array order pinned by
+    array_sort, not collection order)."""
+    d = load(spark, sf_dir, "documents")
+    td = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .select("token", "doc_id")
+        .distinct()
+    )
+    w = Window.partitionBy("token").orderBy("doc_id")
+    r = td.withColumn("rn", F.row_number().over(w))
+    return (
+        r.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("rn") <= 5, F.col("doc_id"))
+                        )
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= 5)
+    )

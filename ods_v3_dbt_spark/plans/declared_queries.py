@@ -4276,6 +4276,8 @@ def user_value_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Register the LLM-pipeline declared queries (dedup / similarity /
-# text analysis / multimodal) into the same registry. Import sits at
-# the bottom because llm_queries imports `register`/`load` from here.
+# text analysis / multimodal) and the wave-2 analytics/curation
+# queries into the same registry. Imports sit at the bottom because
+# both modules import `register`/`load` from here.
 from . import llm_queries  # noqa: E402,F401
+from . import analytics_queries  # noqa: E402,F401

@@ -23,6 +23,7 @@ from ..functions import text as T
 from ..operators import dedup as DD
 from ..operators import multimodal as MM
 from ..operators import similarity as SIM
+from . import textsql
 from .declared_queries import load, register
 
 # ---------------------------------------------------------------------------
@@ -56,12 +57,10 @@ _CORPUS_SQL = f"""
   )
 """
 
-#: Shared SQL fragments mirroring functions/text.py exactly.
+#: Shared SQL fragments mirroring functions/text.py exactly
+#: (definitions live in textsql.py to stay import-cycle-free).
 _NORM = "lower(trim({c}))"
-_NTOK = (
-    "CASE WHEN length(lower(trim({c}))) = 0 THEN 0 "
-    "ELSE len(string_split_regex(lower(trim({c})), '\\s+')) END"
-)
+_NTOK = textsql.NTOK
 
 _SHINGLE_SQL = """
   words AS (
@@ -142,13 +141,7 @@ def token_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QUALITY_MILLI_SQL = f"""greatest(
-             1000
-             - (CASE WHEN {_NTOK.format(c='text')} < 10 THEN (10 - {_NTOK.format(c='text')}) * 50 ELSE 0 END)
-             - least(len(regexp_extract_all(text, '[^\\w\\s]')) * 20, 400)
-             - least(len(regexp_extract_all(text, '[0-9]')) * 10, 200)
-             - (CASE WHEN length(text) = 0 THEN 1000 ELSE 0 END),
-             0)"""
+_QUALITY_MILLI_SQL = textsql.QUALITY_MILLI_SQL
 
 
 @register(
