@@ -1,4 +1,4 @@
-"""Decision-support + corpus-curation declared queries, wave 2.
+"""Decision-support + corpus-curation declared queries, waves 2-3.
 
 Closes the remaining classic decision-support shapes (TPC-H Q6/Q12
 analogues), adds exact integer sufficient-statistics ops (OLS trend,
@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from .declared_queries import cents, load, register
+from .declared_queries import cents, load, load_events_windowed, register, ts_us
 from .textsql import NTOK as _NTOK
 from .textsql import QUALITY_MILLI_SQL as _QUALITY_MILLI_SQL
 
@@ -541,4 +541,505 @@ def inverted_index_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("postings"),
         )
         .filter(F.col("df") >= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 3: curation audits, robust stats, temporal correctness
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_shingle_overlap",
+    """
+    WITH t AS (
+      SELECT source,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    sh AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(range(1, len(toks) - 2),
+                    i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             || ' ' || toks[i+3]))) AS shingle
+      FROM t WHERE len(toks) >= 4)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(1) AS BIGINT) AS shared_shingles
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+    GROUP BY source_a, source_b
+    """,
+)
+def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source cross-contamination matrix: for every source pair, the
+    number of distinct 4-gram md5 shingles (decontamination identity)
+    both emit. The shingle stream collapses to the DISTINCT
+    (source, shingle) set BEFORE the self-join — the join probes a
+    vocabulary-bound table, never the raw shingle stream, and both
+    sides reuse ONE distinct exchange (ReusedExchange), hash-
+    partitioned on shingle so the pair blow-up is co-partitioned and
+    bounded by sources-per-shingle² (≤ n_sources²). Output is the
+    upper-triangle matrix (source_a < source_b emits each pair
+    once). The audit that tells you two crawls overlap before you
+    pay for cross-source dedup at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    t = d.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "source",
+        F.expr(r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')").alias(
+            "toks"
+        ),
+    )
+    sh = (
+        t.filter(F.size("toks") >= 4)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks)-3),"
+                    " (x, i) -> md5(concat(x, ' ', toks[i+1], ' ', toks[i+2],"
+                    " ' ', toks[i+3])))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+
+
+@register(
+    "trimmed_mean_order_value",
+    """
+    WITH r AS (
+      SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice*100) AS BIGINT) AS c,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT), o_orderkey
+             ) AS rn,
+             COUNT(1) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders)
+    SELECT o_orderpriority,
+           CAST(COUNT(1) AS BIGINT) AS n_kept,
+           CAST(SUM(c) AS BIGINT) AS sum_kept_c,
+           CAST(SUM(c) // COUNT(1) AS BIGINT) AS trimmed_mean_c
+    FROM r WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY o_orderpriority
+    """,
+)
+def trimmed_mean_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean per priority — the robust average that
+    outlier order values can't drag. Rank and group-count are two
+    frames of ONE (priority, cents, orderkey) window sort (total
+    order — the orderkey tiebreak pins which equal-value rows fall
+    in the trim); the trim bounds are integer rank cuts (n div 10
+    off each tail) and the surviving mean is a BIGINT floor-div.
+    The aggregate reuses the window's hash partitioning — one fact
+    shuffle total. At 100 TB the exact ranks make this a per-group
+    sort; the documented sketch swap is approx_percentile bounds
+    with a range-filter re-scan."""
+    o = load(spark, sf_dir, "orders")
+    c = cents(F.col("o_totalprice"))
+    w = Window.partitionBy("o_orderpriority").orderBy("c", "o_orderkey")
+    r = (
+        o.select("o_orderpriority", c.alias("c"), "o_orderkey")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority"))
+        )
+    )
+    kept = r.filter(
+        (F.col("rn") > F.expr("n div 10")) & (F.col("rn") <= F.col("n") - F.expr("n div 10"))
+    )
+    return kept.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("c").alias("sum_kept_c"),
+        F.expr("sum(c) div count(1)").alias("trimmed_mean_c"),
+    )
+
+
+@register(
+    "scd2_pit_enrich",
+    """
+    WITH signup AS (
+      SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS signup_c,
+             epoch_us(ts) AS ts_us, event_id
+      FROM events WHERE event_type = 'signup'),
+    marked AS (
+      SELECT *, lag(signup_c) OVER (
+        PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+      FROM signup),
+    hist AS (
+      SELECT user_id, signup_c, ts_us AS valid_from_us,
+             lead(ts_us) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us
+      FROM marked WHERE prev IS NULL OR prev <> signup_c),
+    purchases AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CAST(ROUND(value*100) AS BIGINT) AS purchase_c
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.ts_us, p.purchase_c,
+           h.signup_c AS signup_c_at_purchase
+    FROM purchases p LEFT JOIN hist h
+      ON p.user_id = h.user_id
+     AND h.valid_from_us <= p.ts_us
+     AND (h.valid_to_us IS NULL OR p.ts_us < h.valid_to_us)
+    """,
+)
+def scd2_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment against an SCD-2 interval table — the
+    feature-store correctness pattern: each purchase is joined to the
+    signup-value state whose validity interval covers the purchase
+    timestamp (never a later state — no temporal leakage). The
+    history build is operators/merge.py::scd2_from_changes (one
+    exchange+sort); the PIT join is an EQUI-join on user_id with the
+    interval bounds as residual — co-partitioned, ≤ intervals-per-
+    user candidates per probe, never a cartesian. Intervals
+    partition time per key, so at most one interval matches; LEFT
+    keeps purchases that predate any signup. At 100 TB the history
+    side is orders of magnitude smaller than the fact (change points
+    only) — broadcast when it fits, this plan when it doesn't."""
+    from ..operators import merge as M
+
+    ev = load(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("bigint")
+    signup = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        c.alias("signup_c"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+    )
+    hist = M.scd2_from_changes(
+        signup, ["user_id"], ["signup_c"], "ts_us", tiebreak_cols=["event_id"]
+    ).select(
+        F.col("user_id").alias("h_user_id"),
+        F.col("signup_c").alias("signup_c_at_purchase"),
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        c.alias("purchase_c"),
+    )
+    return p.join(
+        hist,
+        (F.col("user_id") == F.col("h_user_id"))
+        & (F.col("valid_from_us") <= F.col("ts_us"))
+        & (F.col("valid_to_us").isNull() | (F.col("ts_us") < F.col("valid_to_us"))),
+        "left",
+    ).select("event_id", "user_id", "ts_us", "purchase_c", "signup_c_at_purchase")
+
+
+@register(
+    "event_burst_dedup",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+    m AS (
+      SELECT *,
+             ROW_NUMBER() OVER w AS rn,
+             COUNT(1) OVER (PARTITION BY user_id, event_type) AS n,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                    OR ts_us - lag(ts_us) OVER w > 21600000000
+                  THEN 1 ELSE 0 END AS is_head
+      FROM e WINDOW w AS (PARTITION BY user_id, event_type
+                          ORDER BY ts_us, event_id)),
+    heads AS (SELECT * FROM m WHERE is_head = 1)
+    SELECT event_id, user_id, event_type, ts_us,
+           CAST(COALESCE(lead(rn) OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts_us, event_id),
+                         n + 1) - rn AS BIGINT) AS burst_n
+    FROM heads
+    """,
+)
+def event_burst_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-time dedup: collapse each burst of same-(user, type)
+    events arriving within 6 h of the previous one to its FIRST
+    event, carrying the burst size. Burst heads come from a lag gap
+    test; burst_n is derived WITHOUT a third partitioning — among
+    heads, next head's row_number minus own (tail closed by the
+    group count), so all three windows and the head filter ride ONE
+    (user, type) exchange (hash partitioning and sort both survive
+    the filter). The batch twin of streaming
+    dropDuplicatesWithinWatermark; the 6 h tolerance matches the
+    testdata's inter-event cadence (min gap 8 s, p10 ≈ 5.4 h)."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    grp = Window.partitionBy("user_id", "event_type")
+    m = (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(grp))
+        .withColumn(
+            "is_head",
+            F.when(
+                F.lag("ts_us").over(w).isNull()
+                | (F.col("ts_us") - F.lag("ts_us").over(w) > 21600000000),
+                1,
+            ).otherwise(0),
+        )
+    )
+    heads = m.filter(F.col("is_head") == 1)
+    return heads.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        (
+            F.coalesce(F.lead("rn").over(w), F.col("n") + 1) - F.col("rn")
+        ).cast("bigint").alias("burst_n"),
+    )
+
+
+@register(
+    "per_source_hash_sample",
+    """
+    WITH r AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('s42:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents)
+    SELECT source, doc_id, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= 10
+    """,
+)
+def per_source_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample: 10 docs per source, chosen by
+    seeded md5 order (uniform over each stratum, reproducible across
+    runs AND engines — no rand() whose stream differs). The rn ≤ 10
+    filter compiles to WindowGroupLimit: per-partition top-10 heaps
+    run BEFORE the shuffle, so each map task forwards ≤ 10 rows per
+    source — the sample never materializes a full per-source sort at
+    100 TB. Rotate the seed string to draw a fresh sample."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("s42:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h.alias("h"), F.col("doc_id"))
+    return (
+        d.select("source", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("source", "doc_id", F.col("rn").cast("bigint").alias("rn"))
+    )
+
+
+@register(
+    "join_key_skew_profile",
+    """
+    WITH k AS (
+      SELECT o_custkey AS key, CAST(COUNT(1) AS BIGINT) AS n_rows
+      FROM orders GROUP BY o_custkey),
+    t AS (
+      SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+             CAST(COUNT(1) AS BIGINT) AS n_keys
+      FROM k)
+    SELECT key, n_rows,
+           CAST(n_rows * 1000000 // total AS BIGINT) AS share_ppm,
+           CAST(n_rows * n_keys * 1000 // total AS BIGINT) AS skew_milli
+    FROM k, t
+    ORDER BY n_rows DESC, key
+    LIMIT 10
+    """,
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the profile you run BEFORE choosing
+    salting/AQE-skew-join on a 100 TB join: top-10 heaviest keys with
+    row share (ppm) and skew factor vs the mean key (milli, =
+    n·n_keys/total). The per-key count is one map-side-combining
+    aggregate; totals ride a 1-row crossJoin broadcast back over the
+    key table (never a second fact scan) and the top-10 is a
+    TakeOrderedAndProject heap. Feeds operators/skew.py's salted
+    paths: keys with skew_milli ≫ 1000 are the salting candidates."""
+    o = load(spark, sf_dir, "orders")
+    k = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    t = k.agg(
+        F.sum("n_rows").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        k.crossJoin(F.broadcast(t))
+        .select(
+            "key",
+            "n_rows",
+            F.expr("n_rows * 1000000 div total").alias("share_ppm"),
+            F.expr("n_rows * n_keys * 1000 div total").alias("skew_milli"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 4: ingest evolution, sliding distinct, sparse CDC coalescing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "schema_evolution_union",
+    """
+    WITH v1 AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CAST(ROUND(value*100) AS BIGINT) AS v_c
+      FROM events WHERE ts < TIMESTAMP '2024-01-15'),
+    v2 AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CAST(ROUND(value*100) AS BIGINT) AS v_c, event_type
+      FROM events WHERE ts >= TIMESTAMP '2024-01-15'),
+    u AS (SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2)
+    SELECT COALESCE(event_type, '<legacy>') AS event_type,
+           CAST(COUNT(1) AS BIGINT) AS n,
+           CAST(SUM(v_c) AS BIGINT) AS sum_c,
+           CAST(MIN(ts_us) AS BIGINT) AS first_ts_us,
+           CAST(MAX(ts_us) AS BIGINT) AS last_ts_us
+    FROM u GROUP BY COALESCE(event_type, '<legacy>')
+    """,
+)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution harmonization: a v1 feed (before the
+    event_type column existed) unioned with the v2 feed by NAME with
+    missing columns nulled (`unionByName(allowMissingColumns)`) —
+    positional UNION would silently misalign columns, the classic
+    landing-zone bug when a source adds a field mid-stream. Legacy
+    rows surface as an explicit '<legacy>' bucket, never silently
+    dropped. Both feeds keep their window predicates pushable
+    (load_events_windowed filters the raw parquet column), the union
+    is a zero-shuffle interleave, and the per-type aggregate
+    collapses map-side. This is the ingest posture for 100 TB
+    backfills spanning years of schema versions."""
+    v1 = load_events_windowed(spark, sf_dir, end="2024-01-15").select(
+        "event_id",
+        "user_id",
+        ts_us(F.col("ts")).alias("ts_us"),
+        cents(F.col("value")).alias("v_c"),
+    )
+    v2 = load_events_windowed(spark, sf_dir, start="2024-01-15").select(
+        "event_id",
+        "user_id",
+        ts_us(F.col("ts")).alias("ts_us"),
+        cents(F.col("value")).alias("v_c"),
+        "event_type",
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return u.groupBy(
+        F.coalesce(F.col("event_type"), F.lit("<legacy>")).alias("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_c").alias("sum_c"),
+        F.min("ts_us").alias("first_ts_us"),
+        F.max("ts_us").alias("last_ts_us"),
+    )
+
+
+@register(
+    "wau_sliding_distinct_users",
+    """
+    SELECT epoch_us(date_trunc('day', ts) - k * INTERVAL 1 DAY) AS window_start_us,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(1) AS BIGINT) AS n_events
+    FROM events CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k) offs
+    GROUP BY epoch_us(date_trunc('day', ts) - k * INTERVAL 1 DAY)
+    """,
+)
+def wau_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU), daily grain: each event
+    lands in the 7 windows covering it (built-in `window()`
+    generator inside the scan stage) and each window counts DISTINCT
+    users. Unlike the hopping SUM (hopping_window_event_agg), a
+    distinct can't fully collapse map-side — what ships is the
+    PARTIALLY-DEDUPED (window, user) pair stream (bounded by
+    users-per-task×7, not events×7). That cost is inherent to exact
+    sliding distinct; the documented 100 TB swap is the HLL sketch
+    path (rollup.distinct_sketch_day + 7-day union) — this query is
+    its exact-answer twin."""
+    ev = load(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "7 days", "1 day")
+    return (
+        ev.groupBy(win.alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            ts_us(F.col("w.start")).alias("window_start_us"),
+            "n_users",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "sparse_update_coalesce",
+    """
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(ROUND(value*100) AS BIGINT) AS v_c,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+      FROM events)
+    SELECT user_id,
+           CAST(arg_max(v_c, ord) FILTER (WHERE event_type = 'click')
+                AS BIGINT) AS last_click_c,
+           CAST(arg_max(v_c, ord) FILTER (WHERE event_type = 'view')
+                AS BIGINT) AS last_view_c,
+           CAST(arg_max(v_c, ord) FILTER (WHERE event_type = 'purchase')
+                AS BIGINT) AS last_purchase_c,
+           CAST(COUNT(1) AS BIGINT) AS n_updates
+    FROM e GROUP BY user_id
+    """,
+)
+def sparse_update_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-update coalescing: a CDC feed where each change touches
+    ONE field (here: each event type updates its own slot) collapses
+    to current state per key — the last non-null value per field via
+    filtered max_by on a total (ts, id) sort key. This is a PURE
+    aggregate: map-side partials ship one candidate per (user,
+    field) per task and merge associatively — no window sort, no
+    per-key row_number, which is what makes wide sparse CDC viable
+    at 100 TB (the window rewrite sorts every key's full history).
+    Users who never emitted a field keep NULL (never-updated), the
+    same semantics apply_cdc's column-wise coalesce needs. The sort
+    key is a sortable string because the oracle's arg_max can't
+    order by struct; magnitudes: 20-digit µs + 12-digit id."""
+    ev = load(spark, sf_dir, "events")
+    ord_ = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    e = ev.select(
+        "user_id",
+        "event_type",
+        cents(F.col("value")).alias("v_c"),
+        ord_.alias("ord"),
+    )
+    return e.groupBy("user_id").agg(
+        F.expr(
+            "max_by(v_c, ord) FILTER (WHERE event_type = 'click')"
+        ).alias("last_click_c"),
+        F.expr(
+            "max_by(v_c, ord) FILTER (WHERE event_type = 'view')"
+        ).alias("last_view_c"),
+        F.expr(
+            "max_by(v_c, ord) FILTER (WHERE event_type = 'purchase')"
+        ).alias("last_purchase_c"),
+        F.count(F.lit(1)).alias("n_updates"),
     )

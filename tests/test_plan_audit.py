@@ -415,3 +415,79 @@ def test_scd2_single_sort_spec(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Sort ") <= 2  # one physical sort, AQE may re-list it
+
+
+def test_burst_dedup_single_exchange(spark):
+    """All three windows + the head filter + the burst_n lead ride
+    ONE (user, type) exchange — partitioning and sort survive the
+    filter, so no re-shuffle and no third partitioning on burst_id."""
+    df = DQ.registry()["event_burst_dedup"].spark(spark, SF)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange hashpartitioning") == 1
+
+
+def test_hash_sample_group_limit(spark):
+    """rn <= 10 must compile to WindowGroupLimit so map tasks forward
+    ≤10 rows per source before the shuffle — never a full per-source
+    sort at scale."""
+    plan = _plan(spark, "per_source_hash_sample")
+    assert "WindowGroupLimit" in plan
+
+
+def test_shingle_overlap_reuses_distinct_exchange(spark):
+    """Both self-join sides must probe the SAME distinct
+    (source, shingle) exchange — the shingle stream is exploded and
+    deduplicated once, not once per side. Exchange reuse is an AQE
+    runtime decision, so assert on the executed plan."""
+    df = DQ.registry()["source_shingle_overlap"].spark(spark, SF)
+    df.collect()
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in phys
+
+
+def test_trimmed_mean_one_fact_shuffle(spark):
+    """Rank window, group-count window, and the surviving-rows
+    aggregate all share the priority hash partitioning — one
+    exchange of order rows total."""
+    df = DQ.registry()["trimmed_mean_order_value"].spark(spark, SF)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange hashpartitioning") == 1
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Catalyst's runtime bloom-filter join (semi-join reduction):
+    with a selective build side, the optimizer injects a
+    bloom_filter_agg on the dim and a might_contain filter on the
+    fact scan side — the fact shuffle only carries rows that can
+    match. Free at 100 TB (SURVEY §4 'built-in'), pinned here so a
+    conf regression can't silently drop it. Thresholds are lowered
+    only for this test; production relies on the defaults."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = (
+            spark.read.parquet(f"{SF}/orders.parquet")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+        )
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("l_returnflag")
+            .count()
+        )
+        phys = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in phys.lower()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -29,6 +29,7 @@ SCALAR_BROADCAST_QUERIES = {
     "events_day_spine_fill",      # day-spine × type dim (tiny × tiny)
     "fk_integrity_counts",        # per-edge 1-row counts unioned
     "incremental_watermark",      # 1-row max-cursor scalar
+    "join_key_skew_profile",      # 1-row (total, n_keys) pair
     "order_lines_bag_ops",        # two 1-row counts crossed
     "rich_dormant_customers",     # 1-row (count,sum) avg pair
     "tfidf_top_terms",            # 1-row n_docs scalar
