@@ -1043,3 +1043,172 @@ def sparse_update_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("last_purchase_c"),
         F.count(F.lit(1)).alias("n_updates"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 5: PII redaction, rarity scoring, table fingerprinting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pii_redaction_stats",
+    """
+    WITH dirty AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +1-555-0' || CAST(doc_id % 1000 AS VARCHAR)
+                  ELSE text END AS text
+      FROM documents),
+    scanned AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+             len(regexp_extract_all(text,
+                 '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}')) AS n_phones,
+             md5(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}', '<PHONE>', 'g')) AS redacted_md5
+      FROM dirty)
+    SELECT doc_id, CAST(n_emails AS INT) AS n_emails,
+           CAST(n_phones AS INT) AS n_phones, redacted_md5
+    FROM scanned WHERE n_emails > 0 OR n_phones > 0
+    """,
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the reference's masking contract
+    (SURVEY §2.4: project NULL/'' over PII columns) upgraded to
+    in-text scrubbing: email and E.164-ish phone patterns are
+    counted and replaced with typed placeholders, identity of the
+    redacted text pinned by md5. The synthetic corpus is clean, so
+    dirt is SYNTHESIZED deterministically (doc_id % 7) — the same
+    prove-the-scrub-fires trick as full_refresh_clean_dim; swap the
+    dirty CTE for the raw column in production. Pure per-row
+    regexp work in whole-stage codegen: zero shuffles, scales as a
+    map over the corpus."""
+    d = load(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}"
+    dirty = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-0"),
+            (F.col("doc_id") % 1000).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    scanned = d.select(
+        "doc_id",
+        F.regexp_count(dirty, F.lit(email)).cast("int").alias("n_emails"),
+        F.regexp_count(dirty, F.lit(phone)).cast("int").alias("n_phones"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace(dirty, email, "<EMAIL>"), phone, "<PHONE>"
+            )
+        ).alias("redacted_md5"),
+    )
+    return scanned.filter((F.col("n_emails") > 0) | (F.col("n_phones") > 0))
+
+
+@register(
+    "doc_rarity_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0),
+    t2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+    df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM t2 GROUP BY token)
+    SELECT t2.doc_id,
+           CAST(COUNT(1) AS BIGINT) AS n_tokens,
+           CAST(SUM(df.df) // COUNT(1) AS BIGINT) AS mean_token_df,
+           CAST(MIN(df.df) AS BIGINT) AS min_token_df
+    FROM t2 JOIN df ON t2.token = df.token
+    GROUP BY t2.doc_id
+    """,
+)
+def doc_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-rarity fluency proxy: each document scored by the mean
+    and min document-frequency of its tokens — the integer stand-in
+    for a perplexity filter (docs full of corpus-rare tokens are the
+    gibberish/boilerplate candidates; no float log-probs cross the
+    engine boundary). The df table is token-count aggregated once,
+    then joined back to the token stream CO-PARTITIONED on token
+    (the df groupBy and the join share the token hash partitioning —
+    Catalyst plans one token exchange for both), and the per-doc
+    aggregate is the second shuffle. At 100 TB the df table is the
+    persisted artifact (computed with the vocab); every scoring run
+    is then scan + broadcast of the df head + per-doc agg."""
+    d = load(spark, sf_dir, "documents")
+    t2 = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    df_tab = t2.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    j = t2.join(df_tab, "token")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.expr("sum(df) div count(1)").alias("mean_token_df"),
+        F.min("df").alias("min_token_df"),
+    )
+
+
+@register(
+    "table_fingerprint_orders",
+    """
+    WITH h AS (
+      SELECT ('0x' || substring(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+               || '|' || o_orderstatus || '|'
+               || CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) AS VARCHAR)
+             ), 1, 15))::BIGINT AS rh
+      FROM orders)
+    SELECT CAST(COUNT(1) AS BIGINT) AS n_rows,
+           CAST(SUM(rh) % 2305843009213693951 AS BIGINT) AS fingerprint,
+           CAST(MIN(rh) AS BIGINT) AS min_rh,
+           CAST(MAX(rh) AS BIGINT) AS max_rh
+    FROM h
+    """,
+)
+def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint: per-row md5 over a
+    canonical column serialization (integer cents for money),
+    truncated to 60 bits, summed in a 38-digit decimal (HUGEINT on
+    the oracle — 2^60·rows overflows BIGINT beyond ~8k rows), and
+    reduced modulo the Mersenne prime 2^61−1. Addition is
+    commutative and the modulus distributes over it, so the
+    fingerprint is invariant to partitioning and shuffle order, and
+    PARTIALS MERGE: shard fingerprints add then re-mod. This is the
+    reference's row-count reconciliation (Q3, extract-vs-load COUNT)
+    upgraded to content equality — the cheap cross-system check
+    before a column-by-column diff (snapshot_diff_orders). One scan,
+    one 1-row partial merge, no shuffle of data rows."""
+    o = load(spark, sf_dir, "orders")
+    ser = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        cents(F.col("o_totalprice")).cast("string"),
+    )
+    rh = F.conv(F.substring(F.md5(ser), 1, 15), 16, 10).cast("bigint")
+    h = o.select(rh.alias("rh"))
+    return h.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(
+            "cast(sum(cast(rh as decimal(38,0))) % 2305843009213693951 as bigint)"
+        ).alias("fingerprint"),
+        F.min("rh").alias("min_rh"),
+        F.max("rh").alias("max_rh"),
+    )
