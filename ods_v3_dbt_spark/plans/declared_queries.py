@@ -613,20 +613,39 @@ def full_refresh_clean_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Total tiebreak for keep-one dedup over lineitem: the fixture
+#: deliberately contains duplicate (l_orderkey, l_linenumber) keys
+#: (11,785 groups at sf0.01), so ordering by l_linenumber alone is
+#: NOT total and Spark/DuckDB break the rn=1 tie differently (the
+#: round-1 driver hash failure). Ordering by EVERY column makes the
+#: only remaining ties full-duplicate rows, whose winner is
+#: value-identical — deterministic on both engines by construction.
+_LINEITEM_TOTAL_ORDER = (
+    "l_linenumber l_partkey l_suppkey l_quantity l_extendedprice "
+    "l_discount l_tax l_returnflag l_linestatus l_shipdate"
+).split()
+
+
 @register(
     "dedup_keep_first_ordered",
-    """
+    f"""
     SELECT l_orderkey, l_linenumber, CAST(ROUND(l_quantity*100) AS BIGINT) AS qty_c
     FROM (
-      SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ASC) AS rn
+      SELECT *, row_number() OVER (
+        PARTITION BY l_orderkey
+        ORDER BY {', '.join(c + ' ASC' for c in _LINEITEM_TOTAL_ORDER)}) AS rn
       FROM lineitem) WHERE rn = 1
     """,
 )
 def dedup_keep_first_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7/M9: keep-first dedup with the arbitrary pandas order pinned
-    to an explicit deterministic ordering (SURVEY §2.6 A7 note)."""
+    to an explicit deterministic ordering (SURVEY §2.6 A7 note). The
+    ordering is TOTAL (all non-key columns as tiebreak) because the
+    fixture has duplicate (l_orderkey, l_linenumber) keys."""
     li = load(spark, sf_dir, "lineitem")
-    out = M.dedup_keep_first(li, ["l_orderkey"], [F.col("l_linenumber").asc()])
+    out = M.dedup_keep_first(
+        li, ["l_orderkey"], [F.col(c).asc() for c in _LINEITEM_TOTAL_ORDER]
+    )
     return out.select("l_orderkey", "l_linenumber", cents(F.col("l_quantity")).alias("qty_c"))
 
 
