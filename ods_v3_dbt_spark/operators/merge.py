@@ -274,9 +274,12 @@ def scd2_from_changes(
     order = [F.col(ts_col), *[F.col(c) for c in tiebreak_cols]]
     w = Window.partitionBy(*keys).orderBy(*order)
     state = F.struct(*[F.col(a) for a in attrs])
-    changed = (
-        changes.withColumn("__prev", F.lag(state).over(w))
-        .filter(F.col("__prev").isNull() | (F.col("__prev") != state))
+    # "changed" must mean IS DISTINCT FROM: eqNullSafe keeps the
+    # first row per key (NULL lag struct ≠ any state) and treats
+    # NULL attribute values as equal to NULL — a NULL→NULL feed row
+    # is NOT a new version (oracle contract: IS DISTINCT FROM).
+    changed = changes.withColumn("__prev", F.lag(state).over(w)).filter(
+        ~F.col("__prev").eqNullSafe(state)
     )
     return (
         changed.withColumn("valid_from", F.col(ts_col))

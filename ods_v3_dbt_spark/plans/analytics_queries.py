@@ -684,7 +684,7 @@ def trimmed_mean_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, signup_c, ts_us AS valid_from_us,
              lead(ts_us) OVER (
                PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us
-      FROM marked WHERE prev IS NULL OR prev <> signup_c),
+      FROM marked WHERE prev IS DISTINCT FROM signup_c),
     purchases AS (
       SELECT event_id, user_id, epoch_us(ts) AS ts_us,
              CAST(ROUND(value*100) AS BIGINT) AS purchase_c
@@ -854,7 +854,7 @@ def per_source_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM k)
     SELECT key, n_rows,
            CAST(n_rows * 1000000 // total AS BIGINT) AS share_ppm,
-           CAST(n_rows * n_keys * 1000 // total AS BIGINT) AS skew_milli
+           CAST(n_rows * 1000 // (total // n_keys) AS BIGINT) AS skew_milli
     FROM k, t
     ORDER BY n_rows DESC, key
     LIMIT 10
@@ -882,7 +882,11 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "key",
             "n_rows",
             F.expr("n_rows * 1000000 div total").alias("share_ppm"),
-            F.expr("n_rows * n_keys * 1000 div total").alias("skew_milli"),
+            # skew vs the MEAN key count (total/n_keys): dividing by
+            # the mean first keeps the intermediate ≤ n_rows·1000 —
+            # n_rows·n_keys·1000 overflows BIGINT at the ~1e9-row
+            # hot key × ~1e7-key scale this profiler targets.
+            F.expr("n_rows * 1000 div (total div n_keys)").alias("skew_milli"),
         )
         .orderBy(F.desc("n_rows"), F.asc("key"))
         .limit(10)
@@ -1057,7 +1061,7 @@ def sparse_update_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CASE WHEN doc_id % 7 = 0
                   THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
-                       || '@example.com or +1-555-0' || CAST(doc_id % 1000 AS VARCHAR)
+                       || '@example.com or +1-555-0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
                   ELSE text END AS text
       FROM documents),
     scanned AS (
@@ -1096,7 +1100,10 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" contact user"),
             F.col("doc_id").cast("string"),
             F.lit("@example.com or +1-555-0"),
-            (F.col("doc_id") % 1000).cast("string"),
+            # lpad to 4 digits: the phone regex needs 3-10 digits in
+            # the final group, so an unpadded doc_id % 1000 < 100
+            # would synthesize a phone the detector never matches.
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 4, "0"),
         ),
     ).otherwise(F.col("text"))
     scanned = d.select(
@@ -1169,9 +1176,10 @@ def doc_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH h AS (
       SELECT ('0x' || substring(md5(
-               CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
-               || '|' || o_orderstatus || '|'
-               || CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) AS VARCHAR)
+               COALESCE(CAST(o_orderkey AS VARCHAR), '<null>') || '|'
+               || COALESCE(CAST(o_custkey AS VARCHAR), '<null>') || '|'
+               || COALESCE(o_orderstatus, '<null>') || '|'
+               || COALESCE(CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) AS VARCHAR), '<null>')
              ), 1, 15))::BIGINT AS rh
       FROM orders)
     SELECT CAST(COUNT(1) AS BIGINT) AS n_rows,
@@ -1195,12 +1203,16 @@ def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     before a column-by-column diff (snapshot_diff_orders). One scan,
     one 1-row partial merge, no shuffle of data rows."""
     o = load(spark, sf_dir, "orders")
+    # Every column coalesced to a '<null>' sentinel BEFORE
+    # serialization: concat_ws silently skips NULLs while the
+    # oracle's '||' NULL-propagates — without the sentinel a NULL
+    # would silently diverge the fingerprint instead of failing loud.
     ser = F.concat_ws(
         "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderstatus"),
-        cents(F.col("o_totalprice")).cast("string"),
+        F.coalesce(F.col("o_orderkey").cast("string"), F.lit("<null>")),
+        F.coalesce(F.col("o_custkey").cast("string"), F.lit("<null>")),
+        F.coalesce(F.col("o_orderstatus"), F.lit("<null>")),
+        F.coalesce(cents(F.col("o_totalprice")).cast("string"), F.lit("<null>")),
     )
     rh = F.conv(F.substring(F.md5(ser), 1, 15), 16, 10).cast("bigint")
     h = o.select(rh.alias("rh"))

@@ -1978,7 +1978,7 @@ def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     changed AS (
       SELECT user_id, event_type, ts_us, event_id
-      FROM marked WHERE prev IS NULL OR prev <> event_type
+      FROM marked WHERE prev IS DISTINCT FROM event_type
     )
     SELECT user_id, event_type,
            ts_us AS valid_from_us,
