@@ -2,11 +2,13 @@
 metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing (schemas, batch shape, partition-parallel
-decode) is real and tested; the actual media decoding is stubbed —
-the decode kernel raises ``NotImplementedError`` unless the optional
-libs (PIL, soundfile, av) are importable, with a deterministic fake
-decoder for tests (this container ships no media libs; see the
-round-1 brief).
+decode) is real and tested. Decoding is REAL for the self-contained
+raster formats — PPM (P6), PGM (P5), and uncompressed 24/32-bit BMP
+— parsed pure-Python + numpy (no media libs needed). Compressed
+formats (JPEG/PNG/…) still require PIL and raise a clearly-marked
+``NotImplementedError`` when it's absent (this container ships no
+media libs; see the round brief). A deterministic fake decoder
+remains for fixtures.
 
 Design for 100 TB: binary payloads never hit the driver; decode
 happens inside ``mapInPandas`` batches (Arrow transfer, one Python
@@ -22,6 +24,7 @@ import hashlib
 from collections.abc import Iterator
 from dataclasses import dataclass
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -49,7 +52,9 @@ MEDIA_SCHEMA = StructType(
 
 FEATURE_SCHEMA = (
     "media_id long, media_type string, byte_len long, width int, height int, "
-    "channels int, duration_ms long, frame_count int, ok boolean, error string"
+    "channels int, duration_ms long, frame_count int, "
+    "px_sum long, px_mean_milli long, px_min int, px_max int, "
+    "fmt string, ok boolean, error string"
 )
 
 
@@ -60,6 +65,126 @@ def _try_import_pillow():
         return True
     except Exception:
         return False
+
+
+# ---------------------------------------------------------------------------
+# Real pure-Python raster codecs (PPM P6 / PGM P5 / uncompressed BMP)
+# ---------------------------------------------------------------------------
+
+
+class UnsupportedMediaFormat(ValueError):
+    """Payload magic not handled by the built-in codecs."""
+
+
+def _read_pnm_tokens(payload: bytes, n: int, start: int) -> tuple[list[int], int]:
+    """Read ``n`` whitespace-separated ASCII integers from a PNM
+    header starting at ``start``, honoring ``#`` comments. Returns
+    (values, index of the byte AFTER the single whitespace that
+    terminates the last token) — pixel data begins there."""
+    vals: list[int] = []
+    i = start
+    while len(vals) < n:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if i < len(payload) and payload[i] == ord("#"):
+            while i < len(payload) and payload[i] != ord("\n"):
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PNM header")
+        vals.append(int(payload[i:j]))
+        i = j
+    return vals, i + 1  # exactly one whitespace byte after maxval
+
+
+def decode_pnm(payload: bytes) -> tuple[str, int, int, int, np.ndarray]:
+    """Decode binary PPM (P6, RGB) / PGM (P5, gray) → (fmt, w, h,
+    channels, uint8 array shaped (h, w, channels))."""
+    magic = payload[:2]
+    channels = 3 if magic == b"P6" else 1
+    (w, h, maxval), px_start = _read_pnm_tokens(payload, 3, 2)
+    if maxval > 255:
+        raise ValueError(f"16-bit PNM not supported (maxval={maxval})")
+    need = w * h * channels
+    raw = payload[px_start : px_start + need]
+    if len(raw) != need:
+        raise ValueError(f"PNM pixel data truncated: {len(raw)} != {need}")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, channels)
+    return ("ppm" if channels == 3 else "pgm", w, h, channels, arr)
+
+
+def decode_bmp(payload: bytes) -> tuple[str, int, int, int, np.ndarray]:
+    """Decode an uncompressed (BI_RGB) 24/32-bit BMP → (fmt, w, h,
+    channels, uint8 RGB(A) array shaped (h, w, channels)). Rows are
+    4-byte aligned and stored bottom-up (top-down when height < 0);
+    stored channel order is BGR(A) and is swapped to RGB(A)."""
+    if len(payload) < 54:
+        raise ValueError("BMP header truncated")
+    px_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h_raw = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0:
+        raise ValueError(f"compressed BMP not supported (method={compression})")
+    if bpp not in (24, 32):
+        raise ValueError(f"only 24/32-bit BMP supported (bpp={bpp})")
+    channels = bpp // 8
+    h = abs(h_raw)
+    stride = (w * channels + 3) // 4 * 4
+    need = stride * h
+    raw = payload[px_off : px_off + need]
+    if len(raw) != need:
+        raise ValueError(f"BMP pixel data truncated: {len(raw)} != {need}")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)[:, : w * channels]
+    arr = rows.reshape(h, w, channels)
+    if h_raw > 0:  # bottom-up storage
+        arr = arr[::-1]
+    arr = arr[:, :, [2, 1, 0] + ([3] if channels == 4 else [])]  # BGR(A)→RGB(A)
+    return ("bmp", w, h, channels, np.ascontiguousarray(arr))
+
+
+def decode_raster(payload: bytes) -> tuple[str, int, int, int, np.ndarray]:
+    """Dispatch on magic bytes. PPM/PGM/BMP decode here with no
+    optional deps; anything else (JPEG/PNG/…) needs PIL and raises
+    the clearly-marked ``NotImplementedError`` stub when absent."""
+    if payload[:2] in (b"P6", b"P5"):
+        return decode_pnm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if _try_import_pillow():  # pragma: no cover - PIL absent in container
+        import io
+
+        import PIL.Image
+
+        img = PIL.Image.open(io.BytesIO(payload))
+        arr = np.asarray(img)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return (img.format or "pil").lower(), img.width, img.height, arr.shape[2], arr
+    raise UnsupportedMediaFormat(
+        "payload is not PPM/PGM/BMP; decoding compressed formats requires PIL, "
+        "not present in this container (NotImplemented: install pillow)"
+    )
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) RGB → binary PPM (P6); (h, w, 1) → PGM (P5)."""
+    h, w, c = arr.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def resize_nearest(arr: np.ndarray, w_out: int, h_out: int) -> np.ndarray:
+    """Nearest-neighbor resample via integer index maps (vectorized
+    fancy indexing — no per-pixel Python)."""
+    h, w = arr.shape[:2]
+    yy = (np.arange(h_out) * h) // h_out
+    xx = (np.arange(w_out) * w) // w_out
+    return np.ascontiguousarray(arr[yy][:, xx])
 
 
 @dataclass
@@ -94,51 +219,61 @@ def attach_media_metadata(df: DataFrame, content_col: str = "content") -> DataFr
     )
 
 
+_FEATURE_COLS = [
+    "media_id", "media_type", "byte_len", "width", "height",
+    "channels", "duration_ms", "frame_count",
+    "px_sum", "px_mean_milli", "px_min", "px_max", "fmt", "ok", "error",
+]
+
+
 def decode_features(
     df: DataFrame,
-    decoder: str = "fake",
+    decoder: str = "real",
 ) -> DataFrame:
     """Partition-parallel decode → flat feature columns.
 
-    ``decoder='real'`` requires media libs and raises
-    ``NotImplementedError`` in this environment (clearly-marked stub
-    per the round brief); ``decoder='fake'`` derives deterministic
-    pseudo-features from payload bytes so plumbing is testable.
+    ``decoder='real'`` decodes PPM/PGM/BMP payloads with the
+    built-in pure-Python codecs (pixel stats are real: sum / mean‰ /
+    min / max over the raster); formats beyond those need PIL and
+    surface per-row as ``ok=false`` with the NotImplemented error
+    message. ``decoder='fake'`` derives deterministic pseudo-features
+    from payload bytes (fixture path; pixel stats NULL).
     """
-    if decoder == "real" and not _try_import_pillow():
-        raise NotImplementedError(
-            "real media decode requires PIL/soundfile/av, not present in this "
-            "container — use decoder='fake' or install the optional deps"
-        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
-                payload = row["content"] or b""
+                payload = bytes(row["content"] or b"")
+                mid, mtype = row["media_id"], row["media_type"]
                 try:
-                    d = FakeDecoded.from_bytes(bytes(payload))
-                    out.append(
-                        (
-                            row["media_id"], row["media_type"], len(payload),
-                            d.width, d.height, d.channels,
-                            d.duration_ms if row["media_type"] != "image" else 0,
-                            d.frame_count if row["media_type"] == "video" else 1,
-                            True, None,
+                    if decoder == "fake":
+                        d = FakeDecoded.from_bytes(payload)
+                        out.append(
+                            (
+                                mid, mtype, len(payload),
+                                d.width, d.height, d.channels,
+                                d.duration_ms if mtype != "image" else 0,
+                                d.frame_count if mtype == "video" else 1,
+                                None, None, None, None, "fake", True, None,
+                            )
                         )
-                    )
-                except Exception as e:  # pragma: no cover - defensive
+                    else:
+                        fmt, w, h, c, arr = decode_raster(payload)
+                        px_sum = int(arr.sum(dtype=np.int64))
+                        out.append(
+                            (
+                                mid, mtype, len(payload), w, h, c, 0, 1,
+                                px_sum, px_sum * 1000 // arr.size,
+                                int(arr.min()), int(arr.max()), fmt, True, None,
+                            )
+                        )
+                except Exception as e:
                     out.append(
-                        (row["media_id"], row["media_type"], len(payload),
-                         None, None, None, None, None, False, str(e))
+                        (mid, mtype, len(payload), None, None, None, None,
+                         None, None, None, None, None, None, False, str(e)[:200])
                     )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "media_id", "media_type", "byte_len", "width", "height",
-                    "channels", "duration_ms", "frame_count", "ok", "error",
-                ],
-            )
+            yield pd.DataFrame(out, columns=_FEATURE_COLS)
 
     return df.select("media_id", "media_type", "content").mapInPandas(
         run, schema=FEATURE_SCHEMA
@@ -161,30 +296,37 @@ RESIZED_SCHEMA = (
 )
 
 
+def fit_dims(w: int, h: int, max_side: int) -> tuple[int, int]:
+    """Aspect-preserving fit into ``max_side``² (never upscale).
+    Integer arithmetic only — the oracle twin is
+    ``greatest(1, w*max_side // greatest(w,h))`` — so both engines
+    compute identical geometry with no float rounding hazard."""
+    m = max(w, h)
+    if m <= max_side:
+        return w, h
+    return max(1, w * max_side // m), max(1, h * max_side // m)
+
+
 def resize_images(
     df: DataFrame,
     max_side: int = 256,
-    decoder: str = "fake",
+    decoder: str = "real",
 ) -> DataFrame:
     """Bounded-box image resize → new payload + dims, partition-parallel.
 
-    ``decoder='real'`` is the clearly-marked stub (needs PIL, absent in
-    this container); ``decoder='fake'`` computes the REAL target
-    geometry (aspect-preserving fit into ``max_side``² from the fake
-    decoded dims) and emits a deterministic payload (sha256-seeded,
-    sized width·height·channels bytes) so downstream batch shapes and
-    memory behavior match a real resize.
+    ``decoder='real'`` decodes PPM/PGM/BMP with the built-in codecs,
+    resamples nearest-neighbor (vectorized numpy index maps) to an
+    aspect-preserving fit in ``max_side``², and re-encodes as binary
+    PPM/PGM — a real pixel pipeline end to end. Non-raster formats
+    surface per-row as ``ok=false`` (PIL stub). ``decoder='fake'``
+    keeps the fixture path: real target geometry from fake decoded
+    dims, deterministic sha256-seeded payload of the right size.
 
     Scale notes: payloads stream through Arrow batches worker-side
     (never the driver); output rows are ≤ max_side² · channels bytes
     regardless of input size, so the stage's output is bounded and a
     shuffle after it is safe even when inputs are multi-MB originals.
     """
-    if decoder == "real" and not _try_import_pillow():
-        raise NotImplementedError(
-            "real image resize requires PIL, not present in this container — "
-            "use decoder='fake' or install the optional deps"
-        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -192,14 +334,21 @@ def resize_images(
             for _, row in pdf.iterrows():
                 payload = bytes(row["content"] or b"")
                 try:
-                    d = FakeDecoded.from_bytes(payload)
-                    scale = min(1.0, max_side / max(d.width, d.height))
-                    w, h = max(1, int(d.width * scale)), max(1, int(d.height * scale))
-                    seed = hashlib.sha256(payload + b"|resize").digest()
-                    body = (seed * (w * h * d.channels // len(seed) + 1))[: w * h * d.channels]
-                    out.append((row["media_id"], body, w, h, True, None))
-                except Exception as e:  # pragma: no cover - defensive
-                    out.append((row["media_id"], None, None, None, False, str(e)))
+                    if decoder == "fake":
+                        d = FakeDecoded.from_bytes(payload)
+                        w, h = fit_dims(d.width, d.height, max_side)
+                        seed = hashlib.sha256(payload + b"|resize").digest()
+                        body = (seed * (w * h * d.channels // len(seed) + 1))[: w * h * d.channels]
+                        out.append((row["media_id"], body, w, h, True, None))
+                    else:
+                        _, w0, h0, c, arr = decode_raster(payload)
+                        if c == 4:  # drop alpha for the PPM re-encode
+                            arr, c = arr[:, :, :3], 3
+                        w, h = fit_dims(w0, h0, max_side)
+                        body = encode_ppm(resize_nearest(arr, w, h))
+                        out.append((row["media_id"], body, w, h, True, None))
+                except Exception as e:
+                    out.append((row["media_id"], None, None, None, False, str(e)[:200]))
             yield pd.DataFrame(
                 out, columns=["media_id", "content", "width", "height", "ok", "error"]
             )

@@ -810,41 +810,120 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode", None)  # Python fake-decode kernel
+#: Real PPM (P6) payload synthesized JVM-side per document: dims
+#: derived from doc_id, pixel bytes = the md5 hex string repeated —
+#: ASCII, so character positions equal byte positions on both
+#: engines and the ORACLE can recompute the decoder's pixel stats
+#: with pure string functions (ascii() over the split string). The
+#: Arrow kernel then parses the real header and rasters real bytes —
+#: decode is no longer a fake: header tokenizer, dimension check,
+#: numpy stats all execute on every row, oracle-verified.
+#: chr(10), not a '\n' literal: Spark SQL interprets backslash
+#: escapes in string literals, DuckDB does not — chr(10) is the one
+#: spelling that is a newline on both engines.
+_PPM_W = "(4 + doc_id % 13)"
+_PPM_H = "(3 + doc_id % 11)"
+_PPM_PIX = f"substring(repeat(md5(text), 20), 1, {_PPM_W} * {_PPM_H} * 3)"
+_PPM_HEADER = (
+    f"concat('P6', chr(10), {_PPM_W}, ' ', {_PPM_H}, chr(10), '255', chr(10))"
+)
+
+
+def _ppm_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.expr(f"cast(concat({_PPM_HEADER}, {_PPM_PIX}) as binary)").alias("content"),
+    )
+
+
+@register(
+    "multimodal_decode",
+    f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, {_PPM_W} AS w, {_PPM_H} AS h,
+             {_PPM_PIX} AS pix, {_PPM_HEADER} AS header
+      FROM documents),
+    px AS (
+      SELECT media_id, w, h,
+             CAST(length(header) + length(pix) AS BIGINT) AS byte_len,
+             list_transform(string_split(pix, ''), c -> ascii(c)) AS vals
+      FROM m)
+    SELECT media_id, byte_len,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height, 3 AS channels,
+           CAST(list_sum(vals) AS BIGINT) AS px_sum,
+           CAST(list_sum(vals) * 1000 // (w * h * 3) AS BIGINT) AS px_mean_milli,
+           CAST(list_min(vals) AS INT) AS px_min,
+           CAST(list_max(vals) AS INT) AS px_max,
+           'ppm' AS fmt, TRUE AS ok
+    FROM px
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode pipeline over binary media rows
-    (deterministic fake decoder — media libs are stubbed per the
-    round brief). Exercises the real mapInPandas plumbing + schema."""
-    d = load(spark, sf_dir, "documents")
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.when(F.col("doc_id") % 3 == 0, "video")
-        .when(F.col("doc_id") % 3 == 1, "image")
-        .otherwise("audio")
-        .alias("media_type"),
-        F.col("text").cast("binary").alias("content"),
+    """REAL raster decode over Arrow batches: binary PPM payloads
+    (synthesized JVM-side from document content — this container
+    ships no media files) parsed by the pure-Python P6 codec in
+    operators/multimodal.py — header tokenizer, dimension checks,
+    numpy pixel stats (sum / mean‰ / min / max). The oracle
+    recomputes every stat from the same synthesized bytes with
+    string functions, so the decoder's output is hash-verified, not
+    just schema-checked. Compressed formats (JPEG/PNG) remain behind
+    the documented PIL NotImplementedError stub."""
+    feats = MM.decode_features(_ppm_media(spark, sf_dir), decoder="real")
+    return feats.select(
+        "media_id",
+        "byte_len",
+        "width",
+        "height",
+        "channels",
+        "px_sum",
+        "px_mean_milli",
+        "px_min",
+        "px_max",
+        "fmt",
+        "ok",
     )
-    return MM.decode_features(media, decoder="fake")
 
 
-@register("multimodal_resize", None)  # Python fake-resize kernel
+@register(
+    "multimodal_resize",
+    f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, {_PPM_W} AS w0, {_PPM_H} AS h0
+      FROM documents),
+    fit AS (
+      SELECT media_id,
+             CASE WHEN greatest(w0, h0) <= 8 THEN w0
+                  ELSE greatest(1, w0 * 8 // greatest(w0, h0)) END AS w,
+             CASE WHEN greatest(w0, h0) <= 8 THEN h0
+                  ELSE greatest(1, h0 * 8 // greatest(w0, h0)) END AS h
+      FROM m)
+    SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(length(concat('P6', chr(10), w, ' ', h, chr(10), '255', chr(10)))
+                + w * h * 3 AS BIGINT) AS payload_len,
+           TRUE AS ok
+    FROM fit
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded-box image resize over the binary media rows (fake
-    decoder per the round brief): aspect-preserving target geometry,
-    deterministic payload sized w*h*channels — output bytes per row
-    are bounded by max_side^2*3 no matter how large the originals,
-    so the stage's shuffle/write volume is capped."""
-    d = load(spark, sf_dir, "documents")
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.when(F.col("doc_id") % 3 == 0, "video")
-        .when(F.col("doc_id") % 3 == 1, "image")
-        .otherwise("audio")
-        .alias("media_type"),
-        F.col("text").cast("binary").alias("content"),
-    )
-    return MM.resize_images(media, max_side=128, decoder="fake").select(
-        "media_id", "width", "height", F.octet_length("content").alias("payload_len"), "ok"
+    """REAL image resize over Arrow batches: decode the synthesized
+    PPM payloads, nearest-neighbor resample (vectorized numpy index
+    maps) into an aspect-preserving 8×8 fit, re-encode as P6. The
+    integer fit geometry (w·max_side div max(w,h), never upscale)
+    has an exact SQL twin, so output dims + payload length are
+    oracle-verified; resampled CONTENT is pinned against a numpy
+    reference in tests/test_llm_ops.py. Output bytes per row stay
+    bounded by max_side²·3 regardless of input size — the stage's
+    shuffle/write volume is capped."""
+    return MM.resize_images(
+        _ppm_media(spark, sf_dir), max_side=8, decoder="real"
+    ).select(
+        "media_id",
+        "width",
+        "height",
+        F.octet_length("content").cast("bigint").alias("payload_len"),
+        "ok",
     )
 
 

@@ -148,12 +148,83 @@ def test_multimodal_decode_deterministic_schema(spark, corpus):
     assert all(r.ok for r in f1.collect())
 
 
-def test_multimodal_real_decoder_is_gated(spark, corpus):
-    """The real decode path must raise the documented NotImplementedError
-    (stubbed per round brief), not silently fake."""
-    m = _media(spark, corpus).limit(1)
-    with pytest.raises(NotImplementedError):
-        MM.decode_features(m, decoder="real")
+def _encode_bmp24(arr):
+    """Minimal uncompressed 24-bit bottom-up BMP encoder (test-side
+    reference; RGB in, BGR rows padded to 4 bytes on disk)."""
+    import numpy as np
+
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = arr[y, :, ::-1].tobytes()  # RGB→BGR
+        rows += row + b"\x00" * (stride - len(row))
+    px_off = 14 + 40
+    size = px_off + len(rows)
+    header = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + px_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + len(rows).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + bytes(rows)
+
+
+def test_real_codecs_roundtrip_and_pinned_stats():
+    """Pure-codec checks (no Spark): PPM encode→decode roundtrip,
+    BMP decode vs the reference encoder, pinned pixel stats."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    fmt, w, h, c, arr = MM.decode_raster(MM.encode_ppm(img))
+    assert (fmt, w, h, c) == ("ppm", 9, 5, 3)
+    assert (arr == img).all()
+    fmt, w, h, c, arr = MM.decode_raster(_encode_bmp24(img))
+    assert (fmt, w, h, c) == ("bmp", 9, 5, 3)
+    assert (arr == img).all()  # BGR swap + bottom-up flip undone
+    # PPM with header comment + pinned stats
+    payload = b"P6\n# comment\n2 2\n255\n" + bytes(range(12))
+    fmt, w, h, c, arr = MM.decode_raster(payload)
+    assert (w, h) == (2, 2) and int(arr.sum()) == sum(range(12))
+    assert int(arr.min()) == 0 and int(arr.max()) == 11
+
+
+def test_real_decode_resize_on_spark(spark):
+    """Real kernels through mapInPandas on real-format bytes: decode
+    stats match numpy; resize content matches the nearest-neighbor
+    numpy reference computed driver-side."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    imgs = {i: rng.integers(0, 256, size=(6 + i, 20 - i, 3), dtype=np.uint8) for i in range(4)}
+    rows = [(i, "image", bytearray(MM.encode_ppm(a))) for i, a in imgs.items()]
+    rows.append((99, "image", bytearray(b"\x89PNG not a raster")))
+    df = spark.createDataFrame(rows, "media_id long, media_type string, content binary")
+
+    feats = {r.media_id: r for r in MM.decode_features(df, decoder="real").collect()}
+    for i, a in imgs.items():
+        r = feats[i]
+        assert (r.width, r.height, r.channels, r.fmt, r.ok) == (
+            a.shape[1], a.shape[0], 3, "ppm", True)
+        assert r.px_sum == int(a.sum()) and r.px_min == int(a.min())
+        assert r.px_mean_milli == int(a.sum()) * 1000 // a.size
+    # non-raster payload: per-row error naming the PIL stub, not a crash
+    assert feats[99].ok is False and "PIL" in feats[99].error
+
+    out = {r.media_id: r for r in MM.resize_images(df, max_side=8, decoder="real").collect()}
+    for i, a in imgs.items():
+        r = out[i]
+        w, h = MM.fit_dims(a.shape[1], a.shape[0], 8)
+        assert (r.width, r.height) == (w, h)
+        assert bytes(r.content) == MM.encode_ppm(MM.resize_nearest(a, w, h))
+    assert out[99].ok is False
 
 
 def test_frame_sample_plan(spark, corpus):
@@ -180,13 +251,13 @@ def test_resize_images_bounded_and_deterministic(spark, corpus):
     for mid, (w, h, blen) in dims.items():
         W, H = feats[mid]
         assert max(w, h) <= 32 and blen == w * h * 3
-        # aspect preserved within integer truncation
-        s = min(1.0, 32 / max(W, H))
-        assert (w, h) == (max(1, int(W * s)), max(1, int(H * s)))
-    out2 = {r.media_id: bytes(r.content) for r in MM.resize_images(m, max_side=32).collect()}
+        # aspect preserved via the exact integer fit
+        assert (w, h) == MM.fit_dims(W, H, 32)
+    out2 = {
+        r.media_id: bytes(r.content)
+        for r in MM.resize_images(m, max_side=32, decoder="fake").collect()
+    }
     assert out2 == {r.media_id: bytes(r.content) for r in out}
-    with pytest.raises(NotImplementedError):
-        MM.resize_images(m, decoder="real")
 
 
 # ---------------------------------------------------------------------------
