@@ -174,6 +174,34 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: Sequence[str]
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+def coerce_for_export(df: DataFrame, column_types: dict[str, str]) -> DataFrame:
+    """L4 pre-export coercions, JVM-side (``ods_to_llb.py:168-186``):
+    the reference lower-cases column names and per declared dtype
+    runs pandas coercions row-by-row on the driver — int columns
+    ``to_numeric(errors='coerce').fillna(0)`` (the int-coerce-to-0
+    quirk at :178), float columns ``to_numeric(errors='coerce')``
+    (NaN→NULL), string columns NUL-byte-stripped. Re-expressed as
+    ``try_cast`` / ``regexp_replace`` column expressions these run
+    in whole-stage codegen on the executors — no driver round-trip,
+    no pandas, same results."""
+    from pyspark.sql import functions as F
+
+    out = []
+    for c in df.columns:
+        lc = c.lower()
+        dtype = (column_types.get(lc) or column_types.get(c) or "").lower()
+        if dtype in ("int", "int64", "bigint"):
+            col = F.coalesce(F.expr(f"try_cast(`{c}` as bigint)"), F.lit(0))
+        elif dtype in ("float", "float64"):
+            col = F.expr(f"try_cast(`{c}` as double)")
+        elif dtype in ("str", "string"):
+            col = F.regexp_replace(F.col(c).cast("string"), "\u0000", "")
+        else:
+            col = F.col(c)
+        out.append(col.alias(lc))
+    return df.select(*out)
+
+
 def jdbc_export_writer(
     df: DataFrame,
     url: str,
@@ -185,7 +213,9 @@ def jdbc_export_writer(
     """L4: reverse export ODS→external warehouse (``ods_to_llb.py:
     168-198``: truncate MSSQL target + chunked insert_rows). Returns
     the configured writer (unstarted — tests inspect, jobs call
-    ``.save()``)."""
+    ``.save()``). ``batchsize`` is the JDBC twin of the reference's
+    ``commit_every`` chunk size; executors stream their partitions in
+    batches — rows never funnel through the driver."""
     writer = (
         df.write.format("jdbc")
         .mode(mode)
@@ -197,6 +227,27 @@ def jdbc_export_writer(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     return writer
+
+
+def export_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    column_types: dict[str, str] | None = None,
+    mode: str = "overwrite",
+    batchsize: int = 50000,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Execute the L4 reverse export end-to-end: declared-dtype
+    coercions (:func:`coerce_for_export`) then the truncate-target
+    JDBC write. Proven against embedded Derby (on Spark's own
+    classpath) in ``tests/test_jdbc_export.py`` — truncate+overwrite
+    keeps the target schema, append accumulates, both read back
+    exactly."""
+    if column_types:
+        df = coerce_for_export(df, column_types)
+    jdbc_export_writer(df, url, table, mode=mode, batchsize=batchsize,
+                       properties=properties).save()
 
 
 class BucketedTable:
