@@ -208,6 +208,147 @@ def rest_source(
     return sdf
 
 
+class OAuth2Client:
+    """S7 token handshake (``hrm_to_ods.py:56-66,155-157``): the
+    reference POSTs a form-encoded password grant to the token URL
+    and reads ``access_token`` from the JSON body, then sends
+    ``Authorization: Bearer <token>`` on every data GET.
+
+    Adds the lifecycle the reference hard-codes away: ``expires_in``
+    is honored (with a safety margin), and when the server issued a
+    ``refresh_token`` the renewal uses the refresh grant instead of
+    re-sending the password. Pure stdlib urllib — no requests dep.
+    """
+
+    def __init__(
+        self,
+        token_url: str,
+        payload: dict[str, str],
+        expiry_margin_s: float = 30.0,
+    ) -> None:
+        self.token_url = token_url
+        self.payload = dict(payload)  # username/password/grant_type/client_*
+        self.expiry_margin_s = expiry_margin_s
+        self._token: str | None = None
+        self._refresh_token: str | None = None
+        self._expires_at: float = 0.0
+        self.grants_sent: list[str] = []  # observability for tests/runlog
+
+    def _post_grant(self, payload: dict[str, str]) -> None:
+        import json
+        import time
+        import urllib.parse
+        import urllib.request
+
+        body = urllib.parse.urlencode(payload).encode()
+        req = urllib.request.Request(
+            self.token_url,
+            data=body,
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            tok = json.loads(resp.read().decode())
+        self.grants_sent.append(payload.get("grant_type", "?"))
+        self._token = tok["access_token"]
+        self._refresh_token = tok.get("refresh_token", self._refresh_token)
+        self._expires_at = time.time() + float(
+            tok.get("expires_in", 3600)
+        ) - self.expiry_margin_s
+
+    def token(self) -> str:
+        import time
+
+        if self._token is None:
+            self._post_grant(self.payload)
+        elif time.time() >= self._expires_at:
+            if self._refresh_token:
+                try:
+                    self._post_grant(
+                        {
+                            "grant_type": "refresh_token",
+                            "refresh_token": self._refresh_token,
+                            "client_id": self.payload.get("client_id", ""),
+                            "client_secret": self.payload.get("client_secret", ""),
+                        }
+                    )
+                except Exception:
+                    self._post_grant(self.payload)  # refresh rejected → re-auth
+            else:
+                self._post_grant(self.payload)
+        return self._token  # type: ignore[return-value]
+
+    def invalidate(self) -> None:
+        self._expires_at = 0.0
+
+
+def fetch_rest_pages(
+    base_url: str,
+    auth: OAuth2Client,
+    data_key: str = "DATA",
+    page_param: str = "page",
+    max_pages: int = 10_000,
+) -> list[dict]:
+    """Paged GET with Bearer auth (``hrm_to_ods.py:86,133-141``): the
+    reference fetches one windowed URL and reads ``json()['DATA']``;
+    real deployments page. Pages are requested as ``page=1,2,…``
+    until a page returns no rows; a 401 mid-pagination invalidates
+    the token and retries that page once with a fresh one (expiry
+    mid-run must not drop rows). Driver-side by design — these are
+    small dimension feeds (see module docstring)."""
+    import json
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    rows: list[dict] = []
+    for page in range(1, max_pages + 1):
+        sep = "&" if urllib.parse.urlparse(base_url).query else "?"
+        url = f"{base_url}{sep}{page_param}={page}"
+        for attempt in (1, 2):
+            req = urllib.request.Request(
+                url,
+                headers={
+                    "Authorization": f"Bearer {auth.token()}",
+                    "Content-Type": "application/json",
+                },
+            )
+            try:
+                with urllib.request.urlopen(req) as resp:
+                    payload = json.loads(resp.read().decode())
+                break
+            except urllib.error.HTTPError as e:
+                if e.code == 401 and attempt == 1:
+                    auth.invalidate()  # token expired mid-run → refresh
+                    continue
+                raise
+        batch = payload.get(data_key) or []
+        if not batch:
+            return rows
+        # reference's '' → None normalization (hrm_to_ods.py:139)
+        rows.extend(
+            {k: (None if v == "" else v) for k, v in r.items()} for r in batch
+        )
+    raise RuntimeError(f"pagination did not terminate within {max_pages} pages")
+
+
+def rest_source_http(
+    spark: SparkSession,
+    base_url: str,
+    auth: OAuth2Client,
+    spec: TableSpec,
+    mask_cols: Sequence[str] = (),
+    data_key: str = "DATA",
+    page_param: str = "page",
+) -> DataFrame:
+    """S7 end-to-end: OAuth2 token → paged Bearer GET → typed,
+    masked DataFrame (:func:`rest_source`)."""
+    rows = fetch_rest_pages(
+        base_url, auth, data_key=data_key, page_param=page_param
+    )
+    return rest_source(spark, rows, spec, mask_cols=mask_cols)
+
+
 # ---------------------------------------------------------------------------
 # Excel source (S10) — streaming row semantics, expression coercions
 # ---------------------------------------------------------------------------
