@@ -54,6 +54,7 @@ class JobResult:
     rows_extracted: int
     rows_loaded: int
     success: bool
+    skipped: str | None = None  # O2 gate reason; None = actually ran
 
 
 class EtlJob:
@@ -137,6 +138,8 @@ def run_catalog(
     jobs: list[EtlJob],
     window: tuple[dt.datetime, dt.datetime] | None = None,
     attempts: int = 1,
+    gate: "RunGate | None" = None,
+    at: dt.datetime | None = None,
 ) -> list[JobResult]:
     """O5 TaskGroup-per-table fan-out + O12 failure accumulation: run
     every table's EtlJob for one window, isolating failures — one
@@ -154,6 +157,15 @@ def run_catalog(
     via a thread pool if per-table driver latency dominates."""
     results: list[JobResult] = []
     for job in jobs:
+        if gate is not None:
+            ok, reason = gate.admits(
+                job.spec.name, at or dt.datetime.now()
+            )
+            if not ok:  # O2 short-circuit (bccp_dag.py:60-85)
+                results.append(
+                    JobResult(job.spec.qualified_name, window, 0, 0, True, reason)
+                )
+                continue
         last_err: Exception | None = None
         for attempt in range(1, attempts + 1):
             try:
@@ -203,3 +215,174 @@ def health_check(spark: SparkSession, path: str) -> bool:
         return True
     except Exception:  # noqa: BLE001
         return False
+
+
+# ---------------------------------------------------------------------------
+# O10: reconciliation batch fan-out (control query → chunked procedures)
+# ---------------------------------------------------------------------------
+
+
+def chunk_list(lst: list, chunk_size: int) -> list[list]:
+    """``reconciliation_batch_operator.py:12-14`` verbatim semantics."""
+    return [lst[i : i + chunk_size] for i in range(0, len(lst), chunk_size)]
+
+
+@dataclass
+class ReconProcedure:
+    """One parameterized statement in the fan-out
+    (``reconciliation_batch_operator.py:59-64``): named-parameter
+    Spark SQL instead of a Postgres stored-proc call. ``param_func``
+    maps the chunk context dict onto the statement's named args (the
+    reference's ``proc['param_func']``)."""
+
+    name: str
+    sql: str
+    param_func: "Callable[[dict], dict]"
+    is_accntid_list: bool = True
+    chunk_size: int | None = None
+
+
+def reconciliation_batch(
+    spark: SparkSession,
+    filter_sql: str,
+    procedures: Sequence[ReconProcedure],
+    execution_date: str,
+    chunk_size: int = 1000,
+    run_log: RunLog | None = None,
+    max_retry: int = 3,
+) -> list[dict]:
+    """O10 (``reconciliation_batch_operator.py:16-135``): control
+    query → (from_day, to_day) groups → ``chunk_size``-id chunks →
+    parameterized statement per chunk with a 3-attempt retry, audit
+    row per call, and error accumulation that never halts the batch.
+
+    The control query returns *control periods* (accntid, from_day,
+    to_day) — a steering table of at most thousands of rows, so the
+    driver-side collect is a scalar-class probe, not a data path; the
+    fanned-out statements themselves run fully distributed. Chunks
+    pass their id list as one comma-joined named arg exactly like the
+    reference's ``accntid_str``.
+
+    Returns the audit records (also appended to ``run_log`` when
+    given, mirroring ``ds.procedure_log``).
+    """
+    controls = [r.asDict() for r in spark.sql(filter_sql).collect()]
+    audits: list[dict] = []
+    for proc in procedures:
+        size = proc.chunk_size or chunk_size
+        if proc.is_accntid_list and controls and all(
+            "from_day" in c and "to_day" in c for c in controls
+        ):
+            groups: dict[tuple, list[dict]] = {}
+            for c in controls:
+                groups.setdefault((c["from_day"], c["to_day"]), []).append(c)
+            chunks = [
+                (fd, td, idx + 1, len(chunk_list(grp, size)), chunk)
+                for (fd, td), grp in groups.items()
+                for idx, chunk in enumerate(chunk_list(grp, size))
+            ]
+        elif proc.is_accntid_list:
+            chunks = [
+                (None, None, idx + 1, len(chunk_list(controls, size)), chunk)
+                for idx, chunk in enumerate(chunk_list(controls, size))
+            ]
+        else:  # whole-period procedure, no id fan-out
+            chunks = [(None, None, 1, 1, [])]
+        for from_day, to_day, chunk_index, chunk_total, chunk in chunks:
+            ids = [str(c["accntid"]) for c in chunk if c.get("accntid") is not None]
+            ctx = dict(chunk[0]) if chunk else {}
+            ctx.update(
+                accntid=",".join(ids),
+                accntid_list=ids,
+                accntid_count=len(ids),
+                execution_date=execution_date,
+                from_day=from_day,
+                to_day=to_day,
+                chunk_index=chunk_index,
+                chunk_total=chunk_total,
+            )
+            args = proc.param_func(ctx)
+            started = dt.datetime.now()
+            status, error, rows = "FAILED", None, 0
+            for attempt in range(1, max_retry + 1):
+                try:
+                    out = spark.sql(proc.sql, args=args)
+                    rows = out.count() if out.columns else 0
+                    status, error = "SUCCESS", None
+                    break
+                except Exception as e:  # noqa: BLE001 — retry then accumulate
+                    error = str(e)[:500]
+            rec = {
+                "proc": proc.name,
+                "status": status,
+                "from_day": from_day,
+                "to_day": to_day,
+                "chunk_index": chunk_index,
+                "chunk_total": chunk_total,
+                "accntid_count": len(ids),
+                "rows": rows,
+                "error": error,
+                "attempts": attempt,
+            }
+            audits.append(rec)
+            if run_log is not None:
+                from .runlog import RunRecord
+
+                run_log.append(
+                    spark,
+                    RunRecord(
+                        job_id=f"recon_{proc.name}",
+                        task_id=f"{from_day}-{to_day}#chunk{chunk_index}/{chunk_total}",
+                        run_day=execution_date,
+                        started_at=started,
+                        duration_sec=0.0,
+                        result=error or f"rows={rows}",
+                        is_success=status == "SUCCESS",
+                        try_number=attempt,
+                    ),
+                )
+    return audits
+
+
+# ---------------------------------------------------------------------------
+# O2/O3: run gates — allow-list, time-window short-circuit, row-count branch
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RunGate:
+    """Declarative run gate (O2): the reference short-circuits a
+    table's TaskGroup when the table isn't in the run's allow-list or
+    the logical time falls outside its processing window
+    (``dags/bccp_dag.py:60-85``). ``None`` fields mean "no
+    constraint"."""
+
+    allowed_tables: Sequence[str] | None = None
+    not_before_hour: int | None = None
+    not_after_hour: int | None = None
+
+    def admits(self, table: str, at: dt.datetime) -> tuple[bool, str]:
+        if self.allowed_tables is not None and table not in self.allowed_tables:
+            return False, f"{table}: not in allow-list"
+        if self.not_before_hour is not None and at.hour < self.not_before_hour:
+            return False, f"{table}: before window ({at.hour} < {self.not_before_hour})"
+        if self.not_after_hour is not None and at.hour >= self.not_after_hour:
+            return False, f"{table}: after window ({at.hour} >= {self.not_after_hour})"
+        return True, "admitted"
+
+
+def row_count_branch(
+    spark: SparkSession,
+    path: str,
+    predicate: "F.Column | None" = None,
+    threshold: int = 0,
+) -> bool:
+    """O3 row-count branch probe (``helper1/optimize_compute.py:
+    65-84``: run the expensive recompute only when the probe count
+    exceeds the threshold). The count is a metadata/scan-cheap
+    aggregate with the predicate pushed down; returns True = take the
+    heavy branch."""
+    df = spark.read.parquet(path)
+    if predicate is not None:
+        df = df.filter(predicate)
+    return df.count() > threshold
