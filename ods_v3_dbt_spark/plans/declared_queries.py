@@ -203,7 +203,9 @@ _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (
     "sparse_update_coalesce",
     "wau_sliding_distinct_users",
     "schema_evolution_union",
-    "trimmed_mean_order_value",
+    # S10 coercion contract, new this round (VERDICT item 10);
+    # trimmed_mean_order_value rotates to the round-3 window for it
+    "excel_cell_coercion_grid",
 )
 
 
@@ -4370,6 +4372,81 @@ def user_value_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "(n * sum_x2 - sum_c * sum_c) div (n * n)"
         ).alias("pop_variance_c2"),
+    )
+
+
+@register(
+    "excel_cell_coercion_grid",
+    """
+    WITH grid AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS item_key,
+             CASE WHEN o_orderkey % 7 = 0 THEN ''
+                  WHEN o_orderkey % 11 = 0 THEN 'NULL'
+                  WHEN o_orderkey % 13 = 0 THEN 'nan'
+                  ELSE CAST(o_custkey AS VARCHAR) END AS cust_cell,
+             CAST((o_orderkey % 5) * 1000000000 AS VARCHAR) AS big_cell,
+             CASE WHEN o_orderkey % 17 = 0 THEN 'nan'
+                  ELSE CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) AS VARCHAR)
+                  END AS price_cell
+      FROM orders),
+    typed AS (
+      SELECT CAST(item_key AS BIGINT) AS item_key,
+             CASE WHEN cust_cell IN ('', 'NULL', 'nan', 'None') THEN NULL
+                  ELSE CAST(cust_cell AS BIGINT) END AS cust_id,
+             CASE WHEN CAST(big_cell AS DOUBLE)
+                       BETWEEN -2147483648 AND 2147483647
+                  THEN CAST(CAST(big_cell AS DOUBLE) AS BIGINT) ELSE NULL
+                  END AS big_val,
+             CASE WHEN price_cell IN ('', 'NULL', 'nan', 'None') THEN NULL
+                  ELSE CAST(price_cell AS DOUBLE) END AS price_c
+      FROM grid)
+    SELECT item_key, cust_id, big_val,
+           CAST(price_c AS BIGINT) AS price_c
+    FROM typed WHERE item_key IS NOT NULL
+    """,
+)
+def excel_cell_coercion_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 per-cell coercion contract, oracle-checked (VERDICT item
+    10): an Excel-like all-string grid is synthesized from orders
+    (null-marker dirt on a schedule, a column that overflows int32
+    for 2 of 5 rows) and pushed through the engine's
+    ``excel_cell_coercions`` — the same Column-expression contract
+    ``excel_rows_source`` applies to driver-parsed sheets
+    (``pns_to_ods_optimize.py:135-175``): marker cells → NULL,
+    declared-int cells through the int32 guard (3e9/4e9 → NULL,
+    0/1e9/2e9 kept), floats cast, rows with a NULL key dropped.
+    Everything is whole-stage codegen over one scan — no Python, no
+    shuffle."""
+    from ..sources.readers import excel_cell_coercions
+
+    o = load(spark, sf_dir, "orders")
+    grid = o.select(
+        F.col("o_orderkey").cast("string").alias("item_key"),
+        F.when(F.col("o_orderkey") % 7 == 0, "")
+        .when(F.col("o_orderkey") % 11 == 0, "NULL")
+        .when(F.col("o_orderkey") % 13 == 0, "nan")
+        .otherwise(F.col("o_custkey").cast("string"))
+        .alias("cust_cell"),
+        ((F.col("o_orderkey") % 5) * 1000000000).cast("string").alias("big_cell"),
+        F.when(F.col("o_orderkey") % 17 == 0, "nan")
+        .otherwise(cents(F.col("o_totalprice")).cast("string"))
+        .alias("price_cell"),
+    )
+    typed = excel_cell_coercions(
+        grid,
+        {
+            "item_key": "Int64",
+            "cust_cell": "Int64",
+            "big_cell": "Int64",
+            "price_cell": "float64",
+        },
+        drop_null_cols=["item_key"],
+    )
+    return typed.select(
+        F.col("item_key"),
+        F.col("cust_cell").alias("cust_id"),
+        F.col("big_cell").alias("big_val"),
+        F.col("price_cell").cast("bigint").alias("price_c"),
     )
 
 

@@ -354,6 +354,43 @@ def rest_source_http(
 # ---------------------------------------------------------------------------
 
 
+#: ``'' / 'NULL' / 'nan' / 'None'`` cells → NULL
+#: (``pns_to_ods_optimize.py:148-149,165,325-327``).
+EXCEL_NULL_MARKERS = ("", "NULL", "nan", "None")
+
+
+def excel_cell_coercions(
+    df: DataFrame,
+    columns: dict[str, str],
+    drop_null_cols: Sequence[str] = (),
+) -> DataFrame:
+    """S10 per-cell coercion contract as pure Column expressions over
+    an all-string grid (``pns_to_ods_optimize.py:95-221``): null
+    markers → NULL, declared-int cells through the int32 guard
+    (out-of-range → NULL with a warning in the reference, :152-162),
+    floats/timestamps/bools cast, then drop rows whose key columns
+    coerced to NULL (:168-175). Whole-stage-codegen throughout —
+    usable both on driver-parsed sheets (:func:`excel_rows_source`)
+    and on string grids landed as columns at scale."""
+    out_cols: list[Column] = []
+    for c, declared in columns.items():
+        col = F.when(F.col(c).isin(*EXCEL_NULL_MARKERS), F.lit(None)).otherwise(F.col(c))
+        if declared in ("Int64", "int", "int64", "long", "bigint"):
+            num = col.cast("double")
+            col = C.int32_guard(num).cast("long" if declared != "int" else "int")
+        elif declared in ("float64", "double", "float"):
+            col = col.cast("double")
+        elif declared in ("datetime64[ns]", "timestamp"):
+            col = F.to_timestamp(col)
+        elif declared in ("bool", "boolean"):
+            col = col.cast("boolean")
+        out_cols.append(col.alias(c))
+    typed = df.select(*out_cols)
+    for c in drop_null_cols:
+        typed = typed.filter(F.col(c).isNotNull())
+    return typed
+
+
 def excel_rows_source(
     spark: SparkSession,
     rows: Sequence[Sequence],
@@ -386,25 +423,9 @@ def excel_rows_source(
     ]
     raw_names = [c for c in names if c != "etl_date"]
     df = spark.createDataFrame(as_str, schema=", ".join(f"{c} string" for c in raw_names))
-
-    null_markers = ("", "NULL", "nan", "None")
-    out_cols: list[Column] = []
-    for c in raw_names:
-        declared = spec.columns[c]
-        col = F.when(F.col(c).isin(*null_markers), F.lit(None)).otherwise(F.col(c))
-        if declared in ("Int64", "int", "int64", "long", "bigint"):
-            num = col.cast("double")
-            col = C.int32_guard(num).cast("long" if declared != "int" else "int")
-        elif declared in ("float64", "double", "float"):
-            col = col.cast("double")
-        elif declared in ("datetime64[ns]", "timestamp"):
-            col = F.to_timestamp(col)
-        elif declared in ("bool", "boolean"):
-            col = col.cast("boolean")
-        out_cols.append(col.alias(c))
-    typed = df.select(*out_cols)
-    for c in drop_null_cols:
-        typed = typed.filter(F.col(c).isNotNull())
+    typed = excel_cell_coercions(
+        df, {c: spec.columns[c] for c in raw_names}, drop_null_cols
+    )
     if "etl_date" in names:
         typed = typed.withColumn(
             "etl_date", F.lit(etl_date or dt.datetime.now()).cast("timestamp")
