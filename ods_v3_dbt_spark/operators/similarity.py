@@ -227,20 +227,55 @@ def ivf_topk(
     )
 
 
-def _hyperplane_sign(vec, plane: int, dim_count: int):
-    """Deterministic pseudo-random hyperplane side: sign of
-    Σ_d w(plane,d)·x_d where w = xxhash64(plane,d) mapped to [-1,1].
-    Expression-only; reproducible everywhere."""
-    idx = F.sequence(F.lit(0), F.lit(dim_count - 1))
-    weights = F.transform(
-        idx, lambda d: (F.xxhash64(F.lit(plane), d) % 2001 - 1000).cast("double") / 1000.0
+def _hyperplane_weights(total_planes: int, dim_count: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane matrix: w(plane, d) =
+    (md5(plane, d) % 2001 − 1000)/1000 ∈ [−1, 1], computed driver-
+    side in plain Python. Round 1 derived the weights with per-row
+    xxhash64 expressions — 32 independent fold trees whose ANALYSIS
+    and py4j construction (2048 Column nodes), not execution,
+    dominated the query (the 4.4× bench flag on embedding_ann_lsh).
+    A Python-computed constant matrix costs microseconds and keeps
+    buckets reproducible across runs and engines."""
+    import hashlib
+
+    return [
+        [
+            (
+                int.from_bytes(
+                    hashlib.md5(f"{p},{d}".encode()).digest()[:8], "big"
+                )
+                % 2001
+                - 1000
+            )
+            / 1000.0
+            for d in range(dim_count)
+        ]
+        for p in range(total_planes)
+    ]
+
+
+def _all_plane_signs(vec, weights: list[list[float]]):
+    """All plane signs in ONE array expression: the weight matrix is
+    embedded as a single parsed SQL literal (one py4j call — not
+    planes×dims F.lit nodes, whose construction alone costs seconds),
+    each plane a zip_with·fold dot product over the vector."""
+    w_sql = "array(" + ",".join(
+        "array(" + ",".join(f"{w!r}D" for w in plane) + ")" for plane in weights
+    ) + ")"
+    w_lit = F.expr(w_sql)
+    v = vec.cast("array<double>")
+    return F.transform(
+        w_lit,
+        lambda pw: F.when(
+            F.aggregate(
+                F.zip_with(pw, v, lambda w, x: w * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
     )
-    s = F.aggregate(
-        F.zip_with(weights, vec.cast("array<double>"), lambda w, x: w * x),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
 
 
 def lsh_bucketed_topk(
@@ -263,22 +298,35 @@ def lsh_bucketed_topk(
     2^planes-fold. Tune planes↑ for speed, tables↑ for recall.
     """
 
+    weights = _hyperplane_weights(num_tables * num_planes, dim_count)
+
     def bucket(df: DataFrame, idc: str, renamed: str) -> DataFrame:
-        tables = F.array(*[
-            F.struct(
-                F.lit(t).alias("table_id"),
-                F.concat_ws(
-                    "",
-                    *[
-                        _hyperplane_sign(
-                            F.col(vec_col), t * num_planes + p, dim_count
-                        ).cast("string")
-                        for p in range(num_planes)
-                    ],
-                ).alias("bucket"),
+        # Higher-order functions are codegen-fallback (interpreted, no
+        # common-subexpression elimination), so the signs array MUST
+        # be bound once per row as a lambda variable — referencing the
+        # signs expression from N places would recompute all the dot
+        # products N times (the round-1 cost, one recompute per
+        # table×plane).
+        signs = _all_plane_signs(F.col(vec_col), weights)
+
+        def mk_tables(s):
+            return F.transform(
+                F.sequence(F.lit(0), F.lit(num_tables - 1)),
+                lambda t: F.struct(
+                    t.alias("table_id"),
+                    F.array_join(
+                        F.transform(
+                            F.sequence(F.lit(0), F.lit(num_planes - 1)),
+                            lambda p: F.element_at(
+                                s, t * num_planes + p + 1
+                            ).cast("string"),
+                        ),
+                        "",
+                    ).alias("bucket"),
+                ),
             )
-            for t in range(num_tables)
-        ])
+
+        tables = F.element_at(F.transform(F.array(signs), mk_tables), 1)
         return df.select(
             F.col(idc).alias(renamed),
             F.col(vec_col).alias(f"__{renamed}_v"),
