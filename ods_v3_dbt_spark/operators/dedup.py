@@ -332,38 +332,64 @@ def embedding_cosine_pairs(
     )
 
 
-def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document (xxhash64 word hashes, sign-sum per
-    bit). Near-dups have low Hamming distance.
+def simhash64(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash",
+) -> DataFrame:
+    """SimHash per document (word hashes, sign-sum per bit). Near-dups
+    have low Hamming distance.
 
-    One explode + one 64-agg groupBy — a single shuffle on doc_id.
-    Returns (id, simhash bigint).
+    Hash modes mirror minhash's: ``xxhash`` = 63-bit JVM xxhash64
+    (fast path), ``md5`` = top 60 bits of md5 — slower but
+    bit-identical in any ANSI SQL engine, which is what upgrades the
+    declared query from rows-only to hash-verified.
+
+    One explode + one per-bit-agg groupBy — a single shuffle on
+    doc_id. Returns (id, simhash bigint, always non-negative).
     """
+    nbits = simhash_bits(hash_mode)
     words = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(T.tokens(F.col(text_col))).alias("word"),
-    ).withColumn("h", F.xxhash64(F.col("word")))
+    )
+    if hash_mode == "md5":
+        h = F.conv(F.substring(F.md5(F.col("word")), 1, 15), 16, 10).cast("bigint")
+    else:
+        h = F.xxhash64(F.col("word"))
+    words = words.withColumn("h", h)
     bit_aggs = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(63)  # bit 63 is the sign bit; skip to stay positive
+        for b in range(nbits)
     ]
     sums = words.groupBy("doc_id").agg(*bit_aggs)
     sim = None
-    for b in range(63):
+    for b in range(nbits):
         term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         sim = term if sim is None else sim + term
     return sums.select("doc_id", sim.alias("simhash"))
 
 
+def simhash_bits(hash_mode: str) -> int:
+    """Signature width: 63 for xxhash (bit 63 is the sign bit —
+    skipped to stay positive), 60 for md5 (15 hex chars)."""
+    return 60 if hash_mode == "md5" else 63
+
+
 def simhash_near_pairs(
-    sims: DataFrame, max_hamming: int = 3, prefix_bits: int = 16
+    sims: DataFrame,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+    hash_bits: int = 64,
 ) -> DataFrame:
     """Candidate near-dup pairs: block on the top ``prefix_bits`` of
-    the simhash (docs differing only in low bits collide), then exact
-    Hamming ≤ ``max_hamming`` via bit_count(xor)."""
-    keyed = sims.withColumn("block", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits))
+    the ``hash_bits``-wide simhash (docs differing only in low bits
+    collide), then exact Hamming ≤ ``max_hamming`` via
+    bit_count(xor)."""
+    keyed = sims.withColumn("block", F.shiftrightunsigned(F.col("simhash"), hash_bits - prefix_bits))
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(

@@ -227,6 +227,123 @@ def ivf_topk(
     )
 
 
+def _int_matrix_sql(rows: list[list[int]]) -> str:
+    """K×dim integer matrix as ONE parsed SQL array literal (the
+    py4j-cheap embedding, cf. _all_plane_signs)."""
+    return "array(" + ",".join(
+        "array(" + ",".join(f"{v}L" for v in row) + ")" for row in rows
+    ) + ")"
+
+
+def _l2q_dist2(vec, cent_lit):
+    """Integer L2² from a vector to every centroid in the literal
+    matrix → array<struct<d2,cell>> (struct order = tie-break on
+    cell id)."""
+    return F.transform(
+        cent_lit,
+        lambda cv, i: F.struct(
+            F.aggregate(
+                F.zip_with(vec, cv, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            i.cast("int").alias("cell"),
+        ),
+    )
+
+
+def quantize_embedding(vec, scale: int = 1000, offset: int = 1000):
+    """float array → BIGINT array: round(x·scale)+offset. The offset
+    makes every element positive, so integer division in the Lloyd
+    mean is floor=trunc on both engines, and L2 geometry is shift-
+    invariant — assignments, refinements, and distances are EXACTLY
+    what the unshifted quantization gives."""
+    return F.transform(
+        vec,
+        lambda x: F.round(x.cast("double") * scale).cast("bigint") + offset,
+    )
+
+
+def ivf_topk_l2q(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 8,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN with EXACT integer arithmetic end to end — the
+    hash-verifiable twin of :func:`ivf_topk` (which keeps float
+    cosine + multi-round Lloyd as the production path): vectors are
+    quantized to positive BIGINT milli-units, seed centroids are the
+    ``num_cells`` lowest-id corpus vectors, ONE Lloyd round refines
+    them (per-dim integer-mean), the corpus inverted lists come from
+    the refined centroids, and each query probes its ``nprobe``
+    nearest cells scoring exact integer L2² inside them. Ties break
+    on cell/neighbor id, so every row is deterministic on any
+    engine — the DuckDB oracle replays the identical pipeline.
+
+    Scale shape identical to ivf_topk: assignment is a linear map
+    over the corpus (no shuffle), only K×dim centroid tables reach
+    the driver, the scoring join shuffles on ``cell`` (broadcast
+    query probes), and top-k is one window per query.
+    """
+    qv = quantize_embedding(F.col(vec_col))
+    c = corpus.select(F.col(id_col).alias("vid"), qv.alias("v"))
+    q = queries.select(F.col(id_col).alias("vid"), qv.alias("v"))
+
+    seeds_rows = c.orderBy(F.col("vid").asc()).limit(num_cells).collect()
+    seeds = [list(r.v) for r in seeds_rows]  # K×dim scalar-class probe
+
+    # one Lloyd round: assign to seeds, refine = per-(cell,dim) floor-mean
+    seed_lit = F.expr(_int_matrix_sql(seeds))
+    a1 = c.select(
+        "vid", "v",
+        F.array_min(_l2q_dist2(F.col("v"), seed_lit)).getField("cell").alias("cell"),
+    )
+    means = (
+        a1.select("cell", F.posexplode(F.col("v")).alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(F.expr("sum(x) div count(1)").alias("m"))
+        .collect()
+    )
+    refined = [list(row) for row in seeds]
+    for r in means:
+        refined[r.cell][r.dim] = r.m  # empty cells keep their seed
+
+    ref_lit = F.expr(_int_matrix_sql(refined))
+    asg = c.select(
+        F.col("vid").alias("neighbor_id"), F.col("v").alias("__cv"),
+        F.array_min(_l2q_dist2(F.col("v"), ref_lit)).getField("cell").alias("cell"),
+    )
+    probes = q.select(
+        F.col("vid").alias("query_id"), F.col("v").alias("__qv"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(_l2q_dist2(F.col("v"), ref_lit)), 1, nprobe),
+                lambda s: s.getField("cell"),
+            )
+        ).alias("cell"),
+    )
+    scored = asg.join(F.broadcast(probes), "cell").select(
+        "query_id", "neighbor_id",
+        F.aggregate(
+            F.zip_with(
+                F.col("__qv"), F.col("__cv"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def _hyperplane_weights(total_planes: int, dim_count: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplane matrix: w(plane, d) =
     (md5(plane, d) % 2001 − 1000)/1000 ∈ [−1, 1], computed driver-

@@ -344,14 +344,49 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(c, threshold_ppm=500000)
 
 
-@register("simhash_neardup", None)  # xxhash64 not expressible in ANSI SQL
+@register(
+    "simhash_neardup",
+    f"""
+    WITH {_CORPUS_SQL},
+    words AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+      FROM corpus),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(word), 1, 15))::BIGINT AS h
+      FROM words),
+    bits AS (
+      SELECT doc_id, g.b,
+             SUM(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, generate_series(0, 59) AS g(b)
+      GROUP BY doc_id, g.b),
+    sims AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b2.simhash)) AS INT) AS hamming
+      FROM sims a JOIN sims b2
+        ON (a.simhash >> 52) = (b2.simhash >> 52)
+       AND a.doc_id < b2.doc_id)
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
+    """,
+)
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit signatures, prefix-blocked candidate
-    join, Hamming ≤ 6. Rows-only check (JVM xxhash64 has no DuckDB
-    twin); determinism is pytest-asserted instead."""
+    """SimHash near-dup, HASH-VERIFIED: 60-bit md5-derived signatures
+    (oracle mode, mirroring minhash's md5/xxhash split — the xxhash
+    fast path stays the production default in operators/dedup.py),
+    prefix-blocked candidate join on the top 8 bits, exact Hamming ≤
+    6 via bit_count(xor). The oracle recomputes signatures from the
+    same tokenization and bit arithmetic, so the whole
+    signature→block→Hamming pipeline is value-checked, not just
+    row-counted."""
     c = corpus_with_dups(spark, sf_dir)
-    sims = DD.simhash64(c)
-    return DD.simhash_near_pairs(sims, max_hamming=6, prefix_bits=8)
+    sims = DD.simhash64(c, hash_mode="md5")
+    return DD.simhash_near_pairs(sims, max_hamming=6, prefix_bits=8, hash_bits=60)
 
 
 # ---------------------------------------------------------------------------
@@ -506,16 +541,90 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_ann_ivf", None)  # iterative fit — not SQL-expressible
+#: Quantize + IVF CTE chain shared by the oracle: positive BIGINT
+#: milli-units (shift-invariant L2, floor=trunc division), seed
+#: centroids = 8 lowest-id corpus vectors, one Lloyd round, nprobe=3.
+_IVF_L2Q_SQL = """
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT) + 1000) AS v
+      FROM embeddings),
+    q AS (SELECT * FROM base WHERE vec_id < 10),
+    c AS (SELECT * FROM base WHERE vec_id >= 10),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v
+      FROM (SELECT vec_id, v FROM c ORDER BY vec_id LIMIT 8)),
+    d1 AS (
+      SELECT c.vec_id, s.cell,
+             list_sum(list_transform(range(1, 65),
+               i -> (c.v[i]-s.v[i])*(c.v[i]-s.v[i]))) AS d2
+      FROM c CROSS JOIN seeds s),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM d1) WHERE rn = 1),
+    dims AS (
+      SELECT a.cell, g.i, c.v[g.i] AS x
+      FROM a1 a JOIN c ON c.vec_id = a.vec_id, generate_series(1, 64) AS g(i)),
+    m0 AS (SELECT cell, i, SUM(x) // COUNT(1) AS m FROM dims GROUP BY cell, i),
+    mlist AS (SELECT cell, list(m ORDER BY i) AS v FROM m0 GROUP BY cell),
+    refined AS (
+      SELECT s.cell, COALESCE(ml.v, s.v) AS v
+      FROM seeds s LEFT JOIN mlist ml ON ml.cell = s.cell),
+    d2c AS (
+      SELECT c.vec_id, r.cell,
+             list_sum(list_transform(range(1, 65),
+               i -> (c.v[i]-r.v[i])*(c.v[i]-r.v[i]))) AS d2
+      FROM c CROSS JOIN refined r),
+    asg AS (
+      SELECT vec_id AS neighbor_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM d2c) WHERE rn = 1),
+    d2q AS (
+      SELECT q.vec_id, r.cell,
+             list_sum(list_transform(range(1, 65),
+               i -> (q.v[i]-r.v[i])*(q.v[i]-r.v[i]))) AS d2
+      FROM q CROSS JOIN refined r),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM d2q) WHERE rn <= 3),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             list_sum(list_transform(range(1, 65),
+               i -> (qq.v[i]-cc.v[i])*(qq.v[i]-cc.v[i]))) AS d2
+      FROM probes p JOIN asg a USING (cell)
+      JOIN q qq ON qq.vec_id = p.query_id
+      JOIN c cc ON cc.vec_id = a.neighbor_id),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(d2 AS BIGINT) AS dist2,
+           CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 5
+"""
+
+
+@register("embedding_ann_ivf", _IVF_L2Q_SQL)
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: deterministic coarse quantizer (lowest-id seeds + 2
-    Lloyd rounds) → inverted lists → nprobe cell search. Rows-only;
-    recall vs the exact path is pytest-asserted
-    (tests/test_llm_ops.py)."""
+    """IVF ANN, HASH-VERIFIED: the quantized-L2 twin
+    (operators/similarity.py::ivf_topk_l2q) — positive-BIGINT
+    milli-quantization (shift-invariant L2, so the offset changes
+    nothing; floor=trunc so integer means agree everywhere), seed
+    centroids = lowest-id corpus vectors, ONE Lloyd refinement,
+    nprobe=3 cell search, exact integer L2² top-5. The oracle replays
+    the identical pipeline, so assignment, refinement, probing, and
+    ranking are all value-checked. The float-cosine multi-round
+    ivf_topk stays the production path, recall-asserted in pytest."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     c = emb.filter(F.col("vec_id") >= 10)
-    return SIM.ivf_topk(c, q, k=5, num_cells=8, nprobe=3)
+    return SIM.ivf_topk_l2q(c, q, k=5, num_cells=8, nprobe=3)
 
 
 # ---------------------------------------------------------------------------
