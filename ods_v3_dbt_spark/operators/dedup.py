@@ -355,13 +355,25 @@ def simhash64(
         F.explode(T.tokens(F.col(text_col))).alias("word"),
     )
     if hash_mode == "md5":
+        # md5+conv is ~5× the cost of xxhash64 per call, so hash each
+        # DISTINCT word once per doc and weight the sign-sum by its
+        # multiplicity — Σ_instances ±1 ≡ Σ_distinct n·(±1), bit-
+        # identical results (the oracle keeps the per-instance form).
+        # The (doc, word) pre-aggregate combines map-side; the per-doc
+        # rollup reuses the same doc_id hash partitioning — Catalyst
+        # plans ONE exchange for both.
+        words = words.groupBy("doc_id", "word").agg(
+            F.count(F.lit(1)).alias("n")
+        )
         h = F.conv(F.substring(F.md5(F.col("word")), 1, 15), 16, 10).cast("bigint")
+        weight = F.col("n")
     else:
         h = F.xxhash64(F.col("word"))
+        weight = F.lit(1)
     words = words.withColumn("h", h)
     bit_aggs = [
         F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, weight).otherwise(-weight)
         ).alias(f"b{b}")
         for b in range(nbits)
     ]

@@ -344,49 +344,50 @@ def ivf_topk_l2q(
     )
 
 
-def _hyperplane_weights(total_planes: int, dim_count: int) -> list[list[float]]:
+def hyperplane_weights_int(total_planes: int, dim_count: int) -> list[list[int]]:
     """Deterministic pseudo-random hyperplane matrix: w(plane, d) =
-    (md5(plane, d) % 2001 − 1000)/1000 ∈ [−1, 1], computed driver-
-    side in plain Python. Round 1 derived the weights with per-row
-    xxhash64 expressions — 32 independent fold trees whose ANALYSIS
-    and py4j construction (2048 Column nodes), not execution,
-    dominated the query (the 4.4× bench flag on embedding_ann_lsh).
-    A Python-computed constant matrix costs microseconds and keeps
-    buckets reproducible across runs and engines."""
+    md5(plane, d) % 2001 − 1000 ∈ [−1000, 1000], computed driver-side
+    in plain Python. Round 1 derived weights with per-row xxhash64
+    expressions — 32 independent fold trees whose ANALYSIS and py4j
+    construction (2048 Column nodes), not execution, dominated the
+    query (the 4.4× bench flag on embedding_ann_lsh). INTEGER weights
+    against milli-quantized vectors make the sign dot products exact
+    on any engine — no float fold-order hazard at the sign boundary —
+    which is what lets the DuckDB oracle replay bucket assignment
+    bit for bit."""
     import hashlib
 
     return [
         [
-            (
-                int.from_bytes(
-                    hashlib.md5(f"{p},{d}".encode()).digest()[:8], "big"
-                )
-                % 2001
-                - 1000
-            )
-            / 1000.0
+            int.from_bytes(hashlib.md5(f"{p},{d}".encode()).digest()[:8], "big")
+            % 2001
+            - 1000
             for d in range(dim_count)
         ]
         for p in range(total_planes)
     ]
 
 
-def _all_plane_signs(vec, weights: list[list[float]]):
+def _milli_vec(vec):
+    """float array → BIGINT milli-units (round(x·1000)); NO offset —
+    signs and dot products need the true origin."""
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * 1000).cast("bigint")
+    )
+
+
+def _all_plane_signs(vec_milli, weights: list[list[int]]):
     """All plane signs in ONE array expression: the weight matrix is
     embedded as a single parsed SQL literal (one py4j call — not
     planes×dims F.lit nodes, whose construction alone costs seconds),
-    each plane a zip_with·fold dot product over the vector."""
-    w_sql = "array(" + ",".join(
-        "array(" + ",".join(f"{w!r}D" for w in plane) + ")" for plane in weights
-    ) + ")"
-    w_lit = F.expr(w_sql)
-    v = vec.cast("array<double>")
+    each plane an exact integer zip_with·fold dot product."""
+    w_lit = F.expr(_int_matrix_sql(weights))
     return F.transform(
         w_lit,
         lambda pw: F.when(
             F.aggregate(
-                F.zip_with(pw, v, lambda w, x: w * x),
-                F.lit(0.0),
+                F.zip_with(pw, vec_milli, lambda w, x: w * x),
+                F.lit(0).cast("bigint"),
                 lambda acc, x: acc + x,
             )
             >= 0,
@@ -404,18 +405,24 @@ def lsh_bucketed_topk(
     num_planes: int = 4,
     num_tables: int = 4,
     dim_count: int = 64,
+    score: str = "cosine",
 ) -> DataFrame:
     """ANN: random-hyperplane LSH with ``num_tables`` independent hash
     tables — a candidate survives if it shares a bucket with the query
     in ANY table (the classic recall lever: P(miss) ≈ (1-p^planes)^tables).
-    Exact cosine scores the unioned candidate set.
+    Bucket signs are EXACT integer dot products (integer weights ×
+    milli-quantized vectors), so candidate sets are engine-
+    reproducible. ``score='cosine'`` (production) ranks candidates by
+    float cosine; ``score='dot_q'`` ranks by the exact integer dot
+    product of the milli vectors (``sim_q``) — the oracle mode with
+    no float anywhere.
 
     Scale shape: candidates shuffle on (table, bucket) — cardinality
     ~ corpus × tables, never corpus × queries; per-bucket work shrinks
     2^planes-fold. Tune planes↑ for speed, tables↑ for recall.
     """
 
-    weights = _hyperplane_weights(num_tables * num_planes, dim_count)
+    weights = hyperplane_weights_int(num_tables * num_planes, dim_count)
 
     def bucket(df: DataFrame, idc: str, renamed: str) -> DataFrame:
         # Higher-order functions are codegen-fallback (interpreted, no
@@ -424,7 +431,7 @@ def lsh_bucketed_topk(
         # signs expression from N places would recompute all the dot
         # products N times (the round-1 cost, one recompute per
         # table×plane).
-        signs = _all_plane_signs(F.col(vec_col), weights)
+        signs = _all_plane_signs(_milli_vec(F.col(vec_col)), weights)
 
         def mk_tables(s):
             return F.transform(
@@ -457,13 +464,22 @@ def lsh_bucketed_topk(
         .select("query_id", "neighbor_id", "__query_id_v", "__neighbor_id_v")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.select(
-        "query_id", "neighbor_id",
-        V.cosine(
+    if score == "dot_q":
+        sim_col = F.aggregate(
+            F.zip_with(
+                _milli_vec(F.col("__query_id_v")),
+                _milli_vec(F.col("__neighbor_id_v")),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sim_q")
+        order = F.col("sim_q").desc()
+    else:
+        sim_col = V.cosine(
             V.as_double(F.col("__query_id_v")), V.as_double(F.col("__neighbor_id_v"))
-        ).alias("sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc_nulls_last(), F.col("neighbor_id").asc()
-    )
+        ).alias("sim")
+        order = F.col("sim").desc_nulls_last()
+    scored = cand.select("query_id", "neighbor_id", sim_col)
+    w = Window.partitionBy("query_id").orderBy(order, F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -469,15 +469,69 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.embedding_cosine_pairs(emb, threshold_ppm=400000)
 
 
-@register("embedding_ann_lsh", None)  # hyperplanes use JVM xxhash64
+#: The SAME 32×64 integer hyperplane matrix the operator uses,
+#: rendered as a DuckDB list literal — signs are exact integer dot
+#: products on both engines, so bucket assignment replays bit for bit.
+_LSH_W_SQL = "[" + ",".join(
+    "[" + ",".join(str(v) for v in row) + "]"
+    for row in SIM.hyperplane_weights_int(32, 64)
+) + "]"
+
+
+@register(
+    "embedding_ann_lsh",
+    f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
+      FROM embeddings),
+    signs AS (
+      SELECT vec_id, v,
+             list_transform({_LSH_W_SQL},
+               pw -> CASE WHEN list_sum(list_transform(range(1, 65),
+                           i -> pw[i]*v[i])) >= 0 THEN 1 ELSE 0 END) AS s
+      FROM base),
+    buckets AS (
+      SELECT vec_id, v, g.t AS table_id,
+             (s[4*g.t+1]::VARCHAR || s[4*g.t+2]::VARCHAR
+              || s[4*g.t+3]::VARCHAR || s[4*g.t+4]::VARCHAR) AS bucket
+      FROM signs, generate_series(0, 7) AS g(t)),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.v AS qv, c.v AS cv
+      FROM buckets q JOIN buckets c
+        ON q.table_id = c.table_id AND q.bucket = c.bucket
+      WHERE q.vec_id < 10 AND c.vec_id >= 10),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> qv[i]*cv[i])) AS BIGINT) AS sim_q
+      FROM cand),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim_q DESC, neighbor_id) AS rn
+      FROM scored)
+    SELECT query_id, neighbor_id, sim_q, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 5
+    """,
+)
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN (bucketed cosine top-k) — the
-    sub-linear scale path. Rows-only: recall vs the exact path is
-    asserted in pytest, not hash-matched."""
+    """Random-hyperplane LSH ANN, HASH-VERIFIED: integer hyperplane
+    weights (md5-derived, [−1000, 1000]) against milli-quantized
+    vectors make every bucket sign an exact integer dot product, and
+    the oracle mode ranks candidates by the exact integer dot
+    ``sim_q`` — no float crosses the engine boundary anywhere. The
+    oracle replays signs → per-table buckets → bucket-join candidate
+    set → score → top-5 with the identical weight literal. Float
+    cosine scoring (``score='cosine'``) remains the production
+    default, recall-asserted in pytest."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     c = emb.filter(F.col("vec_id") >= 10)
-    return SIM.lsh_bucketed_topk(c, q, k=5, num_planes=4, num_tables=8)
+    return SIM.lsh_bucketed_topk(
+        c, q, k=5, num_planes=4, num_tables=8, score="dot_q"
+    )
 
 
 @register(
