@@ -95,6 +95,35 @@ def minhash_signatures(
     )
 
 
+def lsh_band_table(
+    signatures: DataFrame,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """(doc_id, band_idx, band_key): the signature split into
+    ``bands`` groups of ``num_hashes // bands`` rows, each group
+    keyed by the md5 of its concatenated minhashes. A doc appears in
+    exactly ``bands`` rows — the table the candidate join AND the
+    tuning diagnostics both read."""
+    rows = num_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select("doc_id", *band_cols)
+    return banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_key"))
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_idx", "bk.band_key")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int,
@@ -107,23 +136,7 @@ def lsh_candidate_pairs(
     The band join shuffles (band_idx, band_key) — linear in corpus
     size. A doc appears in exactly ``bands`` buckets.
     """
-    rows = num_hashes // bands
-    band_cols = [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = signatures.select("doc_id", *band_cols)
-    stacked = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_key"))
-                for b in range(bands)
-            ])
-        ).alias("bk"),
-    ).select("doc_id", "bk.band_idx", "bk.band_key")
+    stacked = lsh_band_table(signatures, num_hashes, bands)
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (

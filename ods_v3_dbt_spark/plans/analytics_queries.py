@@ -1224,3 +1224,155 @@ def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("rh").alias("min_rh"),
         F.max("rh").alias("max_rh"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 6: web-corpus filtering + lexical diversity + LSH diagnostics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "domain_blocklist_filter",
+    """
+    WITH urls AS (
+      SELECT doc_id, source,
+             'https://' || source || CASE WHEN doc_id % 4 = 0 THEN '.spam.example'
+                                          ELSE '.example.org' END
+               || '/doc/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents),
+    parsed AS (
+      SELECT doc_id, source,
+             regexp_extract(url, 'https?://([^/]+)/', 1) AS domain
+      FROM urls),
+    flagged AS (
+      SELECT source,
+             CASE WHEN domain LIKE '%.spam.example'
+                       OR domain IN ('src1.example.org', 'src13.example.org')
+                  THEN 1 ELSE 0 END AS blocked
+      FROM parsed)
+    SELECT source,
+           CAST(COUNT(1) AS BIGINT) AS n_docs,
+           CAST(SUM(blocked) AS BIGINT) AS n_blocked,
+           CAST(SUM(1 - blocked) AS BIGINT) AS n_kept
+    FROM flagged GROUP BY source
+    """,
+)
+def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus domain filtering — the crawl-curation gate that
+    runs before any text op: extract the domain from each document's
+    URL (synthesized deterministically from source+doc_id — the
+    testdata ships no URL column), match it against a blocklist of
+    exact domains (broadcast-class: real blocklists are ~1e5 rows —
+    a broadcast hash join, never a shuffle) plus a suffix rule
+    (``*.spam.example`` — the wildcard class a LIKE prefix/suffix
+    predicate handles in codegen). Output is the per-source
+    kept/blocked audit a curation run logs. One scan, regexp +
+    LIKE in whole-stage codegen, map-side aggregate."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.when(F.col("doc_id") % 4 == 0, ".spam.example").otherwise(".example.org"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    domain = F.regexp_extract(url, r"https?://([^/]+)/", 1)
+    blocked = (
+        domain.endswith(".spam.example")
+        | domain.isin("src1.example.org", "src13.example.org")
+    ).cast("int")
+    return (
+        d.select("source", blocked.alias("blocked"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("blocked").alias("n_blocked"),
+            F.sum(F.lit(1) - F.col("blocked")).alias("n_kept"),
+        )
+    )
+
+
+@register(
+    "type_token_ratio_by_source",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0),
+    t2 AS (SELECT source, token FROM toks WHERE token <> ''),
+    per_src AS (
+      SELECT source,
+             CAST(COUNT(1) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT token) AS BIGINT) AS n_types
+      FROM t2 GROUP BY source),
+    freq AS (
+      SELECT source, token, COUNT(1) AS n FROM t2 GROUP BY source, token),
+    hapax AS (
+      SELECT source, CAST(COUNT(1) AS BIGINT) AS n_hapax
+      FROM freq WHERE n = 1 GROUP BY source)
+    SELECT p.source, p.n_tokens, p.n_types,
+           CAST(p.n_types * 1000000 // p.n_tokens AS BIGINT) AS ttr_ppm,
+           CAST(COALESCE(h.n_hapax, 0) AS BIGINT) AS n_hapax
+    FROM per_src p LEFT JOIN hapax h ON h.source = p.source
+    """,
+)
+def type_token_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source — the curation signal that
+    separates templated/boilerplate feeds (low type-token ratio,
+    few hapax legomena) from natural text: tokens, distinct types,
+    TTR in ppm, and hapax count (types occurring exactly once in the
+    source). The (source, token) frequency table is aggregated ONCE
+    and feeds both the distinct-type count and the hapax filter —
+    the token shuffle happens once, and both rollups reuse its
+    partitioning. At 100 TB this is the same vocabulary-bound shape
+    as token_vocab_topk: state ~ distinct (source, token), not
+    corpus size."""
+    d = load(spark, sf_dir, "documents")
+    t2 = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "source",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    freq = t2.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+    per_src = freq.groupBy("source").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_hapax_raw"),
+    )
+    return per_src.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.expr("n_types * 1000000 div n_tokens").alias("ttr_ppm"),
+        F.col("n_hapax_raw").alias("n_hapax"),
+    )
+
+
+@register(
+    "doc_len_histogram_by_source",
+    """
+    WITH b AS (
+      SELECT source,
+             CAST(least(length(text) // 200, 9) AS BIGINT) AS bucket
+      FROM documents)
+    SELECT source, bucket,
+           CAST(COUNT(1) AS BIGINT) AS n_docs
+    FROM b GROUP BY source, bucket
+    """,
+)
+def doc_len_histogram_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length histogram (200-char equi-width
+    buckets, top bucket open-ended) — the length-profile every
+    curation report leads with, and the pre-flight for chunking
+    parameters. Pure scan-stage arithmetic + one map-side-combining
+    aggregate; at 100 TB the result is sources×10 rows regardless of
+    corpus size."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.length(F.col("text")) / 200), F.lit(9)).cast("bigint")
+    return (
+        d.select("source", bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -255,7 +255,9 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup(c).select("doc_id", "dup_count")
 
 
-def _minhash_sql(num_hashes: int, bands: int, threshold_ppm: int) -> str:
+def _minhash_band_ctes(num_hashes: int, bands: int) -> str:
+    """corpus → shingles → K minhashes → banded keys, as the shared
+    CTE prefix of the near-dup query and the band diagnostics."""
     rows = num_hashes // bands
     mh_exprs = ",\n           ".join(
         f"MIN(md5('{i}:' || shingle)) AS mh{i}" for i in range(num_hashes)
@@ -267,15 +269,19 @@ def _minhash_sql(num_hashes: int, bands: int, threshold_ppm: int) -> str:
         )
         for b in range(bands)
     )
-    return f"""
-    WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
+    return f"""{_CORPUS_SQL}, {_SHINGLE_SQL},
     mh AS (
       SELECT doc_id, {mh_exprs}
       FROM sh GROUP BY doc_id
     ),
     bands AS (
 {band_selects}
-    ),
+    )"""
+
+
+def _minhash_sql(num_hashes: int, bands: int, threshold_ppm: int) -> str:
+    return f"""
+    WITH {_minhash_band_ctes(num_hashes, bands)},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -297,6 +303,51 @@ def _minhash_sql(num_hashes: int, bands: int, threshold_ppm: int) -> str:
     JOIN sizes sb ON sb.doc_id = i.doc_b
     WHERE CAST(ROUND(i.i * 1000000.0 / (sa.n + sb.n - i.i)) AS BIGINT) >= {threshold_ppm}
     """
+
+
+@register(
+    "minhash_band_stats",
+    f"""
+    WITH {_minhash_band_ctes(16, 4)},
+    buckets AS (
+      SELECT band_idx, band_key, COUNT(1) AS n
+      FROM bands GROUP BY band_idx, band_key)
+    SELECT band_idx,
+           CAST(COUNT(1) AS BIGINT) AS n_buckets,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_collision_buckets,
+           CAST(MAX(n) AS BIGINT) AS max_bucket,
+           CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs
+    FROM buckets GROUP BY band_idx
+    """,
+)
+def minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band diagnostics — the tuning pre-flight you run BEFORE a
+    100 TB near-dup job: per band, bucket count, collision buckets,
+    the largest bucket (the candidate-join hot key — a skew alarm),
+    and the implied candidate-pair volume Σ n·(n−1)/2 (what the
+    bucket join will actually emit). bands↑rows↓ moves these numbers
+    toward recall; this query quantifies the cost side before you
+    pay it. Same signature pipeline as minhash_lsh_neardup (shared
+    CTE prefix in the oracle, shared lsh_band_table on the Spark
+    side), aggregated instead of joined — one shuffle on doc_id, one
+    on (band_idx, band_key)."""
+    c = corpus_with_dups(spark, sf_dir)
+    sh = DD._shingle_table(c, "text", "doc_id", 3)
+    sigs = DD.minhash_signatures(sh, num_hashes=16, mode="md5")
+    buckets = (
+        DD.lsh_band_table(sigs, num_hashes=16, bands=4)
+        .groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return buckets.groupBy("band_idx").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("n").alias("n_docs"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_collision_buckets"),
+        F.max("n").alias("max_bucket"),
+        F.sum(F.expr("n * (n - 1) div 2")).alias("candidate_pairs"),
+    )
 
 
 @register("minhash_lsh_neardup", _minhash_sql(16, 4, 600000))

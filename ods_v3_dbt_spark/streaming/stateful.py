@@ -122,3 +122,29 @@ def streaming_sessionize(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    delay: str = "6 hours",
+) -> DataFrame:
+    """Native bounded-state streaming dedup
+    (``dropDuplicatesWithinWatermark``): suppress duplicate keys that
+    arrive within the watermark ``delay`` of each other, and EVICT
+    the key's state once the watermark passes it.
+
+    This is the 100 TB-stream counterpart to
+    :func:`streaming_dedup_first_seen`: first-seen keeps one marker
+    per key FOREVER (exact, but state grows with distinct keys —
+    right for bounded key spaces like dimension codes), while this
+    operator bounds state to the keys seen inside one watermark
+    horizon (right for unbounded key spaces like event ids, at the
+    documented cost that a duplicate arriving after the horizon is
+    re-emitted). The batch twin is ``event_burst_dedup``'s 6 h
+    near-time rule (plans/analytics_queries.py).
+    """
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

@@ -215,3 +215,37 @@ def test_stream_static_enrich_sees_dim_refresh(spark, tmp_path):
 
     got = {r.event_id: r.tier for r in spark.read.parquet(str(out)).collect()}
     assert got == {1: "bronze", 2: None, 3: "gold", 4: "silver"}
+
+
+def test_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """Native dropDuplicatesWithinWatermark semantics: a replay
+    inside the watermark horizon is suppressed; once the watermark
+    passes a key, its state is EVICTED and a later replay re-emits —
+    the documented bounded-state trade-off vs first-seen dedup
+    (state ~ keys per horizon, not all keys ever)."""
+    from ods_v3_dbt_spark.streaming.stateful import dedup_within_watermark
+
+    src, ckpt, out = tmp_path / "src", tmp_path / "ckpt", tmp_path / "out"
+    tf = lambda df: dedup_within_watermark(df, ["event_id"], "ts", "1 hour")  # noqa: E731
+
+    # batch 1: e1 + an in-batch replay of e1 → one row
+    _write_batch(spark, src, [(1, 10, T, 1.0), (1, 10, T, 99.0)])
+    _drain(spark, src, ckpt, out, tf)
+    # batch 2: e1 replay within the horizon → suppressed by state;
+    # e2 at T+10h drags the watermark far past e1
+    _write_batch(
+        spark, src,
+        [(1, 10, T + dt.timedelta(minutes=5), 98.0),
+         (2, 11, T + dt.timedelta(hours=10), 2.0)],
+    )
+    _drain(spark, src, ckpt, out, tf)
+    # batch 3: e1 again, long after the watermark evicted it → re-emitted
+    _write_batch(spark, src, [(1, 10, T + dt.timedelta(hours=10), 97.0)])
+    _drain(spark, src, ckpt, out, tf)
+
+    rows = spark.read.parquet(str(out)).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.event_id, []).append(r.value)
+    assert sorted(by_id[1]) == [1.0, 97.0]  # first win + post-eviction re-emit
+    assert by_id[2] == [2.0]
