@@ -3021,7 +3021,7 @@ def nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT CASE WHEN base.o_orderkey IS NULL THEN 'added'
                   WHEN curr.o_orderkey IS NULL THEN 'removed'
-                  WHEN base.price_c <> curr.price_c THEN 'changed'
+                  WHEN base.price_c IS DISTINCT FROM curr.price_c THEN 'changed'
                   ELSE 'unchanged' END AS change_type
       FROM base FULL OUTER JOIN curr USING (o_orderkey)
     ) d GROUP BY change_type
@@ -3051,7 +3051,9 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = base.join(curr, base["b_key"] == curr["c_key"], "full_outer").select(
         F.when(F.col("b_key").isNull(), "added")
         .when(F.col("c_key").isNull(), "removed")
-        .when(F.col("b_price_c") != F.col("c_price_c"), "changed")
+        # IS DISTINCT FROM, not <>: a NULL price on one side is a
+        # CHANGE, not silently 'unchanged' (same hardening as SCD2)
+        .when(~F.col("b_price_c").eqNullSafe(F.col("c_price_c")), "changed")
         .otherwise("unchanged")
         .alias("change_type")
     )
