@@ -6,6 +6,8 @@ stays declarative).
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from ods_v3_dbt_spark.plans import declared_queries as DQ
@@ -491,3 +493,74 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions
+# ---------------------------------------------------------------------------
+
+
+def test_domain_blocklist_zero_join_map_side(spark):
+    """The blocklist gate is a scan-stage classifier + one partial
+    aggregate — no join (the blocklist compiled to IN/ENDSWITH
+    predicates), no second exchange."""
+    plan = _plan(spark, "domain_blocklist_filter")
+    assert "Join" not in plan
+    assert plan.count(") Exchange") == 1
+
+
+def test_ttr_single_token_shuffle(spark):
+    """type_token_ratio: the (source, token) frequency aggregate and
+    the per-source rollup must ride ONE token exchange + one source
+    exchange — never a second pass over the corpus."""
+    plan = _plan(spark, "type_token_ratio_by_source")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert plan.count(") Exchange") == 2
+
+
+def test_band_stats_shares_signature_pipeline(spark):
+    """minhash_band_stats: one doc_id shuffle (signatures), one
+    (band_idx, band_key) shuffle (buckets), one band_idx shuffle
+    (rollup) — and no join anywhere (diagnostics never pay the
+    candidate join they predict)."""
+    plan = _plan(spark, "minhash_band_stats")
+    assert "Join" not in plan
+
+
+def test_ivf_l2q_broadcast_probes_no_cartesian(spark):
+    """Quantized IVF: query probes broadcast into the cell join; no
+    nested-loop/cartesian product anywhere."""
+    plan = _plan(spark, "embedding_ann_ivf")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_broadcast_bucket_join_single_topk_window(spark):
+    """LSH ANN: bucket join broadcasts the query side; exactly one
+    window (the per-query top-k) sorts the candidate set."""
+    plan = _plan(spark, "embedding_ann_lsh")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_excel_coercion_zero_shuffle(spark):
+    """The S10 coercion grid is pure scan-stage codegen — zero
+    exchanges, one scan."""
+    plan = _plan(spark, "excel_cell_coercion_grid")
+    assert "Exchange" not in plan
+
+
+def test_multimodal_meta_never_decodes(spark):
+    """Metadata scan: JVM-only (no Python eval nodes) — the binary
+    column may be read but no Arrow kernel runs."""
+    plan = _plan(spark, "multimodal_meta")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_doc_len_histogram_map_side(spark):
+    """Length histogram: one scan, one partial-agg exchange."""
+    plan = _plan(spark, "doc_len_histogram_by_source")
+    assert plan.count(") Exchange") == 1
+    assert "Join" not in plan
