@@ -255,6 +255,50 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup(c).select("doc_id", "dup_count")
 
 
+@register(
+    "cross_source_exact_dups",
+    """
+    WITH feed AS (
+      SELECT source, text FROM documents
+      UNION ALL
+      SELECT 'syndic' AS source, text FROM documents WHERE doc_id % 7 = 0),
+    fps AS (
+      SELECT DISTINCT source, md5(lower(trim(text))) AS fp FROM feed)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(1) AS BIGINT) AS n_shared_docs
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def cross_source_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source syndication matrix — which source pairs carry
+    byte-identical content (the exact-dup complement of
+    source_shingle_overlap's near-dup matrix): per source pair, the
+    number of shared content fingerprints. A deterministic 'syndic'
+    feed (every 7th doc republished — 7 is coprime with the 20-way
+    source assignment, so the feed spans every source) guarantees non-empty output on
+    the synthetic corpus. The self-join probes the DISTINCT
+    (source, fingerprint) set — vocabulary-bound, never the raw
+    corpus — so at 100 TB the join input is |sources|·|unique docs
+    per source|, and the equi-join on fp is shuffle-linear with no
+    all-pairs blowup."""
+    d = load(spark, sf_dir, "documents")
+    feed = d.select("source", "text").unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            F.lit("syndic").alias("source"), "text"
+        )
+    )
+    fps = feed.select(
+        "source", T.fingerprint_md5(F.col("text")).alias("fp")
+    ).distinct()
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_docs"))
+    )
+
+
 def _minhash_band_ctes(num_hashes: int, bands: int) -> str:
     """corpus → shingles → K minhashes → banded keys, as the shared
     CTE prefix of the near-dup query and the band diagnostics."""
