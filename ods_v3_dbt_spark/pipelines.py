@@ -1,0 +1,162 @@
+"""End-to-end training-corpus curation: the operators composed into
+the workflow a pretraining-data pipeline actually runs.
+
+    raw docs → quality filter → exact dedup → near-dup
+    canonicalization → decontamination vs a held-out eval set →
+    deterministic split → sequence packing
+
+Every stage is an existing, oracle-verified operator (functions/
+text.py, operators/dedup.py, the packing/split contracts of
+plans/llm_queries.py); this module is the composition plus a
+per-stage audit trail, proving the pieces snap together as ONE
+lazy DataFrame DAG — Catalyst sees the whole pipeline, so scans are
+shared and filters push through stage boundaries.
+
+Scale shape: stages 1-2 are scan + one fingerprint shuffle; stage 3
+is the banded-pair + components machinery (shuffle-linear, no
+all-pairs — see SCALE.md); stage 4 probes a vocabulary-bound distinct
+shingle set; stages 5-6 are a hash predicate and one running-sum
+window (per-shard at scale, the documented single-sort caveat).
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .functions import text as T
+from .operators import dedup as DD
+
+
+@dataclass
+class CurationAudit:
+    """Row counts after each stage — the reconciliation record a
+    curation run logs (the reference's A5 count-audit contract
+    applied to the corpus pipeline)."""
+
+    n_input: int
+    n_quality: int
+    n_exact_unique: int
+    n_canonical: int
+    n_clean: int
+    n_train: int
+    n_heldout: int
+
+    def as_dict(self) -> dict:
+        return asdict(self)
+
+
+def _four_gram_shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle-md5) for every 4-gram — the decontamination
+    identity used by test_set_decontamination."""
+    toks = df.select(
+        "doc_id",
+        F.expr(
+            rf"filter(split(lower(trim({text_col})), '\\s+'), x -> x <> '')"
+        ).alias("toks"),
+    ).filter(F.size("toks") >= 4)
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 3),"
+                " i -> md5(concat_ws(' ', toks[i-1], toks[i], toks[i+1], toks[i+2])))"
+            )
+        ).alias("shingle"),
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    quality_floor_milli: int = 500,
+    min_tokens: int = 5,
+    max_tokens: int = 10_000,
+    neardup_jaccard_ppm: int = 500_000,
+    split_salt: str = "s42",
+    train_hex_cut: str = "cd",
+    pack_tokens: int = 512,
+) -> tuple[DataFrame, DataFrame, CurationAudit]:
+    """Run the full curation pipeline.
+
+    Returns ``(train_packed, heldout, audit)``:
+
+    * ``train_packed`` — curated train docs with ``bin_id`` (the
+      pack_tokens-token context-window assignment) and ``n_tokens``;
+    * ``heldout`` — the curated validation split (same cleaning, no
+      packing);
+    * ``audit`` — per-stage row counts.
+
+    ``eval_docs`` is the protected evaluation set: any candidate doc
+    sharing a 4-gram shingle with it is dropped (zero-tolerance
+    decontamination; loosen by thresholding ``n_contaminated``
+    upstream if needed).
+    """
+    n_input = docs.count()
+
+    # 1. quality gate — scan-stage expressions only
+    q = docs.filter(
+        (T.quality_score_milli(F.col("text")) >= quality_floor_milli)
+        & T.token_count(F.col("text")).between(min_tokens, max_tokens)
+    )
+    n_quality = q.count()
+
+    # 2. exact dedup — one fingerprint shuffle, min-id representative
+    uniq = DD.exact_dedup(q).drop("dup_count")
+    n_exact = uniq.count()
+
+    # 3. near-dup canonicalization — banded Jaccard pairs → connected
+    #    components → keep only each cluster's canonical (min-id) doc
+    pairs = DD.ngram_jaccard_pairs(uniq, threshold_ppm=neardup_jaccard_ppm)
+    comps = DD.connected_components(pairs.select("doc_a", "doc_b"))
+    losers = comps.filter(F.col("node") != F.col("component_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    canonical = uniq.join(losers, "doc_id", "left_anti")
+    n_canonical = canonical.count()
+
+    # 4. decontamination — drop candidates sharing any 4-gram with the
+    #    eval set (the distinct eval shingle set is vocabulary-bound)
+    eval_sh = _four_gram_shingles(eval_docs).select("shingle").distinct()
+    dirty = (
+        _four_gram_shingles(canonical)
+        .join(eval_sh, "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = canonical.join(dirty, "doc_id", "left_anti")
+    n_clean = clean.count()
+
+    # 5. deterministic hash split — reproducible on any engine/run
+    is_train = (
+        F.substring(
+            F.md5(F.concat(F.lit(f"{split_salt}:"), F.col("doc_id").cast("string"))),
+            1,
+            2,
+        )
+        < train_hex_cut
+    )
+    train = clean.filter(is_train)
+    heldout = clean.filter(~is_train)
+
+    # 6. sequence packing of the train split — running-sum-before
+    #    div pack_tokens (per-shard at scale; see sequence_packing)
+    t = train.withColumn("n_tokens", T.token_count(F.col("text")))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    train_packed = t.withColumn(
+        "bin_id",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / pack_tokens).cast("bigint"),
+    )
+
+    audit = CurationAudit(
+        n_input=n_input,
+        n_quality=n_quality,
+        n_exact_unique=n_exact,
+        n_canonical=n_canonical,
+        n_clean=n_clean,
+        n_train=train_packed.count(),
+        n_heldout=heldout.count(),
+    )
+    return train_packed, heldout, audit

@@ -1,0 +1,106 @@
+"""End-to-end curation pipeline: the composed workflow must clean a
+deliberately dirty corpus — low-quality rows, exact copies, near-dup
+variants, eval-contaminated docs — and produce a packed train split
+plus a held-out split, deterministically."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ods_v3_dbt_spark.functions import text as T
+from ods_v3_dbt_spark.pipelines import _four_gram_shingles, curate_corpus
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def dirty_corpus(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    exact = base.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100_000
+    )
+    near = (
+        base.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 200_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra marker token")))
+    )
+    junk = spark.createDataFrame(
+        [(300_000 + i, "!!! ??? ***") for i in range(5)], "doc_id long, text string"
+    )
+    return base.unionByName(exact).unionByName(near).unionByName(junk)
+
+
+@pytest.fixture(scope="module")
+def eval_set(spark, dirty_corpus):
+    # protect every 17th doc's content: those (and any doc sharing a
+    # 4-gram with them) must not reach the train/heldout outputs
+    return dirty_corpus.filter(F.col("doc_id") % 17 == 0).filter(
+        F.col("doc_id") < 100_000
+    )
+
+
+@pytest.fixture(scope="module")
+def curated(spark, dirty_corpus, eval_set):
+    return curate_corpus(dirty_corpus, eval_set)
+
+
+def test_stage_counts_monotone_and_effective(curated, dirty_corpus):
+    train, heldout, audit = curated
+    a = audit.as_dict()
+    assert (
+        a["n_input"]
+        >= a["n_quality"]
+        >= a["n_exact_unique"]
+        >= a["n_canonical"]
+        >= a["n_clean"]
+    )
+    assert a["n_input"] == dirty_corpus.count()
+    # every stage actually removed something on the dirty corpus
+    assert a["n_quality"] < a["n_input"]          # junk docs gone
+    assert a["n_exact_unique"] < a["n_quality"]   # exact copies gone
+    assert a["n_canonical"] < a["n_exact_unique"]  # near-dups gone
+    assert a["n_clean"] < a["n_canonical"]        # contaminated gone
+    assert a["n_train"] + a["n_heldout"] == a["n_clean"]
+    assert a["n_train"] > 0 and a["n_heldout"] > 0
+
+
+def test_output_free_of_dups_and_contamination(spark, curated, eval_set):
+    train, heldout, _ = curated
+    out = train.select("doc_id", "text").unionByName(
+        heldout.select("doc_id", "text")
+    )
+    # no two output docs share a content fingerprint
+    n = out.count()
+    n_fp = out.select(T.fingerprint_md5(F.col("text")).alias("fp")).distinct().count()
+    assert n == n_fp
+    # zero 4-gram overlap with the protected eval set
+    overlap = (
+        _four_gram_shingles(out)
+        .join(_four_gram_shingles(eval_set).select("shingle").distinct(), "shingle")
+        .count()
+    )
+    assert overlap == 0
+
+
+def test_packing_conserves_tokens_and_bins_contiguous(curated):
+    train, _, _ = curated
+    bins = train.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("bin_tokens"), F.count(F.lit(1)).alias("n_docs")
+    )
+    rows = sorted((r.bin_id, r.bin_tokens) for r in bins.collect())
+    ids = [b for b, _ in rows]
+    assert ids == list(range(len(ids)))  # bins contiguous from 0
+    total = train.agg(F.sum("n_tokens")).collect()[0][0]
+    assert sum(t for _, t in rows) == total  # packing loses nothing
+    # every non-final bin is filled past the 512 boundary by at most
+    # one spanning doc (the scheme's documented property)
+    max_doc = train.agg(F.max("n_tokens")).collect()[0][0]
+    for b, t in rows[:-1]:
+        assert t >= 1 and t <= 512 + max_doc
+
+
+def test_pipeline_is_deterministic(dirty_corpus, eval_set, curated):
+    _, _, audit1 = curated
+    _, _, audit2 = curate_corpus(dirty_corpus, eval_set)
+    assert audit1.as_dict() == audit2.as_dict()
