@@ -1193,7 +1193,27 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: edges → recursive reachability → per-node min-reachable component.
 #: The recursive CTE is the oracle twin of the alternating-star
 #: algorithm in operators/dedup.py::connected_components.
-_COMPONENT_CTES = f"""{_CORPUS_SQL}, {_SHINGLE_SQL},
+def _components_over(src: str) -> str:
+    """Near-dup connected-components CTE chain over any (doc_id,
+    text) source CTE ``src``: 3-shingles → shared-shingle pairs →
+    exact Jaccard ≥ 0.5 → undirected edges → recursive reachability →
+    per-node min-reachable component (CTE ``comp``). The oracle twin
+    of operators/dedup.py's alternating-star algorithm, reused by
+    both the standalone component queries and the end-to-end
+    curation-pipeline audit."""
+    return f"""
+  words AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM {src}
+  ),
+  sh0 AS (
+    SELECT doc_id, w,
+           unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+    FROM words
+  ),
+  sh AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+    FROM sh0
+  ),
   pairs AS (
     SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
     FROM sh s1 JOIN sh s2
@@ -1220,7 +1240,7 @@ _COMPONENT_CTES = f"""{_CORPUS_SQL}, {_SHINGLE_SQL},
     SELECT doc_b AS eu, doc_a AS ev FROM jp
   ),
   reach(node, r) AS (
-    SELECT doc_id, doc_id FROM corpus
+    SELECT doc_id, doc_id FROM {src}
     UNION
     SELECT e.ev, r.r FROM reach r JOIN edges e ON e.eu = r.node
   ),
@@ -1229,6 +1249,9 @@ _COMPONENT_CTES = f"""{_CORPUS_SQL}, {_SHINGLE_SQL},
     FROM reach GROUP BY node
   )
 """
+
+
+_COMPONENT_CTES = f"""{_CORPUS_SQL}, {_components_over('corpus').lstrip()}"""
 
 
 @register(
@@ -1359,4 +1382,114 @@ def token_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline audit (pipelines.py, hash-verified)
+# ---------------------------------------------------------------------------
+
+_PIPE_TOKS = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+)
+_PIPE_4GRAM = f"""
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - 2),
+                  i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                           || ' ' || toks[i+3]))) AS shingle
+    FROM (SELECT doc_id, {_PIPE_TOKS} AS toks FROM {{src}})
+    WHERE len(toks) >= 4
+"""
+
+
+@register(
+    "curation_pipeline_audit",
+    f"""
+    WITH RECURSIVE {_CORPUS_SQL},
+    pq AS (
+      SELECT doc_id, text FROM corpus
+      WHERE {textsql.QUALITY_MILLI_SQL} >= 500
+        AND {textsql.NTOK.format(c='text')} BETWEEN 5 AND 10000),
+    uniq AS (
+      SELECT doc_id, text FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+        FROM pq) WHERE rn = 1),
+    {_components_over('uniq').lstrip()},
+    losers AS (SELECT doc_id FROM comp WHERE doc_id <> component_id),
+    canonical AS (
+      SELECT u.doc_id, u.text FROM uniq u
+      WHERE u.doc_id NOT IN (SELECT doc_id FROM losers)),
+    eval_docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+    esh AS (SELECT DISTINCT shingle FROM ({_PIPE_4GRAM.format(src='eval_docs')})),
+    csh AS ({_PIPE_4GRAM.format(src='canonical')}),
+    dirty AS (
+      SELECT DISTINCT c.doc_id FROM csh c JOIN esh e ON c.shingle = e.shingle),
+    clean AS (
+      SELECT doc_id, text FROM canonical
+      WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+    split AS (
+      SELECT doc_id,
+             substring(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+               AS is_train,
+             {textsql.NTOK.format(c='text')} AS n_tokens
+      FROM clean),
+    train AS (SELECT doc_id, n_tokens FROM split WHERE is_train),
+    packed AS (
+      SELECT (SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens) // 512 AS bin_id,
+             n_tokens
+      FROM train)
+    SELECT CAST((SELECT COUNT(1) FROM corpus) AS BIGINT) AS n_input,
+           CAST((SELECT COUNT(1) FROM pq) AS BIGINT) AS n_quality,
+           CAST((SELECT COUNT(1) FROM uniq) AS BIGINT) AS n_exact_unique,
+           CAST((SELECT COUNT(1) FROM canonical) AS BIGINT) AS n_canonical,
+           CAST((SELECT COUNT(1) FROM clean) AS BIGINT) AS n_clean,
+           CAST((SELECT COUNT(1) FROM train) AS BIGINT) AS n_train,
+           CAST((SELECT COUNT(1) FROM split WHERE NOT is_train) AS BIGINT)
+             AS n_heldout,
+           CAST((SELECT COUNT(DISTINCT bin_id) FROM packed) AS BIGINT) AS n_bins,
+           CAST((SELECT COALESCE(SUM(n_tokens), 0) FROM train) AS BIGINT)
+             AS train_tokens
+    """,
+)
+def curation_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline (pipelines.py::curate_corpus),
+    hash-verified end to end: quality gate → exact dedup → near-dup
+    canonicalization (Jaccard pairs → connected components) →
+    4-gram decontamination against the protected doc_id%17 eval set →
+    deterministic hash split → 512-token packing, with the per-stage
+    audit counts as the single-row output. The oracle replays all six
+    stages in one recursive-CTE SQL program built from the same
+    fragments each stage's standalone query uses — so not just each
+    operator but their COMPOSITION is value-checked across engines.
+    Runs on the standard dirty corpus (injected exact + near dups) so
+    every stage provably removes its target class."""
+    from .. import pipelines as P
+
+    eval_docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 17 == 0
+    ).select("doc_id", "text")
+    train, heldout, audit = P.curate_corpus(
+        corpus_with_dups(spark, sf_dir), eval_docs
+    )
+    n_bins = train.select("bin_id").distinct().count()
+    train_tokens = train.agg(
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("s")
+    ).collect()[0].s
+    a = audit.as_dict()
+    row = [
+        (
+            a["n_input"], a["n_quality"], a["n_exact_unique"],
+            a["n_canonical"], a["n_clean"], a["n_train"], a["n_heldout"],
+            n_bins, int(train_tokens),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_input bigint, n_quality bigint, n_exact_unique bigint, "
+        "n_canonical bigint, n_clean bigint, n_train bigint, "
+        "n_heldout bigint, n_bins bigint, train_tokens bigint",
     )
