@@ -201,7 +201,9 @@ _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (
     "event_burst_dedup",
     "per_source_hash_sample",
     "sparse_update_coalesce",
-    "wau_sliding_distinct_users",
+    # end-to-end pipeline composition, new this round; the sliding
+    # distinct-users query rotates to the round-3 window for it
+    "curation_pipeline_audit",
     "schema_evolution_union",
     # S10 coercion contract, new this round (VERDICT item 10);
     # trimmed_mean_order_value rotates to the round-3 window for it
