@@ -160,3 +160,35 @@ def curate_corpus(
         n_heldout=heldout.count(),
     )
     return train_packed, heldout, audit
+
+
+def curate_stream(
+    stream: DataFrame,
+    quality_floor_milli: int = 500,
+    min_tokens: int = 5,
+    max_tokens: int = 10_000,
+    ts_col: str = "ingest_ts",
+    dedup_horizon: str = "6 hours",
+) -> DataFrame:
+    """Streaming ingest twin of the batch pipeline's first two
+    stages: the quality gate (stateless scan expressions — identical
+    to batch) plus exact dedup on the content fingerprint within a
+    watermark horizon (``dropDuplicatesWithinWatermark`` — bounded
+    state: fingerprints seen inside one horizon, the right trade for
+    an unbounded document stream; re-ingests beyond the horizon
+    deduplicate in the nightly batch pass instead).
+
+    Near-dup canonicalization and decontamination stay batch-side by
+    design: they need corpus-global joins (components, eval shingle
+    sets) that no per-record stream operator can answer — the
+    canonical lambda split of this architecture.
+    """
+    from .streaming.stateful import dedup_within_watermark
+
+    gated = stream.filter(
+        (T.quality_score_milli(F.col("text")) >= quality_floor_milli)
+        & T.token_count(F.col("text")).between(min_tokens, max_tokens)
+    ).withColumn("__fp", T.fingerprint_md5(F.col("text")))
+    return dedup_within_watermark(
+        gated, ["__fp"], ts_col=ts_col, delay=dedup_horizon
+    ).drop("__fp")

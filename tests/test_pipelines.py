@@ -104,3 +104,40 @@ def test_pipeline_is_deterministic(dirty_corpus, eval_set, curated):
     _, _, audit1 = curated
     _, _, audit2 = curate_corpus(dirty_corpus, eval_set)
     assert audit1.as_dict() == audit2.as_dict()
+
+
+def test_curate_stream_gates_and_dedups_across_batches(spark, tmp_path):
+    """Streaming ingest: quality junk filtered statelessly; a
+    byte-identical doc re-ingested in a later micro-batch inside the
+    watermark horizon is suppressed by fingerprint state."""
+    import datetime as dt
+
+    from ods_v3_dbt_spark.pipelines import curate_stream
+
+    SCHEMA = "doc_id long, text string, ingest_ts timestamp"
+    src, ckpt, out = tmp_path / "src", tmp_path / "ckpt", tmp_path / "out"
+    T0 = dt.datetime(2024, 9, 1, 12, 0, 0)
+    good = "the quick brown fox jumps over the lazy dog again and again"
+
+    def write(rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(str(src))
+
+    def drain():
+        q = (
+            curate_stream(spark.readStream.schema(SCHEMA).parquet(str(src)))
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write([(1, good, T0), (2, "!!! ???", T0)])          # junk gated out
+    drain()
+    write([(3, good, T0), (4, good + " fresh tail", T0)])  # 3 = dup of 1
+    drain()
+
+    got = sorted(r.doc_id for r in spark.read.parquet(str(out)).collect())
+    assert got == [1, 4]
