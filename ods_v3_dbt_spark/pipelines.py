@@ -93,19 +93,36 @@ def curate_corpus(
     sharing a 4-gram shingle with it is dropped (zero-tolerance
     decontamination; loosen by thresholding ``n_contaminated``
     upstream if needed).
+
+    Audit counts come from ``observe()`` metrics on the shared DAG —
+    ONE pass computes every upstream stage count (a per-stage
+    ``.count()`` would recompute the chain quadratically) — and the
+    post-decontamination branch point is persisted because three
+    consumers (train, heldout, the caller) read it; a production run
+    lands that stage as a staging table instead (SCALE.md).
     """
-    n_input = docs.count()
+    from pyspark.sql import Observation
 
     # 1. quality gate — scan-stage expressions only
+    obs_in = Observation("curate_input")
+    obs_q = Observation("curate_quality")
+    docs = docs.observe(obs_in, F.count(F.lit(1)).alias("n"))
     q = docs.filter(
         (T.quality_score_milli(F.col("text")) >= quality_floor_milli)
         & T.token_count(F.col("text")).between(min_tokens, max_tokens)
-    )
-    n_quality = q.count()
+    ).observe(obs_q, F.count(F.lit(1)).alias("n"))
 
-    # 2. exact dedup — one fingerprint shuffle, min-id representative
-    uniq = DD.exact_dedup(q).drop("dup_count")
-    n_exact = uniq.count()
+    # 2. exact dedup — one fingerprint shuffle, min-id representative.
+    # Persisted: three consumers (the pair generator, the canonical
+    # anti-join, and decontamination shingles) read it — without the
+    # cache each recomputes scan+gate+window.
+    obs_uniq = Observation("curate_uniq")
+    uniq = (
+        DD.exact_dedup(q)
+        .drop("dup_count")
+        .observe(obs_uniq, F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
 
     # 3. near-dup canonicalization — banded Jaccard pairs → connected
     #    components → keep only each cluster's canonical (min-id) doc
@@ -114,8 +131,10 @@ def curate_corpus(
     losers = comps.filter(F.col("node") != F.col("component_id")).select(
         F.col("node").alias("doc_id")
     )
-    canonical = uniq.join(losers, "doc_id", "left_anti")
-    n_canonical = canonical.count()
+    obs_canon = Observation("curate_canonical")
+    canonical = uniq.join(losers, "doc_id", "left_anti").observe(
+        obs_canon, F.count(F.lit(1)).alias("n")
+    )
 
     # 4. decontamination — drop candidates sharing any 4-gram with the
     #    eval set (the distinct eval shingle set is vocabulary-bound)
@@ -126,8 +145,14 @@ def curate_corpus(
         .select("doc_id")
         .distinct()
     )
-    clean = canonical.join(dirty, "doc_id", "left_anti")
+    clean = canonical.join(dirty, "doc_id", "left_anti").persist()
+    # the one materializing pass: fills every upstream observation
     n_clean = clean.count()
+    n_input = int(obs_in.get["n"])
+    n_quality = int(obs_q.get["n"])
+    n_exact = int(obs_uniq.get["n"])
+    n_canonical = int(obs_canon.get["n"])
+    uniq.unpersist()  # downstream reads go through the cached `clean`
 
     # 5. deterministic hash split — reproducible on any engine/run
     is_train = (
