@@ -1376,3 +1376,111 @@ def doc_len_histogram_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "customer_rfm_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             CAST(datediff('day', MAX(CAST(o_orderdate AS DATE)),
+                           DATE '1999-01-01') AS BIGINT) AS recency_days,
+             CAST(COUNT(1) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+               AS monetary_c
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT *,
+             CAST(ntile(4) OVER (ORDER BY recency_days ASC, o_custkey) AS INT) AS r,
+             CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f,
+             CAST(ntile(4) OVER (ORDER BY monetary_c DESC, o_custkey) AS INT) AS m
+      FROM rfm)
+    SELECT r, f, m,
+           CAST(COUNT(1) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_c) AS BIGINT) AS segment_revenue_c,
+           CAST(MIN(o_custkey) AS BIGINT) AS sample_custkey
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value grid: per
+    customer, recency (days since last order vs a fixed as-of date),
+    frequency, and integer-cents monetary value, each cut into
+    quartiles by ntile over a TOTAL order (custkey tiebreak — ntile
+    is rank-based, so ties would otherwise split engine-dependently),
+    then the 4×4×4 segment rollup. One fact shuffle builds the per-
+    customer table; the three ntiles share one pass over it (~1 row
+    per customer — window sorts the aggregate, not the fact); the
+    segment rollup collapses map-side. The as-of date is fixed so the
+    result is deterministic at every SF."""
+    o = load(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.to_date(F.lit("1999-01-01")), F.max(F.to_date("o_orderdate"))
+        ).cast("bigint").alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(cents(F.col("o_totalprice"))).alias("monetary_c"),
+    )
+    scored = (
+        rfm.withColumn(
+            "r", F.ntile(4).over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+        )
+        .withColumn(
+            "f", F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        )
+        .withColumn(
+            "m", F.ntile(4).over(Window.orderBy(F.desc("monetary_c"), F.asc("o_custkey")))
+        )
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary_c").alias("segment_revenue_c"),
+        F.min("o_custkey").alias("sample_custkey"),
+    )
+
+
+@register(
+    "ship_lag_histogram",
+    """
+    SELECT l_linestatus,
+           CAST(least(greatest(datediff('day', CAST(o_orderdate AS DATE),
+                                        CAST(l_shipdate AS DATE)), 0) // 15, 8)
+                AS BIGINT) AS lag_bucket,
+           CAST(COUNT(1) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+             AS value_c
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_linestatus, lag_bucket
+    """,
+)
+def ship_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag distribution — the fulfillment-SLA profile:
+    days between order and ship date in 15-day equi-width buckets
+    (top bucket open), per line status, with line counts and value.
+    The orders side is projected to (key, date) before the join so
+    the shuffle moves two columns; the bucket arithmetic is pure
+    codegen and the rollup collapses map-side to statuses×9 rows at
+    any scale."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate", "l_extendedprice"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    # lag clamped to >= 0 BEFORE the division: on negative values
+    # Spark's floor and DuckDB's // disagree (floor vs trunc), and a
+    # ship-before-order row is data dirt that belongs in bucket 0 anyway
+    bucket = F.least(
+        F.expr(
+            "greatest(datediff(to_date(l_shipdate), to_date(o_orderdate)), 0) div 15"
+        ),
+        F.lit(8),
+    ).cast("bigint")
+    return (
+        j.select("l_linestatus", bucket.alias("lag_bucket"),
+                 cents(F.col("l_extendedprice")).alias("v_c"))
+        .groupBy("l_linestatus", "lag_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("v_c").alias("value_c"),
+        )
+    )
