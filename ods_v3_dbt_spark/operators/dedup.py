@@ -408,12 +408,21 @@ def simhash_near_pairs(
     sims: DataFrame,
     max_hamming: int = 3,
     prefix_bits: int = 16,
-    hash_bits: int = 64,
+    hash_bits: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: block on the top ``prefix_bits`` of
     the ``hash_bits``-wide simhash (docs differing only in low bits
     collide), then exact Hamming ≤ ``max_hamming`` via
-    bit_count(xor)."""
+    bit_count(xor).
+
+    ``hash_bits`` must match the signature width ``simhash64``
+    produced — ``simhash_bits(hash_mode)``: 63 for xxhash, 60 for
+    md5. The default is the xxhash width (the production mode);
+    round 2 defaulted to 64, which silently blocked on
+    ``prefix_bits − 1`` effective bits (the top bit of a 63-bit
+    signature is always zero — round-2 ADVICE)."""
+    if hash_bits is None:
+        hash_bits = simhash_bits("xxhash")
     keyed = sims.withColumn("block", F.shiftrightunsigned(F.col("simhash"), hash_bits - prefix_bits))
     a, b = keyed.alias("a"), keyed.alias("b")
     return (

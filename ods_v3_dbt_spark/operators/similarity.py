@@ -253,14 +253,25 @@ def _l2q_dist2(vec, cent_lit):
 
 
 def quantize_embedding(vec, scale: int = 1000, offset: int = 1000):
-    """float array → BIGINT array: round(x·scale)+offset. The offset
-    makes every element positive, so integer division in the Lloyd
-    mean is floor=trunc on both engines, and L2 geometry is shift-
-    invariant — assignments, refinements, and distances are EXACTLY
-    what the unshifted quantization gives."""
+    """float array → BIGINT array: greatest(round(x·scale), −offset)
+    + offset. The offset makes every element positive, so integer
+    division in the Lloyd mean is floor=trunc on both engines, and L2
+    geometry is shift-invariant — assignments, refinements, and
+    distances are EXACTLY what the unshifted quantization gives.
+
+    The ``greatest`` clamp ENFORCES the positivity invariant instead
+    of assuming it (round-2 ADVICE): a component < −offset/scale
+    would otherwise quantize negative and silently split Spark's
+    ``div`` (trunc) from DuckDB's ``//`` (floor) in the Lloyd mean.
+    Components ≥ −offset/scale (every normalized embedding) are
+    untouched; below that the contract is declared saturation, and
+    the oracle replays the same clamp."""
     return F.transform(
         vec,
-        lambda x: F.round(x.cast("double") * scale).cast("bigint") + offset,
+        lambda x: F.greatest(
+            F.round(x.cast("double") * scale).cast("bigint"), F.lit(-offset)
+        )
+        + offset,
     )
 
 

@@ -4394,9 +4394,14 @@ def user_value_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
                   END AS price_cell
       FROM orders),
     typed AS (
-      SELECT CAST(item_key AS BIGINT) AS item_key,
+      SELECT CASE WHEN CAST(item_key AS DOUBLE)
+                       BETWEEN -2147483648 AND 2147483647
+                  THEN CAST(CAST(item_key AS DOUBLE) AS BIGINT) ELSE NULL
+                  END AS item_key,
              CASE WHEN cust_cell IN ('', 'NULL', 'nan', 'None') THEN NULL
-                  ELSE CAST(cust_cell AS BIGINT) END AS cust_id,
+                  WHEN CAST(cust_cell AS DOUBLE)
+                       NOT BETWEEN -2147483648 AND 2147483647 THEN NULL
+                  ELSE CAST(CAST(cust_cell AS DOUBLE) AS BIGINT) END AS cust_id,
              CASE WHEN CAST(big_cell AS DOUBLE)
                        BETWEEN -2147483648 AND 2147483647
                   THEN CAST(CAST(big_cell AS DOUBLE) AS BIGINT) ELSE NULL
@@ -4419,6 +4424,11 @@ def excel_cell_coercion_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``pns_to_ods_optimize.py:135-175``): marker cells → NULL,
     declared-int cells through the int32 guard (3e9/4e9 → NULL,
     0/1e9/2e9 kept), floats cast, rows with a NULL key dropped.
+    The oracle replays the int32 guard for EVERY Int64 column
+    (item_key/cust_cell too, not just big_cell) so it encodes the
+    full declared contract rather than relying on fixture value
+    ranges — at large SF an orderkey past int32 must NULL-and-drop
+    identically on both engines (round-2 ADVICE).
     Everything is whole-stage codegen over one scan — no Python, no
     shuffle."""
     from ..sources.readers import excel_cell_coercions

@@ -691,13 +691,16 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Quantize + IVF CTE chain shared by the oracle: positive BIGINT
-#: milli-units (shift-invariant L2, floor=trunc division), seed
-#: centroids = 8 lowest-id corpus vectors, one Lloyd round, nprobe=3.
+#: milli-units (shift-invariant L2, floor=trunc division; the
+#: greatest(·, −1000) clamp mirrors quantize_embedding's enforced
+#: positivity invariant), seed centroids = 8 lowest-id corpus
+#: vectors, one Lloyd round, nprobe=3.
 _IVF_L2Q_SQL = """
     WITH base AS (
       SELECT vec_id,
              list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT) + 1000) AS v
+               x -> greatest(CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT),
+                             -1000) + 1000) AS v
       FROM embeddings),
     q AS (SELECT * FROM base WHERE vec_id < 10),
     c AS (SELECT * FROM base WHERE vec_id >= 10),
@@ -1081,7 +1084,15 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: spelling that is a newline on both engines.
 _PPM_W = "(4 + doc_id % 13)"
 _PPM_H = "(3 + doc_id % 11)"
-_PPM_PIX = f"substring(repeat(md5(text), 20), 1, {_PPM_W} * {_PPM_H} * 3)"
+#: coalesce(text, '') keeps the synthesized-media contract TOTAL: a
+#: NULL text row would otherwise NULL the concat Spark-side (empty
+#: payload → decode error → ok=false) while the oracle emitted
+#: ok=true with NULL stats — fixture-dependent parity (round-2
+#: ADVICE). md5('') is a real digest, so NULL-text rows decode like
+#: any other.
+_PPM_PIX = (
+    f"substring(repeat(md5(coalesce(text, '')), 20), 1, {_PPM_W} * {_PPM_H} * 3)"
+)
 _PPM_HEADER = (
     f"concat('P6', chr(10), {_PPM_W}, ' ', {_PPM_H}, chr(10), '255', chr(10))"
 )
