@@ -128,6 +128,7 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int,
     bands: int,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded LSH: split the signature into ``bands`` groups of
     ``num_hashes // bands`` rows; docs sharing any band key are
@@ -135,8 +136,31 @@ def lsh_candidate_pairs(
 
     The band join shuffles (band_idx, band_key) — linear in corpus
     size. A doc appears in exactly ``bands`` buckets.
+
+    ``max_bucket`` is the hot-bucket guard: band-key groups larger
+    than it are dropped BEFORE the self-join. Without it one
+    boilerplate-heavy band key (every page sharing a template
+    footer) emits n·(n−1)/2 candidate pairs — an OUTPUT-cardinality
+    blow-up that AQE skew handling cannot fix, because the quadratic
+    rows are the answer, not a partitioning artifact. Oversized
+    buckets are boilerplate clusters that exact dedup and connected
+    components already catch; docs keep their other ``bands − 1``
+    buckets, so genuine near-dup pairs still surface through any
+    non-hot band (see ``minhash_band_stats`` for sizing the cap).
+    The guard's count-window partitions on the SAME key the join
+    shuffles on, so its output partitioning already satisfies a
+    sort-merge join's requirement — at scale the cap costs no extra
+    exchange beyond the window's own (at test scale the join is
+    broadcast and the point is moot).
     """
     stacked = lsh_band_table(signatures, num_hashes, bands)
+    if max_bucket is not None:
+        wb = Window.partitionBy("band_idx", "band_key")
+        stacked = (
+            stacked.withColumn("__bn", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -197,11 +221,14 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold_ppm: int = 600000,
     mode: str = "xxhash",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band →
     candidate join → exact-Jaccard verify → threshold.
 
     Returns (doc_a, doc_b, jacc_ppm) pairs with Jaccard ≥ threshold.
+    ``max_bucket`` forwards to the hot-bucket guard in
+    :func:`lsh_candidate_pairs` — set it on real web corpora.
     """
     # The exploded shingle table feeds signatures, both sides of the
     # verify join, and the size agg — persist it once instead of four
@@ -209,7 +236,7 @@ def minhash_lsh_pairs(
     # is a materialized intermediate (MEMORY_AND_DISK spills cleanly).
     sh = _shingle_table(df, text_col, id_col, shingle_n).persist()
     sigs = minhash_signatures(sh, num_hashes, mode)
-    cand = lsh_candidate_pairs(sigs, num_hashes, bands)
+    cand = lsh_candidate_pairs(sigs, num_hashes, bands, max_bucket=max_bucket)
     verified = jaccard_for_pairs(cand, sh)
     return verified.filter(F.col("jacc_ppm") >= threshold_ppm).select(
         "doc_a", "doc_b", "jacc_ppm"

@@ -323,12 +323,24 @@ def _minhash_band_ctes(num_hashes: int, bands: int) -> str:
     )"""
 
 
-def _minhash_sql(num_hashes: int, bands: int, threshold_ppm: int) -> str:
+def _minhash_sql(
+    num_hashes: int, bands: int, threshold_ppm: int, max_bucket: int | None = None
+) -> str:
+    if max_bucket is None:
+        kept = "kept AS (SELECT * FROM bands)"
+    else:
+        kept = f"""bsz AS (
+      SELECT band_idx, band_key FROM bands
+      GROUP BY band_idx, band_key HAVING COUNT(1) <= {max_bucket}),
+    kept AS (
+      SELECT b.doc_id, b.band_idx, b.band_key
+      FROM bands b JOIN bsz USING (band_idx, band_key))"""
     return f"""
     WITH {_minhash_band_ctes(num_hashes, bands)},
+    {kept},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
+      FROM kept a JOIN kept b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
     ),
@@ -404,6 +416,25 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = corpus_with_dups(spark, sf_dir)
     return DD.minhash_lsh_pairs(
         c, num_hashes=16, bands=4, threshold_ppm=600000, mode="md5"
+    )
+
+
+@register("minhash_lsh_capped", _minhash_sql(16, 4, 600000, max_bucket=3))
+def minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup with the HOT-BUCKET GUARD live
+    (round-2 verdict item 3): identical pipeline to
+    minhash_lsh_neardup, but band-key buckets larger than 3 docs are
+    dropped before the candidate self-join
+    (``lsh_candidate_pairs(max_bucket=3)``). At sf0.01 the corpus has
+    exactly one size-4 bucket, so the cap provably bites here — and
+    the oracle replays the same bucket-size filter, so what survives
+    (pairs re-surfacing through their other three bands) is
+    hash-verified, not assumed. At 100 TB this is the guard that
+    keeps one boilerplate band key from emitting n²/2 candidate
+    rows; ``minhash_band_stats`` prices the cap before the run."""
+    c = corpus_with_dups(spark, sf_dir)
+    return DD.minhash_lsh_pairs(
+        c, num_hashes=16, bands=4, threshold_ppm=600000, mode="md5", max_bucket=3
     )
 
 

@@ -63,6 +63,40 @@ def test_simhash_near_variant_low_hamming(spark, corpus):
 
 
 # ---------------------------------------------------------------------------
+# LSH hot-bucket guard
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """An injected boilerplate mega-bucket (30 byte-identical docs —
+    identical signatures, so one size-30 bucket in EVERY band) must
+    be dropped by the cap, bounding the candidate output, while a
+    genuine near-dup pair in normal-sized buckets keeps surfacing."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    rows = [(i, "the same boilerplate footer on every page of the site") for i in range(30)]
+    rows += [(100, base), (101, base + " omega")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = DD._shingle_table(df, "text", "doc_id", 3)
+    sigs = DD.minhash_signatures(sh, num_hashes=16)
+
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in DD.lsh_candidate_pairs(sigs, 16, 4).collect()
+    }
+    assert len(uncapped) >= 30 * 29 // 2  # quadratic blow-up is real
+    assert (100, 101) in uncapped
+
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in DD.lsh_candidate_pairs(sigs, 16, 4, max_bucket=10).collect()
+    }
+    assert (100, 101) in capped  # normal buckets untouched
+    assert not any(a < 30 and b < 30 for a, b in capped)  # mega-bucket gone
+    assert len(capped) <= 1
+
+
+# ---------------------------------------------------------------------------
 # ANN / similarity
 # ---------------------------------------------------------------------------
 
