@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..functions import text as T
 from ..operators import dedup as DD
 from ..operators import multimodal as MM
+from ..operators import packing as PK
 from ..operators import similarity as SIM
 from . import textsql
 from .declared_queries import load, register
@@ -937,6 +938,56 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sequence_packing_sharded",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             {PK.md5_shard_sql('doc_id', 8)} AS shard,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents WHERE length(trim(text)) > 0),
+    packed AS (
+      SELECT doc_id, shard, n_tokens,
+             (SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens) // 512 AS local_bin
+      FROM t)
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(shard * {PK.BIN_SHARD_STRIDE} + local_bin AS BIGINT) AS bin_id,
+           CAST(COUNT(1) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM packed GROUP BY shard, local_bin
+    """,
+)
+def sequence_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SHARD sequence packing — the scale-safe twin of
+    ``sequence_packing``, promoted from SCALE.md prose to an
+    oracle-checked operator (round-2 verdict item 2): documents hash
+    into 8 md5 shards and the identical running-sum-before ⫽ 512
+    plan runs WITHIN each shard (``operators/packing.pack_sequences``
+    — one window partitioned by shard, bin ids globally unique via
+    shard · 2⁴⁰ + local_bin). The sort is 8-way parallel here and
+    N-way at 100 TB; no global order exists anywhere in the plan —
+    the plan audit asserts the window exchange is hash-partitioned,
+    not single-partition. The oracle replays shard assignment, the
+    per-shard window, and the bin offset bit for bit."""
+    d = load(spark, sf_dir, "documents")
+    t = d.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        F.size(
+            F.expr(r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')")
+        ).alias("n_tokens"),
+    )
+    packed = PK.pack_sequences(t, pack_tokens=512, num_shards=8)
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@register(
     "test_set_decontamination",
     """
     WITH t AS (
@@ -1477,11 +1528,14 @@ _PIPE_4GRAM = f"""
                AS is_train,
              {textsql.NTOK.format(c='text')} AS n_tokens
       FROM clean),
-    train AS (SELECT doc_id, n_tokens FROM split WHERE is_train),
+    train AS (
+      SELECT doc_id, n_tokens, {PK.md5_shard_sql('doc_id', 8)} AS shard
+      FROM split WHERE is_train),
     packed AS (
-      SELECT (SUM(n_tokens) OVER (ORDER BY doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              - n_tokens) // 512 AS bin_id,
+      SELECT shard * {PK.BIN_SHARD_STRIDE}
+             + (SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens) // 512 AS bin_id,
              n_tokens
       FROM train)
     SELECT CAST((SELECT COUNT(1) FROM corpus) AS BIGINT) AS n_input,
@@ -1502,7 +1556,10 @@ def curation_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-verified end to end: quality gate → exact dedup → near-dup
     canonicalization (Jaccard pairs → connected components) →
     4-gram decontamination against the protected doc_id%17 eval set →
-    deterministic hash split → 512-token packing, with the per-stage
+    deterministic hash split → PER-SHARD 512-token packing (8 md5
+    shards since round 3 — n_bins counts distinct global
+    shard · 2⁴⁰ + local ids, so the shard swap is itself
+    hash-verified), with the per-stage
     audit counts as the single-row output. The oracle replays all six
     stages in one recursive-CTE SQL program built from the same
     fragments each stage's standalone query uses — so not just each

@@ -84,20 +84,30 @@ def test_output_free_of_dups_and_contamination(spark, curated, eval_set):
 
 
 def test_packing_conserves_tokens_and_bins_contiguous(curated):
+    """Per-shard packing contract: bin ids decompose as
+    shard · 2⁴⁰ + local_bin, local bins are contiguous from 0 WITHIN
+    each shard, no token is lost, and every non-final bin in a shard
+    is filled past the 512 boundary by at most one spanning doc."""
+    import collections
+
+    from ods_v3_dbt_spark.operators.packing import BIN_SHARD_STRIDE
+
     train, _, _ = curated
-    bins = train.groupBy("bin_id").agg(
-        F.sum("n_tokens").alias("bin_tokens"), F.count(F.lit(1)).alias("n_docs")
-    )
-    rows = sorted((r.bin_id, r.bin_tokens) for r in bins.collect())
-    ids = [b for b, _ in rows]
-    assert ids == list(range(len(ids)))  # bins contiguous from 0
-    total = train.agg(F.sum("n_tokens")).collect()[0][0]
-    assert sum(t for _, t in rows) == total  # packing loses nothing
-    # every non-final bin is filled past the 512 boundary by at most
-    # one spanning doc (the scheme's documented property)
-    max_doc = train.agg(F.max("n_tokens")).collect()[0][0]
-    for b, t in rows[:-1]:
-        assert t >= 1 and t <= 512 + max_doc
+    rows = train.select("shard", "local_bin", "bin_id", "n_tokens").collect()
+    assert all(r.bin_id == r.shard * BIN_SHARD_STRIDE + r.local_bin for r in rows)
+    shard_bins = collections.defaultdict(set)
+    bin_tokens = collections.Counter()
+    for r in rows:
+        shard_bins[r.shard].add(r.local_bin)
+        bin_tokens[(r.shard, r.local_bin)] += r.n_tokens
+    assert len(shard_bins) > 1  # the corpus actually spreads over shards
+    for s, bins in shard_bins.items():
+        assert sorted(bins) == list(range(len(bins)))
+    assert sum(bin_tokens.values()) == sum(r.n_tokens for r in rows)
+    max_doc = max(r.n_tokens for r in rows)
+    for (s, b), t in bin_tokens.items():
+        if b < max(shard_bins[s]):  # non-final bin within its shard
+            assert 1 <= t <= 512 + max_doc
 
 
 def test_pipeline_is_deterministic(dirty_corpus, eval_set, curated):

@@ -98,6 +98,36 @@ def test_topk_window_group_limit(spark):
     assert plan.count("Exchange") == 1
 
 
+def test_sharded_packing_has_no_global_sort(spark):
+    """The per-shard packing/budget windows must plan a
+    hash-partitioned exchange (num_shards-way parallel sort) — never
+    the SinglePartition exchange a global Window.orderBy emits, which
+    is the round-2 verdict's single-sort bottleneck. The unsharded
+    originals keep their documented global sort; these are the scale
+    twins."""
+    for name in ("sequence_packing_sharded", "token_budget_sharded"):
+        plan = _plan(spark, name)
+        assert "SinglePartition" not in plan, name
+        assert re.search(r"hashpartitioning\(shard", plan), name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_curate_corpus_packing_is_sharded(spark):
+    """The end-to-end pipeline's packing stage must inherit the
+    per-shard window — no SinglePartition exchange anywhere in the
+    train DAG (the audit's scans are the pipeline's own)."""
+    from ods_v3_dbt_spark.pipelines import curate_corpus
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    ev = docs.filter("doc_id % 17 = 0")
+    train, _, _ = curate_corpus(docs, ev)
+    plan = train._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "SinglePartition" not in plan
+    assert re.search(r"hashpartitioning\(shard", plan)
+
+
 def test_range_join_is_equi_join(spark):
     """The banded range join must compile to a hash equi-join on the
     bucket id — never BroadcastNestedLoopJoin or a cartesian product,
