@@ -3,9 +3,11 @@ metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing (schemas, batch shape, partition-parallel
 decode) is real and tested. Decoding is REAL for the self-contained
-raster formats — PPM (P6), PGM (P5), and uncompressed 24/32-bit BMP
-— parsed pure-Python + numpy (no media libs needed). Compressed
-formats (JPEG/PNG/…) still require PIL and raise a clearly-marked
+raster formats — PPM (P6), PGM (P5), uncompressed 24/32-bit BMP, and
+(round 3) non-interlaced 8-bit gray/RGB/RGBA PNG via stdlib zlib
+plus all five scanline filters — parsed pure-Python + numpy (no
+media libs needed). JPEG and the exotic PNG variants (interlaced /
+palette / 16-bit) still require PIL and raise a clearly-marked
 ``NotImplementedError`` when it's absent (this container ships no
 media libs; see the round brief). A deterministic fake decoder
 remains for fixtures.
@@ -147,14 +149,186 @@ def decode_bmp(payload: bytes) -> tuple[str, int, int, int, np.ndarray]:
     return ("bmp", w, h, channels, np.ascontiguousarray(arr))
 
 
+# --- PNG (pure stdlib: zlib inflate + the five scanline filters) ----------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: IHDR color type → channel count (8-bit depth only; palette (3)
+#: and 16-bit stay behind the PIL stub — web-corpus PNGs are
+#: overwhelmingly 8-bit gray/RGB/RGBA).
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec §9.4): nearest of
+    left/up/up-left to the linear gradient p = a + b − c, ties
+    breaking left, up, up-left."""
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)).astype(
+        np.uint8
+    )
+
+
+def _png_defilter(raw: np.ndarray, w: int, h: int, bpp: int) -> np.ndarray:
+    """Undo per-scanline filtering: each of the ``h`` scanlines leads
+    with a filter-type byte (0 none / 1 sub / 2 up / 3 average /
+    4 paeth). Up/none are whole-row vectorized; sub/average/paeth
+    carry a left-neighbor dependency, so those rows walk pixel
+    positions with the ``bpp`` channels vectorized per step."""
+    stride = w * bpp
+    lines = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero_prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype, row = int(lines[y, 0]), lines[y, 1:].copy()
+        prev = out[y - 1] if y else zero_prev
+        if ftype == 0:
+            out[y] = row
+        elif ftype == 2:
+            out[y] = row + prev  # uint8 wraparound == mod-256 add
+        elif ftype in (1, 3, 4):
+            cur = out[y]
+            for x in range(0, stride, bpp):
+                left = cur[x - bpp : x] if x else zero_prev[:bpp]
+                if ftype == 1:
+                    cur[x : x + bpp] = row[x : x + bpp] + left
+                elif ftype == 3:
+                    avg = (
+                        left.astype(np.int32) + prev[x : x + bpp].astype(np.int32)
+                    ) // 2
+                    cur[x : x + bpp] = row[x : x + bpp] + avg.astype(np.uint8)
+                else:
+                    up_left = prev[x - bpp : x] if x else zero_prev[:bpp]
+                    cur[x : x + bpp] = row[x : x + bpp] + _paeth_vec(
+                        left, prev[x : x + bpp], up_left
+                    )
+        else:
+            raise ValueError(f"bad PNG filter type {ftype} on line {y}")
+    return out
+
+
+def _png_chunks(payload: bytes):
+    i = 8
+    while i + 8 <= len(payload):
+        length = int.from_bytes(payload[i : i + 4], "big")
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + length]
+        if len(data) != length:
+            raise ValueError("PNG chunk truncated")
+        yield ctype, data
+        i += 12 + length  # length + type + data + crc
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG missing IEND")
+
+
+def decode_png(payload: bytes) -> tuple[str, int, int, int, np.ndarray]:
+    """Decode a non-interlaced 8-bit gray/gray+alpha/RGB/RGBA PNG →
+    (fmt, w, h, channels, uint8 array shaped (h, w, channels)).
+    Pure stdlib: chunk walk → zlib inflate of the concatenated IDAT
+    stream → scanline defilter (all five filter types, paeth
+    included). Interlaced, paletted, or 16-bit PNGs raise — those
+    fall to the PIL stub in :func:`decode_raster`."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    w = h = channels = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, color = data[8], data[9]
+            compression, filt, interlace = data[10], data[11], data[12]
+            if depth != 8:
+                raise ValueError(f"only 8-bit PNG supported (depth={depth})")
+            if color not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color}")
+            if compression or filt:
+                raise ValueError("nonstandard PNG compression/filter method")
+            if interlace:
+                raise ValueError("interlaced PNG not supported")
+            channels = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat += data
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != h * (w * channels + 1):
+        raise ValueError(
+            f"PNG pixel data wrong size: {raw.size} != {h * (w * channels + 1)}"
+        )
+    arr = _png_defilter(raw, w, h, channels).reshape(h, w, channels)
+    return ("png", w, h, channels, arr)
+
+
+def encode_png(arr: np.ndarray, filter_mode: str = "cycle") -> bytes:
+    """uint8 (h, w, c) → PNG bytes (stdlib zlib + crc32). With
+    ``filter_mode='cycle'`` scanline y uses filter type y mod 5, so a
+    decode of our own output exercises every defilter path — the
+    roundtrip property the tests and the declared PNG query lean on;
+    ``'none'`` emits filter 0 only."""
+    import zlib
+
+    h, w, c = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    bpp = c
+    lines = bytearray()
+    prev = np.zeros(w * c, dtype=np.uint8)
+    for y in range(h):
+        row = arr[y].reshape(-1)
+        ftype = (y % 5) if filter_mode == "cycle" else 0
+        if ftype == 0:
+            filt = row
+        elif ftype == 1:
+            left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+            filt = row - left
+        elif ftype == 2:
+            filt = row - prev
+        elif ftype == 3:
+            left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+            avg = (left.astype(np.int32) + prev.astype(np.int32)) // 2
+            filt = row - avg.astype(np.uint8)
+        else:
+            left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+            up_left = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+            filt = row - _paeth_vec(left, prev, up_left)
+        lines += bytes([ftype]) + filt.astype(np.uint8).tobytes()
+        prev = row
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, color, 0, 0, 0])
+    )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return len(data).to_bytes(4, "big") + ctype + data + crc.to_bytes(4, "big")
+
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_raster(payload: bytes) -> tuple[str, int, int, int, np.ndarray]:
-    """Dispatch on magic bytes. PPM/PGM/BMP decode here with no
-    optional deps; anything else (JPEG/PNG/…) needs PIL and raises
-    the clearly-marked ``NotImplementedError`` stub when absent."""
+    """Dispatch on magic bytes. PPM/PGM/BMP/PNG decode here with no
+    optional deps; anything else (JPEG/…, plus the exotic PNG
+    variants) needs PIL and raises the clearly-marked
+    ``NotImplementedError`` stub when absent."""
     if payload[:2] in (b"P6", b"P5"):
         return decode_pnm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        try:
+            return decode_png(payload)
+        except ValueError:
+            if not _try_import_pillow():
+                raise  # surfaced per-row as ok=false with the real reason
+            # interlaced/paletted/16-bit → PIL fallback below
     if _try_import_pillow():  # pragma: no cover - PIL absent in container
         import io
 
@@ -166,8 +340,9 @@ def decode_raster(payload: bytes) -> tuple[str, int, int, int, np.ndarray]:
             arr = arr[:, :, None]
         return (img.format or "pil").lower(), img.width, img.height, arr.shape[2], arr
     raise UnsupportedMediaFormat(
-        "payload is not PPM/PGM/BMP; decoding compressed formats requires PIL, "
-        "not present in this container (NotImplemented: install pillow)"
+        "payload is not PPM/PGM/BMP/PNG; decoding JPEG (and interlaced/"
+        "palette/16-bit PNG) requires PIL, not present in this container "
+        "(NotImplemented: install pillow)"
     )
 
 

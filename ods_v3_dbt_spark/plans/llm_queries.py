@@ -1238,6 +1238,72 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_decode",
+    f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, {_PPM_W} AS w, {_PPM_H} AS h, {_PPM_PIX} AS pix
+      FROM documents),
+    px AS (
+      SELECT media_id, w, h,
+             list_transform(string_split(pix, ''), c -> ascii(c)) AS vals
+      FROM m)
+    SELECT media_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height, 3 AS channels,
+           CAST(list_sum(vals) AS BIGINT) AS px_sum,
+           CAST(list_sum(vals) * 1000 // (w * h * 3) AS BIGINT) AS px_mean_milli,
+           CAST(list_min(vals) AS INT) AS px_min,
+           CAST(list_max(vals) AS INT) AS px_max,
+           'png' AS fmt, TRUE AS ok
+    FROM px
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode, hash-verified (round-2 verdict item 4): the
+    same deterministic raster the PPM query synthesizes (md5-hex
+    pixels, dims from doc_id) is zlib-compressed into a real PNG by
+    ``encode_png`` inside one Arrow kernel — scanline y carrying
+    filter type y mod 5, so sub/up/average/paeth ALL appear in every
+    image taller than 4 rows — then decoded by the pure-stdlib
+    ``decode_png`` (chunk walk, inflate, defilter) in a second
+    kernel. The oracle recomputes the pixel stats from the
+    uncompressed pixel rule with string functions: a defilter bug on
+    ANY line of ANY image shifts px_sum and fails the hash. byte_len
+    is deliberately absent — compressed size is codec-internal, not
+    part of the declared contract. JPEG stays behind the PIL stub."""
+    import numpy as np
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.expr(f"CAST({_PPM_W} AS INT)").alias("w"),
+        F.expr(f"CAST({_PPM_H} AS INT)").alias("h"),
+        F.expr(_PPM_PIX).alias("pix"),
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                arr = (
+                    np.frombuffer(r["pix"].encode("ascii"), dtype=np.uint8)
+                    .reshape(r["h"], r["w"], 3)
+                )
+                out.append((r["media_id"], "image", MM.encode_png(arr)))
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "content"])
+
+    media = base.mapInPandas(
+        encode, schema="media_id long, media_type string, content binary"
+    )
+    feats = MM.decode_features(media, decoder="real")
+    return feats.select(
+        "media_id", "width", "height", "channels",
+        "px_sum", "px_mean_milli", "px_min", "px_max", "fmt", "ok",
+    )
+
+
+@register(
     "multimodal_resize",
     f"""
     WITH m AS (

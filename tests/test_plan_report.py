@@ -17,6 +17,7 @@ PYTHON_KERNEL_QUERIES = {
     "embedding_cosine_neardup",
     "multimodal_decode",
     "multimodal_resize",
+    "multimodal_png_decode",  # encode_png + decode_png Arrow kernels
 }
 
 # Nested-loop joins are allowed ONLY as scalar/tiny-broadcast
