@@ -1891,8 +1891,10 @@ def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cents balance, custkey tiebreak — rank functions are only
     deterministic under a total order). Unpartitioned ORDER BY means
     a single-partition sort: fine for a dim, and the audit-worthy
-    smell to avoid on facts — there you'd partition the window or use
-    approx quantile boundaries instead."""
+    smell to avoid on facts — the implemented fact-scale twin is
+    ``operators/sketches.approx_quartile_assign`` (GK quartile
+    boundaries, no rank window; agreement pinned vs this query in
+    tests/test_sketches.py)."""
     c = load(spark, sf_dir, "customer")
     w = Window.orderBy(cents(F.col("c_acctbal")), F.col("c_custkey"))
     return c.select(
@@ -3558,10 +3560,11 @@ def orders_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number under a total (cents, orderkey) order, so bucket
     edges are exact order statistics, not arithmetic grid lines.
     Integer floor-div keeps the edges engine-identical. The
-    unpartitioned rank is the documented single-sort caveat (fine
-    for a dim/probe; on a 100 TB fact use approx quantile edges or
-    partition-wise ranks merged by offset — see
-    customer_balance_quartiles)."""
+    unpartitioned rank is the single-sort caveat (fine for a
+    dim/probe); the implemented 100 TB twin is
+    ``operators/sketches.approx_equidepth_histogram`` — GK edges,
+    zero sorts, bucket populations pinned within 5% of n/k in
+    tests/test_sketches.py."""
     o = load(spark, sf_dir, "orders")
     price = cents(F.col("o_totalprice"))
     w = Window.orderBy(price, F.col("o_orderkey"))
