@@ -35,7 +35,7 @@ from .operators import merge as M
 from .operators import rollup as R
 from .quality import validate_schema
 from .runlog import RunLog
-from .sinks import ParquetTable
+from .sinks import BucketedTable, ParquetTable
 from .sources.readers import read_table
 from .streaming.incremental import _order_cols, merge_batch_fn
 
@@ -70,6 +70,8 @@ class EtlJob:
         source_path: str | None = None,
         cleanse: Callable[[DataFrame], DataFrame] | None = None,
         run_log: RunLog | None = None,
+        bucketed: bool = False,
+        num_buckets: int = 32,
     ) -> None:
         self.spark = spark
         self.spec = spec
@@ -78,11 +80,26 @@ class EtlJob:
         self.source_path = source_path
         self.cleanse = cleanse
         self.run_log = run_log
+        self.bucketed = bucketed
+        self.num_buckets = num_buckets
 
     def _staging(self) -> ParquetTable:
         return ParquetTable(self.warehouse / "staging" / self.spec.name)
 
-    def target(self) -> ParquetTable:
+    def target(self) -> ParquetTable | BucketedTable:
+        """Merge target. ``bucketed=True`` keeps the fact
+        hash-bucketed (+sorted) on the spec's merge keys in the
+        session catalog, so every incremental merge streams the
+        target without an Exchange or Sort — only the staging slice
+        shuffles (round-2 verdict item 8; plan asserted in
+        tests/test_recon_gates.py::test_etl_job_bucketed_target).
+        Path-based partitioned ParquetTable remains the default."""
+        if self.bucketed:
+            return BucketedTable(
+                f"{self.spec.schema_name}__{self.spec.name}",
+                keys=list(self.spec.keys),
+                num_buckets=self.num_buckets,
+            )
         return ParquetTable(
             self.warehouse / self.spec.schema_name / self.spec.name,
             partition_cols=self.spec.partition_cols,

@@ -140,74 +140,83 @@ def register(name: str, oracle: str | None):
 #: exactly). Registration order is therefore a scheduling decision:
 #: this list pins the names that lead the current round's checked
 #: window; everything else follows in registration order. Round 1
-#: proved entries 0-49 (the relational/merge core — 49/50 green);
-#: round 2 rotates the LLM/dedup/ANN/multimodal flagships and the
-#: queries modified this round into the window so they earn a hard
-#: driver row too. Names listed but not registered are ignored (the
-#: guard test asserts the list stays typo-free).
+#: proved the relational/merge core (entries 0-49 then), round 2 the
+#: LLM/dedup/ANN/multimodal flagships — both 50/50 green, on record
+#: in CORRECTNESS_r01/r02.json. Round 3 rotates in (a) the four
+#: queries NEW this round, (b) curation_pipeline_audit, whose oracle
+#: changed semantically (per-shard packing → different n_bins) and
+#: so needs re-proof, and (c) 45 of the 61 analytics queries that
+#: have never had a driver row (old registry positions 100-160).
+#: The 16 still-deferred names — all single-scan aggregates
+#: redundant with driver-checked families — are listed at the
+#: bottom for round 4: fk_integrity_counts, nation_revenue_share,
+#: cube_returnflag_status, exists_late_orders, promo_revenue_ratio,
+#: top_supplier_revenue, large_volume_customers,
+#: unshipped_order_revenue, returned_item_customers,
+#: dow_hour_activity_profile, user_value_outliers,
+#: brand_distinct_buyers, token_positions_long, user_value_variance,
+#: discount_band_revenue, returnflag_priority_mix.
+#: Names listed but not registered are ignored (the guard test
+#: asserts the list stays typo-free).
 _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (
-    # re-prove the round-1 red row first
-    "dedup_keep_first_ordered",
-    # text analysis family
-    "text_stats",
-    "token_bpe_counts",
-    "quality_filter_pipeline",
-    "lang_id_heuristic",
-    "doc_fingerprint",
-    # dedup family
-    "exact_dedup_docs",
-    "minhash_lsh_neardup",
-    "ngram_jaccard_neardup",
-    "simhash_neardup",
-    "neardup_components",
-    "neardup_canonical_docs",
-    "dup_rate_by_source",
-    # similarity / ANN family
-    "embedding_topk",
-    "embedding_cosine_neardup",
-    "embedding_ann_lsh",
-    "embedding_centroid_assign",
-    "embedding_ann_ivf",
-    "embedding_vector_stats",
-    # curation / training-data pipeline
-    "doc_chunking",
-    "sequence_packing",
-    "test_set_decontamination",
-    "doc_repetition_scores",
-    "train_test_hash_split",
-    "stratified_sample_docs",
-    "token_vocab_topk",
-    "oov_rate_by_lang",
-    "token_budget_selection",
-    "source_mixture_weights",
-    "inverted_index_capped",
-    "source_shingle_overlap",
-    "doc_rarity_scores",
-    "tfidf_top_terms",
-    "bigram_collocations",
-    "doc_stats_by_lang",
-    "pii_redaction_stats",
-    # multimodal
-    "multimodal_meta",
-    "multimodal_decode",
-    "multimodal_resize",
-    # modified / hardened this round
-    "scd2_pit_enrich",
-    "scd2_user_event_history",
-    "join_key_skew_profile",
-    "table_fingerprint_orders",
-    # wave 3-4 analytics not yet driver-checked
-    "cdc_apply_orders",
-    "event_burst_dedup",
-    "per_source_hash_sample",
-    "sparse_update_coalesce",
-    # end-to-end pipeline composition, new this round; the sliding
-    # distinct-users query rotates to the round-3 window for it
+    # new this round: LSH hot-bucket cap, per-shard packing/budget,
+    # stdlib PNG decode
+    "minhash_lsh_capped",
+    "sequence_packing_sharded",
+    "token_budget_sharded",
+    "multimodal_png_decode",
+    # oracle changed this round (per-shard packing in the pipeline)
     "curation_pipeline_audit",
-    "schema_evolution_union",
-    # S10 coercion contract, new this round (VERDICT item 10);
-    # trimmed_mean_order_value rotates to the round-3 window for it
-    "excel_cell_coercion_grid",
+    # never driver-checked analytics: TPC-H shapes
+    "orders_per_customer_distribution",
+    "median_order_value_by_priority",
+    "part_value_share",
+    "part_supplier_counts",
+    "disjunctive_part_revenue",
+    "lonely_late_supplier",
+    "rich_dormant_customers",
+    "nation_pair_trade",
+    "nation_market_share",
+    "product_profit_by_nation",
+    "dominant_part_suppliers",
+    "region_nation_revenue_share",
+    "part_abc_classification",
+    "brand_weighted_avg_price",
+    "order_rank_trio",
+    "monthly_revenue_growth",
+    "yoy_nation_revenue",
+    # never driver-checked: events/behavioral analytics
+    "user_event_type_csv",
+    "locf_fill_event_values",
+    "funnel_view_click_purchase",
+    "retention_cohorts",
+    "linear_interp_event_values",
+    "mode_event_type_per_user",
+    "event_transition_matrix",
+    "grouping_sets_event_stats",
+    "customer_order_gap_stats",
+    "post_purchase_7d_activity",
+    "session_conversion_rate",
+    "wau_sliding_distinct_users",
+    # never driver-checked: CDC/diff, quality, order statistics,
+    # sufficient-statistics math
+    "snapshot_diff_orders",
+    "dq_rule_violations",
+    "orders_equidepth_histogram",
+    "order_lines_bag_ops",
+    "revenue_trend_ols",
+    "qty_price_comoments",
+    "copurchased_part_pairs",
+    "benford_order_totals",
+    "trimmed_mean_order_value",
+    "customer_rfm_segments",
+    "ship_lag_histogram",
+    # never driver-checked: wave-6 curation + dedup diagnostics
+    "cross_source_exact_dups",
+    "minhash_band_stats",
+    "domain_blocklist_filter",
+    "type_token_ratio_by_source",
+    "doc_len_histogram_by_source",
 )
 
 

@@ -30,18 +30,29 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import TableSpec
 from ..operators import merge as M
-from ..sinks import ParquetTable
+from ..sinks import BucketedTable, ParquetTable
 
 
 def merge_batch_fn(
-    spec: TableSpec, target: ParquetTable
+    spec: TableSpec, target: ParquetTable | BucketedTable
 ) -> Callable[[DataFrame, int], None]:
     """Build the foreachBatch body: apply the spec's declared strategy
-    against the current target snapshot and swap in the result."""
+    against the current target snapshot and swap in the result.
+
+    The target may be a path-based :class:`ParquetTable` or a
+    catalog-registered :class:`BucketedTable` — with the latter, the
+    target side of every M1-M9 merge join scans bucket-aligned
+    (no Exchange, no Sort; only the batch slice shuffles), the
+    layout's whole point at fact scale."""
 
     def apply(batch: DataFrame, batch_id: int) -> None:  # noqa: ARG001
         spark = batch.sparkSession
-        if not target.exists():
+        exists = (
+            target.exists(spark)
+            if isinstance(target, BucketedTable)
+            else target.exists()
+        )
+        if not exists:
             target.write(batch)
             return
         tgt = target.read(spark)

@@ -320,6 +320,63 @@ def test_etl_job_windowed_sync_and_replay(spark, tmp_path):
     assert len(entries) == 3 and all(e.is_success for e in entries)
 
 
+def test_etl_job_bucketed_target(spark, tmp_path):
+    """EtlJob(bucketed=True) — round-2 verdict item 8: the M1 merge
+    path runs end-to-end against a catalog-bucketed target. Same
+    sync/replay contract as the path-based job, and the merge's
+    anti-join scans the fact bucket-aligned: with broadcast off, the
+    only Exchange in the join plan belongs to the staging slice."""
+    spec = fixture_catalog().get("d_row_item")
+    src1, src2, wh = tmp_path / "s1", tmp_path / "s2", tmp_path / "whb"
+
+    def row(code, name):
+        return (code, name, "g1", 1.0, "active")
+
+    spark.createDataFrame(
+        [row("R1", "one"), row("R2", "two")], spec.struct_type()
+    ).write.parquet(str(src1))
+    spark.createDataFrame(
+        [row("R2", "two-updated"), row("R3", "three")], spec.struct_type()
+    ).write.parquet(str(src2))
+
+    job = EtlJob(spark, spec, wh, source_path=str(src1), bucketed=True, num_buckets=4)
+    bt = job.target()
+    try:
+        res1 = job.run()
+        assert res1.rows_extracted == 2 and res1.rows_loaded == 2
+        job.source_path = str(src2)
+        res2 = job.run()
+        assert res2.rows_loaded == 3  # upsert: R2 updated, R3 inserted
+        got = {r.row_item_code: r.row_item_name for r in bt.read(spark).collect()}
+        assert got == {"R1": "one", "R2": "two-updated", "R3": "three"}
+        # replay the same slice: upsert idempotent
+        job.run()
+        assert job.target().read(spark).count() == 3
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try:
+            from ods_v3_dbt_spark.operators.merge import merge_upsert
+
+            stg = spark.read.parquet(str(src2))
+            merged = merge_upsert(bt.read(spark), stg, list(spec.keys))
+            merged.write.format("noop").mode("overwrite").save()
+            plan = merged._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan
+            assert plan.count("Exchange") == 1  # staging side only
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            if old_aqe is not None:
+                spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+            else:
+                spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {bt.name}")
+        spark.sql(f"DROP TABLE IF EXISTS {bt.name}__snap")
+
+
 def test_run_catalog_isolates_failures(spark, tmp_path):
     """O5 fan-out + O12 failure accumulation: a table whose extract
     violates its declared schema fails ALONE; the healthy table still
