@@ -147,19 +147,24 @@ def lsh_candidate_pairs(
     components already catch; docs keep their other ``bands − 1``
     buckets, so genuine near-dup pairs still surface through any
     non-hot band (see ``minhash_band_stats`` for sizing the cap).
-    The guard's count-window partitions on the SAME key the join
-    shuffles on, so its output partitioning already satisfies a
-    sort-merge join's requirement — at scale the cap costs no extra
-    exchange beyond the window's own (at test scale the join is
-    broadcast and the point is moot).
+    The guard is a broadcast ANTI-join against the hot-key set: one
+    map-side-combined count over the band table, filtered to keys
+    ABOVE the cap before it ships — by construction a small table
+    (the point of the cap is that oversized buckets are rare), so
+    the probe side pays no sort, no shuffle, no per-row window. (A
+    count-window formulation costs a sort per self-join side — 2×
+    the uncapped pipeline, measured.)
     """
     stacked = lsh_band_table(signatures, num_hashes, bands)
     if max_bucket is not None:
-        wb = Window.partitionBy("band_idx", "band_key")
-        stacked = (
-            stacked.withColumn("__bn", F.count(F.lit(1)).over(wb))
-            .filter(F.col("__bn") <= max_bucket)
-            .drop("__bn")
+        hot = (
+            stacked.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_bucket)
+            .select("band_idx", "band_key")
+        )
+        stacked = stacked.join(
+            F.broadcast(hot), ["band_idx", "band_key"], "left_anti"
         )
     a = stacked.alias("a")
     b = stacked.alias("b")
