@@ -2,15 +2,18 @@
 metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing (schemas, batch shape, partition-parallel
-decode) is real and tested. Decoding is REAL for the self-contained
-raster formats — PPM (P6), PGM (P5), uncompressed 24/32-bit BMP, and
-(round 3) non-interlaced 8-bit gray/RGB/RGBA PNG via stdlib zlib
-plus all five scanline filters — parsed pure-Python + numpy (no
-media libs needed). JPEG and the exotic PNG variants (interlaced /
-palette / 16-bit) still require PIL and raise a clearly-marked
-``NotImplementedError`` when it's absent (this container ships no
-media libs; see the round brief). A deterministic fake decoder
-remains for fixtures.
+decode) is real and tested. Decoding is REAL for every mainstream
+web-corpus raster format — PPM (P6), PGM (P5), uncompressed 24/32-bit
+BMP, non-interlaced 8-bit gray/RGB/RGBA PNG (stdlib zlib + all five
+scanline filters), and (round 3) baseline sequential JPEG (full
+Huffman + DCT pipeline in ``operators/jpeg.py``) — parsed
+pure-Python + numpy (no media libs needed). Only the exotic variants
+(progressive JPEG, interlaced/palette/16-bit PNG, WebP/GIF) still
+require PIL and raise a clearly-marked ``NotImplementedError`` when
+it's absent (this container ships no media libs; see the round
+brief). A deterministic fake decoder remains for fixtures. Real
+audio (RIFF/WAV PCM) and video (YUV4MPEG2) codecs live in
+``operators/audio.py`` / ``operators/video.py``.
 
 Design for 100 TB: binary payloads never hit the driver; decode
 happens inside ``mapInPandas`` batches (Arrow transfer, one Python
@@ -314,14 +317,23 @@ def encode_png(arr: np.ndarray, filter_mode: str = "cycle") -> bytes:
 
 
 def decode_raster(payload: bytes) -> tuple[str, int, int, int, np.ndarray]:
-    """Dispatch on magic bytes. PPM/PGM/BMP/PNG decode here with no
-    optional deps; anything else (JPEG/…, plus the exotic PNG
-    variants) needs PIL and raises the clearly-marked
-    ``NotImplementedError`` stub when absent."""
+    """Dispatch on magic bytes. PPM/PGM/BMP/PNG/baseline-JPEG decode
+    here with no optional deps; anything else (progressive JPEG,
+    exotic PNG variants, WebP/GIF/…) needs PIL and raises the
+    clearly-marked ``NotImplementedError`` stub when absent."""
     if payload[:2] in (b"P6", b"P5"):
         return decode_pnm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(payload)
+        except ValueError:
+            if not _try_import_pillow():
+                raise  # surfaced per-row as ok=false with the real reason
+            # progressive/12-bit → PIL fallback below
     if payload[:8] == _PNG_SIG:
         try:
             return decode_png(payload)
@@ -340,9 +352,9 @@ def decode_raster(payload: bytes) -> tuple[str, int, int, int, np.ndarray]:
             arr = arr[:, :, None]
         return (img.format or "pil").lower(), img.width, img.height, arr.shape[2], arr
     raise UnsupportedMediaFormat(
-        "payload is not PPM/PGM/BMP/PNG; decoding JPEG (and interlaced/"
-        "palette/16-bit PNG) requires PIL, not present in this container "
-        "(NotImplemented: install pillow)"
+        "payload is not PPM/PGM/BMP/PNG/baseline-JPEG; decoding other "
+        "formats (WebP/GIF/progressive JPEG/exotic PNG) requires PIL, not "
+        "present in this container (NotImplemented: install pillow)"
     )
 
 

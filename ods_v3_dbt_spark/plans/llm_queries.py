@@ -1344,6 +1344,282 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: JPEG closed-form contract (see operators/jpeg.py): grayscale
+#: images built from constant 8×8 blocks, encoded with a FLAT quant
+#: table of 24. The DCT of a constant block k has one nonzero
+#: coefficient, DC = 8·(k−128); quantize floor(x/24 + 0.5) gives
+#: Sq = floor((k−128)/3 + 0.5), and the decoder's IDCT reconstructs
+#: every pixel as 3·Sq + 128 exactly (24 is a multiple of 8, so
+#: DC·Q/8 is an integer — no float-boundary hazard; and
+#: 2(k−128) ≡ 3 (mod 6) is impossible, so the encoder's quantizer
+#: never sits on a rounding boundary either). The ORACLE replays
+#: that arithmetic per block; the Spark side runs the REAL codec —
+#: Huffman, restart markers (DRI=2), bitstream, IDCT — so any bug
+#: anywhere in the pipeline shifts px_sum and fails the hash.
+_JPEG_WB = "(1 + doc_id % 3)"
+_JPEG_HB = "(1 + doc_id % 2)"
+
+
+@register(
+    "multimodal_jpeg_decode",
+    f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, {_JPEG_WB} AS wb, {_JPEG_HB} AS hb,
+             md5(coalesce(text, '')) AS hex
+      FROM documents),
+    b AS (
+      SELECT media_id, wb, hb,
+             unnest(generate_series(0, wb * hb - 1)) AS j, hex
+      FROM m),
+    v AS (
+      SELECT media_id, wb, hb,
+             CAST(3 * floor((ascii(substring(hex, (j % 32) + 1, 1)) - 128)
+                            / 3.0 + 0.5) + 128 AS BIGINT) AS p
+      FROM b)
+    SELECT media_id,
+           CAST(min(wb) * 8 AS INT) AS width,
+           CAST(min(hb) * 8 AS INT) AS height,
+           1 AS channels,
+           CAST(64 * sum(p) AS BIGINT) AS px_sum,
+           CAST(sum(p) * 1000 // (min(wb) * min(hb)) AS BIGINT) AS px_mean_milli,
+           CAST(min(p) AS INT) AS px_min,
+           CAST(max(p) AS INT) AS px_max,
+           'jpeg' AS fmt, TRUE AS ok
+    FROM v
+    GROUP BY media_id
+    """,
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode, hash-verified: deterministic
+    grayscale rasters (constant 8×8 blocks valued by md5-hex chars,
+    dims from doc_id) are pushed through the full pure-Python JPEG
+    pipeline in one Arrow kernel — FDCT, flat-24 quantization,
+    Annex-K Huffman coding, restart markers every 2 MCUs — then
+    decoded by the general baseline decoder (marker walk, Huffman,
+    dequant, IDCT) in a second kernel. The flat quant table gives
+    the decoded pixels an exact integer closed form the oracle
+    replays per block (module docstring derivation), so a bug in
+    either Huffman table, the bit reader, restart handling, or the
+    IDCT shifts px_sum and fails the hash. Non-constant content,
+    color, and 4:2:0 are pinned against spec-side reimplementations
+    in tests/test_media_codecs.py. Progressive JPEG stays behind the
+    PIL stub."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.jpeg import encode_jpeg
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(f"CAST({_JPEG_WB} AS INT)").alias("wb"),
+        F.expr(f"CAST({_JPEG_HB} AS INT)").alias("hb"),
+        F.expr("md5(coalesce(text, ''))").alias("hex"),
+    )
+    flat24 = np.full((8, 8), 24, dtype=np.int32)
+
+    def encode(batches):
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                wb, hb, hx = int(r["wb"]), int(r["hb"]), r["hex"]
+                arr = np.zeros((hb * 8, wb * 8, 1), dtype=np.uint8)
+                for j in range(wb * hb):
+                    by, bx = divmod(j, wb)
+                    arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 0] = ord(
+                        hx[j % 32]
+                    )
+                out.append(
+                    (r["media_id"], "image",
+                     encode_jpeg(arr, quant_luma=flat24, restart_interval=2))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "content"])
+
+    media = base.mapInPandas(
+        encode, schema="media_id long, media_type string, content binary"
+    )
+    feats = MM.decode_features(media, decoder="real")
+    return feats.select(
+        "media_id", "width", "height", "channels",
+        "px_sum", "px_mean_milli", "px_min", "px_max", "fmt", "ok",
+    )
+
+
+@register(
+    "multimodal_audio_decode",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, 64 + doc_id % 97 AS n,
+             8000 + (doc_id % 5) * 2000 AS rate,
+             md5(coalesce(text, '')) AS hex
+      FROM documents),
+    ks AS (
+      SELECT media_id, n, rate, hex,
+             unnest(generate_series(0, n - 1)) AS k
+      FROM m),
+    v AS (
+      SELECT media_id, n, rate, k,
+             CAST((ascii(substring(hex, (k % 32) + 1, 1)) * (k + 7)) % 997
+                  - 498 AS BIGINT) AS s
+      FROM ks),
+    w AS (
+      SELECT media_id, n, rate, s,
+             lag(s) OVER (PARTITION BY media_id ORDER BY k) AS prev
+      FROM v)
+    SELECT media_id,
+           CAST(min(rate) AS INT) AS sample_rate,
+           1 AS channels, 16 AS bits,
+           CAST(min(n) AS BIGINT) AS n_samples,
+           CAST(min(n) * 1000 // min(rate) AS BIGINT) AS duration_ms,
+           CAST(sum(s * s) AS BIGINT) AS sumsq,
+           CAST(max(abs(s)) AS INT) AS peak,
+           CAST(sum(CASE WHEN prev * s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings,
+           TRUE AS ok
+    FROM w
+    GROUP BY media_id
+    """,
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, hash-verified: a deterministic int16
+    waveform per document (samples from md5-hex chars ×
+    position-dependent modular mix, length/rate from doc_id) is
+    packed into a REAL RIFF/WAVE PCM16 container by ``encode_wav``
+    in one Arrow kernel, then re-parsed by ``decode_wav`` (chunk
+    walk, fmt validation, PCM extraction) with integer signal
+    features — energy (Σs²), peak |s|, zero crossings — in a second.
+    The oracle replays the waveform formula and the same integer
+    aggregates in SQL, so a bug in the RIFF writer, the chunk
+    walker, or any feature fails the hash. Stereo, 8-bit,
+    word-aligned odd chunks, and resampling/frame-energy paths are
+    pinned in tests/test_media_codecs.py."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators import audio as AU
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr("CAST(64 + doc_id % 97 AS INT)").alias("n"),
+        F.expr("CAST(8000 + (doc_id % 5) * 2000 AS INT)").alias("rate"),
+        F.expr("md5(coalesce(text, ''))").alias("hex"),
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                n, rate, hx = int(r["n"]), int(r["rate"]), r["hex"]
+                k = np.arange(n, dtype=np.int64)
+                a = np.frombuffer(hx.encode("ascii"), dtype=np.uint8)[
+                    k % 32
+                ].astype(np.int64)
+                s = ((a * (k + 7)) % 997 - 498).astype(np.int16)
+                out.append((r["media_id"], AU.encode_wav(s, rate)))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = base.mapInPandas(encode, schema="media_id long, content binary")
+    feats = AU.audio_features(media)
+    return feats.select(
+        "media_id", "sample_rate", "channels", "bits", "n_samples",
+        "duration_ms", "sumsq", "peak", "zero_crossings", "ok",
+    )
+
+
+@register(
+    "multimodal_video_y4m",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             8 + 2 * (doc_id % 5) AS w, 6 + 2 * (doc_id % 3) AS h,
+             3 + doc_id % 6 AS nf,
+             md5(coalesce(text, '')) AS hex
+      FROM documents),
+    fr AS (
+      SELECT media_id, w, h, nf, hex,
+             unnest(generate_series(0, nf - 1)) AS f
+      FROM m),
+    yy AS (
+      SELECT media_id, w, h, nf, hex, f,
+             unnest(generate_series(0, h - 1)) AS y
+      FROM fr),
+    px AS (
+      SELECT media_id, w, h, nf, f,
+             CAST(ascii(substring(hex,
+                    ((f * 31 + y * 7 + x) % 32) + 1, 1)) AS BIGINT) AS p
+      FROM yy, unnest(generate_series(0, w - 1)) AS t(x))
+    SELECT media_id,
+           CAST(min(w) AS INT) AS width,
+           CAST(min(h) AS INT) AS height,
+           CAST(min(nf) AS INT) AS frame_count,
+           24 AS fps_num, 1 AS fps_den,
+           CAST(min(nf) * 1000 // 24 AS BIGINT) AS duration_ms,
+           CAST(sum(p) AS BIGINT) AS luma_sum,
+           CAST(min(p) AS INT) AS luma_min,
+           CAST(max(p) AS INT) AS luma_max,
+           CAST((min(nf) + 1) // 2 AS INT) AS sampled_frames,
+           CAST(sum(CASE WHEN f % 2 = 0 THEN p ELSE 0 END) AS BIGINT)
+             AS sampled_luma_sum,
+           TRUE AS ok
+    FROM px
+    GROUP BY media_id
+    """,
+)
+def multimodal_video_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container decode, hash-verified: deterministic
+    multi-frame luma planes (pixel = md5-hex char at a
+    frame/row/col-mixed position; dims and frame count from doc_id)
+    are wrapped into a REAL YUV4MPEG2 stream (stream header, FRAME
+    markers, 4:2:0 planes) by ``encode_y4m`` in one Arrow kernel,
+    then re-parsed by the general Y4M decoder with every-2nd-frame
+    sampling and integer luma statistics in a second. The oracle
+    replays pixel generation and both full and sampled aggregates
+    in SQL — a bug in header parsing, frame offsets (the classic
+    stride error), or the sampler fails the hash. Compressed video
+    (H.264/VP9 in MP4/WebM) has no in-container decoder — those
+    payloads surface ok=false; their frame-sample *plan* is
+    ``frame_sample_plan`` (driver-checked via multimodal family r2)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators import video as VID
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr("CAST(8 + 2 * (doc_id % 5) AS INT)").alias("w"),
+        F.expr("CAST(6 + 2 * (doc_id % 3) AS INT)").alias("h"),
+        F.expr("CAST(3 + doc_id % 6 AS INT)").alias("nf"),
+        F.expr("md5(coalesce(text, ''))").alias("hex"),
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                w, h, nf, hx = int(r["w"]), int(r["h"]), int(r["nf"]), r["hex"]
+                hexb = np.frombuffer(hx.encode("ascii"), dtype=np.uint8)
+                yy, xx = np.mgrid[0:h, 0:w]
+                frames = []
+                c_len = (w // 2) * (h // 2)
+                for f in range(nf):
+                    idx = (f * 31 + yy * 7 + xx) % 32
+                    yplane = hexb[idx].astype(np.uint8)
+                    cb = np.full(c_len, 128, np.uint8)
+                    frames.append((yplane, cb, cb.copy()))
+                out.append((r["media_id"], VID.encode_y4m(frames, fps=(24, 1))))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = base.mapInPandas(encode, schema="media_id long, content binary")
+    feats = VID.video_features(media, sample_every=2)
+    return feats.select(
+        "media_id", "width", "height", "frame_count", "fps_num", "fps_den",
+        "duration_ms", "luma_sum", "luma_min", "luma_max",
+        "sampled_frames", "sampled_luma_sum", "ok",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dup-cluster resolution (pairs → components → canonical docs)
 # ---------------------------------------------------------------------------

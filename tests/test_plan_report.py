@@ -18,6 +18,9 @@ PYTHON_KERNEL_QUERIES = {
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_png_decode",  # encode_png + decode_png Arrow kernels
+    "multimodal_jpeg_decode",  # encode_jpeg + decode_jpeg Arrow kernels
+    "multimodal_audio_decode",  # encode_wav + wav_stats Arrow kernels
+    "multimodal_video_y4m",  # encode_y4m + y4m_stats Arrow kernels
 }
 
 # Nested-loop joins are allowed ONLY as scalar/tiny-broadcast
