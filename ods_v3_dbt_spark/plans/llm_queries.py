@@ -1344,6 +1344,183 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "duplicate_span_removal",
+    f"""
+    WITH {_CORPUS_SQL},
+    toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM corpus
+    ),
+    spans AS (
+      SELECT doc_id, array_to_string(w[(j*8+1):(j*8+8)], ' ') AS span
+      FROM toks, unnest(generate_series(0, len(w) // 8 - 1)) AS t(j)
+      WHERE len(w) >= 8
+    ),
+    cnt AS (
+      SELECT span, count(DISTINCT doc_id) AS nd FROM spans GROUP BY span
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           CAST(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS dup_span_ppm
+    FROM spans s JOIN cnt c USING (span)
+    GROUP BY s.doc_id
+    """,
+)
+def duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus duplicated-SPAN detection — the sub-document
+    dedup granularity of C4 / "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al. 2021): a document that shares
+    boilerplate passages with other documents keeps its unique prose
+    but sheds the repeated spans. Unit = non-overlapping 8-token
+    spans (ragged tail dropped); a span is duplicated when it appears
+    in MORE THAN ONE DISTINCT document (within-doc repetition is
+    ``doc_repetition_filter``'s job). Output per doc: span count,
+    duplicated-span count, and the duplicated fraction in ppm — the
+    fraction a cleaning pass would remove.
+
+    Scale: spans are built IN-ROW (transform over the token array —
+    no explode until the count step), the global span-frequency
+    groupBy is vocabulary-bound and map-side combined, and the
+    flag join keys on the span itself so the groupBy's partitioning
+    is reusable. Shuffle volume ~ corpus_tokens/8, never quadratic:
+    this is exact-dedup machinery applied at span granularity, the
+    same one-fingerprint-shuffle shape as ``exact_dedup_docs``."""
+    c = corpus_with_dups(spark, sf_dir)
+    t = c.select(
+        "doc_id",
+        F.expr(r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')").alias(
+            "toks"
+        ),
+    ).filter(F.size("toks") >= 8)
+    s = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) div 8 - 1),"
+                " j -> concat_ws(' ', slice(toks, j*8+1, 8)))"
+            )
+        ).alias("span"),
+    )
+    cnt = s.groupBy("span").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        s.join(cnt, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_span_ppm", F.expr("n_dup_spans * 1000000 div n_spans")
+        )
+    )
+
+
+@register(
+    "dsir_importance_weights",
+    """
+    WITH tgt AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+    raw AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+    tg0 AS (
+      SELECT string_split_regex(lower(trim(text)), '\\s+') AS w FROM tgt),
+    tg AS (
+      SELECT CAST(('0x' || substring(md5(w[i] || ' ' || w[i+1]), 1, 8))::BIGINT
+                  % 256 AS BIGINT) AS bucket
+      FROM tg0, unnest(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2),
+    rg0 AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM raw),
+    rg AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(w[i] || ' ' || w[i+1]), 1, 8))::BIGINT
+                  % 256 AS BIGINT) AS bucket
+      FROM rg0, unnest(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2),
+    tcnt AS (SELECT bucket, count(*) AS tc FROM tg GROUP BY bucket),
+    rcnt AS (SELECT bucket, count(*) AS rc FROM rg GROUP BY bucket),
+    ratio AS (
+      SELECT r.bucket,
+             (coalesce(t.tc, 0) + 1) * 1000000 // (r.rc + 1) AS ratio_ppm
+      FROM rcnt r LEFT JOIN tcnt t USING (bucket))
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(ratio.ratio_ppm) // count(*) AS BIGINT) AS importance_ppm
+    FROM rg g JOIN ratio USING (bucket)
+    GROUP BY g.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every raw-pool document by how target-like its hashed-ngram
+    distribution is. Target = the protected eval slice
+    (doc_id % 17 = 0, the decontamination convention); features =
+    2-grams hashed into 256 buckets (md5-prefix mod — the same
+    cross-engine int trick as the packing shard key); per-bucket
+    importance ratio = Laplace-smoothed (target+1)/(raw+1) in ppm;
+    per-doc weight = mean bucket ratio over its 2-grams, integer
+    throughout so the oracle hash-matches. A resampling pass would
+    keep raw docs proportionally to this weight.
+
+    Scale: the bucket-ratio table is BOUNDED at 256 rows regardless
+    of corpus size — it broadcasts; gram counting is map-side
+    combined into ≤256 partials per side. The only corpus-sized
+    shuffle is the final per-doc aggregation. At 100 TB: two
+    bounded-output count shuffles + one broadcast join + one doc
+    groupBy — no pairwise anything."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.expr(r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')")
+    grams = F.expr(
+        "transform(slice(toks, 1, size(toks) - 1),"
+        " (x, i) -> concat(x, ' ', toks[i + 1]))"
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("bigint")
+        % 256
+    ).alias("bucket")
+
+    def bucketed(df: DataFrame, keep_doc: bool) -> DataFrame:
+        g = (
+            df.select("doc_id", toks.alias("toks"))
+            .filter(F.size("toks") >= 2)
+            .select("doc_id", F.explode(grams).alias("gram"))
+        )
+        cols = (["doc_id"] if keep_doc else []) + [bucket]
+        return g.select(*cols)
+
+    tgt = bucketed(d.filter(F.col("doc_id") % 17 == 0), keep_doc=False)
+    raw = bucketed(d.filter(F.col("doc_id") % 17 != 0), keep_doc=True)
+    tcnt = tgt.groupBy("bucket").agg(F.count("*").alias("tc"))
+    rcnt = raw.groupBy("bucket").agg(F.count("*").alias("rc"))
+    ratio = (
+        rcnt.join(tcnt, "bucket", "left")
+        .select(
+            "bucket",
+            F.expr("(coalesce(tc, 0) + 1) * 1000000 div (rc + 1)").alias(
+                "ratio_ppm"
+            ),
+        )
+    )
+    return (
+        raw.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.expr("CAST(sum(ratio_ppm) div count(*) AS BIGINT)").alias(
+                "importance_ppm"
+            ),
+        )
+    )
+
+
 #: JPEG closed-form contract (see operators/jpeg.py): grayscale
 #: images built from constant 8×8 blocks, encoded with a FLAT quant
 #: table of 24. The DCT of a constant block k has one nonzero

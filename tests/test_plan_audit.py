@@ -594,3 +594,28 @@ def test_doc_len_histogram_map_side(spark):
     plan = _plan(spark, "doc_len_histogram_by_source")
     assert plan.count(") Exchange") == 1
     assert "Join" not in plan
+
+
+def test_span_dedup_linear_no_cartesian(spark):
+    """Duplicate-span removal must stay exact-dedup-shaped: span
+    frequency via hash aggregation (map-side partials), the dup flag
+    delivered by an equi-join on the span key — never a cartesian/
+    nested-loop pair generator, never a global sort."""
+    plan = _plan(spark, "duplicate_span_removal")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan  # map-side combine on span counts
+    # final per-doc agg shuffles on doc_id
+    assert re.search(r"hashpartitioning\(doc_id", plan)
+
+
+def test_dsir_ratio_broadcasts_bounded_table(spark):
+    """DSIR: the 256-bucket ratio table must BROADCAST into the
+    gram probe (it is bounded regardless of corpus size); bucket
+    counting must be map-side combined; no sort-merge join anywhere
+    — the only corpus-sized exchange is the per-doc aggregation."""
+    plan = _plan(spark, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan
+    assert re.search(r"hashpartitioning\(doc_id", plan)
