@@ -157,6 +157,18 @@ def lsh_candidate_pairs(
     """
     stacked = lsh_band_table(signatures, num_hashes, bands)
     if max_bucket is not None:
+        # The band table feeds THREE consumers when the cap is on:
+        # the hot-key count and both self-join sides. Unpersisted,
+        # each recomputes the minhash-signature aggregation — the
+        # dominant cost of the whole pipeline — so the capped query
+        # paid ~1.8× the uncapped one (measured at sf0.1). Persist
+        # it once (memory-and-disk: at 100 TB the band table is
+        # corpus×bands small fixed-width rows, far below the shuffle
+        # the self-join pays anyway) and all three consumers read the
+        # cached signatures.
+        from pyspark import StorageLevel
+
+        stacked = stacked.persist(StorageLevel.MEMORY_AND_DISK)
         hot = (
             stacked.groupBy("band_idx", "band_key")
             .agg(F.count(F.lit(1)).alias("__bn"))

@@ -159,6 +159,16 @@ def register(name: str, oracle: str | None):
 #: Names listed but not registered are ignored (the guard test
 #: asserts the list stays typo-free).
 _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (
+    # Cheap single-scan queries lead: the suite's FIRST query absorbs
+    # whatever session-residual warmup the bench's explicit JVM/worker
+    # warmup doesn't cover (first-plan codegen, parquet page cache) —
+    # measured ~6 s extra when the heavy LSH pipeline ran first at
+    # sf0.1. Putting scan-only queries first makes that residual land
+    # where it is absolutely small, so every anchor comparison reads
+    # true. Window membership (first 50) is unchanged.
+    "domain_blocklist_filter",
+    "type_token_ratio_by_source",
+    "doc_len_histogram_by_source",
     # new this round: LSH hot-bucket cap, per-shard packing/budget,
     # stdlib PNG decode
     "minhash_lsh_capped",
@@ -212,11 +222,10 @@ _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (
     "customer_rfm_segments",
     "ship_lag_histogram",
     # never driver-checked: wave-6 curation + dedup diagnostics
+    # (domain_blocklist_filter / type_token_ratio_by_source /
+    # doc_len_histogram_by_source lead the list above)
     "cross_source_exact_dups",
     "minhash_band_stats",
-    "domain_blocklist_filter",
-    "type_token_ratio_by_source",
-    "doc_len_histogram_by_source",
 )
 
 

@@ -1344,6 +1344,156 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The greedy-fold merge recurrence as a DuckDB list_reduce over a
+#: space-joined string accumulator — merges when the incoming symbol
+#: is the pair's RIGHT and the accumulator's last token is its LEFT
+#: (the identical recurrence Spark runs as an aggregate() over the
+#: symbol array; replace() would split symbol runs wrongly).
+def _duck_fold(symbols_list: str, b: str) -> str:
+    return f"""list_reduce({symbols_list}, (acc, x) ->
+        CASE WHEN x = split_part({b}.pair, ' ', 2)
+              AND (acc = split_part({b}.pair, ' ', 1)
+                   OR ends_with(acc, ' ' || split_part({b}.pair, ' ', 1)))
+        THEN substring(acc, 1,
+                       length(acc) - length(split_part({b}.pair, ' ', 1)))
+             || replace({b}.pair, ' ', '')
+        ELSE acc || ' ' || x END)"""
+
+
+def _bpe_oracle_stages(n: int) -> str:
+    """The BPE training loop unrolled as DuckDB CTE stages: v0 is
+    the char-symbol vocabulary (space-joined symbol strings); stage i
+    computes pair counts over v{i-1}, picks the argmax (count desc,
+    pair asc — the shared tie-break), and applies it via the greedy
+    left-to-right fold."""
+    out = [
+        """
+    w0 AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+      FROM documents),
+    words AS (
+      SELECT word, count(*) AS cnt FROM w0 WHERE word <> '' GROUP BY word),
+    v0 AS (
+      SELECT array_to_string(string_split(word, ''), ' ') AS s, cnt
+      FROM words)"""
+    ]
+    for i in range(1, n + 1):
+        prev = f"v{i - 1}"
+        out.append(
+            f"""
+    p{i} AS (
+      SELECT l[i] || ' ' || l[i+1] AS pair, sum(cnt) AS c
+      FROM (SELECT string_split(s, ' ') AS l, cnt FROM {prev}),
+           unnest(generate_series(1, len(l) - 1)) AS t(i)
+      GROUP BY 1),
+    b{i} AS (SELECT pair, c FROM p{i} ORDER BY c DESC, pair ASC LIMIT 1),
+    v{i} AS (
+      SELECT CASE WHEN len(string_split(s, ' ')) < 2 THEN s
+                  ELSE {_duck_fold(f"string_split(s, ' ')", f"b{i}")} END AS s,
+             cnt
+      FROM {prev}, b{i})"""
+        )
+    return ",".join(out)
+
+
+_BPE_N = 5
+
+_BPE_MERGES_ORACLE = (
+    "WITH "
+    + _bpe_oracle_stages(_BPE_N)
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"""SELECT {i} AS rank,
+           split_part(pair, ' ', 1) AS lhs,
+           split_part(pair, ' ', 2) AS rhs,
+           replace(pair, ' ', '') AS merged,
+           CAST(c AS BIGINT) AS pair_count
+    FROM b{i}"""
+        for i in range(1, _BPE_N + 1)
+    )
+)
+
+
+@register("bpe_learned_merges", _BPE_MERGES_ORACLE)
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, hash-verified (Sennrich et al. 2016):
+    learn the corpus's first 5 byte-pair merges — the subword-
+    vocabulary step of every LLM data pipeline. The engine reduces
+    the corpus ONCE to the distinct-word frequency table (the only
+    corpus-sized shuffle), then iterates at vocabulary cost:
+    pair-count groupBy, 1-row argmax probe (count desc / pair asc
+    tie-break), greedy merge via sentinel-spaced replace(). The
+    oracle UNROLLS the same 5 iterations as CTE stages and must land
+    on the identical merge sequence and counts — training, not just
+    counting, is cross-engine verified. See operators/bpe.py for the
+    scale argument (iteration cost is vocabulary-bound; 100 TB corpus
+    with a 10M-word vocab trains at vocab cost per merge)."""
+    from ..operators import bpe as B
+
+    d = load(spark, sf_dir, "documents")
+    merges = B.learn_bpe(d, n_merges=_BPE_N)
+    return B.merges_df(spark, merges).select(
+        "rank",
+        F.col("left").alias("lhs"),
+        F.col("right").alias("rhs"),
+        "merged",
+        F.col("pair_count"),
+    )
+
+
+def _bpe_tokenize_oracle(n: int) -> str:
+    """Per-word merge chain in training order: fold 1 runs over the
+    character symbols, fold i over the re-split output of fold i−1
+    (single-symbol words pass through: list_reduce of a singleton is
+    the element). The b1..bN merge rows ride a cross join — each is
+    one row by construction."""
+    s = "array_to_string(string_split(word, ''), ' ')"
+    for i in range(1, n + 1):
+        s = _duck_fold(f"string_split({s}, ' ')", f"b{i}")
+    joins = ", ".join(f"b{i}" for i in range(1, n + 1))
+    return (
+        "WITH "
+        + _bpe_oracle_stages(n)
+        + f""",
+    dw AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+      FROM documents),
+    applied AS (
+      SELECT doc_id, {s} AS s
+      FROM dw, {joins} WHERE word <> '')
+    SELECT doc_id,
+           CAST(sum(len(string_split(s, ' '))) AS BIGINT) AS n_tokens
+    FROM applied
+    GROUP BY doc_id
+    """
+    )
+
+
+_BPE_TOKENIZE_ORACLE = _bpe_tokenize_oracle(_BPE_N)
+
+
+@register("bpe_tokenize_stats", _BPE_TOKENIZE_ORACLE)
+def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLICATION, hash-verified: tokenize every document with
+    the 5 merges learned by ``bpe_learned_merges`` and report the
+    per-doc subword token count. The Spark side folds each DISTINCT
+    word through the merge chain once (vocabulary cost — the fold
+    lambdas are the expensive interpreted part), broadcasts the
+    per-word token counts onto the occurrences, and sums per doc
+    (``token_counts_with_merges``; several× faster than folding per
+    occurrence at sf0.1 — 8.5 s → ~2 s in-suite). The oracle re-learns the merges in its
+    unrolled CTEs and applies the same greedy fold per occurrence —
+    algebraically identical — so train → apply composes identically
+    across engines. Together with the merges query this is the full
+    tokenizer-training contract: same merges, same tokenization."""
+    from ..operators import bpe as B
+
+    d = load(spark, sf_dir, "documents")
+    merges = B.learn_bpe(d, n_merges=_BPE_N)
+    return B.token_counts_with_merges(d, merges).select("doc_id", "n_tokens")
+
+
 @register(
     "duplicate_span_removal",
     f"""

@@ -51,7 +51,11 @@ def test_suite_plan_invariants(spark):
     # except audit-summary queries whose RETURNED frame is a driver-
     # assembled 1-row summary (their scans run eagerly inside; the
     # pipeline itself is plan-audited via its standalone stage queries)
-    AUDIT_SUMMARY_QUERIES = {"curation_pipeline_audit"}
+    # bpe_learned_merges: the returned frame is the driver-side merge
+    # list (5 rows) — its corpus scans run eagerly inside learn_bpe's
+    # iteration loop; the training operators' plan hygiene is pinned
+    # via bpe_tokenize_stats (which scans) and test_bpe.py.
+    AUDIT_SUMMARY_QUERIES = {"curation_pipeline_audit", "bpe_learned_merges"}
     scanless = {
         k for k, v in rep.items() if v.get("parquet_scans", 0) == 0
     } - AUDIT_SUMMARY_QUERIES
