@@ -334,6 +334,10 @@ def decode_raster(payload: bytes) -> tuple[str, int, int, int, np.ndarray]:
             if not _try_import_pillow():
                 raise  # surfaced per-row as ok=false with the real reason
             # progressive/12-bit → PIL fallback below
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(payload)
     if payload[:8] == _PNG_SIG:
         try:
             return decode_png(payload)
@@ -352,8 +356,8 @@ def decode_raster(payload: bytes) -> tuple[str, int, int, int, np.ndarray]:
             arr = arr[:, :, None]
         return (img.format or "pil").lower(), img.width, img.height, arr.shape[2], arr
     raise UnsupportedMediaFormat(
-        "payload is not PPM/PGM/BMP/PNG/baseline-JPEG; decoding other "
-        "formats (WebP/GIF/progressive JPEG/exotic PNG) requires PIL, not "
+        "payload is not PPM/PGM/BMP/PNG/GIF/baseline-JPEG; decoding other "
+        "formats (WebP/progressive JPEG/exotic PNG) requires PIL, not "
         "present in this container (NotImplemented: install pillow)"
     )
 

@@ -1495,6 +1495,123 @@ def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_gif_decode",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             5 + doc_id % 11 AS w, 4 + doc_id % 7 AS h,
+             md5(coalesce(text, '')) AS hex
+      FROM documents),
+    yy AS (
+      SELECT media_id, w, h, hex, unnest(generate_series(0, h - 1)) AS y
+      FROM m),
+    px AS (
+      SELECT media_id, w, h, y,
+             ascii(substring(hex, ((y * w + x) % 32) + 1, 1)) AS k
+      FROM yy, unnest(generate_series(0, w - 1)) AS t(x)),
+    s AS (
+      SELECT media_id, w, h, y, k,
+             k + (2 * k) % 256 + (3 * k) % 256 AS cs
+      FROM px)
+    SELECT media_id,
+           CAST(min(w) AS INT) AS width,
+           CAST(min(h) AS INT) AS height,
+           3 AS channels,
+           CAST(sum(cs) AS BIGINT) AS px_sum,
+           CAST(min(least(k, (2 * k) % 256, (3 * k) % 256)) AS INT) AS px_min,
+           CAST(max(greatest(k, (2 * k) % 256, (3 * k) % 256)) AS INT) AS px_max,
+           CAST(sum((y + 1) * cs) AS BIGINT) AS row_hash,
+           'gif' AS fmt, TRUE AS ok
+    FROM s
+    GROUP BY media_id
+    """,
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode, hash-verified: deterministic palette-index
+    rasters (index = md5-hex char at the row-major position, dims
+    from doc_id) are LZW-compressed into real GIF89a streams — every
+    odd doc_id INTERLACED (4-pass row order) — by ``encode_gif`` in
+    one Arrow kernel, then decoded by the general GIF path (LZW with
+    dictionary growth/width bumps, palette mapping, de-interlacing)
+    in a second. The palette is the closed form i → (i, 2i mod 256,
+    3i mod 256), so per-pixel channel sums are SQL-computable; the
+    ROW-WEIGHTED checksum Σ (y+1)·rowsum makes de-interlacing
+    order-sensitive — a pass-order bug reshuffles rows, preserves
+    px_sum, and fails row_hash. Multi-frame animation, delays, local
+    palettes, and the KwKwK/4096-reset LZW edges are pinned in
+    tests/test_media_codecs.py."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.gif import encode_gif
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr("CAST(5 + doc_id % 11 AS INT)").alias("w"),
+        F.expr("CAST(4 + doc_id % 7 AS INT)").alias("h"),
+        F.expr("md5(coalesce(text, ''))").alias("hex"),
+    )
+    pal = np.stack(
+        [
+            np.arange(256),
+            (2 * np.arange(256)) % 256,
+            (3 * np.arange(256)) % 256,
+        ],
+        axis=1,
+    ).astype(np.uint8)
+
+    def encode(batches):
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                w, h, hx = int(r["w"]), int(r["h"]), r["hex"]
+                hexb = np.frombuffer(hx.encode("ascii"), dtype=np.uint8)
+                yy, xx = np.mgrid[0:h, 0:w]
+                idx = hexb[(yy * w + xx) % 32]
+                out.append(
+                    (r["media_id"],
+                     encode_gif([idx], pal, interlace=bool(r["media_id"] % 2)))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = base.mapInPandas(encode, schema="media_id long, content binary")
+
+    def stats(batches):
+        cols = [
+            "media_id", "width", "height", "channels",
+            "px_sum", "px_min", "px_max", "row_hash", "fmt", "ok",
+        ]
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                try:
+                    fmt, w, h, c, arr = MM.decode_raster(bytes(r["content"]))
+                    a = arr.astype(np.int64)
+                    rowsums = a.sum(axis=(1, 2))
+                    out.append(
+                        (r["media_id"], w, h, c, int(a.sum()),
+                         int(a.min()), int(a.max()),
+                         int(((np.arange(h) + 1) * rowsums).sum()), fmt, True)
+                    )
+                except Exception:
+                    out.append(
+                        (r["media_id"], None, None, None, None, None, None,
+                         None, None, False)
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.mapInPandas(
+        stats,
+        schema=(
+            "media_id long, width int, height int, channels int, "
+            "px_sum long, px_min int, px_max int, row_hash long, "
+            "fmt string, ok boolean"
+        ),
+    )
+
+
+@register(
     "duplicate_span_removal",
     f"""
     WITH {_CORPUS_SQL},

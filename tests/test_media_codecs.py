@@ -435,3 +435,89 @@ def test_audio_video_feature_kernels(spark):
     assert vrows[1]["ok"] and vrows[1]["frame_count"] == 3
     assert vrows[1]["sampled_frames"] == 2
     assert not vrows[2]["ok"]
+
+
+# ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+from ods_v3_dbt_spark.operators import gif as G
+
+
+def test_gif_lzw_roundtrip_edges():
+    """KwKwK (immediate repeat runs), dictionary growth through every
+    width bump, and the 4096-entry CLEAR reset."""
+    # all-same-value input hits the code==len(table) KwKwK case at once
+    run = np.zeros(1000, dtype=np.uint8)
+    assert (G.lzw_decode(G.lzw_encode(run, 2), 2, 1000) == run).all()
+    rng = np.random.RandomState(11)
+    big = rng.randint(0, 256, size=70000).astype(np.uint8)  # crosses 4096 reset
+    assert (G.lzw_decode(G.lzw_encode(big, 8), 8, 70000) == big).all()
+
+
+def test_gif_interlace_row_order():
+    """An interlaced GIF must decode to the SAME raster as its
+    non-interlaced twin — and the stored row order must actually
+    differ (i.e. the encoder really interlaced)."""
+    rng = np.random.RandomState(5)
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    idx = rng.randint(0, 256, size=(13, 7)).astype(np.uint8)
+    plain = G.encode_gif([idx], pal, interlace=False)
+    inter = G.encode_gif([idx], pal, interlace=True)
+    assert plain != inter
+    assert (G.decode_gif(plain)[4] == G.decode_gif(inter)[4]).all()
+    assert (G.decode_gif(inter)[4][:, :, 0] == idx).all()
+
+
+def test_gif_animation_frames_delays():
+    rng = np.random.RandomState(6)
+    pal = np.stack([np.arange(64), np.arange(64) * 2, np.arange(64) * 3], axis=1).astype(np.uint8)
+    frames = [rng.randint(0, 64, size=(6, 9)).astype(np.uint8) for _ in range(3)]
+    g = G.encode_gif(frames, pal, delays_cs=[10, 20, 30])
+    w, h, fs = G.decode_gif_frames(g)
+    assert (w, h, len(fs)) == (9, 6, 3)
+    for f, want in zip(fs, frames):
+        assert (f["indices"] == want).all()
+    assert [f["delay_cs"] for f in fs] == [10, 20, 30]
+    stats = G.gif_frame_stats(g)
+    assert stats[2] == 3 and stats[3] == 60
+
+
+def test_gif_local_palette_overrides_global():
+    """Hand-assembled two-frame GIF: frame 2 carries a LOCAL color
+    table that must override the global one."""
+    import struct as st
+
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    gct = np.array([[10, 10, 10], [20, 20, 20]], dtype=np.uint8)
+    lct = np.array([[200, 0, 0], [0, 200, 0]], dtype=np.uint8)
+    payload = bytearray(b"GIF89a") + st.pack("<HH", 2, 2)
+    payload += bytes([0x80 | 0, 0, 0])  # GCT, 2 entries
+    payload += np.vstack([gct]).tobytes()
+    lzw = G.lzw_encode(idx.reshape(-1), 2)
+    # frame 1: global palette
+    payload += b"\x2c" + st.pack("<HHHH", 0, 0, 2, 2) + b"\x00"
+    payload += bytes([2, len(lzw)]) + lzw + b"\x00"
+    # frame 2: local palette (packed bit 0x80, size field 0 → 2 entries)
+    payload += b"\x2c" + st.pack("<HHHH", 0, 0, 2, 2) + bytes([0x80])
+    payload += lct.tobytes()
+    payload += bytes([2, len(lzw)]) + lzw + b"\x00"
+    payload += b"\x3b"
+    w, h, fs = G.decode_gif_frames(bytes(payload))
+    assert (fs[0]["palette"] == gct).all()
+    assert (fs[1]["palette"] == lct).all()
+    rgb1 = fs[1]["palette"][fs[1]["indices"]]
+    assert rgb1[0, 1].tolist() == [0, 200, 0]
+
+
+def test_gif_dispatch_and_rejects():
+    pal = np.stack([np.arange(4)] * 3, axis=1).astype(np.uint8)
+    idx = np.ones((3, 3), dtype=np.uint8)
+    g = G.encode_gif([idx], pal)
+    fmt, w, h, c, arr = MM.decode_raster(g)
+    assert fmt == "gif" and (w, h, c) == (3, 3, 3)
+    assert (arr == 1).all()
+    with pytest.raises(ValueError, match="signature"):
+        G.decode_gif(b"GIF00a" + g[6:])
+    with pytest.raises(ValueError):
+        G.decode_gif(g[:-10])  # truncated: trailer + data gone

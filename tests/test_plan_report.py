@@ -21,6 +21,7 @@ PYTHON_KERNEL_QUERIES = {
     "multimodal_jpeg_decode",  # encode_jpeg + decode_jpeg Arrow kernels
     "multimodal_audio_decode",  # encode_wav + wav_stats Arrow kernels
     "multimodal_video_y4m",  # encode_y4m + y4m_stats Arrow kernels
+    "multimodal_gif_decode",  # encode_gif + decode_gif Arrow kernels
 }
 
 # Nested-loop joins are allowed ONLY as scalar/tiny-broadcast
