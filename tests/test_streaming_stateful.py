@@ -249,3 +249,56 @@ def test_dedup_within_watermark_bounded_state(spark, tmp_path):
         by_id.setdefault(r.event_id, []).append(r.value)
     assert sorted(by_id[1]) == [1.0, 97.0]  # first win + post-eviction re-emit
     assert by_id[2] == [2.0]
+
+
+def test_streaming_change_filter_suppresses_unchanged(spark, tmp_path):
+    """transformWithState CDC filter: re-extracted unchanged rows are
+    suppressed across micro-batches (checkpointed fingerprint state);
+    a real change passes; a change back to an OLD value also passes
+    (the state is last-emitted, not a seen-set)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState's JVM<->Python state protocol needs protobuf",
+    )
+    from ods_v3_dbt_spark.streaming.stateful import streaming_change_filter
+
+    schema = "item long, fp string, payload double"
+    src, ckpt, out = tmp_path / "src", tmp_path / "ckpt", tmp_path / "out"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    def drain():
+        q = (
+            streaming_change_filter(
+                spark.readStream.schema(schema).parquet(str(src)),
+                ["item"], "fp", schema,
+            )
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write([(1, "a", 1.0), (2, "x", 2.0)])
+    drain()
+    # batch 2: item 1 unchanged (suppressed), item 2 changed (passes),
+    # item 3 new (passes)
+    write([(1, "a", 1.5), (2, "y", 2.5), (3, "q", 3.0)])
+    drain()
+    # batch 3: item 2 flips BACK to x — must pass (last-emitted was y)
+    write([(2, "x", 2.9)])
+    drain()
+
+    rows = spark.read.parquet(str(out)).collect()
+    got = sorted((r.item, r.fp, r.payload) for r in rows)
+    assert got == [
+        (1, "a", 1.0),
+        (2, "x", 2.0),
+        (2, "x", 2.9),
+        (2, "y", 2.5),
+        (3, "q", 3.0),
+    ]
