@@ -275,6 +275,123 @@ def quantize_embedding(vec, scale: int = 1000, offset: int = 1000):
     )
 
 
+def _l2q_cells(c: DataFrame, num_cells: int):
+    """Shared quantized-L2 cell machinery: seed centroids = the
+    ``num_cells`` lowest-id vectors, ONE Lloyd round (per-(cell,dim)
+    floor-mean; empty cells keep their seed), assignment = argmin
+    integer L2² with cell-id tie-break. Input (vid, v BIGINT array);
+    returns (assignments df (vid, v, cell), refined-centroid literal
+    Column). Only K×dim values cross the driver — the scalar-class
+    probe pattern."""
+    seeds_rows = c.orderBy(F.col("vid").asc()).limit(num_cells).collect()
+    seeds = [list(r.v) for r in seeds_rows]
+
+    seed_lit = F.expr(_int_matrix_sql(seeds))
+    a1 = c.select(
+        "vid", "v",
+        F.array_min(_l2q_dist2(F.col("v"), seed_lit)).getField("cell").alias("cell"),
+    )
+    means = (
+        a1.select("cell", F.posexplode(F.col("v")).alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(F.expr("sum(x) div count(1)").alias("m"))
+        .collect()
+    )
+    refined = [list(row) for row in seeds]
+    for r in means:
+        refined[r.cell][r.dim] = r.m  # empty cells keep their seed
+
+    ref_lit = F.expr(_int_matrix_sql(refined))
+    asg = c.select(
+        "vid", "v",
+        F.array_min(_l2q_dist2(F.col("v"), ref_lit)).getField("cell").alias("cell"),
+    )
+    return asg, ref_lit
+
+
+def semantic_dedup_l2q(
+    corpus: DataFrame,
+    num_cells: int = 8,
+    radius2: int = 300000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"): cluster
+    the embedding space, find near-duplicate PAIRS only within each
+    cluster, resolve duplicate groups, keep one representative (min
+    id). Returns one row per corpus vector: (vec_id, cell,
+    component_id, keep).
+
+    Exact integer arithmetic end to end (the hash-verifiable twin
+    discipline of ``ivf_topk_l2q``): quantized vectors, shared
+    seed+one-Lloyd cell machinery, within-cell pairs at integer
+    L2² ≤ ``radius2``, alternating-star connected components over
+    those edges, singletons keep their own id. Cross-cluster
+    near-dups are missed BY DESIGN — that is SemDeDup's trade: the
+    pair generation is bounded by the largest cell, never corpus².
+
+    Scale: assignment is a shuffle-free linear map against the
+    broadcast centroid literal; the self-join shuffles on ``cell``
+    (Σ|cell|² pairs — num_cells is the knob, and a skew-guard can
+    reuse the LSH hot-bucket pattern); components run on the
+    near-dup edge list, which is tiny relative to the corpus.
+    """
+    from . import dedup as DD
+
+    qv = quantize_embedding(F.col(vec_col))
+    # Checkpoint the quantized corpus BEFORE the cell machinery: it
+    # feeds seeding, the Lloyd round, assignment, and both self-join
+    # sides (the linear map would otherwise re-run per consumer), and
+    # it severs the caller's lambda-heavy lineage — a corpus built
+    # from union+transform expressions otherwise trips Catalyst's
+    # NamedLambdaVariable re-resolution when the downstream self-join
+    # plan is checkpointed (observed: INTERNAL_ERROR_ATTRIBUTE_NOT_
+    # FOUND on the lambda's variable after unionByName branches each
+    # carry their own transform()).
+    c = corpus.select(F.col(id_col).alias("vid"), qv.alias("v")).localCheckpoint()
+    asg, _ = _l2q_cells(c, num_cells)
+    # Materialize the assignment once (it feeds both self-join sides
+    # and the final output — the argmin linear map would re-run per
+    # consumer), then give the b-side its OWN checkpoint: Spark's
+    # relation dedup for a self-join over one LogicalRDD re-aliases
+    # the duplicated subtree but loses the binding of expressions
+    # that still reference the shared attrs downstream
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at execution, observed on
+    # 4.1). Two independent relations sidestep the dedup entirely;
+    # the second checkpoint just copies the first's rows.
+    asg = asg.localCheckpoint()
+    a = asg.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), "cell")
+    b = asg.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"), "cell"
+    ).localCheckpoint()
+    d2 = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    edges = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", d2.alias("d2"))
+        .filter(F.col("d2") <= radius2)
+        .select("id_a", "id_b")
+    )
+    comp = DD.connected_components(edges, "id_a", "id_b")
+    return (
+        asg.select("vid", "cell")
+        .join(comp, asg["vid"] == comp["node"], "left")
+        .select(
+            F.col("vid").alias("vec_id"),
+            "cell",
+            F.coalesce(F.col("component_id"), F.col("vid")).alias("component_id"),
+            (F.coalesce(F.col("component_id"), F.col("vid")) == F.col("vid")).alias(
+                "keep"
+            ),
+        )
+    )
+
+
 def ivf_topk_l2q(
     corpus: DataFrame,
     queries: DataFrame,
@@ -304,29 +421,9 @@ def ivf_topk_l2q(
     c = corpus.select(F.col(id_col).alias("vid"), qv.alias("v"))
     q = queries.select(F.col(id_col).alias("vid"), qv.alias("v"))
 
-    seeds_rows = c.orderBy(F.col("vid").asc()).limit(num_cells).collect()
-    seeds = [list(r.v) for r in seeds_rows]  # K×dim scalar-class probe
-
-    # one Lloyd round: assign to seeds, refine = per-(cell,dim) floor-mean
-    seed_lit = F.expr(_int_matrix_sql(seeds))
-    a1 = c.select(
-        "vid", "v",
-        F.array_min(_l2q_dist2(F.col("v"), seed_lit)).getField("cell").alias("cell"),
-    )
-    means = (
-        a1.select("cell", F.posexplode(F.col("v")).alias("dim", "x"))
-        .groupBy("cell", "dim")
-        .agg(F.expr("sum(x) div count(1)").alias("m"))
-        .collect()
-    )
-    refined = [list(row) for row in seeds]
-    for r in means:
-        refined[r.cell][r.dim] = r.m  # empty cells keep their seed
-
-    ref_lit = F.expr(_int_matrix_sql(refined))
-    asg = c.select(
-        F.col("vid").alias("neighbor_id"), F.col("v").alias("__cv"),
-        F.array_min(_l2q_dist2(F.col("v"), ref_lit)).getField("cell").alias("cell"),
+    asg0, ref_lit = _l2q_cells(c, num_cells)
+    asg = asg0.select(
+        F.col("vid").alias("neighbor_id"), F.col("v").alias("__cv"), "cell"
     )
     probes = q.select(
         F.col("vid").alias("query_id"), F.col("v").alias("__qv"),

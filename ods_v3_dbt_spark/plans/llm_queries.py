@@ -794,6 +794,125 @@ _IVF_L2Q_SQL = """
 """
 
 
+#: SemDeDup oracle: the IVF assignment CTE chain over a corpus with
+#: CONSTRUCTED near-dups (every 5th vector cloned at id+10000 with
+#: one dimension bumped +0.5 → quantized L2² ≈ 250 000, far below
+#: the ~973 000 minimum between unrelated sf0.01 vectors), then
+#: within-cell pairs at L2² ≤ 300 000 and recursive min-reachable
+#: components (the same reach/comp shape as the text dedup oracles).
+_SEMDEDUP_SQL = """
+    WITH RECURSIVE base0 AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000,
+             list_transform(embedding,
+               (x, i) -> CASE WHEN i = vec_id % 64 + 1
+                              THEN CAST(x AS DOUBLE) + 0.5
+                              ELSE CAST(x AS DOUBLE) END)
+      FROM embeddings WHERE vec_id % 5 = 0),
+    base AS (
+      SELECT vec_id,
+             list_transform(e,
+               x -> greatest(CAST(round(x * 1000) AS BIGINT), -1000) + 1000) AS v
+      FROM base0),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v
+      FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 8)),
+    d1 AS (
+      SELECT b.vec_id, s.cell,
+             list_sum(list_transform(range(1, 65),
+               i -> (b.v[i]-s.v[i])*(b.v[i]-s.v[i]))) AS d2
+      FROM base b CROSS JOIN seeds s),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM d1) WHERE rn = 1),
+    dims AS (
+      SELECT a.cell, g.i, b.v[g.i] AS x
+      FROM a1 a JOIN base b ON b.vec_id = a.vec_id,
+           generate_series(1, 64) AS g(i)),
+    m0 AS (SELECT cell, i, SUM(x) // COUNT(1) AS m FROM dims GROUP BY cell, i),
+    mlist AS (SELECT cell, list(m ORDER BY i) AS v FROM m0 GROUP BY cell),
+    refined AS (
+      SELECT s.cell, COALESCE(ml.v, s.v) AS v
+      FROM seeds s LEFT JOIN mlist ml ON ml.cell = s.cell),
+    d2c AS (
+      SELECT b.vec_id, r.cell,
+             list_sum(list_transform(range(1, 65),
+               i -> (b.v[i]-r.v[i])*(b.v[i]-r.v[i]))) AS d2
+      FROM base b CROSS JOIN refined r),
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM d2c) WHERE rn = 1),
+    asgv AS (
+      SELECT a.vec_id, a.cell, b.v FROM asg a JOIN base b USING (vec_id)),
+    pe AS (
+      SELECT a.vec_id AS eu, b.vec_id AS ev
+      FROM asgv a JOIN asgv b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(range(1, 65),
+              i -> (a.v[i]-b.v[i])*(a.v[i]-b.v[i]))) <= 300000),
+    edges AS (
+      SELECT eu, ev FROM pe UNION ALL SELECT ev, eu FROM pe),
+    reach(node, r) AS (
+      SELECT vec_id, vec_id FROM base
+      UNION
+      SELECT e.ev, r.r FROM reach r JOIN edges e ON e.eu = r.node),
+    comp AS (
+      SELECT node AS vec_id, CAST(MIN(r) AS BIGINT) AS component_id
+      FROM reach GROUP BY node)
+    SELECT a.vec_id, CAST(a.cell AS INT) AS cell, c.component_id,
+           c.component_id = a.vec_id AS keep
+    FROM asg a JOIN comp c USING (vec_id)
+"""
+
+
+@register("semantic_dedup_cells", _SEMDEDUP_SQL)
+def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup, hash-verified end to end (Abbas et al. 2023):
+    cluster the embedding space (the shared quantized-L2 seed +
+    one-Lloyd cell machinery of ``embedding_ann_ivf``), detect
+    near-duplicate pairs ONLY within cells (integer L2² ≤ 300 000 —
+    the bounded pair generation that makes semantic dedup feasible
+    at corpus scale), resolve groups with alternating-star connected
+    components, keep each group's min-id representative. The corpus
+    plants real near-dups: every 5th vector cloned with one
+    dimension bumped +0.5 (quantized L2² ≈ 250 000 vs ≥ ~973 000
+    between any two unrelated sf0.01 vectors). The oracle replays
+    quantization, seeding, the Lloyd round, assignment, pair
+    generation, and a recursive-CTE components resolution — the
+    whole semantic-dedup pipeline is value-checked, clone-lands-in-
+    parent's-cell included. Cross-cell near-dups are missed BY
+    DESIGN (SemDeDup's trade; both engines agree on the miss)."""
+    emb = load(spark, sf_dir, "embeddings")
+    # The +0.5 bump at dim (vec_id mod 64) is slice/concat, not an
+    # index lambda capturing vec_id: a lambda that captures an outer
+    # attribute inside a unionByName branch trips Catalyst's
+    # NamedLambdaVariable re-binding at execution (INTERNAL_ERROR_
+    # ATTRIBUTE_NOT_FOUND on the captured column) — built-ins carry
+    # the same semantics without the hazard.
+    copies = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            "concat("
+            " slice(transform(embedding, x -> CAST(x AS DOUBLE)),"
+            "       1, CAST(vec_id % 64 AS INT)),"
+            " array(CAST(element_at(embedding, CAST(vec_id % 64 AS INT) + 1)"
+            "       AS DOUBLE) + 0.5D),"
+            " slice(transform(embedding, x -> CAST(x AS DOUBLE)),"
+            "       CAST(vec_id % 64 AS INT) + 2, 64))"
+        ).alias("embedding"),
+    )
+    base = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    ).unionByName(copies)
+    return SIM.semantic_dedup_l2q(base, num_cells=8, radius2=300000)
+
+
 @register("embedding_ann_ivf", _IVF_L2Q_SQL)
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN, HASH-VERIFIED: the quantized-L2 twin

@@ -462,3 +462,36 @@ def test_connected_components_two_clusters_and_selfloop(spark):
     edges = [(5, 9), (9, 2), (30, 40), (7, 7)]
     got = _cc_spark(spark, edges)
     assert got == {5: 2, 9: 2, 2: 2, 30: 30, 40: 30}
+
+
+def test_semantic_dedup_l2q_groups_and_keeps(spark):
+    """SemDeDup operator semantics on a planted corpus: exact clones
+    land in one component keeping the min id; distant vectors stay
+    singletons; output is one row per vector and deterministic."""
+    import numpy as np
+
+    from ods_v3_dbt_spark.operators.similarity import semantic_dedup_l2q
+
+    rng = np.random.RandomState(4)
+    rows = []
+    for vid in range(20):
+        v = (rng.rand(64) - 0.5).tolist()
+        rows.append((vid, v))
+    # clones of 3, 7, 11 at ids 103/107/111 with a tiny nudge
+    for vid in (3, 7, 11):
+        v = list(rows[vid][1])
+        v[5] += 0.001
+        rows.append((100 + vid, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup_l2q(df, num_cells=4, radius2=300000)
+    got = {r.vec_id: (r.component_id, r.keep) for r in out.collect()}
+    assert len(got) == 23
+    for vid in (3, 7, 11):
+        # clone groups with its parent (same cell — the nudge is tiny)
+        assert got[100 + vid][0] == vid and not got[100 + vid][1]
+        assert got[vid] == (vid, True)
+    singles = [v for v in range(20) if v not in (3, 7, 11)]
+    assert all(got[v] == (v, True) for v in singles)
+    again = {r.vec_id: (r.component_id, r.keep) for r in
+             semantic_dedup_l2q(df, num_cells=4, radius2=300000).collect()}
+    assert again == got

@@ -56,7 +56,16 @@ def test_suite_plan_invariants(spark):
     # list (5 rows) — its corpus scans run eagerly inside learn_bpe's
     # iteration loop; the training operators' plan hygiene is pinned
     # via bpe_tokenize_stats (which scans) and test_bpe.py.
-    AUDIT_SUMMARY_QUERIES = {"curation_pipeline_audit", "bpe_learned_merges"}
+    # semantic_dedup_cells: the returned frame reads the checkpointed
+    # assignment (LogicalRDD — the corpus scan ran eagerly inside the
+    # seed/Lloyd/assignment stages; checkpointing is also the
+    # self-join-over-LogicalRDD dedup workaround documented in
+    # operators/similarity.py).
+    AUDIT_SUMMARY_QUERIES = {
+        "curation_pipeline_audit",
+        "bpe_learned_merges",
+        "semantic_dedup_cells",
+    }
     scanless = {
         k for k, v in rep.items() if v.get("parquet_scans", 0) == 0
     } - AUDIT_SUMMARY_QUERIES
