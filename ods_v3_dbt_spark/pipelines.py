@@ -224,3 +224,102 @@ def curate_stream(
     return dedup_within_watermark(
         gated, ["__fp"], ts_col=ts_col, delay=dedup_horizon
     ).drop("__fp")
+
+
+def curate_increment(
+    batch: DataFrame,
+    existing: DataFrame,
+    neardup_jaccard_ppm: int = 500_000,
+) -> DataFrame:
+    """INCREMENTAL curation — the nightly production shape: a new
+    batch lands against an already-curated corpus, and only what is
+    genuinely new gets admitted. Returns one VERDICT row per batch
+    doc: ``(doc_id, verdict)`` with verdict ∈ {admitted,
+    dup_exact_existing, dup_exact_batch, neardup_existing,
+    neardup_batch}, decided in that precedence order:
+
+    1. exact fingerprint already in the existing corpus →
+       ``dup_exact_existing`` (an anti-join against the corpus
+       fingerprint set — at scale that set lives as a bucketed table
+       keyed on the fingerprint, so the probe is exchange-free on
+       the corpus side, and Spark's runtime bloom filter prunes the
+       batch scan);
+    2. exact fingerprint repeated inside the batch → keep the min
+       id, others ``dup_exact_batch``;
+    3. 3-gram Jaccard ≥ threshold against ANY existing doc →
+       ``neardup_existing`` (production probes the PERSISTED LSH
+       band table of the corpus — the incremental index — instead of
+       re-shingling the corpus; this composition uses the exact
+       shingle-blocked pairs so the declared query's oracle can
+       replay it);
+    4. remaining batch docs that near-dup EACH OTHER resolve by
+       connected components, non-min members ``neardup_batch``;
+    5. everything else ``admitted``.
+
+    The batch is assumed pre-gated (quality filtering is stage 1 of
+    ``curate_corpus`` and runs on ingest — see ``curate_stream``).
+    Edges for stage 4 are restricted to docs that SURVIVED stages
+    1-3: a batch doc must not be dragged into a cluster through a
+    member that was already rejected.
+    """
+    from pyspark.sql import Window
+
+    fp = T.fingerprint_md5(F.col("text"))
+    b = batch.select("doc_id", "text", fp.alias("fp"))
+    efp = existing.select(fp.alias("fp")).distinct()
+    dee = b.join(efp, "fp", "left_semi").select("doc_id")
+    r1 = b.join(dee, "doc_id", "left_anti")
+    ranked = r1.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    )
+    deb = ranked.filter("rn > 1").select("doc_id")
+    r2 = ranked.filter("rn = 1").select("doc_id", "text")
+
+    union = r2.unionByName(existing.select("doc_id", "text"))
+    pairs = DD.ngram_jaccard_pairs(
+        union, threshold_ppm=neardup_jaccard_ppm
+    ).select("doc_a", "doc_b")
+    bids = r2.select("doc_id").withColumnRenamed("doc_id", "bid")
+    flagged = (
+        pairs.join(
+            bids.withColumnRenamed("bid", "doc_a").withColumn("a_is_b", F.lit(True)),
+            "doc_a", "left",
+        ).join(
+            bids.withColumnRenamed("bid", "doc_b").withColumn("b_is_b", F.lit(True)),
+            "doc_b", "left",
+        )
+    )
+    dne = (
+        flagged.filter(F.col("a_is_b").isNotNull() & F.col("b_is_b").isNull())
+        .select(F.col("doc_a").alias("doc_id"))
+        .unionByName(
+            flagged.filter(F.col("b_is_b").isNotNull() & F.col("a_is_b").isNull())
+            .select(F.col("doc_b").alias("doc_id"))
+        )
+        .distinct()
+    )
+    r3 = r2.join(dne, "doc_id", "left_anti").select("doc_id")
+    both = flagged.filter(
+        F.col("a_is_b").isNotNull() & F.col("b_is_b").isNotNull()
+    ).select("doc_a", "doc_b")
+    edges = (
+        both.join(r3.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(r3.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .select("doc_a", "doc_b")
+    )
+    comp = DD.connected_components(edges, "doc_a", "doc_b")
+    losers = comp.filter(F.col("node") != F.col("component_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    admitted = r3.join(losers, "doc_id", "left_anti")
+
+    def v(df: DataFrame, verdict: str) -> DataFrame:
+        return df.select("doc_id", F.lit(verdict).alias("verdict"))
+
+    return (
+        v(dee, "dup_exact_existing")
+        .unionByName(v(deb, "dup_exact_batch"))
+        .unionByName(v(dne, "neardup_existing"))
+        .unionByName(v(losers, "neardup_batch"))
+        .unionByName(v(admitted, "admitted"))
+    )

@@ -794,6 +794,143 @@ _IVF_L2Q_SQL = """
 """
 
 
+@register(
+    "incremental_curation_decisions",
+    """
+    WITH RECURSIVE existing AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+    newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+    batch AS (
+      SELECT doc_id, text FROM newd
+      UNION ALL
+      SELECT doc_id + 30000, text FROM existing WHERE doc_id % 5 = 1
+      UNION ALL
+      SELECT doc_id + 40000, text || ' extra marker token'
+      FROM existing WHERE doc_id % 5 = 2
+      UNION ALL
+      SELECT doc_id + 50000, text FROM newd WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 60000, text || ' extra marker token'
+      FROM newd WHERE doc_id % 11 = 3),
+    bfp AS (SELECT doc_id, md5(lower(trim(text))) AS fp, text FROM batch),
+    efp AS (SELECT DISTINCT md5(lower(trim(text))) AS fp FROM existing),
+    dee AS (SELECT doc_id FROM bfp WHERE fp IN (SELECT fp FROM efp)),
+    r1 AS (SELECT * FROM bfp
+           WHERE doc_id NOT IN (SELECT doc_id FROM dee)),
+    rk AS (SELECT doc_id, text,
+                  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+           FROM r1),
+    deb AS (SELECT doc_id FROM rk WHERE rn > 1),
+    r2 AS (SELECT doc_id, text FROM rk WHERE rn = 1),
+    uni AS (SELECT doc_id, text FROM r2
+            UNION ALL SELECT doc_id, text FROM existing),
+    words AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM uni),
+    sh0 AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+      FROM words),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM sh0),
+    cand AS (
+      SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+      FROM sh s1 JOIN sh s2
+        ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id),
+    sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(1) AS i
+      FROM cand p
+      JOIN sh s1 ON s1.doc_id = p.doc_a
+      JOIN sh s2 ON s2.doc_id = p.doc_b AND s2.shingle = s1.shingle
+      GROUP BY 1, 2),
+    jp AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(ROUND(i.i * 1000000.0 / (sa.n + sb.n - i.i)) AS BIGINT)
+            >= 500000),
+    bset AS (SELECT doc_id FROM r2),
+    dne AS (
+      SELECT DISTINCT d AS doc_id FROM (
+        SELECT doc_a AS d FROM jp
+        WHERE doc_a IN (SELECT doc_id FROM bset)
+          AND doc_b NOT IN (SELECT doc_id FROM bset)
+        UNION ALL
+        SELECT doc_b AS d FROM jp
+        WHERE doc_b IN (SELECT doc_id FROM bset)
+          AND doc_a NOT IN (SELECT doc_id FROM bset))),
+    r3 AS (SELECT doc_id FROM r2
+           WHERE doc_id NOT IN (SELECT doc_id FROM dne)),
+    ed0 AS (
+      SELECT doc_a, doc_b FROM jp
+      WHERE doc_a IN (SELECT doc_id FROM r3)
+        AND doc_b IN (SELECT doc_id FROM r3)),
+    edges AS (
+      SELECT doc_a AS eu, doc_b AS ev FROM ed0
+      UNION ALL SELECT doc_b, doc_a FROM ed0),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM r3
+      UNION
+      SELECT e.ev, r.r FROM reach r JOIN edges e ON e.eu = r.node),
+    comp AS (
+      SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node),
+    losers AS (SELECT doc_id FROM comp WHERE component_id <> doc_id)
+    SELECT doc_id, 'dup_exact_existing' AS verdict FROM dee
+    UNION ALL SELECT doc_id, 'dup_exact_batch' AS verdict FROM deb
+    UNION ALL SELECT doc_id, 'neardup_existing' AS verdict FROM dne
+    UNION ALL SELECT doc_id, 'neardup_batch' AS verdict FROM losers
+    UNION ALL SELECT doc_id, 'admitted' AS verdict
+    FROM comp WHERE component_id = doc_id
+    """,
+)
+def incremental_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL curation, hash-verified: a new batch lands against
+    an already-curated corpus (``pipelines.curate_increment``) and
+    every batch doc gets a verdict — admitted, exact dup of the
+    existing corpus, exact dup within the batch (min id kept),
+    near-dup of an existing doc, or near-dup of another surviving
+    batch doc (components, min id kept). The planted batch exercises
+    every verdict class at sf0.01: genuinely new docs, exact copies
+    of existing docs, suffix-token near-dups of existing docs, an
+    in-batch exact copy, and an in-batch near-dup variant. The
+    oracle replays fingerprinting, the keep-min window, shingle-
+    blocked exact Jaccard, the one-side/both-side pair
+    classification, and a recursive components resolution — the
+    verdict PRECEDENCE (existing-exact > batch-exact >
+    existing-near > batch-near) is part of the checked contract,
+    and stage-4 edges are restricted to docs that survived stages
+    1-3 on both sides."""
+    d = load(spark, sf_dir, "documents")
+    existing = d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    newd = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    suffix = F.concat(F.col("text"), F.lit(" extra marker token"))
+    batch = (
+        newd
+        .unionByName(
+            existing.filter(F.col("doc_id") % 5 == 1)
+            .select((F.col("doc_id") + 30000).alias("doc_id"), "text")
+        )
+        .unionByName(
+            existing.filter(F.col("doc_id") % 5 == 2)
+            .select((F.col("doc_id") + 40000).alias("doc_id"), suffix.alias("text"))
+        )
+        .unionByName(
+            newd.filter(F.col("doc_id") % 7 == 0)
+            .select((F.col("doc_id") + 50000).alias("doc_id"), "text")
+        )
+        .unionByName(
+            newd.filter(F.col("doc_id") % 11 == 3)
+            .select((F.col("doc_id") + 60000).alias("doc_id"), suffix.alias("text"))
+        )
+    )
+    from ..pipelines import curate_increment
+
+    return curate_increment(batch, existing)
+
+
 #: SemDeDup oracle: the IVF assignment CTE chain over a corpus with
 #: CONSTRUCTED near-dups (every 5th vector cloned at id+10000 with
 #: one dimension bumped +0.5 → quantized L2² ≈ 250 000, far below

@@ -151,3 +151,43 @@ def test_curate_stream_gates_and_dedups_across_batches(spark, tmp_path):
 
     got = sorted(r.doc_id for r in spark.read.parquet(str(out)).collect())
     assert got == [1, 4]
+
+
+def test_curate_increment_verdicts_and_precedence(spark):
+    """Incremental curation on a planted batch: every verdict class,
+    min-id keep rules, and the precedence contract (a doc that
+    exact-dups existing is dup_exact_existing even if it also
+    near-dups a batch doc; stage-4 edges exclude already-rejected
+    docs so survivors aren't dragged into clusters through them)."""
+    from ods_v3_dbt_spark.pipelines import curate_increment
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    existing = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "totally fresh words nobody else ever used here today"),
+            (11, base),                       # exact dup of existing 1
+            (12, base + " suffix"),           # near-dup of existing 1
+            (13, "unique doc repeated inside the batch exactly twice"),
+            (14, "unique doc repeated inside the batch exactly twice"),
+            (15, "brand new sentence with many matching tokens inside"),
+            (16, "brand new sentence with many matching tokens inside extra"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.verdict
+        for r in curate_increment(batch, existing).collect()
+    }
+    assert got == {
+        10: "admitted",
+        11: "dup_exact_existing",
+        12: "neardup_existing",
+        13: "admitted",             # min id of the in-batch exact pair
+        14: "dup_exact_batch",
+        15: "admitted",             # min id of the in-batch near pair
+        16: "neardup_batch",
+    }
