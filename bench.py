@@ -35,6 +35,13 @@ def main() -> None:
         # Local single-JVM: one shuffle partition per core; on a real
         # cluster this comes from AQE coalescing instead.
         shuffle_partitions=cpus,
+        # The default 1g driver heap is the whole JVM in local mode;
+        # the iterative operators (connected components, BPE,
+        # SemDeDup, incremental curation) localCheckpoint per round
+        # and those blocks live until their Python handles are GC'd,
+        # so the suite needs real headroom (observed: heap OOM at
+        # ~170 queries in, reading a sort spill, on the 1g default).
+        extra_conf={"spark.driver.memory": "8g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -70,7 +77,13 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
         # Queries are independent; drop any persisted intermediates so
         # one query's cache doesn't squeeze the next one's memory.
+        # clearCache() covers persist(); localCheckpoint blocks are
+        # freed by the ContextCleaner only after the Python-side
+        # DataFrame handles are collected — force that each round.
         spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
 
     total = round(sum(times.values()), 3)
     print(
