@@ -795,6 +795,103 @@ _IVF_L2Q_SQL = """
 
 
 @register(
+    "warc_roundtrip_extract",
+    """
+    SELECT doc_id,
+           'response' AS warc_type,
+           CAST(45 + octet_length(CAST(coalesce(text, '') AS BLOB)) AS BIGINT)
+             AS content_length,
+           200 AS http_status,
+           CAST(octet_length(CAST(coalesce(text, '') AS BLOB)) AS BIGINT)
+             AS body_len,
+           md5(coalesce(text, '')) AS body_md5
+    FROM documents
+    """,
+)
+def warc_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WARC source, hash-verified: every document is wrapped
+    into a one-record WARC file image (ISO 28500 framing: version
+    line, CRLF headers, Content-Length body = an HTTP/1.1 response
+    message carrying the text) in one Arrow kernel — every ODD doc
+    as a gzip member, the standard .warc.gz layout — then re-parsed
+    by the general ``parse_warc`` + ``split_http`` path in a second
+    kernel: framing walk, header fold, length check, gzip member
+    decode, HTTP status/entity split. The oracle recomputes the
+    extracted fields from the construction's closed form (45 = the
+    fixed HTTP preamble bytes; body md5 over UTF-8). A framing bug,
+    a gzip member-boundary bug, or an HTTP split bug shifts
+    content_length/body_md5 and fails the hash. Multi-record files,
+    the binaryFile Spark source, and malformed-stream degradation
+    are pinned in tests/test_warc.py."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..sources import warc as W
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.expr("coalesce(text, '')").alias("text")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                body = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+                    + r["text"].encode("utf-8")
+                )
+                payload = W.build_warc(
+                    [
+                        {
+                            "warc_type": "response",
+                            "target_uri": f"http://ex.test/{r['doc_id']}",
+                            "warc_date": "2024-01-01T00:00:00Z",
+                            "record_id": f"<urn:uuid:{r['doc_id']}>",
+                            "content_type": "application/http; msgtype=response",
+                            "body": body,
+                        }
+                    ],
+                    gz=bool(r["doc_id"] % 2),
+                )
+                out.append((r["doc_id"], payload))
+            yield pd.DataFrame(out, columns=["doc_id", "content"])
+
+    media = base.mapInPandas(encode, schema="doc_id long, content binary")
+
+    def extract(batches):
+        cols = [
+            "doc_id", "warc_type", "content_length", "http_status",
+            "body_len", "body_md5",
+        ]
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                (rec,) = W.parse_warc(bytes(r["content"]))
+                status, _hh, entity = W.split_http(rec["body"])
+                out.append(
+                    (
+                        int(rec["target_uri"].rsplit("/", 1)[1]),
+                        rec["warc_type"],
+                        rec["content_length"],
+                        status,
+                        len(entity),
+                        hashlib.md5(entity).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, warc_type string, content_length long, "
+            "http_status int, body_len long, body_md5 string"
+        ),
+    )
+
+
+@register(
     "incremental_curation_decisions",
     """
     WITH RECURSIVE existing AS (

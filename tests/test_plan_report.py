@@ -22,6 +22,7 @@ PYTHON_KERNEL_QUERIES = {
     "multimodal_audio_decode",  # encode_wav + wav_stats Arrow kernels
     "multimodal_video_y4m",  # encode_y4m + y4m_stats Arrow kernels
     "multimodal_gif_decode",  # encode_gif + decode_gif Arrow kernels
+    "warc_roundtrip_extract",  # build_warc + parse_warc Arrow kernels
 }
 
 # Nested-loop joins are allowed ONLY as scalar/tiny-broadcast
