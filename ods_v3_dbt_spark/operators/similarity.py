@@ -591,3 +591,160 @@ def lsh_bucketed_topk(
     scored = cand.select("query_id", "neighbor_id", sim_col)
     w = Window.partitionBy("query_id").orderBy(order, F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the compression-based family
+# ---------------------------------------------------------------------------
+
+
+def _sub_slice(vec, m: int, sub_dim: int):
+    """Subvector m of a concatenated vector (1-based slice)."""
+    return F.slice(vec, m * sub_dim + 1, sub_dim)
+
+
+def _sub_dist_arr(svec, code_lit):
+    """Integer L2² from a subvector to every codeword in the literal
+    K×sub_dim matrix → array<bigint> (the per-subspace ADC table)."""
+    return F.transform(
+        code_lit,
+        lambda cv: F.aggregate(
+            F.zip_with(svec, cv, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def pq_train_encode(
+    c: DataFrame, num_subs: int, num_codes: int, dim_count: int
+) -> tuple[DataFrame, list]:
+    """Train per-subspace PQ codebooks (Jégou, Douze, Schmid 2011,
+    "Product Quantization for Nearest Neighbor Search") over a
+    quantized-BIGINT corpus (vid, v) and encode every vector as
+    ``num_subs`` codes.
+
+    Same seed+one-Lloyd discipline as ``_l2q_cells`` so the DuckDB
+    oracle can replay training bit for bit — but ALL subspaces train
+    in TWO jobs total, not two per subspace: seeds are the
+    ``num_codes`` lowest-id vectors (one collect, sliced driver-side
+    into per-subspace seed matrices), and the Lloyd means for every
+    (subspace, code, dim) come from ONE explode→groupBy over an
+    array-of-structs column holding each row's per-subspace argmin.
+    Only num_subs×num_codes×sub_dim integers cross the driver.
+
+    Returns (codes df (vid, codes array<int>), refined codebooks
+    [num_subs][num_codes][sub_dim])."""
+    sub_dim = dim_count // num_subs
+    seeds_rows = c.orderBy(F.col("vid").asc()).limit(num_codes).collect()
+    seeds = [
+        [list(r.v[m * sub_dim : (m + 1) * sub_dim]) for r in seeds_rows]
+        for m in range(num_subs)
+    ]
+    seed_lits = [F.expr(_int_matrix_sql(s)) for s in seeds]
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("sub"),
+                F.array_min(
+                    _l2q_dist2(_sub_slice(F.col("v"), m, sub_dim), seed_lits[m])
+                )
+                .getField("cell")
+                .alias("code"),
+                _sub_slice(F.col("v"), m, sub_dim).alias("sv"),
+            )
+            for m in range(num_subs)
+        ]
+    )
+    means = (
+        c.select(F.explode(entries).alias("e"))
+        .select("e.sub", "e.code", F.posexplode("e.sv").alias("i", "x"))
+        .groupBy("sub", "code", "i")
+        .agg(F.expr("sum(x) div count(1)").alias("m"))
+        .collect()
+    )
+    refined = [[list(cw) for cw in s] for s in seeds]
+    for r in means:  # empty codes keep their seed
+        refined[r.sub][r.code][r.i] = r.m
+
+    ref_lits = [F.expr(_int_matrix_sql(s)) for s in refined]
+    codes = c.select(
+        "vid",
+        F.array(
+            *[
+                F.array_min(
+                    _l2q_dist2(_sub_slice(F.col("v"), m, sub_dim), ref_lits[m])
+                ).getField("cell")
+                for m in range(num_subs)
+            ]
+        ).alias("codes"),
+    )
+    return codes, refined
+
+
+def pq_topk_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_subs: int = 8,
+    num_codes: int = 8,
+    dim_count: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ ANN with asymmetric distance computation (ADC) — the
+    COMPRESSION member of the ANN family (LSH = hashing, IVF =
+    partitioning, PQ = vector compression): the corpus is stored as
+    ``num_subs`` one-byte codes per vector (64 floats → 8 bytes =
+    32× memory), each query builds a num_subs×num_codes integer
+    distance table against the trained codebooks, and scoring is a
+    pure table-lookup sum in the COMPRESSED domain — the full-
+    precision corpus is never touched at query time.
+
+    Exact integer arithmetic end to end (quantized milli-units, the
+    hash-verifiable twin discipline of ``ivf_topk_l2q``); ties break
+    on neighbor id. Approximation error vs exact L2 is the codebook
+    reconstruction error — recall is pinned in pytest.
+
+    Scale shape: training collects only codebook-sized tables;
+    encoding is a shuffle-free linear map; the ADC scan broadcasts
+    the per-query tables (num_subs×num_codes bigints each) and maps
+    the code table ONCE with no shuffle — at 100 TB the code table
+    is ~1/32 the corpus bytes and the scan is embarrassingly
+    parallel; compose with the IVF coarse quantizer (probe cells,
+    then ADC inside them — IVFADC) when even the compressed scan is
+    too big."""
+    qv = quantize_embedding(F.col(vec_col))
+    c = corpus.select(F.col(id_col).alias("vid"), qv.alias("v"))
+    q = queries.select(F.col(id_col).alias("vid"), qv.alias("v"))
+
+    sub_dim = dim_count // num_subs
+    codes, refined = pq_train_encode(c, num_subs, num_codes, dim_count)
+    ref_lits = [F.expr(_int_matrix_sql(s)) for s in refined]
+
+    qtabs = q.select(
+        F.col("vid").alias("query_id"),
+        F.array(
+            *[
+                _sub_dist_arr(_sub_slice(F.col("v"), m, sub_dim), ref_lits[m])
+                for m in range(num_subs)
+            ]
+        ).alias("tabs"),
+    )
+    scored = codes.select(F.col("vid").alias("neighbor_id"), "codes").join(
+        F.broadcast(qtabs)
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.expr(
+            "aggregate(zip_with(tabs, codes, (t, c) -> element_at(t, c + 1)), "
+            "0L, (a, x) -> a + x)"
+        ).alias("adc_d2"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

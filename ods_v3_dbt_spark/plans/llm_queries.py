@@ -892,6 +892,112 @@ def warc_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wds_shard_roundtrip",
+    """
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS t, doc_id // 16 AS shard_id
+      FROM documents),
+    m AS (
+      SELECT doc_id, shard_id,
+             octet_length(CAST(t AS BLOB)) AS txt_len,
+             md5(t) AS txt_md5,
+             CAST(doc_id % 10 AS INT) AS cls,
+             1024 + 512
+               + 512 * ((octet_length(CAST(t AS BLOB)) + 511) // 512)
+               AS member_bytes
+      FROM d)
+    SELECT doc_id, shard_id, CAST(2 AS INT) AS n_parts,
+           CAST(txt_len AS BIGINT) AS txt_len, txt_md5, cls,
+           CAST(coalesce(SUM(member_bytes) OVER (
+                  PARTITION BY shard_id ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS BIGINT) AS first_offset
+    FROM m
+    """,
+)
+def wds_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebDataset tar-shard source, hash-verified: documents
+    are packed 16-per-shard into genuine POSIX tars (each sample =
+    ``{doc_id:08d}.cls`` + ``{doc_id:08d}.txt`` members, built by
+    ``sources.wds.build_tar_shard`` inside ``applyInPandas`` — the
+    shard is the parallelism unit, exactly how WebDataset scales on
+    a cluster), then every shard is re-parsed by the general
+    :func:`~ods_v3_dbt_spark.sources.wds.parse_tar_samples` walk in
+    a second kernel: ustar header decode, 512-byte block alignment,
+    first-dot key grouping. The oracle recomputes the extracted
+    fields from the tar format's closed form — ``first_offset`` of a
+    sample is the running sum of prior members' ``512 header +
+    512*ceil(size/512) data`` blocks within the shard, so a header
+    -size, padding, or member-ordering bug shifts offsets and fails
+    the hash; ``txt_md5`` pins payload integrity through the
+    container. Multi-part grouping edges (dotted part names, dirs,
+    malformed shards, the binaryFile end-to-end path) are pinned in
+    tests/test_wds.py."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..sources import wds as WDS
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("coalesce(text, '')").alias("text"),
+        F.expr("doc_id div 16").alias("shard_id"),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        samples = [
+            {
+                "__key__": f"{int(r['doc_id']):08d}",
+                "cls": str(int(r["doc_id"]) % 10),
+                "txt": r["text"],
+            }
+            for _, r in pdf.iterrows()
+        ]
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "content": [WDS.build_tar_shard(samples)],
+            }
+        )
+
+    shards = d.groupBy("shard_id").applyInPandas(
+        build, schema="shard_id long, content binary"
+    )
+
+    def extract(batches):
+        cols = [
+            "doc_id", "shard_id", "n_parts", "txt_len", "txt_md5",
+            "cls", "first_offset",
+        ]
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                for s in WDS.parse_tar_samples(bytes(r["content"])):
+                    out.append(
+                        (
+                            int(s["key"]),
+                            int(r["shard_id"]),
+                            len(s["parts"]),
+                            s["sizes"]["txt"],
+                            hashlib.md5(s["parts"]["txt"]).hexdigest(),
+                            int(s["parts"]["cls"].decode("ascii")),
+                            s["first_offset"],
+                        )
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return shards.mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, shard_id long, n_parts int, txt_len long, "
+            "txt_md5 string, cls int, first_offset long"
+        ),
+    )
+
+
+@register(
     "incremental_curation_decisions",
     """
     WITH RECURSIVE existing AS (
@@ -1162,6 +1268,108 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 10)
     c = emb.filter(F.col("vec_id") >= 10)
     return SIM.ivf_topk_l2q(c, q, k=5, num_cells=8, nprobe=3)
+
+
+#: PQ training + ADC CTE chain: per-subspace seed+one-Lloyd codebooks
+#: (8 subspaces × 8 codes × 8 dims over the 64-dim quantized space),
+#: corpus encoded as 8 codes, query distance tables, ADC = equi-join
+#: on (sub, code) + group-sum (SQL's spelling of the table lookup).
+_PQ_ADC_SQL = """
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> greatest(CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT),
+                             -1000) + 1000) AS v
+      FROM embeddings),
+    q AS (SELECT * FROM base WHERE vec_id < 10),
+    c AS (SELECT * FROM base WHERE vec_id >= 10),
+    subs AS (SELECT unnest(generate_series(0, 31)) AS sub),
+    csub AS (
+      SELECT c.vec_id, s.sub,
+             list_transform(range(1, 3), i -> c.v[s.sub*2 + i]) AS sv
+      FROM c CROSS JOIN subs s),
+    qsub AS (
+      SELECT q.vec_id, s.sub,
+             list_transform(range(1, 3), i -> q.v[s.sub*2 + i]) AS sv
+      FROM q CROSS JOIN subs s),
+    seeds AS (
+      SELECT CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+                  AS INT) AS code,
+             sub, sv
+      FROM csub
+      WHERE vec_id IN (SELECT vec_id FROM c ORDER BY vec_id LIMIT 32)),
+    d1 AS (
+      SELECT cs.vec_id, cs.sub, s.code,
+             (cs.sv[1]-s.sv[1])*(cs.sv[1]-s.sv[1])
+               + (cs.sv[2]-s.sv[2])*(cs.sv[2]-s.sv[2]) AS d2
+      FROM csub cs JOIN seeds s ON s.sub = cs.sub),
+    a1 AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2, code) AS rn
+        FROM d1) WHERE rn = 1),
+    dims AS (
+      SELECT a.sub, a.code, g.i, cs.sv[g.i] AS x
+      FROM a1 a
+      JOIN csub cs ON cs.vec_id = a.vec_id AND cs.sub = a.sub,
+      generate_series(1, 2) AS g(i)),
+    m0 AS (SELECT sub, code, i, SUM(x) // COUNT(1) AS m
+           FROM dims GROUP BY sub, code, i),
+    mlist AS (SELECT sub, code, list(m ORDER BY i) AS sv
+              FROM m0 GROUP BY sub, code),
+    refined AS (
+      SELECT s.sub, s.code, COALESCE(ml.sv, s.sv) AS sv
+      FROM seeds s
+      LEFT JOIN mlist ml ON ml.sub = s.sub AND ml.code = s.code),
+    d2c AS (
+      SELECT cs.vec_id, cs.sub, r.code,
+             (cs.sv[1]-r.sv[1])*(cs.sv[1]-r.sv[1])
+               + (cs.sv[2]-r.sv[2])*(cs.sv[2]-r.sv[2]) AS d2
+      FROM csub cs JOIN refined r ON r.sub = cs.sub),
+    codes AS (
+      SELECT vec_id AS neighbor_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2, code) AS rn
+        FROM d2c) WHERE rn = 1),
+    qtab AS (
+      SELECT qs.vec_id AS query_id, qs.sub, r.code,
+             (qs.sv[1]-r.sv[1])*(qs.sv[1]-r.sv[1])
+               + (qs.sv[2]-r.sv[2])*(qs.sv[2]-r.sv[2]) AS d2
+      FROM qsub qs JOIN refined r ON r.sub = qs.sub),
+    scored AS (
+      SELECT t.query_id, cd.neighbor_id, SUM(t.d2) AS adc
+      FROM codes cd JOIN qtab t ON t.sub = cd.sub AND t.code = cd.code
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(adc AS BIGINT) AS adc_d2,
+           CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 5
+"""
+
+@register("embedding_ann_pq", _PQ_ADC_SQL)
+def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, HASH-VERIFIED — the COMPRESSION
+    member of the ANN family (LSH = hashing, IVF = partitioning, PQ
+    = vector compression; operators/similarity.py::pq_topk_adc):
+    per-subspace codebooks trained with the same seed+one-Lloyd
+    integer discipline as ``embedding_ann_ivf`` (8 subspaces × 8
+    codes over the 64-dim milli-quantized space), the corpus encoded
+    as 8 one-byte codes (32× memory compression), each query scored
+    against the ENTIRE corpus purely in the compressed domain via
+    its broadcast ADC distance tables. The oracle replays training,
+    encoding, and the table-lookup scan (as an equi-join + group-sum
+    — SQL's spelling of the lookup), so codebook refinement,
+    assignment tie-breaks, and ADC ranking are all value-checked.
+    Recall vs the exact integer top-k is pinned in pytest."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    return SIM.pq_topk_adc(c, q, k=5, num_subs=32, num_codes=32)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,155 @@
+"""WebDataset-style POSIX-tar shard source — the container format
+large multimodal training pipelines actually ship samples in (a
+shard is one ``.tar`` whose members are grouped into samples by
+basename: ``000017.txt`` + ``000017.json`` + ``000017.jpg`` is ONE
+sample with three parts), parsed pure-stdlib.
+
+WebDataset contract implemented here:
+- sample key = member basename up to the FIRST dot (so
+  ``000017.seg.png`` has key ``000017`` and part name ``seg.png``);
+- a sample's members are stored adjacently in the shard; samples are
+  emitted in shard order (first-seen key order);
+- directory prefixes inside the tar are ignored for the key (a
+  shard re-packed under a subdir yields the same samples).
+
+Scale notes: the SHARD is the unit of parallelism — tar is
+sequential-read-only, so WebDataset pipelines scale by having many
+shards (thousands of ~1 GB files), shuffling at the shard level and
+streaming members within a shard. ``wds_samples`` mirrors that:
+Spark's ``binaryFile`` source assigns whole shards to tasks and
+:func:`parse_tar_samples` streams each one inside ``mapInPandas``;
+sample payloads never hit the driver. A malformed shard degrades to
+one ok=false row, never a stage crash. At 100 TB the shard listing
+itself is the scan-planning input (millions of files → use a
+manifest table instead of a filesystem glob; the parse stage is
+unchanged).
+
+Reference parity: the reference's file-based sources land whole
+files then load them row-wise (ods-v3-dbt dags/utils file loaders);
+this module is the same files-are-the-unit contract applied to the
+tar container, which the reference does not cover — it belongs to
+the beyond-reference training-data surface (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import io
+import tarfile
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+WDS_SCHEMA = (
+    "path string, sample_idx int, key string, n_parts int, "
+    "part_names array<string>, part_sizes array<long>, "
+    "first_offset long, parts map<string, binary>, "
+    "ok boolean, error string"
+)
+
+
+def build_tar_shard(samples: list[dict[str, bytes | str]]) -> bytes:
+    """Assemble a deterministic WebDataset shard: one tar member per
+    non-``__key__`` entry of each sample dict, named
+    ``{__key__}.{part}``, in sample order then sorted part order.
+    Headers are bit-stable (mtime 0, uid/gid 0, blank names, USTAR
+    format) so identical inputs give identical shard bytes."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for s in samples:
+            key = s["__key__"]
+            for part in sorted(k for k in s if k != "__key__"):
+                data = s[part]
+                if isinstance(data, str):
+                    data = data.encode("utf-8")
+                info = tarfile.TarInfo(name=f"{key}.{part}")
+                info.size = len(data)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def parse_tar_samples(payload: bytes) -> list[dict]:
+    """Parse a tar shard → samples in shard order:
+    ``[{key, parts: {name: bytes}, sizes: {name: int},
+    first_offset}]``. ``first_offset`` is the byte offset of the
+    sample's first member HEADER within the shard (tar members are
+    512-byte-aligned: header block + ceil(size/512) data blocks) —
+    exposing it makes block-padding arithmetic externally checkable.
+    Raises ``ValueError`` on malformed tars."""
+    try:
+        tf = tarfile.open(fileobj=io.BytesIO(payload), mode="r:*")
+    except tarfile.TarError as e:  # normalize for the ok=false path
+        raise ValueError(f"bad tar: {e}") from e
+    samples: list[dict] = []
+    by_key: dict[str, dict] = {}
+    try:
+        for member in tf:
+            if not member.isfile():
+                continue
+            base = member.name.rsplit("/", 1)[-1]
+            if "." in base:
+                key, part = base.split(".", 1)
+            else:
+                key, part = base, ""
+            data = tf.extractfile(member).read()
+            if len(data) != member.size:
+                raise ValueError(f"truncated member {member.name}")
+            s = by_key.get(key)
+            if s is None:
+                s = {
+                    "key": key,
+                    "parts": {},
+                    "sizes": {},
+                    # header offset, not offset_data: the closed form
+                    # "sum of 512 + 512*ceil(size/512) over prior
+                    # members" starts at the header block
+                    "first_offset": member.offset,
+                }
+                by_key[key] = s
+                samples.append(s)
+            s["parts"][part] = data
+            s["sizes"][part] = member.size
+    except tarfile.TarError as e:
+        raise ValueError(f"bad tar: {e}") from e
+    return samples
+
+
+def wds_samples(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Spark source over WebDataset shards: ``binaryFile`` lists and
+    partitions whole shard files; each task parses its shards with
+    :func:`parse_tar_samples` and emits one row per sample. Column
+    pruning still applies upstream of the parse (binaryFile reads
+    the content column only when referenced)."""
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "path", "sample_idx", "key", "n_parts", "part_names",
+            "part_sizes", "first_offset", "parts", "ok", "error",
+        ]
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                try:
+                    for i, s in enumerate(parse_tar_samples(bytes(r["content"]))):
+                        names = sorted(s["parts"])
+                        out.append(
+                            (
+                                r["path"], i, s["key"], len(names), names,
+                                [s["sizes"][n] for n in names],
+                                s["first_offset"],
+                                {n: s["parts"][n] for n in names},
+                                True, None,
+                            )
+                        )
+                except (ValueError, KeyError) as e:
+                    out.append(
+                        (r["path"], 0, None, 0, [], [], None, {}, False, str(e))
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return files.select("path", "content").mapInPandas(parse, schema=WDS_SCHEMA)

@@ -130,6 +130,55 @@ def test_ivf_ann_recall_floor(spark, emb):
     assert recall >= 0.5, f"recall {recall:.2f}"
 
 
+def test_pq_adc_recall_and_compression(spark, emb):
+    """PQ-ADC (32 subspaces × 32 codes over 64 dims — synthetic
+    uniform unit vectors have no cluster structure, so recall comes
+    from code bits) must recover a reasonable share of the exact
+    top-k purely from the compressed codes, be deterministic, and
+    actually compress: every corpus vector encodes to exactly
+    num_subs codes in [0, num_codes)."""
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    exact = {(r.query_id, r.neighbor_id) for r in
+             SIM.topk_bruteforce(c, q, k=5, metric="cosine").collect()}
+    a1 = {(r.query_id, r.neighbor_id) for r in
+          SIM.pq_topk_adc(c, q, k=5, num_subs=32, num_codes=32).collect()}
+    a2 = {(r.query_id, r.neighbor_id) for r in
+          SIM.pq_topk_adc(c, q, k=5, num_subs=32, num_codes=32).collect()}
+    assert a1 == a2  # deterministic end to end
+    recall = len(exact & a1) / len(exact)
+    assert recall >= 0.5, f"recall {recall:.2f}"
+
+    from ods_v3_dbt_spark.operators.similarity import (
+        pq_train_encode, quantize_embedding,
+    )
+    cq = c.select(F.col("vec_id").alias("vid"),
+                  quantize_embedding(F.col("embedding")).alias("v"))
+    codes, books = pq_train_encode(cq, num_subs=32, num_codes=32, dim_count=64)
+    assert len(books) == 32 and all(len(b) == 32 for b in books)
+    assert all(len(cw) == 2 for b in books for cw in b)
+    rows = codes.collect()
+    assert all(len(r.codes) == 32 for r in rows)
+    assert all(0 <= v < 32 for r in rows for v in r.codes)
+
+
+def test_pq_identical_vectors_share_codes_and_tie_on_adc(spark):
+    """Byte-identical vectors must encode identically, and a query
+    equal to a codeword reconstructs its own cell at ADC distance
+    whose per-subspace terms are the codebook residuals — planted
+    clones land jointly at the top (tie broken by neighbor id)."""
+    base = [float(((i * 37) % 100) / 100.0 - 0.4) for i in range(64)]
+    other = [float(((i * 53) % 100) / 100.0 - 0.5) for i in range(64)]
+    rows = [(i, base) for i in range(10, 16)] + [(i, other) for i in range(16, 40)]
+    c = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(0, base)], "vec_id long, embedding array<double>")
+    top = SIM.pq_topk_adc(c, q, k=6, num_subs=8, num_codes=4).collect()
+    got = sorted((r.rank, r.neighbor_id) for r in top)
+    # the 6 clones of the query occupy the full top-6, id-ordered
+    assert [n for _, n in got] == [10, 11, 12, 13, 14, 15]
+    assert len({r.adc_d2 for r in top}) == 1  # identical compressed distance
+
+
 def test_blockwise_matches_bruteforce_cosine(spark, emb):
     """The numpy mapInPandas scale path must return the same neighbor
     sets as the expression-only exact path (float cosine both)."""

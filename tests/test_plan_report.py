@@ -23,6 +23,7 @@ PYTHON_KERNEL_QUERIES = {
     "multimodal_video_y4m",  # encode_y4m + y4m_stats Arrow kernels
     "multimodal_gif_decode",  # encode_gif + decode_gif Arrow kernels
     "warc_roundtrip_extract",  # build_warc + parse_warc Arrow kernels
+    "wds_shard_roundtrip",  # build_tar_shard + parse_tar_samples Arrow kernels
 }
 
 # Nested-loop joins are allowed ONLY as scalar/tiny-broadcast
@@ -30,6 +31,7 @@ PYTHON_KERNEL_QUERIES = {
 # seed set into the probe). Anything else is an accidental O(n·m).
 SCALAR_BROADCAST_QUERIES = {
     "bigram_collocations",       # 1-row total-token count
+    "embedding_ann_pq",           # 10-row query ADC-table broadcast
     "embedding_centroid_assign",  # 8-row centroid seed set
     "embedding_topk",             # small query-vector side
     "events_day_spine_fill",      # day-spine × type dim (tiny × tiny)

@@ -1,0 +1,102 @@
+"""WebDataset tar-shard source: roundtrip, first-dot key grouping,
+512-block offset arithmetic, malformed-shard degradation, and the
+binaryFile Spark reader end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+
+from ods_v3_dbt_spark.sources import wds as W
+
+
+def _samples(n=3):
+    return [
+        {
+            "__key__": f"{i:06d}",
+            "txt": f"document number {i} body text".encode(),
+            "json": b'{"label": %d}' % i,
+        }
+        for i in range(n)
+    ]
+
+
+def test_roundtrip_multi_sample():
+    samples = _samples(4)
+    shard = W.build_tar_shard(samples)
+    got = W.parse_tar_samples(shard)
+    assert [s["key"] for s in got] == [s["__key__"] for s in samples]
+    for want, s in zip(samples, got):
+        assert set(s["parts"]) == {"txt", "json"}
+        assert s["parts"]["txt"] == want["txt"]
+        assert s["parts"]["json"] == want["json"]
+        assert s["sizes"]["txt"] == len(want["txt"])
+
+
+def test_first_dot_key_grouping():
+    """WebDataset contract: key = basename up to the FIRST dot, so
+    dotted part names (seg.png) stay within the sample."""
+    shard = W.build_tar_shard(
+        [{"__key__": "a01", "txt": b"t", "seg.png": b"fakepng"}]
+    )
+    (s,) = W.parse_tar_samples(shard)
+    assert s["key"] == "a01"
+    assert set(s["parts"]) == {"seg.png", "txt"}
+
+
+def test_directory_prefix_ignored_for_key():
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in [("sub/dir/k9.txt", b"x"), ("sub/dir/k9.cls", b"7")]:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    (s,) = W.parse_tar_samples(buf.getvalue())
+    assert s["key"] == "k9"
+    assert set(s["parts"]) == {"txt", "cls"}
+
+
+def test_offsets_follow_block_arithmetic():
+    """first_offset = Σ prior members' (512 header + 512·ceil(size/512))
+    — including the zero-length-member edge (header only, no data
+    block)."""
+    samples = [
+        {"__key__": "s0", "a": b"x" * 513, "b": b""},   # 512+1024, 512+0
+        {"__key__": "s1", "a": b"y" * 512},             # starts after 2048
+        {"__key__": "s2", "a": b"z"},
+    ]
+    got = W.parse_tar_samples(W.build_tar_shard(samples))
+    assert [s["first_offset"] for s in got] == [0, 2048, 2048 + 1024]
+
+
+def test_malformed_shard_raises_valueerror():
+    with pytest.raises(ValueError):
+        W.parse_tar_samples(b"not a tar at all" * 40)
+    # truncated: a valid header claiming more data than present
+    shard = W.build_tar_shard(_samples(1))
+    with pytest.raises(ValueError):
+        W.parse_tar_samples(shard[:600])
+
+
+def test_build_is_deterministic():
+    assert W.build_tar_shard(_samples(3)) == W.build_tar_shard(_samples(3))
+
+
+def test_wds_samples_spark_reader(spark, tmp_path):
+    for i in range(3):
+        (tmp_path / f"shard-{i}.tar").write_bytes(
+            W.build_tar_shard(_samples(4))
+        )
+    (tmp_path / "shard-bad.tar").write_bytes(b"garbage" * 100)
+    df = W.wds_samples(spark, str(tmp_path / "*.tar"))
+    rows = df.collect()
+    ok = [r for r in rows if r.ok]
+    bad = [r for r in rows if not r.ok]
+    assert len(ok) == 12 and len(bad) == 1
+    r = next(r for r in ok if r.sample_idx == 2)
+    assert r.key == "000002"
+    assert r.part_names == ["json", "txt"]
+    assert bytes(r.parts["txt"]) == b"document number 2 body text"
+    assert bad[0].error
