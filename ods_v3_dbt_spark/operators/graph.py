@@ -1,0 +1,85 @@
+"""Iterative graph operators beyond connected components: integer
+fixed-point PageRank — the link-authority signal crawl-curation
+pipelines use to weight domains/URLs before extraction (Common
+Crawl publishes exactly this as its domain-level ranks; a
+pretraining corpus inherits it as a source-quality prior).
+
+Why integer fixed-point: float power iteration sums contributions in
+nondeterministic order across partitions — the same hazard the
+embedding kernels dodge by quantizing. Here every rank is a BIGINT
+in ppm units (1e6 = the initial mass of one node) and every step is
+``pr div outdeg`` / ``damping · Σ div 1e6`` floor arithmetic, so the
+fixed number of power-iteration rounds is bit-reproducible on any
+engine — the DuckDB oracle replays the rounds as unrolled CTE
+stages. Floor-division truncation loses ≤1 ppm per edge per round
+(the mass leak is bounded and deterministic), which is noise against
+the damping teleport term.
+
+Scale shape (100 TB edge list): the per-round cost is one join of
+edges against the node-rank table on ``src`` plus one aggregation
+shuffling on ``dst``. The edge+degree table is static across rounds —
+``pagerank_int`` repartitions it on ``src`` ONCE and persists, so
+every round's join reuses that exchange and only the (much smaller)
+rank table moves; rounds are chained through ``localCheckpoint`` to
+cut lineage growth (the components operator's discipline). Hub skew
+on ``dst`` is AQE's skew-join case; a salting pass is the documented
+escalation. Dangling nodes: the synthetic-graph contract guarantees
+out-edges everywhere; for general graphs the standard
+redistribute-dangling-mass term would be one extra scalar aggregate
+per round (documented, not needed here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_ppm: int = 850_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration integer PageRank over an edge list (parallel
+    edges count once each; nodes = src ∪ dst). Returns (node, pr)
+    with pr in ppm units, pr0 = 1e6 per node:
+
+        pr'(v) = (1e6 − damping_ppm)
+                 + damping_ppm · Σ_{u→v} (pr(u) div outdeg(u)) div 1e6
+
+    All-positive BIGINT floor arithmetic → identical on Spark's
+    ``div`` (trunc) and DuckDB's ``//`` (floor)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # static across rounds: partition on the join key once, persist
+    esd = e.join(deg, "src").repartition("src").persist()
+    base = 1_000_000
+    pr = nodes.select("node", F.lit(base).cast("bigint").alias("pr"))
+    for _ in range(iterations):
+        contrib = (
+            esd.join(pr, esd["src"] == pr["node"])
+            .select(F.col("dst").alias("node"), F.expr("pr div deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base - damping_ppm)
+                    + F.expr(f"{damping_ppm} * coalesce(s, 0L) div {base}")
+                )
+                .cast("bigint")
+                .alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return pr

@@ -2939,3 +2939,70 @@ def curation_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_canonical bigint, n_clean bigint, n_train bigint, "
         "n_heldout bigint, n_bins bigint, train_tokens bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Link-graph authority (crawl curation)
+# ---------------------------------------------------------------------------
+
+#: Five power-iteration rounds unrolled as CTE stages (the BPE
+#: oracle's discipline: iteration count is part of the declared
+#: contract, so the loop is replayed, not approximated).
+_PAGERANK_SQL = (
+    """
+    WITH nc AS (SELECT COUNT(*) AS n FROM documents),
+    d AS (SELECT doc_id AS u FROM documents),
+    e AS (
+      SELECT u AS src, (3*u + 1) % nc.n AS dst FROM d, nc
+      UNION ALL SELECT u, (5*u + 2) % nc.n FROM d, nc
+      UNION ALL SELECT u, (7*u + 3) % nc.n FROM d, nc),
+    deg AS (SELECT src, COUNT(1) AS deg FROM e GROUP BY src),
+    nd AS (SELECT u AS node FROM d),
+    p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nd),
+"""
+    + ",\n".join(
+        f"""    c{i} AS (
+      SELECT e.dst AS node, SUM(p.pr // g.deg) AS s
+      FROM e JOIN deg g ON g.src = e.src
+      JOIN p{i - 1} p ON p.node = e.src
+      GROUP BY e.dst),
+    p{i} AS (
+      SELECT nd.node,
+             CAST(150000 + 850000 * COALESCE(c.s, 0) // 1000000
+                  AS BIGINT) AS pr
+      FROM nd LEFT JOIN c{i} c ON c.node = nd.node)"""
+        for i in range(1, 6)
+    )
+    + """
+    SELECT node, pr FROM p5
+"""
+)
+
+
+@register("link_graph_pagerank", _PAGERANK_SQL)
+def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank (operators/graph.py::pagerank_int)
+    over a deterministic synthetic link graph — the link-authority
+    stage of crawl curation (Common Crawl publishes domain ranks
+    computed exactly like this; a corpus pipeline joins them on as a
+    source-quality prior). Every doc links to (3u+1)%n, (5u+2)%n,
+    (7u+3)%n — three coprime strides, so in-degree varies and ranks
+    spread. Five power-iteration rounds in all-positive BIGINT ppm
+    floor arithmetic; the oracle replays the rounds as unrolled CTE
+    stages, so the iteration recurrence itself — contribution split,
+    damping, teleport — is value-checked, not just the final shape.
+    Convergence/mass properties are pinned in pytest on a
+    hand-replayed micro-graph."""
+    from ..operators import graph as G
+
+    d = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("u"))
+    nc = d.agg(F.count(F.lit(1)).alias("n"))
+    du = d.crossJoin(F.broadcast(nc))
+    edges = None
+    for a, b in [(3, 1), (5, 2), (7, 3)]:
+        part = du.select(
+            F.col("u").alias("src"),
+            ((F.lit(a) * F.col("u") + F.lit(b)) % F.col("n")).alias("dst"),
+        )
+        edges = part if edges is None else edges.union(part)
+    return G.pagerank_int(edges, iterations=5)

@@ -544,3 +544,41 @@ def test_semantic_dedup_l2q_groups_and_keeps(spark):
     again = {r.vec_id: (r.component_id, r.keep) for r in
              semantic_dedup_l2q(df, num_cells=4, radius2=300000).collect()}
     assert again == got
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_int_matches_scalar_replay(spark):
+    """pagerank_int must reproduce a driver-side scalar replay of the
+    integer recurrence on a hand-built micro-graph (hub + chain +
+    dangling-free cycle), and hold its invariants: teleport floor,
+    hub dominance, determinism."""
+    from ods_v3_dbt_spark.operators.graph import pagerank_int
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 0), (4, 0), (5, 0), (3, 4), (4, 5), (5, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.pr for r in pagerank_int(e, iterations=4).collect()}
+
+    # scalar replay of the exact same floor recurrence
+    from collections import defaultdict
+    nodes = sorted({u for ed in edges for u in ed})
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    pr = {n: 1_000_000 for n in nodes}
+    for _ in range(4):
+        s = defaultdict(int)
+        for a, b in edges:
+            s[b] += pr[a] // deg[a]
+        pr = {n: 150_000 + 850_000 * s[n] // 1_000_000 for n in nodes}
+    assert got == pr
+    # node 0 has in-degree 4 → must outrank everything
+    assert max(pr, key=pr.get) == 0
+    # teleport term is the floor for every node
+    assert all(v >= 150_000 for v in got.values())
+    # deterministic across runs
+    again = {r.node: r.pr for r in pagerank_int(e, iterations=4).collect()}
+    assert again == got

@@ -38,6 +38,7 @@ SCALAR_BROADCAST_QUERIES = {
     "fk_integrity_counts",        # per-edge 1-row counts unioned
     "incremental_watermark",      # 1-row max-cursor scalar
     "join_key_skew_profile",      # 1-row (total, n_keys) pair
+    "link_graph_pagerank",        # 1-row node-count scalar (edge gen)
     "order_lines_bag_ops",        # two 1-row counts crossed
     "rich_dormant_customers",     # 1-row (count,sum) avg pair
     "tfidf_top_terms",            # 1-row n_docs scalar
@@ -64,10 +65,15 @@ def test_suite_plan_invariants(spark):
     # seed/Lloyd/assignment stages; checkpointing is also the
     # self-join-over-LogicalRDD dedup workaround documented in
     # operators/similarity.py).
+    # link_graph_pagerank: the returned frame joins the final
+    # power-iteration round's localCheckpoint (LogicalRDD — the
+    # document scans ran eagerly inside the iteration chain, whose
+    # per-round plan is the checkpoint-truncated join+agg).
     AUDIT_SUMMARY_QUERIES = {
         "curation_pipeline_audit",
         "bpe_learned_merges",
         "semantic_dedup_cells",
+        "link_graph_pagerank",
     }
     scanless = {
         k for k, v in rep.items() if v.get("parquet_scans", 0) == 0
