@@ -3006,3 +3006,94 @@ def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         edges = part if edges is None else edges.union(part)
     return G.pagerank_int(edges, iterations=5)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup (crawl metadata stage)
+# ---------------------------------------------------------------------------
+
+from ..functions import urls as U  # noqa: E402
+
+
+def _dirty_url_sql(cast_str: str, intdiv: str) -> str:
+    """The deterministic dirty-URL grid, in either dialect: group
+    g = doc_id % 100 fixes the canonical target; variant
+    v = (doc_id ÷ 100) % 6 picks which dirt is applied (case, www,
+    default port, trailing slash, fragment, tracking params,
+    reversed param order — v=5 stacks everything)."""
+    g = f"CAST(g % 10 AS {cast_str})"
+    gid = f"CAST(g AS {cast_str})"
+    sch = "CASE WHEN g % 2 = 0 THEN 'http' ELSE 'https' END"
+    hostc = f"'example' || {g} || '.com'"
+    prt = "CASE WHEN g % 2 = 0 THEN ':80' ELSE ':443' END"
+    pth = f"'/page/' || {gid}"
+    qbase = (
+        f"CASE WHEN g % 3 = 0 THEN '?id=' || {gid} || '&x=1' "
+        f"ELSE '?id=' || {gid} END"
+    )
+    qrev = (
+        f"CASE WHEN g % 3 = 0 "
+        f"THEN '?x=1&id=' || {gid} || '&utm_source=feed&gclid=zz1' "
+        f"ELSE '?id=' || {gid} || '&utm_source=feed&gclid=zz1' END"
+    )
+    return (
+        f"CASE (doc_id {intdiv} 100) % 6 "
+        f"WHEN 0 THEN {sch} || '://' || {hostc} || {pth} || {qbase} "
+        f"WHEN 1 THEN upper({sch}) || '://' || upper({hostc}) || {pth} || {qbase} "
+        f"WHEN 2 THEN {sch} || '://www.' || {hostc} || {prt} || {pth} || {qbase} "
+        f"WHEN 3 THEN {sch} || '://' || {hostc} || {pth} || '/' || {qbase} || '#sec2' "
+        f"WHEN 4 THEN {sch} || '://' || {hostc} || {pth} || {qrev} "
+        f"ELSE upper({sch}) || '://WWW.' || upper({hostc}) || {prt} || {pth} "
+        f"  || '/' || {qrev} || '#sec2' END"
+    )
+
+
+_URL_DEDUP_SQL = f"""
+    WITH u0 AS (
+      SELECT doc_id, {_dirty_url_sql("VARCHAR", "//")} AS u
+      FROM (SELECT doc_id, doc_id % 100 AS g FROM documents)),
+    {U.canonical_url_cte("u0")},
+    grp AS (
+      SELECT doc_id, u AS raw_url, canon_url,
+             MIN(doc_id) OVER (PARTITION BY canon_url) AS keeper,
+             COUNT(1) OVER (PARTITION BY canon_url) AS group_size
+      FROM u_canon)
+    SELECT doc_id, raw_url, canon_url, doc_id = keeper AS keep,
+           CAST(group_size AS BIGINT) AS group_size
+    FROM grp
+"""
+
+
+@register("url_canonical_dedup", _URL_DEDUP_SQL)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup by canonical URL — the FIRST dedup stage of a
+    web-corpus pipeline (RefinedWeb/FineWeb run it before any
+    content read: at 100 TB it touches only metadata columns and
+    prunes whole fetches). A deterministic dirty-URL grid (case,
+    www, default ports, trailing slash, fragments, tracking params,
+    reversed param order — every canonicalization rule is exercised,
+    and variant 5 stacks them all) collapses to one canonical form
+    per group; keep = min doc_id. The oracle replays BOTH the grid
+    and the normal form via functions/urls.py::canonical_url_cte, so
+    a parsing, port, www, slash, sort, or tracking-filter bug splits
+    groups and shifts group_size/keep — the hash fails. The Spark
+    side is pure built-in expressions (split_part/filter/array_sort,
+    no UDF, no regex — Java-vs-RE2 regex divergence is the hazard
+    the delimiter walk avoids); idempotence and rule-by-rule cases
+    are pinned in tests/test_urls.py."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("doc_id % 100").alias("g")
+    )
+    raw = d.select(
+        "doc_id", F.expr(_dirty_url_sql("STRING", "div")).alias("raw_url")
+    )
+    canon = raw.select(
+        "doc_id", "raw_url",
+        U.canonicalize_url(F.col("raw_url")).alias("canon_url"),
+    )
+    w = Window.partitionBy("canon_url")
+    return canon.select(
+        "doc_id", "raw_url", "canon_url",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("group_size"),
+    )

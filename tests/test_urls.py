@@ -1,0 +1,60 @@
+"""URL canonicalization: rule-by-rule cases, idempotence, and the
+things the normal form must NOT touch (non-default ports,
+non-tracking params)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ods_v3_dbt_spark.functions.urls import canonicalize_url
+
+CASES = [
+    # case-folding of scheme and host, path case preserved
+    ("HTTP://EXAMPLE.COM/A/B", "http://example.com/A/B"),
+    # www strip + default port strip (both schemes)
+    ("http://www.example.com:80/x", "http://example.com/x"),
+    ("https://www.example.com:443/x", "https://example.com/x"),
+    # non-default port preserved
+    ("http://example.com:8080/x", "http://example.com:8080/x"),
+    ("https://example.com:80/x", "https://example.com:80/x"),
+    # fragment dropped, trailing slash stripped, root path normalized
+    ("http://example.com/a/#frag", "http://example.com/a"),
+    ("http://example.com", "http://example.com/"),
+    ("http://example.com/#top", "http://example.com/"),
+    # tracking params dropped, survivors sorted, empty query drops '?'
+    ("http://example.com/p?utm_source=a&id=3", "http://example.com/p?id=3"),
+    ("http://example.com/p?z=2&a=1", "http://example.com/p?a=1&z=2"),
+    ("http://example.com/p?gclid=x&utm_campaign=y", "http://example.com/p"),
+    ("http://example.com/p?ref=hn&x=1&fbclid=z", "http://example.com/p?x=1"),
+    # utm_ prefix match is on the NAME only
+    ("http://example.com/p?id=utm_like", "http://example.com/p?id=utm_like"),
+    # everything stacked
+    (
+        "HTTPS://WWW.Example.COM:443/a/b/?b=2&utm_x=1&a=1#sec",
+        "https://example.com/a/b?a=1&b=2",
+    ),
+]
+
+
+def test_canonicalize_url_cases(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CASES)], "i long, u string"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select("i", canonicalize_url(F.col("u")).alias("c")).collect()
+    }
+    for i, (raw, want) in enumerate(CASES):
+        assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+
+
+def test_canonicalize_url_idempotent(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CASES)], "i long, u string"
+    )
+    once = df.select("i", canonicalize_url(F.col("u")).alias("c"))
+    twice = once.select("i", canonicalize_url(F.col("c")).alias("c"))
+    assert {(r.i, r.c) for r in once.collect()} == {
+        (r.i, r.c) for r in twice.collect()
+    }
