@@ -617,7 +617,11 @@ def _sub_dist_arr(svec, code_lit):
 
 
 def pq_train_encode(
-    c: DataFrame, num_subs: int, num_codes: int, dim_count: int
+    c: DataFrame,
+    num_subs: int,
+    num_codes: int,
+    dim_count: int,
+    carry: tuple[str, ...] = (),
 ) -> tuple[DataFrame, list]:
     """Train per-subspace PQ codebooks (Jégou, Douze, Schmid 2011,
     "Product Quantization for Nearest Neighbor Search") over a
@@ -671,6 +675,7 @@ def pq_train_encode(
     ref_lits = [F.expr(_int_matrix_sql(s)) for s in refined]
     codes = c.select(
         "vid",
+        *carry,
         F.array(
             *[
                 F.array_min(
@@ -735,6 +740,100 @@ def pq_topk_adc(
     scored = codes.select(F.col("vid").alias("neighbor_id"), "codes").join(
         F.broadcast(qtabs)
     ).select(
+        "query_id",
+        "neighbor_id",
+        F.expr(
+            "aggregate(zip_with(tabs, codes, (t, c) -> element_at(t, c + 1)), "
+            "0L, (a, x) -> a + x)"
+        ).alias("adc_d2"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivfadc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 8,
+    nprobe: int = 4,
+    num_subs: int = 32,
+    num_codes: int = 32,
+    dim_count: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §IV) — the composition of the two
+    scale levers: the IVF coarse quantizer prunes the corpus to
+    ``nprobe`` cells, then PQ-ADC scores ONLY those cells' members
+    in the compressed domain, over codebooks trained on cell
+    RESIDUALS (v − centroid: residuals concentrate near the origin,
+    which is what makes shared codebooks work across cells).
+
+    Integer end to end: residuals are re-offset (+2000) so every
+    value stays positive and the Lloyd floor-means agree between
+    trunc and floor division — the same shift-invariance argument as
+    ``quantize_embedding``. ADC distances compare within AND across
+    probed cells because ‖(q−cent)−(v−cent)‖ = ‖q−v‖: the centroid
+    cancels inside a cell, so one global codebook reconstruction
+    error is the only approximation beyond cell pruning.
+
+    Scale: corpus storage = cell id + num_subs codes per vector; a
+    query touches nprobe/num_cells of the corpus and reads only
+    codes. The ADC scan inherits PQ's zero-shuffle shape, restricted
+    by the (broadcast) probe table's cell keys."""
+    qv = quantize_embedding(F.col(vec_col))
+    c = corpus.select(F.col(id_col).alias("vid"), qv.alias("v"))
+    q = queries.select(F.col(id_col).alias("vid"), qv.alias("v"))
+
+    asg, ref_lit = _l2q_cells(c, num_cells)
+    res = asg.select(
+        "vid",
+        "cell",
+        F.zip_with(
+            F.col("v"),
+            F.element_at(ref_lit, F.col("cell") + 1),
+            lambda a, b: a - b + 2000,
+        ).alias("v"),
+    )
+    codes, books = pq_train_encode(
+        res, num_subs, num_codes, dim_count, carry=("cell",)
+    )
+    book_lits = [F.expr(_int_matrix_sql(s)) for s in books]
+
+    sub_dim = dim_count // num_subs
+    probes = q.select(
+        F.col("vid").alias("query_id"),
+        F.col("v").alias("__qv"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(_l2q_dist2(F.col("v"), ref_lit)), 1, nprobe),
+                lambda s: s.getField("cell"),
+            )
+        ).alias("cell"),
+    )
+    qres = F.zip_with(
+        F.col("__qv"),
+        F.element_at(ref_lit, F.col("cell") + 1),
+        lambda a, b: a - b + 2000,
+    )
+    qtabs = probes.select(
+        "query_id",
+        "cell",
+        F.array(
+            *[
+                _sub_dist_arr(_sub_slice(qres, m, sub_dim), book_lits[m])
+                for m in range(num_subs)
+            ]
+        ).alias("tabs"),
+    )
+    scored = codes.select(
+        F.col("vid").alias("neighbor_id"), "cell", "codes"
+    ).join(F.broadcast(qtabs), "cell").select(
         "query_id",
         "neighbor_id",
         F.expr(

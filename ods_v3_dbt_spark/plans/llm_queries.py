@@ -3097,3 +3097,162 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("group_size"),
     )
+
+
+#: IVFADC: the IVF coarse chain, residual computation, the PQ chain
+#: retrained on residuals, nprobe=4 probing, and the ADC lookup join
+#: restricted to probed cells — one CTE program, every stage of the
+#: composition replayed.
+_IVFADC_SQL = """
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> greatest(CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT),
+                             -1000) + 1000) AS v
+      FROM embeddings),
+    q AS (SELECT * FROM base WHERE vec_id < 10),
+    c AS (SELECT * FROM base WHERE vec_id >= 10),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v
+      FROM (SELECT vec_id, v FROM c ORDER BY vec_id LIMIT 8)),
+    cd1 AS (
+      SELECT c.vec_id, s.cell,
+             list_sum(list_transform(range(1, 65),
+               i -> (c.v[i]-s.v[i])*(c.v[i]-s.v[i]))) AS d2
+      FROM c CROSS JOIN seeds s),
+    ca1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM cd1) WHERE rn = 1),
+    cdims AS (
+      SELECT a.cell, g.i, c.v[g.i] AS x
+      FROM ca1 a JOIN c ON c.vec_id = a.vec_id, generate_series(1, 64) AS g(i)),
+    cm0 AS (SELECT cell, i, SUM(x) // COUNT(1) AS m FROM cdims GROUP BY cell, i),
+    cmlist AS (SELECT cell, list(m ORDER BY i) AS v FROM cm0 GROUP BY cell),
+    refined AS (
+      SELECT s.cell, COALESCE(ml.v, s.v) AS v
+      FROM seeds s LEFT JOIN cmlist ml ON ml.cell = s.cell),
+    cd2c AS (
+      SELECT c.vec_id, r.cell,
+             list_sum(list_transform(range(1, 65),
+               i -> (c.v[i]-r.v[i])*(c.v[i]-r.v[i]))) AS d2
+      FROM c CROSS JOIN refined r),
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM cd2c) WHERE rn = 1),
+    rsd AS (
+      SELECT a.vec_id, a.cell,
+             list_transform(range(1, 65), i -> cc.v[i] - r.v[i] + 2000) AS v
+      FROM asg a JOIN c cc ON cc.vec_id = a.vec_id
+      JOIN refined r ON r.cell = a.cell),
+    subs AS (SELECT unnest(generate_series(0, 31)) AS sub),
+    rsub AS (
+      SELECT rsd.vec_id, s.sub,
+             list_transform(range(1, 3), i -> rsd.v[s.sub*2 + i]) AS sv
+      FROM rsd CROSS JOIN subs s),
+    pseeds AS (
+      SELECT CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+                  AS INT) AS code,
+             sub, sv
+      FROM rsub
+      WHERE vec_id IN (SELECT vec_id FROM rsd ORDER BY vec_id LIMIT 32)),
+    pd1 AS (
+      SELECT rs.vec_id, rs.sub, s.code,
+             (rs.sv[1]-s.sv[1])*(rs.sv[1]-s.sv[1])
+               + (rs.sv[2]-s.sv[2])*(rs.sv[2]-s.sv[2]) AS d2
+      FROM rsub rs JOIN pseeds s ON s.sub = rs.sub),
+    pa1 AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2, code) AS rn
+        FROM pd1) WHERE rn = 1),
+    pdims AS (
+      SELECT a.sub, a.code, g.i, rs.sv[g.i] AS x
+      FROM pa1 a
+      JOIN rsub rs ON rs.vec_id = a.vec_id AND rs.sub = a.sub,
+      generate_series(1, 2) AS g(i)),
+    pm0 AS (SELECT sub, code, i, SUM(x) // COUNT(1) AS m
+            FROM pdims GROUP BY sub, code, i),
+    pmlist AS (SELECT sub, code, list(m ORDER BY i) AS sv
+               FROM pm0 GROUP BY sub, code),
+    prefined AS (
+      SELECT s.sub, s.code, COALESCE(ml.sv, s.sv) AS sv
+      FROM pseeds s
+      LEFT JOIN pmlist ml ON ml.sub = s.sub AND ml.code = s.code),
+    pd2c AS (
+      SELECT rs.vec_id, rs.sub, r.code,
+             (rs.sv[1]-r.sv[1])*(rs.sv[1]-r.sv[1])
+               + (rs.sv[2]-r.sv[2])*(rs.sv[2]-r.sv[2]) AS d2
+      FROM rsub rs JOIN prefined r ON r.sub = rs.sub),
+    pcodes AS (
+      SELECT p.vec_id, a.cell, p.sub, p.code FROM (
+        SELECT vec_id, sub, code FROM (
+          SELECT vec_id, sub, code,
+                 row_number() OVER (PARTITION BY vec_id, sub
+                                    ORDER BY d2, code) AS rn
+          FROM pd2c) WHERE rn = 1) p
+      JOIN asg a ON a.vec_id = p.vec_id),
+    d2q AS (
+      SELECT q.vec_id, r.cell,
+             list_sum(list_transform(range(1, 65),
+               i -> (q.v[i]-r.v[i])*(q.v[i]-r.v[i]))) AS d2
+      FROM q CROSS JOIN refined r),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM d2q) WHERE rn <= 4),
+    qr AS (
+      SELECT p.query_id, p.cell,
+             list_transform(range(1, 65), i -> qq.v[i] - r.v[i] + 2000) AS v
+      FROM probes p JOIN q qq ON qq.vec_id = p.query_id
+      JOIN refined r ON r.cell = p.cell),
+    qrsub AS (
+      SELECT qr.query_id, qr.cell, s.sub,
+             list_transform(range(1, 3), i -> qr.v[s.sub*2 + i]) AS sv
+      FROM qr CROSS JOIN subs s),
+    qtab AS (
+      SELECT qs.query_id, qs.cell, qs.sub, r.code,
+             (qs.sv[1]-r.sv[1])*(qs.sv[1]-r.sv[1])
+               + (qs.sv[2]-r.sv[2])*(qs.sv[2]-r.sv[2]) AS d2
+      FROM qrsub qs JOIN prefined r ON r.sub = qs.sub),
+    scored AS (
+      SELECT t.query_id, pc.vec_id AS neighbor_id, SUM(t.d2) AS adc
+      FROM pcodes pc
+      JOIN qtab t ON t.cell = pc.cell AND t.sub = pc.sub AND t.code = pc.code
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(adc AS BIGINT) AS adc_d2,
+           CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 5
+"""
+
+
+@register("embedding_ann_ivfadc", _IVFADC_SQL)
+def embedding_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC, HASH-VERIFIED — the composition of the partition and
+    compression ANN levers (operators/similarity.py::ivfadc_topk):
+    the IVF coarse quantizer (8 cells, the shared seed+one-Lloyd
+    machinery) prunes each query to its 4 nearest cells, and PQ
+    codebooks RETRAINED ON CELL RESIDUALS (re-offset +2000 to keep
+    the floor-mean arithmetic engine-agnostic) score only those
+    cells' members in the compressed domain. The oracle replays the
+    whole composition — coarse training, assignment, residuals, PQ
+    training, probing, the cell-restricted ADC lookup join — as one
+    CTE program, so the INTERACTION of the stages (residual offset,
+    shared codebooks across cells, probe restriction) is
+    value-checked, not just each stage alone. Recall floor pinned in
+    pytest."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    return SIM.ivfadc_topk(
+        c, q, k=5, num_cells=8, nprobe=4, num_subs=32, num_codes=32
+    )

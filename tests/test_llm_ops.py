@@ -179,6 +179,41 @@ def test_pq_identical_vectors_share_codes_and_tie_on_adc(spark):
     assert len({r.adc_d2 for r in top}) == 1  # identical compressed distance
 
 
+def test_ivfadc_recall_floor_and_probe_restriction(spark, emb):
+    """IVFADC recall composes the probe recall with the codebook
+    reconstruction error — floor it, pin determinism, and assert the
+    probe restriction is real: every returned neighbor sits in one
+    of its query's 4 probed cells."""
+    from ods_v3_dbt_spark.operators.similarity import (
+        _l2q_cells, quantize_embedding,
+    )
+
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    exact = {(r.query_id, r.neighbor_id) for r in
+             SIM.topk_bruteforce(c, q, k=5, metric="cosine").collect()}
+    a1 = {(r.query_id, r.neighbor_id) for r in
+          SIM.ivfadc_topk(c, q, k=5, num_cells=8, nprobe=4,
+                          num_subs=32, num_codes=32).collect()}
+    a2 = {(r.query_id, r.neighbor_id) for r in
+          SIM.ivfadc_topk(c, q, k=5, num_cells=8, nprobe=4,
+                          num_subs=32, num_codes=32).collect()}
+    assert a1 == a2
+    recall = len(exact & a1) / len(exact)
+    assert recall >= 0.3, f"recall {recall:.2f}"
+
+    cq = c.select(F.col("vec_id").alias("vid"),
+                  quantize_embedding(F.col("embedding")).alias("v"))
+    asg, _ = _l2q_cells(cq, 8)
+    cell_of = {r.vid: r.cell for r in asg.select("vid", "cell").collect()}
+    probed = {}
+    full = SIM.ivf_topk_l2q(c, q, k=10**9, num_cells=8, nprobe=4)
+    for r in full.select("query_id", "neighbor_id").collect():
+        probed.setdefault(r.query_id, set()).add(cell_of[r.neighbor_id])
+    for qid, nid in a1:
+        assert cell_of[nid] in probed[qid]
+
+
 def test_blockwise_matches_bruteforce_cosine(spark, emb):
     """The numpy mapInPandas scale path must return the same neighbor
     sets as the expression-only exact path (float cosine both)."""
