@@ -629,62 +629,102 @@ def pq_train_encode(
     ``num_subs`` codes.
 
     Same seed+one-Lloyd discipline as ``_l2q_cells`` so the DuckDB
-    oracle can replay training bit for bit — but ALL subspaces train
-    in TWO jobs total, not two per subspace: seeds are the
-    ``num_codes`` lowest-id vectors (one collect, sliced driver-side
-    into per-subspace seed matrices), and the Lloyd means for every
-    (subspace, code, dim) come from ONE explode→groupBy over an
-    array-of-structs column holding each row's per-subspace argmin.
-    Only num_subs×num_codes×sub_dim integers cross the driver.
+    oracle can replay training bit for bit. Shape: the first cut
+    computed per-row argmins with nested higher-order functions —
+    interpreted, no codegen — and num_subs×num_codes lambda trees
+    per row priced the sf0.1 query at ~14 s. This version is
+    RELATIONAL: one ``posexplode`` turns the corpus into
+    (vid, sub, dim, x) rows (sub = pos div sub_dim — no per-subspace
+    expression trees at all), codebooks are tiny broadcast tables,
+    distances are plain codegen arithmetic summed by a map-side-
+    partial aggregation, and argmin is ``min(struct(d2, code))``
+    under the same (d2, code) total order the oracle's row_number
+    replays. Seeds are the ``num_codes`` lowest-id vectors (one
+    collect, sliced driver-side); all subspaces' Lloyd means come
+    back in ONE aggregation. Only codebook-sized tables cross the
+    driver. At 100 TB the dim-explode multiplies shuffle rows by
+    num_codes; the documented swap is a mapInPandas numpy argmin
+    kernel (vectorized, zero shuffle) with this relational form as
+    its oracle twin.
 
-    Returns (codes df (vid, codes array<int>), refined codebooks
-    [num_subs][num_codes][sub_dim])."""
+    Returns (codes df (vid, *carry, codes array<int> in subspace
+    order), refined codebooks [num_subs][num_codes][sub_dim])."""
     sub_dim = dim_count // num_subs
+    spark = c.sparkSession
     seeds_rows = c.orderBy(F.col("vid").asc()).limit(num_codes).collect()
     seeds = [
         [list(r.v[m * sub_dim : (m + 1) * sub_dim]) for r in seeds_rows]
         for m in range(num_subs)
     ]
-    seed_lits = [F.expr(_int_matrix_sql(s)) for s in seeds]
 
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(m).alias("sub"),
-                F.array_min(
-                    _l2q_dist2(_sub_slice(F.col("v"), m, sub_dim), seed_lits[m])
-                )
-                .getField("cell")
-                .alias("code"),
-                _sub_slice(F.col("v"), m, sub_dim).alias("sv"),
-            )
-            for m in range(num_subs)
+    def book_df(books: list) -> DataFrame:
+        rows = [
+            (m, k, i + 1, int(cw[i]))
+            for m, b in enumerate(books)
+            for k, cw in enumerate(b)
+            for i in range(sub_dim)
         ]
-    )
+        return spark.createDataFrame(
+            rows, "sub int, code int, i int, ci long"
+        )
+
+    # Materialized ONCE: sdim feeds the seed argmin, the Lloyd-mean
+    # join, and the final encode pass — without the checkpoint each
+    # consumer would re-scan and re-quantize the corpus, and (the
+    # bigger local-mode bill) each would carry the full upstream tree
+    # through its own Catalyst analysis + codegen compile.
+    sdim = c.select(
+        "vid", *carry, F.posexplode("v").alias("pos", "x")
+    ).select(
+        "vid",
+        *carry,
+        F.expr(f"cast(pos div {sub_dim} as int)").alias("sub"),
+        F.expr(f"cast(pos % {sub_dim} + 1 as int)").alias("i"),
+        "x",
+    ).localCheckpoint()
+
+    def argmin_codes(book: DataFrame) -> DataFrame:
+        d2 = (
+            sdim.join(F.broadcast(book), ["sub", "i"])
+            .select(
+                "vid", "sub", "code",
+                ((F.col("x") - F.col("ci")) * (F.col("x") - F.col("ci"))).alias("dd"),
+            )
+            .groupBy("vid", "sub", "code")
+            .agg(F.sum("dd").alias("d2"))
+        )
+        return d2.groupBy("vid", "sub").agg(
+            F.min(F.struct("d2", "code")).alias("mc")
+        ).select("vid", "sub", F.col("mc.code").alias("code"))
+
+    a1 = argmin_codes(book_df(seeds))
     means = (
-        c.select(F.explode(entries).alias("e"))
-        .select("e.sub", "e.code", F.posexplode("e.sv").alias("i", "x"))
+        a1.join(sdim.select("vid", "sub", "i", "x"), ["vid", "sub"])
         .groupBy("sub", "code", "i")
         .agg(F.expr("sum(x) div count(1)").alias("m"))
         .collect()
     )
     refined = [[list(cw) for cw in s] for s in seeds]
     for r in means:  # empty codes keep their seed
-        refined[r.sub][r.code][r.i] = r.m
+        refined[r.sub][r.code][r.i - 1] = r.m
 
-    ref_lits = [F.expr(_int_matrix_sql(s)) for s in refined]
-    codes = c.select(
-        "vid",
-        *carry,
-        F.array(
-            *[
-                F.array_min(
-                    _l2q_dist2(_sub_slice(F.col("v"), m, sub_dim), ref_lits[m])
-                ).getField("cell")
-                for m in range(num_subs)
-            ]
-        ).alias("codes"),
-    )
+    enc = argmin_codes(book_df(refined))
+    agg_cols = [
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda st: st.getField("code"),
+        ).alias("codes")
+    ]
+    if carry:
+        carry_src = sdim.select("vid", *carry).groupBy("vid").agg(
+            *[F.first(col).alias(col) for col in carry]
+        )
+        codes = (
+            enc.groupBy("vid").agg(*agg_cols).join(carry_src, "vid")
+            .select("vid", *carry, "codes")
+        )
+    else:
+        codes = enc.groupBy("vid").agg(*agg_cols).select("vid", "codes")
     return codes, refined
 
 
