@@ -156,6 +156,15 @@ def register(name: str, oracle: str | None):
 #: dow_hour_activity_profile, user_value_outliers,
 #: brand_distinct_buyers, token_positions_long, user_value_variance,
 #: discount_band_revenue, returnflag_priority_mix.
+#: ROUND-4 WINDOW PLAN: those 16 plus every query added after this
+#: round's rotation froze (registration order past position 50) —
+#: multimodal_png/jpeg/audio/video/gif codecs' queries where not yet
+#: windowed, duplicate_span_removal, dsir_importance_weights,
+#: bpe_learned_merges, bpe_tokenize_stats, semantic_dedup_cells,
+#: incremental_curation_decisions, warc_roundtrip_extract,
+#: wds_shard_roundtrip, embedding_ann_pq, embedding_ann_ivfadc,
+#: link_graph_pagerank, url_canonical_dedup — ≈35 names, inside one
+#: 50-slot window, completing driver-ever coverage of the registry.
 #: Names listed but not registered are ignored (the guard test
 #: asserts the list stays typo-free).
 _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (

@@ -153,3 +153,58 @@ def wds_samples(spark: SparkSession, path_glob: str) -> DataFrame:
             yield pd.DataFrame(out, columns=cols)
 
     return files.select("path", "content").mapInPandas(parse, schema=WDS_SCHEMA)
+
+
+def write_wds_shards(
+    df: DataFrame,
+    out_dir: str,
+    shard_col: str = "shard_id",
+    key_col: str = "key",
+    part_cols: tuple[str, ...] = ("txt",),
+) -> DataFrame:
+    """Export a DataFrame AS WebDataset shards — the other half of
+    the contract: one ``.tar`` per ``shard_col`` group written by
+    the executor that owns the group (workers stream to shared
+    storage — the standard WebDataset export shape; nothing funnels
+    through the driver), samples in ``key_col`` order, one member
+    per ``part_cols`` entry (bytes passed through, anything else
+    UTF-8 encoded).
+
+    Each shard is written to ``shard-{id:06d}.tar`` via a temp file
+    + ``os.replace`` so a task retry republishes the identical file
+    atomically instead of corrupting a half-written shard (the
+    builder is deterministic, so retries are idempotent).
+
+    Returns the shard MANIFEST (shard_id, path, n_samples, n_bytes)
+    — at 100 TB the manifest table, not a filesystem glob, is what
+    downstream reads plan against (see SCALE.md)."""
+    import os
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(key_col)
+        samples = []
+        for _, r in pdf.iterrows():
+            s: dict = {"__key__": str(r[key_col])}
+            for p in part_cols:
+                v = r[p]
+                s[p] = bytes(v) if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8")
+            samples.append(s)
+        payload = build_tar_shard(samples)
+        sid = int(pdf[shard_col].iloc[0])
+        path = os.path.join(out_dir, f"shard-{sid:06d}.tar")
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+        return pd.DataFrame(
+            {
+                "shard_id": [sid],
+                "path": [path],
+                "n_samples": [len(samples)],
+                "n_bytes": [len(payload)],
+            }
+        )
+
+    return df.groupBy(shard_col).applyInPandas(
+        pack, schema="shard_id long, path string, n_samples long, n_bytes long"
+    )
