@@ -88,3 +88,37 @@ def interval_join(
         & (rcol <= lcol)
     )
     return lw.alias("l").join(rw.alias("r"), cond, how)
+
+
+def session_windowed_agg(
+    stream: DataFrame,
+    ts_col: str,
+    gap: str,
+    delay: str,
+    keys: Sequence[str] = (),
+    aggs: Sequence[Column] | None = None,
+) -> DataFrame:
+    """NATIVE session windows (``F.session_window``) with a
+    watermark — the built-in twin of the custom
+    ``stateful.streaming_sessionize``: Spark merges windows whose
+    events are within ``gap`` of each other and, in streaming, emits
+    a session only once the watermark passes its close (so the state
+    store, not Python, holds the open sessions — use this one unless
+    you need custom per-event state logic; the applyInPandasWithState
+    variant remains for semantics the native operator can't express,
+    e.g. emitting provisional session rows).
+
+    Contract difference worth knowing: the native ``session_window``
+    END is ``last event + gap`` (the window extends by the gap),
+    while the gaps-and-islands batch operator ends at the LAST EVENT
+    — start and event counts agree, pinned in pytest against
+    ``operators.sessionize`` on the same frame. Works identically on
+    a batch frame (watermark is a no-op there)."""
+    aggs = list(aggs) if aggs else [F.count(F.lit(1)).alias("n_events")]
+    w = F.session_window(F.col(ts_col), gap)
+    out = stream.withWatermark(ts_col, delay).groupBy(w, *keys).agg(*aggs)
+    return out.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *[c for c in out.columns if c != "session_window"],
+    )

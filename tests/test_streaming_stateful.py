@@ -302,3 +302,59 @@ def test_streaming_change_filter_suppresses_unchanged(spark, tmp_path):
         (2, "y", 2.5),
         (3, "q", 3.0),
     ]
+
+
+def test_native_session_window_matches_gaps_and_islands(spark):
+    """Batch equivalence: the native session_window aggregation and
+    the gaps-and-islands sessionize operator must agree on session
+    START and event count per user (ends differ by contract: native
+    extends last event by the gap)."""
+    from pyspark.sql import functions as F
+
+    from ods_v3_dbt_spark.operators.sessionize import sessionize
+    from ods_v3_dbt_spark.streaming.windowed import session_windowed_agg
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    native = session_windowed_agg(
+        ev, "ts", "30 minutes", "0 seconds", keys=["user_id"]
+    )
+    evs = ev.withColumn("ts_s", F.unix_timestamp("ts"))
+    gi = (
+        sessionize(evs, ["user_id"], "ts_s", gap=1800)
+        .groupBy("user_id", "session_idx")
+        .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
+    )
+    a = {(r.user_id, r.session_start, r.n_events) for r in native.collect()}
+    b = {(r.user_id, r.session_start, r.n_events) for r in gi.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_streaming_native_session_window_emits_on_watermark(spark, tmp_path):
+    """Streaming: a session is emitted only once the watermark passes
+    its close — batch 1 leaves both sessions open (no watermark
+    progress beyond close+gap), batch 2's late-clock event closes
+    user 10's first session."""
+    from ods_v3_dbt_spark.streaming.windowed import session_windowed_agg
+
+    src, ckpt, out = tmp_path / "src", tmp_path / "ckpt", tmp_path / "out"
+    tf = lambda df: session_windowed_agg(  # noqa: E731
+        df, "ts", "10 minutes", "5 minutes", keys=["user_id"]
+    )
+
+    def ev(eid, uid, offset_s):
+        return (eid, uid, T + dt.timedelta(seconds=offset_s), 1.0)
+
+    _write_batch(spark, src, [ev(1, 10, 0), ev(2, 10, 100), ev(3, 11, 0)])
+    _drain(spark, src, ckpt, out, tf)
+    schema = "session_start timestamp, session_end timestamp, user_id long, n_events long"
+    assert spark.read.schema(schema).parquet(str(out)).count() == 0
+
+    # 2h later: watermark jumps past both earlier session closes
+    _write_batch(spark, src, [ev(4, 10, 7200)])
+    _drain(spark, src, ckpt, out, tf)
+    rows = spark.read.schema(schema).parquet(str(out)).collect()
+    got = {(r.user_id, r.n_events) for r in rows}
+    assert got == {(10, 2), (11, 1)}
+    s10 = next(r for r in rows if r.user_id == 10)
+    # native contract: end = last event + gap
+    assert (s10.session_end - s10.session_start).total_seconds() == 100 + 600
