@@ -4503,3 +4503,53 @@ def excel_cell_coercion_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # both modules import `register`/`load` from here.
 from . import llm_queries  # noqa: E402,F401
 from . import analytics_queries  # noqa: E402,F401
+
+
+@register(
+    "native_session_windows",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t FROM events
+    ), marked AS (
+      SELECT user_id, t,
+             CASE WHEN LAG(t) OVER w IS NULL
+                       OR t - LAG(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ), sess AS (
+      SELECT user_id, t,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(MIN(t) AS BIGINT) AS session_start,
+           CAST(MAX(t) + 1800000000 AS BIGINT) AS session_end,
+           CAST(COUNT(1) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session-window aggregation
+    (streaming/windowed.py::session_windowed_agg, here in its batch
+    mode) value-checked against a gaps-and-islands replay: the
+    native operator merges events within the 30-min gap into
+    [first, last+gap] windows inside the aggregation itself — a
+    genuinely different code path from the lag/window formulation
+    (`sessionize_events`), which is exactly why it earns its own
+    oracle row. Boundary contract (verified in pytest): events
+    spaced EXACTLY one gap apart merge in both formulations (native
+    window end is inclusive; islands split strictly greater-than).
+    One exchange on user_id; sessions merge inside the agg — no
+    second window pass."""
+    from ..streaming.windowed import session_windowed_agg
+
+    ev = load(spark, sf_dir, "events")
+    out = session_windowed_agg(
+        ev, "ts", "30 minutes", "0 seconds", keys=["user_id"]
+    )
+    return out.select(
+        "user_id",
+        ts_us(F.col("session_start")).alias("session_start"),
+        ts_us(F.col("session_end")).alias("session_end"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
