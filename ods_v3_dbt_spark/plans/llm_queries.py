@@ -3256,3 +3256,95 @@ def embedding_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivfadc_topk(
         c, q, k=5, num_cells=8, nprobe=4, num_subs=32, num_codes=32
     )
+
+
+@register(
+    "temperature_sampled_mixture",
+    """
+    WITH d AS (SELECT doc_id, source FROM documents),
+    c AS (SELECT source, COUNT(1) AS n_docs FROM d GROUP BY source),
+    cw AS (
+      SELECT source, n_docs,
+             CAST(round(1000000 * sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w
+      FROM c),
+    t AS (SELECT SUM(n_docs) AS total, SUM(w) AS wsum FROM cw),
+    r AS (
+      SELECT source, n_docs, w AS weight_ppm,
+             (t.total * 2 // 5) * w // t.wsum AS alloc_docs,
+             LEAST(1000000,
+                   ((t.total * 2 // 5) * w // t.wsum) * 1000000 // n_docs)
+               AS rate_ppm
+      FROM cw, t),
+    k AS (
+      SELECT d.source, COUNT(1) AS n_sampled
+      FROM d JOIN r ON r.source = d.source
+      WHERE CAST(('0x' || substring(md5('ts:' || CAST(doc_id AS VARCHAR)),
+                                    1, 15))::BIGINT % 1000000 AS BIGINT)
+            < r.rate_ppm
+      GROUP BY d.source)
+    SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs,
+           CAST(r.weight_ppm AS BIGINT) AS weight_ppm,
+           CAST(r.alloc_docs AS BIGINT) AS alloc_docs,
+           CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
+           CAST(COALESCE(k.n_sampled, 0) AS BIGINT) AS n_sampled
+    FROM r LEFT JOIN k ON k.source = r.source
+    """,
+)
+def temperature_sampled_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (the mT5/XLM-R multilingual
+    recipe: sample source s with probability ∝ n_s^α, α < 1, so
+    low-resource sources are up-weighted relative to their share) at
+    α = 1/2 — deliberately, because ``sqrt`` is correctly rounded
+    under IEEE 754 on every engine, making the float weight
+    BIT-REPRODUCIBLE where a general ``pow(n, 0.3)`` would not be:
+    the one float in the pipeline crosses engines exactly, and
+    everything after it (40% budget, per-source allocation, ppm
+    admission rate, md5-threshold per-doc sampling — the packing
+    shard-key trick) is integer floor arithmetic. Emits the full
+    per-source audit: corpus count, sqrt weight, allocation,
+    admission rate, and the count actually admitted by the
+    deterministic hash — so the oracle value-checks both the rate
+    DERIVATION and the sampling REALIZATION.
+
+    Scale: two bounded aggregations (per-source counts, one totals
+    row), a 20-row broadcast onto the scan, one filter, one final
+    bounded groupBy — no corpus-sized shuffle beyond the per-source
+    count's map-side-combined partials."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    cw = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "w",
+            F.expr("cast(round(1000000 * sqrt(cast(n_docs as double))) as bigint)"),
+        )
+    )
+    t = cw.agg(F.sum("n_docs").alias("total"), F.sum("w").alias("wsum"))
+    r = cw.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        F.col("w").alias("weight_ppm"),
+        F.expr("(total * 2 div 5) * w div wsum").alias("alloc_docs"),
+        F.expr(
+            "least(1000000L, ((total * 2 div 5) * w div wsum) * 1000000 div n_docs)"
+        ).alias("rate_ppm"),
+    )
+    h = PK.md5_shard(F.col("doc_id"), 1_000_000, salt="ts").cast("bigint")
+    k = (
+        d.withColumn("h", h)
+        .join(F.broadcast(r.select("source", "rate_ppm")), "source")
+        .filter(F.col("h") < F.col("rate_ppm"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        r.join(k, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "weight_ppm",
+            "alloc_docs",
+            "rate_ppm",
+            F.coalesce(F.col("n_sampled"), F.lit(0)).cast("bigint").alias("n_sampled"),
+        )
+    )

@@ -41,6 +41,7 @@ SCALAR_BROADCAST_QUERIES = {
     "link_graph_pagerank",        # 1-row node-count scalar (edge gen)
     "order_lines_bag_ops",        # two 1-row counts crossed
     "rich_dormant_customers",     # 1-row (count,sum) avg pair
+    "temperature_sampled_mixture",  # 1-row (total, wsum) pair
     "tfidf_top_terms",            # 1-row n_docs scalar
 }
 
