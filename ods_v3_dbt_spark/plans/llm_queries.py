@@ -3348,3 +3348,83 @@ def temperature_sampled_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_sampled"), F.lit(0)).cast("bigint").alias("n_sampled"),
         )
     )
+
+
+@register(
+    "html_text_extract",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g') AS norm
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+             'home about us' || chr(10) || 'Doc ' || CAST(doc_id AS VARCHAR)
+               || CASE WHEN norm <> '' THEN chr(10) || norm ELSE '' END
+               || chr(10) || 'footer ' || CAST(doc_id % 7 AS VARCHAR) AS body,
+             CASE WHEN norm <> '' THEN 4 ELSE 3 END AS n_blocks
+      FROM d)
+    SELECT doc_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) || ' & friends' AS title,
+           CAST(n_blocks AS INT) AS n_blocks,
+           CAST(2 AS INT) AS n_links,
+           CAST(12 AS BIGINT) AS link_chars,
+           CAST(length(body) AS BIGINT) AS text_len,
+           md5(body) AS text_md5
+    FROM b
+    """,
+)
+def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL HTML text extraction, hash-verified — the stage between
+    WARC ingestion and text curation (operators/htmlx.py): every
+    document is wrapped into an HTML page with the full boilerplate
+    surface (title with an entity reference, script/style subtrees
+    that must contribute nothing, a nav with two anchors, heading,
+    body paragraph with the text HTML-ESCAPED, footer), then the
+    general ``html.parser``-based extractor recovers block text,
+    title, block/link counts, and anchor-text length (the link-
+    density signal boilerplate filters cut on). The oracle
+    recomputes everything from the construction's closed form — so
+    skip-subtree handling, block segmentation, whitespace
+    normalization, entity decoding (escape→extract must round-trip
+    the original text, pinned by body md5), and the link-chars
+    accounting are all value-checked. Tag-soup tolerance and
+    contract edges are pinned in tests/test_htmlx.py."""
+    from html import escape
+
+    from ..operators import htmlx as HX
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("coalesce(text, '')").alias("text")
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                i = int(r["doc_id"])
+                html = (
+                    f"<html><head><title>Doc {i} &amp; friends</title>"
+                    "<script>var x = 1 < 2;</script>"
+                    "<style>p {color:red}</style></head>"
+                    "<body><nav><a href='/'>home</a> "
+                    "<a href='/about'>about us</a></nav>"
+                    f"<h1>Doc {i}</h1><p>{escape(r['text'])}</p>"
+                    f"<p>footer {i % 7}</p></body></html>"
+                )
+                out.append((i, html))
+            yield pd.DataFrame(out, columns=["doc_id", "html"])
+
+    pages = d.mapInPandas(build, schema="doc_id long, html string")
+    ex = HX.html_extract(pages)
+    return ex.select(
+        "doc_id",
+        "title",
+        "n_blocks",
+        "n_links",
+        "link_chars",
+        F.length("text").cast("bigint").alias("text_len"),
+        F.md5(F.col("text")).alias("text_md5"),
+    )

@@ -24,6 +24,7 @@ PYTHON_KERNEL_QUERIES = {
     "multimodal_gif_decode",  # encode_gif + decode_gif Arrow kernels
     "warc_roundtrip_extract",  # build_warc + parse_warc Arrow kernels
     "wds_shard_roundtrip",  # build_tar_shard + parse_tar_samples Arrow kernels
+    "html_text_extract",  # page-build + html.parser extraction Arrow kernels
 }
 
 # Nested-loop joins are allowed ONLY as scalar/tiny-broadcast
