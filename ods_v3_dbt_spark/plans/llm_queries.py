@@ -3428,3 +3428,165 @@ def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("bigint").alias("text_len"),
         F.md5(F.col("text")).alias("text_md5"),
     )
+
+
+def _page_html(i: int, text: str) -> str:
+    """The deterministic page template shared by the HTML-extraction
+    and crawl-funnel queries; ``quote=False`` escaping so the oracle
+    can reconstruct the exact bytes with three SQL replaces."""
+    from html import escape
+
+    return (
+        f"<html><head><title>Doc {i} &amp; friends</title>"
+        "<script>var x = 1 < 2;</script>"
+        "<style>p {color:red}</style></head>"
+        "<body><nav><a href='/'>home</a> "
+        "<a href='/about'>about us</a></nav>"
+        f"<h1>Doc {i}</h1><p>{escape(text, quote=False)}</p>"
+        f"<p>footer {i % 7}</p></body></html>"
+    )
+
+
+#: The exact page bytes in SQL (3-replace escape, same template).
+_PAGE_SQL = (
+    "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)"
+    " || ' &amp; friends</title><script>var x = 1 < 2;</script>"
+    "<style>p {color:red}</style></head>"
+    "<body><nav><a href=''/''>home</a> "
+    "<a href=''/about''>about us</a></nav>"
+    "<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'"
+    " || replace(replace(replace(coalesce(text, ''),"
+    " '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    " || '</p><p>footer ' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '</p></body></html>'"
+)
+
+
+@register(
+    "crawl_funnel_extract",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_PAGE_SQL} AS page,
+             regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g') AS norm
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+             CAST(44 + octet_length(CAST(page AS BLOB)) AS BIGINT)
+               AS content_length,
+             'home about us' || chr(10) || 'Doc ' || CAST(doc_id AS VARCHAR)
+               || CASE WHEN norm <> '' THEN chr(10) || norm ELSE '' END
+               || chr(10) || 'footer ' || CAST(doc_id % 7 AS VARCHAR) AS text,
+             CASE WHEN norm <> '' THEN 4 ELSE 3 END AS n_blocks
+      FROM d),
+    s AS (
+      SELECT doc_id, 200 AS http_status, content_length,
+             'Doc ' || CAST(doc_id AS VARCHAR) || ' & friends' AS title,
+             CAST(n_blocks AS INT) AS n_blocks,
+             CAST(length(text) AS BIGINT) AS text_len,
+             md5(text) AS text_md5,
+             CAST({textsql.QUALITY_MILLI_SQL} AS INT) AS quality_milli
+      FROM b)
+    SELECT doc_id, http_status, content_length, title, n_blocks,
+           text_len, text_md5, quality_milli,
+           (quality_milli >= 500 AND 12 * 1000 <= text_len * 300) AS keep
+    FROM s
+    """,
+)
+def crawl_funnel_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE crawl-to-curation funnel as one composed,
+    hash-verified query: page synthesis → HTTP response → real WARC
+    record (odd docs as gzip members) → ``parse_warc`` framing walk →
+    ``split_http`` → ``html.parser`` block extraction → JVM-side
+    quality scoring and a link-density gate. Every stage is the
+    GENERAL operator (sources/warc.py, operators/htmlx.py,
+    functions/text.py), and the oracle recomputes the whole chain
+    from closed forms — including the exact page BYTES (3-replace
+    entity escape) so ``content_length`` (44 preamble bytes for the
+    text/html HTTP head + page octets) checks WARC framing through
+    the HTML payload, and the same quality macro the standalone
+    filter queries use. A bug anywhere in the funnel — framing,
+    gzip member decode, HTTP split, skip-subtree, block
+    normalization, entity round-trip, scoring — shifts a checked
+    column."""
+    import hashlib  # noqa: F401  (kernel-side determinism helpers)
+
+    from ..sources import warc as W
+    from ..operators import htmlx as HX
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("coalesce(text, '')").alias("text")
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                i = int(r["doc_id"])
+                page = _page_html(i, r["text"])
+                body = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    + page.encode("utf-8")
+                )
+                payload = W.build_warc(
+                    [
+                        {
+                            "warc_type": "response",
+                            "target_uri": f"http://ex.test/{i}",
+                            "warc_date": "2024-01-01T00:00:00Z",
+                            "record_id": f"<urn:uuid:{i}>",
+                            "content_type": "application/http; msgtype=response",
+                            "body": body,
+                        }
+                    ],
+                    gz=bool(i % 2),
+                )
+                out.append((i, payload))
+            yield pd.DataFrame(out, columns=["doc_id", "content"])
+
+    archives = d.mapInPandas(build, schema="doc_id long, content binary")
+
+    def extract(batches):
+        import pandas as pd
+
+        cols = [
+            "doc_id", "http_status", "content_length", "title",
+            "n_blocks", "text",
+        ]
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                (rec,) = W.parse_warc(bytes(r["content"]))
+                status, _hh, entity = W.split_http(rec["body"])
+                e = HX.extract_text(entity)
+                out.append(
+                    (
+                        int(rec["target_uri"].rsplit("/", 1)[1]),
+                        status,
+                        rec["content_length"],
+                        e["title"],
+                        e["n_blocks"],
+                        e["text"],
+                    )
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    ex = archives.mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, http_status int, content_length long, "
+            "title string, n_blocks int, text string"
+        ),
+    )
+    q = T.quality_score_milli(F.col("text"))
+    return ex.select(
+        "doc_id", "http_status", "content_length", "title", "n_blocks",
+        F.length("text").cast("bigint").alias("text_len"),
+        F.md5(F.col("text")).alias("text_md5"),
+        q.alias("quality_milli"),
+    ).withColumn(
+        "keep",
+        (F.col("quality_milli") >= 500)
+        & (F.lit(12) * 1000 <= F.col("text_len") * 300),
+    )

@@ -25,6 +25,7 @@ PYTHON_KERNEL_QUERIES = {
     "warc_roundtrip_extract",  # build_warc + parse_warc Arrow kernels
     "wds_shard_roundtrip",  # build_tar_shard + parse_tar_samples Arrow kernels
     "html_text_extract",  # page-build + html.parser extraction Arrow kernels
+    "crawl_funnel_extract",  # page→WARC build + parse/split/extract kernels
 }
 
 # Nested-loop joins are allowed ONLY as scalar/tiny-broadcast
