@@ -3390,8 +3390,6 @@ def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     the original text, pinned by body md5), and the link-chars
     accounting are all value-checked. Tag-soup tolerance and
     contract edges are pinned in tests/test_htmlx.py."""
-    from html import escape
-
     from ..operators import htmlx as HX
 
     d = load(spark, sf_dir, "documents").select(
@@ -3405,16 +3403,7 @@ def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = []
             for _, r in pdf.iterrows():
                 i = int(r["doc_id"])
-                html = (
-                    f"<html><head><title>Doc {i} &amp; friends</title>"
-                    "<script>var x = 1 < 2;</script>"
-                    "<style>p {color:red}</style></head>"
-                    "<body><nav><a href='/'>home</a> "
-                    "<a href='/about'>about us</a></nav>"
-                    f"<h1>Doc {i}</h1><p>{escape(r['text'])}</p>"
-                    f"<p>footer {i % 7}</p></body></html>"
-                )
-                out.append((i, html))
+                out.append((i, _page_html(i, r["text"])))
             yield pd.DataFrame(out, columns=["doc_id", "html"])
 
     pages = d.mapInPandas(build, schema="doc_id long, html string")
