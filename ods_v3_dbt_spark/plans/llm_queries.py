@@ -3579,3 +3579,65 @@ def crawl_funnel_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("quality_milli") >= 500)
         & (F.lit(12) * 1000 <= F.col("text_len") * 300),
     )
+
+
+@register(
+    "json_corrupt_quarantine",
+    """
+    WITH j AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 5 = 3 THEN 0 ELSE 1 END AS ok
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(1) AS BIGINT) AS n_rows,
+           CAST(SUM(1 - ok) AS BIGINT) AS n_quarantined,
+           CAST(SUM(CASE WHEN ok = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+             AS sum_parsed_id,
+           CAST(SUM(CASE WHEN ok = 1 THEN length(source) ELSE 0 END)
+                AS BIGINT) AS sum_parsed_tag_len
+    FROM j GROUP BY source
+    """,
+)
+def json_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine routing for semi-structured ingest —
+    the dead-letter pattern every landing pipeline needs: a JSON
+    payload column (synthesized per doc; every doc_id % 5 == 3 row
+    is TRUNCATED mid-object) is parsed ONCE with a declared schema
+    via ``from_json``, whose PERMISSIVE contract yields a NULL
+    struct for malformed input instead of failing the task; rows
+    route on that nullness — parsed rows contribute their extracted
+    fields, quarantined rows only a count. The oracle derives the
+    same routing from the corruption rule's closed form, so the
+    query value-checks Spark's malformed-JSON semantics themselves
+    (if from_json ever silently half-parsed a truncated object, the
+    extracted sums would shift). Per-source aggregation mirrors how
+    a quarantine report is actually consumed.
+
+    Scale: one scan, the parse is JVM-side expression work inside
+    the scan's codegen stage, one map-side-combined aggregation —
+    no extra pass over the corrupt rows."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    payload = F.when(
+        F.col("doc_id") % 5 == 3,
+        F.concat(F.lit('{"id": '), F.col("doc_id").cast("string"), F.lit(', "tag')),
+    ).otherwise(
+        F.concat(
+            F.lit('{"id": '),
+            F.col("doc_id").cast("string"),
+            F.lit(', "tag": "'),
+            F.col("source"),
+            F.lit('"}'),
+        )
+    )
+    parsed = d.withColumn(
+        "p", F.from_json(payload, "id long, tag string")
+    )
+    ok = F.col("p").isNotNull() & F.col("p.id").isNotNull()
+    return parsed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(ok, 0).otherwise(1)).cast("bigint").alias("n_quarantined"),
+        F.sum(F.when(ok, F.col("p.id")).otherwise(0)).cast("bigint").alias("sum_parsed_id"),
+        F.sum(F.when(ok, F.length("p.tag")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_parsed_tag_len"),
+    )
