@@ -3641,3 +3641,68 @@ def json_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_parsed_tag_len"),
     )
+
+
+@register(
+    "zorder_morton_codes",
+    """
+    WITH d AS (
+      SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS ck,
+             CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+                  AS BIGINT) AS days
+      FROM orders),
+    b AS (SELECT MIN(ck) AS lo1, MAX(ck) AS hi1,
+                 MIN(days) AS lo2, MAX(days) AS hi2 FROM d),
+    q AS (
+      SELECT o_orderkey,
+             CAST(trunc(((ck - lo1) * 255.0) / GREATEST(hi1 - lo1, 1))
+                  AS BIGINT) AS q_ck,
+             CAST(trunc(((days - lo2) * 255.0) / GREATEST(hi2 - lo2, 1))
+                  AS BIGINT) AS q_days
+      FROM d, b)
+    SELECT o_orderkey, q_ck, q_days,
+           CAST(list_sum(list_transform(range(0, 8),
+             i -> ((q_ck >> i) & 1) * (1 << (2*i))
+                  + ((q_days >> i) & 1) * (1 << (2*i + 1)))) AS BIGINT)
+             AS zcode
+    FROM q
+    """,
+)
+def zorder_morton_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order clustering key, oracle-checked per row
+    (operators/layout.py::_quantize + morton_code — the layout
+    device behind Delta OPTIMIZE ZORDER / Iceberg sort-order
+    rewrite; the zorder() operator's range-shuffle + pruning
+    behavior is engine-tested in test_layout.py, and THIS query
+    value-checks the key math it sorts by): min/max-bounded 8-bit
+    quantization of two dimensions — integer columns only, because
+    Spark truncates decimal→long casts where DuckDB rounds, a real
+    cross-engine cast trap the date-day/custkey choice sidesteps;
+    the quotient itself is exact double division truncated, replayed
+    with trunc() in SQL — then bit interleave (column j's bit i at
+    position i·d+j) via the codegen aggregate fold. Any quantization
+    bound, truncation, or bit-position bug shifts zcode and fails
+    the hash. Bounds arrive as two driver literals from one tiny
+    agg: the row path is scan → project, zero shuffle."""
+    from ..operators.layout import _quantize, morton_code
+
+    d = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long").alias("days"),
+    )
+    b = d.agg(
+        F.min("ck").alias("lo1"), F.max("ck").alias("hi1"),
+        F.min("days").alias("lo2"), F.max("days").alias("hi2"),
+    ).collect()[0]
+    q = d.select(
+        "o_orderkey",
+        _quantize(F.col("ck"), F.lit(int(b.lo1)).cast("long"),
+                  F.lit(int(b.hi1)).cast("long"), 8).alias("q_ck"),
+        _quantize(F.col("days"), F.lit(int(b.lo2)).cast("long"),
+                  F.lit(int(b.hi2)).cast("long"), 8).alias("q_days"),
+    )
+    return q.select(
+        "o_orderkey", "q_ck", "q_days",
+        morton_code(["q_ck", "q_days"], 8).alias("zcode"),
+    )
