@@ -22,10 +22,14 @@ Canonical form:
      byte-lexicographically (order variants collapse), an empty
      query drops its ``?``.
 
-Contract: absolute http(s) URLs (``://`` present); ``?``/``#`` do
-not occur inside path segments and ``/`` does not occur inside the
-query — the crawl-record shape. Idempotence (canon∘canon = canon) is
-pinned in pytest.
+Contract: absolute http(s) URLs (``://`` present); ``?`` and ``#``
+do not occur inside path segments — the crawl-record shape. The
+host/path boundary is the FIRST of ``/`` or ``?`` after the
+authority (RFC 3986 allows a query with an empty path, e.g.
+``http://example.com?id=7``, and such URLs must canonicalize to
+their ``/``-path twin), and ``/`` inside the query is harmless
+because the query is carved off before the host/path split.
+Idempotence (canon∘canon = canon) is pinned in pytest.
 """
 
 from __future__ import annotations
@@ -43,12 +47,15 @@ def canonicalize_url(url: Column) -> Column:
     nofrag = F.split_part(
         F.split_part(url, F.lit("://"), F.lit(2)), F.lit("#"), F.lit(1)
     )
-    hostport = F.lower(F.split_part(nofrag, F.lit("/"), F.lit(1)))
-    pathq = F.substring(nofrag, F.length(hostport) + 1, F.lit(2147483647))
-    path = F.split_part(pathq, F.lit("?"), F.lit(1))
+    # Carve the query off FIRST: the host/path boundary is the first
+    # of '/' or '?', so 'host?q' (empty path, valid per RFC 3986)
+    # must not fold its query into the authority.
+    preq = F.split_part(nofrag, F.lit("?"), F.lit(1))
     query = F.when(
-        pathq.contains("?"), F.split_part(pathq, F.lit("?"), F.lit(2))
+        nofrag.contains("?"), F.split_part(nofrag, F.lit("?"), F.lit(2))
     ).otherwise(F.lit(""))
+    hostport = F.lower(F.split_part(preq, F.lit("/"), F.lit(1)))
+    path = F.substring(preq, F.length(hostport) + 1, F.lit(2147483647))
 
     host = F.when(
         hostport.startswith("www."), F.substring(hostport, 5, 2147483647)
@@ -102,13 +109,13 @@ def canonical_url_cte(source_cte: str) -> str:
              lower(split_part(u, '://', 1)) AS sch
       FROM {source_cte}),
     u2 AS (
-      SELECT *, lower(split_part(nf, '/', 1)) AS hp,
-             substr(nf, length(split_part(nf, '/', 1)) + 1) AS pq
+      SELECT *, split_part(nf, '?', 1) AS pre,
+             CASE WHEN contains(nf, '?') THEN split_part(nf, '?', 2)
+                  ELSE '' END AS q
       FROM u1),
     u3 AS (
-      SELECT *, split_part(pq, '?', 1) AS p,
-             CASE WHEN contains(pq, '?') THEN split_part(pq, '?', 2)
-                  ELSE '' END AS q
+      SELECT *, lower(split_part(pre, '/', 1)) AS hp,
+             substr(pre, length(split_part(pre, '/', 1)) + 1) AS p
       FROM u2),
     u4 AS (
       SELECT *, CASE WHEN hp LIKE 'www.%' THEN substr(hp, 5)

@@ -69,17 +69,32 @@ def pagerank_int(
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
+        # damping·s div base, computed as d·(s div b) + d·(s mod b) div b
+        # — EXACTLY floor(d·s/b) for non-negative s (s = q·b + r ⇒
+        # d·s/b = d·q + d·r/b with d·q integral), but with BIGINT
+        # headroom to ~1e13 nodes instead of ~1.1e7: a hub receiving
+        # nearly all mass has s ≈ n·1e6, and the naive d·s product
+        # crosses 2^63 around n ≈ 1.1e7. The oracle keeps the naive
+        # spelling (identical value inside ITS range) — this is a
+        # headroom rewrite, not a semantics change.
         pr = (
             nodes.join(contrib, "node", "left")
             .select(
                 "node",
                 (
                     F.lit(base - damping_ppm)
-                    + F.expr(f"{damping_ppm} * coalesce(s, 0L) div {base}")
+                    + F.expr(
+                        f"{damping_ppm} * (coalesce(s, 0L) div {base})"
+                        f" + {damping_ppm} * (coalesce(s, 0L) % {base}) div {base}"
+                    )
                 )
                 .cast("bigint")
                 .alias("pr"),
             )
             .localCheckpoint()
         )
+    # the final ranks are checkpoint-materialized above; the cached
+    # edge+degree table has no further readers — release executor
+    # memory instead of leaking it across invocations in one session
+    esd.unpersist()
     return pr

@@ -13,6 +13,11 @@ Extraction contract (deterministic, engine-replayable):
   ``br``; a block's text is whitespace-normalized (runs collapsed to
   one space, ends stripped); EMPTY blocks are dropped; body text =
   non-empty blocks joined with ``\\n``;
+- the whitespace class is the ASCII one — ``[ \\t\\n\\r\\f\\v]`` —
+  exactly RE2/DuckDB's ``\\s``, NOT Python's Unicode ``str.split()``
+  class: NBSP (U+00A0), NEL (U+0085) etc. are ordinary characters,
+  so the DuckDB oracle's ``regexp_replace(..., '\\s+', ' ', 'g')``
+  replays the normalization byte-for-byte;
 - ``n_links`` counts ``<a>`` opens; ``link_chars`` counts the
   normalized text characters contributed INSIDE anchors (link
   density = link_chars / text length);
@@ -29,12 +34,24 @@ the same file-partitioned tasks — no extra shuffle.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 from html.parser import HTMLParser
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
+
+#: ASCII whitespace run — the shared Spark/DuckDB '\s' class. Python
+#: str.split() would ALSO split on Unicode whitespace (NBSP, NEL),
+#: which RE2-based engines do not; one class, declared once.
+_WS = re.compile(r"[ \t\n\r\f\v]+")
+
+
+def _ws_norm(s: str) -> str:
+    """Collapse ASCII-whitespace runs to one space, strip ends."""
+    return _WS.sub(" ", s).strip(" \t\n\r\f\v")
+
 
 _SKIP = {"script", "style", "noscript", "template"}
 _BLOCK = {
@@ -62,7 +79,7 @@ class _Extractor(HTMLParser):
         self._anchor_depth = 0
 
     def _flush(self) -> None:
-        text = " ".join("".join(self._buf).split())
+        text = _ws_norm("".join(self._buf))
         self._buf = []
         if text:
             self.blocks.append(text)
@@ -70,6 +87,11 @@ class _Extractor(HTMLParser):
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in _SKIP:
             self._skip_depth += 1
+            return
+        # Inside a skipped subtree NOTHING contributes: an anchor in
+        # <noscript> must not bump n_links, and a block tag there
+        # must not _flush() and split the surrounding block.
+        if self._skip_depth:
             return
         if tag == "title":
             self._in_title = True
@@ -83,6 +105,8 @@ class _Extractor(HTMLParser):
     def handle_endtag(self, tag: str) -> None:
         if tag in _SKIP:
             self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if self._skip_depth:
             return
         if tag == "title":
             self._in_title = False
@@ -100,7 +124,7 @@ class _Extractor(HTMLParser):
             return
         self._buf.append(data)
         if self._anchor_depth:
-            self.link_chars += len(" ".join(data.split()))
+            self.link_chars += len(_ws_norm(data))
 
 
 def extract_text(html: str | bytes) -> dict:
@@ -113,7 +137,7 @@ def extract_text(html: str | bytes) -> dict:
     p.close()
     p._flush()
     return {
-        "title": " ".join(p.title.split()),
+        "title": _ws_norm(p.title),
         "text": "\n".join(p.blocks),
         "n_blocks": len(p.blocks),
         "n_links": p.n_links,

@@ -741,8 +741,9 @@ def pq_topk_adc(
     """PQ ANN with asymmetric distance computation (ADC) — the
     COMPRESSION member of the ANN family (LSH = hashing, IVF =
     partitioning, PQ = vector compression): the corpus is stored as
-    ``num_subs`` one-byte codes per vector (64 floats → 8 bytes =
-    32× memory), each query builds a num_subs×num_codes integer
+    ``num_subs`` one-byte codes per vector (e.g. 64 dims → 32 codes
+    at num_subs=32, 12.8× smaller than int32 millis; 64× at
+    num_subs=8), each query builds a num_subs×num_codes integer
     distance table against the trained codebooks, and scoring is a
     pure table-lookup sum in the COMPRESSED domain — the full-
     precision corpus is never touched at query time.

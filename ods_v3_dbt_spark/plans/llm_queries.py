@@ -1271,9 +1271,10 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: PQ training + ADC CTE chain: per-subspace seed+one-Lloyd codebooks
-#: (8 subspaces × 8 codes × 8 dims over the 64-dim quantized space),
-#: corpus encoded as 8 codes, query distance tables, ADC = equi-join
-#: on (sub, code) + group-sum (SQL's spelling of the table lookup).
+#: (32 subspaces × 32 codes over 2-dim subvectors of the 64-dim
+#: quantized space), corpus encoded as 32 codes, query distance
+#: tables, ADC = equi-join on (sub, code) + group-sum (SQL's
+#: spelling of the table lookup).
 _PQ_ADC_SQL = """
     WITH base AS (
       SELECT vec_id,
@@ -1357,9 +1358,10 @@ def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     member of the ANN family (LSH = hashing, IVF = partitioning, PQ
     = vector compression; operators/similarity.py::pq_topk_adc):
     per-subspace codebooks trained with the same seed+one-Lloyd
-    integer discipline as ``embedding_ann_ivf`` (8 subspaces × 8
-    codes over the 64-dim milli-quantized space), the corpus encoded
-    as 8 one-byte codes (32× memory compression), each query scored
+    integer discipline as ``embedding_ann_ivf`` (32 subspaces × 32
+    codes over 2-dim subvectors of the 64-dim milli-quantized
+    space), the corpus encoded as 32 one-byte codes (12.8× memory
+    compression vs 64 little-endian int32 millis), each query scored
     against the ENTIRE corpus purely in the compressed domain via
     its broadcast ADC distance tables. The oracle replays training,
     encoding, and the table-lookup scan (as an equi-join + group-sum

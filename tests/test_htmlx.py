@@ -60,6 +60,41 @@ def test_br_splits_blocks():
     assert e["text"] == "a\nb"
 
 
+def test_skipped_subtree_tags_are_inert():
+    """Tags INSIDE noscript/template must not fire handlers: no
+    n_links bump, no block split of the surrounding text (the
+    round-3 advisor finding)."""
+    e = extract_text(
+        "<p>left <noscript><a href='/x'>x</a><p>mid</p></noscript>right</p>"
+    )
+    assert e["n_links"] == 0
+    assert e["link_chars"] == 0
+    assert e["text"] == "left right"
+    assert e["n_blocks"] == 1
+    t = extract_text(
+        "<div>a<template><div>b</div><a>c</a><br></template>z</div>"
+    )
+    assert t["n_links"] == 0
+    assert t["text"] == "az"
+    # title inside a skipped subtree does not capture either
+    s = extract_text("<noscript><title>shadow</title></noscript><title>real</title>")
+    assert s["title"] == "real"
+
+
+def test_whitespace_class_is_ascii_only():
+    """NBSP/NEL are ordinary characters (the RE2/DuckDB '\\s' class),
+    so the oracle's regexp_replace replays normalization exactly —
+    Python's Unicode str.split() must NOT leak in."""
+    e = extract_text("<p>a b</p><p>cd</p><p> x \t y </p>")
+    assert e["text"] == "a b\ncd\nx y"
+    # a block of ONLY Unicode whitespace is non-empty on both engines
+    f = extract_text("<p> </p><p>k</p>")
+    assert f["n_blocks"] == 2
+    # link_chars uses the same class
+    g = extract_text("<a>n m</a>")
+    assert g["link_chars"] == len("n m")
+
+
 def test_html_extract_spark_kernel(spark):
     from ods_v3_dbt_spark.operators.htmlx import html_extract
 

@@ -29,6 +29,13 @@ CASES = [
     ("http://example.com/p?ref=hn&x=1&fbclid=z", "http://example.com/p?x=1"),
     # utm_ prefix match is on the NAME only
     ("http://example.com/p?id=utm_like", "http://example.com/p?id=utm_like"),
+    # empty path + query (valid per RFC 3986): the query must NOT
+    # fold into the authority — it canonicalizes to the '/'-path twin
+    ("http://example.com?utm_source=x&id=7", "http://example.com/?id=7"),
+    ("http://www.example.com:80?z=2&a=1#f", "http://example.com/?a=1&z=2"),
+    ("https://WWW.Example.com:443?gclid=g", "https://example.com/"),
+    # '/' inside the query is harmless once the query is carved first
+    ("http://example.com/p?next=/a/b&z=1", "http://example.com/p?next=/a/b&z=1"),
     # everything stacked
     (
         "HTTPS://WWW.Example.COM:443/a/b/?b=2&utm_x=1&a=1#sec",
@@ -60,6 +67,74 @@ def test_canonicalize_url_idempotent(spark):
     }
 
 
+TRACKING = {"gclid", "fbclid", "ref", "mc_cid", "mc_eid"}
+
+
+def ref_canon(u: str) -> str:
+    """Independent pure-Python oracle of the documented normal form —
+    written against the module docstring, not the Spark expression,
+    so a shared mis-parse in both engines (the round-3 advisor
+    finding: empty-path+query folding the query into the authority)
+    cannot pass on parity alone."""
+    scheme, rest = u.split("://", 1)
+    scheme = scheme.lower()
+    nofrag = rest.split("#", 1)[0]
+    preq, _, query = nofrag.partition("?")
+    slash = preq.find("/")
+    hostport = (preq if slash < 0 else preq[:slash]).lower()
+    path = "" if slash < 0 else preq[slash:]
+    host = hostport[4:] if hostport.startswith("www.") else hostport
+    if scheme == "http" and host.endswith(":80"):
+        host = host[:-3]
+    elif scheme == "https" and host.endswith(":443"):
+        host = host[:-4]
+    if path == "":
+        path = "/"
+    if len(path) > 1 and path.endswith("/"):
+        path = path[:-1]
+    keep = [
+        p
+        for p in query.split("&")
+        if p
+        and not p.split("=", 1)[0].startswith("utm_")
+        and p.split("=", 1)[0] not in TRACKING
+    ]
+    qs = "&".join(sorted(keep))
+    return f"{scheme}://{host}{path}" + (f"?{qs}" if qs else "")
+
+
+def _grid_urls() -> list[str]:
+    urls = []
+    for scheme in ("http", "HTTPS", "https"):
+        for host in ("Example.com", "www.example.com", "WWW.EX.ORG"):
+            for port in ("", ":80", ":443", ":8080"):
+                for path in ("", "/", "/a/B/"):
+                    for query in ("", "?z=2&a=1", "?utm_x=1&gclid=g&id=7"):
+                        for frag in ("", "#Sec"):
+                            urls.append(
+                                f"{scheme}://{host}{port}{path}{query}{frag}"
+                            )
+    return urls
+
+
+def test_grid_expected_values(spark):
+    """Every grid cell — including the empty-path+query cells the
+    round-3 advisor flagged — must equal the INDEPENDENT reference
+    canonical form, not merely match DuckDB."""
+    urls = _grid_urls()
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, u string"
+    )
+    got = {
+        r.doc_id: r.c
+        for r in df.select(
+            "doc_id", canonicalize_url(F.col("u")).alias("c")
+        ).collect()
+    }
+    for i, u in enumerate(urls):
+        assert got[i] == ref_canon(u), f"{u!r}: {got[i]!r} != {ref_canon(u)!r}"
+
+
 def test_cross_engine_grid_spark_vs_duckdb(spark):
     """Exhaustive component grid (scheme × host × port × path ×
     query × fragment — 648 URLs): the Spark column expression and
@@ -71,14 +146,7 @@ def test_cross_engine_grid_spark_vs_duckdb(spark):
 
     from ods_v3_dbt_spark.functions.urls import canonical_url_cte
 
-    urls = []
-    for scheme in ("http", "HTTPS", "https"):
-        for host in ("Example.com", "www.example.com", "WWW.EX.ORG"):
-            for port in ("", ":80", ":443", ":8080"):
-                for path in ("", "/", "/a/B/"):
-                    for query in ("", "?z=2&a=1", "?utm_x=1&gclid=g&id=7"):
-                        for frag in ("", "#Sec"):
-                            urls.append(f"{scheme}://{host}{port}{path}{query}{frag}")
+    urls = _grid_urls()
     assert len(urls) == 648
 
     df = spark.createDataFrame(
