@@ -228,8 +228,9 @@ def curate_stream(
 
 def curate_increment(
     batch: DataFrame,
-    existing: DataFrame,
+    existing: DataFrame | None = None,
     neardup_jaccard_ppm: int = 500_000,
+    index=None,
 ) -> DataFrame:
     """INCREMENTAL curation — the nightly production shape: a new
     batch lands against an already-curated corpus, and only what is
@@ -261,8 +262,25 @@ def curate_increment(
     Edges for stage 4 are restricted to docs that SURVIVED stages
     1-3: a batch doc must not be dragged into a cluster through a
     member that was already rejected.
+
+    **Corpus-side state — two modes.** Pass ``index`` (a
+    :class:`..operators.neardup_index.DedupIndex` built once by
+    ``dedup_index_write``) and stages 1+3 PROBE the persisted
+    bucketed fingerprint/shingle tables: the corpus is never
+    re-scanned, re-tokenized, or re-shingled, existing×existing
+    pairs are never generated, and the plan stays shallow (the
+    round-3 verdict's 5,592-Exchange composition collapses to a
+    linear probe chain). This is the 100 TB nightly shape. Passing
+    ``existing`` instead re-derives corpus state inline — correct
+    and index-free, the right call for one-shot comparisons; both
+    modes decide identical verdicts (pinned in tests).
     """
     from pyspark.sql import Window
+
+    if (existing is None) == (index is None):
+        raise ValueError("pass exactly one of existing= or index=")
+    if index is not None:
+        return _curate_increment_indexed(batch, index, neardup_jaccard_ppm)
 
     fp = T.fingerprint_md5(F.col("text"))
     b = batch.select("doc_id", "text", fp.alias("fp"))
@@ -330,6 +348,108 @@ def curate_increment(
         .select("doc_a", "doc_b")
     )
     comp = DD.connected_components(edges, "doc_a", "doc_b")
+    losers = comp.filter(F.col("node") != F.col("component_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    admitted = r3.join(F.broadcast(losers), "doc_id", "left_anti")
+
+    def v(df: DataFrame, verdict: str) -> DataFrame:
+        return df.select("doc_id", F.lit(verdict).alias("verdict"))
+
+    return (
+        v(dee, "dup_exact_existing")
+        .unionByName(v(deb, "dup_exact_batch"))
+        .unionByName(v(dne, "neardup_existing"))
+        .unionByName(v(losers, "neardup_batch"))
+        .unionByName(v(admitted, "admitted"))
+    )
+
+
+def _curate_increment_indexed(
+    batch: DataFrame, index, threshold_ppm: int
+) -> DataFrame:
+    """The index-probing arm of :func:`curate_increment` — identical
+    verdict semantics, corpus state read from the persisted bucketed
+    tables (see ``operators/neardup_index.py``). The batch is
+    shingled ONCE (persisted: the corpus probe and the batch-internal
+    pair join both read it); the corpus contributes only bucketed
+    FileScans, no Generate, no fingerprint recompute.
+
+    Stage discipline: each decision table (the fingerprinted batch,
+    the per-stage id lists, the batch shingle table) is
+    ``localCheckpoint``-ed — the `connected_components` discipline
+    applied pipeline-wide. Every stage's plan then starts from the
+    previous stage's MATERIALIZED result instead of re-deriving the
+    whole upstream composition per consumer, which is what blew the
+    round-3 plan up to 5,592 Exchange nodes. All checkpointed tables
+    are batch-sized (the small side by construction — the corpus
+    never materializes anywhere in this path)."""
+    from pyspark.sql import Window
+
+    from .operators.dedup import (
+        _attach_jaccard,
+        _shingle_table,
+        connected_components,
+    )
+    from .operators.neardup_index import _probe_shingles
+
+    spark = batch.sparkSession
+    fp = T.fingerprint_md5(F.col("text"))
+    b = batch.select("doc_id", "text", fp.alias("fp")).localCheckpoint()
+    # the fp probe inline off the already-computed fingerprints
+    # (exact_probe is the standalone spelling; here b carries fp).
+    # dee/deb stay UN-checkpointed: their lineage is one shallow hop
+    # off the checkpointed b, and re-deriving a tiny semi-join for
+    # the final verdict union is cheaper than two more jobs.
+    dee = (
+        b.select("doc_id", "fp")
+        .join(index.fps.read(spark), "fp", "left_semi")
+        .select("doc_id")
+    )
+    r1 = b.join(dee, "doc_id", "left_anti")
+    ranked = r1.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    )
+    deb = ranked.filter("rn > 1").select("doc_id")
+    r2 = ranked.filter("rn = 1").select("doc_id", "text").localCheckpoint()
+
+    # one batch shingle table, two consumers (probe + internal pairs)
+    bsh = (
+        _shingle_table(r2, "text", "doc_id", index.shingle_n)
+        .select("doc_id", "sid")
+        .localCheckpoint()
+    )
+    dne = (
+        _probe_shingles(bsh, index, threshold_ppm)
+        .select("doc_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    r3 = r2.select("doc_id").join(F.broadcast(dne), "doc_id", "left_anti")
+
+    # stage 4: near-dups among stage-1-3 SURVIVORS only — restrict
+    # the shingle table to r3 before the self-join so a rejected doc
+    # cannot drag a survivor into a cluster
+    sh3 = bsh.join(F.broadcast(r3), "doc_id")
+    sizes = sh3.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    s1, s2 = sh3.alias("s1"), sh3.alias("s2")
+    inter = (
+        s1.join(
+            s2,
+            (F.col("s1.sid") == F.col("s2.sid"))
+            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
+        )
+        .groupBy(
+            F.col("s1.doc_id").alias("doc_a"), F.col("s2.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    edges = (
+        _attach_jaccard(inter, sizes)
+        .filter(F.col("jacc_ppm") >= threshold_ppm)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(edges, "doc_a", "doc_b")
     losers = comp.filter(F.col("node") != F.col("component_id")).select(
         F.col("node").alias("doc_id")
     )

@@ -283,6 +283,30 @@ class BucketedTable:
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.table(self.name)
 
+    @staticmethod
+    def _drop_with_location(spark: SparkSession, table: str) -> None:
+        """DROP IF EXISTS *and* clear any orphaned default-location
+        directory. The session catalog (in-memory by default) forgets
+        tables at session end but the warehouse directory keeps their
+        data dirs; a fresh session's ``saveAsTable`` then dies with
+        LOCATION_ALREADY_EXISTS. Safe to remove: a path under the
+        warehouse dir named for a table the CURRENT catalog does not
+        know is orphaned managed data by definition. (Local-FS
+        housekeeping for the single-writer local engine; a production
+        deployment holds bucketed state in a real metastore/Delta
+        where locations are transactional.)"""
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        for prefix in ("file://", "file:"):
+            if wh.startswith(prefix):
+                wh = wh[len(prefix):]
+                break
+        stale = Path(wh) / table.lower()
+        if stale.exists():
+            import shutil
+
+            shutil.rmtree(stale, ignore_errors=True)
+
     def write(self, df: DataFrame) -> None:
         """Bucketed snapshot write + catalog rename-swap.
 
@@ -300,7 +324,7 @@ class BucketedTable:
         :class:`ParquetTable`."""
         spark = df.sparkSession
         side = f"{self.name}__snap"
-        spark.sql(f"DROP TABLE IF EXISTS {side}")
+        self._drop_with_location(spark, side)
         (
             df.repartition(self.num_buckets, *[df[k] for k in self.keys])
             .write.format("parquet")
@@ -308,5 +332,5 @@ class BucketedTable:
             .sortBy(self.keys[0], *self.keys[1:])
             .saveAsTable(side)
         )
-        spark.sql(f"DROP TABLE IF EXISTS {self.name}")
+        self._drop_with_location(spark, self.name)
         spark.sql(f"ALTER TABLE {side} RENAME TO {self.name}")

@@ -191,3 +191,47 @@ def test_curate_increment_verdicts_and_precedence(spark):
         15: "admitted",             # min id of the in-batch near pair
         16: "neardup_batch",
     }
+
+
+def test_curate_increment_indexed_matches_inline(spark):
+    """The two corpus-state modes of curate_increment — inline
+    ``existing=`` re-derivation vs the persisted bucketed ``index=``
+    probe — must decide IDENTICAL verdicts (same planted batch as
+    the inline test, so every verdict class crosses the boundary)."""
+    from ods_v3_dbt_spark.operators.neardup_index import dedup_index_write
+    from ods_v3_dbt_spark.pipelines import curate_increment
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    existing = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "totally fresh words nobody else ever used here today"),
+            (11, base),
+            (12, base + " suffix"),
+            (13, "unique doc repeated inside the batch exactly twice"),
+            (14, "unique doc repeated inside the batch exactly twice"),
+            (15, "brand new sentence with many matching tokens inside"),
+            (16, "brand new sentence with many matching tokens inside extra"),
+        ],
+        "doc_id long, text string",
+    )
+    inline = {
+        r.doc_id: r.verdict
+        for r in curate_increment(batch, existing).collect()
+    }
+    idx = dedup_index_write(existing, "t_incr_eq_idx", num_buckets=4)
+    indexed = {
+        r.doc_id: r.verdict
+        for r in curate_increment(batch, index=idx).collect()
+    }
+    assert indexed == inline
+    # exactly one corpus-state argument is accepted
+    import pytest
+
+    with pytest.raises(ValueError):
+        curate_increment(batch)
+    with pytest.raises(ValueError):
+        curate_increment(batch, existing, index=idx)

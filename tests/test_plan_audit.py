@@ -619,3 +619,40 @@ def test_dsir_ratio_broadcasts_bounded_table(spark):
     assert "SortMergeJoin" not in plan
     assert "partial_count" in plan
     assert re.search(r"hashpartitioning\(doc_id", plan)
+
+
+def test_dedup_index_probe_corpus_side_bucketed_no_generate(spark):
+    """The persisted-index probe (round-4 task 1): the corpus side
+    must be BUCKETED FileScans of the precomputed index tables — no
+    Exchange above them, no shingle regeneration. All Generates in
+    the plan are the batch side's shingle explode."""
+    plan = _plan(spark, "dedup_index_probe")
+    # corpus shingles read in place from the bucketed table
+    shingle_scan = next(
+        b for b in plan.split("\n\n")
+        if "Scan parquet" in b and "_shingles" in b and "ReadSchema" in b
+    )
+    assert "Bucketed: true" in shingle_scan
+    assert "SelectedBucketsCount" in shingle_scan
+    # the scan reads PRECOMPUTED (doc_id, sid) — proof the corpus is
+    # never re-tokenized/re-shingled at probe time
+    assert "ReadSchema: struct<doc_id:bigint,sid:bigint>" in shingle_scan
+    # batch shingle explode is the plan's only Generate source; the
+    # persisted batch shingle table appears at most twice textually
+    # (intersection + sizes consumers of one InMemoryRelation)
+    assert plan.count(") Generate") <= 2
+    # no sort-merge machinery: fixture sides broadcast, corpus scans
+    # carry their bucket layout
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_curation_plan_is_stage_truncated(spark):
+    """The indexed decisions plan must stay shallow: round 3's inline
+    composition carried 5,592 Exchange nodes; the checkpointed stage
+    discipline keeps the returned plan under 10."""
+    from ods_v3_dbt_spark.plans.planreport import plan_report
+
+    df = DQ.registry()["incremental_curation_decisions"].spark(spark, SF)
+    rep = plan_report(df)
+    assert rep["exchanges"] <= 10, rep
+    assert rep["generates"] == 0, rep  # every explode ran inside a stage

@@ -72,13 +72,31 @@ def test_suite_plan_invariants(spark):
     # power-iteration round's localCheckpoint (LogicalRDD — the
     # document scans ran eagerly inside the iteration chain, whose
     # per-round plan is the checkpoint-truncated join+agg).
+    # incremental_curation_decisions: every stage is localCheckpoint-
+    # materialized (the round-4 stage discipline that retired the
+    # 5,592-Exchange composition), so the returned verdict union reads
+    # LogicalRDDs; its scans ran eagerly inside the stages and the
+    # probe path's scan/bucket hygiene is pinned via dedup_index_probe
+    # in test_plan_audit.py.
     AUDIT_SUMMARY_QUERIES = {
         "curation_pipeline_audit",
         "bpe_learned_merges",
         "semantic_dedup_cells",
         "link_graph_pagerank",
+        "incremental_curation_decisions",
     }
     scanless = {
         k for k, v in rep.items() if v.get("parquet_scans", 0) == 0
     } - AUDIT_SUMMARY_QUERIES
     assert not scanless, scanless
+    # Suite-wide exchange budget: round 3's worst plan carried 5,592
+    # Exchange nodes (a composition re-deriving its upstream subtree
+    # per consumer); everything else sat at ≤24. With the stage
+    # discipline in place NO query's returned plan may exceed 50 —
+    # a composition that does is re-deriving, not reusing.
+    fat = {
+        k: v["exchanges"]
+        for k, v in rep.items()
+        if v.get("exchanges", 0) > 50
+    }
+    assert not fat, fat
