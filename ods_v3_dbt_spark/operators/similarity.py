@@ -275,16 +275,19 @@ def quantize_embedding(vec, scale: int = 1000, offset: int = 1000):
     )
 
 
-def _l2q_cells(c: DataFrame, num_cells: int):
+def _l2q_cells(c: DataFrame, num_cells: int, seeds: list | None = None):
     """Shared quantized-L2 cell machinery: seed centroids = the
     ``num_cells`` lowest-id vectors, ONE Lloyd round (per-(cell,dim)
     floor-mean; empty cells keep their seed), assignment = argmin
     integer L2² with cell-id tie-break. Input (vid, v BIGINT array);
     returns (assignments df (vid, v, cell), refined-centroid literal
-    Column). Only K×dim values cross the driver — the scalar-class
-    probe pattern."""
-    seeds_rows = c.orderBy(F.col("vid").asc()).limit(num_cells).collect()
-    seeds = [list(r.v) for r in seeds_rows]
+    Column, refined-centroid matrix). Only K×dim values cross the
+    driver — the scalar-class probe pattern. ``seeds=`` skips the
+    seed collect when the caller already holds the lowest-id vectors
+    (``ivfadc_topk`` fuses it with the PQ seed fetch)."""
+    if seeds is None:
+        seeds_rows = c.orderBy(F.col("vid").asc()).limit(num_cells).collect()
+        seeds = [list(r.v) for r in seeds_rows]
 
     seed_lit = F.expr(_int_matrix_sql(seeds))
     a1 = c.select(
@@ -306,7 +309,7 @@ def _l2q_cells(c: DataFrame, num_cells: int):
         "vid", "v",
         F.array_min(_l2q_dist2(F.col("v"), ref_lit)).getField("cell").alias("cell"),
     )
-    return asg, ref_lit
+    return asg, ref_lit, refined
 
 
 def semantic_dedup_l2q(
@@ -350,7 +353,7 @@ def semantic_dedup_l2q(
     # FOUND on the lambda's variable after unionByName branches each
     # carry their own transform()).
     c = corpus.select(F.col(id_col).alias("vid"), qv.alias("v")).localCheckpoint()
-    asg, _ = _l2q_cells(c, num_cells)
+    asg, _, _cents = _l2q_cells(c, num_cells)
     # Materialize the assignment once (it feeds both self-join sides
     # and the final output — the argmin linear map would re-run per
     # consumer), then give the b-side its OWN checkpoint: Spark's
@@ -421,7 +424,7 @@ def ivf_topk_l2q(
     c = corpus.select(F.col(id_col).alias("vid"), qv.alias("v"))
     q = queries.select(F.col(id_col).alias("vid"), qv.alias("v"))
 
-    asg0, ref_lit = _l2q_cells(c, num_cells)
+    asg0, ref_lit, _cents = _l2q_cells(c, num_cells)
     asg = asg0.select(
         F.col("vid").alias("neighbor_id"), F.col("v").alias("__cv"), "cell"
     )
@@ -598,20 +601,32 @@ def lsh_bucketed_topk(
 # ---------------------------------------------------------------------------
 
 
-def _sub_slice(vec, m: int, sub_dim: int):
-    """Subvector m of a concatenated vector (1-based slice)."""
-    return F.slice(vec, m * sub_dim + 1, sub_dim)
+def _books_sql(books: list) -> str:
+    """All PQ codebooks as ONE parsed 3-level SQL array literal
+    (books[sub+1][code+1][dim] — a single py4j call, cf.
+    ``_int_matrix_sql``)."""
+    return "array(" + ",".join(_int_matrix_sql(s) for s in books) + ")"
 
 
-def _sub_dist_arr(svec, code_lit):
-    """Integer L2² from a subvector to every codeword in the literal
-    K×sub_dim matrix → array<bigint> (the per-subspace ADC table)."""
+def _adc_tables(vec, books: list, sub_dim: int):
+    """The per-query ADC distance tables (num_subs × num_codes
+    bigints) against ALL codebooks in one expression — the nested
+    transform walks subspaces as DATA, so the expression tree stays
+    one lambda deep regardless of num_subs (the round-3 form built
+    num_subs sibling trees and paid their analysis per action)."""
     return F.transform(
-        code_lit,
-        lambda cv: F.aggregate(
-            F.zip_with(svec, cv, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
+        F.expr(_books_sql(books)),
+        lambda bsub, m: F.transform(
+            bsub,
+            lambda cw: F.aggregate(
+                F.zip_with(
+                    F.slice(vec, m * sub_dim + 1, sub_dim),
+                    cw,
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
         ),
     )
 
@@ -622,6 +637,7 @@ def pq_train_encode(
     num_codes: int,
     dim_count: int,
     carry: tuple[str, ...] = (),
+    seeds: list | None = None,
 ) -> tuple[DataFrame, list]:
     """Train per-subspace PQ codebooks (Jégou, Douze, Schmid 2011,
     "Product Quantization for Nearest Neighbor Search") over a
@@ -629,86 +645,88 @@ def pq_train_encode(
     ``num_subs`` codes.
 
     Same seed+one-Lloyd discipline as ``_l2q_cells`` so the DuckDB
-    oracle can replay training bit for bit. Shape: the first cut
-    computed per-row argmins with nested higher-order functions —
-    interpreted, no codegen — and num_subs×num_codes lambda trees
-    per row priced the sf0.1 query at ~14 s. This version is
-    RELATIONAL: one ``posexplode`` turns the corpus into
-    (vid, sub, dim, x) rows (sub = pos div sub_dim — no per-subspace
-    expression trees at all), codebooks are tiny broadcast tables,
-    distances are plain codegen arithmetic summed by a map-side-
-    partial aggregation, and argmin is ``min(struct(d2, code))``
-    under the same (d2, code) total order the oracle's row_number
-    replays. Seeds are the ``num_codes`` lowest-id vectors (one
-    collect, sliced driver-side); all subspaces' Lloyd means come
-    back in ONE aggregation. Only codebook-sized tables cross the
-    driver. At 100 TB the dim-explode multiplies shuffle rows by
-    num_codes; the documented swap is a mapInPandas numpy argmin
-    kernel (vectorized, zero shuffle) with this relational form as
-    its oracle twin.
+    oracle can replay training bit for bit — and now the same PLAN
+    SHAPE as ``_l2q_cells`` too: one explode turns the corpus into
+    (vid, sub, sv) subvector rows, and the argmin over codewords is
+    a per-row expression against the 3-level codebook literal
+    (books[sub][code][dim]) — no join, no (vid, sub, code)
+    aggregation blow-up. Round 3's relational formulation joined the
+    dim-exploded corpus against a codebook table and aggregated
+    corpus×num_codes rows per Lloyd pass (~2M groups at sf0.1, the
+    dominant cost of the 8-15 s tail the verdict flagged); here the
+    distance loop runs INSIDE the row over sub_dim-length arrays, so
+    shuffles carry only (vid, sub, code) assignments. Per-row lambda
+    trees stay SMALL (one transform over num_codes codewords of one
+    subvector — subspaces became rows, which is what the round-2
+    warning about nested per-subspace trees was actually about).
+
+    Tie-break: ``array_position(d2s, array_min(d2s))`` returns the
+    FIRST minimal index = lowest code, the exact (d2, code) order
+    the oracle's row_number replays. Lloyd means are per-(sub, code)
+    column sums ``div`` counts — floor=trunc on the all-positive
+    quantized domain. Only codebook-sized tables cross the driver:
+    one seeds collect (skippable via ``seeds=``, see ``ivfadc_topk``)
+    and one means collect.
 
     Returns (codes df (vid, *carry, codes array<int> in subspace
     order), refined codebooks [num_subs][num_codes][sub_dim])."""
     sub_dim = dim_count // num_subs
-    spark = c.sparkSession
-    seeds_rows = c.orderBy(F.col("vid").asc()).limit(num_codes).collect()
-    seeds = [
-        [list(r.v[m * sub_dim : (m + 1) * sub_dim]) for r in seeds_rows]
-        for m in range(num_subs)
-    ]
-
-    def book_df(books: list) -> DataFrame:
-        rows = [
-            (m, k, i + 1, int(cw[i]))
-            for m, b in enumerate(books)
-            for k, cw in enumerate(b)
-            for i in range(sub_dim)
+    if seeds is None:
+        seeds_rows = c.orderBy(F.col("vid").asc()).limit(num_codes).collect()
+        seeds = [
+            [list(r.v[m * sub_dim : (m + 1) * sub_dim]) for r in seeds_rows]
+            for m in range(num_subs)
         ]
-        return spark.createDataFrame(
-            rows, "sub int, code int, i int, ci long"
+
+    # (vid, *carry, sub, sv) — ONE shuffle-free explode; persisted:
+    # the Lloyd pass and the encode pass both read it.
+    ssub = (
+        c.select(
+            "vid",
+            *carry,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {num_subs - 1}), m -> "
+                    f"struct(cast(m as int) as sub, "
+                    f"slice(v, m * {sub_dim} + 1, {sub_dim}) as sv))"
+                )
+            ).alias("s"),
         )
-
-    # Materialized ONCE: sdim feeds the seed argmin, the Lloyd-mean
-    # join, and the final encode pass — without the checkpoint each
-    # consumer would re-scan and re-quantize the corpus, and (the
-    # bigger local-mode bill) each would carry the full upstream tree
-    # through its own Catalyst analysis + codegen compile.
-    sdim = c.select(
-        "vid", *carry, F.posexplode("v").alias("pos", "x")
-    ).select(
-        "vid",
-        *carry,
-        F.expr(f"cast(pos div {sub_dim} as int)").alias("sub"),
-        F.expr(f"cast(pos % {sub_dim} + 1 as int)").alias("i"),
-        "x",
-    ).localCheckpoint()
-
-    def argmin_codes(book: DataFrame) -> DataFrame:
-        d2 = (
-            sdim.join(F.broadcast(book), ["sub", "i"])
-            .select(
-                "vid", "sub", "code",
-                ((F.col("x") - F.col("ci")) * (F.col("x") - F.col("ci"))).alias("dd"),
-            )
-            .groupBy("vid", "sub", "code")
-            .agg(F.sum("dd").alias("d2"))
-        )
-        return d2.groupBy("vid", "sub").agg(
-            F.min(F.struct("d2", "code")).alias("mc")
-        ).select("vid", "sub", F.col("mc.code").alias("code"))
-
-    a1 = argmin_codes(book_df(seeds))
-    means = (
-        a1.join(sdim.select("vid", "sub", "i", "x"), ["vid", "sub"])
-        .groupBy("sub", "code", "i")
-        .agg(F.expr("sum(x) div count(1)").alias("m"))
-        .collect()
+        .select("vid", *carry, "s.sub", "s.sv")
+        .persist()
     )
-    refined = [[list(cw) for cw in s] for s in seeds]
-    for r in means:  # empty codes keep their seed
-        refined[r.sub][r.code][r.i - 1] = r.m
 
-    enc = argmin_codes(book_df(refined))
+    def argmin_code(books: list) -> F.Column:
+        # array_min over struct(d2, code) = one pass, one embedded
+        # literal, exact (d2, code) tie-break (the _l2q_dist2
+        # discipline). The codebook rides as ONE parsed SQL string —
+        # a single py4j call; do NOT be tempted by F.lit(nested_list),
+        # which PySpark expands to array(lit(e), ...) RECURSIVELY:
+        # one py4j round-trip per element (~2048 here) cost ~5 s of
+        # pure driver chatter per action, measured.
+        bsql = _books_sql(books)
+        return F.expr(
+            f"array_min(transform(element_at({bsql}, sub + 1), "
+            "(cw, k) -> struct("
+            "aggregate(zip_with(sv, cw, (a, b) -> (a - b) * (a - b)), "
+            "0L, (acc, x) -> acc + x) as d2, "
+            "cast(k as int) as code))).code"
+        )
+
+    a1 = ssub.select("vid", "sub", "sv", argmin_code(seeds).alias("code"))
+    sums = a1.groupBy("sub", "code").agg(
+        *[
+            F.expr(f"sum(element_at(sv, {i}))").alias(f"s{i}")
+            for i in range(1, sub_dim + 1)
+        ],
+        F.count(F.lit(1)).alias("n"),
+    ).collect()
+    refined = [[list(cw) for cw in s] for s in seeds]
+    for r in sums:  # empty codes keep their seed
+        for i in range(1, sub_dim + 1):
+            refined[r.sub][r.code][i - 1] = int(r[f"s{i}"]) // int(r.n)
+
+    enc = ssub.select("vid", *carry, "sub", argmin_code(refined).alias("code"))
     agg_cols = [
         F.transform(
             F.array_sort(F.collect_list(F.struct("sub", "code"))),
@@ -716,15 +734,8 @@ def pq_train_encode(
         ).alias("codes")
     ]
     if carry:
-        carry_src = sdim.select("vid", *carry).groupBy("vid").agg(
-            *[F.first(col).alias(col) for col in carry]
-        )
-        codes = (
-            enc.groupBy("vid").agg(*agg_cols).join(carry_src, "vid")
-            .select("vid", *carry, "codes")
-        )
-    else:
-        codes = enc.groupBy("vid").agg(*agg_cols).select("vid", "codes")
+        agg_cols = [F.first(col).alias(col) for col in carry] + agg_cols
+    codes = enc.groupBy("vid").agg(*agg_cols).select("vid", *carry, "codes")
     return codes, refined
 
 
@@ -767,16 +778,10 @@ def pq_topk_adc(
 
     sub_dim = dim_count // num_subs
     codes, refined = pq_train_encode(c, num_subs, num_codes, dim_count)
-    ref_lits = [F.expr(_int_matrix_sql(s)) for s in refined]
 
     qtabs = q.select(
         F.col("vid").alias("query_id"),
-        F.array(
-            *[
-                _sub_dist_arr(_sub_slice(F.col("v"), m, sub_dim), ref_lits[m])
-                for m in range(num_subs)
-            ]
-        ).alias("tabs"),
+        _adc_tables(F.col("v"), refined, sub_dim).alias("tabs"),
     )
     scored = codes.select(F.col("vid").alias("neighbor_id"), "codes").join(
         F.broadcast(qtabs)
@@ -831,7 +836,13 @@ def ivfadc_topk(
     c = corpus.select(F.col(id_col).alias("vid"), qv.alias("v"))
     q = queries.select(F.col(id_col).alias("vid"), qv.alias("v"))
 
-    asg, ref_lit = _l2q_cells(c, num_cells)
+    # ONE fused seed fetch: cell seeds (num_cells) and PQ residual
+    # seeds (num_codes) are both functions of the lowest-vid corpus
+    # rows — collect them once instead of once per training stage.
+    low = c.orderBy(F.col("vid").asc()).limit(max(num_cells, num_codes)).collect()
+    asg, ref_lit, cents = _l2q_cells(
+        c, num_cells, seeds=[list(r.v) for r in low[:num_cells]]
+    )
     res = asg.select(
         "vid",
         "cell",
@@ -841,12 +852,27 @@ def ivfadc_topk(
             lambda a, b: a - b + 2000,
         ).alias("v"),
     )
-    codes, books = pq_train_encode(
-        res, num_subs, num_codes, dim_count, carry=("cell",)
-    )
-    book_lits = [F.expr(_int_matrix_sql(s)) for s in books]
-
+    # PQ seeds computed DRIVER-side: replay assignment (argmin
+    # integer L2², lowest-cell tie-break) + residual offset for the
+    # num_codes lowest-vid rows against the refined centroids —
+    # exact integer math, identical to collecting the lowest-vid
+    # rows of `res` but without a third corpus-side action.
     sub_dim = dim_count // num_subs
+    pq_seed_rows = []
+    for r in low[:num_codes]:
+        v = list(r.v)
+        _, cell = min(
+            (sum((a - b) * (a - b) for a, b in zip(v, cent)), i)
+            for i, cent in enumerate(cents)
+        )
+        pq_seed_rows.append([a - b + 2000 for a, b in zip(v, cents[cell])])
+    pq_seeds = [
+        [row[m * sub_dim : (m + 1) * sub_dim] for row in pq_seed_rows]
+        for m in range(num_subs)
+    ]
+    codes, books = pq_train_encode(
+        res, num_subs, num_codes, dim_count, carry=("cell",), seeds=pq_seeds
+    )
     probes = q.select(
         F.col("vid").alias("query_id"),
         F.col("v").alias("__qv"),
@@ -865,12 +891,7 @@ def ivfadc_topk(
     qtabs = probes.select(
         "query_id",
         "cell",
-        F.array(
-            *[
-                _sub_dist_arr(_sub_slice(qres, m, sub_dim), book_lits[m])
-                for m in range(num_subs)
-            ]
-        ).alias("tabs"),
+        _adc_tables(qres, books, sub_dim).alias("tabs"),
     )
     scored = codes.select(
         F.col("vid").alias("neighbor_id"), "cell", "codes"

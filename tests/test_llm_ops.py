@@ -204,7 +204,7 @@ def test_ivfadc_recall_floor_and_probe_restriction(spark, emb):
 
     cq = c.select(F.col("vec_id").alias("vid"),
                   quantize_embedding(F.col("embedding")).alias("v"))
-    asg, _ = _l2q_cells(cq, 8)
+    asg, _, _cents = _l2q_cells(cq, 8)
     cell_of = {r.vid: r.cell for r in asg.select("vid", "cell").collect()}
     probed = {}
     full = SIM.ivf_topk_l2q(c, q, k=10**9, num_cells=8, nprobe=4)
@@ -617,3 +617,26 @@ def test_pagerank_int_matches_scalar_replay(spark):
     # deterministic across runs
     again = {r.node: r.pr for r in pagerank_int(e, iterations=4).collect()}
     assert again == got
+
+
+def test_pq_ivfadc_recall_floors_sf01(spark):
+    """Round-4 task 8: explicit recall floors for BOTH compressed-
+    domain ANN operators against exact brute-force at sf0.1 (2k
+    corpus vectors — the scale the bench prices). Floors are set
+    below observed steady-state (PQ ~0.7, IVFADC ~0.5 on the
+    synthetic uniform corpus) but high enough that a broken codebook
+    refinement, assignment tie-break, or ADC lookup fails loudly."""
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    exact = {(r.query_id, r.neighbor_id) for r in
+             SIM.topk_bruteforce(c, q, k=5, metric="cosine").collect()}
+    pq = {(r.query_id, r.neighbor_id) for r in
+          SIM.pq_topk_adc(c, q, k=5, num_subs=32, num_codes=32).collect()}
+    ivfadc = {(r.query_id, r.neighbor_id) for r in
+              SIM.ivfadc_topk(c, q, k=5, num_cells=8, nprobe=4,
+                              num_subs=32, num_codes=32).collect()}
+    pq_recall = len(exact & pq) / len(exact)
+    ivfadc_recall = len(exact & ivfadc) / len(exact)
+    assert pq_recall >= 0.4, f"PQ recall {pq_recall:.2f}"
+    assert ivfadc_recall >= 0.25, f"IVFADC recall {ivfadc_recall:.2f}"

@@ -656,3 +656,26 @@ def test_incremental_curation_plan_is_stage_truncated(spark):
     rep = plan_report(df)
     assert rep["exchanges"] <= 10, rep
     assert rep["generates"] == 0, rep  # every explode ran inside a stage
+
+
+def test_pq_ivfadc_job_budget(spark):
+    """Round-4 task 3 regression pin: the PQ/IVFADC operators were
+    compile-bound multi-action chains (17 / 22 Spark jobs, 8-15 s at
+    sf0.1). The collapsed shape — one explode into (vid, sub, sv)
+    rows, per-row argmin against a single parsed codebook literal,
+    fused seed collects — runs PQ in 3 actions and IVFADC in 4
+    (seeds / Lloyd means / final; + the cell-Lloyd collect for
+    IVFADC). AQE splits each action into a few stage-jobs; the
+    budgets below bound that with headroom while failing loudly if a
+    per-consumer recompute or extra materialization sneaks back in."""
+    sc = spark.sparkContext
+    budgets = {"embedding_ann_pq": 11, "embedding_ann_ivfadc": 15}
+    for name, budget in budgets.items():
+        group = f"jobbudget-{name}"
+        sc.setJobGroup(group, "")
+        try:
+            DQ.registry()[name].spark(spark, SF).count()
+        finally:
+            sc.setJobGroup(None, None)
+        jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+        assert jobs <= budget, (name, jobs, budget)
