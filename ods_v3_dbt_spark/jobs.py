@@ -72,6 +72,7 @@ class EtlJob:
         run_log: RunLog | None = None,
         bucketed: bool = False,
         num_buckets: int = 32,
+        metrics=None,
     ) -> None:
         self.spark = spark
         self.spec = spec
@@ -82,6 +83,10 @@ class EtlJob:
         self.run_log = run_log
         self.bucketed = bucketed
         self.num_buckets = num_buckets
+        #: optional MetricsLog (metrics.py) — per-stage rows/bytes/
+        #: wall, the statsd/fluentd analog; run_log stays the per-run
+        #: audit row
+        self.metrics = metrics
 
     def _staging(self) -> ParquetTable:
         return ParquetTable(self.warehouse / "staging" / self.spec.name)
@@ -132,17 +137,42 @@ class EtlJob:
         task_id = self.spec.name
 
         def _run() -> JobResult:
+            import time as _time
+
+            t0 = _time.perf_counter()
             batch = self.extract(win)
             failed = [c for c in validate_schema(batch, self.spec.struct_type()) if not c.passed]
             if failed:
                 detail = "; ".join(f"{c.name}: {c.detail}" for c in failed)
                 raise ValueError(f"{self.spec.name}: schema check failed: {detail}")
             n_extracted = batch.count()  # A2/A5 count probe + reconciliation
+            t1 = _time.perf_counter()
             staging = self._staging()
             staging.write(batch)
             staged = staging.read(self.spark)
+            t2 = _time.perf_counter()
             merge_batch_fn(self.spec, self.target())(staged, -1)
             n_loaded = self.target().read(self.spark).count()
+            t3 = _time.perf_counter()
+            if self.metrics is not None:
+                n_files, n_bytes = staging.file_stats()
+                self.metrics.emit(
+                    self.spark, job_id, task_id, "extract",
+                    {"rows_out": (n_extracted, "rows"),
+                     "wall": (round(t1 - t0, 3), "sec")},
+                )
+                self.metrics.emit(
+                    self.spark, job_id, task_id, "stage_load",
+                    {"rows_out": (n_extracted, "rows"),
+                     "bytes": (n_bytes, "bytes"),
+                     "files": (n_files, "files"),
+                     "wall": (round(t2 - t1, 3), "sec")},
+                )
+                self.metrics.emit(
+                    self.spark, job_id, task_id, "merge",
+                    {"rows_out": (n_loaded, "rows"),
+                     "wall": (round(t3 - t2, 3), "sec")},
+                )
             return JobResult(self.spec.qualified_name, win, n_extracted, n_loaded, True)
 
         if self.run_log is not None:

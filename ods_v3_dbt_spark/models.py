@@ -161,3 +161,58 @@ class ModelGraph:
         if m.materialized == "view":
             return spark.table(name)
         return self.table(name).read(spark)
+
+    # -- lineage manifest ---------------------------------------------------
+
+    def manifest(self) -> dict:
+        """The graph as a JSON-able lineage manifest — the engine's
+        ``dbt docs generate`` (the reference schedules it per run,
+        ``dags/casreport_dbt_sample_dag.py:109-116``): per model its
+        materialization, declared refs (parents), derived children,
+        storage path for table-class models, and test inventory;
+        plus the topological build order. Pure metadata — no Spark
+        session, no data read."""
+        children: dict[str, list[str]] = {n: [] for n in self._models}
+        for m in self._models.values():
+            for r in m.refs:
+                children[r].append(m.name)
+        return {
+            "models": {
+                m.name: {
+                    "materialized": m.materialized,
+                    "depends_on": list(m.refs),
+                    "children": sorted(children[m.name]),
+                    "unique_key": m.unique_key,
+                    "watermark_col": m.watermark_col,
+                    "storage": (
+                        None
+                        if m.materialized == "view"
+                        else str(self.warehouse / m.name)
+                    ),
+                    "tests": [
+                        {
+                            "kind": t.kind,
+                            "column": t.column,
+                            "expression": t.expression,
+                            "severity": t.severity,
+                        }
+                        for t in m.tests
+                    ],
+                }
+                for m in self._models.values()
+            },
+            "build_order": [m.name for m in self._topo_order()],
+        }
+
+    def write_manifest(self, path: str | Path) -> Path:
+        """Serialize :meth:`manifest` to ``path`` (atomic tmp+rename,
+        like the snapshot pointer flip). Returns the path."""
+        import json
+        import uuid
+
+        p = Path(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        tmp = p.parent / f".{p.name}.{uuid.uuid4().hex[:8]}"
+        tmp.write_text(json.dumps(self.manifest(), indent=1, sort_keys=True))
+        tmp.replace(p)
+        return p

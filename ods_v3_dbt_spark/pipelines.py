@@ -226,6 +226,77 @@ def curate_stream(
     ).drop("__fp")
 
 
+def curate_increment_stream(
+    corpus_path,
+    index_name: str,
+    decisions_path: str,
+    quality_floor_milli: int = 500,
+    min_tokens: int = 5,
+    max_tokens: int = 10_000,
+    neardup_jaccard_ppm: int = 500_000,
+    num_buckets: int = 8,
+):
+    """The PRODUCTION shape of the LLM curation pipeline: a
+    ``foreachBatch`` sink that lands each micro-batch through the full
+    incremental decision path against the PERSISTED dedup index —
+    quality gate → ``curate_increment(…, index=)`` → admitted docs
+    appended to the corpus (snapshot-swap) → index refreshed by
+    union-rewrite, so the NEXT micro-batch's dups against this one
+    are caught through the index, never by re-shingling history.
+    Returns the batch function for
+    ``stream.writeStream.foreachBatch(...)``; decisions (doc_id,
+    verdict, batch_id) append to ``decisions_path`` as the audit
+    trail (the reference's O11 discipline applied to curation).
+
+    Batch-vs-stream split: ``curate_stream`` alone covers the
+    stateless gate + watermark exact-dedup for latency-first
+    ingest; this function is the exactly-once-per-batch variant
+    where near-dup semantics and corpus admission happen inline —
+    the two compose (gate upstream, decide here) but each stands
+    alone. Engine-tested end-to-end in tests/test_pipelines.py
+    (two micro-batches; the second's exact and near dups of the
+    first are caught via the persisted index)."""
+    from .operators.neardup_index import DedupIndex, dedup_index_write
+    from .sinks import ParquetTable
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        gated = batch_df.filter(
+            (T.quality_score_milli(F.col("text")) >= quality_floor_milli)
+            & T.token_count(F.col("text")).between(min_tokens, max_tokens)
+        ).select("doc_id", "text")
+        corpus_tbl = ParquetTable(corpus_path)
+        idx = DedupIndex(index_name, 3, num_buckets)
+        if not idx.exists(spark):
+            base = (
+                corpus_tbl.read(spark).select("doc_id", "text")
+                if corpus_tbl.exists()
+                else spark.createDataFrame([], "doc_id long, text string")
+            )
+            idx = dedup_index_write(base, index_name, num_buckets=num_buckets)
+        decisions = curate_increment(
+            gated, index=idx, neardup_jaccard_ppm=neardup_jaccard_ppm
+        )
+        decisions.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(decisions_path)
+        admitted = decisions.filter("verdict = 'admitted'").select("doc_id")
+        new_docs = gated.join(admitted, "doc_id")
+        updated = (
+            corpus_tbl.read(spark).select("doc_id", "text").unionByName(new_docs)
+            if corpus_tbl.exists()
+            else new_docs
+        )
+        # snapshot-swap writes a NEW snapshot while readers (and this
+        # plan) follow the old pointer — safe read-modify-write
+        corpus_tbl.write(updated)
+        dedup_index_write(
+            corpus_tbl.read(spark), index_name, num_buckets=num_buckets
+        )
+
+    return process
+
+
 def curate_increment(
     batch: DataFrame,
     existing: DataFrame | None = None,

@@ -139,105 +139,85 @@ def register(name: str, oracle: str | None):
 #: entries per round (CORRECTNESS_r01.json stopped at entry 50
 #: exactly). Registration order is therefore a scheduling decision:
 #: this list pins the names that lead the current round's checked
-#: window; everything else follows in registration order. Round 1
-#: proved the relational/merge core (entries 0-49 then), round 2 the
-#: LLM/dedup/ANN/multimodal flagships — both 50/50 green, on record
-#: in CORRECTNESS_r01/r02.json. Round 3 rotates in (a) the four
-#: queries NEW this round, (b) curation_pipeline_audit, whose oracle
-#: changed semantically (per-shard packing → different n_bins) and
-#: so needs re-proof, and (c) 45 of the 61 analytics queries that
-#: have never had a driver row (old registry positions 100-160).
-#: The 16 still-deferred names — all single-scan aggregates
-#: redundant with driver-checked families — are listed at the
-#: bottom for round 4: fk_integrity_counts, nation_revenue_share,
-#: cube_returnflag_status, exists_late_orders, promo_revenue_ratio,
-#: top_supplier_revenue, large_volume_customers,
-#: unshipped_order_revenue, returned_item_customers,
-#: dow_hour_activity_profile, user_value_outliers,
-#: brand_distinct_buyers, token_positions_long, user_value_variance,
-#: discount_band_revenue, returnflag_priority_mix.
-#: ROUND-4 WINDOW PLAN: those 16 plus every query added after this
-#: round's rotation froze (registration order past position 50) —
-#: multimodal_png/jpeg/audio/video/gif codecs' queries where not yet
-#: windowed, duplicate_span_removal, dsir_importance_weights,
-#: bpe_learned_merges, bpe_tokenize_stats, semantic_dedup_cells,
-#: incremental_curation_decisions, warc_roundtrip_extract,
-#: wds_shard_roundtrip, embedding_ann_pq, embedding_ann_ivfadc,
-#: link_graph_pagerank, url_canonical_dedup — ≈35 names, inside one
-#: 50-slot window, completing driver-ever coverage of the registry.
-#: Names listed but not registered are ignored (the guard test
-#: asserts the list stays typo-free).
+#: window; everything else follows in registration order. Rounds 1-3
+#: are on record in CORRECTNESS_r0{1,2,3}.json (all 50/50 green);
+#: after round 3, 148/187 distinct queries had a driver-ever row.
+#: ROUND-4 WINDOW: the 38 never-driver-sampled names (computed
+#: against r1-r3 driver files), the round-4 addition
+#: dedup_index_probe, and 11 re-checks — embedding_ann_ivf
+#: (литerals/centroid machinery touched this round),
+#: dedup_keep_first_ordered (the only historically-red row), the two
+#: BASELINE anchors, the near-dup family (shared shingle machinery
+#: feeds the new index path), curation_pipeline_audit, and the Excel
+#: coercion grid. 39 + 11 = 50 → driver-ever coverage completes at
+#: 187/187 this round. Names listed but not registered are ignored
+#: (the guard test asserts the list stays typo-free).
 _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (
-    # Cheap single-scan queries lead: the suite's FIRST query absorbs
-    # whatever session-residual warmup the bench's explicit JVM/worker
-    # warmup doesn't cover (first-plan codegen, parquet page cache) —
-    # measured ~6 s extra when the heavy LSH pipeline ran first at
-    # sf0.1. Putting scan-only queries first makes that residual land
-    # where it is absolutely small, so every anchor comparison reads
-    # true. Window membership (first 50) is unchanged.
-    "domain_blocklist_filter",
-    "type_token_ratio_by_source",
-    "doc_len_histogram_by_source",
-    # new this round: per-shard packing/budget, stdlib PNG decode
-    # (minhash_lsh_capped is window-listed near the end: by then the
-    # suite has compiled the shared minhash machinery, so its bench
-    # row prices at steady state — warm runs show true parity with
-    # the uncapped pipeline, 3.3 s vs 3.3 s at sf0.1)
-    "sequence_packing_sharded",
-    "token_budget_sharded",
-    "multimodal_png_decode",
-    # oracle changed this round (per-shard packing in the pipeline)
+    # Cheap single-scan aggregates lead: the suite's FIRST query
+    # absorbs session-residual warmup (first-plan codegen, parquet
+    # page cache — measured ~6 s when a heavy pipeline ran first at
+    # sf0.1), so it must land where it is absolutely small.
+    "discount_band_revenue",
+    "returnflag_priority_mix",
+    "fk_integrity_counts",
+    "nation_revenue_share",
+    "cube_returnflag_status",
+    "exists_late_orders",
+    "promo_revenue_ratio",
+    "top_supplier_revenue",
+    "large_volume_customers",
+    "unshipped_order_revenue",
+    "returned_item_customers",
+    "dow_hour_activity_profile",
+    "user_value_outliers",
+    "brand_distinct_buyers",
+    "token_positions_long",
+    "user_value_variance",
+    # anchors re-checked early (cheap, price at near-steady state)
+    "pricing_summary",
+    "revenue_by_customer",
+    "dedup_keep_first_ordered",
+    "excel_cell_coercion_grid",
+    # never-sampled curation/text rows (semantics touched this round:
+    # url canonical boundary fix, html whitespace class)
+    "url_canonical_dedup",
+    "native_session_windows",
+    "duplicate_span_removal",
+    "dsir_importance_weights",
+    "temperature_sampled_mixture",
+    "html_text_extract",
+    "crawl_funnel_extract",
+    "json_corrupt_quarantine",
+    "zorder_morton_codes",
+    # never-sampled ingestion/codec rows
+    "warc_roundtrip_extract",
+    "wds_shard_roundtrip",
+    "multimodal_jpeg_decode",
+    "multimodal_gif_decode",
+    "multimodal_audio_decode",
+    "multimodal_video_y4m",
+    # never-sampled iterative/ANN/BPE rows (+ the ivf re-check: its
+    # centroid machinery changed representation this round)
+    "bpe_learned_merges",
+    "bpe_tokenize_stats",
+    "link_graph_pagerank",
+    "embedding_ann_ivf",
+    "embedding_ann_pq",
+    "embedding_ann_ivfadc",
+    "semantic_dedup_cells",
+    # the round-4 index path: probe first (builds the shared fixture
+    # index), then the full decisions composition re-proves on it
+    "dedup_index_probe",
+    "incremental_curation_decisions",
+    # near-dup family re-checks (shared shingle machinery feeds the
+    # new index probe; warm by the time these run)
+    "minhash_lsh_neardup",
+    "ngram_jaccard_neardup",
+    "simhash_neardup",
+    "embedding_cosine_neardup",
+    "neardup_components",
+    # pipeline audit re-check closes the window
     "curation_pipeline_audit",
-    # never driver-checked analytics: TPC-H shapes
-    "orders_per_customer_distribution",
-    "median_order_value_by_priority",
-    "part_value_share",
-    "part_supplier_counts",
-    "disjunctive_part_revenue",
-    "lonely_late_supplier",
-    "rich_dormant_customers",
-    "nation_pair_trade",
-    "nation_market_share",
-    "product_profit_by_nation",
-    "dominant_part_suppliers",
-    "region_nation_revenue_share",
-    "part_abc_classification",
-    "brand_weighted_avg_price",
-    "order_rank_trio",
-    "monthly_revenue_growth",
-    "yoy_nation_revenue",
-    # never driver-checked: events/behavioral analytics
-    "user_event_type_csv",
-    "locf_fill_event_values",
-    "funnel_view_click_purchase",
-    "retention_cohorts",
-    "linear_interp_event_values",
-    "mode_event_type_per_user",
-    "event_transition_matrix",
-    "grouping_sets_event_stats",
-    "customer_order_gap_stats",
-    "post_purchase_7d_activity",
-    "session_conversion_rate",
-    "wau_sliding_distinct_users",
-    # never driver-checked: CDC/diff, quality, order statistics,
-    # sufficient-statistics math
-    "snapshot_diff_orders",
-    "dq_rule_violations",
-    "orders_equidepth_histogram",
-    "order_lines_bag_ops",
-    "revenue_trend_ols",
-    "qty_price_comoments",
-    "copurchased_part_pairs",
-    "benford_order_totals",
-    "trimmed_mean_order_value",
-    "customer_rfm_segments",
-    "ship_lag_histogram",
-    # never driver-checked: wave-6 curation + dedup diagnostics
-    # (domain_blocklist_filter / type_token_ratio_by_source /
-    # doc_len_histogram_by_source lead the list above)
-    "cross_source_exact_dups",
-    "minhash_band_stats",
-    "minhash_lsh_capped",
 )
 
 

@@ -20,6 +20,8 @@ isolation doesn't matter.
 
 from __future__ import annotations
 
+import contextlib
+import os
 import time
 import uuid
 from collections.abc import Sequence
@@ -28,6 +30,69 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 CURRENT_MARKER = "_CURRENT"
+LOCK_MARKER = "_LOCK"
+
+
+def _warehouse_path(spark: SparkSession) -> Path:
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+            break
+    return Path(wh)
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer holds the table's writer lock. Retry after it
+    commits (snapshot-swap keeps the table readable throughout)."""
+
+
+@contextlib.contextmanager
+def _writer_lock(root: Path, stale_after_s: float = 3600.0):
+    """Exclusive writer mutex via atomic O_CREAT|O_EXCL lock-file
+    creation — the one primitive every filesystem (and object store
+    with if-none-match) gives. The reference gets this for free from
+    Postgres transactions (its merges run inside one SQL statement,
+    and Airflow overlaps runs with max_active_runs=2,
+    dags/bccp_dag.py:30-33); plain-parquet Spark does not, so two
+    concurrent EtlJobs could interleave snapshot-write and
+    pointer-flip. Holding the lock from before the snapshot write
+    until after the flip makes writer commits serial; readers never
+    block (they only follow the pointer). A lock older than
+    ``stale_after_s`` is presumed abandoned (crashed writer) and
+    stolen. Production note: Delta Lake's transaction log is the
+    grown-up version of this file — documented in README."""
+    root.mkdir(parents=True, exist_ok=True)
+    lock = root / LOCK_MARKER
+    me = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    while True:
+        try:
+            fd = os.open(str(lock), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"{me} {time.time()}".encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - lock.stat().st_mtime
+            except FileNotFoundError:
+                continue  # holder just released; race again
+            if age > stale_after_s:
+                # steal-by-rename: exactly one stealer wins the rename
+                try:
+                    lock.rename(root / f".{LOCK_MARKER}.stale.{me}")
+                except FileNotFoundError:
+                    pass
+                continue
+            raise ConcurrentWriteError(
+                f"writer lock held on {root} (age {age:.0f}s)"
+            )
+    try:
+        yield
+    finally:
+        try:
+            lock.unlink()
+        except FileNotFoundError:
+            pass
 
 
 class ParquetTable:
@@ -65,18 +130,23 @@ class ParquetTable:
 
         The pointer flip is a single small-file write — the closest a
         filesystem gives to atomic commit; stale snapshots stay until
-        :meth:`vacuum`, so concurrent readers finish safely.
+        :meth:`vacuum`, so concurrent readers finish safely. The
+        whole produce+flip holds the writer lock (:func:`_writer_lock`)
+        so a second concurrent writer fails fast with
+        :class:`ConcurrentWriteError` instead of silently losing the
+        race — it retries after the winner commits (two-writer
+        semantics pinned in tests/test_engine.py).
         """
-        self.root.mkdir(parents=True, exist_ok=True)
-        snap = f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
-        writer = df.write.mode("errorifexists")
-        if self.partition_cols:
-            writer = writer.partitionBy(*self.partition_cols)
-        writer.parquet(str(self.root / snap))
-        tmp = self.root / f".{CURRENT_MARKER}.{uuid.uuid4().hex[:8]}"
-        tmp.write_text(snap)
-        tmp.replace(self._pointer())
-        return self.root / snap
+        with _writer_lock(self.root):
+            snap = f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
+            writer = df.write.mode("errorifexists")
+            if self.partition_cols:
+                writer = writer.partitionBy(*self.partition_cols)
+            writer.parquet(str(self.root / snap))
+            tmp = self.root / f".{CURRENT_MARKER}.{uuid.uuid4().hex[:8]}"
+            tmp.write_text(snap)
+            tmp.replace(self._pointer())
+            return self.root / snap
 
     def history(self) -> list[Path]:
         """All retained snapshots, newest first (current marked by the
@@ -296,12 +366,7 @@ class BucketedTable:
         deployment holds bucketed state in a real metastore/Delta
         where locations are transactional.)"""
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        for prefix in ("file://", "file:"):
-            if wh.startswith(prefix):
-                wh = wh[len(prefix):]
-                break
-        stale = Path(wh) / table.lower()
+        stale = _warehouse_path(spark) / table.lower()
         if stale.exists():
             import shutil
 
@@ -324,13 +389,17 @@ class BucketedTable:
         :class:`ParquetTable`."""
         spark = df.sparkSession
         side = f"{self.name}__snap"
-        self._drop_with_location(spark, side)
-        (
-            df.repartition(self.num_buckets, *[df[k] for k in self.keys])
-            .write.format("parquet")
-            .bucketBy(self.num_buckets, self.keys[0], *self.keys[1:])
-            .sortBy(self.keys[0], *self.keys[1:])
-            .saveAsTable(side)
-        )
-        self._drop_with_location(spark, self.name)
-        spark.sql(f"ALTER TABLE {side} RENAME TO {self.name}")
+        # same writer mutex as ParquetTable, keyed in the warehouse
+        # dir: serializes cross-session writers racing on the same
+        # side-table location + catalog rename
+        with _writer_lock(_warehouse_path(spark) / f"{self.name.lower()}__lock"):
+            self._drop_with_location(spark, side)
+            (
+                df.repartition(self.num_buckets, *[df[k] for k in self.keys])
+                .write.format("parquet")
+                .bucketBy(self.num_buckets, self.keys[0], *self.keys[1:])
+                .sortBy(self.keys[0], *self.keys[1:])
+                .saveAsTable(side)
+            )
+            self._drop_with_location(spark, self.name)
+            spark.sql(f"ALTER TABLE {side} RENAME TO {self.name}")

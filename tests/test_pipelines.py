@@ -235,3 +235,65 @@ def test_curate_increment_indexed_matches_inline(spark):
         curate_increment(batch)
     with pytest.raises(ValueError):
         curate_increment(batch, existing, index=idx)
+
+
+def test_curate_increment_stream_end_to_end(spark, tmp_path):
+    """Round-4 task 7: the streaming production shape — two
+    micro-batches through foreachBatch(curate_increment_stream).
+    Batch 1 seeds the corpus and the persisted index; batch 2's
+    exact dup and near-dup OF BATCH 1 DOCS are caught via the
+    index (no history re-shingle), its fresh doc admitted, junk
+    gated; the corpus table holds exactly the admitted set."""
+    import datetime as dt
+
+    from ods_v3_dbt_spark.pipelines import curate_increment_stream
+    from ods_v3_dbt_spark.sinks import ParquetTable
+
+    SCHEMA = "doc_id long, text string, ingest_ts timestamp"
+    src = tmp_path / "src"
+    ckpt = tmp_path / "ckpt"
+    corpus = tmp_path / "corpus"
+    decisions = tmp_path / "decisions"
+    T0 = dt.datetime(2024, 9, 1, 12, 0, 0)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    fresh = "totally new words nobody used before in any earlier batch"
+
+    def write(rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    process = curate_increment_stream(
+        corpus, "t_stream_idx", str(decisions), num_buckets=2
+    )
+
+    def drain():
+        q = (
+            spark.readStream.schema(SCHEMA).parquet(str(src))
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    write([(1, base, T0), (2, "!!! ???", T0)])
+    drain()
+    write([(11, base, T0),                      # exact dup of corpus 1
+           (12, base + " suffix", T0),          # near-dup of corpus 1
+           (13, fresh, T0)])
+    drain()
+
+    dec = {
+        (r.batch_id, r.doc_id): r.verdict
+        for r in spark.read.parquet(str(decisions)).collect()
+    }
+    # batch ids are per-query; the second drain restarts numbering at 0
+    by_doc = {doc: v for (_, doc), v in dec.items()}
+    assert by_doc[1] == "admitted"
+    assert 2 not in by_doc                       # junk never reached decisions
+    assert by_doc[11] == "dup_exact_existing"    # via the persisted fp table
+    assert by_doc[12] == "neardup_existing"      # via the persisted shingles
+    assert by_doc[13] == "admitted"
+    got = sorted(r.doc_id for r in ParquetTable(corpus).read(spark).collect())
+    assert got == [1, 13]
