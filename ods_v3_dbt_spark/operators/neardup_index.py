@@ -161,6 +161,170 @@ def _probe_shingles(
     )
 
 
+@dataclass(frozen=True)
+class LshIndex:
+    """Handle to a persisted MinHash-LSH corpus index: the banded
+    signature table plus the shingle/size tables the verify stage
+    rescopes with. Where :class:`DedupIndex` probes by EXACT shared
+    shingles (candidate volume = every co-occurring shingle), this
+    probes by band-key collision first — the sub-linear candidate
+    set that makes web-scale corpora workable — then verifies exact
+    Jaccard on the candidates ONLY."""
+
+    name: str
+    shingle_n: int = 3
+    num_hashes: int = 16
+    bands: int = 4
+    num_buckets: int = 32
+    mode: str = "md5"  # md5 → DuckDB-replayable; xxhash → cheaper
+
+    @property
+    def band_tbl(self) -> BucketedTable:
+        # bucketed on BOTH candidate-join keys: a band_idx carried as
+        # a post-join filter gets folded back into the join keys by
+        # Catalyst, and HashPartitioning(band_key) alone then no
+        # longer satisfies the two-key clustering — measured as a
+        # full corpus-side re-shuffle
+        return BucketedTable(
+            f"{self.name}_bands", ["band_idx", "band_key"], self.num_buckets
+        )
+
+    @property
+    def shingles(self) -> BucketedTable:
+        return BucketedTable(f"{self.name}_shingles", ["sid"], self.num_buckets)
+
+    @property
+    def sizes(self) -> BucketedTable:
+        return BucketedTable(f"{self.name}_sizes", ["doc_id"], self.num_buckets)
+
+    def exists(self, spark: SparkSession) -> bool:
+        return (
+            self.band_tbl.exists(spark)
+            and self.shingles.exists(spark)
+            and self.sizes.exists(spark)
+        )
+
+
+def lsh_index_write(
+    corpus: DataFrame,
+    name: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    num_buckets: int = 32,
+    mode: str = "md5",
+) -> LshIndex:
+    """Build and persist the MinHash-LSH corpus index: one corpus
+    shingle pass feeds the shingle table, the sizes derive from its
+    bucketed read-back, and the banded signatures land bucketed on
+    band_key. The nightly refresh is the same union-rewrite contract
+    as :func:`dedup_index_write` — signatures of ADMITTED docs only,
+    never a corpus re-shingle."""
+    from .dedup import lsh_band_table, minhash_signatures
+
+    idx = LshIndex(name, shingle_n, num_hashes, bands, num_buckets, mode)
+    sh = _shingle_table(corpus, text_col, id_col, shingle_n).persist()
+    idx.shingles.write(sh.select("doc_id", "sid"))
+    spark = corpus.sparkSession
+    idx.sizes.write(
+        idx.shingles.read(spark)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+    sigs = minhash_signatures(sh, num_hashes, mode)
+    idx.band_tbl.write(lsh_band_table(sigs, num_hashes, bands))
+    sh.unpersist()
+    return idx
+
+
+def lsh_index_probe(
+    batch: DataFrame,
+    index: LshIndex,
+    threshold_ppm: int = 500_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Probe a batch against the persisted LSH index: batch docs are
+    shingled + signed (the only corpus-shaped work in the plan),
+    their band keys join the corpus band table bucketed on exactly
+    the two join keys (corpus side exchange-free), and ONLY the
+    surfaced candidate
+    pairs are verified with exact Jaccard against the
+    candidate-restricted shingle tables. Returns (doc_id, corpus_id,
+    jacc_ppm) at or above the threshold — near-dups that collide in
+    no band are missed, which is LSH's recall trade and part of the
+    declared semantics (the oracle replays the same bands).
+    ``max_bucket`` applies the hot-bucket guard to the CORPUS band
+    table (boilerplate buckets are corpus-side phenomena)."""
+    from .dedup import lsh_band_table, minhash_signatures
+
+    spark = batch.sparkSession
+    bsh = (
+        _shingle_table(batch, text_col, id_col, index.shingle_n)
+        .persist()
+    )
+    bsigs = minhash_signatures(bsh, index.num_hashes, index.mode)
+    bbands = lsh_band_table(bsigs, index.num_hashes, index.bands)
+    cbands = index.band_tbl.read(spark).select(
+        F.col("doc_id").alias("corpus_id"), "band_idx", "band_key"
+    )
+    if max_bucket is not None:
+        hot = (
+            cbands.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_bucket)
+            .select("band_idx", "band_key")
+        )
+        cbands = cbands.join(
+            F.broadcast(hot), ["band_idx", "band_key"], "left_anti"
+        )
+    cand = (
+        bbands.join(cbands, ["band_idx", "band_key"])
+        .select("doc_id", "corpus_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    # verify: exact Jaccard over the CANDIDATE-restricted shingles
+    bsh_r = bsh.select("doc_id", "sid").join(
+        F.broadcast(cand.select("doc_id").distinct()), "doc_id", "left_semi"
+    )
+    csh_r = (
+        index.shingles.read(spark)
+        .select(F.col("doc_id").alias("corpus_id"), "sid")
+        .join(
+            F.broadcast(cand.select("corpus_id").distinct()),
+            "corpus_id",
+            "left_semi",
+        )
+    )
+    inter = (
+        bsh_r.join(csh_r, "sid")
+        .groupBy("doc_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(F.broadcast(cand), ["doc_id", "corpus_id"], "left_semi")
+    )
+    bsizes = bsh.select("doc_id", "sid").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("size_batch")
+    )
+    csizes = index.sizes.read(spark).select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("n_shingles").alias("size_corpus"),
+    )
+    out = inter.join(bsizes, "doc_id").join(csizes, "corpus_id")
+    union = F.col("size_batch") + F.col("size_corpus") - F.col("inter")
+    return (
+        out.withColumn(
+            "jacc_ppm",
+            F.round(F.col("inter") * 1000000.0 / union).cast("bigint"),
+        )
+        .filter(F.col("jacc_ppm") >= threshold_ppm)
+        .select("doc_id", "corpus_id", "jacc_ppm")
+    )
+
+
 def neardup_probe(
     batch: DataFrame,
     index: DedupIndex,

@@ -205,9 +205,10 @@ _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (
     "embedding_ann_pq",
     "embedding_ann_ivfadc",
     "semantic_dedup_cells",
-    # the round-4 index path: probe first (builds the shared fixture
+    # the round-4 index path: probes first (each builds its fixture
     # index), then the full decisions composition re-proves on it
     "dedup_index_probe",
+    "lsh_index_probe",
     "incremental_curation_decisions",
     # near-dup family re-checks (shared shingle machinery feeds the
     # new index probe; warm by the time these run)
@@ -216,8 +217,8 @@ _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (
     "simhash_neardup",
     "embedding_cosine_neardup",
     "neardup_components",
-    # pipeline audit re-check closes the window
-    "curation_pipeline_audit",
+    # (curation_pipeline_audit yielded its re-check slot to
+    # lsh_index_probe — it is driver-green in r3 and unchanged)
 )
 
 

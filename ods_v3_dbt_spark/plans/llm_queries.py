@@ -1249,6 +1249,125 @@ def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_probe(batch, idx, threshold_ppm=500_000)
 
 
+def _lsh_probe_sql(num_hashes: int, bands: int, threshold_ppm: int) -> str:
+    """Oracle for the persisted-LSH-index probe: corpus and batch
+    banded independently with the SAME md5 minhash family, candidate
+    pairs on (band_idx, band_key) collision, exact-Jaccard verify
+    restricted to candidates."""
+    rows = num_hashes // bands
+    pipe = " || '|' || "
+
+    def mh_exprs() -> str:
+        return ",\n             ".join(
+            f"MIN(md5('{i}:' || shingle)) AS mh{i}" for i in range(num_hashes)
+        )
+
+    def band_selects(src: str) -> str:
+        return "\n      UNION ALL\n".join(
+            "      SELECT doc_id, {b} AS band_idx, md5({key}) AS band_key"
+            " FROM {src}".format(
+                b=b,
+                key=pipe.join(f"mh{b * rows + r}" for r in range(rows)),
+                src=src,
+            )
+            for b in range(bands)
+        )
+
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 40000, text || ' extra marker token'
+      FROM corpus WHERE doc_id % 5 = 2),
+    cw AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM corpus),
+    csh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+            FROM cw)),
+    bw AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM batch),
+    bsh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+            FROM bw)),
+    cmh AS (
+      SELECT doc_id, {mh_exprs()}
+      FROM csh GROUP BY doc_id),
+    bmh AS (
+      SELECT doc_id, {mh_exprs()}
+      FROM bsh GROUP BY doc_id),
+    cbands AS (
+{band_selects("cmh")}
+    ),
+    bbands AS (
+{band_selects("bmh")}
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id, c.doc_id AS corpus_id
+      FROM bbands b JOIN cbands c
+        ON b.band_idx = c.band_idx AND b.band_key = c.band_key),
+    inter AS (
+      SELECT p.doc_id, p.corpus_id, COUNT(1) AS i
+      FROM cand p
+      JOIN bsh s1 ON s1.doc_id = p.doc_id
+      JOIN csh s2 ON s2.doc_id = p.corpus_id AND s2.shingle = s1.shingle
+      GROUP BY 1, 2),
+    bsz AS (SELECT doc_id, COUNT(1) AS n FROM bsh GROUP BY doc_id),
+    csz AS (SELECT doc_id, COUNT(1) AS n FROM csh GROUP BY doc_id)
+    SELECT i.doc_id, i.corpus_id,
+           CAST(ROUND(i.i * 1000000.0 / (b.n + c.n - i.i)) AS BIGINT)
+             AS jacc_ppm
+    FROM inter i
+    JOIN bsz b ON b.doc_id = i.doc_id
+    JOIN csz c ON c.doc_id = i.corpus_id
+    WHERE CAST(ROUND(i.i * 1000000.0 / (b.n + c.n - i.i)) AS BIGINT)
+          >= {threshold_ppm}
+    """
+
+
+@register("lsh_index_probe", _lsh_probe_sql(16, 4, 500_000))
+def lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted MINHASH-LSH index probe, hash-verified — the
+    sub-linear sibling of ``dedup_index_probe`` (operators/
+    neardup_index.py::lsh_index_write/lsh_index_probe): the corpus's
+    banded md5-minhash signatures live as a bucketed table keyed on
+    band_key, the batch is signed with the same hash family, and
+    candidates surface by band-key collision BEFORE any shingle
+    intersection — the verify stage touches only candidate-
+    restricted shingle sets. The oracle replays signing, banding,
+    collision, and the restricted exact-Jaccard verify, so the
+    write→read round-trip of the band table, the two-key bucketed
+    candidate join, and LSH's recall trade
+    (non-colliding near-dups are ABSENT from both sides) are all
+    value-checked. Reference anchor: the incremental-against-
+    accumulated-state pattern of plugins/operators/bccp_to_ods.py:
+    198-201, applied to the near-dup index."""
+    from ..operators.neardup_index import LshIndex, lsh_index_write, lsh_index_probe as probe
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    batch = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text").unionByName(
+        corpus.filter(F.col("doc_id") % 5 == 2).select(
+            (F.col("doc_id") + 40000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra marker token")).alias("text"),
+        )
+    )
+    import re as _re
+
+    name = "lsh_idx_" + _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+    idx = LshIndex(name, 3, 16, 4, 8, "md5")
+    if not idx.exists(spark):
+        idx = lsh_index_write(corpus, name, num_buckets=8, mode="md5")
+    return probe(batch, idx, threshold_ppm=500_000)
+
+
 #: SemDeDup oracle: the IVF assignment CTE chain over a corpus with
 #: CONSTRUCTED near-dups (every 5th vector cloned at id+10000 with
 #: one dimension bumped +0.5 → quantized L2² ≈ 250 000, far below

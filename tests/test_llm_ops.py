@@ -640,3 +640,32 @@ def test_pq_ivfadc_recall_floors_sf01(spark):
     ivfadc_recall = len(exact & ivfadc) / len(exact)
     assert pq_recall >= 0.4, f"PQ recall {pq_recall:.2f}"
     assert ivfadc_recall >= 0.25, f"IVFADC recall {ivfadc_recall:.2f}"
+
+
+def test_lsh_index_probe_subset_of_exact_probe(spark, corpus):
+    """The LSH index probe's verified pairs are a SUBSET of the
+    exact shingle-index probe's (LSH can only lose candidates, never
+    invent them — both verify with the same exact Jaccard), and the
+    planted whole-text near-dups collide in at least one band, so
+    the probe is not vacuously empty."""
+    from pyspark.sql import functions as F
+
+    from ods_v3_dbt_spark.operators.neardup_index import (
+        dedup_index_write,
+        lsh_index_write,
+        lsh_index_probe,
+        neardup_probe,
+    )
+
+    existing = corpus.filter(F.col("doc_id") < 10000)
+    batch = corpus.filter(F.col("doc_id") >= 10000)
+    exact_idx = dedup_index_write(existing, "t_subset_exact", num_buckets=4)
+    lsh_idx = lsh_index_write(existing, "t_subset_lsh", num_buckets=4, mode="md5")
+    exact = {(r.doc_id, r.corpus_id, r.jacc_ppm)
+             for r in neardup_probe(batch, exact_idx, 500_000).collect()}
+    lsh = {(r.doc_id, r.corpus_id, r.jacc_ppm)
+           for r in lsh_index_probe(batch, lsh_idx, 500_000).collect()}
+    assert lsh <= exact
+    # the +10000 exact clones share ALL shingles → identical minhash
+    # signatures → guaranteed band collision → jacc 1e6 pairs present
+    assert any(j == 1_000_000 for (_, _, j) in lsh)

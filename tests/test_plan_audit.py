@@ -679,3 +679,71 @@ def test_pq_ivfadc_job_budget(spark):
             sc.setJobGroup(None, None)
         jobs = len(sc.statusTracker().getJobIdsForGroup(group))
         assert jobs <= budget, (name, jobs, budget)
+
+
+def test_lsh_index_probe_band_join_bucketed(spark):
+    """The LSH index probe: the corpus band table is bucketed on
+    EXACTLY the candidate-join keys (band_idx, band_key) — a
+    band_idx post-filter would be folded back into the join keys by
+    Catalyst and defeat single-column bucketing (measured) — so the
+    corpus side of the candidate join carries no exchange, and the
+    corpus shingle table in the verify stage stays the precomputed
+    (doc_id, sid) bucketed read — no corpus re-shingle anywhere.
+    The candidate join is audited on its own subplan because the
+    probe localCheckpoints it (the band scan runs inside that
+    stage, not in the returned plan)."""
+    from pyspark.sql import functions as F
+
+    from ods_v3_dbt_spark.operators.dedup import (
+        _shingle_table,
+        lsh_band_table,
+        minhash_signatures,
+    )
+    from ods_v3_dbt_spark.operators.neardup_index import LshIndex
+
+    # the declared query builds its fixture index on first touch
+    full_plan = _plan(spark, "lsh_index_probe")
+    shingle_scan = next(
+        b for b in full_plan.split("\n\n")
+        if "Scan parquet" in b and "_shingles" in b and "ReadSchema" in b
+    )
+    assert "ReadSchema: struct<doc_id:bigint,sid:bigint>" in shingle_scan
+
+    idx = LshIndex("lsh_idx_root_testdata_sf0_01", 3, 16, 4, 8, "md5")
+    assert idx.exists(spark)
+    batch = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    bb = lsh_band_table(
+        minhash_signatures(_shingle_table(batch, "text", "doc_id", 3), 16, "md5"),
+        16, 4,
+    )
+    cb = idx.band_tbl.read(spark).select(
+        F.col("doc_id").alias("corpus_id"), "band_idx", "band_key"
+    )
+    # at fixture scale the batch side BROADCASTS (then Spark rightly
+    # opts out of the bucketed scan — bucketing buys nothing under a
+    # broadcast join); the 100 TB claim is the sort-merge shape, so
+    # audit with broadcast off: corpus side bucketed + exchange-free,
+    # batch side pays the single shuffle into the bucket layout
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bb.join(cb, ["band_idx", "band_key"])
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    band_scan = next(
+        b for b in plan.split("\n\n")
+        if "Scan parquet" in b and "_bands" in b and "ReadSchema" in b
+    )
+    assert "Bucketed: true" in band_scan
+    # exactly one (band_idx, band_key) exchange: the batch side; none
+    # above the corpus band scan (formatted mode spells exchanges as
+    # "(n) Exchange" + "Arguments: hashpartitioning(...)")
+    assert plan.count("hashpartitioning(band_idx") == 1
