@@ -113,6 +113,40 @@ def dedup_index_write(
     return idx
 
 
+def dedup_index_append(
+    index: DedupIndex,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DedupIndex:
+    """Incremental index refresh — the union-rewrite the module
+    docstring promises, IMPLEMENTED: only the ADMITTED new docs are
+    fingerprinted and shingled; the existing corpus state is read
+    back from the bucketed tables as fixed-width rows and unioned
+    through the bucketed rewrite. Per nightly batch the tokenize/
+    explode cost is batch-sized; the corpus contributes one bucketed
+    shuffle of (doc_id, sid) longs — never a re-shingle. Appending
+    docs whose ids already exist is the caller's bug (admitted docs
+    are new by construction); fingerprints stay a distinct set."""
+    spark = new_docs.sparkSession
+    fps_new = new_docs.select(
+        T.fingerprint_md5(F.col(text_col)).alias("fp")
+    )
+    index.fps.write(
+        index.fps.read(spark).unionByName(fps_new).distinct()
+    )
+    sh_new = _shingle_table(new_docs, text_col, id_col, index.shingle_n).select(
+        "doc_id", "sid"
+    ).persist()
+    index.shingles.write(index.shingles.read(spark).unionByName(sh_new))
+    sizes_new = sh_new.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    index.sizes.write(index.sizes.read(spark).unionByName(sizes_new))
+    sh_new.unpersist()
+    return index
+
+
 def exact_probe(batch: DataFrame, index: DedupIndex, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Batch doc_ids whose exact content fingerprint is already in
@@ -237,6 +271,36 @@ def lsh_index_write(
     idx.band_tbl.write(lsh_band_table(sigs, num_hashes, bands))
     sh.unpersist()
     return idx
+
+
+def lsh_index_append(
+    index: LshIndex,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> LshIndex:
+    """Incremental LSH-index refresh: sign and band ONLY the new
+    docs, union corpus state through the bucketed rewrites (same
+    contract as :func:`dedup_index_append`)."""
+    from .dedup import lsh_band_table, minhash_signatures
+
+    spark = new_docs.sparkSession
+    sh_new = _shingle_table(new_docs, text_col, id_col, index.shingle_n).persist()
+    index.shingles.write(
+        index.shingles.read(spark).unionByName(sh_new.select("doc_id", "sid"))
+    )
+    sizes_new = sh_new.select("doc_id", "sid").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    index.sizes.write(index.sizes.read(spark).unionByName(sizes_new))
+    bands_new = lsh_band_table(
+        minhash_signatures(sh_new, index.num_hashes, index.mode),
+        index.num_hashes,
+        index.bands,
+    )
+    index.band_tbl.write(index.band_tbl.read(spark).unionByName(bands_new))
+    sh_new.unpersist()
+    return index
 
 
 def lsh_index_probe(

@@ -256,7 +256,11 @@ def curate_increment_stream(
     alone. Engine-tested end-to-end in tests/test_pipelines.py
     (two micro-batches; the second's exact and near dups of the
     first are caught via the persisted index)."""
-    from .operators.neardup_index import DedupIndex, dedup_index_write
+    from .operators.neardup_index import (
+        DedupIndex,
+        dedup_index_append,
+        dedup_index_write,
+    )
     from .sinks import ParquetTable
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -281,7 +285,7 @@ def curate_increment_stream(
             "append"
         ).parquet(decisions_path)
         admitted = decisions.filter("verdict = 'admitted'").select("doc_id")
-        new_docs = gated.join(admitted, "doc_id")
+        new_docs = gated.join(admitted, "doc_id").localCheckpoint()
         updated = (
             corpus_tbl.read(spark).select("doc_id", "text").unionByName(new_docs)
             if corpus_tbl.exists()
@@ -290,9 +294,12 @@ def curate_increment_stream(
         # snapshot-swap writes a NEW snapshot while readers (and this
         # plan) follow the old pointer — safe read-modify-write
         corpus_tbl.write(updated)
-        dedup_index_write(
-            corpus_tbl.read(spark), index_name, num_buckets=num_buckets
-        )
+        # index refresh is the INCREMENTAL append: only the admitted
+        # docs shingle; corpus state unions through as bucketed longs
+        # (a full dedup_index_write here would re-shingle history
+        # every batch — the exact failure mode the index exists to
+        # retire)
+        dedup_index_append(idx, new_docs)
 
     return process
 

@@ -669,3 +669,50 @@ def test_lsh_index_probe_subset_of_exact_probe(spark, corpus):
     # the +10000 exact clones share ALL shingles → identical minhash
     # signatures → guaranteed band collision → jacc 1e6 pairs present
     assert any(j == 1_000_000 for (_, _, j) in lsh)
+
+
+def test_index_append_equals_rebuild(spark, corpus):
+    """Incremental index refresh: appending a delta to an index built
+    on the base corpus yields EXACTLY the state of a full rebuild
+    over base ∪ delta — for both index flavors, checked table by
+    table (fingerprints as sets; shingles/sizes/bands as row sets) —
+    and a probe against the appended index equals a probe against
+    the rebuilt one."""
+    from pyspark.sql import functions as F
+
+    from ods_v3_dbt_spark.operators.neardup_index import (
+        dedup_index_append,
+        dedup_index_write,
+        lsh_index_append,
+        lsh_index_probe,
+        lsh_index_write,
+        neardup_probe,
+    )
+
+    base = corpus.filter(F.col("doc_id") % 2 == 0)
+    delta = corpus.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 10000))
+    probe_docs = corpus.filter(F.col("doc_id") >= 20000)
+
+    ai = dedup_index_write(base, "t_app_exact", num_buckets=4)
+    dedup_index_append(ai, delta)
+    ri = dedup_index_write(base.unionByName(delta), "t_reb_exact", num_buckets=4)
+    for part in ("fps", "shingles", "sizes"):
+        a = {tuple(r) for r in getattr(ai, part).read(spark).collect()}
+        b = {tuple(r) for r in getattr(ri, part).read(spark).collect()}
+        assert a == b, part
+    pa = {tuple(r) for r in neardup_probe(probe_docs, ai, 500_000).collect()}
+    pr = {tuple(r) for r in neardup_probe(probe_docs, ri, 500_000).collect()}
+    assert pa == pr and pa
+
+    al = lsh_index_write(base, "t_app_lsh", num_buckets=4, mode="md5")
+    lsh_index_append(al, delta)
+    rl = lsh_index_write(
+        base.unionByName(delta), "t_reb_lsh", num_buckets=4, mode="md5"
+    )
+    for part in ("band_tbl", "shingles", "sizes"):
+        a = {tuple(r) for r in getattr(al, part).read(spark).collect()}
+        b = {tuple(r) for r in getattr(rl, part).read(spark).collect()}
+        assert a == b, part
+    la = {tuple(r) for r in lsh_index_probe(probe_docs, al, 500_000).collect()}
+    lr = {tuple(r) for r in lsh_index_probe(probe_docs, rl, 500_000).collect()}
+    assert la == lr and la
