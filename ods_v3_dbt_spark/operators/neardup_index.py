@@ -125,10 +125,19 @@ def dedup_index_append(
     back from the bucketed tables as fixed-width rows and unioned
     through the bucketed rewrite. Per nightly batch the tokenize/
     explode cost is batch-sized; the corpus contributes one bucketed
-    shuffle of (doc_id, sid) longs — never a re-shingle. Appending
-    docs whose ids already exist is the caller's bug (admitted docs
-    are new by construction); fingerprints stay a distinct set."""
+    shuffle of (doc_id, sid) longs — never a re-shingle.
+    IDEMPOTENT: docs whose ids are already indexed are skipped (an
+    anti-join against the sizes table), so a replayed foreachBatch
+    (crash between corpus commit and index refresh, then Structured
+    Streaming re-runs the batch) cannot double-count shingles;
+    fingerprints are a distinct set by construction."""
     spark = new_docs.sparkSession
+    new_docs = new_docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).join(
+        index.sizes.read(spark).select("doc_id"), "doc_id", "left_anti"
+    ).localCheckpoint()
+    text_col, id_col = "text", "doc_id"
     fps_new = new_docs.select(
         T.fingerprint_md5(F.col(text_col)).alias("fp")
     )
@@ -281,10 +290,17 @@ def lsh_index_append(
 ) -> LshIndex:
     """Incremental LSH-index refresh: sign and band ONLY the new
     docs, union corpus state through the bucketed rewrites (same
-    contract as :func:`dedup_index_append`)."""
+    contract — including replay idempotence via the already-indexed
+    anti-join — as :func:`dedup_index_append`)."""
     from .dedup import lsh_band_table, minhash_signatures
 
     spark = new_docs.sparkSession
+    new_docs = new_docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).join(
+        index.sizes.read(spark).select("doc_id"), "doc_id", "left_anti"
+    ).localCheckpoint()
+    text_col, id_col = "text", "doc_id"
     sh_new = _shingle_table(new_docs, text_col, id_col, index.shingle_n).persist()
     index.shingles.write(
         index.shingles.read(spark).unionByName(sh_new.select("doc_id", "sid"))

@@ -245,8 +245,17 @@ def curate_increment_stream(
     are caught through the index, never by re-shingling history.
     Returns the batch function for
     ``stream.writeStream.foreachBatch(...)``; decisions (doc_id,
-    verdict, batch_id) append to ``decisions_path`` as the audit
-    trail (the reference's O11 discipline applied to curation).
+    verdict) land under ``decisions_path`` partitioned by batch_id
+    as the audit trail (the reference's O11 discipline applied to
+    curation).
+
+    REPLAY-SAFE: foreachBatch re-runs an epoch after any mid-process
+    crash, so every effect is idempotent — decisions rewrite their
+    own batch_id partition (dynamic overwrite), corpus admission
+    anti-joins docs already committed, and the index appends skip
+    already-indexed ids (`dedup_index_append`'s contract). Running
+    the same batch twice is byte-equivalent to once (pinned in
+    tests).
 
     Batch-vs-stream split: ``curate_stream`` alone covers the
     stateless gate + watermark exact-dedup for latency-first
@@ -278,19 +287,46 @@ def curate_increment_stream(
                 else spark.createDataFrame([], "doc_id long, text string")
             )
             idx = dedup_index_write(base, index_name, num_buckets=num_buckets)
-        decisions = curate_increment(
-            gated, index=idx, neardup_jaccard_ppm=neardup_jaccard_ppm
-        )
-        decisions.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(decisions_path)
+        # Epoch idempotence: the FIRST attempt's decision record is
+        # authoritative. A retry after a mid-process crash must not
+        # re-decide — the index may already contain this batch's
+        # docs, and re-deciding would flip its own admissions to
+        # dup_exact_existing. If the epoch's partition exists, reuse
+        # it and only re-drive the (idempotent) downstream effects.
+        # (Parquet partition writes aren't transactional — a torn
+        # partition is the residual window; Delta's transactional
+        # log is the production closure, per README.)
+        from pathlib import Path as _Path
+
+        part = _Path(decisions_path) / f"batch_id={batch_id}"
+        if part.exists():
+            decisions = spark.read.parquet(str(part)).select(
+                "doc_id", "verdict"
+            )
+        else:
+            decisions = curate_increment(
+                gated, index=idx, neardup_jaccard_ppm=neardup_jaccard_ppm
+            )
+            # dynamic partition overwrite: rewrite only this epoch's
+            # partition, never the audit trail wholesale
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            decisions.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).partitionBy("batch_id").parquet(decisions_path)
         admitted = decisions.filter("verdict = 'admitted'").select("doc_id")
         new_docs = gated.join(admitted, "doc_id").localCheckpoint()
-        updated = (
-            corpus_tbl.read(spark).select("doc_id", "text").unionByName(new_docs)
-            if corpus_tbl.exists()
-            else new_docs
-        )
+        if corpus_tbl.exists():
+            existing_docs = corpus_tbl.read(spark).select("doc_id", "text")
+            # replay guard: docs already committed by the crashed
+            # attempt must not re-enter the corpus
+            new_docs = new_docs.join(
+                existing_docs.select("doc_id"), "doc_id", "left_anti"
+            )
+            updated = existing_docs.unionByName(new_docs)
+        else:
+            updated = new_docs
         # snapshot-swap writes a NEW snapshot while readers (and this
         # plan) follow the old pointer — safe read-modify-write
         corpus_tbl.write(updated)

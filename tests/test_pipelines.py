@@ -297,3 +297,55 @@ def test_curate_increment_stream_end_to_end(spark, tmp_path):
     assert by_doc[13] == "admitted"
     got = sorted(r.doc_id for r in ParquetTable(corpus).read(spark).collect())
     assert got == [1, 13]
+
+
+def test_curate_increment_stream_replay_idempotent(spark, tmp_path):
+    """foreachBatch replay semantics: running the SAME micro-batch
+    through the process function twice (a crash-retry) leaves
+    decisions, corpus, and index state byte-equivalent to running it
+    once — dynamic-overwrite decisions, corpus anti-join guard, and
+    the index append's already-indexed skip."""
+    from ods_v3_dbt_spark.operators.neardup_index import DedupIndex
+    from ods_v3_dbt_spark.pipelines import curate_increment_stream
+    from ods_v3_dbt_spark.sinks import ParquetTable
+
+    corpus = tmp_path / "corpus"
+    decisions = tmp_path / "decisions"
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    process = curate_increment_stream(
+        corpus, "t_replay_idx", str(decisions), num_buckets=2
+    )
+    batch = spark.createDataFrame(
+        [(1, base), (2, "totally different words in this other document here")],
+        "doc_id long, text string",
+    )
+    process(batch, 0)
+    snap1 = {
+        "decisions": sorted(
+            (r.batch_id, r.doc_id, r.verdict)
+            for r in spark.read.parquet(str(decisions)).collect()
+        ),
+        "corpus": sorted(
+            r.doc_id for r in ParquetTable(corpus).read(spark).collect()
+        ),
+        "sizes": sorted(
+            tuple(r)
+            for r in DedupIndex("t_replay_idx", 3, 2).sizes.read(spark).collect()
+        ),
+    }
+    process(batch, 0)  # the retry
+    snap2 = {
+        "decisions": sorted(
+            (r.batch_id, r.doc_id, r.verdict)
+            for r in spark.read.parquet(str(decisions)).collect()
+        ),
+        "corpus": sorted(
+            r.doc_id for r in ParquetTable(corpus).read(spark).collect()
+        ),
+        "sizes": sorted(
+            tuple(r)
+            for r in DedupIndex("t_replay_idx", 3, 2).sizes.read(spark).collect()
+        ),
+    }
+    assert snap1 == snap2
+    assert len(snap1["corpus"]) == 2
