@@ -233,6 +233,12 @@ class LshIndex:
         )
 
     @property
+    def fps(self) -> BucketedTable:
+        # exact-dup stage-1 probe (curate_increment) — same contract
+        # as DedupIndex.fps
+        return BucketedTable(f"{self.name}_fps", ["fp"], self.num_buckets)
+
+    @property
     def shingles(self) -> BucketedTable:
         return BucketedTable(f"{self.name}_shingles", ["sid"], self.num_buckets)
 
@@ -243,6 +249,7 @@ class LshIndex:
     def exists(self, spark: SparkSession) -> bool:
         return (
             self.band_tbl.exists(spark)
+            and self.fps.exists(spark)
             and self.shingles.exists(spark)
             and self.sizes.exists(spark)
         )
@@ -268,6 +275,9 @@ def lsh_index_write(
     from .dedup import lsh_band_table, minhash_signatures
 
     idx = LshIndex(name, shingle_n, num_hashes, bands, num_buckets, mode)
+    idx.fps.write(
+        corpus.select(T.fingerprint_md5(F.col(text_col)).alias("fp")).distinct()
+    )
     sh = _shingle_table(corpus, text_col, id_col, shingle_n).persist()
     idx.shingles.write(sh.select("doc_id", "sid"))
     spark = corpus.sparkSession
@@ -301,6 +311,13 @@ def lsh_index_append(
         index.sizes.read(spark).select("doc_id"), "doc_id", "left_anti"
     ).localCheckpoint()
     text_col, id_col = "text", "doc_id"
+    index.fps.write(
+        index.fps.read(spark)
+        .unionByName(
+            new_docs.select(T.fingerprint_md5(F.col(text_col)).alias("fp"))
+        )
+        .distinct()
+    )
     sh_new = _shingle_table(new_docs, text_col, id_col, index.shingle_n).persist()
     index.shingles.write(
         index.shingles.read(spark).unionByName(sh_new.select("doc_id", "sid"))

@@ -379,15 +379,20 @@ def curate_increment(
 
     **Corpus-side state — two modes.** Pass ``index`` (a
     :class:`..operators.neardup_index.DedupIndex` built once by
-    ``dedup_index_write``) and stages 1+3 PROBE the persisted
-    bucketed fingerprint/shingle tables: the corpus is never
-    re-scanned, re-tokenized, or re-shingled, existing×existing
-    pairs are never generated, and the plan stays shallow (the
-    round-3 verdict's 5,592-Exchange composition collapses to a
-    linear probe chain). This is the 100 TB nightly shape. Passing
+    ``dedup_index_write``, or an ``LshIndex`` from
+    ``lsh_index_write``) and stages 1+3 PROBE the persisted bucketed
+    corpus tables: the corpus is never re-scanned, re-tokenized, or
+    re-shingled, existing×existing pairs are never generated, and
+    the plan stays shallow (the round-3 verdict's 5,592-Exchange
+    composition collapses to a linear probe chain). With a
+    ``DedupIndex`` stage 3 is the exact shingle probe; with an
+    ``LshIndex`` it is the sub-linear band-collision probe (LSH's
+    recall trade applies — a near-dup colliding in no band is
+    admitted). This is the 100 TB nightly shape. Passing
     ``existing`` instead re-derives corpus state inline — correct
-    and index-free, the right call for one-shot comparisons; both
-    modes decide identical verdicts (pinned in tests).
+    and index-free, the right call for one-shot comparisons; the
+    inline and exact-index modes decide identical verdicts (pinned
+    in tests).
     """
     from pyspark.sql import Window
 
@@ -505,7 +510,11 @@ def _curate_increment_indexed(
         _shingle_table,
         connected_components,
     )
-    from .operators.neardup_index import _probe_shingles
+    from .operators.neardup_index import (
+        LshIndex,
+        _probe_shingles,
+        lsh_index_probe,
+    )
 
     spark = batch.sparkSession
     fp = T.fingerprint_md5(F.col("text"))
@@ -533,12 +542,15 @@ def _curate_increment_indexed(
         .select("doc_id", "sid")
         .localCheckpoint()
     )
-    dne = (
-        _probe_shingles(bsh, index, threshold_ppm)
-        .select("doc_id")
-        .distinct()
-        .localCheckpoint()
-    )
+    if isinstance(index, LshIndex):
+        # sub-linear stage 3: band-collision candidates + restricted
+        # exact verify (lsh_index_probe shingles r2 itself — it needs
+        # shingle TEXT for the minhash family, which bsh's sid
+        # surrogates deliberately drop)
+        probe_hits = lsh_index_probe(r2, index, threshold_ppm)
+    else:
+        probe_hits = _probe_shingles(bsh, index, threshold_ppm)
+    dne = probe_hits.select("doc_id").distinct().localCheckpoint()
     r3 = r2.select("doc_id").join(F.broadcast(dne), "doc_id", "left_anti")
 
     # stage 4: near-dups among stage-1-3 SURVIVORS only — restrict

@@ -349,3 +349,45 @@ def test_curate_increment_stream_replay_idempotent(spark, tmp_path):
     }
     assert snap1 == snap2
     assert len(snap1["corpus"]) == 2
+
+
+def test_curate_increment_lsh_index_mode(spark):
+    """curate_increment with an LshIndex: whole-text near-dups (which
+    share nearly all shingles → identical minhash in some band) get
+    the same verdicts as the exact-index mode on the planted batch,
+    and the precedence contract holds through the sub-linear
+    probe."""
+    from ods_v3_dbt_spark.operators.neardup_index import lsh_index_write
+    from ods_v3_dbt_spark.pipelines import curate_increment
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    existing = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "totally fresh words nobody else ever used here today"),
+            (11, base),
+            (12, base + " suffix"),
+            (13, "unique doc repeated inside the batch exactly twice"),
+            (14, "unique doc repeated inside the batch exactly twice"),
+            (15, "brand new sentence with many matching tokens inside"),
+            (16, "brand new sentence with many matching tokens inside extra"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = lsh_index_write(existing, "t_incr_lsh_idx", num_buckets=4, mode="md5")
+    got = {
+        r.doc_id: r.verdict
+        for r in curate_increment(batch, index=idx).collect()
+    }
+    assert got == {
+        10: "admitted",
+        11: "dup_exact_existing",
+        12: "neardup_existing",
+        13: "admitted",
+        14: "dup_exact_batch",
+        15: "admitted",
+        16: "neardup_batch",
+    }
