@@ -364,21 +364,36 @@ def semantic_dedup_l2q(
     # 4.1). Two independent relations sidestep the dedup entirely;
     # the second checkpoint just copies the first's rows.
     asg = asg.localCheckpoint()
-    a = asg.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), "cell")
-    b = asg.select(
-        F.col("vid").alias("id_b"), F.col("v").alias("vb"), "cell"
-    ).localCheckpoint()
-    d2 = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    edges = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", d2.alias("d2"))
-        .filter(F.col("d2") <= radius2)
-        .select("id_a", "id_b")
+
+    # Within-cell pair generation as ONE Arrow kernel per cell — the
+    # numpy-gram discipline of embedding_cosine_pairs: ‖a−b‖² =
+    # ‖a‖²+‖b‖²−2a·b from an int64 gram matrix (exact — milli-units
+    # ≤ ~3e3, 64 dims ⇒ |a·b| ≤ ~6e8, far inside int64), upper
+    # triangle masked by radius². The round-3 JVM spelling was a
+    # cell-keyed self-join evaluating a 64-term interpreted lambda
+    # per pair (~46M interpreted ops at sf0.1 — the query's dominant
+    # cost, measured 3.6 s → ~0.5 s here). Per-cell memory is
+    # O(|cell|²) in the kernel — num_cells is the knob, exactly
+    # SemDeDup's stated trade.
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        ids = pdf["vid"].to_numpy()
+        m = np.vstack(pdf["v"].to_numpy()).astype("int64")
+        g = m @ m.T
+        sq = np.diag(g)
+        d2 = sq[:, None] + sq[None, :] - 2 * g
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = d2[iu, ju] <= radius2
+        ia, ib = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame(
+            {"id_a": np.minimum(ia, ib), "id_b": np.maximum(ia, ib)}
+        )
+
+    edges = asg.groupBy("cell").applyInPandas(
+        cell_pairs, schema="id_a long, id_b long"
     )
     comp = DD.connected_components(edges, "id_a", "id_b")
     return (

@@ -26,6 +26,7 @@ PYTHON_KERNEL_QUERIES = {
     "wds_shard_roundtrip",  # build_tar_shard + parse_tar_samples Arrow kernels
     "html_text_extract",  # page-build + html.parser extraction Arrow kernels
     "crawl_funnel_extract",  # page→WARC build + parse/split/extract kernels
+    "semantic_dedup_cells",  # within-cell pair gen = int64 numpy-gram kernel
 }
 
 # Nested-loop joins are allowed ONLY as scalar/tiny-broadcast
