@@ -34,10 +34,15 @@ fingerprinting work at probe time. The three persisted tables:
 
 Bucketed via :class:`..sinks.BucketedTable` (catalog-registered so
 Spark's bucketing metadata exists; snapshot-rename-swap on refresh).
-`append` support is deliberately absent: the index refreshes by
-rebuild-or-union-rewrite after each admitted batch lands — at 100 TB
-that rewrite is one bucketed shuffle of (doc_id, sid) longs, far
-below one corpus re-shingle, and the swap keeps readers consistent.
+Refresh is :func:`dedup_index_append` — the union-rewrite: only the
+admitted batch is fingerprinted/shingled, corpus state unions
+through as one bucketed shuffle of (doc_id, sid) longs, far below a
+corpus re-shingle, and the swap keeps readers consistent; replays
+are idempotent (already-indexed ids are skipped). ``exists()`` is
+attach-aware: a fresh driver session re-registers the surviving
+warehouse data (``BucketedTable.attach``) instead of rebuilding —
+persisted state must outlive the in-memory catalog to be worth
+anything nightly.
 """
 
 from __future__ import annotations
@@ -74,10 +79,14 @@ class DedupIndex:
         return BucketedTable(f"{self.name}_sizes", ["doc_id"], self.num_buckets)
 
     def exists(self, spark: SparkSession) -> bool:
+        """True if all parts are catalog-registered — re-attaching
+        surviving warehouse data first (BucketedTable.attach), so a
+        fresh driver session reuses the persisted index instead of
+        rebuilding it."""
         return (
-            self.fps.exists(spark)
-            and self.shingles.exists(spark)
-            and self.sizes.exists(spark)
+            self.fps.attach(spark)
+            and self.shingles.attach(spark)
+            and self.sizes.attach(spark)
         )
 
 
@@ -247,11 +256,12 @@ class LshIndex:
         return BucketedTable(f"{self.name}_sizes", ["doc_id"], self.num_buckets)
 
     def exists(self, spark: SparkSession) -> bool:
+        """Attach-aware like DedupIndex.exists."""
         return (
-            self.band_tbl.exists(spark)
-            and self.fps.exists(spark)
-            and self.shingles.exists(spark)
-            and self.sizes.exists(spark)
+            self.band_tbl.attach(spark)
+            and self.fps.attach(spark)
+            and self.shingles.attach(spark)
+            and self.sizes.attach(spark)
         )
 
 

@@ -1156,12 +1156,18 @@ def incremental_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFram
 #: in one session cannot cross-read.
 _IDX_CACHE: dict = {}
 
+#: fixture-index semantic version (see _fixture_index)
+_IDXV = "v1"
+
 
 def _fixture_index(spark: SparkSession, sf_dir: str):
     from ..operators.neardup_index import dedup_index_write
     import re as _re
 
-    name = "corpus_idx_" + _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+    # _IDXV: bump when shingle/fingerprint semantics change — exists()
+    # is attach-aware across sessions, so a stale same-name index from
+    # an older code version would otherwise be silently reused
+    name = f"corpus_idx_{_IDXV}_" + _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
     key = (id(spark.sparkContext), name)
     idx = _IDX_CACHE.get(key)
     if idx is not None and idx.exists(spark):
@@ -1361,7 +1367,7 @@ def lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     import re as _re
 
-    name = "lsh_idx_" + _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+    name = f"lsh_idx_{_IDXV}_" + _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
     idx = LshIndex(name, 3, 16, 4, 8, "md5")
     if not idx.exists(spark):
         idx = lsh_index_write(corpus, name, num_buckets=8, mode="md5")

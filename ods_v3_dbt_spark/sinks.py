@@ -350,6 +350,42 @@ class BucketedTable:
     def exists(self, spark: SparkSession) -> bool:
         return spark.catalog.tableExists(self.name)
 
+    def attach(self, spark: SparkSession) -> bool:
+        """Ensure this table is catalog-registered, re-attaching a
+        surviving data directory if the catalog forgot it.
+
+        The default session catalog is in-memory: it dies with the
+        session while the warehouse directory (and the bucket-id
+        file naming Spark reads bucketing from) survives. Without
+        re-attachment every nightly driver restart would believe
+        persisted state (e.g. the incremental dedup indexes) is gone
+        and rebuild from scratch — the exact cost the state exists
+        to avoid. Re-registration is one CREATE TABLE with the
+        declared bucket spec over the existing LOCATION (schema read
+        from the parquet footers); the entry is external, which
+        composes with :meth:`write`'s swap (DROP leaves data, the
+        stale-location cleanup removes it). A Hive metastore or
+        Delta removes the need — this is the in-memory-catalog
+        bridge. Returns True if the table is registered (already or
+        now), False if no surviving data exists."""
+        if self.exists(spark):
+            return True
+        path = _warehouse_path(spark) / self.name.lower()
+        if not path.is_dir() or not any(path.glob("*.parquet")):
+            return False
+        schema = spark.read.parquet(str(path)).schema
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        keys = ", ".join(self.keys)
+        spark.sql(
+            f"CREATE TABLE {self.name} ({cols}) USING parquet "
+            f"CLUSTERED BY ({keys}) SORTED BY ({keys}) "
+            f"INTO {self.num_buckets} BUCKETS "
+            f"LOCATION '{path.resolve()}'"
+        )
+        return True
+
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.table(self.name)
 
