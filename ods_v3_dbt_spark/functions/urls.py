@@ -49,10 +49,15 @@ def canonicalize_url(url: Column) -> Column:
     )
     # Carve the query off FIRST: the host/path boundary is the first
     # of '/' or '?', so 'host?q' (empty path, valid per RFC 3986)
-    # must not fold its query into the authority.
+    # must not fold its query into the authority. The query is
+    # EVERYTHING after the first '?' — substring, not split_part,
+    # because URL-shaped param values ('?next=/a?b=1') legitimately
+    # carry further '?' characters and split_part would truncate at
+    # the second one.
     preq = F.split_part(nofrag, F.lit("?"), F.lit(1))
     query = F.when(
-        nofrag.contains("?"), F.split_part(nofrag, F.lit("?"), F.lit(2))
+        nofrag.contains("?"),
+        F.substring(nofrag, F.length(preq) + 2, F.lit(2147483647)),
     ).otherwise(F.lit(""))
     hostport = F.lower(F.split_part(preq, F.lit("/"), F.lit(1)))
     path = F.substring(preq, F.length(hostport) + 1, F.lit(2147483647))
@@ -110,7 +115,8 @@ def canonical_url_cte(source_cte: str) -> str:
       FROM {source_cte}),
     u2 AS (
       SELECT *, split_part(nf, '?', 1) AS pre,
-             CASE WHEN contains(nf, '?') THEN split_part(nf, '?', 2)
+             CASE WHEN contains(nf, '?')
+                  THEN substr(nf, length(split_part(nf, '?', 1)) + 2)
                   ELSE '' END AS q
       FROM u1),
     u3 AS (

@@ -37,8 +37,13 @@ Spark's bucketing metadata exists; snapshot-rename-swap on refresh).
 Refresh is :func:`dedup_index_append` — the union-rewrite: only the
 admitted batch is fingerprinted/shingled, corpus state unions
 through as one bucketed shuffle of (doc_id, sid) longs, far below a
-corpus re-shingle, and the swap keeps readers consistent; replays
-are idempotent (already-indexed ids are skipped). ``exists()`` is
+corpus re-shingle. WRITER commits are serialized (sinks lock), and
+replays are idempotent (already-indexed ids are skipped; per-table
+unions are convergent). Concurrent READERS should not overlap a
+refresh: the catalog rename-swap has a brief drop-then-rename
+window (unlike ParquetTable's pointer flip) — the nightly loop is
+single-writer-then-read by construction, and Delta is the
+transactional production swap-in (README). ``exists()`` is
 attach-aware: a fresh driver session re-registers the surviving
 warehouse data (``BucketedTable.attach``) instead of rebuilding —
 persisted state must outlive the in-memory catalog to be worth
@@ -135,11 +140,25 @@ def dedup_index_append(
     through the bucketed rewrite. Per nightly batch the tokenize/
     explode cost is batch-sized; the corpus contributes one bucketed
     shuffle of (doc_id, sid) longs — never a re-shingle.
-    IDEMPOTENT: docs whose ids are already indexed are skipped (an
-    anti-join against the sizes table), so a replayed foreachBatch
-    (crash between corpus commit and index refresh, then Structured
-    Streaming re-runs the batch) cannot double-count shingles;
-    fingerprints are a distinct set by construction."""
+
+    IDEMPOTENT at TWO levels, because a replayed foreachBatch can
+    re-enter after ANY partial prefix of the table writes (the
+    round-4 reviewer's finding — an ordering-based guard alone is
+    wrong in both directions: guard-first drops state forever,
+    guard-last double-counts):
+
+    1. docs already fully indexed are skipped up front (anti-join
+       against the sizes table — the cheap common path);
+    2. every per-table union is CONVERGENT regardless of crash
+       point — fps and shingles/bands are distinct sets, sizes
+       dedups on doc_id (re-derived values are identical) — so
+       replaying after a partial append repairs the missing tables
+       and re-unioning an already-written one is a no-op.
+
+    The guard table (sizes) is always written LAST: a doc may only
+    count as "already indexed" once every other table has its rows
+    — guard-first would make a replay skip a doc whose other tables
+    are still missing."""
     spark = new_docs.sparkSession
     new_docs = new_docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
@@ -155,13 +174,18 @@ def dedup_index_append(
     )
     sh_new = _shingle_table(new_docs, text_col, id_col, index.shingle_n).select(
         "doc_id", "sid"
-    ).persist()
-    index.shingles.write(index.shingles.read(spark).unionByName(sh_new))
+    ).localCheckpoint()
+    index.shingles.write(
+        index.shingles.read(spark).unionByName(sh_new).distinct()
+    )
     sizes_new = sh_new.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles")
     )
-    index.sizes.write(index.sizes.read(spark).unionByName(sizes_new))
-    sh_new.unpersist()
+    index.sizes.write(
+        index.sizes.read(spark)
+        .unionByName(sizes_new)
+        .dropDuplicates(["doc_id"])
+    )
     return index
 
 
@@ -309,9 +333,12 @@ def lsh_index_append(
     id_col: str = "doc_id",
 ) -> LshIndex:
     """Incremental LSH-index refresh: sign and band ONLY the new
-    docs, union corpus state through the bucketed rewrites (same
-    contract — including replay idempotence via the already-indexed
-    anti-join — as :func:`dedup_index_append`)."""
+    docs, union corpus state through the bucketed rewrites — the
+    same TWO-LEVEL idempotence contract as
+    :func:`dedup_index_append` (anti-join fast path + convergent
+    per-table unions: distinct sets for fps/shingles/bands, doc_id
+    dedup for sizes), so a replay after any partial-append crash
+    repairs the missing tables without double-counting."""
     from .dedup import lsh_band_table, minhash_signatures
 
     spark = new_docs.sparkSession
@@ -328,21 +355,34 @@ def lsh_index_append(
         )
         .distinct()
     )
-    sh_new = _shingle_table(new_docs, text_col, id_col, index.shingle_n).persist()
+    sh_new = _shingle_table(
+        new_docs, text_col, id_col, index.shingle_n
+    ).localCheckpoint()
     index.shingles.write(
-        index.shingles.read(spark).unionByName(sh_new.select("doc_id", "sid"))
+        index.shingles.read(spark)
+        .unionByName(sh_new.select("doc_id", "sid"))
+        .distinct()
     )
-    sizes_new = sh_new.select("doc_id", "sid").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles")
-    )
-    index.sizes.write(index.sizes.read(spark).unionByName(sizes_new))
     bands_new = lsh_band_table(
         minhash_signatures(sh_new, index.num_hashes, index.mode),
         index.num_hashes,
         index.bands,
     )
-    index.band_tbl.write(index.band_tbl.read(spark).unionByName(bands_new))
-    sh_new.unpersist()
+    index.band_tbl.write(
+        index.band_tbl.read(spark).unionByName(bands_new).distinct()
+    )
+    # sizes LAST: it is the anti-join guard, so a doc must only
+    # become "already indexed" after every other table has its rows —
+    # guard-first would make a replay skip the doc with its
+    # bands/shingles still missing, forever
+    sizes_new = sh_new.select("doc_id", "sid").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    index.sizes.write(
+        index.sizes.read(spark)
+        .unionByName(sizes_new)
+        .dropDuplicates(["doc_id"])
+    )
     return index
 
 
@@ -371,7 +411,7 @@ def lsh_index_probe(
     spark = batch.sparkSession
     bsh = (
         _shingle_table(batch, text_col, id_col, index.shingle_n)
-        .persist()
+        .localCheckpoint()
     )
     bsigs = minhash_signatures(bsh, index.num_hashes, index.mode)
     bbands = lsh_band_table(bsigs, index.num_hashes, index.bands)
@@ -445,9 +485,12 @@ def neardup_probe(
     shingled here (the only Generate in the plan — persisted, since
     the intersection join and the size aggregate both read it); the
     corpus side is purely the bucketed index scans."""
+    # localCheckpoint, not persist: call-local cache whose consumer
+    # is a lazy result owned by the caller — persisted plans would
+    # pile up in the CacheManager across a nightly session
     bsh = (
         _shingle_table(batch, text_col, id_col, index.shingle_n)
         .select("doc_id", "sid")
-        .persist()
+        .localCheckpoint()
     )
     return _probe_shingles(bsh, index, threshold_ppm)

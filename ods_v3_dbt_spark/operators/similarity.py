@@ -693,8 +693,13 @@ def pq_train_encode(
             for m in range(num_subs)
         ]
 
-    # (vid, *carry, sub, sv) — ONE shuffle-free explode; persisted:
-    # the Lloyd pass and the encode pass both read it.
+    # (vid, *carry, sub, sv) — ONE shuffle-free explode, shared by
+    # the Lloyd pass and the encode pass. localCheckpoint rather than
+    # persist: the cache is call-local, and persisted plans live in
+    # the CacheManager until an explicit unpersist nobody here can
+    # issue (the encode consumer is lazy, owned by the caller) —
+    # checkpoint blocks are GC-managed instead (the graph.py leak
+    # lesson applied).
     ssub = (
         c.select(
             "vid",
@@ -708,7 +713,7 @@ def pq_train_encode(
             ).alias("s"),
         )
         .select("vid", *carry, "s.sub", "s.sv")
-        .persist()
+        .localCheckpoint()
     )
 
     def argmin_code(books: list) -> F.Column:

@@ -280,13 +280,25 @@ def curate_increment_stream(
         ).select("doc_id", "text")
         corpus_tbl = ParquetTable(corpus_path)
         idx = DedupIndex(index_name, 3, num_buckets)
-        if not idx.exists(spark):
-            base = (
-                corpus_tbl.read(spark).select("doc_id", "text")
-                if corpus_tbl.exists()
-                else spark.createDataFrame([], "doc_id long, text string")
+        # Consistency rule: the CORPUS is the source of truth and the
+        # index is derived state. No corpus ⇒ any attachable index
+        # under this name is ORPHANED (a previous deployment's
+        # leftovers — exists() is attach-aware across sessions) and
+        # must be rebuilt empty, or every genuinely-new doc would be
+        # flagged a dup of ghosts. Corpus without index ⇒ rebuild
+        # from corpus.
+        if not corpus_tbl.exists():
+            idx = dedup_index_write(
+                spark.createDataFrame([], "doc_id long, text string"),
+                index_name,
+                num_buckets=num_buckets,
             )
-            idx = dedup_index_write(base, index_name, num_buckets=num_buckets)
+        elif not idx.exists(spark):
+            idx = dedup_index_write(
+                corpus_tbl.read(spark).select("doc_id", "text"),
+                index_name,
+                num_buckets=num_buckets,
+            )
         # Epoch idempotence: the FIRST attempt's decision record is
         # authoritative. A retry after a mid-process crash must not
         # re-decide — the index may already contain this batch's
@@ -308,25 +320,25 @@ def curate_increment_stream(
                 gated, index=idx, neardup_jaccard_ppm=neardup_jaccard_ppm
             )
             # dynamic partition overwrite: rewrite only this epoch's
-            # partition, never the audit trail wholesale
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            )
-            decisions.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                "overwrite"
-            ).partitionBy("batch_id").parquet(decisions_path)
+            # partition, never the audit trail wholesale (option set
+            # per-write so the SESSION's overwrite semantics are
+            # untouched — a global conf.set would silently convert
+            # every later static-intent overwrite in this session)
+            decisions.withColumn("batch_id", F.lit(batch_id)).write.option(
+                "partitionOverwriteMode", "dynamic"
+            ).mode("overwrite").partitionBy("batch_id").parquet(decisions_path)
         admitted = decisions.filter("verdict = 'admitted'").select("doc_id")
-        new_docs = gated.join(admitted, "doc_id").localCheckpoint()
+        admitted_docs = gated.join(admitted, "doc_id").localCheckpoint()
         if corpus_tbl.exists():
             existing_docs = corpus_tbl.read(spark).select("doc_id", "text")
             # replay guard: docs already committed by the crashed
             # attempt must not re-enter the corpus
-            new_docs = new_docs.join(
+            corpus_new = admitted_docs.join(
                 existing_docs.select("doc_id"), "doc_id", "left_anti"
             )
-            updated = existing_docs.unionByName(new_docs)
+            updated = existing_docs.unionByName(corpus_new)
         else:
-            updated = new_docs
+            updated = admitted_docs
         # snapshot-swap writes a NEW snapshot while readers (and this
         # plan) follow the old pointer — safe read-modify-write
         corpus_tbl.write(updated)
@@ -334,8 +346,12 @@ def curate_increment_stream(
         # docs shingle; corpus state unions through as bucketed longs
         # (a full dedup_index_write here would re-shingle history
         # every batch — the exact failure mode the index exists to
-        # retire)
-        dedup_index_append(idx, new_docs)
+        # retire). Passed UNFILTERED: the append's own guard handles
+        # replays — filtering by corpus membership here would starve
+        # the index after a crash between the corpus commit and this
+        # call (corpus already has the docs, the index does not, and
+        # the membership filter would drop them forever).
+        dedup_index_append(idx, admitted_docs)
 
     return process
 

@@ -145,7 +145,7 @@ def register(name: str, oracle: str | None):
 #: ROUND-4 WINDOW: the 38 never-driver-sampled names (computed
 #: against r1-r3 driver files), the round-4 addition
 #: dedup_index_probe, and 11 re-checks — embedding_ann_ivf
-#: (литerals/centroid machinery touched this round),
+#: (literals/centroid machinery touched this round),
 #: dedup_keep_first_ordered (the only historically-red row), the two
 #: BASELINE anchors, the near-dup family (shared shingle machinery
 #: feeds the new index path), curation_pipeline_audit, and the Excel

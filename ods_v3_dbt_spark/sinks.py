@@ -77,11 +77,34 @@ def _writer_lock(root: Path, stale_after_s: float = 3600.0):
             except FileNotFoundError:
                 continue  # holder just released; race again
             if age > stale_after_s:
-                # steal-by-rename: exactly one stealer wins the rename
+                # Steal-by-rename with CONTENT VERIFICATION: between
+                # our stat and our rename another stealer may have
+                # removed the stale lock and a fresh writer may have
+                # re-locked — renaming unconditionally would evict a
+                # LIVE writer (the classic lockfile TOCTOU). Capture
+                # the stale content first; after the rename, check we
+                # renamed the file we statted. On mismatch restore
+                # via os.link (fails rather than clobbers if a newer
+                # lock appeared) and re-evaluate.
                 try:
-                    lock.rename(root / f".{LOCK_MARKER}.stale.{me}")
+                    expected = lock.read_text()
                 except FileNotFoundError:
-                    pass
+                    continue
+                stale_name = root / f".{LOCK_MARKER}.stale.{me}"
+                try:
+                    lock.rename(stale_name)
+                except FileNotFoundError:
+                    continue
+                if stale_name.read_text() != expected:
+                    # we evicted a FRESH lock — put it back without
+                    # clobbering anything newer
+                    try:
+                        os.link(stale_name, lock)
+                    except FileExistsError:
+                        pass
+                    stale_name.unlink()
+                    continue
+                stale_name.unlink()  # verified stale; no residue
                 continue
             raise ConcurrentWriteError(
                 f"writer lock held on {root} (age {age:.0f}s)"
@@ -373,6 +396,23 @@ class BucketedTable:
         path = _warehouse_path(spark) / self.name.lower()
         if not path.is_dir() or not any(path.glob("*.parquet")):
             return False
+        # Registering the DECLARED spec over files laid out under a
+        # DIFFERENT spec would make Spark trust wrong bucketing
+        # metadata — scans prune/elide exchanges by it, so a
+        # num_buckets or key drift silently loses join matches. The
+        # write path drops a _BUCKET_SPEC sidecar; refuse on
+        # mismatch (rebuild is the correct response).
+        spec = path / "_BUCKET_SPEC"
+        if spec.exists():
+            import json
+
+            want = {"keys": list(self.keys), "num_buckets": self.num_buckets}
+            got = json.loads(spec.read_text())
+            if got != want:
+                raise ValueError(
+                    f"bucket-spec mismatch attaching {self.name}: "
+                    f"on disk {got}, declared {want}"
+                )
         schema = spark.read.parquet(str(path)).schema
         cols = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
@@ -439,3 +479,14 @@ class BucketedTable:
             )
             self._drop_with_location(spark, self.name)
             spark.sql(f"ALTER TABLE {side} RENAME TO {self.name}")
+            # bucket-spec sidecar for attach() validation (underscore
+            # prefix → invisible to Spark's file listing, like _SUCCESS)
+            data_dir = _warehouse_path(spark) / self.name.lower()
+            if data_dir.is_dir():
+                import json
+
+                (data_dir / "_BUCKET_SPEC").write_text(
+                    json.dumps(
+                        {"keys": list(self.keys), "num_buckets": self.num_buckets}
+                    )
+                )

@@ -716,3 +716,56 @@ def test_index_append_equals_rebuild(spark, corpus):
     la = {tuple(r) for r in lsh_index_probe(probe_docs, al, 500_000).collect()}
     lr = {tuple(r) for r in lsh_index_probe(probe_docs, rl, 500_000).collect()}
     assert la == lr and la
+
+
+def test_index_append_partial_crash_replay_converges(spark):
+    """The reviewer's crash windows, pinned: replaying an append
+    after a PARTIAL table-write prefix (crash after shingles landed
+    but before sizes — the double-count window; crash after sizes
+    would be the starvation window, prevented by writing the guard
+    table last) converges to exactly the full-append state: no
+    duplicate (doc_id, sid) rows, correct sizes, correct probe
+    Jaccard."""
+    from pyspark.sql import functions as F
+
+    from ods_v3_dbt_spark.operators.dedup import _shingle_table
+    from ods_v3_dbt_spark.operators.neardup_index import (
+        dedup_index_append,
+        dedup_index_write,
+        neardup_probe,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(2, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    idx = dedup_index_write(base, "t_crash_idx", num_buckets=2)
+
+    # simulate the crash: delta's SHINGLES land (as an interrupted
+    # append would leave them) but sizes never does
+    sh_delta = _shingle_table(delta, "text", "doc_id", 3).select("doc_id", "sid")
+    idx.shingles.write(
+        idx.shingles.read(spark).unionByName(sh_delta).distinct()
+    )
+    # the replayed append: anti-join does NOT skip doc 2 (not in
+    # sizes), and the convergent unions must not double its shingles
+    dedup_index_append(idx, delta)
+
+    sh = idx.shingles.read(spark)
+    assert sh.count() == sh.distinct().count()          # no dup rows
+    sizes = {r.doc_id: r.n_shingles for r in idx.sizes.read(spark).collect()}
+    n2 = sh.filter(F.col("doc_id") == 2).count()
+    assert sizes[2] == n2 and n2 > 0
+    # probe of an exact clone of doc 2 reports jacc exactly 1e6 —
+    # doubled shingle rows would have inflated the intersection
+    clone = spark.createDataFrame(
+        [(99, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    hits = {(r.corpus_id, r.jacc_ppm)
+            for r in neardup_probe(clone, idx, 500_000).collect()}
+    assert hits == {(2, 1_000_000)}

@@ -36,6 +36,10 @@ CASES = [
     ("https://WWW.Example.com:443?gclid=g", "https://example.com/"),
     # '/' inside the query is harmless once the query is carved first
     ("http://example.com/p?next=/a/b&z=1", "http://example.com/p?next=/a/b&z=1"),
+    # '?' inside a query VALUE survives (query = everything after the
+    # FIRST '?', not split_part truncation at the second)
+    ("http://example.com/p?next=/a?b=1", "http://example.com/p?next=/a?b=1"),
+    ("http://example.com?r=/x?y=2&a=1", "http://example.com/?a=1&r=/x?y=2"),
     # everything stacked
     (
         "HTTPS://WWW.Example.COM:443/a/b/?b=2&utm_x=1&a=1#sec",
@@ -109,7 +113,12 @@ def _grid_urls() -> list[str]:
         for host in ("Example.com", "www.example.com", "WWW.EX.ORG"):
             for port in ("", ":80", ":443", ":8080"):
                 for path in ("", "/", "/a/B/"):
-                    for query in ("", "?z=2&a=1", "?utm_x=1&gclid=g&id=7"):
+                    for query in (
+                        "",
+                        "?z=2&a=1",
+                        "?utm_x=1&gclid=g&id=7",
+                        "?next=/a?b=1&z=9",   # '?' and '/' in a value
+                    ):
                         for frag in ("", "#Sec"):
                             urls.append(
                                 f"{scheme}://{host}{port}{path}{query}{frag}"
@@ -137,7 +146,7 @@ def test_grid_expected_values(spark):
 
 def test_cross_engine_grid_spark_vs_duckdb(spark):
     """Exhaustive component grid (scheme × host × port × path ×
-    query × fragment — 648 URLs): the Spark column expression and
+    query × fragment — 864 URLs): the Spark column expression and
     the DuckDB CTE twin must canonicalize every combination
     identically. This is the same equivalence the oracle gate rests
     on, pinned at full combinatorial width rather than the fixture's
@@ -147,7 +156,7 @@ def test_cross_engine_grid_spark_vs_duckdb(spark):
     from ods_v3_dbt_spark.functions.urls import canonical_url_cte
 
     urls = _grid_urls()
-    assert len(urls) == 648
+    assert len(urls) == 864
 
     df = spark.createDataFrame(
         [(i, u) for i, u in enumerate(urls)], "doc_id long, u string"
