@@ -13,11 +13,13 @@ Extraction contract (deterministic, engine-replayable):
   ``br``; a block's text is whitespace-normalized (runs collapsed to
   one space, ends stripped); EMPTY blocks are dropped; body text =
   non-empty blocks joined with ``\\n``;
-- the whitespace class is the ASCII one — ``[ \\t\\n\\r\\f\\v]`` —
-  exactly RE2/DuckDB's ``\\s``, NOT Python's Unicode ``str.split()``
-  class: NBSP (U+00A0), NEL (U+0085) etc. are ordinary characters,
-  so the DuckDB oracle's ``regexp_replace(..., '\\s+', ' ', 'g')``
-  replays the normalization byte-for-byte;
+- the whitespace class is ``[ \\t\\n\\r\\f]`` — exactly RE2/DuckDB's
+  ``\\s`` (verified: RE2 ``\\s`` = ``[\\t\\n\\f\\r ]`` and does NOT
+  include vertical tab U+000B, unlike Python's ASCII ``\\s`` and
+  Java's), NOT Python's Unicode ``str.split()`` class: VT, NBSP
+  (U+00A0), NEL (U+0085) etc. are ordinary characters, so the
+  DuckDB oracle's ``regexp_replace(..., '\\s+', ' ', 'g')`` replays
+  the normalization byte-for-byte;
 - ``n_links`` counts ``<a>`` opens; ``link_chars`` counts the
   normalized text characters contributed INSIDE anchors (link
   density = link_chars / text length);
@@ -42,15 +44,16 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
-#: ASCII whitespace run — the shared Spark/DuckDB '\s' class. Python
-#: str.split() would ALSO split on Unicode whitespace (NBSP, NEL),
-#: which RE2-based engines do not; one class, declared once.
-_WS = re.compile(r"[ \t\n\r\f\v]+")
+#: The shared extraction/DuckDB whitespace run — RE2's '\s' class
+#: [\t\n\f\r ], which excludes vertical tab (U+000B). Python
+#: str.split() would also split on \v and Unicode whitespace (NBSP,
+#: NEL), which RE2-based engines do not; one class, declared once.
+_WS = re.compile(r"[ \t\n\r\f]+")
 
 
 def _ws_norm(s: str) -> str:
-    """Collapse ASCII-whitespace runs to one space, strip ends."""
-    return _WS.sub(" ", s).strip(" \t\n\r\f\v")
+    """Collapse RE2-whitespace runs to one space, strip ends."""
+    return _WS.sub(" ", s).strip(" \t\n\r\f")
 
 
 _SKIP = {"script", "style", "noscript", "template"}

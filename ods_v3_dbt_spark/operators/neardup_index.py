@@ -58,8 +58,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..sinks import BucketedTable
+from ..sinks import BucketedTable, _warehouse_path
 from .dedup import _shingle_table
+
+
+def _spec_path(spark: SparkSession, name: str):
+    return _warehouse_path(spark) / f"{name.lower()}__index_spec.json"
+
+
+def _write_spec(spark: SparkSession, name: str, spec: dict) -> None:
+    import json
+
+    p = _spec_path(spark, name)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(json.dumps(spec, sort_keys=True))
+
+
+def _check_spec(spark: SparkSession, name: str, spec: dict) -> None:
+    """Refuse to serve an index whose persisted SEMANTIC parameters
+    (shingle_n, hash family, …) differ from the handle's — the
+    bucket-spec sidecar protects the physical layout, but probing a
+    3-gram corpus with 5-gram batch sids (or md5 bands with xxhash
+    keys) returns silently-empty matches, not an error. Legacy
+    indexes without a spec file are accepted as-is."""
+    import json
+
+    p = _spec_path(spark, name)
+    if p.exists():
+        got = json.loads(p.read_text())
+        if got != spec:
+            raise ValueError(
+                f"index-spec mismatch for {name}: on disk {got}, "
+                f"handle declares {spec} — rebuild the index"
+            )
 
 
 @dataclass(frozen=True)
@@ -83,16 +114,27 @@ class DedupIndex:
     def sizes(self) -> BucketedTable:
         return BucketedTable(f"{self.name}_sizes", ["doc_id"], self.num_buckets)
 
+    def spec(self) -> dict:
+        return {
+            "kind": "exact",
+            "shingle_n": self.shingle_n,
+            "num_buckets": self.num_buckets,
+        }
+
     def exists(self, spark: SparkSession) -> bool:
         """True if all parts are catalog-registered — re-attaching
         surviving warehouse data first (BucketedTable.attach), so a
         fresh driver session reuses the persisted index instead of
-        rebuilding it."""
-        return (
+        rebuilding it. Raises on a semantic-parameter mismatch with
+        the persisted index spec (see _check_spec)."""
+        ok = (
             self.fps.attach(spark)
             and self.shingles.attach(spark)
             and self.sizes.attach(spark)
         )
+        if ok:
+            _check_spec(spark, self.name, self.spec())
+        return ok
 
 
 def dedup_index_write(
@@ -124,6 +166,7 @@ def dedup_index_write(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shingles"))
     )
+    _write_spec(spark, name, idx.spec())
     return idx
 
 
@@ -165,6 +208,12 @@ def dedup_index_append(
     ).join(
         index.sizes.read(spark).select("doc_id"), "doc_id", "left_anti"
     ).localCheckpoint()
+    if not new_docs.take(1):
+        # nothing genuinely new (full-replay after a completed
+        # append, or an all-dup batch): skip the corpus-sized
+        # union-rewrites entirely — the checkpoint already
+        # materialized, so the probe costs one row fetch
+        return index
     text_col, id_col = "text", "doc_id"
     fps_new = new_docs.select(
         T.fingerprint_md5(F.col(text_col)).alias("fp")
@@ -279,14 +328,27 @@ class LshIndex:
     def sizes(self) -> BucketedTable:
         return BucketedTable(f"{self.name}_sizes", ["doc_id"], self.num_buckets)
 
+    def spec(self) -> dict:
+        return {
+            "kind": "lsh",
+            "shingle_n": self.shingle_n,
+            "num_hashes": self.num_hashes,
+            "bands": self.bands,
+            "num_buckets": self.num_buckets,
+            "mode": self.mode,
+        }
+
     def exists(self, spark: SparkSession) -> bool:
-        """Attach-aware like DedupIndex.exists."""
-        return (
+        """Attach-aware like DedupIndex.exists (and spec-checked)."""
+        ok = (
             self.band_tbl.attach(spark)
             and self.fps.attach(spark)
             and self.shingles.attach(spark)
             and self.sizes.attach(spark)
         )
+        if ok:
+            _check_spec(spark, self.name, self.spec())
+        return ok
 
 
 def lsh_index_write(
@@ -323,6 +385,7 @@ def lsh_index_write(
     sigs = minhash_signatures(sh, num_hashes, mode)
     idx.band_tbl.write(lsh_band_table(sigs, num_hashes, bands))
     sh.unpersist()
+    _write_spec(spark, name, idx.spec())
     return idx
 
 
@@ -347,6 +410,8 @@ def lsh_index_append(
     ).join(
         index.sizes.read(spark).select("doc_id"), "doc_id", "left_anti"
     ).localCheckpoint()
+    if not new_docs.take(1):
+        return index  # see dedup_index_append: no-op fast path
     text_col, id_col = "text", "doc_id"
     index.fps.write(
         index.fps.read(spark)

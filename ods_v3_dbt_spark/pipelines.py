@@ -251,11 +251,17 @@ def curate_increment_stream(
 
     REPLAY-SAFE: foreachBatch re-runs an epoch after any mid-process
     crash, so every effect is idempotent — decisions rewrite their
-    own batch_id partition (dynamic overwrite), corpus admission
-    anti-joins docs already committed, and the index appends skip
+    own batch_id partition (dynamic overwrite; the stored record is
+    validated against the current batch's doc set, so a restarted
+    stream with a fresh checkpoint cannot reuse a prior
+    incarnation's same-numbered epoch), corpus admission anti-joins
+    docs already committed, and the index appends skip
     already-indexed ids (`dedup_index_append`'s contract). Running
     the same batch twice is byte-equivalent to once (pinned in
-    tests).
+    tests). LOCAL-FS assumption: the epoch short-circuit and the
+    snapshot/lock machinery are pathlib-based — on an object store
+    (s3://…) run this over a Delta/HDFS-backed path or swap the
+    existence probes for the matching FileSystem API.
 
     Batch-vs-stream split: ``curate_stream`` alone covers the
     stateless gate + watermark exact-dedup for latency-first
@@ -311,10 +317,28 @@ def curate_increment_stream(
         from pathlib import Path as _Path
 
         part = _Path(decisions_path) / f"batch_id={batch_id}"
+        stored = None
         if part.exists():
-            decisions = spark.read.parquet(str(part)).select(
+            stored = spark.read.parquet(str(part)).select(
                 "doc_id", "verdict"
             )
+            # VALIDATE the stored record belongs to THIS batch: epoch
+            # numbering restarts with a fresh checkpointLocation, so
+            # a same-numbered partition from a prior stream
+            # incarnation must not be treated as authoritative for a
+            # different doc set (it would silently drop/mis-verdict
+            # the current docs). Both sides are batch-sized — the
+            # symmetric-difference probe is two tiny anti-joins.
+            gids = gated.select("doc_id")
+            sids = stored.select("doc_id")
+            mismatch = (
+                sids.join(gids, "doc_id", "left_anti").take(1)
+                or gids.join(sids, "doc_id", "left_anti").take(1)
+            )
+            if mismatch:
+                stored = None
+        if stored is not None:
+            decisions = stored
         else:
             decisions = curate_increment(
                 gated, index=idx, neardup_jaccard_ppm=neardup_jaccard_ppm

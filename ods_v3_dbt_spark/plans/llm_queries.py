@@ -1160,14 +1160,26 @@ _IDX_CACHE: dict = {}
 _IDXV = "v1"
 
 
+def _fixture_slug(sf_dir: str) -> str:
+    import re as _re
+
+    return _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+
+
+def _lsh_fixture_name(sf_dir: str) -> str:
+    """The LSH fixture index's table-name prefix — exposed so tests
+    audit the SAME name the query builds instead of hardcoding the
+    _IDXV + slug derivation."""
+    return f"lsh_idx_{_IDXV}_{_fixture_slug(sf_dir)}"
+
+
 def _fixture_index(spark: SparkSession, sf_dir: str):
     from ..operators.neardup_index import dedup_index_write
-    import re as _re
 
     # _IDXV: bump when shingle/fingerprint semantics change — exists()
     # is attach-aware across sessions, so a stale same-name index from
     # an older code version would otherwise be silently reused
-    name = f"corpus_idx_{_IDXV}_" + _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+    name = f"corpus_idx_{_IDXV}_{_fixture_slug(sf_dir)}"
     key = (id(spark.sparkContext), name)
     idx = _IDX_CACHE.get(key)
     if idx is not None and idx.exists(spark):
@@ -1365,9 +1377,7 @@ def lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" extra marker token")).alias("text"),
         )
     )
-    import re as _re
-
-    name = f"lsh_idx_{_IDXV}_" + _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+    name = _lsh_fixture_name(sf_dir)
     idx = LshIndex(name, 3, 16, 4, 8, "md5")
     if not idx.exists(spark):
         idx = lsh_index_write(corpus, name, num_buckets=8, mode="md5")

@@ -60,8 +60,18 @@ def _writer_lock(root: Path, stale_after_s: float = 3600.0):
     until after the flip makes writer commits serial; readers never
     block (they only follow the pointer). A lock older than
     ``stale_after_s`` is presumed abandoned (crashed writer) and
-    stolen. Production note: Delta Lake's transaction log is the
-    grown-up version of this file — documented in README."""
+    stolen.
+
+    LIMITS (inherent to lock files without server-side CAS): a
+    writer whose hold exceeds ``stale_after_s`` can be evicted by a
+    stealer while still alive — size the TTL well above the longest
+    commit, or add an mtime-heartbeat thread for marathon writes;
+    the steal path's verify-and-restore narrows but cannot fully
+    close the multi-stealer race (three interleaved writers inside
+    one stat-to-link window). Release is ownership-checked so an
+    evicted writer never unlinks its evictor's lock. Production
+    note: Delta Lake's transaction log is the grown-up version of
+    this file — documented in README."""
     root.mkdir(parents=True, exist_ok=True)
     lock = root / LOCK_MARKER
     me = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
@@ -112,8 +122,13 @@ def _writer_lock(root: Path, stale_after_s: float = 3600.0):
     try:
         yield
     finally:
+        # OWNERSHIP-CHECKED release: if our hold outlived
+        # stale_after_s and a stealer evicted us, the current lock
+        # file belongs to someone else — unlinking it blindly would
+        # let a third writer in while the stealer is mid-commit.
         try:
-            lock.unlink()
+            if lock.read_text().startswith(me):
+                lock.unlink()
         except FileNotFoundError:
             pass
 

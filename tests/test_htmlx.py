@@ -93,6 +93,10 @@ def test_whitespace_class_is_ascii_only():
     # link_chars uses the same class
     g = extract_text("<a>n m</a>")
     assert g["link_chars"] == len("n m")
+    # vertical tab (U+000B) is NOT in RE2's \s — it must survive as
+    # an ordinary character even though Python's own \s matches it
+    v = extract_text("<p>m\x0bn</p>")
+    assert v["text"] == "m\x0bn"
 
 
 def test_html_extract_spark_kernel(spark):

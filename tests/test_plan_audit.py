@@ -709,7 +709,9 @@ def test_lsh_index_probe_band_join_bucketed(spark):
     )
     assert "ReadSchema: struct<doc_id:bigint,sid:bigint>" in shingle_scan
 
-    idx = LshIndex("lsh_idx_v1_root_testdata_sf0_01", 3, 16, 4, 8, "md5")
+    from ods_v3_dbt_spark.plans.llm_queries import _lsh_fixture_name
+
+    idx = LshIndex(_lsh_fixture_name(SF), 3, 16, 4, 8, "md5")
     assert idx.exists(spark)
     batch = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon zeta")],
