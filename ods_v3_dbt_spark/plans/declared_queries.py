@@ -177,7 +177,8 @@ _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (
     "pricing_summary",
     "revenue_by_customer",
     "dedup_keep_first_ordered",
-    "excel_cell_coercion_grid",
+    # (excel_cell_coercion_grid yielded its re-check slot to
+    # dedup_index_append_probe — r2-green and untouched since)
     # never-sampled curation/text rows (semantics touched this round:
     # url canonical boundary fix, html whitespace class)
     "url_canonical_dedup",
@@ -208,6 +209,7 @@ _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (
     # the round-4 index path: probes first (each builds its fixture
     # index), then the full decisions composition re-proves on it
     "dedup_index_probe",
+    "dedup_index_append_probe",
     "lsh_index_probe",
     "incremental_curation_decisions",
     # near-dup family re-checks (shared shingle machinery feeds the

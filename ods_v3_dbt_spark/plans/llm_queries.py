@@ -1267,6 +1267,104 @@ def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_probe(batch, idx, threshold_ppm=500_000)
 
 
+@register(
+    "dedup_index_append_probe",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 3 = 1 OR doc_id % 3 = 2),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 40000, text || ' extra marker token'
+      FROM documents WHERE doc_id % 3 = 1 AND doc_id % 5 = 2
+      UNION ALL
+      SELECT doc_id + 50000, text || ' extra marker token'
+      FROM documents WHERE doc_id % 3 = 2 AND doc_id % 5 = 3),
+    cw AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM corpus),
+    csh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+            FROM cw)),
+    bw AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM batch),
+    bsh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+            FROM bw)),
+    inter AS (
+      SELECT b.doc_id, c.doc_id AS corpus_id, COUNT(1) AS i
+      FROM bsh b JOIN csh c ON b.shingle = c.shingle
+      GROUP BY 1, 2),
+    bsz AS (SELECT doc_id, COUNT(1) AS n FROM bsh GROUP BY doc_id),
+    csz AS (SELECT doc_id, COUNT(1) AS n FROM csh GROUP BY doc_id)
+    SELECT i.doc_id, i.corpus_id,
+           CAST(ROUND(i.i * 1000000.0 / (b.n + c.n - i.i)) AS BIGINT)
+             AS jacc_ppm
+    FROM inter i
+    JOIN bsz b ON b.doc_id = i.doc_id
+    JOIN csz c ON c.doc_id = i.corpus_id
+    WHERE CAST(ROUND(i.i * 1000000.0 / (b.n + c.n - i.i)) AS BIGINT) >= 500000
+    """,
+)
+def dedup_index_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL append path, hash-verified through the oracle
+    gate — the production nightly shape end to end: the index is
+    built from the FIRST corpus slice (doc_id % 3 = 1), the second
+    slice (% 3 = 2) lands later via ``dedup_index_append`` (batch-
+    side-only shingling, convergent bucketed union-rewrites), and
+    the batch — new docs plus planted near-dups of BOTH slices —
+    probes the accreted state. The oracle recomputes pairs from the
+    union corpus directly, so what is value-checked is that appended
+    state is INDISTINGUISHABLE from built-at-once state: near-dups
+    of the appended slice must surface with the exact same ppm as
+    near-dups of the base slice, through the write→append→read
+    round-trip. (The equality is also pinned table-by-table in
+    tests/test_llm_ops.py; this row proves it through the driver's
+    own gate.) Reference anchor: every reference table is built by
+    exactly this accretion — cursor slices merged into state built
+    by all previous runs (plugins/operators/bccp_to_ods.py:198-201).
+    """
+    from ..operators.neardup_index import (
+        DedupIndex,
+        dedup_index_append,
+        dedup_index_write,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 3 == 1).select("doc_id", "text")
+    delta = d.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text")
+    suffix = F.concat(F.col("text"), F.lit(" extra marker token"))
+    batch = (
+        d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+        .unionByName(
+            base.filter(F.col("doc_id") % 5 == 2).select(
+                (F.col("doc_id") + 40000).alias("doc_id"), suffix.alias("text")
+            )
+        )
+        .unionByName(
+            delta.filter(F.col("doc_id") % 5 == 3).select(
+                (F.col("doc_id") + 50000).alias("doc_id"), suffix.alias("text")
+            )
+        )
+    )
+    name = f"appended_idx_{_IDXV}_{_fixture_slug(sf_dir)}"
+    key = (id(spark.sparkContext), name)
+    idx = _IDX_CACHE.get(key)
+    if idx is None or not idx.exists(spark):
+        idx = dedup_index_write(base, name, num_buckets=8)
+        dedup_index_append(idx, delta)
+        _IDX_CACHE[key] = idx
+    from ..operators.neardup_index import neardup_probe
+
+    return neardup_probe(batch, idx, threshold_ppm=500_000)
+
+
 def _lsh_probe_sql(num_hashes: int, bands: int, threshold_ppm: int) -> str:
     """Oracle for the persisted-LSH-index probe: corpus and batch
     banded independently with the SAME md5 minhash family, candidate
