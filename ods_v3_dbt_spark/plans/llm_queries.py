@@ -1985,6 +1985,69 @@ def test_set_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_novelty_scores",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+            FROM words)),
+    first_seen AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+    SELECT s.doc_id,
+           CAST(COUNT(1) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(1) AS BIGINT) AS novelty_ppm
+    FROM sh s JOIN first_seen f USING (shingle)
+    GROUP BY s.doc_id
+    """,
+)
+def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NOVELTY under the corpus's canonical (doc_id)
+    order — the diversity/contribution signal data-curation loops
+    rank on (a doc whose shingles all appeared in earlier docs adds
+    nothing; dedup catches exact/near copies, novelty measures the
+    long tail of recombination): for each doc, the fraction of its
+    distinct 3-gram shingles whose FIRST corpus occurrence (min
+    doc_id) is this doc, in exact integer ppm.
+
+    Scale shape: first-occurrence attribution is ONE vocabulary-
+    bound min-aggregate over the shingle table, joined back on the
+    8-byte sid surrogate — the join reuses the shingle partitioning
+    (no second corpus-sized exchange) and the per-doc rollup
+    shuffles doc-keyed partials. No windows, no self-join of docs.
+    The oracle replays shingling, min attribution, and the floor-div
+    ppm on shingle strings directly — a sid collision or a
+    tie-break drift would shift a checked value."""
+    d = load(spark, sf_dir, "documents")
+    sh = DD._shingle_table(d, "text", "doc_id", 3)
+    first = sh.groupBy("sid").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(first, "sid")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_novel").cast("bigint").alias("n_novel"),
+        F.expr("n_novel * 1000000 div n_shingles").cast("bigint").alias(
+            "novelty_ppm"
+        ),
+    )
+
+
+@register(
     "doc_repetition_scores",
     """
     WITH t AS (
