@@ -252,16 +252,39 @@ def exact_probe(batch: DataFrame, index: DedupIndex, text_col: str = "text",
 
 
 def _probe_shingles(
-    bsh: DataFrame, index: DedupIndex, threshold_ppm: int
+    bsh: DataFrame, index: DedupIndex, threshold_ppm: int,
+    max_corpus_df: int | None = None,
 ) -> DataFrame:
     """Near-dup probe from a prepared batch shingle table (doc_id,
     sid): join corpus shingles on sid (corpus bucketed → no corpus
     exchange), count per-pair intersections, attach both sizes,
-    threshold. Returns (doc_id, corpus_id, jacc_ppm)."""
+    threshold. Returns (doc_id, corpus_id, jacc_ppm).
+
+    ``max_corpus_df`` is the exact path's HOT-SHINGLE guard — the
+    sibling of the LSH candidate join's ``max_bucket``: a
+    boilerplate 3-gram present in df corpus docs contributes df
+    candidate rows per batch occurrence (an OUTPUT-cardinality
+    blow-up AQE cannot fix), while discriminating almost nothing.
+    With the cap set, shingles whose CORPUS document frequency
+    exceeds it are dropped from the intersection on both sides —
+    denominators keep full sizes, so capped Jaccard is a
+    CONSERVATIVE lower bound (a pair surviving only on boilerplate
+    is not emitted; a genuine near-dup pair loses at most its hot
+    shingles' intersection mass). Size via ``shingle_df_histogram``.
+    Default None = exact (the oracle-checked semantic)."""
     spark = bsh.sparkSession
     csh = index.shingles.read(spark).select(
         F.col("doc_id").alias("corpus_id"), "sid"
     )
+    if max_corpus_df is not None:
+        hot = (
+            csh.groupBy("sid")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_corpus_df)
+            .select("sid")
+        )
+        csh = csh.join(F.broadcast(hot), "sid", "left_anti")
+        bsh = bsh.join(F.broadcast(hot), "sid", "left_anti")
     inter = (
         bsh.join(csh, "sid")
         .groupBy("doc_id", "corpus_id")
@@ -543,6 +566,7 @@ def neardup_probe(
     threshold_ppm: int = 500_000,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_corpus_df: int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup probe of a batch against the persisted
     corpus index: (batch doc_id, corpus_id, jacc_ppm) for every
@@ -558,4 +582,4 @@ def neardup_probe(
         .select("doc_id", "sid")
         .localCheckpoint()
     )
-    return _probe_shingles(bsh, index, threshold_ppm)
+    return _probe_shingles(bsh, index, threshold_ppm, max_corpus_df)

@@ -1985,6 +1985,44 @@ def test_set_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "shingle_df_histogram",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+            FROM words)),
+    dfs AS (SELECT shingle, COUNT(1) AS df FROM sh GROUP BY shingle)
+    SELECT df,
+           CAST(COUNT(1) AS BIGINT) AS n_shingles,
+           CAST(SUM(df) AS BIGINT) AS join_rows
+    FROM dfs GROUP BY df
+    """,
+)
+def shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency histogram — the skew PRE-FLIGHT
+    for the exact near-dup paths (the sibling of
+    ``minhash_band_stats`` for the band join): for each df value,
+    how many distinct shingles have it and how many intersection-
+    join rows they contribute (Σdf — a df-1000 boilerplate shingle
+    feeds 1000 corpus rows to EVERY batch occurrence, the
+    output-cardinality blow-up the ``max_corpus_df`` cap on
+    ``neardup_probe`` exists to cut). Two map-side-combined
+    aggregations over one shingle pass; the heavy tail of this
+    histogram is what you set the cap just below."""
+    d = load(spark, sf_dir, "documents")
+    sh = DD._shingle_table(d, "text", "doc_id", 3)
+    dfs = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
+    return dfs.groupBy("df").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("df").alias("join_rows"),
+    )
+
+
+@register(
     "doc_novelty_scores",
     """
     WITH words AS (

@@ -769,3 +769,50 @@ def test_index_append_partial_crash_replay_converges(spark):
     hits = {(r.corpus_id, r.jacc_ppm)
             for r in neardup_probe(clone, idx, 500_000).collect()}
     assert hits == {(2, 1_000_000)}
+
+
+def test_neardup_probe_hot_shingle_cap(spark):
+    """max_corpus_df (the exact path's hot-shingle guard): a batch
+    doc related to a corpus doc ONLY through a boilerplate shingle
+    shared corpus-wide is not emitted under the cap, while a genuine
+    near-dup pair still surfaces (its jacc may only DECREASE —
+    conservative lower bound, denominators keep full sizes)."""
+    from ods_v3_dbt_spark.operators.neardup_index import (
+        dedup_index_write,
+        neardup_probe,
+    )
+
+    boiler = "click here to subscribe"  # 3 shingles, in EVERY corpus doc
+    corpus = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta epsilon zeta {boiler}"),
+            (2, f"one two three four five six {boiler}"),
+            (3, f"red orange yellow green blue indigo {boiler}"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = dedup_index_write(corpus, "t_hotcap_idx", num_buckets=2)
+    batch = spark.createDataFrame(
+        [
+            # genuine near-dup of 1 (shares its content shingles)
+            (10, f"alpha beta gamma delta epsilon zeta {boiler} tail"),
+            # unrelated content, only the boilerplate in common
+            (11, f"totally different words here entirely {boiler}"),
+        ],
+        "doc_id long, text string",
+    )
+    uncapped = {(r.doc_id, r.corpus_id)
+                for r in neardup_probe(batch, idx, 100_000).collect()}
+    capped_rows = neardup_probe(batch, idx, 100_000, max_corpus_df=2).collect()
+    capped = {(r.doc_id, r.corpus_id) for r in capped_rows}
+    # uncapped: doc 11 pairs with every corpus doc through boilerplate
+    assert (11, 2) in uncapped and (11, 3) in uncapped
+    # capped: boilerplate shingles (df=3 > 2) stop creating pairs
+    assert all(d != 11 for d, _ in capped)
+    # the genuine near-dup survives the cap
+    assert (10, 1) in capped
+    # and capped jacc never exceeds the uncapped value for that pair
+    unc_j = {(r.doc_id, r.corpus_id): r.jacc_ppm
+             for r in neardup_probe(batch, idx, 100_000).collect()}
+    cap_j = {(r.doc_id, r.corpus_id): r.jacc_ppm for r in capped_rows}
+    assert cap_j[(10, 1)] <= unc_j[(10, 1)]
