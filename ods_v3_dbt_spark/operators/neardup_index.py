@@ -273,6 +273,15 @@ def _probe_shingles(
     shingles' intersection mass). Size via ``shingle_df_histogram``.
     Default None = exact (the oracle-checked semantic)."""
     spark = bsh.sparkSession
+    # sizes join PER SIDE (batch ids and corpus ids are different id
+    # spaces — a numeric collision must not cross-wire denominators).
+    # Computed from the PRE-filter batch shingles: the hot-shingle
+    # guard below may drop rows from bsh, but the lower-bound
+    # guarantee requires both denominators to keep their FULL sizes —
+    # a shrunken size_batch would inflate capped Jaccard above the
+    # true value for docs carrying hot shingles absent from a given
+    # corpus doc, flipping the bound's direction.
+    bsizes = bsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("size_batch"))
     csh = index.shingles.read(spark).select(
         F.col("doc_id").alias("corpus_id"), "sid"
     )
@@ -290,9 +299,6 @@ def _probe_shingles(
         .groupBy("doc_id", "corpus_id")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    # sizes join PER SIDE (batch ids and corpus ids are different id
-    # spaces — a numeric collision must not cross-wire denominators)
-    bsizes = bsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("size_batch"))
     csizes = index.sizes.read(spark).select(
         F.col("doc_id").alias("corpus_id"),
         F.col("n_shingles").alias("size_corpus"),

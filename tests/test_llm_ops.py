@@ -782,12 +782,19 @@ def test_neardup_probe_hot_shingle_cap(spark):
         neardup_probe,
     )
 
-    boiler = "click here to subscribe"  # 3 shingles, in EVERY corpus doc
+    boiler = "click here to subscribe"  # 3 shingles, in docs 1-3
     corpus = spark.createDataFrame(
         [
             (1, f"alpha beta gamma delta epsilon zeta {boiler}"),
             (2, f"one two three four five six {boiler}"),
             (3, f"red orange yellow green blue indigo {boiler}"),
+            # corpus doc WITHOUT the boilerplate — the pair that
+            # exposes a shrunken batch denominator (advisor round-4):
+            # a batch near-dup of THIS doc carries hot shingles the
+            # doc lacks, so inter is unchanged by the cap while a
+            # buggy post-filter size_batch would inflate jacc above
+            # its true (uncapped) value
+            (4, "sun moon star comet nebula quasar"),
         ],
         "doc_id long, text string",
     )
@@ -798,6 +805,8 @@ def test_neardup_probe_hot_shingle_cap(spark):
             (10, f"alpha beta gamma delta epsilon zeta {boiler} tail"),
             # unrelated content, only the boilerplate in common
             (11, f"totally different words here entirely {boiler}"),
+            # near-dup of 4, plus boilerplate the corpus doc lacks
+            (12, f"sun moon star comet nebula quasar {boiler}"),
         ],
         "doc_id long, text string",
     )
@@ -809,10 +818,17 @@ def test_neardup_probe_hot_shingle_cap(spark):
     assert (11, 2) in uncapped and (11, 3) in uncapped
     # capped: boilerplate shingles (df=3 > 2) stop creating pairs
     assert all(d != 11 for d, _ in capped)
-    # the genuine near-dup survives the cap
-    assert (10, 1) in capped
-    # and capped jacc never exceeds the uncapped value for that pair
+    # the genuine near-dups survive the cap
+    assert (10, 1) in capped and (12, 4) in capped
+    # capped jacc never exceeds the uncapped value for ANY emitted
+    # pair — the lower-bound guarantee. (12, 4) is the load-bearing
+    # case: its inter has no hot shingles, so any inflation can only
+    # come from a wrongly-shrunken size_batch.
     unc_j = {(r.doc_id, r.corpus_id): r.jacc_ppm
              for r in neardup_probe(batch, idx, 100_000).collect()}
     cap_j = {(r.doc_id, r.corpus_id): r.jacc_ppm for r in capped_rows}
-    assert cap_j[(10, 1)] <= unc_j[(10, 1)]
+    for pair, j in cap_j.items():
+        assert j <= unc_j[pair], pair
+    # doc 12 carries zero hot shingles in its intersection with 4:
+    # capped jacc must EQUAL the exact value, not merely bound it
+    assert cap_j[(12, 4)] == unc_j[(12, 4)]
