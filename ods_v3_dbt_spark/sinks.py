@@ -47,8 +47,42 @@ class ConcurrentWriteError(RuntimeError):
     commits (snapshot-swap keeps the table readable throughout)."""
 
 
+class _LockHandle:
+    """What ``_writer_lock`` yields: the holder's identity plus a
+    FENCING check. ``check()`` re-reads the lock file and raises
+    :class:`ConcurrentWriteError` unless this holder still owns it —
+    write paths call it immediately before their commit/flip step, so
+    a writer that was (wrongly or rightly) evicted mid-produce aborts
+    instead of flipping the pointer over the evictor's commit. This is
+    the fencing-token pattern: ownership is re-verified at the moment
+    that matters, not only at acquisition."""
+
+    def __init__(self, lock: Path, me: str) -> None:
+        self.lock = lock
+        self.me = me
+        self._fenced = False
+
+    def owned(self) -> bool:
+        if self._fenced:
+            return False
+        try:
+            return self.lock.read_text().startswith(self.me)
+        except FileNotFoundError:
+            return False
+
+    def check(self) -> None:
+        if not self.owned():
+            self._fenced = True
+            raise ConcurrentWriteError(
+                f"fenced: writer lock {self.lock} no longer held by "
+                f"{self.me} — another writer evicted this one; "
+                "aborting before the pointer flip"
+            )
+
+
 @contextlib.contextmanager
-def _writer_lock(root: Path, stale_after_s: float = 3600.0):
+def _writer_lock(root: Path, stale_after_s: float = 3600.0,
+                 heartbeat: bool = True):
     """Exclusive writer mutex via atomic O_CREAT|O_EXCL lock-file
     creation — the one primitive every filesystem (and object store
     with if-none-match) gives. The reference gets this for free from
@@ -62,16 +96,28 @@ def _writer_lock(root: Path, stale_after_s: float = 3600.0):
     ``stale_after_s`` is presumed abandoned (crashed writer) and
     stolen.
 
-    LIMITS (inherent to lock files without server-side CAS): a
-    writer whose hold exceeds ``stale_after_s`` can be evicted by a
-    stealer while still alive — size the TTL well above the longest
-    commit, or add an mtime-heartbeat thread for marathon writes;
-    the steal path's verify-and-restore narrows but cannot fully
-    close the multi-stealer race (three interleaved writers inside
-    one stat-to-link window). Release is ownership-checked so an
-    evicted writer never unlinks its evictor's lock. Production
-    note: Delta Lake's transaction log is the grown-up version of
-    this file — documented in README."""
+    Two liveness/safety upgrades (round-5 verdict task 3):
+
+    * **mtime heartbeat** — a daemon thread refreshes the lock's
+      mtime every ``stale_after_s/4`` (ownership-verified first, so
+      it never refreshes an evictor's lock), which means a LIVE
+      writer is never seen stale no matter how long its commit runs;
+      only a genuinely crashed writer's lock ages out.
+    * **fencing at the flip** — yields a :class:`_LockHandle` whose
+      ``check()`` the write paths call immediately before their
+      pointer-flip/catalog-swap, so an evicted writer aborts its
+      commit instead of clobbering the evictor's.
+
+    Residual LIMIT (inherent to lock files without server-side CAS):
+    the check-then-flip pair is not one atomic step, so a stall
+    landing exactly between them can still slip through — that
+    window is microseconds (was: the entire produce time) and
+    requires the heartbeat to have ALSO failed for hours. A steal
+    that detects mid-restore that a third writer re-locked raises
+    loudly (round-4 advisor: silently discarding the evicted lock
+    widened the overlap window). Production note: Delta Lake's
+    transaction log is the grown-up version of this file —
+    documented in README."""
     root.mkdir(parents=True, exist_ok=True)
     lock = root / LOCK_MARKER
     me = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
@@ -111,7 +157,20 @@ def _writer_lock(root: Path, stale_after_s: float = 3600.0):
                     try:
                         os.link(stale_name, lock)
                     except FileExistsError:
-                        pass
+                        # a THIRD writer re-locked between our rename
+                        # and restore: the fresh holder we evicted is
+                        # now lockless while believing it holds the
+                        # mutex. Its own flip is fenced off by
+                        # _LockHandle.check(), but this overlap must
+                        # surface loudly, not pass silently
+                        # (round-4 advisor, sinks.py:112).
+                        stale_name.unlink()
+                        raise ConcurrentWriteError(
+                            f"multi-stealer collision on {lock}: evicted a "
+                            "fresh lock and a third writer re-locked before "
+                            "restore — the evicted writer will be fenced at "
+                            "its flip; back off and retry"
+                        )
                     stale_name.unlink()
                     continue
                 stale_name.unlink()  # verified stale; no residue
@@ -119,13 +178,39 @@ def _writer_lock(root: Path, stale_after_s: float = 3600.0):
             raise ConcurrentWriteError(
                 f"writer lock held on {root} (age {age:.0f}s)"
             )
+    handle = _LockHandle(lock, me)
+    stop = None
+    if heartbeat:
+        import threading
+
+        stop = threading.Event()
+        interval = max(0.05, stale_after_s / 4.0)
+
+        def _beat() -> None:
+            while not stop.wait(interval):
+                # ownership-verified refresh: never touch a lock that
+                # is no longer ours (evicted + re-created by another)
+                if not handle.owned():
+                    return
+                try:
+                    now = time.time()
+                    os.utime(handle.lock, (now, now))
+                except FileNotFoundError:
+                    return
+
+        beat = threading.Thread(
+            target=_beat, name=f"lock-heartbeat-{me}", daemon=True
+        )
+        beat.start()
     try:
-        yield
+        yield handle
     finally:
-        # OWNERSHIP-CHECKED release: if our hold outlived
-        # stale_after_s and a stealer evicted us, the current lock
-        # file belongs to someone else — unlinking it blindly would
-        # let a third writer in while the stealer is mid-commit.
+        if stop is not None:
+            stop.set()
+        # OWNERSHIP-CHECKED release: if a stealer evicted us despite
+        # the heartbeat, the current lock file belongs to someone
+        # else — unlinking it blindly would let a third writer in
+        # while the stealer is mid-commit.
         try:
             if lock.read_text().startswith(me):
                 lock.unlink()
@@ -175,7 +260,7 @@ class ParquetTable:
         race — it retries after the winner commits (two-writer
         semantics pinned in tests/test_engine.py).
         """
-        with _writer_lock(self.root):
+        with _writer_lock(self.root) as lk:
             snap = f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
             writer = df.write.mode("errorifexists")
             if self.partition_cols:
@@ -183,6 +268,7 @@ class ParquetTable:
             writer.parquet(str(self.root / snap))
             tmp = self.root / f".{CURRENT_MARKER}.{uuid.uuid4().hex[:8]}"
             tmp.write_text(snap)
+            lk.check()  # fencing: abort (not flip) if evicted mid-produce
             tmp.replace(self._pointer())
             return self.root / snap
 
@@ -388,6 +474,24 @@ class BucketedTable:
     def exists(self, spark: SparkSession) -> bool:
         return spark.catalog.tableExists(self.name)
 
+    def _dirs(self, spark: SparkSession) -> tuple[Path, Path, Path]:
+        """(live, tombstone, side) data directories in the warehouse."""
+        wh = _warehouse_path(spark)
+        base = self.name.lower()
+        return wh / base, wh / f"{base}__tomb", wh / f"{base}__snap"
+
+    def _repair(self, spark: SparkSession) -> None:
+        """Crash repair for the tombstone swap (round-4 advisor,
+        sinks.py:495): if a writer died between demoting the live dir
+        to its tombstone and promoting the new snapshot, the live dir
+        is missing but the tombstone holds the complete previous
+        table — rename it back so the table resolves again. The side
+        (un-promoted) snapshot is NEVER auto-promoted: it may belong
+        to a fenced-off loser whose commit must not resurrect."""
+        live, tomb, _ = self._dirs(spark)
+        if not live.exists() and tomb.exists():
+            tomb.rename(live)
+
     def attach(self, spark: SparkSession) -> bool:
         """Ensure this table is catalog-registered, re-attaching a
         surviving data directory if the catalog forgot it.
@@ -408,6 +512,7 @@ class BucketedTable:
         now), False if no surviving data exists."""
         if self.exists(spark):
             return True
+        self._repair(spark)  # promote a crash-orphaned tombstone first
         path = _warehouse_path(spark) / self.name.lower()
         if not path.is_dir() or not any(path.glob("*.parquet")):
             return False
@@ -428,7 +533,15 @@ class BucketedTable:
                     f"bucket-spec mismatch attaching {self.name}: "
                     f"on disk {got}, declared {want}"
                 )
-        schema = spark.read.parquet(str(path)).schema
+        self._register(spark, path, spark.read.parquet(str(path)).schema)
+        return True
+
+    def _register(self, spark: SparkSession, path: Path, schema) -> None:
+        """Register this table as EXTERNAL over ``path`` with the
+        declared bucket spec — shared by :meth:`attach` (surviving
+        data, fresh catalog) and :meth:`write` (post-swap
+        re-registration). External means catalog DROPs never delete
+        data: all data motion in the swap is explicit dir renames."""
         cols = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
         )
@@ -439,32 +552,12 @@ class BucketedTable:
             f"INTO {self.num_buckets} BUCKETS "
             f"LOCATION '{path.resolve()}'"
         )
-        return True
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.table(self.name)
 
-    @staticmethod
-    def _drop_with_location(spark: SparkSession, table: str) -> None:
-        """DROP IF EXISTS *and* clear any orphaned default-location
-        directory. The session catalog (in-memory by default) forgets
-        tables at session end but the warehouse directory keeps their
-        data dirs; a fresh session's ``saveAsTable`` then dies with
-        LOCATION_ALREADY_EXISTS. Safe to remove: a path under the
-        warehouse dir named for a table the CURRENT catalog does not
-        know is orphaned managed data by definition. (Local-FS
-        housekeeping for the single-writer local engine; a production
-        deployment holds bucketed state in a real metastore/Delta
-        where locations are transactional.)"""
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        stale = _warehouse_path(spark) / table.lower()
-        if stale.exists():
-            import shutil
-
-            shutil.rmtree(stale, ignore_errors=True)
-
     def write(self, df: DataFrame) -> None:
-        """Bucketed snapshot write + catalog rename-swap.
+        """Bucketed snapshot write + tombstone dir-swap.
 
         Pre-repartitions on the bucket keys so each task holds exactly
         one bucket's rows → one file per bucket, not
@@ -473,35 +566,58 @@ class BucketedTable:
         partitioned on the key from its own shuffle, so this
         repartition reuses the existing exchange.
 
-        Writes land in a side table first, then swap into place via
-        catalog rename — Spark refuses to overwrite a table its own
-        plan reads (UNSUPPORTED_OVERWRITE), and a merge result always
-        reads its target. Same single-writer snapshot-swap contract as
-        :class:`ParquetTable`."""
+        The snapshot lands in a SIDE directory as an external table
+        (Spark refuses to overwrite a table its own plan reads —
+        UNSUPPORTED_OVERWRITE — and a merge result always reads its
+        target), then swaps into place with two atomic dir renames:
+        live → tombstone, side → live. Unlike the previous
+        DROP-then-RENAME, a complete table dir exists at EVERY
+        instant — a crash between the renames leaves the tombstone,
+        which :meth:`attach`/:meth:`_repair` promotes back (round-4
+        advisor, sinks.py:495). The catalog entry is re-created
+        after the swap (brief same-session catalog-resolution window,
+        documented; data is never at risk since all entries are
+        external). The fencing check runs before the first rename so
+        an evicted writer aborts without touching the live table."""
         spark = df.sparkSession
         side = f"{self.name}__snap"
+        live, tomb, side_dir = self._dirs(spark)
         # same writer mutex as ParquetTable, keyed in the warehouse
         # dir: serializes cross-session writers racing on the same
-        # side-table location + catalog rename
-        with _writer_lock(_warehouse_path(spark) / f"{self.name.lower()}__lock"):
-            self._drop_with_location(spark, side)
+        # side-table location + dir swap
+        with _writer_lock(
+            _warehouse_path(spark) / f"{self.name.lower()}__lock"
+        ) as lk:
+            import json
+            import shutil
+
+            self._repair(spark)  # finish a predecessor's crashed swap
+            # clear residue from prior crashes/losers (catalog entries
+            # are external → drops are catalog-only; dirs explicit)
+            spark.sql(f"DROP TABLE IF EXISTS {side}")
+            shutil.rmtree(side_dir, ignore_errors=True)
+            shutil.rmtree(tomb, ignore_errors=True)
             (
                 df.repartition(self.num_buckets, *[df[k] for k in self.keys])
                 .write.format("parquet")
                 .bucketBy(self.num_buckets, self.keys[0], *self.keys[1:])
                 .sortBy(self.keys[0], *self.keys[1:])
+                .option("path", str(side_dir.resolve()))
                 .saveAsTable(side)
             )
-            self._drop_with_location(spark, self.name)
-            spark.sql(f"ALTER TABLE {side} RENAME TO {self.name}")
-            # bucket-spec sidecar for attach() validation (underscore
-            # prefix → invisible to Spark's file listing, like _SUCCESS)
-            data_dir = _warehouse_path(spark) / self.name.lower()
-            if data_dir.is_dir():
-                import json
-
-                (data_dir / "_BUCKET_SPEC").write_text(
-                    json.dumps(
-                        {"keys": list(self.keys), "num_buckets": self.num_buckets}
-                    )
+            # bucket-spec sidecar rides INSIDE the snapshot from birth
+            # (underscore prefix → invisible to Spark's file listing,
+            # like _SUCCESS), so a promoted dir always validates
+            (side_dir / "_BUCKET_SPEC").write_text(
+                json.dumps(
+                    {"keys": list(self.keys), "num_buckets": self.num_buckets}
                 )
+            )
+            lk.check()  # fencing: abort (not swap) if evicted mid-write
+            spark.sql(f"DROP TABLE IF EXISTS {self.name}")
+            if live.exists():
+                live.rename(tomb)
+            side_dir.rename(live)
+            spark.sql(f"DROP TABLE IF EXISTS {side}")
+            self._register(spark, live, df.schema)
+            shutil.rmtree(tomb, ignore_errors=True)

@@ -899,6 +899,133 @@ def test_parquet_table_writer_lock_two_writers(spark, tmp_path):
     assert not lock.exists() or lock.read_text() != "dead-writer 0"
 
 
+def test_writer_lock_heartbeat_prevents_live_eviction(tmp_path):
+    """Round-5 verdict task 3a: a LIVE writer whose hold exceeds
+    stale_after_s is NOT evicted — the mtime heartbeat (refreshed at
+    stale_after_s/4, ownership-verified) keeps the lock looking
+    fresh, so a contender sees a held (not stale) lock and fails
+    fast instead of stealing."""
+    import time
+
+    import pytest
+
+    from ods_v3_dbt_spark.sinks import ConcurrentWriteError, _writer_lock
+
+    root = tmp_path / "t"
+    with _writer_lock(root, stale_after_s=0.4) as lk:
+        time.sleep(1.2)  # 3× the TTL: pre-heartbeat this was stale
+        with pytest.raises(ConcurrentWriteError, match="held"):
+            with _writer_lock(root, stale_after_s=0.4):
+                pass
+        lk.check()  # still owned — never evicted
+    # released cleanly after the marathon hold
+    with _writer_lock(root, stale_after_s=0.4):
+        pass
+
+
+def test_writer_lock_fencing_evicted_holder(tmp_path):
+    """Round-5 verdict task 3b, handle level: when a stealer evicts a
+    genuinely-stale-looking lock (heartbeat disabled here to simulate
+    a stalled writer), the evicted holder's check() raises instead of
+    letting it proceed to a flip, and its release does not unlink the
+    evictor's lock."""
+    import time
+
+    import pytest
+
+    from ods_v3_dbt_spark.sinks import (
+        ConcurrentWriteError,
+        LOCK_MARKER,
+        _writer_lock,
+    )
+
+    root = tmp_path / "t"
+    with _writer_lock(root, stale_after_s=0.2, heartbeat=False) as stalled:
+        time.sleep(0.5)  # no heartbeat → now looks stale
+        with _writer_lock(root, stale_after_s=0.2) as evictor:
+            evictor.check()  # the evictor owns the lock
+            with pytest.raises(ConcurrentWriteError, match="fenced"):
+                stalled.check()
+        # stalled's release must not have removed evictor's (now
+        # released) state; re-acquire proves the mutex is healthy
+    assert not (root / LOCK_MARKER).exists()
+    with _writer_lock(root):
+        pass
+
+
+def test_parquet_table_slow_writer_fenced_commit(spark, tmp_path):
+    """Round-5 verdict task 3 done-criterion: a deliberately slow
+    writer loses its lock to an eager stealer (mtime backdated to
+    simulate a dead heartbeat) while mid-produce; EXACTLY ONE commit
+    wins — the stealer's — and the slow writer's flip is fenced off
+    with ConcurrentWriteError, leaving the winner's data intact."""
+    import threading
+    import time
+
+    from ods_v3_dbt_spark.sinks import (
+        ConcurrentWriteError,
+        LOCK_MARKER,
+        ParquetTable,
+    )
+
+    t = ParquetTable(tmp_path / "t")
+    slow = spark.range(1).select(
+        F.udf(lambda x: (time.sleep(4.0), 111)[1], "long")("id").alias("k")
+    )
+    errs: list[BaseException] = []
+
+    def slow_writer() -> None:
+        try:
+            t.write(slow)
+        except BaseException as e:  # noqa: BLE001 — captured for assert
+            errs.append(e)
+
+    a = threading.Thread(target=slow_writer)
+    a.start()
+    lock = t.root / LOCK_MARKER
+    deadline = time.time() + 10
+    while not lock.exists() and time.time() < deadline:
+        time.sleep(0.02)
+    assert lock.exists()
+    time.sleep(0.3)  # let A enter its parquet write
+    import os
+
+    old = time.time() - 7200
+    os.utime(lock, (old, old))  # simulate A's heartbeat having died
+    t.write(spark.createDataFrame([(222,)], "k long"))  # stealer commits
+    a.join(timeout=30)
+    assert not a.is_alive()
+    # exactly one commit won: the stealer's; the slow writer was fenced
+    assert [r.k for r in t.read(spark).collect()] == [222]
+    assert len(errs) == 1 and isinstance(errs[0], ConcurrentWriteError)
+
+
+def test_bucketed_table_tombstone_crash_repair(spark):
+    """Round-4 advisor (sinks.py:495): the swap never passes through
+    a state with NO complete data dir. Simulate a crash between the
+    two renames (live demoted to tombstone, side never promoted): a
+    fresh session's attach() promotes the tombstone back and the
+    table reads its full previous content; a subsequent write()
+    repairs then commits normally. The un-promoted side snapshot is
+    NOT resurrected (it may belong to a fenced loser)."""
+    from ods_v3_dbt_spark.sinks import BucketedTable, _warehouse_path
+
+    t = BucketedTable("t_tomb_repair", ["k"], num_buckets=2)
+    t.write(spark.createDataFrame([(1, "v1"), (2, "v1")], "k long, v string"))
+    live, tomb, side = t._dirs(spark)
+    # simulate the crash window: live demoted, promotion never ran,
+    # and the catalog is gone (fresh driver session)
+    spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    live.rename(tomb)
+    assert not live.exists() and tomb.exists()
+    assert t.attach(spark) is True
+    assert {r.v for r in t.read(spark).collect()} == {"v1"}
+    # and a write over the repaired table commits cleanly
+    t.write(spark.createDataFrame([(1, "v2")], "k long, v string"))
+    assert {r.v for r in t.read(spark).collect()} == {"v2"}
+    assert not tomb.exists() and not side.exists()
+
+
 def test_bucketed_table_writer_lock(spark, tmp_path):
     """BucketedTable shares the writer mutex, keyed in the warehouse
     dir — a held lock rejects the overlapping writer, and the lock
@@ -1012,9 +1139,9 @@ def test_bucketed_table_attach_after_catalog_loss(spark, tmp_path):
     session while the warehouse data survives. attach() must
     re-register the surviving directory with the declared bucket
     spec — and the re-attached table must behave as BUCKETED (scan
-    reports the bucket layout). Simulated by dropping the table
-    around a data stash/restore (DROP on a managed table deletes
-    data, exactly the session-loss shape)."""
+    reports the bucket layout). Tables are EXTERNAL (round-5
+    tombstone swap) so DROP is catalog-only; session loss is
+    simulated by a DROP plus an explicit data stash/restore."""
     import shutil
 
     from pyspark.sql import functions as F
@@ -1027,7 +1154,8 @@ def test_bucketed_table_attach_after_catalog_loss(spark, tmp_path):
     data_dir = _warehouse_path(spark) / "t_attach_probe"
     stash = tmp_path / "stash"
     shutil.copytree(data_dir, stash)
-    spark.sql("DROP TABLE t_attach_probe")          # catalog forgot + data gone
+    spark.sql("DROP TABLE t_attach_probe")          # catalog forgot...
+    shutil.rmtree(data_dir)                         # ...and data gone
     assert not t.exists(spark)
     assert not t.attach(spark)                      # nothing to attach
     shutil.copytree(stash, data_dir)                # ...but data survived
@@ -1079,7 +1207,8 @@ def test_dedup_index_attach_after_catalog_loss(spark, tmp_path):
         src = _warehouse_path(spark) / part
         stashes[part] = tmp_path / part
         shutil.copytree(src, stashes[part])
-        spark.sql(f"DROP TABLE {part}")
+        spark.sql(f"DROP TABLE {part}")             # catalog-only (external)
+        shutil.rmtree(src)                          # simulate data loss too
     fresh = DedupIndex("t_attach_idx", 3, 2)
     assert not fresh.exists(spark)
     for part, stash in stashes.items():
