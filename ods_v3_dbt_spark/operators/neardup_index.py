@@ -19,100 +19,166 @@ batch probe is
     exchange-free corpus FileScan →  per-pair intersection counts
 
 and the corpus contributes zero Generate, zero tokenization, zero
-fingerprinting work at probe time. The three persisted tables:
+fingerprinting work at probe time. The member tables (DedupIndex):
 
-* ``<name>_fps``      (fp)            — distinct exact md5 content
+* ``fps``      (fp)            — distinct exact md5 content
   fingerprints, bucketed on fp: the exact-dup probe is a left-semi
   join where only the (tiny) batch side shuffles;
-* ``<name>_shingles`` (doc_id, sid)   — distinct 3-gram shingle ids
+* ``shingles`` (doc_id, sid)   — distinct 3-gram shingle ids
   (xxhash64 of the shingle text — 8-byte fixed-width join keys, the
   same surrogate `operators/dedup.py` uses), bucketed on sid: the
   near-dup candidate+intersection join reads corpus buckets in
   place;
-* ``<name>_sizes``    (doc_id, n_shingles) — per-doc shingle counts,
+* ``sizes``    (doc_id, n_shingles) — per-doc shingle counts,
   bucketed on doc_id: the Jaccard denominator join.
 
-Bucketed via :class:`..sinks.BucketedTable` (catalog-registered so
-Spark's bucketing metadata exists; snapshot-rename-swap on refresh).
-Refresh is :func:`dedup_index_append` — the union-rewrite: only the
-admitted batch is fingerprinted/shingled, corpus state unions
-through as one bucketed shuffle of (doc_id, sid) longs, far below a
-corpus re-shingle. WRITER commits are serialized (sinks lock), and
-replays are idempotent (already-indexed ids are skipped; per-table
-unions are convergent). Concurrent READERS should not overlap a
-refresh: the catalog rename-swap has a brief drop-then-rename
-window (unlike ParquetTable's pointer flip) — the nightly loop is
-single-writer-then-read by construction, and Delta is the
-transactional production swap-in (README). ``exists()`` is
+(:class:`LshIndex` adds ``bands`` — the banded minhash signature
+table bucketed on the candidate-join keys.)
+
+**EPOCHED, SINGLE-POINTER COMMIT (round-5 verdict task 1).** An
+index is several bucketed tables, and each table's own snapshot-swap
+is individually atomic — but a reader probing mid-refresh could
+previously join NEW fps against OLD shingles (the mixed-epoch
+window). The reference never has this problem because Postgres gives
+it cross-statement transactionality for free (an entire MERGE like
+`dags/sql/casreport/update_des_table/casreport_mailsitemhdr.sql:1-399`
+commits atomically). The epoch design restores that guarantee over
+plain files:
+
+* every refresh (build or append) writes ALL member tables under a
+  NEW epoch — catalog names ``{name}__e{N}_{part}``, every row
+  tagged with an ``__epoch`` column — while the current epoch's
+  tables remain untouched;
+* the commit is ONE atomic manifest replace
+  (``{name}__index_manifest.json`` holding ``{"epoch": N, "spec":
+  …}``): readers :meth:`~DedupIndex.resolve` the manifest ONCE per
+  probe and get an epoch-consistent set of member handles — they
+  see the entirely-old or the entirely-new index, never a mix;
+* a crash anywhere before the manifest replace leaves the pointer
+  (and therefore the readable index) exactly as it was; the orphaned
+  part-built epoch is garbage-collected by the next writer;
+* after a successful commit the PREVIOUS epoch is retained (so
+  lazy plans resolved before the flip still execute against pure
+  old-epoch state) and everything older is dropped.
+
+Writer commits are serialized by the index-level writer lock
+(heartbeat + fencing, ``sinks._writer_lock``); replays are
+idempotent — an append whose docs are all present in the CURRENT
+epoch's sizes table is a no-op, and a replay after a mid-build crash
+simply rebuilds the next epoch from scratch (partial epochs are
+invisible by construction). ``exists()``/``resolve()`` are
 attach-aware: a fresh driver session re-registers the surviving
-warehouse data (``BucketedTable.attach``) instead of rebuilding —
+warehouse tables (``BucketedTable.attach``) instead of rebuilding —
 persisted state must outlive the in-memory catalog to be worth
-anything nightly.
+anything nightly. Delta Lake's transaction log is the production
+swap-in for the manifest file (README).
 """
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..sinks import BucketedTable, _warehouse_path
+from ..sinks import BucketedTable, _warehouse_path, _writer_lock
 from .dedup import _shingle_table
 
+#: per-row epoch tag — lets a test (or an auditor) prove that every
+#: row a resolved handle serves belongs to ONE committed epoch
+EPOCH_COL = "__epoch"
 
-def _spec_path(spark: SparkSession, name: str):
-    return _warehouse_path(spark) / f"{name.lower()}__index_spec.json"
+
+def _manifest_path(spark: SparkSession, name: str):
+    return _warehouse_path(spark) / f"{name.lower()}__index_manifest.json"
 
 
-def _write_spec(spark: SparkSession, name: str, spec: dict) -> None:
-    import json
+def _read_manifest(spark: SparkSession, name: str) -> dict | None:
+    p = _manifest_path(spark, name)
+    if not p.exists():
+        return None
+    return json.loads(p.read_text())
 
-    p = _spec_path(spark, name)
+
+def _commit_manifest(spark: SparkSession, name: str, epoch: int,
+                     spec: dict) -> None:
+    """THE commit point: a tmp-file write + one atomic ``os.replace``
+    of the manifest pointer. Everything before this is invisible to
+    readers; everything after is the new epoch in full."""
+    import uuid
+
+    p = _manifest_path(spark, name)
     p.parent.mkdir(parents=True, exist_ok=True)
-    p.write_text(json.dumps(spec, sort_keys=True))
+    tmp = p.parent / f".{p.name}.{uuid.uuid4().hex[:8]}"
+    tmp.write_text(json.dumps({"epoch": epoch, "spec": spec}, sort_keys=True))
+    tmp.replace(p)
 
 
-def _check_spec(spark: SparkSession, name: str, spec: dict) -> None:
-    """Refuse to serve an index whose persisted SEMANTIC parameters
-    (shingle_n, hash family, …) differ from the handle's — the
-    bucket-spec sidecar protects the physical layout, but probing a
-    3-gram corpus with 5-gram batch sids (or md5 bands with xxhash
-    keys) returns silently-empty matches, not an error. Legacy
-    indexes without a spec file are accepted as-is."""
-    import json
+def _index_lock(spark: SparkSession, name: str):
+    return _writer_lock(_warehouse_path(spark) / f"{name.lower()}__index_lock")
 
-    p = _spec_path(spark, name)
-    if p.exists():
-        got = json.loads(p.read_text())
-        if got != spec:
-            raise ValueError(
-                f"index-spec mismatch for {name}: on disk {got}, "
-                f"handle declares {spec} — rebuild the index"
-            )
+
+def _gc_epochs(spark: SparkSession, name: str, parts_keep: set[int]) -> None:
+    """Drop every member table (catalog entry + warehouse dir,
+    including a member's ``__tomb``/``__snap``/``__lock`` residue)
+    whose epoch is not in ``parts_keep``. Called by writers only,
+    under the index lock: before a build to clear a crashed
+    attempt's orphans, after a commit to retire everything older
+    than the previous epoch."""
+    import re
+    import shutil
+
+    pat = re.compile(rf"^{re.escape(name.lower())}__e(\d+)_")
+    wh = _warehouse_path(spark)
+    if wh.is_dir():
+        for p in wh.iterdir():
+            m = pat.match(p.name)
+            if m and int(m.group(1)) not in parts_keep and p.is_dir():
+                shutil.rmtree(p, ignore_errors=True)
+    for t in spark.catalog.listTables():
+        m = pat.match(t.name.lower())
+        if m and int(m.group(1)) not in parts_keep:
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+class _Resolved:
+    """An EPOCH-CONSISTENT view of an index: the member
+    :class:`~..sinks.BucketedTable` handles of ONE committed epoch,
+    resolved from the manifest in a single read. Probes take all
+    their corpus-side scans from one of these, so a concurrent
+    refresh (which only ever creates new-epoch tables and then flips
+    the manifest) can never mix epochs into a plan. ``epoch`` is the
+    committed epoch number; every member row carries it in
+    ``EPOCH_COL``."""
+
+    def __init__(self, epoch: int, **tables: BucketedTable) -> None:
+        self.epoch = epoch
+        self.__dict__.update(tables)
 
 
 @dataclass(frozen=True)
 class DedupIndex:
-    """Handle to a persisted corpus dedup index (three bucketed
-    tables — see module docstring)."""
+    """Handle to a persisted corpus dedup index (epoched bucketed
+    member tables + one manifest pointer — see module docstring)."""
 
     name: str
     shingle_n: int = 3
     num_buckets: int = 32
 
-    @property
-    def fps(self) -> BucketedTable:
-        return BucketedTable(f"{self.name}_fps", ["fp"], self.num_buckets)
+    #: part → (catalog-name suffix, bucket keys)
+    PARTS = {
+        "fps": ("fps", ("fp",)),
+        "shingles": ("shingles", ("sid",)),
+        "sizes": ("sizes", ("doc_id",)),
+    }
 
-    @property
-    def shingles(self) -> BucketedTable:
-        return BucketedTable(f"{self.name}_shingles", ["sid"], self.num_buckets)
-
-    @property
-    def sizes(self) -> BucketedTable:
-        return BucketedTable(f"{self.name}_sizes", ["doc_id"], self.num_buckets)
+    def _table(self, part: str, epoch: int) -> BucketedTable:
+        suffix, keys = self.PARTS[part]
+        return BucketedTable(
+            f"{self.name}__e{epoch}_{suffix}", list(keys), self.num_buckets
+        )
 
     def spec(self) -> dict:
         return {
@@ -121,20 +187,50 @@ class DedupIndex:
             "num_buckets": self.num_buckets,
         }
 
+    def resolve(self, spark: SparkSession) -> _Resolved:
+        """Read the manifest ONCE and return the epoch-consistent
+        member handles (attach-aware for fresh sessions). Raises
+        FileNotFoundError if the index (or a committed member) is
+        missing, ValueError if the persisted SEMANTIC parameters
+        (shingle_n, hash family, …) differ from this handle's —
+        probing a 3-gram corpus with 5-gram batch sids returns
+        silently-empty matches, not an error, so a mismatch must
+        refuse loudly (rebuild is the correct response)."""
+        man = _read_manifest(spark, self.name)
+        if man is None:
+            raise FileNotFoundError(f"no index manifest for {self.name}")
+        if man["spec"] != self.spec():
+            raise ValueError(
+                f"index-spec mismatch for {self.name}: on disk "
+                f"{man['spec']}, handle declares {self.spec()} — "
+                "rebuild the index"
+            )
+        epoch = man["epoch"]
+        tables = {}
+        for part in self.PARTS:
+            t = self._table(part, epoch)
+            if not t.attach(spark):
+                raise FileNotFoundError(
+                    f"index {self.name} epoch {epoch}: member {t.name} "
+                    "missing (manifest committed but member lost — "
+                    "rebuild the index)"
+                )
+            tables[part] = t
+        return _Resolved(epoch, **tables)
+
     def exists(self, spark: SparkSession) -> bool:
-        """True if all parts are catalog-registered — re-attaching
-        surviving warehouse data first (BucketedTable.attach), so a
-        fresh driver session reuses the persisted index instead of
-        rebuilding it. Raises on a semantic-parameter mismatch with
-        the persisted index spec (see _check_spec)."""
-        ok = (
-            self.fps.attach(spark)
-            and self.shingles.attach(spark)
-            and self.sizes.attach(spark)
-        )
-        if ok:
-            _check_spec(spark, self.name, self.spec())
-        return ok
+        """True if a committed epoch fully resolves (attach-aware).
+        Spec mismatches still raise (see :meth:`resolve`)."""
+        try:
+            self.resolve(spark)
+            return True
+        except FileNotFoundError:
+            return False
+
+
+def _write_member(tbl: BucketedTable, df: DataFrame, epoch: int) -> None:
+    """Land one member table with every row tagged by its epoch."""
+    tbl.write(df.withColumn(EPOCH_COL, F.lit(epoch)))
 
 
 def dedup_index_write(
@@ -145,28 +241,43 @@ def dedup_index_write(
     shingle_n: int = 3,
     num_buckets: int = 32,
 ) -> DedupIndex:
-    """Build and persist the corpus dedup index. One corpus scan
-    feeds the fingerprint distinct and the shingle explode; the
-    shingle table additionally yields the per-doc sizes — three
-    writes, each landing pre-bucketed on its probe key."""
+    """Build and persist the corpus dedup index as a NEW epoch. One
+    corpus scan feeds the fingerprint distinct and the shingle
+    explode; the shingle table additionally yields the per-doc sizes
+    — three writes, each landing pre-bucketed on its probe key, all
+    invisible until the single manifest commit at the end."""
     idx = DedupIndex(name, shingle_n, num_buckets)
-    fps = corpus.select(
-        T.fingerprint_md5(F.col(text_col)).alias("fp")
-    ).distinct()
-    idx.fps.write(fps)
-    sh = _shingle_table(corpus, text_col, id_col, shingle_n).select(
-        "doc_id", "sid"
-    )
-    idx.shingles.write(sh)
-    # sizes derive from the JUST-WRITTEN shingle table — a bucketed
-    # re-read instead of a second corpus tokenize+explode pass
     spark = corpus.sparkSession
-    idx.sizes.write(
-        idx.shingles.read(spark)
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shingles"))
-    )
-    _write_spec(spark, name, idx.spec())
+    with _index_lock(spark, name) as lk:
+        man = _read_manifest(spark, name)
+        cur = man["epoch"] if man else 0
+        new = cur + 1
+        _gc_epochs(spark, name, {cur})  # clear crashed-attempt orphans
+        _write_member(
+            idx._table("fps", new),
+            corpus.select(T.fingerprint_md5(F.col(text_col)).alias("fp"))
+            .distinct(),
+            new,
+        )
+        sh_tbl = idx._table("shingles", new)
+        _write_member(
+            sh_tbl,
+            _shingle_table(corpus, text_col, id_col, shingle_n)
+            .select("doc_id", "sid"),
+            new,
+        )
+        # sizes derive from the JUST-WRITTEN shingle table — a
+        # bucketed re-read instead of a second corpus tokenize+explode
+        _write_member(
+            idx._table("sizes", new),
+            sh_tbl.read(spark)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles")),
+            new,
+        )
+        lk.check()  # fencing: evicted writers must not flip
+        _commit_manifest(spark, name, new, idx.spec())
+        _gc_epochs(spark, name, {cur, new})  # keep prev for lazy readers
     return idx
 
 
@@ -176,65 +287,72 @@ def dedup_index_append(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DedupIndex:
-    """Incremental index refresh — the union-rewrite the module
-    docstring promises, IMPLEMENTED: only the ADMITTED new docs are
-    fingerprinted and shingled; the existing corpus state is read
-    back from the bucketed tables as fixed-width rows and unioned
-    through the bucketed rewrite. Per nightly batch the tokenize/
+    """Incremental index refresh — the union-rewrite: only the
+    ADMITTED new docs are fingerprinted and shingled; the existing
+    corpus state is read back from the current epoch's bucketed
+    tables as fixed-width rows and unioned through the bucketed
+    rewrite into the NEXT epoch. Per nightly batch the tokenize/
     explode cost is batch-sized; the corpus contributes one bucketed
     shuffle of (doc_id, sid) longs — never a re-shingle.
 
-    IDEMPOTENT at TWO levels, because a replayed foreachBatch can
-    re-enter after ANY partial prefix of the table writes (the
-    round-4 reviewer's finding — an ordering-based guard alone is
-    wrong in both directions: guard-first drops state forever,
-    guard-last double-counts):
+    IDEMPOTENT, and — unlike the round-4 convergent-union design —
+    trivially so, because the epoch commit is all-or-nothing:
 
-    1. docs already fully indexed are skipped up front (anti-join
-       against the sizes table — the cheap common path);
-    2. every per-table union is CONVERGENT regardless of crash
-       point — fps and shingles/bands are distinct sets, sizes
-       dedups on doc_id (re-derived values are identical) — so
-       replaying after a partial append repairs the missing tables
-       and re-unioning an already-written one is a no-op.
-
-    The guard table (sizes) is always written LAST: a doc may only
-    count as "already indexed" once every other table has its rows
-    — guard-first would make a replay skip a doc whose other tables
-    are still missing."""
+    * docs already fully indexed in the CURRENT epoch are skipped up
+      front (anti-join against its sizes table — the cheap common
+      path for a full replay after a completed append);
+    * a replay after a crash ANYWHERE mid-build finds the manifest
+      unmoved, garbage-collects the orphaned part-built epoch, and
+      rebuilds the next epoch from scratch. No partial-prefix
+      reasoning, no write-ordering constraints between member
+      tables — the manifest is the only commit point."""
     spark = new_docs.sparkSession
-    new_docs = new_docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    ).join(
-        index.sizes.read(spark).select("doc_id"), "doc_id", "left_anti"
-    ).localCheckpoint()
-    if not new_docs.take(1):
-        # nothing genuinely new (full-replay after a completed
-        # append, or an all-dup batch): skip the corpus-sized
-        # union-rewrites entirely — the checkpoint already
-        # materialized, so the probe costs one row fetch
-        return index
-    text_col, id_col = "text", "doc_id"
-    fps_new = new_docs.select(
-        T.fingerprint_md5(F.col(text_col)).alias("fp")
-    )
-    index.fps.write(
-        index.fps.read(spark).unionByName(fps_new).distinct()
-    )
-    sh_new = _shingle_table(new_docs, text_col, id_col, index.shingle_n).select(
-        "doc_id", "sid"
-    ).localCheckpoint()
-    index.shingles.write(
-        index.shingles.read(spark).unionByName(sh_new).distinct()
-    )
-    sizes_new = sh_new.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles")
-    )
-    index.sizes.write(
-        index.sizes.read(spark)
-        .unionByName(sizes_new)
-        .dropDuplicates(["doc_id"])
-    )
+    with _index_lock(spark, index.name) as lk:
+        cur = index.resolve(spark)
+        new_docs = new_docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        ).join(
+            cur.sizes.read(spark).select("doc_id"), "doc_id", "left_anti"
+        ).localCheckpoint()
+        if not new_docs.take(1):
+            # nothing genuinely new (full-replay after a completed
+            # append, or an all-dup batch): skip the corpus-sized
+            # union-rewrites entirely — the checkpoint already
+            # materialized, so the probe costs one row fetch
+            return index
+        new_epoch = cur.epoch + 1
+        # clear any crashed attempt's orphans ABOVE the current epoch
+        # (keep current + previous, both still referenced by readers)
+        _gc_epochs(spark, index.name, {cur.epoch - 1, cur.epoch})
+        fps_new = new_docs.select(
+            T.fingerprint_md5(F.col("text")).alias("fp")
+        )
+        _write_member(
+            index._table("fps", new_epoch),
+            cur.fps.read(spark).drop(EPOCH_COL).unionByName(fps_new)
+            .distinct(),
+            new_epoch,
+        )
+        sh_new = _shingle_table(new_docs, "text", "doc_id", index.shingle_n) \
+            .select("doc_id", "sid").localCheckpoint()
+        _write_member(
+            index._table("shingles", new_epoch),
+            cur.shingles.read(spark).drop(EPOCH_COL).unionByName(sh_new)
+            .distinct(),
+            new_epoch,
+        )
+        sizes_new = sh_new.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_shingles")
+        )
+        _write_member(
+            index._table("sizes", new_epoch),
+            cur.sizes.read(spark).drop(EPOCH_COL).unionByName(sizes_new)
+            .dropDuplicates(["doc_id"]),
+            new_epoch,
+        )
+        lk.check()  # fencing: evicted writers must not flip
+        _commit_manifest(spark, index.name, new_epoch, index.spec())
+        _gc_epochs(spark, index.name, {cur.epoch, new_epoch})
     return index
 
 
@@ -244,21 +362,23 @@ def exact_probe(batch: DataFrame, index: DedupIndex, text_col: str = "text",
     the corpus. Left-semi against the fp-bucketed table: the corpus
     side is an in-place bucketed scan, only the batch shuffles."""
     spark = batch.sparkSession
+    cur = index.resolve(spark)
     b = batch.select(
         F.col(id_col).alias("doc_id"),
         T.fingerprint_md5(F.col(text_col)).alias("fp"),
     )
-    return b.join(index.fps.read(spark), "fp", "left_semi").select("doc_id")
+    return b.join(cur.fps.read(spark), "fp", "left_semi").select("doc_id")
 
 
 def _probe_shingles(
-    bsh: DataFrame, index: DedupIndex, threshold_ppm: int,
+    bsh: DataFrame, cur: _Resolved, threshold_ppm: int,
     max_corpus_df: int | None = None,
 ) -> DataFrame:
     """Near-dup probe from a prepared batch shingle table (doc_id,
-    sid): join corpus shingles on sid (corpus bucketed → no corpus
-    exchange), count per-pair intersections, attach both sizes,
-    threshold. Returns (doc_id, corpus_id, jacc_ppm).
+    sid) against a RESOLVED index epoch: join corpus shingles on sid
+    (corpus bucketed → no corpus exchange), count per-pair
+    intersections, attach both sizes, threshold. Returns (doc_id,
+    corpus_id, jacc_ppm).
 
     ``max_corpus_df`` is the exact path's HOT-SHINGLE guard — the
     sibling of the LSH candidate join's ``max_bucket``: a
@@ -282,7 +402,7 @@ def _probe_shingles(
     # true value for docs carrying hot shingles absent from a given
     # corpus doc, flipping the bound's direction.
     bsizes = bsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("size_batch"))
-    csh = index.shingles.read(spark).select(
+    csh = cur.shingles.read(spark).select(
         F.col("doc_id").alias("corpus_id"), "sid"
     )
     if max_corpus_df is not None:
@@ -299,7 +419,7 @@ def _probe_shingles(
         .groupBy("doc_id", "corpus_id")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    csizes = index.sizes.read(spark).select(
+    csizes = cur.sizes.read(spark).select(
         F.col("doc_id").alias("corpus_id"),
         F.col("n_shingles").alias("size_corpus"),
     )
@@ -323,7 +443,8 @@ class LshIndex:
     shingles (candidate volume = every co-occurring shingle), this
     probes by band-key collision first — the sub-linear candidate
     set that makes web-scale corpora workable — then verifies exact
-    Jaccard on the candidates ONLY."""
+    Jaccard on the candidates ONLY. Same epoch/manifest commit
+    protocol as :class:`DedupIndex` (module docstring)."""
 
     name: str
     shingle_n: int = 3
@@ -332,30 +453,19 @@ class LshIndex:
     num_buckets: int = 32
     mode: str = "md5"  # md5 → DuckDB-replayable; xxhash → cheaper
 
-    @property
-    def band_tbl(self) -> BucketedTable:
-        # bucketed on BOTH candidate-join keys: a band_idx carried as
-        # a post-join filter gets folded back into the join keys by
-        # Catalyst, and HashPartitioning(band_key) alone then no
-        # longer satisfies the two-key clustering — measured as a
-        # full corpus-side re-shuffle
-        return BucketedTable(
-            f"{self.name}_bands", ["band_idx", "band_key"], self.num_buckets
-        )
+    #: bands bucketed on BOTH candidate-join keys: a band_idx carried
+    #: as a post-join filter gets folded back into the join keys by
+    #: Catalyst, and HashPartitioning(band_key) alone then no longer
+    #: satisfies the two-key clustering — measured as a full
+    #: corpus-side re-shuffle
+    PARTS = {
+        "band_tbl": ("bands", ("band_idx", "band_key")),
+        "fps": ("fps", ("fp",)),  # exact-dup stage-1 probe
+        "shingles": ("shingles", ("sid",)),
+        "sizes": ("sizes", ("doc_id",)),
+    }
 
-    @property
-    def fps(self) -> BucketedTable:
-        # exact-dup stage-1 probe (curate_increment) — same contract
-        # as DedupIndex.fps
-        return BucketedTable(f"{self.name}_fps", ["fp"], self.num_buckets)
-
-    @property
-    def shingles(self) -> BucketedTable:
-        return BucketedTable(f"{self.name}_shingles", ["sid"], self.num_buckets)
-
-    @property
-    def sizes(self) -> BucketedTable:
-        return BucketedTable(f"{self.name}_sizes", ["doc_id"], self.num_buckets)
+    _table = DedupIndex._table
 
     def spec(self) -> dict:
         return {
@@ -367,17 +477,8 @@ class LshIndex:
             "mode": self.mode,
         }
 
-    def exists(self, spark: SparkSession) -> bool:
-        """Attach-aware like DedupIndex.exists (and spec-checked)."""
-        ok = (
-            self.band_tbl.attach(spark)
-            and self.fps.attach(spark)
-            and self.shingles.attach(spark)
-            and self.sizes.attach(spark)
-        )
-        if ok:
-            _check_spec(spark, self.name, self.spec())
-        return ok
+    resolve = DedupIndex.resolve
+    exists = DedupIndex.exists
 
 
 def lsh_index_write(
@@ -391,30 +492,48 @@ def lsh_index_write(
     num_buckets: int = 32,
     mode: str = "md5",
 ) -> LshIndex:
-    """Build and persist the MinHash-LSH corpus index: one corpus
-    shingle pass feeds the shingle table, the sizes derive from its
-    bucketed read-back, and the banded signatures land bucketed on
-    band_key. The nightly refresh is the same union-rewrite contract
-    as :func:`dedup_index_write` — signatures of ADMITTED docs only,
+    """Build and persist the MinHash-LSH corpus index as a NEW epoch:
+    one corpus shingle pass feeds the shingle table, the sizes derive
+    from its bucketed read-back, and the banded signatures land
+    bucketed on the candidate-join keys — all invisible until the
+    single manifest commit. The nightly refresh is
+    :func:`lsh_index_append` — signatures of ADMITTED docs only,
     never a corpus re-shingle."""
     from .dedup import lsh_band_table, minhash_signatures
 
     idx = LshIndex(name, shingle_n, num_hashes, bands, num_buckets, mode)
-    idx.fps.write(
-        corpus.select(T.fingerprint_md5(F.col(text_col)).alias("fp")).distinct()
-    )
-    sh = _shingle_table(corpus, text_col, id_col, shingle_n).persist()
-    idx.shingles.write(sh.select("doc_id", "sid"))
     spark = corpus.sparkSession
-    idx.sizes.write(
-        idx.shingles.read(spark)
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shingles"))
-    )
-    sigs = minhash_signatures(sh, num_hashes, mode)
-    idx.band_tbl.write(lsh_band_table(sigs, num_hashes, bands))
-    sh.unpersist()
-    _write_spec(spark, name, idx.spec())
+    with _index_lock(spark, name) as lk:
+        man = _read_manifest(spark, name)
+        cur = man["epoch"] if man else 0
+        new = cur + 1
+        _gc_epochs(spark, name, {cur})
+        _write_member(
+            idx._table("fps", new),
+            corpus.select(T.fingerprint_md5(F.col(text_col)).alias("fp"))
+            .distinct(),
+            new,
+        )
+        sh = _shingle_table(corpus, text_col, id_col, shingle_n).persist()
+        sh_tbl = idx._table("shingles", new)
+        _write_member(sh_tbl, sh.select("doc_id", "sid"), new)
+        _write_member(
+            idx._table("sizes", new),
+            sh_tbl.read(spark)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles")),
+            new,
+        )
+        sigs = minhash_signatures(sh, num_hashes, mode)
+        _write_member(
+            idx._table("band_tbl", new),
+            lsh_band_table(sigs, num_hashes, bands),
+            new,
+        )
+        sh.unpersist()
+        lk.check()
+        _commit_manifest(spark, name, new, idx.spec())
+        _gc_epochs(spark, name, {cur, new})
     return idx
 
 
@@ -425,58 +544,67 @@ def lsh_index_append(
     id_col: str = "doc_id",
 ) -> LshIndex:
     """Incremental LSH-index refresh: sign and band ONLY the new
-    docs, union corpus state through the bucketed rewrites — the
-    same TWO-LEVEL idempotence contract as
-    :func:`dedup_index_append` (anti-join fast path + convergent
-    per-table unions: distinct sets for fps/shingles/bands, doc_id
-    dedup for sizes), so a replay after any partial-append crash
-    repairs the missing tables without double-counting."""
+    docs, union corpus state through the bucketed rewrites into the
+    NEXT epoch — the same all-or-nothing manifest-commit idempotence
+    as :func:`dedup_index_append` (anti-join fast path; a crashed
+    attempt's orphan epoch is invisible and garbage-collected by the
+    replay)."""
     from .dedup import lsh_band_table, minhash_signatures
 
     spark = new_docs.sparkSession
-    new_docs = new_docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    ).join(
-        index.sizes.read(spark).select("doc_id"), "doc_id", "left_anti"
-    ).localCheckpoint()
-    if not new_docs.take(1):
-        return index  # see dedup_index_append: no-op fast path
-    text_col, id_col = "text", "doc_id"
-    index.fps.write(
-        index.fps.read(spark)
-        .unionByName(
-            new_docs.select(T.fingerprint_md5(F.col(text_col)).alias("fp"))
+    with _index_lock(spark, index.name) as lk:
+        cur = index.resolve(spark)
+        new_docs = new_docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        ).join(
+            cur.sizes.read(spark).select("doc_id"), "doc_id", "left_anti"
+        ).localCheckpoint()
+        if not new_docs.take(1):
+            return index  # see dedup_index_append: no-op fast path
+        new_epoch = cur.epoch + 1
+        _gc_epochs(spark, index.name, {cur.epoch - 1, cur.epoch})
+        _write_member(
+            index._table("fps", new_epoch),
+            cur.fps.read(spark).drop(EPOCH_COL)
+            .unionByName(
+                new_docs.select(T.fingerprint_md5(F.col("text")).alias("fp"))
+            )
+            .distinct(),
+            new_epoch,
         )
-        .distinct()
-    )
-    sh_new = _shingle_table(
-        new_docs, text_col, id_col, index.shingle_n
-    ).localCheckpoint()
-    index.shingles.write(
-        index.shingles.read(spark)
-        .unionByName(sh_new.select("doc_id", "sid"))
-        .distinct()
-    )
-    bands_new = lsh_band_table(
-        minhash_signatures(sh_new, index.num_hashes, index.mode),
-        index.num_hashes,
-        index.bands,
-    )
-    index.band_tbl.write(
-        index.band_tbl.read(spark).unionByName(bands_new).distinct()
-    )
-    # sizes LAST: it is the anti-join guard, so a doc must only
-    # become "already indexed" after every other table has its rows —
-    # guard-first would make a replay skip the doc with its
-    # bands/shingles still missing, forever
-    sizes_new = sh_new.select("doc_id", "sid").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles")
-    )
-    index.sizes.write(
-        index.sizes.read(spark)
-        .unionByName(sizes_new)
-        .dropDuplicates(["doc_id"])
-    )
+        sh_new = _shingle_table(
+            new_docs, "text", "doc_id", index.shingle_n
+        ).localCheckpoint()
+        _write_member(
+            index._table("shingles", new_epoch),
+            cur.shingles.read(spark).drop(EPOCH_COL)
+            .unionByName(sh_new.select("doc_id", "sid"))
+            .distinct(),
+            new_epoch,
+        )
+        bands_new = lsh_band_table(
+            minhash_signatures(sh_new, index.num_hashes, index.mode),
+            index.num_hashes,
+            index.bands,
+        )
+        _write_member(
+            index._table("band_tbl", new_epoch),
+            cur.band_tbl.read(spark).drop(EPOCH_COL).unionByName(bands_new)
+            .distinct(),
+            new_epoch,
+        )
+        sizes_new = sh_new.select("doc_id", "sid").groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_shingles")
+        )
+        _write_member(
+            index._table("sizes", new_epoch),
+            cur.sizes.read(spark).drop(EPOCH_COL).unionByName(sizes_new)
+            .dropDuplicates(["doc_id"]),
+            new_epoch,
+        )
+        lk.check()
+        _commit_manifest(spark, index.name, new_epoch, index.spec())
+        _gc_epochs(spark, index.name, {cur.epoch, new_epoch})
     return index
 
 
@@ -487,6 +615,7 @@ def lsh_index_probe(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int | None = None,
+    _resolved: _Resolved | None = None,
 ) -> DataFrame:
     """Probe a batch against the persisted LSH index: batch docs are
     shingled + signed (the only corpus-shaped work in the plan),
@@ -499,17 +628,21 @@ def lsh_index_probe(
     no band are missed, which is LSH's recall trade and part of the
     declared semantics (the oracle replays the same bands).
     ``max_bucket`` applies the hot-bucket guard to the CORPUS band
-    table (boilerplate buckets are corpus-side phenomena)."""
+    table (boilerplate buckets are corpus-side phenomena).
+    ``_resolved`` lets a composite caller (``curate_increment``) pin
+    the SAME resolved epoch across its own corpus reads and this
+    probe's."""
     from .dedup import lsh_band_table, minhash_signatures
 
     spark = batch.sparkSession
+    cur = _resolved if _resolved is not None else index.resolve(spark)
     bsh = (
         _shingle_table(batch, text_col, id_col, index.shingle_n)
         .localCheckpoint()
     )
     bsigs = minhash_signatures(bsh, index.num_hashes, index.mode)
     bbands = lsh_band_table(bsigs, index.num_hashes, index.bands)
-    cbands = index.band_tbl.read(spark).select(
+    cbands = cur.band_tbl.read(spark).select(
         F.col("doc_id").alias("corpus_id"), "band_idx", "band_key"
     )
     if max_bucket is not None:
@@ -533,7 +666,7 @@ def lsh_index_probe(
         F.broadcast(cand.select("doc_id").distinct()), "doc_id", "left_semi"
     )
     csh_r = (
-        index.shingles.read(spark)
+        cur.shingles.read(spark)
         .select(F.col("doc_id").alias("corpus_id"), "sid")
         .join(
             F.broadcast(cand.select("corpus_id").distinct()),
@@ -550,7 +683,7 @@ def lsh_index_probe(
     bsizes = bsh.select("doc_id", "sid").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("size_batch")
     )
-    csizes = index.sizes.read(spark).select(
+    csizes = cur.sizes.read(spark).select(
         F.col("doc_id").alias("corpus_id"),
         F.col("n_shingles").alias("size_corpus"),
     )
@@ -579,13 +712,15 @@ def neardup_probe(
     batch×corpus pair at or above the threshold. The batch is
     shingled here (the only Generate in the plan — persisted, since
     the intersection join and the size aggregate both read it); the
-    corpus side is purely the bucketed index scans."""
+    corpus side is purely the bucketed index scans of ONE resolved
+    epoch."""
     # localCheckpoint, not persist: call-local cache whose consumer
     # is a lazy result owned by the caller — persisted plans would
     # pile up in the CacheManager across a nightly session
+    cur = index.resolve(batch.sparkSession)
     bsh = (
         _shingle_table(batch, text_col, id_col, index.shingle_n)
         .select("doc_id", "sid")
         .localCheckpoint()
     )
-    return _probe_shingles(bsh, index, threshold_ppm, max_corpus_df)
+    return _probe_shingles(bsh, cur, threshold_ppm, max_corpus_df)

@@ -557,6 +557,11 @@ def _curate_increment_indexed(
     )
 
     spark = batch.sparkSession
+    # ONE manifest resolution for the whole decision plan: every
+    # corpus-side read below (fps probe, shingle/size probe, LSH band
+    # probe) comes from this epoch-consistent handle, so a concurrent
+    # index refresh can never mix epochs into the verdicts
+    ridx = index.resolve(spark)
     fp = T.fingerprint_md5(F.col("text"))
     b = batch.select("doc_id", "text", fp.alias("fp")).localCheckpoint()
     # the fp probe inline off the already-computed fingerprints
@@ -566,7 +571,7 @@ def _curate_increment_indexed(
     # the final verdict union is cheaper than two more jobs.
     dee = (
         b.select("doc_id", "fp")
-        .join(index.fps.read(spark), "fp", "left_semi")
+        .join(ridx.fps.read(spark), "fp", "left_semi")
         .select("doc_id")
     )
     r1 = b.join(dee, "doc_id", "left_anti")
@@ -586,10 +591,12 @@ def _curate_increment_indexed(
         # sub-linear stage 3: band-collision candidates + restricted
         # exact verify (lsh_index_probe shingles r2 itself — it needs
         # shingle TEXT for the minhash family, which bsh's sid
-        # surrogates deliberately drop)
-        probe_hits = lsh_index_probe(r2, index, threshold_ppm)
+        # surrogates deliberately drop); _resolved pins the probe to
+        # THIS plan's epoch
+        probe_hits = lsh_index_probe(r2, index, threshold_ppm,
+                                     _resolved=ridx)
     else:
-        probe_hits = _probe_shingles(bsh, index, threshold_ppm)
+        probe_hits = _probe_shingles(bsh, ridx, threshold_ppm)
     dne = probe_hits.select("doc_id").distinct().localCheckpoint()
     r3 = r2.select("doc_id").join(F.broadcast(dne), "doc_id", "left_anti")
 

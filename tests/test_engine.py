@@ -1202,15 +1202,19 @@ def test_dedup_index_attach_after_catalog_loss(spark, tmp_path):
     )
     idx = dedup_index_write(docs, "t_attach_idx", num_buckets=2)
     before = {tuple(r) for r in neardup_probe(docs, idx, 500_000).collect()}
+    parts = [
+        getattr(idx.resolve(spark), p).name.lower()
+        for p in ("fps", "shingles", "sizes")
+    ]
     stashes = {}
-    for part in ("t_attach_idx_fps", "t_attach_idx_shingles", "t_attach_idx_sizes"):
+    for part in parts:
         src = _warehouse_path(spark) / part
         stashes[part] = tmp_path / part
         shutil.copytree(src, stashes[part])
         spark.sql(f"DROP TABLE {part}")             # catalog-only (external)
         shutil.rmtree(src)                          # simulate data loss too
     fresh = DedupIndex("t_attach_idx", 3, 2)
-    assert not fresh.exists(spark)
+    assert not fresh.exists(spark)                  # members gone
     for part, stash in stashes.items():
         shutil.copytree(stash, _warehouse_path(spark) / part)
     assert fresh.exists(spark)                      # attach path

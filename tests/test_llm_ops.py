@@ -693,13 +693,17 @@ def test_index_append_equals_rebuild(spark, corpus):
     delta = corpus.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 10000))
     probe_docs = corpus.filter(F.col("doc_id") >= 20000)
 
+    def part_rows(idx, part):
+        # epoch tags differ by construction (append commits epoch 2,
+        # rebuild is epoch 1) — compare the CONTENT rows
+        tbl = getattr(idx.resolve(spark), part)
+        return {tuple(r) for r in tbl.read(spark).drop("__epoch").collect()}
+
     ai = dedup_index_write(base, "t_app_exact", num_buckets=4)
     dedup_index_append(ai, delta)
     ri = dedup_index_write(base.unionByName(delta), "t_reb_exact", num_buckets=4)
     for part in ("fps", "shingles", "sizes"):
-        a = {tuple(r) for r in getattr(ai, part).read(spark).collect()}
-        b = {tuple(r) for r in getattr(ri, part).read(spark).collect()}
-        assert a == b, part
+        assert part_rows(ai, part) == part_rows(ri, part), part
     pa = {tuple(r) for r in neardup_probe(probe_docs, ai, 500_000).collect()}
     pr = {tuple(r) for r in neardup_probe(probe_docs, ri, 500_000).collect()}
     assert pa == pr and pa
@@ -710,25 +714,22 @@ def test_index_append_equals_rebuild(spark, corpus):
         base.unionByName(delta), "t_reb_lsh", num_buckets=4, mode="md5"
     )
     for part in ("band_tbl", "shingles", "sizes"):
-        a = {tuple(r) for r in getattr(al, part).read(spark).collect()}
-        b = {tuple(r) for r in getattr(rl, part).read(spark).collect()}
-        assert a == b, part
+        assert part_rows(al, part) == part_rows(rl, part), part
     la = {tuple(r) for r in lsh_index_probe(probe_docs, al, 500_000).collect()}
     lr = {tuple(r) for r in lsh_index_probe(probe_docs, rl, 500_000).collect()}
     assert la == lr and la
 
 
-def test_index_append_partial_crash_replay_converges(spark):
-    """The reviewer's crash windows, pinned: replaying an append
-    after a PARTIAL table-write prefix (crash after shingles landed
-    but before sizes — the double-count window; crash after sizes
-    would be the starvation window, prevented by writing the guard
-    table last) converges to exactly the full-append state: no
-    duplicate (doc_id, sid) rows, correct sizes, correct probe
-    Jaccard."""
+def test_index_append_crash_replay_converges(spark, monkeypatch):
+    """Epoch-commit crash semantics (round-5 verdict task 1): an
+    append that dies ANYWHERE before the manifest replace leaves the
+    readable index exactly at the old epoch (the orphaned part-built
+    epoch is invisible), and the replayed append converges to the
+    full-append state — no duplicate (doc_id, sid) rows, correct
+    sizes, correct probe Jaccard, orphan epochs garbage-collected."""
     from pyspark.sql import functions as F
 
-    from ods_v3_dbt_spark.operators.dedup import _shingle_table
+    import ods_v3_dbt_spark.operators.neardup_index as NI
     from ods_v3_dbt_spark.operators.neardup_index import (
         dedup_index_append,
         dedup_index_write,
@@ -744,20 +745,33 @@ def test_index_append_partial_crash_replay_converges(spark):
         "doc_id long, text string",
     )
     idx = dedup_index_write(base, "t_crash_idx", num_buckets=2)
+    assert idx.resolve(spark).epoch == 1
 
-    # simulate the crash: delta's SHINGLES land (as an interrupted
-    # append would leave them) but sizes never does
-    sh_delta = _shingle_table(delta, "text", "doc_id", 3).select("doc_id", "sid")
-    idx.shingles.write(
-        idx.shingles.read(spark).unionByName(sh_delta).distinct()
-    )
-    # the replayed append: anti-join does NOT skip doc 2 (not in
-    # sizes), and the convergent unions must not double its shingles
+    # simulate the crash: every epoch-2 member table lands, but the
+    # process dies at the very last instant — the manifest replace
+    real_commit = NI._commit_manifest
+
+    def dying_commit(*a, **k):
+        raise RuntimeError("simulated crash before manifest commit")
+
+    monkeypatch.setattr(NI, "_commit_manifest", dying_commit)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        dedup_index_append(idx, delta)
+    # the readable index is untouched: old epoch, doc 2 invisible
+    cur = idx.resolve(spark)
+    assert cur.epoch == 1
+    assert {r.doc_id for r in cur.sizes.read(spark).collect()} == {1}
+
+    # the replay: anti-join does NOT skip doc 2 (not in the CURRENT
+    # epoch's sizes), the orphan epoch is cleared and rebuilt
+    monkeypatch.setattr(NI, "_commit_manifest", real_commit)
     dedup_index_append(idx, delta)
-
-    sh = idx.shingles.read(spark)
+    cur = idx.resolve(spark)
+    assert cur.epoch == 2
+    sh = cur.shingles.read(spark)
     assert sh.count() == sh.distinct().count()          # no dup rows
-    sizes = {r.doc_id: r.n_shingles for r in idx.sizes.read(spark).collect()}
+    sizes = {r.doc_id: r.n_shingles
+             for r in cur.sizes.read(spark).collect()}
     n2 = sh.filter(F.col("doc_id") == 2).count()
     assert sizes[2] == n2 and n2 > 0
     # probe of an exact clone of doc 2 reports jacc exactly 1e6 —
@@ -769,6 +783,78 @@ def test_index_append_partial_crash_replay_converges(spark):
     hits = {(r.corpus_id, r.jacc_ppm)
             for r in neardup_probe(clone, idx, 500_000).collect()}
     assert hits == {(2, 1_000_000)}
+
+
+def test_index_epoch_atomic_refresh(spark):
+    """The round-5 done-criterion: a reader probing DURING a refresh
+    sees the entirely-old or entirely-new epoch, never a mix —
+    proven by the epoch tag carried in every member row. A probe
+    plan resolved BEFORE an append still executes against pure
+    old-epoch tables after the append commits (previous epoch
+    retained for lazy readers); a post-commit resolve serves pure
+    new-epoch rows; two appends later the stale epoch is gone."""
+    from ods_v3_dbt_spark.operators.neardup_index import (
+        EPOCH_COL,
+        dedup_index_append,
+        dedup_index_write,
+        neardup_probe,
+    )
+    from ods_v3_dbt_spark.sinks import _warehouse_path
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    d2 = spark.createDataFrame(
+        [(2, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    d3 = spark.createDataFrame(
+        [(3, "red orange yellow green blue indigo violet")],
+        "doc_id long, text string",
+    )
+    idx = dedup_index_write(base, "t_epoch_idx", num_buckets=2)
+    r1 = idx.resolve(spark)
+    # a reader's lazy plan, resolved pre-refresh
+    clone2 = spark.createDataFrame(
+        [(99, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    pre_plan = neardup_probe(clone2, idx, 500_000)
+    assert pre_plan.count() == 0          # doc 2 not in epoch 1
+
+    dedup_index_append(idx, d2)           # commit epoch 2 mid-"probe"
+
+    # 1) the pre-refresh plan still reads PURE epoch-1 state
+    assert pre_plan.count() == 0
+    for part in ("fps", "shingles", "sizes"):
+        tags = {
+            r[0]
+            for r in getattr(r1, part).read(spark)
+            .select(EPOCH_COL).distinct().collect()
+        }
+        assert tags == {1}, part
+    # 2) a post-commit resolve serves PURE epoch-2 rows
+    r2 = idx.resolve(spark)
+    assert r2.epoch == 2
+    for part in ("fps", "shingles", "sizes"):
+        tags = {
+            r[0]
+            for r in getattr(r2, part).read(spark)
+            .select(EPOCH_COL).distinct().collect()
+        }
+        assert tags == {2}, part
+    hits = {(r.corpus_id, r.jacc_ppm)
+            for r in neardup_probe(clone2, idx, 500_000).collect()}
+    assert hits == {(2, 1_000_000)}
+    # 3) retention: epoch 1 still on disk (lazy readers), and after
+    # the NEXT append it is garbage-collected
+    wh = _warehouse_path(spark)
+    assert (wh / "t_epoch_idx__e1_shingles").is_dir()
+    dedup_index_append(idx, d3)           # commit epoch 3
+    assert idx.resolve(spark).epoch == 3
+    assert not (wh / "t_epoch_idx__e1_shingles").is_dir()
+    assert (wh / "t_epoch_idx__e2_shingles").is_dir()
 
 
 def test_neardup_probe_hot_shingle_cap(spark):

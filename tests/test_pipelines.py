@@ -330,7 +330,8 @@ def test_curate_increment_stream_replay_idempotent(spark, tmp_path):
         ),
         "sizes": sorted(
             tuple(r)
-            for r in DedupIndex("t_replay_idx", 3, 2).sizes.read(spark).collect()
+            for r in DedupIndex("t_replay_idx", 3, 2)
+            .resolve(spark).sizes.read(spark).drop("__epoch").collect()
         ),
     }
     process(batch, 0)  # the retry
@@ -344,7 +345,8 @@ def test_curate_increment_stream_replay_idempotent(spark, tmp_path):
         ),
         "sizes": sorted(
             tuple(r)
-            for r in DedupIndex("t_replay_idx", 3, 2).sizes.read(spark).collect()
+            for r in DedupIndex("t_replay_idx", 3, 2)
+            .resolve(spark).sizes.read(spark).drop("__epoch").collect()
         ),
     }
     assert snap1 == snap2

@@ -713,6 +713,7 @@ def test_lsh_index_probe_band_join_bucketed(spark):
 
     idx = LshIndex(_lsh_fixture_name(SF), 3, 16, 4, 8, "md5")
     assert idx.exists(spark)
+    ridx = idx.resolve(spark)
     batch = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon zeta")],
         "doc_id long, text string",
@@ -721,7 +722,7 @@ def test_lsh_index_probe_band_join_bucketed(spark):
         minhash_signatures(_shingle_table(batch, "text", "doc_id", 3), 16, "md5"),
         16, 4,
     )
-    cb = idx.band_tbl.read(spark).select(
+    cb = ridx.band_tbl.read(spark).select(
         F.col("doc_id").alias("corpus_id"), "band_idx", "band_key"
     )
     # at fixture scale the batch side BROADCASTS (then Spark rightly
