@@ -615,6 +615,7 @@ def lsh_index_probe(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int | None = None,
+    broadcast_cand_limit: int = 2_000_000,
     _resolved: _Resolved | None = None,
 ) -> DataFrame:
     """Probe a batch against the persisted LSH index: batch docs are
@@ -631,7 +632,18 @@ def lsh_index_probe(
     table (boilerplate buckets are corpus-side phenomena).
     ``_resolved`` lets a composite caller (``curate_increment``) pin
     the SAME resolved epoch across its own corpus reads and this
-    probe's."""
+    probe's.
+
+    ``broadcast_cand_limit`` (round-5 verdict task 5): the verify
+    stage restricts both shingle sides to the candidate set with
+    broadcast semi-joins — right while batches are the small side,
+    but a pathological batch colliding into a huge candidate set
+    would blow the broadcast (driver memory ∝ candidates). The
+    candidate table is already materialized (localCheckpoint), so
+    its count is one cheap job; above the limit the three
+    restrictions switch to shuffle semi-joins — identical output
+    (pinned in tests), bounded memory, the shuffles are
+    candidate-sized."""
     from .dedup import lsh_band_table, minhash_signatures
 
     spark = batch.sparkSession
@@ -661,15 +673,22 @@ def lsh_index_probe(
         .distinct()
         .localCheckpoint()
     )
+    # size-gated broadcast: one cheap count over the checkpointed
+    # candidates decides whether the verify restrictions broadcast
+    # (normal batches) or shuffle (pathological collision storms)
+    def _cand_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if cand_is_small else df
+
+    cand_is_small = cand.count() <= broadcast_cand_limit
     # verify: exact Jaccard over the CANDIDATE-restricted shingles
     bsh_r = bsh.select("doc_id", "sid").join(
-        F.broadcast(cand.select("doc_id").distinct()), "doc_id", "left_semi"
+        _cand_side(cand.select("doc_id").distinct()), "doc_id", "left_semi"
     )
     csh_r = (
         cur.shingles.read(spark)
         .select(F.col("doc_id").alias("corpus_id"), "sid")
         .join(
-            F.broadcast(cand.select("corpus_id").distinct()),
+            _cand_side(cand.select("corpus_id").distinct()),
             "corpus_id",
             "left_semi",
         )
@@ -678,7 +697,7 @@ def lsh_index_probe(
         bsh_r.join(csh_r, "sid")
         .groupBy("doc_id", "corpus_id")
         .agg(F.count(F.lit(1)).alias("inter"))
-        .join(F.broadcast(cand), ["doc_id", "corpus_id"], "left_semi")
+        .join(_cand_side(cand), ["doc_id", "corpus_id"], "left_semi")
     )
     bsizes = bsh.select("doc_id", "sid").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("size_batch")

@@ -671,6 +671,50 @@ def test_lsh_index_probe_subset_of_exact_probe(spark, corpus):
     assert any(j == 1_000_000 for (_, _, j) in lsh)
 
 
+def test_lsh_probe_candidate_broadcast_fallback(spark, corpus):
+    """Round-5 verdict task 5: when the candidate-pair count exceeds
+    broadcast_cand_limit, the verify restrictions switch from
+    broadcast to shuffle semi-joins — IDENTICAL probe output on both
+    paths (limit=0 forces the fallback for every non-empty candidate
+    set), and the fallback's executed plan carries no broadcast of
+    the candidate table."""
+    from pyspark.sql import functions as F
+
+    from ods_v3_dbt_spark.operators.neardup_index import (
+        lsh_index_probe,
+        lsh_index_write,
+    )
+
+    existing = corpus.filter(F.col("doc_id") < 10000)
+    batch = corpus.filter(F.col("doc_id") >= 10000)
+    idx = lsh_index_write(existing, "t_bcfall_lsh", num_buckets=4, mode="md5")
+    normal = lsh_index_probe(batch, idx, 500_000)
+    fallback = lsh_index_probe(batch, idx, 500_000, broadcast_cand_limit=0)
+    n = {tuple(r) for r in normal.collect()}
+    f = {tuple(r) for r in fallback.collect()}
+    assert n == f and n
+    # the danger is the UNCONDITIONAL broadcast hint (it overrides
+    # Spark's size checks); auto-broadcast of genuinely-small tables
+    # is size-capped and fine. With auto-broadcast off, any remaining
+    # BroadcastHashJoin must come from a hint — the fallback plan
+    # must then have none, while the normal path's hints survive.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fb_plan = (
+            lsh_index_probe(batch, idx, 500_000, broadcast_cand_limit=0)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        hint_plan = (
+            lsh_index_probe(batch, idx, 500_000)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" not in fb_plan
+    assert "BroadcastHashJoin" in hint_plan
+
+
 def test_index_append_equals_rebuild(spark, corpus):
     """Incremental index refresh: appending a delta to an index built
     on the base corpus yields EXACTLY the state of a full rebuild
