@@ -312,12 +312,80 @@ def _l2q_cells(c: DataFrame, num_cells: int, seeds: list | None = None):
     return asg, ref_lit, refined
 
 
+def _cell_blocks(asg: DataFrame, max_cell_rows: int) -> DataFrame:
+    """HOT-CELL GUARD for the within-cell pair kernels (round-5
+    verdict task 4) — an EXACT block-pair decomposition, the
+    applyInPandas analog of the LSH probe's hot-bucket cap but with
+    zero recall loss: a cell of n rows is split into
+    k = ceil(n / max_cell_rows) sub-blocks of AT MOST max_cell_rows
+    rows each (row_number-based assignment — the bound is hard, not
+    a hash-balance hope), and every row is replicated into the k
+    unordered block pairs it participates in, so the kernel group
+    for (cell, bi, bj) holds at most 2·max_cell_rows rows — the
+    O(|cell|²) gram matrix becomes O(max_cell_rows²) per task no
+    matter how hot the cell. Pair coverage is exact: a within-block
+    pair appears only in its diagonal group (bi == bj), a
+    cross-block pair only in its one (min, max) group. Normal cells
+    (n ≤ max_cell_rows) get k = 1 — a single diagonal group,
+    byte-identical to the unguarded kernel.
+
+    Input: the (vid, v, cell) assignment. Output adds (sub, bi, bj);
+    group on (cell, bi, bj) and have the kernel pair rows of sub ==
+    bi against rows of sub == bj (triangle when equal). The cell
+    count join broadcasts (num_cells rows); the window sort rides
+    the same cell shuffle the kernel grouping needs anyway, and the
+    only data growth is the ×k replication of HOT cells' rows —
+    bounded by corpus/N × k, with k = 1 everywhere a cell is within
+    budget."""
+    from pyspark.sql import Window
+
+    # the count side gets its OWN materialized relation: asg is
+    # typically a localCheckpoint, and a self-join over one LogicalRDD
+    # trips Spark 4.1's relation dedup (INTERNAL_ERROR_ATTRIBUTE_NOT_
+    # FOUND — the same bug the semantic_dedup_l2q assignment comments
+    # document); the copy is one column of num_cells-bounded rows
+    cnts = (
+        asg.select("cell")
+        .localCheckpoint()
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    a = asg.join(F.broadcast(cnts), "cell")
+    k = F.greatest(
+        F.lit(1), F.ceil(F.col("__n") / F.lit(max_cell_rows))
+    ).cast("int")
+    rn = F.row_number().over(
+        Window.partitionBy("cell").orderBy(F.xxhash64(F.col("vid")), "vid")
+    )
+    a = a.withColumn("__k", k).withColumn(
+        "sub", ((rn - 1) % F.col("__k")).cast("int")
+    )
+    blocks = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.col("__k") - 1),
+            lambda t: F.struct(
+                F.least(F.col("sub"), t).alias("bi"),
+                F.greatest(F.col("sub"), t).alias("bj"),
+            ),
+        )
+    )
+    return (
+        a.withColumn("__blk", F.explode(blocks))
+        .select(
+            "cell", "vid", "v", "sub",
+            F.col("__blk.bi").alias("bi"),
+            F.col("__blk.bj").alias("bj"),
+        )
+    )
+
+
 def semantic_dedup_l2q(
     corpus: DataFrame,
     num_cells: int = 8,
     radius2: int = 300000,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_cell_rows: int = 8192,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
     learning at web-scale through semantic deduplication"): cluster
@@ -335,10 +403,14 @@ def semantic_dedup_l2q(
     pair generation is bounded by the largest cell, never corpus².
 
     Scale: assignment is a shuffle-free linear map against the
-    broadcast centroid literal; the self-join shuffles on ``cell``
-    (Σ|cell|² pairs — num_cells is the knob, and a skew-guard can
-    reuse the LSH hot-bucket pattern); components run on the
-    near-dup edge list, which is tiny relative to the corpus.
+    broadcast centroid literal; pair generation shuffles on (cell,
+    block-pair) with Σ|cell|² total pair work — num_cells is the
+    average-cost knob, and ``max_cell_rows`` is the WORST-CASE guard
+    (:func:`_cell_blocks`): a hot cell is exactly decomposed into
+    block-pair kernel groups of ≤ ~2·max_cell_rows rows, so no task
+    ever materializes more than an O(max_cell_rows²) gram matrix.
+    Components run on the near-dup edge list, which is tiny relative
+    to the corpus.
     """
     from . import dedup as DD
 
@@ -365,36 +437,55 @@ def semantic_dedup_l2q(
     # the second checkpoint just copies the first's rows.
     asg = asg.localCheckpoint()
 
-    # Within-cell pair generation as ONE Arrow kernel per cell — the
-    # numpy-gram discipline of embedding_cosine_pairs: ‖a−b‖² =
-    # ‖a‖²+‖b‖²−2a·b from an int64 gram matrix (exact — milli-units
-    # ≤ ~3e3, 64 dims ⇒ |a·b| ≤ ~6e8, far inside int64), upper
-    # triangle masked by radius². The round-3 JVM spelling was a
-    # cell-keyed self-join evaluating a 64-term interpreted lambda
-    # per pair (~46M interpreted ops at sf0.1 — the query's dominant
-    # cost, measured 3.6 s → ~0.5 s here). Per-cell memory is
-    # O(|cell|²) in the kernel — num_cells is the knob, exactly
-    # SemDeDup's stated trade.
+    # Within-cell pair generation as ONE Arrow kernel per (cell,
+    # block-pair) group — the numpy-gram discipline of
+    # embedding_cosine_pairs: ‖a−b‖² = ‖a‖²+‖b‖²−2a·b from an int64
+    # gram matrix (exact — milli-units ≤ ~3e3, 64 dims ⇒ |a·b| ≤
+    # ~6e8, far inside int64), masked by radius². The round-3 JVM
+    # spelling was a cell-keyed self-join evaluating a 64-term
+    # interpreted lambda per pair (~46M interpreted ops at sf0.1 —
+    # the query's dominant cost, measured 3.6 s → ~0.5 s here).
+    # Per-task memory was O(|cell|²) — unbounded under a hot cell;
+    # _cell_blocks caps it at O(max_cell_rows²) exactly (no recall
+    # loss), with num_cells still the average-cost knob.
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
+        empty = pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
         if len(pdf) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
-        ids = pdf["vid"].to_numpy()
-        m = np.vstack(pdf["v"].to_numpy()).astype("int64")
-        g = m @ m.T
-        sq = np.diag(g)
-        d2 = sq[:, None] + sq[None, :] - 2 * g
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = d2[iu, ju] <= radius2
-        ia, ib = ids[iu[keep]], ids[ju[keep]]
+            return empty
+        bi, bj = int(pdf["bi"].iat[0]), int(pdf["bj"].iat[0])
+        if bi == bj:
+            # diagonal group: upper triangle over one block
+            ids = pdf["vid"].to_numpy()
+            m = np.vstack(pdf["v"].to_numpy()).astype("int64")
+            g = m @ m.T
+            sq = np.diag(g)
+            d2 = sq[:, None] + sq[None, :] - 2 * g
+            iu, ju = np.triu_indices(len(ids), k=1)
+            keep = d2[iu, ju] <= radius2
+            ia, ib = ids[iu[keep]], ids[ju[keep]]
+        else:
+            # off-diagonal group: full cross between the two blocks
+            a, b = pdf[pdf["sub"] == bi], pdf[pdf["sub"] == bj]
+            if a.empty or b.empty:
+                return empty
+            ids_a, ids_b = a["vid"].to_numpy(), b["vid"].to_numpy()
+            ma = np.vstack(a["v"].to_numpy()).astype("int64")
+            mb = np.vstack(b["v"].to_numpy()).astype("int64")
+            g = ma @ mb.T
+            sqa = np.einsum("ij,ij->i", ma, ma)
+            sqb = np.einsum("ij,ij->i", mb, mb)
+            d2 = sqa[:, None] + sqb[None, :] - 2 * g
+            ii, jj = np.nonzero(d2 <= radius2)
+            ia, ib = ids_a[ii], ids_b[jj]
         return pd.DataFrame(
             {"id_a": np.minimum(ia, ib), "id_b": np.maximum(ia, ib)}
         )
 
-    edges = asg.groupBy("cell").applyInPandas(
-        cell_pairs, schema="id_a long, id_b long"
-    )
+    edges = _cell_blocks(asg, max_cell_rows).groupBy(
+        "cell", "bi", "bj"
+    ).applyInPandas(cell_pairs, schema="id_a long, id_b long")
     comp = DD.connected_components(edges, "id_a", "id_b")
     return (
         asg.select("vid", "cell")

@@ -581,6 +581,75 @@ def test_semantic_dedup_l2q_groups_and_keeps(spark):
     assert again == got
 
 
+def test_semantic_dedup_hot_cell_guard(spark):
+    """Round-5 verdict task 4: the block-pair decomposition bounds
+    the all-pairs kernel's per-group row count under a planted HOT
+    cell (num_cells=1 forces everything into one cell) while the
+    dedup output stays byte-identical to the unguarded kernel — the
+    guard is exact, not a recall trade."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from ods_v3_dbt_spark.operators.similarity import (
+        _cell_blocks,
+        semantic_dedup_l2q,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [(vid, (rng.rand(64) - 0.5).tolist()) for vid in range(60)]
+    for vid in (5, 17, 29, 41):  # planted near-dup clones
+        v = list(rows[vid][1])
+        v[3] += 0.001
+        rows.append((200 + vid, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def snap(max_cell_rows):
+        out = semantic_dedup_l2q(
+            df, num_cells=1, radius2=300000, max_cell_rows=max_cell_rows
+        )
+        return {(r.vec_id, r.cell, r.component_id, r.keep)
+                for r in out.collect()}
+
+    unguarded = snap(max_cell_rows=10_000)   # k = 1, single group
+    guarded = snap(max_cell_rows=8)          # hot cell → many blocks
+    assert guarded == unguarded
+    assert any(not keep for (_, _, _, keep) in guarded)  # dups found
+
+    # bounded per-group row count, proven on the decomposition itself:
+    # every (cell, bi, bj) kernel group holds ≤ 2·max_cell_rows rows
+    asg = df.select(
+        F.col("vec_id").alias("vid"),
+        F.lit(0).alias("cell"),
+        F.array([F.lit(0)] * 4).alias("v"),
+    )
+    blocks = _cell_blocks(asg, max_cell_rows=8)
+    sizes = blocks.groupBy("cell", "bi", "bj").count()
+    assert sizes.agg(F.max("count")).first()[0] <= 16
+    # exact coverage: every unordered row pair lands in EXACTLY one
+    # group — diagonal for same-sub pairs, (min,max) for cross pairs
+    a = blocks.select("vid", "bi", "bj", "sub")
+    kernel_pairs = (  # what the kernel pairs: sub==bi side × sub==bj side
+        ((F.col("x.sub") == F.col("x.bi")) & (F.col("y.sub") == F.col("x.bj")))
+        | ((F.col("x.sub") == F.col("x.bj")) & (F.col("y.sub") == F.col("x.bi")))
+    )
+    pair_groups = (
+        a.alias("x")
+        .join(
+            a.alias("y"),
+            (F.col("x.bi") == F.col("y.bi"))
+            & (F.col("x.bj") == F.col("y.bj"))
+            & (F.col("x.vid") < F.col("y.vid"))
+            & kernel_pairs,
+        )
+        .groupBy(F.col("x.vid").alias("u"), F.col("y.vid").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_rows = df.count()
+    assert pair_groups.count() == n_rows * (n_rows - 1) // 2
+    assert pair_groups.agg(F.max("n")).first()[0] == 1
+
+
 # ---------------------------------------------------------------------------
 # PageRank
 # ---------------------------------------------------------------------------
