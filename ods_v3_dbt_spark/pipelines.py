@@ -337,6 +337,15 @@ def curate_increment_stream(
             )
             if mismatch:
                 stored = None
+                # DELETE the invalidated partition now (round-4
+                # advisor): if this batch's gated set turns out
+                # empty, the dynamic overwrite below writes zero
+                # partitions and the prior incarnation's ghost
+                # verdicts would survive, permanently attributed to
+                # this epoch's batch_id
+                import shutil
+
+                shutil.rmtree(part, ignore_errors=True)
         if stored is not None:
             decisions = stored
         else:

@@ -353,6 +353,48 @@ def test_curate_increment_stream_replay_idempotent(spark, tmp_path):
     assert len(snap1["corpus"]) == 2
 
 
+def test_curate_increment_stream_stale_partition_purged(spark, tmp_path):
+    """Round-4 advisor (pipelines.py:352): a same-numbered decisions
+    partition from a PRIOR stream incarnation is detected stale
+    (doc-set mismatch) — and when the current batch's gated set is
+    EMPTY, the dynamic overwrite writes zero partitions, so the
+    stale partition must be deleted explicitly or its ghost verdicts
+    survive attributed to this epoch's batch_id."""
+    from ods_v3_dbt_spark.pipelines import curate_increment_stream
+
+    corpus = tmp_path / "corpus"
+    decisions = tmp_path / "decisions"
+    process = curate_increment_stream(
+        corpus, "t_ghost_idx", str(decisions), num_buckets=2
+    )
+    # prior incarnation: batch 0 decided real docs
+    first = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    process(first, 0)
+    assert spark.read.parquet(str(decisions)).count() == 1
+    # new incarnation, fresh checkpoint, SAME batch number — but its
+    # only doc fails the token gate, so the gated set is empty
+    ghostly = spark.createDataFrame(
+        [(50, "too short")], "doc_id long, text string"
+    )
+    process(ghostly, 0)
+    # the prior incarnation's partition is purged, not ghosted
+    import glob as _glob
+
+    remaining = _glob.glob(str(decisions / "batch_id=0" / "*.parquet"))
+    assert remaining == []
+    got = (
+        spark.read.option("basePath", str(decisions))
+        .parquet(str(decisions))
+        .count()
+        if _glob.glob(str(decisions / "batch_id=*" / "*.parquet"))
+        else 0
+    )
+    assert got == 0
+
+
 def test_curate_increment_lsh_index_mode(spark):
     """curate_increment with an LshIndex: whole-text near-dups (which
     share nearly all shingles → identical minhash in some band) get
