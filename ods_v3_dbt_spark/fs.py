@@ -1,0 +1,255 @@
+"""Filesystem adapter for the engine's commit machinery (round-5
+verdict task 7).
+
+The snapshot/lock/epoch protocols in :mod:`.sinks`,
+:mod:`.operators.neardup_index`, and :mod:`.pipelines` need exactly
+six primitives: existence probe, whole-file read, atomic pointer
+replace, non-clobbering rename, exclusive create, and delete (plus
+mtime get/touch for the lock heartbeat). They were pathlib-only —
+correct on local disk and any POSIX mount, silently wrong on an
+object store. This module narrows that to ONE seam:
+
+* :class:`LocalFS` — the os/pathlib implementation, byte-identical
+  to the previous inline code (every existing epoch/lock/snapshot
+  test now runs through it);
+* :class:`HadoopFS` — the same surface over
+  ``org.apache.hadoop.fs.FileSystem`` reached through the running
+  Spark JVM, so the engine talks to ANY Hadoop-supported store
+  (hdfs://, s3a://, gs://, abfs://, file://) without new Python
+  dependencies. Proven in tests against ``file://`` through the
+  real Hadoop stack (the only scheme this container can host).
+
+``fs_for(path, spark=None)`` dispatches on the scheme: URIs with a
+``://`` go to HadoopFS (requires the active session's JVM), bare
+paths go to LocalFS.
+
+SEMANTICS CONTRACT (both implementations):
+
+* ``rename(src, dst)`` NEVER clobbers: returns False if ``dst``
+  exists (HDFS's native rename contract; LocalFS emulates it with a
+  hardlink+unlink for files, which is also atomic);
+* ``replace(src, dst)`` atomically clobbers (``os.replace`` /
+  FileContext rename-OVERWRITE) — the pointer-flip primitive;
+* ``create_exclusive`` is the lock-acquire primitive: atomic
+  create-if-absent (O_CREAT|O_EXCL / HDFS create(overwrite=false)).
+
+OBJECT-STORE CAVEATS (documented, not hidden): S3A's rename is a
+copy+delete — non-atomic and O(size) — so the lock steal and dir
+swaps degrade there; HDFS/ABFS/GCS renames are atomic. On S3, the
+production answer is Delta Lake's log (README) or a DynamoDB-style
+lock service; this adapter keeps the protocol correct everywhere
+renames are atomic and makes the degradation explicit elsewhere.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from pathlib import Path
+
+
+class LocalFS:
+    """os/pathlib implementation — the engine's default seam."""
+
+    def exists(self, p) -> bool:
+        return Path(p).exists()
+
+    def is_dir(self, p) -> bool:
+        return Path(p).is_dir()
+
+    def mkdirs(self, p) -> None:
+        Path(p).mkdir(parents=True, exist_ok=True)
+
+    def read_text(self, p) -> str:
+        return Path(p).read_text()
+
+    def write_text_atomic(self, p, content: str) -> None:
+        """tmp-in-same-dir + atomic replace — readers of ``p`` see
+        the old or the new content, never a torn write."""
+        p = Path(p)
+        tmp = p.parent / f".{p.name}.{uuid.uuid4().hex[:8]}"
+        tmp.write_text(content)
+        tmp.replace(p)
+
+    def create_exclusive(self, p, content: str) -> bool:
+        """Atomic create-if-absent; False if it already exists."""
+        try:
+            fd = os.open(str(p), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        os.write(fd, content.encode())
+        os.close(fd)
+        return True
+
+    def rename(self, src, dst) -> bool:
+        """Non-clobbering atomic move; False if ``dst`` exists.
+        Files use link+unlink (atomic no-clobber on POSIX); dirs use
+        an existence check + rename — callers hold the writer lock
+        across dir swaps, so the check-then-rename pair is not
+        racing another mover."""
+        src, dst = Path(src), Path(dst)
+        if src.is_dir():
+            if dst.exists():
+                return False
+            src.rename(dst)
+            return True
+        try:
+            os.link(src, dst)
+        except FileExistsError:
+            return False
+        except FileNotFoundError:
+            raise
+        src.unlink()
+        return True
+
+    def replace(self, src, dst) -> None:
+        """Atomic clobbering move — the pointer-flip primitive."""
+        os.replace(str(src), str(dst))
+
+    def delete(self, p, recursive: bool = True) -> None:
+        p = Path(p)
+        if not p.exists():
+            return
+        if p.is_dir():
+            if recursive:
+                import shutil
+
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                p.rmdir()
+        else:
+            try:
+                p.unlink()
+            except FileNotFoundError:
+                pass
+
+    def mtime(self, p) -> float:
+        return Path(p).stat().st_mtime
+
+    def touch(self, p) -> None:
+        now = time.time()
+        os.utime(str(p), (now, now))
+
+
+class HadoopFS:
+    """The same surface over ``org.apache.hadoop.fs.FileSystem``
+    via the active Spark session's JVM — no new Python deps, every
+    Hadoop-supported scheme. See module docstring for the semantics
+    contract and the object-store caveats."""
+
+    def __init__(self, spark, base_uri: str) -> None:
+        self._jvm = spark._jvm
+        self._gw = spark.sparkContext._gateway
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._fs = self._path(base_uri).getFileSystem(self._conf)
+
+    def _path(self, p):
+        return self._jvm.org.apache.hadoop.fs.Path(str(p))
+
+    def exists(self, p) -> bool:
+        return self._fs.exists(self._path(p))
+
+    def is_dir(self, p) -> bool:
+        jp = self._path(p)
+        return self._fs.exists(jp) and self._fs.getFileStatus(jp).isDirectory()
+
+    def mkdirs(self, p) -> None:
+        self._fs.mkdirs(self._path(p))
+
+    def read_text(self, p) -> str:
+        jp = self._path(p)
+        if not self._fs.exists(jp):
+            raise FileNotFoundError(str(p))
+        stream = self._fs.open(jp)
+        try:
+            # commons-io ships on Spark's classpath
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def _write(self, p, content: str, overwrite: bool) -> None:
+        out = self._fs.create(self._path(p), overwrite)
+        try:
+            out.write(bytearray(content.encode()))
+        finally:
+            out.close()
+
+    def write_text_atomic(self, p, content: str) -> None:
+        parent = str(p).rsplit("/", 1)[0]
+        name = str(p).rsplit("/", 1)[1]
+        tmp = f"{parent}/.{name}.{uuid.uuid4().hex[:8]}"
+        self._write(tmp, content, overwrite=True)
+        self.replace(tmp, p)
+
+    def create_exclusive(self, p, content: str) -> bool:
+        from py4j.protocol import Py4JJavaError
+
+        try:
+            self._write(p, content, overwrite=False)
+            return True
+        except Py4JJavaError as e:
+            if "xists" in str(e.java_exception):  # FileAlreadyExists…
+                return False
+            raise
+
+    def rename(self, src, dst) -> bool:
+        """HDFS's native contract: atomic, False when dst exists."""
+        jsrc = self._path(src)
+        if not self._fs.exists(jsrc):
+            raise FileNotFoundError(str(src))
+        return bool(self._fs.rename(jsrc, self._path(dst)))
+
+    def replace(self, src, dst) -> None:
+        """Rename with OVERWRITE via FileContext (atomic on HDFS;
+        see module docstring for object-store degradation)."""
+        fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            self._path(dst).toUri(), self._conf
+        )
+        ren_cls = getattr(self._jvm, "org.apache.hadoop.fs.Options$Rename")
+        opts = self._gw.new_array(ren_cls, 1)  # varargs → explicit array
+        opts[0] = ren_cls.OVERWRITE
+        fc.rename(self._path(src), self._path(dst), opts)
+
+    def delete(self, p, recursive: bool = True) -> None:
+        self._fs.delete(self._path(p), recursive)
+
+    def mtime(self, p) -> float:
+        return self._fs.getFileStatus(self._path(p)).getModificationTime() / 1000.0
+
+    def touch(self, p) -> None:
+        self._fs.setTimes(self._path(p), int(time.time() * 1000), -1)
+
+
+def join(base, *parts) -> str | Path:
+    """Path join that survives URIs: ``s3a://b/x`` + ``y`` →
+    ``s3a://b/x/y`` (PurePath would eat the double slash); local
+    paths stay Path objects."""
+    s = str(base)
+    if "://" in s:
+        return "/".join([s.rstrip("/"), *parts])
+    return Path(base).joinpath(*parts)
+
+
+_LOCAL = LocalFS()
+
+
+def fs_for(path, spark=None):
+    """Scheme dispatch: ``scheme://…`` → :class:`HadoopFS` (needs the
+    active session), bare paths → :class:`LocalFS`. ``file://`` URIs
+    deliberately go through HadoopFS — that is how the Hadoop arm is
+    integration-tested in this container."""
+    s = str(path)
+    if "://" in s:
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise ValueError(
+                    f"URI path {s} needs an active SparkSession for HadoopFS"
+                )
+        return HadoopFS(spark, s)
+    return _LOCAL

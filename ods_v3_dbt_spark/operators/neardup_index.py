@@ -96,24 +96,28 @@ def _manifest_path(spark: SparkSession, name: str):
 
 
 def _read_manifest(spark: SparkSession, name: str) -> dict | None:
+    from ..fs import fs_for
+
     p = _manifest_path(spark, name)
-    if not p.exists():
+    fs = fs_for(p)
+    if not fs.exists(p):
         return None
-    return json.loads(p.read_text())
+    return json.loads(fs.read_text(p))
 
 
 def _commit_manifest(spark: SparkSession, name: str, epoch: int,
                      spec: dict) -> None:
-    """THE commit point: a tmp-file write + one atomic ``os.replace``
-    of the manifest pointer. Everything before this is invisible to
-    readers; everything after is the new epoch in full."""
-    import uuid
+    """THE commit point: one atomic manifest replace (tmp + rename
+    inside the FS adapter's ``write_text_atomic``). Everything before
+    this is invisible to readers; everything after is the new epoch
+    in full."""
+    from ..fs import fs_for
 
     p = _manifest_path(spark, name)
-    p.parent.mkdir(parents=True, exist_ok=True)
-    tmp = p.parent / f".{p.name}.{uuid.uuid4().hex[:8]}"
-    tmp.write_text(json.dumps({"epoch": epoch, "spec": spec}, sort_keys=True))
-    tmp.replace(p)
+    fs = fs_for(p)
+    fs.mkdirs(p.parent)
+    fs.write_text_atomic(p, json.dumps({"epoch": epoch, "spec": spec},
+                                       sort_keys=True))
 
 
 def _index_lock(spark: SparkSession, name: str):

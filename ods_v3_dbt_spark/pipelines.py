@@ -258,10 +258,12 @@ def curate_increment_stream(
     docs already committed, and the index appends skip
     already-indexed ids (`dedup_index_append`'s contract). Running
     the same batch twice is byte-equivalent to once (pinned in
-    tests). LOCAL-FS assumption: the epoch short-circuit and the
-    snapshot/lock machinery are pathlib-based — on an object store
-    (s3://…) run this over a Delta/HDFS-backed path or swap the
-    existence probes for the matching FileSystem API.
+    tests). The epoch short-circuit and the snapshot/lock machinery
+    route through the :mod:`.fs` adapter (round-5 task 7): bare
+    paths use LocalFS, URIs (hdfs://, s3a://, …) the Hadoop
+    FileSystem reached through the Spark JVM — see fs.py for the
+    per-store atomicity caveats (Delta remains the production
+    closure on S3).
 
     Batch-vs-stream split: ``curate_stream`` alone covers the
     stateless gate + watermark exact-dedup for latency-first
@@ -314,11 +316,12 @@ def curate_increment_stream(
         # (Parquet partition writes aren't transactional — a torn
         # partition is the residual window; Delta's transactional
         # log is the production closure, per README.)
-        from pathlib import Path as _Path
+        from . import fs as FS
 
-        part = _Path(decisions_path) / f"batch_id={batch_id}"
+        fs = FS.fs_for(decisions_path)
+        part = FS.join(decisions_path, f"batch_id={batch_id}")
         stored = None
-        if part.exists():
+        if fs.exists(part):
             stored = spark.read.parquet(str(part)).select(
                 "doc_id", "verdict"
             )
@@ -343,9 +346,7 @@ def curate_increment_stream(
                 # partitions and the prior incarnation's ghost
                 # verdicts would survive, permanently attributed to
                 # this epoch's batch_id
-                import shutil
-
-                shutil.rmtree(part, ignore_errors=True)
+                fs.delete(part)
         if stored is not None:
             decisions = stored
         else:

@@ -57,7 +57,8 @@ class _LockHandle:
     the fencing-token pattern: ownership is re-verified at the moment
     that matters, not only at acquisition."""
 
-    def __init__(self, lock: Path, me: str) -> None:
+    def __init__(self, fs, lock, me: str) -> None:
+        self.fs = fs
         self.lock = lock
         self.me = me
         self._fenced = False
@@ -66,7 +67,7 @@ class _LockHandle:
         if self._fenced:
             return False
         try:
-            return self.lock.read_text().startswith(self.me)
+            return self.fs.read_text(self.lock).startswith(self.me)
         except FileNotFoundError:
             return False
 
@@ -115,70 +116,70 @@ def _writer_lock(root: Path, stale_after_s: float = 3600.0,
     requires the heartbeat to have ALSO failed for hours. A steal
     that detects mid-restore that a third writer re-locked raises
     loudly (round-4 advisor: silently discarding the evicted lock
-    widened the overlap window). Production note: Delta Lake's
+    widened the overlap window). All file operations go through the
+    :mod:`..fs` adapter (round-5 task 7) — LocalFS on bare paths,
+    HadoopFS on URIs — with the same atomicity contract; see fs.py
+    for the object-store caveats. Production note: Delta Lake's
     transaction log is the grown-up version of this file —
     documented in README."""
-    root.mkdir(parents=True, exist_ok=True)
-    lock = root / LOCK_MARKER
+    from . import fs as FS
+
+    fs = FS.fs_for(root)
+    fs.mkdirs(root)
+    lock = FS.join(root, LOCK_MARKER)
     me = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
     while True:
-        try:
-            fd = os.open(str(lock), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, f"{me} {time.time()}".encode())
-            os.close(fd)
+        if fs.create_exclusive(lock, f"{me} {time.time()}"):
             break
-        except FileExistsError:
+        try:
+            age = time.time() - fs.mtime(lock)
+        except FileNotFoundError:
+            continue  # holder just released; race again
+        if age > stale_after_s:
+            # Steal-by-rename with CONTENT VERIFICATION: between
+            # our stat and our rename another stealer may have
+            # removed the stale lock and a fresh writer may have
+            # re-locked — renaming unconditionally would evict a
+            # LIVE writer (the classic lockfile TOCTOU). Capture
+            # the stale content first; after the rename, check we
+            # renamed the file we statted. On mismatch restore via
+            # non-clobbering rename (fails rather than clobbers if
+            # a newer lock appeared) and re-evaluate.
             try:
-                age = time.time() - lock.stat().st_mtime
+                expected = fs.read_text(lock)
             except FileNotFoundError:
-                continue  # holder just released; race again
-            if age > stale_after_s:
-                # Steal-by-rename with CONTENT VERIFICATION: between
-                # our stat and our rename another stealer may have
-                # removed the stale lock and a fresh writer may have
-                # re-locked — renaming unconditionally would evict a
-                # LIVE writer (the classic lockfile TOCTOU). Capture
-                # the stale content first; after the rename, check we
-                # renamed the file we statted. On mismatch restore
-                # via os.link (fails rather than clobbers if a newer
-                # lock appeared) and re-evaluate.
-                try:
-                    expected = lock.read_text()
-                except FileNotFoundError:
-                    continue
-                stale_name = root / f".{LOCK_MARKER}.stale.{me}"
-                try:
-                    lock.rename(stale_name)
-                except FileNotFoundError:
-                    continue
-                if stale_name.read_text() != expected:
-                    # we evicted a FRESH lock — put it back without
-                    # clobbering anything newer
-                    try:
-                        os.link(stale_name, lock)
-                    except FileExistsError:
-                        # a THIRD writer re-locked between our rename
-                        # and restore: the fresh holder we evicted is
-                        # now lockless while believing it holds the
-                        # mutex. Its own flip is fenced off by
-                        # _LockHandle.check(), but this overlap must
-                        # surface loudly, not pass silently
-                        # (round-4 advisor, sinks.py:112).
-                        stale_name.unlink()
-                        raise ConcurrentWriteError(
-                            f"multi-stealer collision on {lock}: evicted a "
-                            "fresh lock and a third writer re-locked before "
-                            "restore — the evicted writer will be fenced at "
-                            "its flip; back off and retry"
-                        )
-                    stale_name.unlink()
-                    continue
-                stale_name.unlink()  # verified stale; no residue
                 continue
-            raise ConcurrentWriteError(
-                f"writer lock held on {root} (age {age:.0f}s)"
-            )
-    handle = _LockHandle(lock, me)
+            stale_name = FS.join(root, f".{LOCK_MARKER}.stale.{me}")
+            try:
+                if not fs.rename(lock, stale_name):
+                    continue
+            except FileNotFoundError:
+                continue
+            if fs.read_text(stale_name) != expected:
+                # we evicted a FRESH lock — put it back without
+                # clobbering anything newer
+                if not fs.rename(stale_name, lock):
+                    # a THIRD writer re-locked between our rename
+                    # and restore: the fresh holder we evicted is
+                    # now lockless while believing it holds the
+                    # mutex. Its own flip is fenced off by
+                    # _LockHandle.check(), but this overlap must
+                    # surface loudly, not pass silently
+                    # (round-4 advisor, sinks.py:112).
+                    fs.delete(stale_name)
+                    raise ConcurrentWriteError(
+                        f"multi-stealer collision on {lock}: evicted a "
+                        "fresh lock and a third writer re-locked before "
+                        "restore — the evicted writer will be fenced at "
+                        "its flip; back off and retry"
+                    )
+                continue
+            fs.delete(stale_name)  # verified stale; no residue
+            continue
+        raise ConcurrentWriteError(
+            f"writer lock held on {root} (age {age:.0f}s)"
+        )
+    handle = _LockHandle(fs, lock, me)
     stop = None
     if heartbeat:
         import threading
@@ -193,8 +194,7 @@ def _writer_lock(root: Path, stale_after_s: float = 3600.0,
                 if not handle.owned():
                     return
                 try:
-                    now = time.time()
-                    os.utime(handle.lock, (now, now))
+                    fs.touch(handle.lock)
                 except FileNotFoundError:
                     return
 
@@ -212,8 +212,8 @@ def _writer_lock(root: Path, stale_after_s: float = 3600.0,
         # else — unlinking it blindly would let a third writer in
         # while the stealer is mid-commit.
         try:
-            if lock.read_text().startswith(me):
-                lock.unlink()
+            if fs.read_text(lock).startswith(me):
+                fs.delete(lock)
         except FileNotFoundError:
             pass
 
@@ -227,15 +227,21 @@ class ParquetTable:
 
     # -- pointer management -------------------------------------------------
 
+    def _fs(self):
+        from . import fs as FS
+
+        return FS.fs_for(self.root)
+
     def _pointer(self) -> Path:
         return self.root / CURRENT_MARKER
 
     def current_snapshot(self) -> Path | None:
-        if not self._pointer().exists():
+        fs = self._fs()
+        if not fs.exists(self._pointer()):
             return None
-        name = self._pointer().read_text().strip()
+        name = fs.read_text(self._pointer()).strip()
         snap = self.root / name
-        return snap if snap.exists() else None
+        return snap if fs.exists(snap) else None
 
     def exists(self) -> bool:
         return self.current_snapshot() is not None
@@ -266,10 +272,10 @@ class ParquetTable:
             if self.partition_cols:
                 writer = writer.partitionBy(*self.partition_cols)
             writer.parquet(str(self.root / snap))
-            tmp = self.root / f".{CURRENT_MARKER}.{uuid.uuid4().hex[:8]}"
-            tmp.write_text(snap)
             lk.check()  # fencing: abort (not flip) if evicted mid-produce
-            tmp.replace(self._pointer())
+            # atomic pointer flip through the FS adapter (tmp-in-dir
+            # + replace inside write_text_atomic)
+            self._fs().write_text_atomic(self._pointer(), snap)
             return self.root / snap
 
     def history(self) -> list[Path]:
@@ -488,9 +494,12 @@ class BucketedTable:
         table — rename it back so the table resolves again. The side
         (un-promoted) snapshot is NEVER auto-promoted: it may belong
         to a fenced-off loser whose commit must not resurrect."""
+        from . import fs as FS
+
         live, tomb, _ = self._dirs(spark)
-        if not live.exists() and tomb.exists():
-            tomb.rename(live)
+        fs = FS.fs_for(live)
+        if not fs.exists(live) and fs.exists(tomb):
+            fs.rename(tomb, live)
 
     def attach(self, spark: SparkSession) -> bool:
         """Ensure this table is catalog-registered, re-attaching a
@@ -589,14 +598,16 @@ class BucketedTable:
             _warehouse_path(spark) / f"{self.name.lower()}__lock"
         ) as lk:
             import json
-            import shutil
 
+            from . import fs as FS
+
+            fs = FS.fs_for(live)
             self._repair(spark)  # finish a predecessor's crashed swap
             # clear residue from prior crashes/losers (catalog entries
             # are external → drops are catalog-only; dirs explicit)
             spark.sql(f"DROP TABLE IF EXISTS {side}")
-            shutil.rmtree(side_dir, ignore_errors=True)
-            shutil.rmtree(tomb, ignore_errors=True)
+            fs.delete(side_dir)
+            fs.delete(tomb)
             (
                 df.repartition(self.num_buckets, *[df[k] for k in self.keys])
                 .write.format("parquet")
@@ -608,16 +619,17 @@ class BucketedTable:
             # bucket-spec sidecar rides INSIDE the snapshot from birth
             # (underscore prefix → invisible to Spark's file listing,
             # like _SUCCESS), so a promoted dir always validates
-            (side_dir / "_BUCKET_SPEC").write_text(
+            fs.write_text_atomic(
+                FS.join(side_dir, "_BUCKET_SPEC"),
                 json.dumps(
                     {"keys": list(self.keys), "num_buckets": self.num_buckets}
-                )
+                ),
             )
             lk.check()  # fencing: abort (not swap) if evicted mid-write
             spark.sql(f"DROP TABLE IF EXISTS {self.name}")
-            if live.exists():
-                live.rename(tomb)
-            side_dir.rename(live)
+            if fs.exists(live):
+                fs.rename(live, tomb)
+            fs.rename(side_dir, live)
             spark.sql(f"DROP TABLE IF EXISTS {side}")
             self._register(spark, live, df.schema)
-            shutil.rmtree(tomb, ignore_errors=True)
+            fs.delete(tomb)
