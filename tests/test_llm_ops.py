@@ -858,7 +858,9 @@ def test_index_append_crash_replay_converges(spark, monkeypatch):
         "doc_id long, text string",
     )
     idx = dedup_index_write(base, "t_crash_idx", num_buckets=2)
-    assert idx.resolve(spark).epoch == 1
+    e0 = idx.resolve(spark).epoch  # absolute value persists across
+    # pytest sessions (the manifest survives in the warehouse) — all
+    # assertions below are RELATIVE to this build's epoch
 
     # simulate the crash: every epoch-2 member table lands, but the
     # process dies at the very last instant — the manifest replace
@@ -872,7 +874,7 @@ def test_index_append_crash_replay_converges(spark, monkeypatch):
         dedup_index_append(idx, delta)
     # the readable index is untouched: old epoch, doc 2 invisible
     cur = idx.resolve(spark)
-    assert cur.epoch == 1
+    assert cur.epoch == e0
     assert {r.doc_id for r in cur.sizes.read(spark).collect()} == {1}
 
     # the replay: anti-join does NOT skip doc 2 (not in the CURRENT
@@ -880,7 +882,7 @@ def test_index_append_crash_replay_converges(spark, monkeypatch):
     monkeypatch.setattr(NI, "_commit_manifest", real_commit)
     dedup_index_append(idx, delta)
     cur = idx.resolve(spark)
-    assert cur.epoch == 2
+    assert cur.epoch == e0 + 1
     sh = cur.shingles.read(spark)
     assert sh.count() == sh.distinct().count()          # no dup rows
     sizes = {r.doc_id: r.n_shingles
@@ -928,6 +930,7 @@ def test_index_epoch_atomic_refresh(spark):
     )
     idx = dedup_index_write(base, "t_epoch_idx", num_buckets=2)
     r1 = idx.resolve(spark)
+    e0 = r1.epoch  # persists across pytest sessions — relative asserts
     # a reader's lazy plan, resolved pre-refresh
     clone2 = spark.createDataFrame(
         [(99, "one two three four five six seven eight")],
@@ -938,7 +941,7 @@ def test_index_epoch_atomic_refresh(spark):
 
     dedup_index_append(idx, d2)           # commit epoch 2 mid-"probe"
 
-    # 1) the pre-refresh plan still reads PURE epoch-1 state
+    # 1) the pre-refresh plan still reads PURE old-epoch state
     assert pre_plan.count() == 0
     for part in ("fps", "shingles", "sizes"):
         tags = {
@@ -946,28 +949,28 @@ def test_index_epoch_atomic_refresh(spark):
             for r in getattr(r1, part).read(spark)
             .select(EPOCH_COL).distinct().collect()
         }
-        assert tags == {1}, part
-    # 2) a post-commit resolve serves PURE epoch-2 rows
+        assert tags == {e0}, part
+    # 2) a post-commit resolve serves PURE new-epoch rows
     r2 = idx.resolve(spark)
-    assert r2.epoch == 2
+    assert r2.epoch == e0 + 1
     for part in ("fps", "shingles", "sizes"):
         tags = {
             r[0]
             for r in getattr(r2, part).read(spark)
             .select(EPOCH_COL).distinct().collect()
         }
-        assert tags == {2}, part
+        assert tags == {e0 + 1}, part
     hits = {(r.corpus_id, r.jacc_ppm)
             for r in neardup_probe(clone2, idx, 500_000).collect()}
     assert hits == {(2, 1_000_000)}
-    # 3) retention: epoch 1 still on disk (lazy readers), and after
-    # the NEXT append it is garbage-collected
+    # 3) retention: the old epoch is still on disk (lazy readers),
+    # and after the NEXT append it is garbage-collected
     wh = _warehouse_path(spark)
-    assert (wh / "t_epoch_idx__e1_shingles").is_dir()
-    dedup_index_append(idx, d3)           # commit epoch 3
-    assert idx.resolve(spark).epoch == 3
-    assert not (wh / "t_epoch_idx__e1_shingles").is_dir()
-    assert (wh / "t_epoch_idx__e2_shingles").is_dir()
+    assert (wh / f"t_epoch_idx__e{e0}_shingles").is_dir()
+    dedup_index_append(idx, d3)           # commit epoch e0+2
+    assert idx.resolve(spark).epoch == e0 + 2
+    assert not (wh / f"t_epoch_idx__e{e0}_shingles").is_dir()
+    assert (wh / f"t_epoch_idx__e{e0 + 1}_shingles").is_dir()
 
 
 def test_neardup_probe_hot_shingle_cap(spark):
