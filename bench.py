@@ -71,6 +71,26 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
+
+    # Fixture-index builds run OUTSIDE the probe rows (round-5 verdict
+    # task 6) and get their OWN rows: previously dedup_index_probe /
+    # lsh_index_probe each included a 3-4-table bucketed index build
+    # (~4-5 s) around a ~1.6 s warm probe, so a probe regression could
+    # hide inside build noise. The build rows time exactly the
+    # dedup_index_write / lsh_index_write fixture calls; the probe
+    # queries then find the session-cached index via exists().
+    from ods_v3_dbt_spark.plans import llm_queries as LQ  # noqa: E402
+
+    needs_exact = {"dedup_index_probe", "incremental_curation_decisions"}
+    if needs_exact & registry.keys():
+        t0 = time.perf_counter()
+        LQ._fixture_index(spark, sf_dir, force=True)
+        times["dedup_index_build"] = round(time.perf_counter() - t0, 3)
+    if "lsh_index_probe" in registry:
+        t0 = time.perf_counter()
+        LQ._lsh_fixture_index(spark, sf_dir, force=True)
+        times["lsh_index_build"] = round(time.perf_counter() - t0, 3)
+
     for name, qd in registry.items():
         t0 = time.perf_counter()
         qd.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -86,17 +106,25 @@ def main() -> None:
         gc.collect()
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "declared_query_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(payload))
+    # Machine-readable artifact (round-5 verdict task 8): the driver's
+    # recorded stdout tail truncates at 2 KB, so the per-query map was
+    # only ever partially visible in BENCH_r{N}.json — BENCH_SELF.json
+    # makes round-over-round comparison total instead of window-sized.
+    try:
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_SELF.json")
+        with open(out, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # artifact is best-effort; stdout line is the contract
 
 
 if __name__ == "__main__":

@@ -1173,16 +1173,18 @@ def _lsh_fixture_name(sf_dir: str) -> str:
     return f"lsh_idx_{_IDXV}_{_fixture_slug(sf_dir)}"
 
 
-def _fixture_index(spark: SparkSession, sf_dir: str):
+def _fixture_index(spark: SparkSession, sf_dir: str, force: bool = False):
     from ..operators.neardup_index import dedup_index_write
 
     # _IDXV: bump when shingle/fingerprint semantics change — exists()
     # is attach-aware across sessions, so a stale same-name index from
-    # an older code version would otherwise be silently reused
+    # an older code version would otherwise be silently reused.
+    # ``force`` skips every reuse shortcut — bench.py's build row must
+    # measure a real build, not an attach of last run's state.
     name = f"corpus_idx_{_IDXV}_{_fixture_slug(sf_dir)}"
     key = (id(spark.sparkContext), name)
     idx = _IDX_CACHE.get(key)
-    if idx is not None and idx.exists(spark):
+    if not force and idx is not None and idx.exists(spark):
         return idx
     corpus = (
         load(spark, sf_dir, "documents")
@@ -1191,6 +1193,34 @@ def _fixture_index(spark: SparkSession, sf_dir: str):
     )
     # buckets sized to the fixture (production sizes to corpus/128MB)
     idx = dedup_index_write(corpus, name, num_buckets=8)
+    _IDX_CACHE[key] = idx
+    return idx
+
+
+def _lsh_fixture_index(spark: SparkSession, sf_dir: str,
+                       force: bool = False):
+    """The LSH twin of :func:`_fixture_index` — same corpus slice,
+    same session/exists caching (plus cross-session attach, which
+    the original probe query already did). Factored out so bench.py
+    can pre-build it OUTSIDE the probe query's timed region (round-5
+    verdict task 6: build and warm-probe are separate bench rows, so
+    a probe regression can't hide inside build noise); ``force``
+    skips the reuse shortcuts so the build row measures a build."""
+    from ..operators.neardup_index import LshIndex, lsh_index_write
+
+    name = _lsh_fixture_name(sf_dir)
+    key = (id(spark.sparkContext), name)
+    idx = _IDX_CACHE.get(key)
+    if not force and idx is not None and idx.exists(spark):
+        return idx
+    idx = LshIndex(name, 3, 16, 4, 8, "md5")
+    if force or not idx.exists(spark):
+        corpus = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 3 != 0)
+            .select("doc_id", "text")
+        )
+        idx = lsh_index_write(corpus, name, num_buckets=8, mode="md5")
     _IDX_CACHE[key] = idx
     return idx
 
@@ -1465,7 +1495,7 @@ def lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked. Reference anchor: the incremental-against-
     accumulated-state pattern of plugins/operators/bccp_to_ods.py:
     198-201, applied to the near-dup index."""
-    from ..operators.neardup_index import LshIndex, lsh_index_write, lsh_index_probe as probe
+    from ..operators.neardup_index import lsh_index_probe as probe
 
     d = load(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
@@ -1475,10 +1505,7 @@ def lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" extra marker token")).alias("text"),
         )
     )
-    name = _lsh_fixture_name(sf_dir)
-    idx = LshIndex(name, 3, 16, 4, 8, "md5")
-    if not idx.exists(spark):
-        idx = lsh_index_write(corpus, name, num_buckets=8, mode="md5")
+    idx = _lsh_fixture_index(spark, sf_dir)
     return probe(batch, idx, threshold_ppm=500_000)
 
 
