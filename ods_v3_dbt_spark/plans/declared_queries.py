@@ -142,16 +142,20 @@ def register(name: str, oracle: str | None):
 #: window; everything else follows in registration order. Rounds 1-3
 #: are on record in CORRECTNESS_r0{1,2,3}.json (all 50/50 green);
 #: after round 3, 148/187 distinct queries had a driver-ever row.
-#: ROUND-4 WINDOW: the 38 never-driver-sampled names (computed
-#: against r1-r3 driver files), the round-4 addition
-#: dedup_index_probe, and 11 re-checks — embedding_ann_ivf
-#: (literals/centroid machinery touched this round),
-#: dedup_keep_first_ordered (the only historically-red row), the two
-#: BASELINE anchors, the near-dup family (shared shingle machinery
-#: feeds the new index path), curation_pipeline_audit, and the Excel
-#: coercion grid. 39 + 11 = 50 → driver-ever coverage completes at
-#: 187/187 this round. Names listed but not registered are ignored
-#: (the guard test asserts the list stays typo-free).
+#: ROUND-5 WINDOW: the 2 names that have NEVER had a driver row
+#: (doc_novelty_scores / shingle_df_histogram — registered after the
+#: round-4 rotation froze; with them, driver-ever coverage completes
+#: at 191/191), the full round-5 blast radius (the epoch-commit
+#: index rewrite + probe changes: all four index-path rows; the
+#: blocked semantic-dedup kernel; the near-dup family sharing the
+#: shingle machinery the hot-shingle-guard fix touched), and — for
+#: the remaining slots — the rows whose last driver sample is oldest
+#: (round 1): the merge/sink family, which also sits closest to this
+#: round's BucketedTable tombstone-swap rewrite, plus the r1 rollup/
+#: cleansing probes. Anchors and the historically-red
+#: dedup_keep_first_ordered keep their standing re-check slots.
+#: Names listed but not registered are ignored (the guard test
+#: asserts the list stays typo-free).
 _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (
     # Cheap single-scan aggregates lead: the suite's FIRST query
     # absorbs session-residual warmup (first-plan codegen, parquet
@@ -177,50 +181,47 @@ _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (
     "pricing_summary",
     "revenue_by_customer",
     "dedup_keep_first_ordered",
-    # (excel_cell_coercion_grid yielded its re-check slot to
-    # dedup_index_append_probe — r2-green and untouched since)
-    # never-sampled curation/text rows (semantics touched this round:
-    # url canonical boundary fix, html whitespace class)
-    "url_canonical_dedup",
-    "native_session_windows",
-    "duplicate_span_removal",
-    "dsir_importance_weights",
-    "temperature_sampled_mixture",
-    "html_text_extract",
-    "crawl_funnel_extract",
-    "json_corrupt_quarantine",
-    "zorder_morton_codes",
-    # never-sampled ingestion/codec rows
-    "warc_roundtrip_extract",
-    "wds_shard_roundtrip",
-    "multimodal_jpeg_decode",
-    "multimodal_gif_decode",
-    "multimodal_audio_decode",
-    "multimodal_video_y4m",
-    # never-sampled iterative/ANN/BPE rows (+ the ivf re-check: its
-    # centroid machinery changed representation this round)
-    "bpe_learned_merges",
-    "bpe_tokenize_stats",
-    "link_graph_pagerank",
-    "embedding_ann_ivf",
-    "embedding_ann_pq",
-    "embedding_ann_ivfadc",
-    "semantic_dedup_cells",
-    # the round-4 index path: probes first (each builds its fixture
-    # index), then the full decisions composition re-proves on it
+    # the two never-driver-sampled rows → driver-ever hits 191/191
+    "doc_novelty_scores",
+    "shingle_df_histogram",
+    # round-5 blast radius: the epoch-commit index rewrite (manifest
+    # resolve in every probe, size-gated LSH broadcast fallback,
+    # hot-shingle-guard denominator fix) and the composition on top
     "dedup_index_probe",
     "dedup_index_append_probe",
     "lsh_index_probe",
     "incremental_curation_decisions",
+    "curation_pipeline_audit",
+    # blocked-kernel rewrite (hot-cell guard)
+    "semantic_dedup_cells",
     # near-dup family re-checks (shared shingle machinery feeds the
-    # new index probe; warm by the time these run)
+    # index probes; warm by the time these run)
     "minhash_lsh_neardup",
     "ngram_jaccard_neardup",
     "simhash_neardup",
     "embedding_cosine_neardup",
     "neardup_components",
-    # (curation_pipeline_audit yielded its re-check slot to
-    # lsh_index_probe — it is driver-green in r3 and unchanged)
+    # oldest driver rows (last sampled r1) nearest this round's
+    # sinks rewrite: the merge/sink strategy family...
+    "merge_upsert_single",
+    "merge_upsert_composite",
+    "merge_fresh_tie_keep_target",
+    "merge_fresh_tie_take_source",
+    "merge_nullsafe_composite",
+    "delete_insert_window",
+    "partition_overwrite_days",
+    "full_refresh_clean_dim",
+    "dedup_window_keep_oldest",
+    "incremental_rollup_merge",
+    "incremental_watermark",
+    # ...and the r1 rollup/cleansing/probe rows filling out the 50
+    "rollup_day",
+    "rollup_month",
+    "max_freshness_probe",
+    "count_window_probe",
+    "quality_assertion_metrics",
+    "masked_extract",
+    "scalar_cleanse_strings",
 )
 
 
