@@ -214,14 +214,16 @@ _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_window_keep_oldest",
     "incremental_rollup_merge",
     "incremental_watermark",
-    # ...and the r1 rollup/cleansing/probe rows filling out the 50
+    # ...the round-5 ADDITIONS (new queries always enter the window
+    # that ships them — the round-4 lesson)...
+    "lsh_index_append_probe",
+    "semantic_dedup_cells_blocked",
+    # ...and the r1 rollup/probe rows filling out the 50
     "rollup_day",
     "rollup_month",
     "max_freshness_probe",
     "count_window_probe",
     "quality_assertion_metrics",
-    "masked_extract",
-    "scalar_cleanse_strings",
 )
 
 

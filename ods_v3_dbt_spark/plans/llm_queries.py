@@ -1395,11 +1395,15 @@ def dedup_index_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_probe(batch, idx, threshold_ppm=500_000)
 
 
-def _lsh_probe_sql(num_hashes: int, bands: int, threshold_ppm: int) -> str:
+def _lsh_probe_sql(num_hashes: int, bands: int, threshold_ppm: int,
+                   head_cte: str | None = None) -> str:
     """Oracle for the persisted-LSH-index probe: corpus and batch
     banded independently with the SAME md5 minhash family, candidate
     pairs on (band_idx, band_key) collision, exact-Jaccard verify
-    restricted to candidates."""
+    restricted to candidates. ``head_cte`` overrides the corpus/batch
+    definition (the append-probe row uses the two-slice accretion
+    fixture) — the oracle always recomputes from the UNION corpus,
+    which is exactly what makes it prove appended ≡ built-at-once."""
     rows = num_hashes // bands
     pipe = " || '|' || "
 
@@ -1419,14 +1423,15 @@ def _lsh_probe_sql(num_hashes: int, bands: int, threshold_ppm: int) -> str:
             for b in range(bands)
         )
 
-    return f"""
-    WITH corpus AS (
+    head = head_cte or """corpus AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
     batch AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
       UNION ALL
       SELECT doc_id + 40000, text || ' extra marker token'
-      FROM corpus WHERE doc_id % 5 = 2),
+      FROM corpus WHERE doc_id % 5 = 2)"""
+    return f"""
+    WITH {head},
     cw AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
       FROM corpus),
@@ -1506,6 +1511,75 @@ def lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     idx = _lsh_fixture_index(spark, sf_dir)
+    return probe(batch, idx, threshold_ppm=500_000)
+
+
+#: the append-probe fixture: the corpus accretes in two slices, the
+#: batch plants near-dups of BOTH — see dedup_index_append_probe
+_LSH_APPEND_HEAD = """corpus AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 3 = 1 OR doc_id % 3 = 2),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 40000, text || ' extra marker token'
+      FROM documents WHERE doc_id % 3 = 1 AND doc_id % 5 = 2
+      UNION ALL
+      SELECT doc_id + 50000, text || ' extra marker token'
+      FROM documents WHERE doc_id % 3 = 2 AND doc_id % 5 = 3)"""
+
+
+@register(
+    "lsh_index_append_probe",
+    _lsh_probe_sql(16, 4, 500_000, head_cte=_LSH_APPEND_HEAD),
+)
+def lsh_index_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH flavor of ``dedup_index_append_probe`` (round 5): the
+    band/shingle/size state is built from the FIRST corpus slice
+    (doc_id % 3 = 1), the second slice (% 3 = 2) lands later via
+    ``lsh_index_append`` (new docs signed and banded batch-side
+    only, state unioned through the bucketed epoch rewrite and
+    committed by ONE manifest replace), and the batch — new docs
+    plus planted near-dups of BOTH slices — probes the accreted
+    index. The oracle signs and bands the UNION corpus from first
+    principles, so what is value-checked through the driver's own
+    gate is that appended LSH state is INDISTINGUISHABLE from
+    built-at-once state: signatures, band collisions, and the
+    candidate-restricted exact verify all agree across the
+    write→append→probe round-trip (the table-by-table equality is
+    pinned in tests/test_llm_ops.py; this row proves it end to end).
+    Reference anchor: cursor-slice accretion into state built by all
+    previous runs (plugins/operators/bccp_to_ods.py:198-201)."""
+    from ..operators.neardup_index import (
+        lsh_index_append,
+        lsh_index_probe as probe,
+        lsh_index_write,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 3 == 1).select("doc_id", "text")
+    delta = d.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text")
+    suffix = F.concat(F.col("text"), F.lit(" extra marker token"))
+    batch = (
+        d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+        .unionByName(
+            base.filter(F.col("doc_id") % 5 == 2).select(
+                (F.col("doc_id") + 40000).alias("doc_id"), suffix.alias("text")
+            )
+        )
+        .unionByName(
+            delta.filter(F.col("doc_id") % 5 == 3).select(
+                (F.col("doc_id") + 50000).alias("doc_id"), suffix.alias("text")
+            )
+        )
+    )
+    name = f"appended_lsh_{_IDXV}_{_fixture_slug(sf_dir)}"
+    key = (id(spark.sparkContext), name)
+    idx = _IDX_CACHE.get(key)
+    if idx is None or not idx.exists(spark):
+        idx = lsh_index_write(base, name, num_buckets=8, mode="md5")
+        lsh_index_append(idx, delta)
+        _IDX_CACHE[key] = idx
     return probe(batch, idx, threshold_ppm=500_000)
 
 
@@ -1626,6 +1700,40 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
     ).unionByName(copies)
     return SIM.semantic_dedup_l2q(base, num_cells=8, radius2=300000)
+
+
+@register("semantic_dedup_cells_blocked", _SEMDEDUP_SQL)
+def semantic_dedup_cells_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HOT-CELL GUARD under the driver's own gate (round 5):
+    identical fixture and ORACLE as ``semantic_dedup_cells``, but
+    with ``max_cell_rows`` forced far below every cell's population,
+    so every cell runs through the block-pair decomposition
+    (``operators/similarity.py::_cell_blocks``): row_number-balanced
+    sub-blocks hard-capped at 32 rows, each unordered block pair its
+    own Arrow kernel group (cross pairs off-diagonal, triangle on
+    the diagonal). The hash match against the UNBLOCKED oracle is
+    the point — the guard is EXACT, a pure worst-case-memory
+    transformation with zero recall loss, and this row proves it at
+    driver scale rather than only in the planted-hot-cell pytest."""
+    emb = load(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            "concat("
+            " slice(transform(embedding, x -> CAST(x AS DOUBLE)),"
+            "       1, CAST(vec_id % 64 AS INT)),"
+            " array(CAST(element_at(embedding, CAST(vec_id % 64 AS INT) + 1)"
+            "       AS DOUBLE) + 0.5D),"
+            " slice(transform(embedding, x -> CAST(x AS DOUBLE)),"
+            "       CAST(vec_id % 64 AS INT) + 2, 64))"
+        ).alias("embedding"),
+    )
+    base = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    ).unionByName(copies)
+    return SIM.semantic_dedup_l2q(
+        base, num_cells=8, radius2=300000, max_cell_rows=32
+    )
 
 
 @register("embedding_ann_ivf", _IVF_L2Q_SQL)

@@ -27,6 +27,7 @@ PYTHON_KERNEL_QUERIES = {
     "html_text_extract",  # page-build + html.parser extraction Arrow kernels
     "crawl_funnel_extract",  # page→WARC build + parse/split/extract kernels
     "semantic_dedup_cells",  # within-cell pair gen = int64 numpy-gram kernel
+    "semantic_dedup_cells_blocked",  # same kernel through _cell_blocks
 }
 
 # Nested-loop joins are allowed ONLY as scalar/tiny-broadcast
@@ -83,6 +84,7 @@ def test_suite_plan_invariants(spark):
         "curation_pipeline_audit",
         "bpe_learned_merges",
         "semantic_dedup_cells",
+        "semantic_dedup_cells_blocked",  # same checkpointed-assignment shape
         "link_graph_pagerank",
         "incremental_curation_decisions",
     }
