@@ -483,9 +483,26 @@ def semantic_dedup_l2q(
             {"id_a": np.minimum(ia, ib), "id_b": np.maximum(ia, ib)}
         )
 
-    edges = _cell_blocks(asg, max_cell_rows).groupBy(
-        "cell", "bi", "bj"
-    ).applyInPandas(cell_pairs, schema="id_a long, id_b long")
+    # Fast path: one tiny job over the checkpointed assignment (the
+    # aggregate is num_cells rows) decides whether any cell actually
+    # exceeds the budget — when none does, k would be 1 everywhere
+    # and the decomposition's count-join + window sort + explode are
+    # pure overhead (measured ~2 s at sf0.1), so feed the kernel the
+    # plain per-cell groups with constant diagonal block columns.
+    max_cell = (
+        asg.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n")).first()[0]
+    ) or 0
+    if max_cell <= max_cell_rows:
+        grouped = asg.select(
+            "cell", "vid", "v",
+            F.lit(0).alias("sub"), F.lit(0).alias("bi"), F.lit(0).alias("bj"),
+        )
+    else:
+        grouped = _cell_blocks(asg, max_cell_rows)
+    edges = grouped.groupBy("cell", "bi", "bj").applyInPandas(
+        cell_pairs, schema="id_a long, id_b long"
+    )
     comp = DD.connected_components(edges, "id_a", "id_b")
     return (
         asg.select("vid", "cell")
