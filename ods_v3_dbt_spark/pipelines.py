@@ -353,14 +353,31 @@ def curate_increment_stream(
             decisions = curate_increment(
                 gated, index=idx, neardup_jaccard_ppm=neardup_jaccard_ppm
             )
-            # dynamic partition overwrite: rewrite only this epoch's
-            # partition, never the audit trail wholesale (option set
-            # per-write so the SESSION's overwrite semantics are
-            # untouched — a global conf.set would silently convert
-            # every later static-intent overwrite in this session)
-            decisions.withColumn("batch_id", F.lit(batch_id)).write.option(
-                "partitionOverwriteMode", "dynamic"
-            ).mode("overwrite").partitionBy("batch_id").parquet(decisions_path)
+            # ATOMIC per-partition publication (round 5, closing the
+            # torn-partition residual the round-4 note documented):
+            # the epoch's verdicts land in a dot-prefixed staging dir
+            # (invisible to Spark's partition discovery), then swap
+            # into place with delete + one atomic dir rename through
+            # the FS adapter. A reader or a replay can now only ever
+            # see a COMPLETE partition or NO partition — and the
+            # missing-partition replay path is safe by ordering: the
+            # index append runs strictly after this publication, so
+            # a re-decide on a vanished partition still sees the
+            # pre-append corpus state. (The previous dynamic
+            # partitionOverwrite commit let a crash mid-job leave a
+            # torn partition that the doc-set validation had to
+            # catch; now the window is two filesystem metadata ops.)
+            # deterministic staging name: foreachBatch is single-
+            # writer per epoch, so a crashed attempt's residue is
+            # simply cleared and rewritten — no orphan accumulation
+            tmp = FS.join(decisions_path, f".batch-{batch_id}.staging")
+            fs.delete(tmp)
+            decisions.write.parquet(str(tmp))
+            fs.delete(part)
+            if not fs.rename(tmp, part):
+                raise RuntimeError(
+                    f"decisions partition publish lost a race: {part}"
+                )
         admitted = decisions.filter("verdict = 'admitted'").select("doc_id")
         admitted_docs = gated.join(admitted, "doc_id").localCheckpoint()
         if corpus_tbl.exists():

@@ -380,19 +380,11 @@ def test_curate_increment_stream_stale_partition_purged(spark, tmp_path):
         [(50, "too short")], "doc_id long, text string"
     )
     process(ghostly, 0)
-    # the prior incarnation's partition is purged, not ghosted
-    import glob as _glob
-
-    remaining = _glob.glob(str(decisions / "batch_id=0" / "*.parquet"))
-    assert remaining == []
-    got = (
-        spark.read.option("basePath", str(decisions))
-        .parquet(str(decisions))
-        .count()
-        if _glob.glob(str(decisions / "batch_id=*" / "*.parquet"))
-        else 0
-    )
-    assert got == 0
+    # the prior incarnation's verdicts are gone: the partition now
+    # holds THIS batch's (empty) decision record — round 5's atomic
+    # per-partition publication always writes the partition, so a
+    # stale record can never survive by absence of new rows
+    assert spark.read.parquet(str(decisions)).count() == 0
 
 
 def test_curate_increment_lsh_index_mode(spark):
