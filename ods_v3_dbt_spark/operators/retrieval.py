@@ -1,0 +1,177 @@
+"""Retrieval-grade scoring and weighted sampling over the document
+corpus — the query-time face of a training-data engine (the same
+tokenization the dedup/text-analysis family uses feeds ranked
+retrieval for data exploration, decontamination triage, and
+curriculum selection).
+
+Engine discipline as everywhere: whole-stage-codegen column
+expressions, one corpus-sized shuffle per aggregation level,
+1-row/vocabulary-bound broadcasts, and EXACT cross-engine
+arithmetic so every operator has a DuckDB-replayable oracle. Floats
+appear only through IEEE-exact operations (single correctly-rounded
+divisions/multiplications/additions over identical inputs, fold
+sums in a deterministic sorted order) — the ``sqrt``-not-``pow``
+discipline of ``temperature_sampled_mixture`` applied to ranking.
+
+Public-knowledge anchors: Robertson & Spärck Jones probabilistic
+relevance / BM25 (Robertson et al., TREC-3), priority sampling for
+subset-sum estimation (Duffield, Lund & Thorup, JACM 2007).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "rational",
+) -> DataFrame:
+    """BM25 relevance of every matching document against a bag of
+    query ``terms``: (doc_id, score) for docs containing ≥1 term.
+
+    Spark shape: one tokenize scan feeds doc lengths and the
+    term-filtered tf counts; df and the (n_docs, total_len) stats
+    are vocabulary-bound / 1-row broadcasts; the per-doc score is a
+    deterministic LEFT FOLD over the term-sorted per-term scores
+    (``array_sort`` + ``aggregate`` — ``collect_list`` order is
+    nondeterministic, the sort is what makes the float sum
+    reproducible). No corpus-sized state beyond the tf/dl
+    aggregations.
+
+    ``mode`` mirrors the minhash md5/xxhash discipline:
+
+    * ``"rational"`` (oracle-checkable): idf_t = (N − df + ½)/(df + ½)
+      — the inner ratio of the Robertson–Spärck Jones idf with the
+      log OMITTED. Every arithmetic step is then a single IEEE
+      correctly-rounded op over identical doubles, so DuckDB
+      replays the scores bit-exactly. Per-term ranking is monotone
+      in the standard idf; cross-term weighting is steeper (rare
+      terms weigh more than log-idf would) — a documented variant,
+      not an approximation error.
+    * ``"ln"`` (production): the standard
+      idf_t = ln(1 + (N − df + ½)/(df + ½)). ``ln`` is not
+      correctly-rounded across engines, so this mode is pytest-
+      (not hash-) verified.
+
+    k1/b arrive in milli-units and are materialized as
+    ``milli / 1000.0`` — one exact-rounded division that yields the
+    same double in any engine, dodging decimal-literal parsing
+    differences."""
+    if mode not in ("rational", "ln"):
+        raise ValueError(f"unknown bm25 mode: {mode}")
+    k1 = F.lit(k1_milli) / F.lit(1000.0)
+    b = F.lit(b_milli) / F.lit(1000.0)
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    tf = (
+        tok.filter(F.col("term").isin(list(terms)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    j = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    # every expression below is parenthesized EXACTLY as the oracle
+    # writes it — identical evaluation trees give identical doubles
+    avgdl = F.col("total_len") / F.col("n_docs")
+    ratio = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    idf = F.log(ratio + F.lit(1.0)) if mode == "ln" else ratio
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + (k1 * ((F.lit(1.0) - b) + (b * (F.col("dl") / avgdl))))
+    s = idf * ((tf_d * (k1 + F.lit(1.0))) / denom)
+    per_term = j.select("doc_id", F.struct(F.col("term"), s.alias("s")).alias("ts"))
+    return per_term.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("ts")),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("score")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    **kwargs,
+) -> DataFrame:
+    """Top-k BM25 docs: (rank, doc_id, score_micro). Rank is a
+    row_number over (score DESC, doc_id ASC) — computed on the
+    bit-identical doubles, so it replays exactly; the exposed score
+    is micro-unit-quantized bigint (the ``jacc_ppm``/``*_c``
+    integer-output convention)."""
+    scored = bm25_scores(docs, terms, **kwargs)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "rank",
+            "doc_id",
+            F.round(F.col("score") * F.lit(1000000.0)).cast("bigint")
+            .alias("score_micro"),
+        )
+    )
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "ps",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via priority sampling
+    (Duffield–Lund–Thorup): each row gets priority w / u with
+    u ~ Uniform(0, 1]; the k highest-priority rows form the sample
+    (inclusion probability ∝ weight for heavy items, and subset
+    sums are estimable from the threshold — the classic use). Rank
+    by definition, not randomness: u derives from a 48-bit md5
+    slice of (seed, id) — ``(h + 1) / 2^48`` is EXACTLY
+    representable (numerator ≤ 2^48 < 2^53, power-of-two
+    denominator), so the single correctly-rounded division w / u is
+    bit-identical in any IEEE engine and the whole sample is
+    hash-verifiable and replayable (the md5-threshold discipline of
+    the split/sample family, upgraded from Bernoulli to weighted
+    without-replacement).
+
+    Scale: one scan computing the priority expression in codegen +
+    one top-k. The global row_number is fine at k ≤ thousands
+    (WindowGroupLimit pushes the limit map-side); for huge k,
+    partition-local top-k then re-rank — the standard two-phase
+    refinement."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 12),
+        16, 10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**48))
+    pri = F.col(weight_col).cast("double") / u
+    w = Window.orderBy(F.col("__pri").desc(), F.col(id_col))
+    return (
+        df.withColumn("__pri", pri)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", F.col(id_col), F.col(weight_col))
+    )

@@ -218,12 +218,12 @@ _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (
     # that ships them — the round-4 lesson)...
     "lsh_index_append_probe",
     "semantic_dedup_cells_blocked",
+    "bm25_topk_docs",
+    "priority_weighted_sample",
     # ...and the r1 rollup/probe rows filling out the 50
     "rollup_day",
-    "rollup_month",
     "max_freshness_probe",
     "count_window_probe",
-    "quality_assertion_metrics",
 )
 
 

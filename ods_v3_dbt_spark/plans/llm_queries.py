@@ -4292,3 +4292,120 @@ def zorder_morton_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "q_ck", "q_days",
         morton_code(["q_ck", "q_days"], 8).alias("zcode"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval scoring + weighted sampling (round 5 — operators/retrieval.py)
+# ---------------------------------------------------------------------------
+
+#: shared sub-expressions of the BM25 oracle: k1/b as milli-unit
+#: divisions (identical doubles in any engine), every expression
+#: parenthesized EXACTLY as the Spark side builds it
+_BM25_TERMS = ("merge", "scan", "window")
+
+_BM25_SQL = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents),
+    dl AS (SELECT doc_id, COUNT(1) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT COUNT(1) AS n_docs, SUM(dl) AS total_len FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(1) AS tf FROM tok
+      WHERE term IN ('merge', 'scan', 'window')
+      GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(1) AS df FROM tf GROUP BY term),
+    per_term AS (
+      SELECT t.doc_id, t.term,
+             (((s.n_docs - f.df) + 0.5) / (f.df + 0.5))
+             * ((CAST(t.tf AS DOUBLE) * ((1200 / 1000.0) + 1.0))
+                / (CAST(t.tf AS DOUBLE)
+                   + ((1200 / 1000.0)
+                      * ((1.0 - (750 / 1000.0))
+                         + ((750 / 1000.0)
+                            * (d.dl / (s.total_len / s.n_docs))))))) AS s
+      FROM tf t
+      JOIN dfreq f ON f.term = t.term
+      JOIN dl d ON d.doc_id = t.doc_id
+      CROSS JOIN stats s),
+    -- deterministic left fold over term-sorted scores: adding 0.0 for
+    -- an absent term is the IEEE identity, so the coalesce chain
+    -- equals the fold over present terms
+    scored AS (
+      SELECT doc_id,
+             (((0.0 + COALESCE(MAX(CASE WHEN term = 'merge' THEN s END), 0.0))
+               + COALESCE(MAX(CASE WHEN term = 'scan' THEN s END), 0.0))
+              + COALESCE(MAX(CASE WHEN term = 'window' THEN s END), 0.0)) AS score
+      FROM per_term GROUP BY doc_id)
+    SELECT rank, doc_id, CAST(ROUND(score * 1000000.0) AS BIGINT) AS score_micro
+    FROM (SELECT doc_id, score,
+                 ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """
+
+
+@register("bm25_topk_docs", _BM25_SQL)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 over the documents table for a fixed 3-term query,
+    HASH-VERIFIED (operators/retrieval.py::bm25_topk, rational-idf
+    oracle mode): one tokenize scan feeds doc lengths and the
+    term-filtered tf counts, df and the corpus stats broadcast
+    (vocabulary-bound / 1-row), the per-doc score is a deterministic
+    left fold over term-sorted per-term scores, and the exposed
+    score is micro-unit bigint. Every float op is a single IEEE
+    correctly-rounded step over identical doubles (k1/b arrive as
+    milli/1000.0 divisions; the oracle parenthesizes the identical
+    evaluation tree), so DuckDB replays scores AND ranks
+    bit-exactly — the sqrt-not-pow discipline applied to ranking.
+    The production ln-idf mode is pytest-verified
+    (monotone-per-term against this mode). Reference anchor: ranked
+    retrieval is the query-time face the reference's ODS feeds via
+    its BI exports (plugins/operators/ods_to_llb.py); here it runs
+    engine-side."""
+    from ..operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        load(spark, sf_dir, "documents"), list(_BM25_TERMS), k=10
+    )
+
+
+_PRIORITY_SQL = """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+               AS weight
+      FROM documents),
+    pri AS (
+      SELECT doc_id, weight,
+             (CAST(weight AS DOUBLE)
+              / ((('0x' || substring(md5('ps:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 1)
+                 / 281474976710656.0)) AS p
+      FROM base)
+    SELECT rank, doc_id, weight
+    FROM (SELECT doc_id, weight,
+                 ROW_NUMBER() OVER (ORDER BY p DESC, doc_id) AS rank
+          FROM pri)
+    WHERE rank <= 50
+    """
+
+
+@register("priority_weighted_sample", _PRIORITY_SQL)
+def priority_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup) of 50 documents
+    weighted by token count, HASH-VERIFIED
+    (operators/retrieval.py::priority_sample): priority = w / u with
+    u = (48-bit md5 slice + 1) / 2^48 — exactly representable, so
+    the single correctly-rounded division is bit-identical across
+    engines and the weighted WITHOUT-replacement sample is fully
+    replayable (the md5-threshold split/sample discipline upgraded
+    from Bernoulli to weighted). Plan: scan → codegen priority
+    projection → top-k; integer outputs only. This is the
+    curriculum/mixture building block: length- or quality-weighted
+    corpus subsets with estimable subset sums."""
+    from ..functions import text as T
+    from ..operators.retrieval import priority_sample
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).alias("weight")
+    )
+    return priority_sample(d, "weight", k=50)

@@ -1034,3 +1034,67 @@ def test_neardup_probe_hot_shingle_cap(spark):
     # doc 12 carries zero hot shingles in its intersection with 4:
     # capped jacc must EQUAL the exact value, not merely bound it
     assert cap_j[(12, 4)] == unc_j[(12, 4)]
+
+
+# ---------------------------------------------------------------------------
+# Retrieval: BM25 + priority sampling (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_modes_and_semantics(spark):
+    """BM25 operator semantics: more occurrences of the query term →
+    higher score at equal length; longer docs are penalized at equal
+    tf; the production ln-idf mode agrees with the oracle-checkable
+    rational mode on single-term RANKING (idf is a per-term constant
+    — any monotone transform preserves the ordering)."""
+    from ods_v3_dbt_spark.operators.retrieval import bm25_scores, bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark filler filler filler"),   # tf=3, dl=6
+            (2, "spark filler filler filler filler filler"), # tf=1, dl=6
+            (3, "spark spark spark filler filler filler "
+                "pad pad pad pad pad pad"),                  # tf=3, dl=12
+            (4, "no match here at all whatsoever ok"),       # tf=0
+        ],
+        "doc_id long, text string",
+    )
+    for mode in ("rational", "ln"):
+        s = {r.doc_id: r.score
+             for r in bm25_scores(docs, ["spark"], mode=mode).collect()}
+        assert set(s) == {1, 2, 3}              # non-matching doc absent
+        assert s[1] > s[2]                      # tf monotone
+        assert s[1] > s[3]                      # length penalty
+        assert all(v > 0 for v in s.values())
+    rat = [r.doc_id for r in bm25_topk(docs, ["spark"], k=3).collect()]
+    ln = [r.doc_id
+          for r in bm25_topk(docs, ["spark"], k=3, mode="ln").collect()]
+    assert rat == ln                            # single-term rank equality
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown bm25 mode"):
+        bm25_scores(docs, ["spark"], mode="cosine")
+
+
+def test_priority_sample_weighted_determinism(spark):
+    """Priority sampling: deterministic across runs (the md5-derived
+    u is rank-by-definition), an overwhelming weight always wins
+    rank 1, and the sample is exactly k rows without replacement."""
+    from pyspark.sql import functions as F
+
+    from ods_v3_dbt_spark.operators.retrieval import priority_sample
+
+    base = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.lit(10).alias("w")
+    )
+    heavy = spark.createDataFrame([(999, 10_000_000_000)], "doc_id long, w long")
+    df = base.unionByName(heavy)
+    s1 = [(r.rank, r.doc_id) for r in priority_sample(df, "w", 20).collect()]
+    s2 = [(r.rank, r.doc_id) for r in priority_sample(df, "w", 20).collect()]
+    assert s1 == s2 and len(s1) == 20
+    assert s1[0][1] == 999                      # heavy item always sampled
+    assert len({d for _, d in s1}) == 20        # without replacement
+    # a different seed reshuffles the equal-weight tail
+    s3 = [r.doc_id for r in priority_sample(df, "w", 20, seed="other").collect()]
+    assert s3[0] == 999 and s3 != [d for _, d in s1]

@@ -35,6 +35,7 @@ PYTHON_KERNEL_QUERIES = {
 # seed set into the probe). Anything else is an accidental O(n·m).
 SCALAR_BROADCAST_QUERIES = {
     "bigram_collocations",       # 1-row total-token count
+    "bm25_topk_docs",             # 1-row (n_docs, total_len) stats
     "embedding_ann_pq",           # 10-row query ADC-table broadcast
     "embedding_centroid_assign",  # 8-row centroid seed set
     "embedding_topk",             # small query-vector side
