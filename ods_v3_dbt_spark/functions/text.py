@@ -155,3 +155,63 @@ def shingles(col: Column, n: int = 3) -> Column:
     column first and call :func:`shingles_of_tokens` (see note there).
     """
     return shingles_of_tokens(tokens(col), n)
+
+
+def ngrams_of_tokens(w: Column, n: int) -> Column:
+    """ALL word n-grams (with repeats — unlike
+    :func:`shingles_of_tokens`, which distincts) from a materialized
+    token-array column. Repetition signals need the multiset: a doc
+    that repeats one 2-gram fifty times must count it fifty times."""
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+
+
+def repetition_signals(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models" §A.1.1 repetition filters, re-expressed
+    for whitespace tokens), one row per doc, all-integer ppm outputs
+    so the whole computation is oracle-exact:
+
+    * ``top_token_ppm``   — share of tokens that are the single most
+      frequent token (only the top COUNT is exposed, so gram ties
+      cannot introduce ambiguity);
+    * ``top_bigram_ppm``  — share of 2-gram slots taken by the most
+      frequent 2-gram;
+    * ``dup_trigram_ppm`` — share of 3-gram slots whose gram occurs
+      more than once (1 − distinct/total in mass terms).
+
+    Shape: one tokenize scan; each signal is an explode → per-(doc,
+    gram) count → per-doc aggregate — doc-keyed shuffles only, no
+    corpus-wide state. Thresholding into keep/drop flags is the
+    caller's policy (the declared query applies Gopher's 0.20 /
+    0.18 cuts)."""
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("w")
+    )
+
+    def top_share(gram_col: Column, n: int) -> "object":
+        g = d.select("doc_id", F.explode(gram_col).alias("g"))
+        per = g.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        agg = per.groupBy("doc_id").agg(
+            F.max("c").alias("top_c"),
+            F.sum("c").alias("total"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup_mass"),
+        )
+        return agg.select(
+            "doc_id",
+            F.round(F.col("top_c") * 1000000.0 / F.col("total")).cast("bigint")
+            .alias(f"top{n}"),
+            F.round(F.col("dup_mass") * 1000000.0 / F.col("total")).cast("bigint")
+            .alias(f"dup{n}"),
+        )
+
+    t1 = top_share(F.col("w"), 1)
+    t2 = top_share(ngrams_of_tokens(F.col("w"), 2), 2)
+    t3 = top_share(ngrams_of_tokens(F.col("w"), 3), 3)
+    return (
+        t1.select("doc_id", F.col("top1").alias("top_token_ppm"))
+        .join(t2.select("doc_id", F.col("top2").alias("top_bigram_ppm")), "doc_id")
+        .join(t3.select("doc_id", F.col("dup3").alias("dup_trigram_ppm")), "doc_id")
+    )

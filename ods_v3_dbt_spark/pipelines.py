@@ -235,6 +235,7 @@ def curate_increment_stream(
     max_tokens: int = 10_000,
     neardup_jaccard_ppm: int = 500_000,
     num_buckets: int = 8,
+    index_kind: str = "exact",
 ):
     """The PRODUCTION shape of the LLM curation pipeline: a
     ``foreachBatch`` sink that lands each micro-batch through the full
@@ -272,13 +273,25 @@ def curate_increment_stream(
     the two compose (gate upstream, decide here) but each stands
     alone. Engine-tested end-to-end in tests/test_pipelines.py
     (two micro-batches; the second's exact and near dups of the
-    first are caught via the persisted index)."""
+    first are caught via the persisted index).
+
+    ``index_kind``: ``"exact"`` (DedupIndex — every shared shingle
+    is a candidate) or ``"lsh"`` (LshIndex — sub-linear band-
+    collision candidates, LSH's recall trade; the web-scale
+    default). Both run the same decision semantics through
+    ``curate_increment(index=)``."""
     from .operators.neardup_index import (
         DedupIndex,
+        LshIndex,
         dedup_index_append,
         dedup_index_write,
+        lsh_index_append,
+        lsh_index_write,
     )
     from .sinks import ParquetTable
+
+    if index_kind not in ("exact", "lsh"):
+        raise ValueError(f"unknown index_kind: {index_kind}")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -287,7 +300,24 @@ def curate_increment_stream(
             & T.token_count(F.col("text")).between(min_tokens, max_tokens)
         ).select("doc_id", "text")
         corpus_tbl = ParquetTable(corpus_path)
-        idx = DedupIndex(index_name, 3, num_buckets)
+        if index_kind == "lsh":
+            idx = LshIndex(index_name, num_buckets=num_buckets)
+
+            def index_write(docs):
+                return lsh_index_write(
+                    docs, index_name, num_buckets=num_buckets, mode="md5"
+                )
+
+            index_append = lsh_index_append
+        else:
+            idx = DedupIndex(index_name, 3, num_buckets)
+
+            def index_write(docs):
+                return dedup_index_write(
+                    docs, index_name, num_buckets=num_buckets
+                )
+
+            index_append = dedup_index_append
         # Consistency rule: the CORPUS is the source of truth and the
         # index is derived state. No corpus ⇒ any attachable index
         # under this name is ORPHANED (a previous deployment's
@@ -296,17 +326,11 @@ def curate_increment_stream(
         # flagged a dup of ghosts. Corpus without index ⇒ rebuild
         # from corpus.
         if not corpus_tbl.exists():
-            idx = dedup_index_write(
-                spark.createDataFrame([], "doc_id long, text string"),
-                index_name,
-                num_buckets=num_buckets,
+            idx = index_write(
+                spark.createDataFrame([], "doc_id long, text string")
             )
         elif not idx.exists(spark):
-            idx = dedup_index_write(
-                corpus_tbl.read(spark).select("doc_id", "text"),
-                index_name,
-                num_buckets=num_buckets,
-            )
+            idx = index_write(corpus_tbl.read(spark).select("doc_id", "text"))
         # Epoch idempotence: the FIRST attempt's decision record is
         # authoritative. A retry after a mid-process crash must not
         # re-decide — the index may already contain this batch's
@@ -402,7 +426,7 @@ def curate_increment_stream(
         # the index after a crash between the corpus commit and this
         # call (corpus already has the docs, the index does not, and
         # the membership filter would drop them forever).
-        dedup_index_append(idx, admitted_docs)
+        index_append(idx, admitted_docs)
 
     return process
 

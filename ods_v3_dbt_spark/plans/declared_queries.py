@@ -129,6 +129,15 @@ _REGISTRY: dict[str, QueryDef] = {}
 
 def register(name: str, oracle: str | None):
     def deco(fn):
+        # Refuse silent shadowing: a duplicate registration would
+        # REPLACE an existing green oracle row at import time with
+        # nobody noticing (round 5 nearly shipped exactly that — a
+        # second pii_redaction_stats overwrote the round-1 query).
+        if name in _REGISTRY:
+            raise ValueError(
+                f"duplicate query registration: {name!r} is already "
+                "registered — pick a distinct name"
+            )
         _REGISTRY[name] = QueryDef(fn, oracle)
         return fn
 
@@ -220,9 +229,9 @@ _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (
     "semantic_dedup_cells_blocked",
     "bm25_topk_docs",
     "priority_weighted_sample",
-    # ...and the r1 rollup/probe rows filling out the 50
-    "rollup_day",
-    "max_freshness_probe",
+    "repetition_quality_flags",
+    "pii_redaction_stats",
+    # ...and the r1 probe row filling out the 50
     "count_window_probe",
 )
 

@@ -4409,3 +4409,67 @@ def priority_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", T.token_count(F.col("text")).alias("weight")
     )
     return priority_sample(d, "weight", k=50)
+
+
+_REPETITION_SQL = """
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents),
+    t1 AS (
+      SELECT doc_id, unnest(w) AS g FROM tok),
+    g2 AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+            FROM tok)),
+    g3 AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+            FROM tok)),
+    a1 AS (
+      SELECT doc_id,
+             CAST(ROUND(MAX(c) * 1000000.0 / SUM(c)) AS BIGINT) AS top_token_ppm
+      FROM (SELECT doc_id, g, COUNT(1) AS c FROM t1 GROUP BY doc_id, g)
+      GROUP BY doc_id),
+    a2 AS (
+      SELECT doc_id,
+             CAST(ROUND(MAX(c) * 1000000.0 / SUM(c)) AS BIGINT) AS top_bigram_ppm
+      FROM (SELECT doc_id, g, COUNT(1) AS c FROM g2 GROUP BY doc_id, g)
+      GROUP BY doc_id),
+    a3 AS (
+      SELECT doc_id,
+             CAST(ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1000000.0
+                        / SUM(c)) AS BIGINT) AS dup_trigram_ppm
+      FROM (SELECT doc_id, g, COUNT(1) AS c FROM g3 GROUP BY doc_id, g)
+      GROUP BY doc_id)
+    SELECT a1.doc_id, a1.top_token_ppm, a2.top_bigram_ppm, a3.dup_trigram_ppm,
+           (a1.top_token_ppm <= 200000 AND a2.top_bigram_ppm <= 180000)
+             AS keep
+    FROM a1 JOIN a2 ON a2.doc_id = a1.doc_id
+    JOIN a3 ON a3.doc_id = a1.doc_id
+    """
+
+
+@register("repetition_quality_flags", _REPETITION_SQL)
+def repetition_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, the public
+    repetition-rule family), HASH-VERIFIED
+    (functions/text.py::repetition_signals): per doc, the most-
+    frequent-token share, most-frequent-2-gram share, and the mass
+    of duplicated 3-grams — all integer ppm (counts and one ROUND
+    each, no float drift) — plus the keep flag at Gopher's 0.20 /
+    0.18 cuts. Shape: one tokenize scan, three explode→count→agg
+    chains keyed on doc_id, a three-way doc-keyed join. The oracle
+    recomputes every gram multiset from scratch; any tokenization,
+    windowing, or gram-boundary bug shifts a ppm and fails the
+    hash. This is the quality-gate sibling of quality_score_milli:
+    fluency heuristics there, degeneracy/repetition here."""
+    from ..functions.text import repetition_signals
+
+    sig = repetition_signals(load(spark, sf_dir, "documents"))
+    return sig.select(
+        "doc_id", "top_token_ppm", "top_bigram_ppm", "dup_trigram_ppm",
+        ((F.col("top_token_ppm") <= 200000)
+         & (F.col("top_bigram_ppm") <= 180000)).alias("keep"),
+    )

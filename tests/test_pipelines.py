@@ -299,6 +299,72 @@ def test_curate_increment_stream_end_to_end(spark, tmp_path):
     assert got == [1, 13]
 
 
+def test_curate_increment_stream_lsh_mode(spark, tmp_path):
+    """Round-5: the streaming loop with index_kind='lsh' — the
+    web-scale sub-linear variant. Whole-text dups/near-dups of an
+    earlier micro-batch (identical or near-identical shingle sets →
+    identical minhash in at least one band) are caught through the
+    persisted LSH band table across batches; the fresh doc is
+    admitted; verdicts and corpus match the exact-index mode on
+    this fixture."""
+    import datetime as dt
+
+    from ods_v3_dbt_spark.pipelines import curate_increment_stream
+    from ods_v3_dbt_spark.sinks import ParquetTable
+
+    SCHEMA = "doc_id long, text string, ingest_ts timestamp"
+    src = tmp_path / "src"
+    ckpt = tmp_path / "ckpt"
+    corpus = tmp_path / "corpus"
+    decisions = tmp_path / "decisions"
+    T0 = dt.datetime(2024, 9, 1, 12, 0, 0)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    fresh = "totally new words nobody used before in any earlier batch"
+
+    def write(rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    process = curate_increment_stream(
+        corpus, "t_stream_lsh_idx", str(decisions), num_buckets=2,
+        index_kind="lsh",
+    )
+
+    def drain():
+        q = (
+            spark.readStream.schema(SCHEMA).parquet(str(src))
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    write([(1, base, T0), (2, "!!! ???", T0)])
+    drain()
+    write([(11, base, T0),                      # exact dup of corpus 1
+           (12, base + " suffix", T0),          # near-dup: bands collide
+           (13, fresh, T0)])
+    drain()
+
+    by_doc = {r.doc_id: r.verdict
+              for r in spark.read.parquet(str(decisions)).collect()}
+    assert by_doc[1] == "admitted"
+    assert 2 not in by_doc
+    assert by_doc[11] == "dup_exact_existing"    # stage-1 fp probe
+    assert by_doc[12] == "neardup_existing"      # via the band table
+    assert by_doc[13] == "admitted"
+    got = sorted(r.doc_id for r in ParquetTable(corpus).read(spark).collect())
+    assert got == [1, 13]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown index_kind"):
+        curate_increment_stream(corpus, "x", str(decisions),
+                                index_kind="cosine")
+
+
 def test_curate_increment_stream_replay_idempotent(spark, tmp_path):
     """foreachBatch replay semantics: running the SAME micro-batch
     through the process function twice (a crash-retry) leaves
