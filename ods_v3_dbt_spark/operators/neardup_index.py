@@ -191,7 +191,8 @@ class DedupIndex:
             "num_buckets": self.num_buckets,
         }
 
-    def resolve(self, spark: SparkSession) -> _Resolved:
+    def resolve(self, spark: SparkSession,
+                epoch: int | None = None) -> _Resolved:
         """Read the manifest ONCE and return the epoch-consistent
         member handles (attach-aware for fresh sessions). Raises
         FileNotFoundError if the index (or a committed member) is
@@ -199,7 +200,14 @@ class DedupIndex:
         (shingle_n, hash family, …) differ from this handle's —
         probing a 3-gram corpus with 5-gram batch sids returns
         silently-empty matches, not an error, so a mismatch must
-        refuse loudly (rebuild is the correct response)."""
+        refuse loudly (rebuild is the correct response).
+
+        ``epoch`` PINS the resolution to a specific committed epoch
+        instead of the manifest's current one — the cross-store
+        consistency hook (``pipelines.curated_view`` pins the epoch
+        its co-manifest recorded next to the matching corpus
+        snapshot). Only the current and previous epochs are
+        retained, so pin freshly-read values, not archaeology."""
         man = _read_manifest(spark, self.name)
         if man is None:
             raise FileNotFoundError(f"no index manifest for {self.name}")
@@ -209,7 +217,7 @@ class DedupIndex:
                 f"{man['spec']}, handle declares {self.spec()} — "
                 "rebuild the index"
             )
-        epoch = man["epoch"]
+        epoch = man["epoch"] if epoch is None else epoch
         tables = {}
         for part in self.PARTS:
             t = self._table(part, epoch)

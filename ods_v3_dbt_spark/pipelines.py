@@ -27,6 +27,7 @@ from dataclasses import asdict, dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import fs as FS
 from .functions import text as T
 from .operators import dedup as DD
 from .operators.packing import pack_sequences
@@ -340,8 +341,6 @@ def curate_increment_stream(
         # (Parquet partition writes aren't transactional — a torn
         # partition is the residual window; Delta's transactional
         # log is the production closure, per README.)
-        from . import fs as FS
-
         fs = FS.fs_for(decisions_path)
         part = FS.join(decisions_path, f"batch_id={batch_id}")
         stored = None
@@ -416,7 +415,7 @@ def curate_increment_stream(
             updated = admitted_docs
         # snapshot-swap writes a NEW snapshot while readers (and this
         # plan) follow the old pointer — safe read-modify-write
-        corpus_tbl.write(updated)
+        corpus_snap = corpus_tbl.write(updated)
         # index refresh is the INCREMENTAL append: only the admitted
         # docs shingle; corpus state unions through as bucketed longs
         # (a full dedup_index_write here would re-shingle history
@@ -427,8 +426,68 @@ def curate_increment_stream(
         # call (corpus already has the docs, the index does not, and
         # the membership filter would drop them forever).
         index_append(idx, admitted_docs)
+        # CONSISTENT-VIEW co-manifest (round 5): corpus and index
+        # commit independently (each atomically, each replay-safe),
+        # so a reader sampling both mid-refresh could pair the new
+        # corpus with the old index. After BOTH commits succeed, one
+        # atomic co-manifest replace records the matching (corpus
+        # snapshot, index epoch) pair; curated_view() resolves it for
+        # a mutually-consistent read. A crash between the two commits
+        # leaves the co-manifest at the previous consistent pair —
+        # the replayed batch re-drives both and then advances it.
+        import json as _json
+
+        _fs = FS.fs_for(corpus_path)
+        _fs.write_text_atomic(
+            FS.join(corpus_path, "_CURATED"),
+            _json.dumps(
+                {
+                    "batch_id": batch_id,
+                    "corpus_snapshot": corpus_snap.name,
+                    "index_name": index_name,
+                    "index_kind": index_kind,
+                    "index_epoch": idx.resolve(spark).epoch,
+                    "index_spec": idx.spec(),
+                },
+                sort_keys=True,
+            ),
+        )
 
     return process
+
+
+def curated_view(spark, corpus_path):
+    """Mutually-consistent (corpus, index) READ of a curated store
+    maintained by :func:`curate_increment_stream`: resolve the
+    co-manifest ONCE and pin both sides to the pair it records —
+    the corpus via snapshot time-travel (``read_snapshot``), the
+    index via epoch-pinned ``resolve``. A refresh running
+    concurrently cannot skew the view: corpus snapshots survive
+    until ``vacuum`` (keep ≥ 2) and index epochs keep one
+    predecessor, and the co-manifest only ever advances to pairs
+    whose BOTH commits completed. Returns (corpus DataFrame,
+    resolved index handle, manifest dict)."""
+    import json as _json
+
+    from .operators.neardup_index import DedupIndex, LshIndex
+    from .sinks import ParquetTable
+
+    fs = FS.fs_for(corpus_path)
+    man = _json.loads(fs.read_text(FS.join(corpus_path, "_CURATED")))
+    corpus = ParquetTable(corpus_path).read_snapshot(
+        spark, man["corpus_snapshot"]
+    )
+    spec = man["index_spec"]
+    if man["index_kind"] == "lsh":
+        idx = LshIndex(
+            man["index_name"], spec["shingle_n"], spec["num_hashes"],
+            spec["bands"], spec["num_buckets"], spec["mode"],
+        )
+    else:
+        idx = DedupIndex(
+            man["index_name"], spec["shingle_n"], spec["num_buckets"]
+        )
+    return corpus, idx.resolve(spark, epoch=man["index_epoch"]), man
 
 
 def curate_increment(

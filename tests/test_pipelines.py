@@ -493,3 +493,84 @@ def test_curate_increment_lsh_index_mode(spark):
         15: "admitted",
         16: "neardup_batch",
     }
+
+
+def test_curated_view_consistent_pair(spark, tmp_path, monkeypatch):
+    """Round-5 consistent-view co-manifest: curated_view() pins the
+    (corpus snapshot, index epoch) pair recorded AFTER both commits
+    succeeded. A crash between the corpus commit and the index
+    commit leaves the co-manifest at the previous consistent pair —
+    the view never shows a new corpus against an old index — and the
+    replayed batch advances it."""
+    import datetime as dt
+
+    import ods_v3_dbt_spark.operators.neardup_index as NI
+    from ods_v3_dbt_spark.operators.neardup_index import neardup_probe
+    from ods_v3_dbt_spark.pipelines import (
+        curate_increment_stream,
+        curated_view,
+    )
+
+    corpus = tmp_path / "corpus"
+    decisions = tmp_path / "decisions"
+    T0 = dt.datetime(2024, 9, 1, 12, 0, 0)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    fresh = "totally new words nobody used before in any earlier batch"
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, ingest_ts timestamp"
+        )
+
+    process = curate_increment_stream(
+        corpus, "t_view_idx", str(decisions), num_buckets=2
+    )
+    process(batch([(1, base, T0)]), 0)
+    c0, r0, m0 = curated_view(spark, corpus)
+    assert {r.doc_id for r in c0.collect()} == {1}
+    assert m0["batch_id"] == 0 and m0["index_kind"] == "exact"
+
+    # crash AFTER the corpus commit, BEFORE the index commit: the
+    # closure binds index_append at construction time, so patch first
+    real_append = NI.dedup_index_append
+    monkeypatch.setattr(
+        NI, "dedup_index_append",
+        lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("simulated crash before index commit")
+        ),
+    )
+    crashy = curate_increment_stream(
+        corpus, "t_view_idx", str(decisions), num_buckets=2
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        crashy(batch([(13, fresh, T0)]), 1)
+    # the CORPUS pointer already advanced (doc 13 committed there)...
+    from ods_v3_dbt_spark.sinks import ParquetTable
+
+    assert {r.doc_id for r in ParquetTable(corpus).read(spark).collect()} \
+        == {1, 13}
+    # ...but the consistent view still serves the OLD pair
+    c1, r1, m1 = curated_view(spark, corpus)
+    assert {r.doc_id for r in c1.collect()} == {1}
+    assert m1 == m0
+
+    # replay with a healthy loop: both commits re-drive, view advances
+    monkeypatch.setattr(NI, "dedup_index_append", real_append)
+    healthy = curate_increment_stream(
+        corpus, "t_view_idx", str(decisions), num_buckets=2
+    )
+    healthy(batch([(13, fresh, T0)]), 1)
+    c2, r2, m2 = curated_view(spark, corpus)
+    assert {r.doc_id for r in c2.collect()} == {1, 13}
+    assert m2["batch_id"] == 1
+    assert m2["index_epoch"] >= m0["index_epoch"]
+    # the pinned index really serves the pinned epoch: a clone of the
+    # replayed doc probes as an exact near-dup through the view's
+    # resolved handle
+    from ods_v3_dbt_spark.operators.neardup_index import DedupIndex
+
+    idx = DedupIndex("t_view_idx", 3, 2)
+    clone = batch([(99, fresh, T0)]).select("doc_id", "text")
+    hits = {(r.corpus_id, r.jacc_ppm)
+            for r in neardup_probe(clone, idx, 500_000).collect()}
+    assert hits == {(13, 1_000_000)}
