@@ -175,3 +175,92 @@ def priority_sample(
         .filter(F.col("rank") <= k)
         .select("rank", F.col(id_col), F.col(weight_col))
     )
+
+
+def bm25_multiquery_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "rational",
+) -> DataFrame:
+    """Batch retrieval — the shape a 100 TB corpus actually serves:
+    MANY queries scored in one pass. ``queries`` is (query_id, term)
+    rows; returns (query_id, rank, doc_id, score_micro) with rank ≤
+    k per query.
+
+    One corpus tokenize scan (shared across every query) feeds dl
+    and the tf counts restricted to the UNION of query terms
+    (left-semi against the broadcast term set — the corpus never
+    aggregates per term it isn't asked about); df and stats are
+    vocabulary-bound / 1-row broadcasts; the term→query mapping
+    broadcast-joins the per-(doc, term) scores out to
+    (query_id, doc) pairs; the per-pair sum is the same
+    deterministic term-sorted fold as :func:`bm25_scores`, and the
+    per-query top-k is a row_number over (score DESC, doc_id) —
+    WindowGroupLimit pushes the k cut map-side. Exactness contract
+    identical to :func:`bm25_scores` (the oracle replays the fold
+    as a term-rank pivot sum: adding a COALESCEd 0.0 is the IEEE
+    identity, so the parenthesized chain equals the fold over
+    present terms)."""
+    if mode not in ("rational", "ln"):
+        raise ValueError(f"unknown bm25 mode: {mode}")
+    k1 = F.lit(k1_milli) / F.lit(1000.0)
+    b = F.lit(b_milli) / F.lit(1000.0)
+    q = queries.select("query_id", "term")
+    terms = q.select("term").distinct()
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    tf = (
+        tok.join(F.broadcast(terms), "term", "left_semi")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    j = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(q), "term")
+    )
+    avgdl = F.col("total_len") / F.col("n_docs")
+    ratio = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    idf = F.log(ratio + F.lit(1.0)) if mode == "ln" else ratio
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + (k1 * ((F.lit(1.0) - b) + (b * (F.col("dl") / avgdl))))
+    s = idf * ((tf_d * (k1 + F.lit(1.0))) / denom)
+    per_term = j.select(
+        "query_id", "doc_id", F.struct(F.col("term"), s.alias("s")).alias("ts")
+    )
+    scored = per_term.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("ts")),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "doc_id",
+            F.round(F.col("score") * F.lit(1000000.0)).cast("bigint")
+            .alias("score_micro"),
+        )
+    )

@@ -231,8 +231,7 @@ _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (
     "priority_weighted_sample",
     "repetition_quality_flags",
     "pii_redaction_stats",
-    # ...and the r1 probe row filling out the 50
-    "count_window_probe",
+    "bm25_multiquery_topk",
 )
 
 

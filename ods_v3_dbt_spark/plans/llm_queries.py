@@ -4473,3 +4473,75 @@ def repetition_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("top_token_ppm") <= 200000)
          & (F.col("top_bigram_ppm") <= 180000)).alias("keep"),
     )
+
+
+_BM25_MULTI_SQL = """
+    WITH qterms(query_id, term) AS (
+      VALUES (1, 'merge'), (1, 'scan'),
+             (2, 'window'), (2, 'sort'), (2, 'key'),
+             (3, 'join')),
+    tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents),
+    dl AS (SELECT doc_id, COUNT(1) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT COUNT(1) AS n_docs, SUM(dl) AS total_len FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(1) AS tf FROM tok
+      WHERE term IN (SELECT DISTINCT term FROM qterms)
+      GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(1) AS df FROM tf GROUP BY term),
+    per_term AS (
+      SELECT q.query_id, t.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id, t.doc_id
+                                ORDER BY t.term) AS rn,
+             (((s.n_docs - f.df) + 0.5) / (f.df + 0.5))
+             * ((CAST(t.tf AS DOUBLE) * ((1200 / 1000.0) + 1.0))
+                / (CAST(t.tf AS DOUBLE)
+                   + ((1200 / 1000.0)
+                      * ((1.0 - (750 / 1000.0))
+                         + ((750 / 1000.0)
+                            * (d.dl / (s.total_len / s.n_docs))))))) AS s
+      FROM tf t
+      JOIN qterms q ON q.term = t.term
+      JOIN dfreq f ON f.term = t.term
+      JOIN dl d ON d.doc_id = t.doc_id
+      CROSS JOIN stats s),
+    -- term-rank pivot sum = the Spark side's term-sorted left fold
+    -- (adding a COALESCEd 0.0 is the IEEE identity)
+    scored AS (
+      SELECT query_id, doc_id,
+             (((0.0 + COALESCE(MAX(CASE WHEN rn = 1 THEN s END), 0.0))
+               + COALESCE(MAX(CASE WHEN rn = 2 THEN s END), 0.0))
+              + COALESCE(MAX(CASE WHEN rn = 3 THEN s END), 0.0)) AS score
+      FROM per_term GROUP BY query_id, doc_id)
+    SELECT query_id, rank, doc_id,
+           CAST(ROUND(score * 1000000.0) AS BIGINT) AS score_micro
+    FROM (SELECT query_id, doc_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """
+
+
+@register("bm25_multiquery_topk", _BM25_MULTI_SQL)
+def bm25_multiquery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH retrieval, hash-verified — the shape a 100 TB corpus
+    actually serves (operators/retrieval.py::bm25_multiquery_topk):
+    three queries of 1-3 terms each score in ONE corpus pass — the
+    tokenize scan, dl, df, and stats are all shared; the term →
+    query mapping broadcast-joins per-term scores out to (query_id,
+    doc) pairs; per-query top-5 via WindowGroupLimit. The oracle
+    replays the deterministic term-sorted fold as a term-rank pivot
+    sum and the per-query ranking over bit-identical doubles — the
+    single-query row (bm25_topk_docs) proves the scoring arithmetic,
+    this row proves the multi-query fan-out loses nothing."""
+    from ..operators.retrieval import bm25_multiquery_topk as op
+
+    q = spark.createDataFrame(
+        [(1, "merge"), (1, "scan"),
+         (2, "window"), (2, "sort"), (2, "key"),
+         (3, "join")],
+        "query_id int, term string",
+    )
+    return op(load(spark, sf_dir, "documents"), q, k=5)

@@ -36,6 +36,7 @@ PYTHON_KERNEL_QUERIES = {
 SCALAR_BROADCAST_QUERIES = {
     "bigram_collocations",       # 1-row total-token count
     "bm25_topk_docs",             # 1-row (n_docs, total_len) stats
+    "bm25_multiquery_topk",       # same 1-row stats crossJoin
     "embedding_ann_pq",           # 10-row query ADC-table broadcast
     "embedding_centroid_assign",  # 8-row centroid seed set
     "embedding_topk",             # small query-vector side
