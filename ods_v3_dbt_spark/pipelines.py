@@ -452,6 +452,13 @@ def curate_increment_stream(
                 sort_keys=True,
             ),
         )
+        # retention-bounded vacuum: every batch writes a full corpus
+        # snapshot, so without cleanup disk grows linearly in batches.
+        # keep=3 retains the just-committed snapshot, the one the
+        # PREVIOUS co-manifest pins (long-running curated_view
+        # readers), and one margin — mirroring the index's
+        # one-predecessor epoch retention.
+        corpus_tbl.vacuum(keep=3)
 
     return process
 
