@@ -26,6 +26,49 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _bm25_tf_stats(docs: DataFrame, terms: list[str], text_col: str,
+                   id_col: str):
+    """The corpus-touching core, shared by single- and multi-query
+    BM25: ONE scan-stage projection computes doc length (size of the
+    token array) and the QUERY-TERM-filtered token list per doc —
+    the corpus is never exploded on its full vocabulary. Three
+    consumers read it, each a cheap scan-stage pass: the 1-row
+    (n_docs, total_len) aggregate; the tf explode+count, whose rows
+    CARRY dl — so there is no separate per-doc length aggregation
+    and no doc-keyed dl join anywhere in the plan (the first cut
+    had both); and the df count over distinct-per-doc terms. The tf
+    (doc, term) count is the only corpus-sized shuffle — df and
+    stats map-side combine to ≤ |terms| / 1 rows per task.
+
+    Returns (tf, dfreq, stats): tf = (doc_id, term, tf, dl), dfreq =
+    (term, df) — computed DIRECTLY from the distinct-per-doc terms
+    (one groupBy whose partials map-side combine to ≤ |terms| rows
+    per task), not by re-aggregating tf — and stats = 1-row
+    (n_docs, total_len)."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("w"),
+    ).select(
+        "doc_id",
+        F.size("w").alias("dl"),
+        F.filter(F.col("w"), lambda x: x.isin(terms)).alias("qw"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("qw").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    dfreq = (
+        base.select(F.explode(F.array_distinct("qw")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return tf, dfreq, stats
+
+
 def bm25_scores(
     docs: DataFrame,
     terms: Sequence[str],
@@ -38,14 +81,16 @@ def bm25_scores(
     """BM25 relevance of every matching document against a bag of
     query ``terms``: (doc_id, score) for docs containing ≥1 term.
 
-    Spark shape: one tokenize scan feeds doc lengths and the
-    term-filtered tf counts; df and the (n_docs, total_len) stats
-    are vocabulary-bound / 1-row broadcasts; the per-doc score is a
-    deterministic LEFT FOLD over the term-sorted per-term scores
-    (``array_sort`` + ``aggregate`` — ``collect_list`` order is
-    nondeterministic, the sort is what makes the float sum
-    reproducible). No corpus-sized state beyond the tf/dl
-    aggregations.
+    Spark shape (see :func:`_bm25_tf_stats`): two scan-stage passes
+    over the corpus — a 1-row stats aggregate and the
+    query-term-restricted tf explode whose rows carry dl, so no
+    per-doc length aggregation or dl join exists in the plan; df
+    and stats are vocabulary-bound / 1-row broadcasts; the per-doc
+    score is a deterministic LEFT FOLD over the term-sorted
+    per-term scores (``array_sort`` + ``aggregate`` —
+    ``collect_list`` order is nondeterministic, the sort is what
+    makes the float sum reproducible). The only corpus-sized
+    shuffle is the (doc, term) tf count.
 
     ``mode`` mirrors the minhash md5/xxhash discipline:
 
@@ -70,27 +115,8 @@ def bm25_scores(
         raise ValueError(f"unknown bm25 mode: {mode}")
     k1 = F.lit(k1_milli) / F.lit(1000.0)
     b = F.lit(b_milli) / F.lit(1000.0)
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-        ).alias("term"),
-    )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
-    )
-    tf = (
-        tok.filter(F.col("term").isin(list(terms)))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    j = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-    )
+    tf, dfreq, stats = _bm25_tf_stats(docs, list(terms), text_col, id_col)
+    j = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
     # every expression below is parenthesized EXACTLY as the oracle
     # writes it — identical evaluation trees give identical doubles
     avgdl = F.col("total_len") / F.col("n_docs")
@@ -192,45 +218,29 @@ def bm25_multiquery_topk(
     rows; returns (query_id, rank, doc_id, score_micro) with rank ≤
     k per query.
 
-    One corpus tokenize scan (shared across every query) feeds dl
-    and the tf counts restricted to the UNION of query terms
-    (left-semi against the broadcast term set — the corpus never
-    aggregates per term it isn't asked about); df and stats are
-    vocabulary-bound / 1-row broadcasts; the term→query mapping
-    broadcast-joins the per-(doc, term) scores out to
-    (query_id, doc) pairs; the per-pair sum is the same
-    deterministic term-sorted fold as :func:`bm25_scores`, and the
-    per-query top-k is a row_number over (score DESC, doc_id) —
-    WindowGroupLimit pushes the k cut map-side. Exactness contract
-    identical to :func:`bm25_scores` (the oracle replays the fold
-    as a term-rank pivot sum: adding a COALESCEd 0.0 is the IEEE
-    identity, so the parenthesized chain equals the fold over
-    present terms)."""
+    The corpus work is :func:`_bm25_tf_stats` — shared across every
+    query: two scan-stage passes (1-row stats, query-term-restricted
+    tf explode carrying dl), restricted to the UNION of query terms
+    (collected driver-side — bounded by the query workload, the
+    codebook-collect convention); df and stats are vocabulary-bound
+    / 1-row broadcasts; the term→query mapping broadcast-joins the
+    per-(doc, term) scores out to (query_id, doc) pairs; the
+    per-pair sum is the same deterministic term-sorted fold as
+    :func:`bm25_scores`, and the per-query top-k is a row_number
+    over (score DESC, doc_id) — WindowGroupLimit pushes the k cut
+    map-side. Exactness contract identical to :func:`bm25_scores`
+    (the oracle replays the fold as a term-rank pivot sum: adding a
+    COALESCEd 0.0 is the IEEE identity, so the parenthesized chain
+    equals the fold over present terms)."""
     if mode not in ("rational", "ln"):
         raise ValueError(f"unknown bm25 mode: {mode}")
     k1 = F.lit(k1_milli) / F.lit(1000.0)
     b = F.lit(b_milli) / F.lit(1000.0)
     q = queries.select("query_id", "term")
-    terms = q.select("term").distinct()
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-        ).alias("term"),
-    )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
-    )
-    tf = (
-        tok.join(F.broadcast(terms), "term", "left_semi")
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    terms = sorted({r.term for r in q.select("term").distinct().collect()})
+    tf, dfreq, stats = _bm25_tf_stats(docs, terms, text_col, id_col)
     j = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .join(F.broadcast(q), "term")
     )

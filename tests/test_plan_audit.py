@@ -750,3 +750,19 @@ def test_lsh_index_probe_band_join_bucketed(spark):
     # above the corpus band scan (formatted mode spells exchanges as
     # "(n) Exchange" + "Arguments: hashpartitioning(...)")
     assert plan.count("hashpartitioning(band_idx") == 1
+
+
+def test_bm25_plan_shape(spark):
+    """BM25 (round 5): the corpus work must stay at three scan-stage
+    passes (1-row stats, tf-with-dl, df) — no per-doc length join
+    (the first cut shipped one plus a fourth scan), no sort-merge
+    machinery (df/stats broadcast), and the tf (doc, term) count as
+    the only corpus-keyed exchange family."""
+    for name in ("bm25_topk_docs", "bm25_multiquery_topk"):
+        df = DQ.registry()[name].spark(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") <= 3, name
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name  # df joins broadcast
+        # dl rides the tf rows: no join keyed on doc_id anywhere
+        assert not re.search(r"Join \[doc_id", plan), name
