@@ -208,7 +208,11 @@ _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (
     "minhash_lsh_neardup",
     "ngram_jaccard_neardup",
     "simhash_neardup",
-    "embedding_cosine_neardup",
+    # (embedding_cosine_neardup yielded its slot to the round-5
+    # addition hard_negative_mining — it is embedding-based, not
+    # shingle-based, so the round-5 probe changes don't touch it,
+    # and it is r4-driver-green)
+    "hard_negative_mining",
     "neardup_components",
     # oldest driver rows (last sampled r1) nearest this round's
     # sinks rewrite: the merge/sink strategy family...

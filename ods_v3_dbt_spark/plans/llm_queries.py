@@ -4545,3 +4545,102 @@ def bm25_multiquery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id int, term string",
     )
     return op(load(spark, sf_dir, "documents"), q, k=5)
+
+
+_HARD_NEG_SQL = """
+    WITH q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id < 10),
+    planted AS (
+      SELECT vec_id + 10000 AS neighbor_id,
+             list_transform(
+               list_concat(
+                 list_concat(
+                   embedding[1:CAST(vec_id % 64 AS INT)],
+                   [CAST(embedding[CAST(vec_id % 64 AS INT) + 1] AS DOUBLE)
+                    + 0.5]),
+                 embedding[CAST(vec_id % 64 AS INT) + 2:64]),
+               x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS cv
+      FROM embeddings WHERE vec_id < 10),
+    c AS (
+      SELECT vec_id AS neighbor_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS cv
+      FROM embeddings WHERE vec_id >= 10
+      UNION ALL
+      SELECT neighbor_id, cv FROM planted),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             list_sum(list_transform(range(1, 65),
+               i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS d2
+      FROM q CROSS JOIN c)
+    SELECT query_id, rank, neighbor_id, CAST(d2 AS BIGINT) AS d2
+    FROM (SELECT query_id, neighbor_id, d2,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY d2, neighbor_id) AS rank
+          FROM scored WHERE d2 > 300000)
+    WHERE rank <= 3
+    """
+
+
+@register("hard_negative_mining", _HARD_NEG_SQL)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard-negative mining, HASH-VERIFIED: for
+    each query embedding, the 3 NEAREST neighbors that are NOT
+    near-duplicates — the band (d2 > dup_radius², rank by d2 asc)
+    that yields informative negatives instead of trivially-far or
+    secretly-positive ones. The fixture PLANTS a near-dup clone of
+    every query (one dim +0.5 → quantized L2² ≈ 250 000, inside the
+    300 000 dup radius shared with semantic_dedup_cells): a miner
+    without the dup-exclusion would return each query's own clone as
+    its top "negative" — the classic false-negative poisoning — so
+    the hash check proves the exclusion fires. Exact integer L2²
+    over milli-quantized vectors end to end (zip_with fold in
+    codegen); the 10-row query side broadcasts into the corpus scan
+    (the embedding_topk pattern); per-query top-3 via
+    WindowGroupLimit. At scale the same band rides IVF (probe
+    nprobe cells, exclude the dup radius) — this is the exact twin,
+    the ivf_topk_l2q discipline applied to negative mining."""
+    emb = load(spark, sf_dir, "embeddings")
+    to_q = F.expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))"
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), to_q.alias("qv")
+    )
+    clones = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 10000).alias("neighbor_id"),
+        F.expr(
+            "transform(concat("
+            " slice(transform(embedding, x -> CAST(x AS DOUBLE)),"
+            "       1, CAST(vec_id % 64 AS INT)),"
+            " array(CAST(element_at(embedding, CAST(vec_id % 64 AS INT) + 1)"
+            "       AS DOUBLE) + 0.5D),"
+            " slice(transform(embedding, x -> CAST(x AS DOUBLE)),"
+            "       CAST(vec_id % 64 AS INT) + 2, 64)),"
+            " x -> CAST(round(x*1000) AS BIGINT))"
+        ).alias("cv"),
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), to_q.alias("cv")
+    ).unionByName(clones)
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2"), F.col("neighbor_id")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("d2", d2)
+        .filter(F.col("d2") > 300000)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "rank", "neighbor_id", "d2")
+    )

@@ -42,6 +42,7 @@ SCALAR_BROADCAST_QUERIES = {
     "embedding_topk",             # small query-vector side
     "events_day_spine_fill",      # day-spine × type dim (tiny × tiny)
     "fk_integrity_counts",        # per-edge 1-row counts unioned
+    "hard_negative_mining",       # 10-row query-vector broadcast
     "incremental_watermark",      # 1-row max-cursor scalar
     "join_key_skew_profile",      # 1-row (total, n_keys) pair
     "link_graph_pagerank",        # 1-row node-count scalar (edge gen)
