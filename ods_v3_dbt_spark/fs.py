@@ -191,7 +191,13 @@ class HadoopFS:
             self._write(p, content, overwrite=False)
             return True
         except Py4JJavaError as e:
-            if "xists" in str(e.java_exception):  # FileAlreadyExists…
+            # classify by EXCEPTION CLASS, not message text: an
+            # unrelated failure whose message merely contains
+            # "exists" (parent-path errors on some stores) must
+            # surface as a fault, not masquerade as lock-held
+            # (round-6 advisor, fs.py:189)
+            cls = e.java_exception.getClass().getName()
+            if cls.endswith("FileAlreadyExistsException"):
                 return False
             raise
 

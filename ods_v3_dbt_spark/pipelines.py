@@ -437,64 +437,125 @@ def curate_increment_stream(
         # the replayed batch re-drives both and then advances it.
         import json as _json
 
+        from .operators.neardup_index import set_index_pin
+
         _fs = FS.fs_for(corpus_path)
+        man_path = FS.join(corpus_path, "_CURATED")
+        prev_man = None
+        if _fs.exists(man_path):
+            prev_man = _json.loads(_fs.read_text(man_path))
+        new_epoch = idx.resolve(spark).epoch
         _fs.write_text_atomic(
-            FS.join(corpus_path, "_CURATED"),
+            man_path,
             _json.dumps(
                 {
                     "batch_id": batch_id,
                     "corpus_snapshot": corpus_snap.name,
                     "index_name": index_name,
                     "index_kind": index_kind,
-                    "index_epoch": idx.resolve(spark).epoch,
+                    "index_epoch": new_epoch,
                     "index_spec": idx.spec(),
                 },
                 sort_keys=True,
             ),
         )
-        # retention-bounded vacuum: every batch writes a full corpus
-        # snapshot, so without cleanup disk grows linearly in batches.
-        # keep=3 retains the just-committed snapshot, the one the
-        # PREVIOUS co-manifest pins (long-running curated_view
-        # readers), and one margin — mirroring the index's
-        # one-predecessor epoch retention.
-        corpus_tbl.vacuum(keep=3)
+        # PIN-AWARE retention (round-6 verdict task 4): the live and
+        # previous co-manifest pairs are now GUARANTEED readable —
+        # their index epochs are pinned (so index GC carries their
+        # segment sets forward) and their corpus snapshots pass into
+        # vacuum's protect set; keep=3 only bounds UNPINNED history.
+        # A long-running reader beyond the live/previous window uses
+        # curated_view(pin_id=...) to hold its own pin.
+        pin_epochs = [new_epoch]
+        pin_snaps = [corpus_snap.name]
+        if prev_man is not None and prev_man["index_name"] == index_name:
+            pin_epochs.append(prev_man["index_epoch"])
+            pin_snaps.append(prev_man["corpus_snapshot"])
+        set_index_pin(spark, index_name, f"curated:{corpus_path}",
+                      pin_epochs)
+        corpus_tbl.vacuum(keep=3, pinned=pin_snaps)
 
     return process
 
 
-def curated_view(spark, corpus_path):
+def _index_from_manifest(man: dict):
+    from .operators.neardup_index import DedupIndex, LshIndex
+
+    spec = man["index_spec"]
+    if man["index_kind"] == "lsh":
+        return LshIndex(
+            man["index_name"], spec["shingle_n"], spec["num_hashes"],
+            spec["bands"], spec["num_buckets"], spec["mode"],
+        )
+    return DedupIndex(
+        man["index_name"], spec["shingle_n"], spec["num_buckets"]
+    )
+
+
+def curated_view(spark, corpus_path, pin_id: str | None = None):
     """Mutually-consistent (corpus, index) READ of a curated store
     maintained by :func:`curate_increment_stream`: resolve the
     co-manifest ONCE and pin both sides to the pair it records —
     the corpus via snapshot time-travel (``read_snapshot``), the
     index via epoch-pinned ``resolve``. A refresh running
-    concurrently cannot skew the view: corpus snapshots survive
-    until ``vacuum`` (keep ≥ 2) and index epochs keep one
-    predecessor, and the co-manifest only ever advances to pairs
-    whose BOTH commits completed. Returns (corpus DataFrame,
-    resolved index handle, manifest dict)."""
+    concurrently cannot skew the view: the loop's own retention
+    pins GUARANTEE the live and the previous co-manifest pairs
+    stay on disk (index-epoch pins + vacuum-protected snapshots),
+    and the co-manifest only ever advances to pairs whose BOTH
+    commits completed — so an unpinned view stays readable across
+    one full refresh, the window this resolve-then-read needs.
+
+    A reader that must hold its pair LONGER than that (a training
+    job streaming the view for hours while refreshes land) passes
+    ``pin_id``: the resolved pair is then registered in both pin
+    stores (``set_index_pin`` / ``ParquetTable.set_pin``) and
+    survives ANY number of refreshes until
+    :func:`release_curated_view` with the same id (round-6 verdict
+    task 4 — retention by guarantee, not convention). Pin
+    registration re-validates the pair afterwards and retries on
+    the (one-refresh-wide) race where the pair aged out mid-
+    registration. Returns (corpus DataFrame, resolved index handle,
+    manifest dict)."""
     import json as _json
 
-    from .operators.neardup_index import DedupIndex, LshIndex
+    from .operators.neardup_index import set_index_pin
+    from .sinks import ParquetTable
+
+    fs = FS.fs_for(corpus_path)
+    tbl = ParquetTable(corpus_path)
+    last_err = None
+    for _ in range(3):
+        man = _json.loads(fs.read_text(FS.join(corpus_path, "_CURATED")))
+        idx = _index_from_manifest(man)
+        if pin_id is not None:
+            # pin FIRST, then validate: if the pair was still live
+            # when the pins landed, it is now immortal; if it aged
+            # out in between, validation fails and we retry on the
+            # fresher manifest
+            set_index_pin(spark, man["index_name"], f"view:{pin_id}",
+                          [man["index_epoch"]])
+            tbl.set_pin(f"view:{pin_id}", [man["corpus_snapshot"]])
+        try:
+            corpus = tbl.read_snapshot(spark, man["corpus_snapshot"])
+            return corpus, idx.resolve(spark, epoch=man["index_epoch"]), man
+        except FileNotFoundError as e:
+            last_err = e
+            continue
+    raise last_err
+
+
+def release_curated_view(spark, corpus_path, pin_id: str) -> None:
+    """Release a :func:`curated_view` pin: the pair it protected
+    becomes collectible by the loop's normal retention."""
+    import json as _json
+
+    from .operators.neardup_index import set_index_pin
     from .sinks import ParquetTable
 
     fs = FS.fs_for(corpus_path)
     man = _json.loads(fs.read_text(FS.join(corpus_path, "_CURATED")))
-    corpus = ParquetTable(corpus_path).read_snapshot(
-        spark, man["corpus_snapshot"]
-    )
-    spec = man["index_spec"]
-    if man["index_kind"] == "lsh":
-        idx = LshIndex(
-            man["index_name"], spec["shingle_n"], spec["num_hashes"],
-            spec["bands"], spec["num_buckets"], spec["mode"],
-        )
-    else:
-        idx = DedupIndex(
-            man["index_name"], spec["shingle_n"], spec["num_buckets"]
-        )
-    return corpus, idx.resolve(spark, epoch=man["index_epoch"]), man
+    set_index_pin(spark, man["index_name"], f"view:{pin_id}", None)
+    ParquetTable(corpus_path).set_pin(f"view:{pin_id}", None)
 
 
 def curate_increment(
@@ -686,11 +747,9 @@ def _curate_increment_indexed(
     # dee/deb stay UN-checkpointed: their lineage is one shallow hop
     # off the checkpointed b, and re-deriving a tiny semi-join for
     # the final verdict union is cheaper than two more jobs.
-    dee = (
-        b.select("doc_id", "fp")
-        .join(ridx.fps.read(spark), "fp", "left_semi")
-        .select("doc_id")
-    )
+    from .operators.neardup_index import _fp_hits
+
+    dee = _fp_hits(b.select("doc_id", "fp"), ridx, spark)
     r1 = b.join(dee, "doc_id", "left_anti")
     ranked = r1.withColumn(
         "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))

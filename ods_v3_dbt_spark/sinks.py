@@ -188,15 +188,28 @@ def _writer_lock(root: Path, stale_after_s: float = 3600.0,
         interval = max(0.05, stale_after_s / 4.0)
 
         def _beat() -> None:
-            while not stop.wait(interval):
-                # ownership-verified refresh: never touch a lock that
-                # is no longer ours (evicted + re-created by another)
-                if not handle.owned():
-                    return
-                try:
-                    fs.touch(handle.lock)
-                except FileNotFoundError:
-                    return
+            # A transiently missing/foreign lock is NOT proof of
+            # eviction: a stealer's rename-then-restore window makes
+            # owned() flicker False / touch raise FileNotFoundError
+            # for a lock that is about to be restored. Exiting the
+            # thread on the first such reading silently forfeits the
+            # liveness guarantee the heartbeat exists for (the holder
+            # keeps running un-heartbeated and ages out mid-commit) —
+            # so re-check after a short sleep and only give up on a
+            # CONFIRMED loss (round-6 advisor, sinks.py:198).
+            misses = 0
+            while not stop.wait(interval if misses == 0 else 0.2):
+                owned = handle.owned()
+                if owned:
+                    try:
+                        fs.touch(handle.lock)
+                        misses = 0
+                        continue
+                    except FileNotFoundError:
+                        pass  # fell into a steal window — re-check
+                misses += 1
+                if misses > 3:
+                    return  # confirmed eviction; fencing covers safety
 
         beat = threading.Thread(
             target=_beat, name=f"lock-heartbeat-{me}", daemon=True
@@ -302,16 +315,64 @@ class ParquetTable:
                 raise FileNotFoundError(f"no such snapshot: {snap}")
         return spark.read.parquet(str(snap))
 
-    def vacuum(self, keep: int = 2) -> list[Path]:
-        """Drop all but the newest ``keep`` snapshots (never the
-        current one). Returns removed paths."""
+    # -- snapshot pins ------------------------------------------------------
+
+    def _pins_file(self) -> Path:
+        return self.root / "_PINS.json"
+
+    def pinned_snapshots(self) -> set[str]:
+        """Snapshot names protected from :meth:`vacuum` by
+        :meth:`set_pin` (long-running time-travel readers)."""
+        import json
+
+        fs = self._fs()
+        if not fs.exists(self._pins_file()):
+            return set()
+        pins = json.loads(fs.read_text(self._pins_file())).get("pins", {})
+        return {s for names in pins.values() for s in names}
+
+    def set_pin(self, pin_id: str, snapshots: Sequence[str] | None) -> None:
+        """Declare (or with ``snapshots=None`` release) a named pin
+        on retained snapshots: pinned snapshots survive ANY number of
+        :meth:`vacuum` calls until the pin is released — the
+        guarantee a reader holding a :meth:`read_snapshot` plan
+        across many refreshes needs (round-6 verdict task 4; the
+        previous ``keep=N`` heuristic was a convention, not a
+        guarantee). The read-modify-write runs under the table's
+        writer lock so it cannot race a concurrent writer's vacuum."""
+        import json
+
+        fs = self._fs()
+        with _writer_lock(self.root):
+            pins = {}
+            if fs.exists(self._pins_file()):
+                pins = json.loads(fs.read_text(self._pins_file())).get(
+                    "pins", {}
+                )
+            if snapshots is None:
+                pins.pop(pin_id, None)
+            else:
+                pins[pin_id] = sorted(set(snapshots))
+            fs.write_text_atomic(
+                self._pins_file(), json.dumps({"pins": pins}, sort_keys=True)
+            )
+
+    def vacuum(self, keep: int = 2, pinned: Sequence[str] = ()) -> list[Path]:
+        """Drop all but the newest ``keep`` snapshots — never the
+        current one, never a snapshot named in ``pinned`` (caller-
+        supplied, e.g. the live/previous ``_CURATED`` co-manifest
+        pair), and never one protected by :meth:`set_pin`. Returns
+        removed paths."""
         import shutil
 
         current = self.current_snapshot()
+        protect = set(pinned) | self.pinned_snapshots()
         snaps = sorted(
             (p for p in self.root.glob("snap-*") if p.is_dir()), reverse=True
         )
-        victims = [p for p in snaps[keep:] if p != current]
+        victims = [
+            p for p in snaps[keep:] if p != current and p.name not in protect
+        ]
         for p in victims:
             shutil.rmtree(p)
         return victims
@@ -627,9 +688,25 @@ class BucketedTable:
             )
             lk.check()  # fencing: abort (not swap) if evicted mid-write
             spark.sql(f"DROP TABLE IF EXISTS {self.name}")
-            if fs.exists(live):
-                fs.rename(live, tomb)
-            fs.rename(side_dir, live)
+            # fs.rename signals failure by returning False (a
+            # survivor at the destination — e.g. a tomb/side cleanup
+            # that silently failed above, since fs.delete ignores
+            # errors). Proceeding would re-register OLD data under
+            # the NEW schema and silently lose the write — raise
+            # loudly instead (round-6 advisor, sinks.py:631).
+            if fs.exists(live) and not fs.rename(live, tomb):
+                raise ConcurrentWriteError(
+                    f"bucketed swap: demoting {live} to its tombstone "
+                    "failed (stale tombstone survived cleanup?) — "
+                    "aborting before the promote"
+                )
+            if not fs.rename(side_dir, live):
+                raise ConcurrentWriteError(
+                    f"bucketed swap: promoting {side_dir} to {live} "
+                    "failed (a concurrent writer recreated the live "
+                    "dir?) — write aborted, previous table restorable "
+                    "from the tombstone"
+                )
             spark.sql(f"DROP TABLE IF EXISTS {side}")
             self._register(spark, live, df.schema)
             fs.delete(tomb)

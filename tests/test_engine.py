@@ -1203,8 +1203,9 @@ def test_dedup_index_attach_after_catalog_loss(spark, tmp_path):
     idx = dedup_index_write(docs, "t_attach_idx", num_buckets=2)
     before = {tuple(r) for r in neardup_probe(docs, idx, 500_000).collect()}
     parts = [
-        getattr(idx.resolve(spark), p).name.lower()
+        t.name.lower()
         for p in ("fps", "shingles", "sizes")
+        for t in getattr(idx.resolve(spark), p).tables
     ]
     stashes = {}
     for part in parts:

@@ -901,16 +901,20 @@ def test_index_append_crash_replay_converges(spark, monkeypatch):
 
 
 def test_index_epoch_atomic_refresh(spark):
-    """The round-5 done-criterion: a reader probing DURING a refresh
-    sees the entirely-old or entirely-new epoch, never a mix —
-    proven by the epoch tag carried in every member row. A probe
-    plan resolved BEFORE an append still executes against pure
-    old-epoch tables after the append commits (previous epoch
-    retained for lazy readers); a post-commit resolve serves pure
-    new-epoch rows; two appends later the stale epoch is gone."""
+    """Atomic-commit semantics under the LSM segment design: a
+    reader probing DURING a refresh sees the entirely-old or
+    entirely-new committed SEGMENT SET, never a mix — proven by the
+    segment tag carried in every member row (a resolved handle
+    serves exactly its declared ``segments``). A probe plan
+    resolved BEFORE an append still executes against the pure old
+    segment set after the append commits (previous epoch retained
+    for lazy readers); appends grow the segment list by exactly the
+    batch; compaction folds to one segment and — one commit later —
+    the pre-fold segments are garbage-collected."""
     from ods_v3_dbt_spark.operators.neardup_index import (
         EPOCH_COL,
         dedup_index_append,
+        dedup_index_compact,
         dedup_index_write,
         neardup_probe,
     )
@@ -929,48 +933,216 @@ def test_index_epoch_atomic_refresh(spark):
         "doc_id long, text string",
     )
     idx = dedup_index_write(base, "t_epoch_idx", num_buckets=2)
+
+    def tags(resolved, part):
+        return {
+            r[0]
+            for r in getattr(resolved, part).read(spark)
+            .select(EPOCH_COL).distinct().collect()
+        }
+
     r1 = idx.resolve(spark)
     e0 = r1.epoch  # persists across pytest sessions — relative asserts
+    assert r1.segments == [e0]
     # a reader's lazy plan, resolved pre-refresh
     clone2 = spark.createDataFrame(
         [(99, "one two three four five six seven eight")],
         "doc_id long, text string",
     )
     pre_plan = neardup_probe(clone2, idx, 500_000)
-    assert pre_plan.count() == 0          # doc 2 not in epoch 1
+    assert pre_plan.count() == 0          # doc 2 not in the base epoch
 
-    dedup_index_append(idx, d2)           # commit epoch 2 mid-"probe"
+    dedup_index_append(idx, d2)           # commit epoch e0+1 mid-"probe"
 
-    # 1) the pre-refresh plan still reads PURE old-epoch state
+    # 1) the pre-refresh plan still reads the PURE old segment set
     assert pre_plan.count() == 0
     for part in ("fps", "shingles", "sizes"):
-        tags = {
-            r[0]
-            for r in getattr(r1, part).read(spark)
-            .select(EPOCH_COL).distinct().collect()
-        }
-        assert tags == {e0}, part
-    # 2) a post-commit resolve serves PURE new-epoch rows
+        assert tags(r1, part) == {e0}, part
+    # 2) a post-commit resolve serves exactly the committed segment
+    #    set: base segment + the O(batch) delta segment
     r2 = idx.resolve(spark)
     assert r2.epoch == e0 + 1
+    assert r2.segments == [e0, e0 + 1]
     for part in ("fps", "shingles", "sizes"):
-        tags = {
-            r[0]
-            for r in getattr(r2, part).read(spark)
-            .select(EPOCH_COL).distinct().collect()
-        }
-        assert tags == {e0 + 1}, part
+        assert tags(r2, part) == {e0, e0 + 1}, part
     hits = {(r.corpus_id, r.jacc_ppm)
             for r in neardup_probe(clone2, idx, 500_000).collect()}
     assert hits == {(2, 1_000_000)}
-    # 3) retention: the old epoch is still on disk (lazy readers),
-    # and after the NEXT append it is garbage-collected
+    # 3) LSM retention: base segments stay LIVE across appends (no
+    #    corpus rewrite) — only compaction retires them, and even
+    #    then the pre-fold segments survive one commit as the
+    #    previous epoch's set before GC
     wh = _warehouse_path(spark)
+    dedup_index_append(idx, d3)           # epoch e0+2, segments +[e0+2]
+    r3 = idx.resolve(spark)
+    assert r3.segments == [e0, e0 + 1, e0 + 2]
     assert (wh / f"t_epoch_idx__e{e0}_shingles").is_dir()
-    dedup_index_append(idx, d3)           # commit epoch e0+2
-    assert idx.resolve(spark).epoch == e0 + 2
+    dedup_index_compact(idx, spark)       # epoch e0+3, segments [e0+3]
+    r4 = idx.resolve(spark)
+    assert r4.segments == [e0 + 3]
+    for part in ("fps", "shingles", "sizes"):
+        assert tags(r4, part) == {e0 + 3}, part
+    # pre-fold segments retained for lazy readers of the prev epoch …
+    assert (wh / f"t_epoch_idx__e{e0}_shingles").is_dir()
+    assert {r.doc_id for r in r3.sizes.read(spark).collect()} == {1, 2, 3}
+    # … and collected after the NEXT commit
+    d4 = spark.createDataFrame(
+        [(4, "do re mi fa sol la ti high")], "doc_id long, text string"
+    )
+    dedup_index_append(idx, d4)           # epoch e0+4, segments [e0+3, e0+4]
     assert not (wh / f"t_epoch_idx__e{e0}_shingles").is_dir()
-    assert (wh / f"t_epoch_idx__e{e0 + 1}_shingles").is_dir()
+    assert (wh / f"t_epoch_idx__e{e0 + 3}_shingles").is_dir()
+    # probes see the full corpus through every reshape
+    hits = {(r.corpus_id, r.jacc_ppm)
+            for r in neardup_probe(clone2, idx, 500_000).collect()}
+    assert hits == {(2, 1_000_000)}
+
+
+def test_index_append_writes_batch_sized_delta(spark, corpus):
+    """The round-6 lead criterion: an append's I/O is O(batch), not
+    O(corpus) — the new segment's member tables hold ONLY the
+    batch's rows (the corpus segments are untouched on disk), for
+    both index flavors. Verified by row accounting: every member
+    row tagged with the new epoch derives from the batch, and the
+    base segment's row counts are unchanged."""
+    from pyspark.sql import functions as F
+
+    from ods_v3_dbt_spark.operators.neardup_index import (
+        EPOCH_COL,
+        dedup_index_append,
+        dedup_index_write,
+        lsh_index_append,
+        lsh_index_write,
+    )
+
+    base = corpus.filter(F.col("doc_id") % 2 == 0)
+    delta = corpus.filter(
+        (F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 10000)
+    )
+    n_delta = delta.count()
+    n_base = base.count()
+
+    for flavor, write, append in (
+        ("exact", dedup_index_write, dedup_index_append),
+        ("lsh", lsh_index_write, lsh_index_append),
+    ):
+        idx = write(base, f"t_obatch_{flavor}", num_buckets=4)
+        e_base = idx.resolve(spark).epoch
+        base_sizes = idx.resolve(spark).sizes.read(spark).count()
+        assert base_sizes == n_base
+        append(idx, delta)
+        cur = idx.resolve(spark)
+        assert cur.segments == [e_base, e_base + 1]
+        # the delta segment carries exactly the batch's docs …
+        delta_sizes = cur.sizes.read(spark).filter(
+            F.col(EPOCH_COL) == e_base + 1
+        )
+        assert delta_sizes.count() == n_delta
+        # … and the base segment's member tables were not rewritten:
+        # same physical table (epoch tag) and same row count
+        assert cur.sizes.read(spark).filter(
+            F.col(EPOCH_COL) == e_base
+        ).count() == n_base
+        # shingle member: every new-epoch row belongs to a delta doc
+        delta_ids = {r.doc_id for r in delta.select("doc_id").collect()}
+        new_sh_ids = {
+            r.doc_id
+            for r in cur.shingles.read(spark)
+            .filter(F.col(EPOCH_COL) == e_base + 1)
+            .select("doc_id").distinct().collect()
+        }
+        assert new_sh_ids <= delta_ids and new_sh_ids
+
+
+def test_index_append_compacts_at_threshold(spark):
+    """``compact_after`` bounds the live segment count: the append
+    that would exceed it folds everything into ONE segment instead,
+    and probe results are identical across the fold."""
+    from ods_v3_dbt_spark.operators.neardup_index import (
+        dedup_index_append,
+        dedup_index_write,
+        neardup_probe,
+    )
+
+    docs = [
+        (i, t)
+        for i, t in enumerate(
+            [
+                "alpha beta gamma delta epsilon zeta",
+                "one two three four five six seven",
+                "red orange yellow green blue indigo",
+                "do re mi fa sol la ti",
+                "north south east west up down around",
+            ]
+        )
+    ]
+
+    def df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    idx = dedup_index_write(df(docs[:1]), "t_compact_idx", num_buckets=2,
+                            compact_after=3)
+    e0 = idx.resolve(spark).epoch
+    dedup_index_append(idx, df(docs[1:2]))
+    dedup_index_append(idx, df(docs[2:3]))
+    assert idx.resolve(spark).segments == [e0, e0 + 1, e0 + 2]
+    probe = df([(99, docs[3][1])])
+    dedup_index_append(idx, df(docs[3:4]))      # 4th segment → fold
+    cur = idx.resolve(spark)
+    assert cur.segments == [e0 + 3]
+    assert {r.doc_id for r in cur.sizes.read(spark).collect()} == {0, 1, 2, 3}
+    hits = {(r.corpus_id, r.jacc_ppm)
+            for r in neardup_probe(probe, idx, 500_000).collect()}
+    assert hits == {(3, 1_000_000)}
+    # and the fold participates in normal retention: next append is
+    # a delta on top of the folded base
+    dedup_index_append(idx, df(docs[4:5]))
+    assert idx.resolve(spark).segments == [e0 + 3, e0 + 4]
+
+
+def test_index_pinned_epoch_survives_refreshes(spark):
+    """Round-6 verdict task 4: an epoch protected by
+    ``set_index_pin`` stays resolvable and readable across MANY
+    subsequent refreshes — including a compaction — until the pin
+    is released, after which its segments are collectible again."""
+    import pytest as _pytest
+
+    from ods_v3_dbt_spark.operators.neardup_index import (
+        dedup_index_append,
+        dedup_index_compact,
+        dedup_index_write,
+        set_index_pin,
+    )
+
+    def df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    idx = dedup_index_write(
+        df([(1, "alpha beta gamma delta epsilon zeta")]),
+        "t_pin_idx", num_buckets=2, compact_after=3,
+    )
+    e0 = idx.resolve(spark).epoch
+    set_index_pin(spark, "t_pin_idx", "reader-a", [e0])
+    texts = [
+        "one two three four five six seven",
+        "red orange yellow green blue indigo",
+        "do re mi fa sol la ti",
+        "north south east west up down around",
+        "cold warm hot cool mild freezing melting",
+    ]
+    for i, t in enumerate(texts):
+        dedup_index_append(idx, df([(10 + i, t)]))
+    # five refreshes later (including the compact_after fold), the
+    # pinned epoch still resolves and reads its exact original state
+    pinned = idx.resolve(spark, epoch=e0)
+    assert pinned.segments == [e0]
+    assert {r.doc_id for r in pinned.sizes.read(spark).collect()} == {1}
+    # release → the next commit collects it
+    set_index_pin(spark, "t_pin_idx", "reader-a", None)
+    dedup_index_compact(idx, spark)
+    dedup_index_append(idx, df([(99, "whiskey tango foxtrot over and out")]))
+    with _pytest.raises(FileNotFoundError):
+        idx.resolve(spark, epoch=e0)
 
 
 def test_neardup_probe_hot_shingle_cap(spark):

@@ -574,3 +574,67 @@ def test_curated_view_consistent_pair(spark, tmp_path, monkeypatch):
     hits = {(r.corpus_id, r.jacc_ppm)
             for r in neardup_probe(clone, idx, 500_000).collect()}
     assert hits == {(13, 1_000_000)}
+
+
+def test_curated_view_pin_survives_refreshes(spark, tmp_path):
+    """Round-6 verdict task 4, end to end: a ``curated_view``
+    resolved with ``pin_id`` keeps BOTH sides of its pair — the
+    corpus snapshot (beyond the loop's ``keep=3`` vacuum horizon)
+    and the index epoch (beyond the current/previous retention) —
+    readable across five subsequent refreshes; releasing the pin
+    makes the pair collectible again. Retention is now a guarantee
+    the reader holds, not a convention the writer happens to
+    follow."""
+    import datetime as dt
+
+    from ods_v3_dbt_spark.pipelines import (
+        curate_increment_stream,
+        curated_view,
+        release_curated_view,
+    )
+    from ods_v3_dbt_spark.sinks import ParquetTable
+
+    corpus = tmp_path / "corpus"
+    T0 = dt.datetime(2024, 9, 1, 12, 0, 0)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, ingest_ts timestamp"
+        )
+
+    process = curate_increment_stream(
+        corpus, "t_pinview_idx", str(tmp_path / "decisions"), num_buckets=2
+    )
+    process(batch([(1, "alpha beta gamma delta epsilon zeta", T0)]), 0)
+    c0, r0, m0 = curated_view(spark, corpus, pin_id="trainer-1")
+    pinned_epoch = m0["index_epoch"]
+    texts = [
+        "one two three four five six seven",
+        "red orange yellow green blue indigo",
+        "do re mi fa sol la ti",
+        "north south east west up down around",
+        "cold warm hot cool mild freezing melting",
+    ]
+    for i, t in enumerate(texts):
+        process(batch([(10 + i, t, T0)]), i + 1)
+    # five refreshes later the PINNED pair still reads in full: the
+    # snapshot dir survived five keep=3 vacuums, the epoch five GCs
+    tbl = ParquetTable(corpus)
+    assert m0["corpus_snapshot"] in {p.name for p in tbl.history()}
+    again = tbl.read_snapshot(spark, m0["corpus_snapshot"])
+    assert {r.doc_id for r in again.collect()} == {1}
+    from ods_v3_dbt_spark.pipelines import _index_from_manifest
+
+    idx = _index_from_manifest(m0)
+    pinned = idx.resolve(spark, epoch=pinned_epoch)
+    assert {r.doc_id for r in pinned.sizes.read(spark).collect()} == {1}
+    # the live view moved on independently
+    c_live, _, m_live = curated_view(spark, corpus)
+    assert m_live["batch_id"] == 5
+
+    # release → the next refresh collects both sides
+    release_curated_view(spark, corpus, "trainer-1")
+    process(batch([(99, "whiskey tango foxtrot over and out", T0)]), 6)
+    assert m0["corpus_snapshot"] not in {p.name for p in tbl.history()}
+    with pytest.raises(FileNotFoundError):
+        idx.resolve(spark, epoch=pinned_epoch)

@@ -646,6 +646,67 @@ def test_dedup_index_probe_corpus_side_bucketed_no_generate(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_multi_segment_probe_corpus_scans_stay_bucketed(spark):
+    """Round-6 LSM criterion: with MULTIPLE live segments, the probe
+    fans out into per-segment joins — and EVERY segment's corpus
+    scan (shingles and sizes, for both flavors' probes) must still
+    read its bucket layout in place. Audited with auto-broadcast
+    off (the 100 TB shape): a scan the planner reports
+    ``Bucketed: true`` satisfies the join's clustering without an
+    Exchange; a union-then-join regression would instead shuffle
+    the corpus side and the scans would report bucketing disabled.
+    The returned plan also carries zero Generate — the corpus is
+    never re-shingled no matter how many segments are live."""
+    from pyspark.sql import functions as F
+
+    from ods_v3_dbt_spark.operators.neardup_index import (
+        dedup_index_append,
+        dedup_index_write,
+        neardup_probe,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} common tail tokens here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    idx = dedup_index_write(docs.filter(F.col("doc_id") < 10),
+                            "t_seg_audit", num_buckets=2)
+    dedup_index_append(idx, docs.filter(F.col("doc_id") >= 10))
+    assert len(idx.resolve(spark).segments) == 2
+    batch = spark.createDataFrame(
+        [(99, "w3 x3 y3 z3 common tail tokens here")],
+        "doc_id long, text string",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = neardup_probe(batch, idx, 500_000)
+        plan = probe._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    blocks = plan.split("\n\n")
+    for member in ("shingles", "sizes"):
+        scans = [
+            b for b in blocks
+            if re.search(rf"Scan parquet \S*t_seg_audit__e\d+_{member}\b", b)
+            and "ReadSchema" in b
+        ]
+        assert len(scans) == 2, (member, len(scans))  # one per segment
+        for s in scans:
+            assert "Bucketed: true" in s, (member, s)
+    assert plan.count(") Generate") == 0
+    # and the fan-out is semantically invisible: identical pairs to a
+    # single-segment rebuild
+    rebuilt = dedup_index_write(docs, "t_seg_audit_reb", num_buckets=2)
+    a = {tuple(r) for r in probe.collect()}
+    b = {tuple(r) for r in neardup_probe(batch, rebuilt, 500_000).collect()}
+    assert a == b and a
+
+
 def test_incremental_curation_plan_is_stage_truncated(spark):
     """The indexed decisions plan must stay shallow: round 3's inline
     composition carried 5,592 Exchange nodes; the checkpointed stage
