@@ -91,6 +91,59 @@ def main() -> None:
         LQ._lsh_fixture_index(spark, sf_dir, force=True)
         times["lsh_index_build"] = round(time.perf_counter() - t0, 3)
 
+    # Append-fixture rows split one level further (round-6 verdict
+    # task 2): base build / delta append / probe are separate rows, so
+    # the LSM append redesign (O(batch) delta segments instead of the
+    # O(corpus) union-rewrite) is directly measurable and a probe
+    # regression can't hide inside build or append noise. The probe
+    # row itself comes from the registry loop below (cache-warm).
+    for qname, kind in (
+        ("dedup_index_append_probe", "idx"),
+        ("lsh_index_append_probe", "lsh"),
+    ):
+        if qname not in registry:
+            continue
+        t0 = time.perf_counter()
+        LQ._appended_fixture_index(spark, sf_dir, kind=kind, stage="build")
+        times[f"{qname}_base_build"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        LQ._appended_fixture_index(spark, sf_dir, kind=kind, stage="append")
+        times[f"{qname}_append"] = round(time.perf_counter() - t0, 3)
+
+    # Scale-independence pair (round-6 verdict task 1 done-criterion):
+    # the SAME fixed-size batch appended onto a small-corpus index and
+    # onto a ~19× larger one — with LSM delta segments the two append
+    # times should be ~equal (the old union-rewrite scaled with the
+    # base corpus). Builds are deliberately untimed-row-free: the pair
+    # prices APPENDS, and the build cost is already priced by the
+    # *_build rows above.
+    if "dedup_index_append_probe" in registry:
+        from pyspark.sql import functions as F
+
+        from ods_v3_dbt_spark.operators.neardup_index import (
+            dedup_index_append,
+            dedup_index_write,
+        )
+
+        d = DQ.load(spark, sf_dir, "documents")
+        batch = d.filter(F.col("doc_id") % 20 == 7).select("doc_id", "text")
+        small = d.filter(F.col("doc_id") % 20 == 1).select("doc_id", "text")
+        large = d.filter(F.col("doc_id") % 20 != 7).select("doc_id", "text")
+        idx_s = dedup_index_write(small, "bench_append_smallbase",
+                                  num_buckets=8)
+        t0 = time.perf_counter()
+        dedup_index_append(idx_s, batch)
+        times["index_append_fixed_batch_small_base"] = round(
+            time.perf_counter() - t0, 3
+        )
+        idx_l = dedup_index_write(large, "bench_append_largebase",
+                                  num_buckets=8)
+        t0 = time.perf_counter()
+        dedup_index_append(idx_l, batch)
+        times["index_append_fixed_batch_large_base"] = round(
+            time.perf_counter() - t0, 3
+        )
+
     for name, qd in registry.items():
         t0 = time.perf_counter()
         qd.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()

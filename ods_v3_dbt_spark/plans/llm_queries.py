@@ -1225,6 +1225,68 @@ def _lsh_fixture_index(spark: SparkSession, sf_dir: str,
     return idx
 
 
+def _appended_fixture_parts(spark: SparkSession, sf_dir: str):
+    """The append-probe fixture's corpus accretion: base slice
+    (doc_id % 3 = 1) indexed first, delta slice (% 3 = 2) appended
+    later — shared by the two append-probe queries and bench.py's
+    split build/append rows."""
+    d = load(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 3 == 1).select("doc_id", "text")
+    delta = d.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text")
+    return base, delta
+
+
+def _appended_fixture_name(sf_dir: str, kind: str) -> str:
+    return f"appended_{kind}_{_IDXV}_{_fixture_slug(sf_dir)}"
+
+
+def _appended_fixture_index(spark: SparkSession, sf_dir: str,
+                            kind: str = "idx", stage: str | None = None):
+    """The appended-index fixture (base built, delta appended), with
+    the same session/exists caching as `_fixture_index`. ``stage``
+    is bench.py's split-timing hook (round-6 verdict task 2 — the
+    build/probe split of round 5 applied one level down): ``"build"``
+    force-builds ONLY the base index and returns it un-appended
+    (invalidating the cache so the probe path re-appends);
+    ``"append"`` runs ONLY the delta append against the existing
+    base. The default (None) is the query path: reuse if complete,
+    else build + append."""
+    from ..operators.neardup_index import (
+        DedupIndex,
+        LshIndex,
+        dedup_index_append,
+        dedup_index_write,
+        lsh_index_append,
+        lsh_index_write,
+    )
+
+    name = _appended_fixture_name(sf_dir, kind)
+    key = (id(spark.sparkContext), name)
+    base, delta = _appended_fixture_parts(spark, sf_dir)
+    if kind == "lsh":
+        write = lambda df: lsh_index_write(df, name, num_buckets=8, mode="md5")  # noqa: E731
+        append = lsh_index_append
+        handle = LshIndex(name, 3, 16, 4, 8, "md5")
+    else:
+        write = lambda df: dedup_index_write(df, name, num_buckets=8)  # noqa: E731
+        append = dedup_index_append
+        handle = DedupIndex(name, 3, 8)
+    if stage == "build":
+        _IDX_CACHE.pop(key, None)  # delta no longer appended
+        return write(base)
+    if stage == "append":
+        append(handle, delta)
+        _IDX_CACHE[key] = handle
+        return handle
+    idx = _IDX_CACHE.get(key)
+    if idx is not None and idx.exists(spark):
+        return idx
+    idx = write(base)
+    append(idx, delta)
+    _IDX_CACHE[key] = idx
+    return idx
+
+
 @register(
     "dedup_index_probe",
     """
@@ -1360,12 +1422,6 @@ def dedup_index_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly this accretion — cursor slices merged into state built
     by all previous runs (plugins/operators/bccp_to_ods.py:198-201).
     """
-    from ..operators.neardup_index import (
-        DedupIndex,
-        dedup_index_append,
-        dedup_index_write,
-    )
-
     d = load(spark, sf_dir, "documents")
     base = d.filter(F.col("doc_id") % 3 == 1).select("doc_id", "text")
     delta = d.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text")
@@ -1383,13 +1439,7 @@ def dedup_index_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    name = f"appended_idx_{_IDXV}_{_fixture_slug(sf_dir)}"
-    key = (id(spark.sparkContext), name)
-    idx = _IDX_CACHE.get(key)
-    if idx is None or not idx.exists(spark):
-        idx = dedup_index_write(base, name, num_buckets=8)
-        dedup_index_append(idx, delta)
-        _IDX_CACHE[key] = idx
+    idx = _appended_fixture_index(spark, sf_dir)
     from ..operators.neardup_index import neardup_probe
 
     return neardup_probe(batch, idx, threshold_ppm=500_000)
@@ -1550,11 +1600,7 @@ def lsh_index_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests/test_llm_ops.py; this row proves it end to end).
     Reference anchor: cursor-slice accretion into state built by all
     previous runs (plugins/operators/bccp_to_ods.py:198-201)."""
-    from ..operators.neardup_index import (
-        lsh_index_append,
-        lsh_index_probe as probe,
-        lsh_index_write,
-    )
+    from ..operators.neardup_index import lsh_index_probe as probe
 
     d = load(spark, sf_dir, "documents")
     base = d.filter(F.col("doc_id") % 3 == 1).select("doc_id", "text")
@@ -1573,13 +1619,7 @@ def lsh_index_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    name = f"appended_lsh_{_IDXV}_{_fixture_slug(sf_dir)}"
-    key = (id(spark.sparkContext), name)
-    idx = _IDX_CACHE.get(key)
-    if idx is None or not idx.exists(spark):
-        idx = lsh_index_write(base, name, num_buckets=8, mode="md5")
-        lsh_index_append(idx, delta)
-        _IDX_CACHE[key] = idx
+    idx = _appended_fixture_index(spark, sf_dir, kind="lsh")
     return probe(batch, idx, threshold_ppm=500_000)
 
 
