@@ -411,6 +411,144 @@ class ParquetTable:
         return (n_before, self.file_stats()[0])
 
 
+class TableGroup:
+    """N named snapshot-swap tables + ONE atomic commit — the
+    multi-table transaction (round-6 verdict task 3).
+
+    Each :class:`ParquetTable`'s own pointer flip is atomic, but a
+    reader sampling TWO related tables mid-refresh could pair a new
+    fact with an old rollup. The reference never faces this: its
+    fact + datamart updates run inside one Postgres transaction
+    (`dags/sql/casreport/update_des_table/casreport_mailsitemhdr.sql:1-399`
+    is one atomic MERGE; `dags/sql/pns/update_des_table/update_datamart.sql:4-27`
+    one DO block). This type restores that guarantee over plain
+    files, generalizing the curation loop's 1-table+index
+    ``_CURATED`` co-manifest into N tables: a commit writes every
+    member table as a NEW snapshot (each invisible to group readers
+    until the end), then replaces ONE group-manifest file recording
+    the complete {name: snapshot} assignment. Group reads resolve
+    the manifest ONCE and time-travel every member to its recorded
+    snapshot — all-old or all-new, never a mix; a crash anywhere
+    before the manifest replace leaves the group at the previous
+    consistent assignment, and the replayed job simply re-commits.
+
+    Members remain ordinary :class:`ParquetTable`\\ s — their own
+    ``_CURRENT`` pointers advance per-member (standalone readers of
+    one table see its latest commit; only GROUP consistency needs
+    the manifest), so every existing snapshot/vacuum/pin mechanism
+    composes. :meth:`vacuum` protects the snapshots of the live AND
+    previous manifests (plus per-table :meth:`ParquetTable.set_pin`
+    pins), so a group reader resolved before a refresh stays
+    readable through it. Delta Lake's multi-table story needs an
+    external coordinator even in production — this manifest file IS
+    that coordinator for the engine's warehouse."""
+
+    MANIFEST = "_GROUP"
+
+    def __init__(self, root: str | Path, names: Sequence[str],
+                 partition_cols: dict[str, Sequence[str]] | None = None) -> None:
+        if not names:
+            raise ValueError("TableGroup requires at least one member")
+        self.root = Path(root)
+        self.names = tuple(names)
+        pc = partition_cols or {}
+        self.tables = {
+            n: ParquetTable(self.root / n, pc.get(n, ())) for n in self.names
+        }
+
+    def _fs(self):
+        from . import fs as FS
+
+        return FS.fs_for(self.root)
+
+    def _manifest_path(self) -> Path:
+        return self.root / self.MANIFEST
+
+    def manifest(self) -> dict | None:
+        """The committed group manifest (or None before the first
+        commit): ``{"tables": {name: snapshot}, "prev": {...}|None,
+        "extras": {...}}``."""
+        import json
+
+        fs = self._fs()
+        if not fs.exists(self._manifest_path()):
+            return None
+        return json.loads(fs.read_text(self._manifest_path()))
+
+    def exists(self) -> bool:
+        return self.manifest() is not None
+
+    def commit(self, dfs: dict[str, DataFrame],
+               extras: dict | None = None) -> dict:
+        """Atomically publish a new consistent version of the WHOLE
+        group. ``dfs`` must cover every member (partial updates
+        would silently decouple the members the group exists to
+        couple — re-commit an unchanged member's DataFrame
+        explicitly). ``extras`` is caller metadata recorded in the
+        manifest (e.g. a run window or an index epoch). Holds the
+        group writer lock across all member writes and the manifest
+        replace; each member write additionally holds its own table
+        lock (nested, same process — the group lock serializes
+        GROUP writers, the table lock serializes against standalone
+        single-table writers). Returns the committed manifest."""
+        import json
+
+        missing = set(self.names) - set(dfs)
+        extra = set(dfs) - set(self.names)
+        if missing or extra:
+            raise ValueError(
+                f"TableGroup.commit must cover exactly the members: "
+                f"missing={sorted(missing)}, unknown={sorted(extra)}"
+            )
+        fs = self._fs()
+        fs.mkdirs(self.root)
+        with _writer_lock(self.root) as lk:
+            prev = self.manifest()
+            assignment = {}
+            for name in self.names:
+                snap = self.tables[name].write(dfs[name])
+                assignment[name] = snap.name
+            man = {
+                "tables": assignment,
+                "prev": prev["tables"] if prev else None,
+                "extras": extras or {},
+            }
+            lk.check()  # fencing: evicted writers must not flip
+            fs.write_text_atomic(
+                self._manifest_path(), json.dumps(man, sort_keys=True)
+            )
+            return man
+
+    def read(self, spark: SparkSession) -> dict[str, DataFrame]:
+        """Resolve the manifest ONCE and return every member pinned
+        to its recorded snapshot — the mutually-consistent read. A
+        concurrent commit cannot skew the result: it writes new
+        snapshots (invisible here) and flips the manifest only after
+        all of them land, and :meth:`vacuum` never drops a snapshot
+        the live or previous manifest records."""
+        man = self.manifest()
+        if man is None:
+            raise FileNotFoundError(f"table group has no commit: {self.root}")
+        return {
+            name: self.tables[name].read_snapshot(spark, snap)
+            for name, snap in man["tables"].items()
+        }
+
+    def vacuum(self, keep: int = 2) -> list[Path]:
+        """Per-member vacuum protecting the live and previous
+        manifest assignments (and each member's own pins)."""
+        man = self.manifest() or {"tables": {}, "prev": None}
+        removed: list[Path] = []
+        for name in self.names:
+            protect = []
+            if name in man["tables"]:
+                protect.append(man["tables"][name])
+            if man.get("prev") and name in man["prev"]:
+                protect.append(man["prev"][name])
+            removed.extend(self.tables[name].vacuum(keep, pinned=protect))
+        return removed
+
+
 def write_landing(df: DataFrame, path: str, partition_cols: Sequence[str] = ()) -> None:
     """L1: landing-zone write — the reference's CSV-batch-to-MinIO spill
     (``bccp_to_ods.py:245-255``) becomes a straight Parquet append (no

@@ -1221,3 +1221,122 @@ def test_dedup_index_attach_after_catalog_loss(spark, tmp_path):
     assert fresh.exists(spark)                      # attach path
     after = {tuple(r) for r in neardup_probe(docs, fresh, 500_000).collect()}
     assert after == before and after
+
+
+def test_table_group_all_old_or_all_new(spark, tmp_path, monkeypatch):
+    """Round-6 verdict task 3: a TableGroup commit is atomic across
+    ALL members. A group reader resolving after every member table
+    has individually committed — but before the group-manifest
+    replace — still reads the entirely-OLD assignment; a crash in
+    that window leaves the group at the old assignment and the
+    replayed commit advances it; post-commit reads are entirely
+    new. This is the fact+rollup / staging+runlog invariant the
+    reference gets from one Postgres transaction per merge script
+    (dags/sql/casreport/update_des_table/casreport_mailsitemhdr.sql)."""
+    import pytest as _pytest
+
+    from ods_v3_dbt_spark import sinks as S
+
+    root = tmp_path / "grp"
+    grp = S.TableGroup(root, ["fact", "rollup_day"])
+    fact1 = spark.createDataFrame([(1, 100), (2, 200)], "k long, amt long")
+    day1 = fact1.groupBy().sum("amt").selectExpr("`sum(amt)` as total")
+    grp.commit({"fact": fact1, "rollup_day": day1}, extras={"window": "d1"})
+
+    def snap(dfs):
+        return {n: {tuple(r) for r in d.collect()} for n, d in dfs.items()}
+
+    v1 = snap(grp.read(spark))
+    assert v1["fact"] == {(1, 100), (2, 200)} and v1["rollup_day"] == {(300,)}
+
+    fact2 = spark.createDataFrame([(1, 100), (2, 200), (3, 400)],
+                                  "k long, amt long")
+    day2 = fact2.groupBy().sum("amt").selectExpr("`sum(amt)` as total")
+
+    # a reader sampling the group BETWEEN the member commits and the
+    # manifest flip must see all-old (member pointers already moved —
+    # that is exactly the skew the group manifest closes)
+    seen = {}
+    orig_write = S.ParquetTable.write
+
+    def spy_write(self, df):
+        out = orig_write(self, df)
+        if self.root.name == "rollup_day":  # both members now flipped
+            reader = S.TableGroup(root, ["fact", "rollup_day"])
+            seen["mid"] = snap(reader.read(spark))
+            seen["member_direct"] = {
+                tuple(r) for r in reader.tables["fact"].read(spark).collect()
+            }
+        return out
+
+    monkeypatch.setattr(S.ParquetTable, "write", spy_write)
+    man = grp.commit({"fact": fact2, "rollup_day": day2}, extras={"window": "d2"})
+    monkeypatch.setattr(S.ParquetTable, "write", orig_write)
+    assert seen["mid"] == v1                       # group: all-old
+    assert seen["member_direct"] == {(1, 100), (2, 200), (3, 400)}
+    v2 = snap(grp.read(spark))
+    assert v2["fact"] == {(1, 100), (2, 200), (3, 400)}
+    assert v2["rollup_day"] == {(700,)}
+    assert man["extras"] == {"window": "d2"} and man["prev"] is not None
+
+    # crash AFTER all member writes, BEFORE the manifest replace:
+    # the group stays at v2; the replayed commit advances it
+    fact3 = spark.createDataFrame([(9, 1)], "k long, amt long")
+    day3 = fact3.groupBy().sum("amt").selectExpr("`sum(amt)` as total")
+
+    class CrashFS:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def mkdirs(self, p):
+            return self.inner.mkdirs(p)
+
+        def exists(self, p):
+            return self.inner.exists(p)
+
+        def read_text(self, p):
+            return self.inner.read_text(p)
+
+        def write_text_atomic(self, p, c):
+            raise RuntimeError("simulated crash before group manifest")
+
+    real_fs = grp._fs()
+    monkeypatch.setattr(S.TableGroup, "_fs", lambda self: CrashFS(real_fs))
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        grp.commit({"fact": fact3, "rollup_day": day3})
+    monkeypatch.undo()
+    assert snap(S.TableGroup(root, ["fact", "rollup_day"]).read(spark)) == v2
+    grp2 = S.TableGroup(root, ["fact", "rollup_day"])
+    grp2.commit({"fact": fact3, "rollup_day": day3})
+    v3 = snap(grp2.read(spark))
+    assert v3["fact"] == {(9, 1)} and v3["rollup_day"] == {(1,)}
+
+    # partial commits are refused — they would decouple the members
+    with _pytest.raises(ValueError, match="cover exactly"):
+        grp2.commit({"fact": fact3})
+
+
+def test_table_group_vacuum_protects_live_and_prev(spark, tmp_path):
+    """TableGroup.vacuum never drops a snapshot the live OR previous
+    manifest records, so a group reader resolved just before a
+    refresh finishes its read; older unprotected snapshots go."""
+    from ods_v3_dbt_spark import sinks as S
+
+    root = tmp_path / "grp"
+    grp = S.TableGroup(root, ["a", "b"])
+    mans = []
+    for i in range(4):
+        df = spark.createDataFrame([(i,)], "v long")
+        mans.append(grp.commit({"a": df, "b": df}))
+    # a lazy reader of the PREVIOUS manifest, resolved pre-vacuum
+    prev_assign = mans[-1]["prev"]
+    grp.vacuum(keep=1)
+    for name in ("a", "b"):
+        retained = {p.name for p in grp.tables[name].history()}
+        assert mans[-1]["tables"][name] in retained   # live
+        assert prev_assign[name] in retained          # previous
+        assert mans[0]["tables"][name] not in retained  # collected
+    # the previous assignment still READS in full
+    for name in ("a", "b"):
+        df = grp.tables[name].read_snapshot(spark, prev_assign[name])
+        assert [tuple(r) for r in df.collect()] == [(2,)]
