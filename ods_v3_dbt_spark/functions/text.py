@@ -210,8 +210,26 @@ def repetition_signals(docs, text_col: str = "text", id_col: str = "doc_id"):
     t1 = top_share(F.col("w"), 1)
     t2 = top_share(ngrams_of_tokens(F.col("w"), 2), 2)
     t3 = top_share(ngrams_of_tokens(F.col("w"), 3), 3)
+    # LEFT joins with a 0-ppm default: a doc with fewer than 2
+    # (bigram) or 3 (trigram) tokens has NO gram slots — zero
+    # repetition evidence, reported as 0 ppm — and must still get
+    # its row, or short/degenerate docs would silently bypass the
+    # caller's keep/drop policy (round-6 advisor, text.py:215; the
+    # previous inner joins dropped them). "One row per doc" holds
+    # for every doc with ≥1 token; fully-empty docs have no token
+    # multiset to measure and remain absent by contract.
     return (
         t1.select("doc_id", F.col("top1").alias("top_token_ppm"))
-        .join(t2.select("doc_id", F.col("top2").alias("top_bigram_ppm")), "doc_id")
-        .join(t3.select("doc_id", F.col("dup3").alias("dup_trigram_ppm")), "doc_id")
+        .join(t2.select("doc_id", F.col("top2").alias("top_bigram_ppm")),
+              "doc_id", "left")
+        .join(t3.select("doc_id", F.col("dup3").alias("dup_trigram_ppm")),
+              "doc_id", "left")
+        .select(
+            "doc_id",
+            "top_token_ppm",
+            F.coalesce(F.col("top_bigram_ppm"), F.lit(0).cast("bigint"))
+            .alias("top_bigram_ppm"),
+            F.coalesce(F.col("dup_trigram_ppm"), F.lit(0).cast("bigint"))
+            .alias("dup_trigram_ppm"),
+        )
     )

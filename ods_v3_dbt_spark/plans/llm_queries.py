@@ -4483,11 +4483,14 @@ _REPETITION_SQL = """
                         / SUM(c)) AS BIGINT) AS dup_trigram_ppm
       FROM (SELECT doc_id, g, COUNT(1) AS c FROM g3 GROUP BY doc_id, g)
       GROUP BY doc_id)
-    SELECT a1.doc_id, a1.top_token_ppm, a2.top_bigram_ppm, a3.dup_trigram_ppm,
-           (a1.top_token_ppm <= 200000 AND a2.top_bigram_ppm <= 180000)
+    SELECT a1.doc_id, a1.top_token_ppm,
+           COALESCE(a2.top_bigram_ppm, 0) AS top_bigram_ppm,
+           COALESCE(a3.dup_trigram_ppm, 0) AS dup_trigram_ppm,
+           (a1.top_token_ppm <= 200000
+            AND COALESCE(a2.top_bigram_ppm, 0) <= 180000)
              AS keep
-    FROM a1 JOIN a2 ON a2.doc_id = a1.doc_id
-    JOIN a3 ON a3.doc_id = a1.doc_id
+    FROM a1 LEFT JOIN a2 ON a2.doc_id = a1.doc_id
+    LEFT JOIN a3 ON a3.doc_id = a1.doc_id
     """
 
 
@@ -4500,7 +4503,9 @@ def repetition_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     of duplicated 3-grams — all integer ppm (counts and one ROUND
     each, no float drift) — plus the keep flag at Gopher's 0.20 /
     0.18 cuts. Shape: one tokenize scan, three explode→count→agg
-    chains keyed on doc_id, a three-way doc-keyed join. The oracle
+    chains keyed on doc_id, LEFT-joined doc-keyed (docs too short
+    for a gram level report 0 ppm there — zero repetition evidence
+    — instead of silently losing their row). The oracle
     recomputes every gram multiset from scratch; any tokenization,
     windowing, or gram-boundary bug shifts a ppm and fails the
     hash. This is the quality-gate sibling of quality_score_milli:

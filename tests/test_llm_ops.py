@@ -1270,3 +1270,29 @@ def test_priority_sample_weighted_determinism(spark):
     # a different seed reshuffles the equal-weight tail
     s3 = [r.doc_id for r in priority_sample(df, "w", 20, seed="other").collect()]
     assert s3[0] == 999 and s3 != [d for _, d in s1]
+
+
+def test_repetition_signals_short_docs_get_rows(spark):
+    """Round-6 advisor (text.py:215): docs with fewer than 2 (bigram)
+    or 3 (trigram) tokens must still get their signal row — missing
+    gram slots mean zero repetition evidence (0 ppm), not a silently
+    missing row that bypasses the Gopher cuts downstream."""
+    from ods_v3_dbt_spark.functions.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "solo"),                       # 1 token: no bigrams/trigrams
+            (2, "two words"),                  # 2 tokens: no trigrams
+            (3, "three total tokens"),         # 3 tokens: one trigram
+            (4, "spam spam spam spam spam"),   # degenerate repeater
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1].top_token_ppm == 1_000_000
+    assert rows[1].top_bigram_ppm == 0 and rows[1].dup_trigram_ppm == 0
+    assert rows[2].top_bigram_ppm == 1_000_000 and rows[2].dup_trigram_ppm == 0
+    assert rows[3].dup_trigram_ppm == 0       # single trigram, no dup
+    assert rows[4].top_token_ppm == 1_000_000
+    assert rows[4].dup_trigram_ppm == 1_000_000
