@@ -162,6 +162,227 @@ def bm25_topk(
     )
 
 
+def bm25f_scores(
+    docs: DataFrame,
+    terms: Sequence[str],
+    fields: dict[str, int],
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+    id_col: str = "doc_id",
+    mode: str = "rational",
+) -> DataFrame:
+    """BM25F — BM25 over MULTIPLE weighted fields (Robertson &
+    Zaragoza's simple weighted-tf variant): per term, the field tf
+    counts combine as Σ_f w_f·tf_f and the doc length as
+    Σ_f w_f·len_f, then the combined values run through the ordinary
+    BM25 saturation. ``fields`` maps text column → weight in
+    MILLI-units. The standard use: title tokens count ~2-3× body
+    tokens.
+
+    Exactness discipline (the md5/rational convention of this
+    module): weighted tf and weighted length are computed as exact
+    BIGINT milli-sums — per (doc, term) the per-field INTEGER counts
+    combine as (tf_a·w_a) + (tf_b·w_b) in a deterministic
+    field-name-sorted parenthesization, never as a float sum over
+    occurrences — and become doubles through ONE exact-rounded
+    /1000.0-style division each, so DuckDB replays the scores
+    bit-exactly in ``rational`` mode. df counts a doc once if the
+    term appears in ANY field.
+
+    Spark shape: one scan projects every field's token array, the
+    milli doc length, and the query-term-filtered per-field lists;
+    the per-(doc, term, field) explode unions and the single
+    corpus-sized shuffle is the (doc, term) count aggregate (field
+    tf's pivot inside it as conditional counts); df and the 1-row
+    stats broadcast; the per-doc score is the same deterministic
+    term-sorted fold as :func:`bm25_scores`."""
+    if mode not in ("rational", "ln"):
+        raise ValueError(f"unknown bm25 mode: {mode}")
+    if not fields:
+        raise ValueError("bm25f needs at least one field")
+    fnames = sorted(fields)
+    terms = list(terms)
+    k1 = F.lit(k1_milli) / F.lit(1000.0)
+    b = F.lit(b_milli) / F.lit(1000.0)
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[
+            F.split(F.lower(F.trim(F.col(f))), r"\s+").alias(f"__w{i}")
+            for i, f in enumerate(fnames)
+        ],
+    )
+    dl_milli = F.lit(0).cast("bigint")
+    for i, f in enumerate(fnames):
+        dl_milli = dl_milli + (
+            F.size(f"__w{i}").cast("bigint") * F.lit(int(fields[f]))
+        )
+    base = base.select(
+        "doc_id",
+        dl_milli.alias("dl_milli"),
+        *[
+            F.filter(F.col(f"__w{i}"), lambda x: x.isin(terms)).alias(f"__q{i}")
+            for i in range(len(fnames))
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl_milli").alias("total_len_milli"),
+    )
+    ex = None
+    for i in range(len(fnames)):
+        part = base.select(
+            "doc_id", "dl_milli",
+            F.explode(f"__q{i}").alias("term"), F.lit(i).alias("__fld"),
+        )
+        ex = part if ex is None else ex.unionByName(part)
+    tf = ex.groupBy("doc_id", "term").agg(
+        F.max("dl_milli").alias("dl_milli"),
+        *[
+            F.count(F.when(F.col("__fld") == i, 1)).alias(f"__tf{i}")
+            for i in range(len(fnames))
+        ],
+    )
+    wtf_milli = F.lit(0).cast("bigint")
+    for i, f in enumerate(fnames):
+        wtf_milli = wtf_milli + (F.col(f"__tf{i}") * F.lit(int(fields[f])))
+    tf = tf.select("doc_id", "term", "dl_milli", wtf_milli.alias("wtf_milli"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    j = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+    # identical parenthesization to the oracle — exact replay
+    avgdl = F.col("total_len_milli") / F.col("n_docs")
+    ratio = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    idf = F.log(ratio + F.lit(1.0)) if mode == "ln" else ratio
+    wtf = F.col("wtf_milli") / F.lit(1000.0)
+    denom = wtf + (
+        k1 * ((F.lit(1.0) - b)
+              + (b * (F.col("dl_milli").cast("double") / avgdl)))
+    )
+    s = idf * ((wtf * (k1 + F.lit(1.0))) / denom)
+    per_term = j.select(
+        "doc_id", F.struct(F.col("term"), s.alias("s")).alias("ts")
+    )
+    return per_term.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("ts")),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("score")
+    )
+
+
+def bm25f_topk(
+    docs: DataFrame,
+    terms: Sequence[str],
+    fields: dict[str, int],
+    k: int = 10,
+    **kwargs,
+) -> DataFrame:
+    """Top-k BM25F docs: (rank, doc_id, score_micro) — the
+    :func:`bm25_topk` contract over weighted fields."""
+    scored = bm25f_scores(docs, terms, fields, **kwargs)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "rank",
+            "doc_id",
+            F.round(F.col("score") * F.lit(1000000.0)).cast("bigint")
+            .alias("score_micro"),
+        )
+    )
+
+
+def window_contains(text_col, terms: Sequence[str], window: int):
+    """Boolean column: some ``window``-token span of ``text_col``
+    contains EVERY term — the positional AND/proximity predicate of
+    phrase-aware retrieval. Pure scan-stage array lambdas (an
+    ``exists`` over start positions, each testing ``array_contains``
+    on a bounded slice): zero shuffle, zero explode, replayable in
+    any engine with list lambdas. ``window == len(terms)`` with a
+    single in-order check is the contiguous-phrase special case —
+    see :func:`phrase_contains`."""
+    w = F.split(F.lower(F.trim(text_col)), r"\s+")
+    terms = list(terms)
+
+    def span_has_all(i):
+        span = F.slice(w, i, window)
+        cond = F.lit(True)
+        for t in terms:
+            cond = cond & F.array_contains(span, t)
+        return cond
+
+    return F.exists(F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1))),
+                    span_has_all)
+
+
+def phrase_contains(text_col, phrase: Sequence[str]):
+    """Boolean column: the tokens of ``text_col`` contain ``phrase``
+    CONTIGUOUSLY in order — exact phrase match, same zero-shuffle
+    scan-stage shape as :func:`window_contains`."""
+    w = F.split(F.lower(F.trim(text_col)), r"\s+")
+    phrase = list(phrase)
+
+    def at(i):
+        cond = F.lit(True)
+        for off, t in enumerate(phrase):
+            cond = cond & (F.element_at(w, i + off) == F.lit(t))
+        return cond
+
+    n = len(phrase)
+    # guard the short-doc case explicitly: sequence(1, 0) would count
+    # DOWN in Spark ([1, 0]) and index 0 is an error, not a miss
+    starts = F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.exists(starts, at)
+
+
+def bm25_topk_windowed(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    window: int | None = None,
+    phrase: Sequence[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """BM25 top-k restricted to docs satisfying a positional
+    predicate — ``window=N`` keeps docs where every query term
+    appears inside some N-token span, ``phrase=[...]`` keeps exact
+    contiguous matches. Statistics (df, N, avgdl) stay CORPUS-GLOBAL
+    (the standard phrase-AND + rank semantics: the predicate selects
+    candidates, it does not re-define the collection); the predicate
+    is a scan-stage boolean on the same tokenization, so the plan
+    adds one filtered pass and no shuffle."""
+    if (window is None) == (phrase is None):
+        raise ValueError("pass exactly one of window= or phrase=")
+    pred = (
+        window_contains(F.col(text_col), terms, window)
+        if window is not None
+        else phrase_contains(F.col(text_col), phrase)
+    )
+    scored = bm25_scores(docs, terms, text_col=text_col, id_col=id_col,
+                         **kwargs)
+    keep = docs.filter(pred).select(F.col(id_col).alias("doc_id"))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.join(keep, "doc_id", "left_semi")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "rank",
+            "doc_id",
+            F.round(F.col("score") * F.lit(1000000.0)).cast("bigint")
+            .alias("score_micro"),
+        )
+    )
+
+
 def priority_sample(
     df: DataFrame,
     weight_col: str,

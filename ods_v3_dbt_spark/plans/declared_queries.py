@@ -151,20 +151,22 @@ def register(name: str, oracle: str | None):
 #: window; everything else follows in registration order. Rounds 1-3
 #: are on record in CORRECTNESS_r0{1,2,3}.json (all 50/50 green);
 #: after round 3, 148/187 distinct queries had a driver-ever row.
-#: ROUND-5 WINDOW: the 2 names that have NEVER had a driver row
-#: (doc_novelty_scores / shingle_df_histogram — registered after the
-#: round-4 rotation froze; with them, driver-ever coverage completes
-#: at 191/191), the full round-5 blast radius (the epoch-commit
-#: index rewrite + probe changes: all four index-path rows; the
-#: blocked semantic-dedup kernel; the near-dup family sharing the
-#: shingle machinery the hot-shingle-guard fix touched), and — for
-#: the remaining slots — the rows whose last driver sample is oldest
-#: (round 1): the merge/sink family, which also sits closest to this
-#: round's BucketedTable tombstone-swap rewrite, plus the r1 rollup/
-#: cleansing probes. Anchors and the historically-red
-#: dedup_keep_first_ordered keep their standing re-check slots.
-#: Names listed but not registered are ignored (the guard test
-#: asserts the list stays typo-free).
+#: ROUND-6 WINDOW: the full round-6 blast radius — the LSM
+#: segment-append index redesign touches every persisted-index row
+#: (all four dedup/LSH probe rows resolve the new segment manifests;
+#: the curation rows drive appends + the pin-aware retention), the
+#: repetition left-join semantics change, and the three NEW rows
+#: (indexed BM25 over the persisted inverted index, BM25F field
+#: weights, proximity-windowed BM25) enter the window that ships
+#: them. The BM25 scan-path pair re-checks next to its indexed twin.
+#: Remaining slots rotate to the rows whose last driver sample is
+#: oldest (round 1, per the round-5 verdict's task 9 list):
+#: masked_extract / scalar_cleanse_strings / quality_assertion_metrics
+#: / rollup_month / max_freshness_probe plus the rest of the r1
+#: extract/rollup/cleansing probes, and the text/fingerprint family.
+#: Anchors and the historically-red dedup_keep_first_ordered keep
+#: their standing re-check slots. Names listed but not registered
+#: are ignored (the guard test asserts the list stays typo-free).
 _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (
     # Cheap single-scan aggregates lead: the suite's FIRST query
     # absorbs session-residual warmup (first-plan codegen, parquet
@@ -190,52 +192,48 @@ _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (
     "pricing_summary",
     "revenue_by_customer",
     "dedup_keep_first_ordered",
-    # the two never-driver-sampled rows → driver-ever hits 191/191
-    "doc_novelty_scores",
-    "shingle_df_histogram",
-    # round-5 blast radius: the epoch-commit index rewrite (manifest
-    # resolve in every probe, size-gated LSH broadcast fallback,
-    # hot-shingle-guard denominator fix) and the composition on top
+    # round-6 blast radius: the LSM segment redesign (delta-segment
+    # appends, per-segment probe fan-out, pin-aware retention) —
+    # every row that resolves an index manifest or drives an append
     "dedup_index_probe",
     "dedup_index_append_probe",
     "lsh_index_probe",
+    "lsh_index_append_probe",
     "incremental_curation_decisions",
     "curation_pipeline_audit",
-    # blocked-kernel rewrite (hot-cell guard)
-    "semantic_dedup_cells",
-    # near-dup family re-checks (shared shingle machinery feeds the
-    # index probes; warm by the time these run)
-    "minhash_lsh_neardup",
-    "ngram_jaccard_neardup",
-    "simhash_neardup",
-    # (embedding_cosine_neardup yielded its slot to the round-5
-    # addition hard_negative_mining — it is embedding-based, not
-    # shingle-based, so the round-5 probe changes don't touch it,
-    # and it is r4-driver-green)
-    "hard_negative_mining",
-    "neardup_components",
-    # oldest driver rows (last sampled r1) nearest this round's
-    # sinks rewrite: the merge/sink strategy family...
-    "merge_upsert_single",
-    "merge_upsert_composite",
-    "merge_fresh_tie_keep_target",
-    "merge_fresh_tie_take_source",
-    "merge_nullsafe_composite",
-    "delete_insert_window",
-    "partition_overwrite_days",
-    "full_refresh_clean_dim",
-    "dedup_window_keep_oldest",
-    "incremental_rollup_merge",
-    "incremental_watermark",
-    # ...the round-5 ADDITIONS (new queries always enter the window
-    # that ships them — the round-4 lesson)...
-    "lsh_index_append_probe",
-    "semantic_dedup_cells_blocked",
-    "bm25_topk_docs",
-    "priority_weighted_sample",
+    # left-join semantics change (short docs now keep their row)
     "repetition_quality_flags",
-    "pii_redaction_stats",
+    # round-6 ADDITIONS (new queries always enter the window that
+    # ships them)
+    "bm25_indexed_topk",
+    "bm25f_topk_docs",
+    "bm25_window_topk",
+    # the scan-path BM25 family re-checks beside its indexed twin
+    "bm25_topk_docs",
     "bm25_multiquery_topk",
+    "priority_weighted_sample",
+    # oldest driver rows (last sampled round 1 — the round-5
+    # verdict's task-9 rotation list, plus the rest of the r1
+    # extract/rollup/cleansing probes)
+    "masked_extract",
+    "scalar_cleanse_strings",
+    "quality_assertion_metrics",
+    "rollup_month",
+    "max_freshness_probe",
+    "rollup_day",
+    "date_id_conversions",
+    "sentinel_date_repair",
+    "excel_cell_coercion_grid",
+    "count_window_probe",
+    # text/fingerprint family re-checks for the remaining slots
+    "text_stats",
+    "doc_fingerprint",
+    "token_bpe_counts",
+    "table_fingerprint_orders",
+    "dq_rule_violations",
+    "semantic_dedup_cells",
+    "semantic_dedup_cells_blocked",
+    "doc_novelty_scores",
 )
 
 

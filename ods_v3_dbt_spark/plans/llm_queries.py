@@ -4592,6 +4592,259 @@ def bm25_multiquery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return op(load(spark, sf_dir, "documents"), q, k=5)
 
 
+def _bm25_scan_sql(terms: tuple[str, ...], k: int) -> str:
+    """The scan-path BM25 oracle (the ``_BM25_SQL`` evaluation tree)
+    parameterized over the term set — shared by the indexed-BM25 row,
+    whose Spark side reads the PERSISTED inverted index: the oracle
+    recomputing from raw text is exactly what proves indexed ≡ scan."""
+    ts = sorted(terms)
+    in_list = ", ".join(f"'{t}'" for t in ts)
+    fold = "0.0"
+    for t in ts:
+        fold = (f"({fold} + COALESCE(MAX(CASE WHEN term = '{t}' "
+                f"THEN s END), 0.0))")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents),
+    dl AS (SELECT doc_id, COUNT(1) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT COUNT(1) AS n_docs, SUM(dl) AS total_len FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(1) AS tf FROM tok
+      WHERE term IN ({in_list})
+      GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(1) AS df FROM tf GROUP BY term),
+    per_term AS (
+      SELECT t.doc_id, t.term,
+             (((s.n_docs - f.df) + 0.5) / (f.df + 0.5))
+             * ((CAST(t.tf AS DOUBLE) * ((1200 / 1000.0) + 1.0))
+                / (CAST(t.tf AS DOUBLE)
+                   + ((1200 / 1000.0)
+                      * ((1.0 - (750 / 1000.0))
+                         + ((750 / 1000.0)
+                            * (d.dl / (s.total_len / s.n_docs))))))) AS s
+      FROM tf t
+      JOIN dfreq f ON f.term = t.term
+      JOIN dl d ON d.doc_id = t.doc_id
+      CROSS JOIN stats s),
+    scored AS (
+      SELECT doc_id, {fold} AS score
+      FROM per_term GROUP BY doc_id)
+    SELECT rank, doc_id, CAST(ROUND(score * 1000000.0) AS BIGINT) AS score_micro
+    FROM (SELECT doc_id, score,
+                 ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+          FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+_BM25_IDX_TERMS = ("hash", "batch", "table")
+
+
+def _bm25_fixture_index(spark: SparkSession, sf_dir: str,
+                        force: bool = False):
+    """The persisted-BM25-index fixture: built from 3/4 of the
+    documents table, the last quarter APPENDED — so the declared
+    query's oracle (scan-BM25 over the full table) also proves the
+    LSM append path maintains df/stats/postings exactly."""
+    from ..operators.text_index import (
+        Bm25Index,
+        bm25_index_append,
+        bm25_index_write,
+    )
+
+    name = f"bm25_idx_{_IDXV}_{_fixture_slug(sf_dir)}"
+    key = (id(spark.sparkContext), name)
+    idx = _IDX_CACHE.get(key)
+    if not force and idx is not None and idx.exists(spark):
+        return idx
+    idx = Bm25Index(name, 8)
+    if force or not idx.exists(spark):
+        d = load(spark, sf_dir, "documents").select("doc_id", "text")
+        idx = bm25_index_write(
+            d.filter(F.col("doc_id") % 4 != 0), name, num_buckets=8
+        )
+        bm25_index_append(idx, d.filter(F.col("doc_id") % 4 == 0))
+    _IDX_CACHE[key] = idx
+    return idx
+
+
+@register("bm25_indexed_topk", _bm25_scan_sql(_BM25_IDX_TERMS, 10))
+def bm25_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 served from the PERSISTED inverted index,
+    HASH-VERIFIED against the scan-path oracle
+    (operators/text_index.py::bm25_index_topk): postings/df/doclen/
+    stats live as bucketed epoch-committed member tables (built on
+    3/4 of the corpus, the rest APPENDED as an O(batch) delta
+    segment), the probe reads bucket-pruned posting lists for the
+    query terms, sums per-segment df/stats partials, and replays
+    the scan path's exact rational evaluation tree. The oracle
+    recomputes everything from raw text, so what is value-checked
+    is that index maintenance (build + LSM append) preserves tf,
+    df, dl, and the collection stats EXACTLY — repeated retrieval
+    stops paying the corpus scan (round-6 verdict task 7), and
+    loses nothing for it. Plan pinned bucket-pruned in
+    tests/test_plan_audit.py."""
+    from ..operators.text_index import bm25_index_topk
+
+    idx = _bm25_fixture_index(spark, sf_dir)
+    return bm25_index_topk(spark, idx, list(_BM25_IDX_TERMS), k=10)
+
+
+_BM25F_SQL = """
+    WITH tok0 AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents),
+    fld AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(array_to_string(w[1:5], ' '))),
+                                '\\s+') AS hw,
+             string_split_regex(lower(trim(array_to_string(w[6:len(w)], ' '))),
+                                '\\s+') AS bw
+      FROM tok0),
+    dl AS (
+      SELECT doc_id,
+             ((len(bw) * 1000) + (len(hw) * 2500)) AS dl_milli
+      FROM fld),
+    stats AS (
+      SELECT COUNT(1) AS n_docs, SUM(dl_milli) AS total_len_milli FROM dl),
+    ftok AS (
+      SELECT doc_id, unnest(hw) AS term, 1 AS is_head FROM fld
+      UNION ALL
+      SELECT doc_id, unnest(bw) AS term, 0 AS is_head FROM fld),
+    tf AS (
+      SELECT doc_id, term,
+             ((SUM(1 - is_head) * 1000) + (SUM(is_head) * 2500)) AS wtf_milli
+      FROM ftok
+      WHERE term IN ('merge', 'scan', 'window')
+      GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(1) AS df FROM tf GROUP BY term),
+    per_term AS (
+      SELECT t.doc_id, t.term,
+             (((s.n_docs - f.df) + 0.5) / (f.df + 0.5))
+             * (((t.wtf_milli / 1000.0) * ((1200 / 1000.0) + 1.0))
+                / ((t.wtf_milli / 1000.0)
+                   + ((1200 / 1000.0)
+                      * ((1.0 - (750 / 1000.0))
+                         + ((750 / 1000.0)
+                            * (CAST(d.dl_milli AS DOUBLE)
+                               / (s.total_len_milli / s.n_docs))))))) AS s
+      FROM tf t
+      JOIN dfreq f ON f.term = t.term
+      JOIN dl d ON d.doc_id = t.doc_id
+      CROSS JOIN stats s),
+    scored AS (
+      SELECT doc_id,
+             (((0.0 + COALESCE(MAX(CASE WHEN term = 'merge' THEN s END), 0.0))
+               + COALESCE(MAX(CASE WHEN term = 'scan' THEN s END), 0.0))
+              + COALESCE(MAX(CASE WHEN term = 'window' THEN s END), 0.0)) AS score
+      FROM per_term GROUP BY doc_id)
+    SELECT rank, doc_id, CAST(ROUND(score * 1000000.0) AS BIGINT) AS score_micro
+    FROM (SELECT doc_id, score,
+                 ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """
+
+
+@register("bm25f_topk_docs", _BM25F_SQL)
+def bm25f_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F — field-weighted retrieval, HASH-VERIFIED
+    (operators/retrieval.py::bm25f_topk): the doc's first five
+    tokens act as a HEAD field at weight 2.5, the remainder as BODY
+    at weight 1.0 (the title-boost shape; the documents table has
+    one text column, so the fields derive by token slicing —
+    identically on both engines). Per (doc, term) the field tf's
+    combine as exact BIGINT milli-sums (never a float sum over
+    occurrences), doc length likewise, and each becomes a double
+    through one exact-rounded division — Robertson & Zaragoza's
+    simple weighted-tf BM25F with the module's bit-exact replay
+    discipline. Shape: one scan projects both field token lists;
+    the (doc, term) count is the only corpus-sized shuffle; df and
+    stats broadcast; deterministic term-sorted fold."""
+    from ..operators.retrieval import bm25f_topk
+
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    fields = d.select(
+        "doc_id",
+        F.array_join(F.slice(w, 1, 5), " ").alias("head"),
+        F.array_join(
+            F.slice(w, F.lit(6), F.greatest(F.size(w) - F.lit(5), F.lit(0))),
+            " ",
+        ).alias("body"),
+    )
+    return bm25f_topk(
+        fields, list(_BM25_TERMS), fields={"head": 2500, "body": 1000}, k=10
+    )
+
+
+_BM25_WINDOW_SQL = """
+    WITH tok0 AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents),
+    cand AS (
+      SELECT doc_id FROM tok0
+      WHERE len(list_filter(generate_series(1, len(w)),
+                i -> list_has_all(list_slice(w, i, i + 9),
+                                  ['merge', 'scan', 'window']))) > 0),
+    tok AS (SELECT doc_id, unnest(w) AS term FROM tok0),
+    dl AS (SELECT doc_id, COUNT(1) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT COUNT(1) AS n_docs, SUM(dl) AS total_len FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(1) AS tf FROM tok
+      WHERE term IN ('merge', 'scan', 'window')
+      GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(1) AS df FROM tf GROUP BY term),
+    per_term AS (
+      SELECT t.doc_id, t.term,
+             (((s.n_docs - f.df) + 0.5) / (f.df + 0.5))
+             * ((CAST(t.tf AS DOUBLE) * ((1200 / 1000.0) + 1.0))
+                / (CAST(t.tf AS DOUBLE)
+                   + ((1200 / 1000.0)
+                      * ((1.0 - (750 / 1000.0))
+                         + ((750 / 1000.0)
+                            * (d.dl / (s.total_len / s.n_docs))))))) AS s
+      FROM tf t
+      JOIN dfreq f ON f.term = t.term
+      JOIN dl d ON d.doc_id = t.doc_id
+      CROSS JOIN stats s),
+    scored AS (
+      SELECT p.doc_id,
+             (((0.0 + COALESCE(MAX(CASE WHEN term = 'merge' THEN s END), 0.0))
+               + COALESCE(MAX(CASE WHEN term = 'scan' THEN s END), 0.0))
+              + COALESCE(MAX(CASE WHEN term = 'window' THEN s END), 0.0)) AS score
+      FROM per_term p
+      JOIN cand c ON c.doc_id = p.doc_id
+      GROUP BY p.doc_id)
+    SELECT rank, doc_id, CAST(ROUND(score * 1000000.0) AS BIGINT) AS score_micro
+    FROM (SELECT doc_id, score,
+                 ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """
+
+
+@register("bm25_window_topk", _BM25_WINDOW_SQL)
+def bm25_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity-gated retrieval, HASH-VERIFIED (operators/
+    retrieval.py::bm25_topk_windowed + window_contains): BM25 top-10
+    restricted to docs where ALL THREE query terms co-occur inside
+    some 10-token span — the positional-AND predicate of phrase-
+    aware search. Statistics stay corpus-global (the predicate
+    selects candidates, it does not re-define the collection); the
+    span test is a zero-shuffle scan-stage array lambda (an exists
+    over start positions, each an array_contains on a bounded
+    slice), replayed by the oracle with the identical list
+    comprehension — so the window boundary semantics (truncated
+    trailing spans included) are value-checked, not assumed."""
+    from ..operators.retrieval import bm25_topk_windowed
+
+    return bm25_topk_windowed(
+        load(spark, sf_dir, "documents"), list(_BM25_TERMS), k=10, window=10
+    )
+
+
 _HARD_NEG_SQL = """
     WITH q AS (
       SELECT vec_id AS query_id,

@@ -1296,3 +1296,88 @@ def test_repetition_signals_short_docs_get_rows(spark):
     assert rows[3].dup_trigram_ppm == 0       # single trigram, no dup
     assert rows[4].top_token_ppm == 1_000_000
     assert rows[4].dup_trigram_ppm == 1_000_000
+
+
+def test_bm25_index_probe_equals_scan(spark, corpus):
+    """Indexed BM25 (operators/text_index.py) must return BIT-
+    IDENTICAL top-k to the scan path over the same corpus — through
+    a build + LSM append (so index maintenance preserves tf, df,
+    dl, and the collection stats exactly), for both idf modes."""
+    from ods_v3_dbt_spark.operators.retrieval import bm25_topk
+    from ods_v3_dbt_spark.operators.text_index import (
+        bm25_index_append,
+        bm25_index_topk,
+        bm25_index_write,
+    )
+
+    docs = corpus.select("doc_id", "text")
+    terms = ["merge", "scan", "window"]
+    idx = bm25_index_write(
+        docs.filter(F.col("doc_id") % 2 == 0), "t_bm25_idx", num_buckets=4
+    )
+    bm25_index_append(idx, docs.filter(F.col("doc_id") % 2 == 1))
+    for mode in ("rational", "ln"):
+        scan = [tuple(r) for r in
+                bm25_topk(docs, terms, k=15, mode=mode).collect()]
+        indexed = [tuple(r) for r in
+                   bm25_index_topk(spark, idx, terms, k=15, mode=mode)
+                   .collect()]
+        assert indexed == scan and indexed, mode
+
+
+def test_bm25_index_append_is_batch_sized(spark, corpus):
+    """The BM25 index inherits the LSM contract: an append writes
+    only the batch's postings/doclen rows as a delta segment; the
+    base segment is untouched."""
+    from ods_v3_dbt_spark.operators.text_index import (
+        EPOCH_COL,
+        bm25_index_append,
+        bm25_index_write,
+    )
+
+    docs = corpus.select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = bm25_index_write(base, "t_bm25_obatch", num_buckets=4)
+    e0 = idx.resolve(spark).epoch
+    n_base = base.count()
+    bm25_index_append(idx, delta)
+    cur = idx.resolve(spark)
+    assert cur.segments == [e0, e0 + 1]
+    dl = cur.doclen.read(spark)
+    assert dl.filter(F.col(EPOCH_COL) == e0).count() == n_base
+    assert dl.filter(F.col(EPOCH_COL) == e0 + 1).count() == delta.count()
+    # replay is a no-op (anti-join fast path)
+    bm25_index_append(idx, delta)
+    assert idx.resolve(spark).epoch == e0 + 1
+
+
+def test_window_and_phrase_contains(spark):
+    """Positional predicates: contiguous phrase vs N-token window
+    co-occurrence, pinned against hand-computed expectations
+    (including the short-doc and trailing-span edges)."""
+    from ods_v3_dbt_spark.operators.retrieval import (
+        phrase_contains,
+        window_contains,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha merge scan beta"),            # phrase "merge scan"
+            (2, "merge alpha beta gamma scan"),      # within 5, not phrase
+            (3, "merge " + "x " * 20 + "scan"),      # far apart
+            (4, "scan merge"),                       # reversed order
+            (5, "merge"),                            # shorter than phrase
+            (6, ""),                                 # empty text
+        ],
+        "doc_id long, text string",
+    )
+    ph = {r.doc_id for r in docs.filter(
+        phrase_contains(F.col("text"), ["merge", "scan"])).collect()}
+    assert ph == {1}
+    w5 = {r.doc_id for r in docs.filter(
+        window_contains(F.col("text"), ["merge", "scan"], 5)).collect()}
+    assert w5 == {1, 2, 4}          # window is unordered co-occurrence
+    w30 = {r.doc_id for r in docs.filter(
+        window_contains(F.col("text"), ["merge", "scan"], 30)).collect()}
+    assert w30 == {1, 2, 3, 4}

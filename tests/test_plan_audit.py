@@ -827,3 +827,27 @@ def test_bm25_plan_shape(spark):
         assert "BroadcastHashJoin" in plan, name  # df joins broadcast
         # dl rides the tf rows: no join keyed on doc_id anywhere
         assert not re.search(r"Join \[doc_id", plan), name
+
+
+def test_bm25_indexed_probe_bucket_pruned_postings(spark):
+    """The persisted-BM25 probe (round-6 task 7): the corpus scan is
+    GONE — every corpus-side read is a bucketed posting/df scan
+    BUCKET-PRUNED to the query terms (SelectedBucketsCount below
+    total, IN filter pushed to the scan), one per live segment (the
+    fixture appends a quarter of the corpus as an LSM delta), and
+    the plan tokenizes nothing (zero Generate: no corpus re-scan,
+    no explode)."""
+    plan = _plan(spark, "bm25_indexed_topk")
+    post_scans = [
+        b for b in plan.split("\n\n")
+        if re.search(r"Scan parquet \S*bm25_idx\S*_postings\b", b)
+        and "ReadSchema" in b
+    ]
+    assert len(post_scans) == 2          # base + appended delta segment
+    for s in post_scans:
+        assert "Bucketed: true" in s, s
+        assert re.search(r"In\(term, \[", s), s
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", s)
+        assert m and int(m.group(1)) < int(m.group(2)), s
+    assert ") Generate" not in plan
+    assert "documents.parquet" not in plan   # the corpus scan is gone
