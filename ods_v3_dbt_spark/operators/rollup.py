@@ -139,3 +139,49 @@ def distinct_sketch_union(
     return merged.withColumn(
         "approx_distinct", F.hll_sketch_estimate(F.col("key_sketch")).cast("bigint")
     )
+
+
+def update_datamart(
+    fact: DataFrame,
+    group,
+    group_cols: Sequence[str],
+    day_id_col: str,
+    aggs: dict[str, Column],
+    month_id_col: str = "month_id",
+) -> bool:
+    """A4 day+month datamart refresh as ONE transaction — the shape
+    of the reference's ``update_datamart.sql``: a single DO block
+    runs the freshness probe, ``sp_item_general_pos_day``, AND
+    ``sp_item_general_pos_month`` inside one Postgres transaction
+    (dags/sql/pns/update_des_table/update_datamart.sql:4-27), so no
+    reader can ever pair a refreshed day table with a stale month
+    table. Over plain files that guarantee comes from
+    :class:`..sinks.TableGroup`: ``group`` must be a TableGroup with
+    members ``("day", "month")``; both rollups commit behind its
+    single group-manifest replace (group readers see all-old or
+    all-new; per-member standalone readers still see each table's
+    latest commit).
+
+    Returns True if a refresh committed, False if the A3 freshness
+    guard (:func:`needs_rollup` against the COMMITTED day member)
+    short-circuited — the reference's MAX-probe skip, and the same
+    skip discipline as ``jobs.freshness_guarded_rollup``. The month
+    rollup re-aggregates the day DataFrame (tiny), never the fact."""
+    if tuple(group.names) != ("day", "month"):
+        raise ValueError(
+            "update_datamart needs a TableGroup with members "
+            f"('day', 'month'), got {group.names}"
+        )
+    spark = fact.sparkSession
+    if group.exists():
+        committed_day = group.read(spark)["day"]
+        if not needs_rollup(fact, committed_day, day_id_col, day_id_col):
+            return False
+    day = rollup_day(fact, group_cols, day_id_col, aggs)
+    month = rollup_month_from_day(day, group_cols, day_id_col, month_id_col)
+    src_max = fact.agg(F.max(day_id_col)).first()[0]
+    group.commit(
+        {"day": day, "month": month},
+        extras={"max_day": src_max, "fact_day_col": day_id_col},
+    )
+    return True

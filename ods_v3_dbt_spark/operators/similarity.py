@@ -114,6 +114,98 @@ def topk_blockwise(
     )
 
 
+def knn_graph(
+    vectors: DataFrame,
+    k: int = 5,
+    num_blocks: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """EXACT kNN graph: the top-k neighbors (quantized integer inner
+    product — engine-portable exact, the ``dot_q`` semantic) of
+    EVERY vector, self excluded before ranking. This is the
+    building block graph-based curation runs on (SemDeDup-style
+    cluster pruning, graph dedup, diversity sampling) — where
+    :func:`topk_bruteforce` answers "neighbors of these FEW
+    queries", this answers "neighbors of EVERYONE".
+
+    Scale shape — blocked sqrt-decomposition self-join, never a
+    broadcast of the corpus and never an N² row materialization:
+
+    * each vector hashes to one of ``num_blocks`` blocks; every
+      ORDERED block pair (i, j) is one task, and a vector
+      replicates to its row of tasks on each side (2·B copies —
+      the shuffle carries O(B·N) rows);
+    * a task's kernel gram-multiplies its two blocks in one int64
+      numpy matmul (exact in any order), masks the diagonal on
+      i == j, and emits only the LOCAL top-k per query — so the
+      final per-query window reduces B·k candidate rows, not N;
+    * every (query, neighbor) pair lives in exactly one task
+      (block(query), block(neighbor)) — no dedup pass needed.
+
+    ``num_blocks`` trades replication (B×) against task memory
+    ((N/B)² ints per kernel); size so a block pair fits an executor
+    (~sqrt of the memory budget), exactly like the cosine-pair
+    triangle join in ``operators/dedup.py``."""
+    import numpy as np
+
+    b_of = F.pmod(F.col(id_col), F.lit(num_blocks)).cast("int")
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        V.quantized(F.col(vec_col)).alias("qv"),
+        b_of.alias("b"),
+    )
+    others = F.array([F.lit(i) for i in range(num_blocks)])
+    qside = v.select(
+        F.col("b").alias("ti"), F.explode(others).alias("tj"),
+        F.lit(1).alias("is_q"), "vid", "qv",
+    )
+    nside = v.select(
+        F.explode(others).alias("ti"), F.col("b").alias("tj"),
+        F.lit(0).alias("is_q"), "vid", "qv",
+    )
+
+    def gram(pdf: pd.DataFrame) -> pd.DataFrame:
+        qs = pdf[pdf["is_q"] == 1]
+        ns = pdf[pdf["is_q"] == 0]
+        if not len(qs) or not len(ns):
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "sim_q": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64",
+                      "sim_q": "int64"})
+        qm = np.vstack(qs["qv"].to_numpy()).astype("int64")
+        nm = np.vstack(ns["qv"].to_numpy()).astype("int64")
+        sims = qm @ nm.T
+        qid = qs["vid"].to_numpy()
+        nid = ns["vid"].to_numpy()
+        same = qid[:, None] == nid[None, :]
+        # mask with min+1, NOT min: -int64.min overflows back to
+        # int64.min, which would rank the masked diagonal FIRST in
+        # the argpartition below and silently burn a top-k slot
+        mask_val = np.iinfo("int64").min + 1
+        sims = np.where(same, mask_val, sims)
+        local_k = min(k, sims.shape[1])
+        top = np.argpartition(-sims, local_k - 1, axis=1)[:, :local_k]
+        out = pd.DataFrame({
+            "query_id": np.repeat(qid, local_k),
+            "neighbor_id": nid[top].ravel(),
+            "sim_q": np.take_along_axis(sims, top, axis=1).ravel(),
+        })
+        return out[out["sim_q"] != mask_val]
+
+    cands = (
+        qside.unionByName(nside)
+        .groupBy("ti", "tj")
+        .applyInPandas(gram, schema="query_id long, neighbor_id long, sim_q long")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_q").desc(), F.col("neighbor_id").asc()
+    )
+    return cands.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)
+
+
 def ivf_assignments(
     df: DataFrame,
     centroids,

@@ -208,6 +208,7 @@ _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (
     "bm25_indexed_topk",
     "bm25f_topk_docs",
     "bm25_window_topk",
+    "knn_graph_topk",
     # the scan-path BM25 family re-checks beside its indexed twin
     "bm25_topk_docs",
     "bm25_multiquery_topk",
@@ -233,7 +234,8 @@ _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (
     "dq_rule_violations",
     "semantic_dedup_cells",
     "semantic_dedup_cells_blocked",
-    "doc_novelty_scores",
+    # (doc_novelty_scores yielded its slot to the round-6 addition
+    # knn_graph_topk — it is r5-driver-green and untouched)
 )
 
 

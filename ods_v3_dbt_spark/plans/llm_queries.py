@@ -560,6 +560,50 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_graph_topk",
+    """
+    WITH expl AS (
+      SELECT vec_id, embedding,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT vec_id, i,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS v
+      FROM expl
+    ),
+    sims AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(SUM(a.v * b.v) AS BIGINT) AS sim_q
+      FROM dims a JOIN dims b ON a.i = b.i AND b.vec_id <> a.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT query_id, neighbor_id, sim_q, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim_q DESC, neighbor_id ASC) AS rank
+      FROM sims) WHERE rank <= 3
+    """,
+)
+def knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT kNN GRAPH, hash-verified (operators/similarity.py::
+    knn_graph): top-3 quantized-integer-dot neighbors of EVERY
+    vector, self excluded before ranking — the all-nodes sibling of
+    ``embedding_topk``'s few-queries brute force, and the input
+    graph-based curation consumes (cluster pruning, graph dedup,
+    diversity sampling). Scale shape: blocked sqrt-decomposition
+    self-join — vectors replicate to ordered block-pair tasks (O(B·N)
+    shuffled rows), each task one exact int64 numpy gram with a
+    masked diagonal and a LOCAL top-k, so the final per-query window
+    reduces B·k candidates, never N; no corpus broadcast, no N² row
+    materialization. The oracle recomputes all pairs from first
+    principles, so blocking/masking/tie-ranking are value-checked."""
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.knn_graph(emb, k=3, num_blocks=4).select(
+        "query_id", "neighbor_id", "sim_q", "rank"
+    )
+
+
+@register(
     "embedding_cosine_neardup",
     """
     WITH expl AS (

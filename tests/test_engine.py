@@ -1340,3 +1340,46 @@ def test_table_group_vacuum_protects_live_and_prev(spark, tmp_path):
     for name in ("a", "b"):
         df = grp.tables[name].read_snapshot(spark, prev_assign[name])
         assert [tuple(r) for r in df.collect()] == [(2,)]
+
+
+def test_update_datamart_transactional_day_month(spark, tmp_path):
+    """A4 day+month refresh through TableGroup — the reference's
+    one-transaction update_datamart.sql shape: both rollups commit
+    together (a group read is always internally consistent: month
+    totals equal the day table re-aggregated), the A3 freshness
+    guard skips a no-new-data refresh, and new fact days re-roll
+    BOTH members."""
+    from pyspark.sql import functions as F
+
+    from ods_v3_dbt_spark.operators.rollup import update_datamart
+    from ods_v3_dbt_spark.sinks import TableGroup
+
+    grp = TableGroup(tmp_path / "datamart", ["day", "month"])
+    aggs = {"n_rows": F.count(F.lit(1)), "amount": F.sum("amt")}
+    fact1 = spark.createDataFrame(
+        [("a", 20240101, 10.0), ("a", 20240102, 5.0), ("b", 20240201, 7.0)],
+        "grp string, day_id int, amt double",
+    )
+    assert update_datamart(fact1, grp, ["grp"], "day_id", aggs) is True
+    v1 = grp.read(spark)
+    day = {(r.grp, r.day_id): (r.n_rows, r.amount) for r in v1["day"].collect()}
+    assert day == {("a", 20240101): (1, 10.0), ("a", 20240102): (1, 5.0),
+                   ("b", 20240201): (1, 7.0)}
+    month = {(r.grp, r.month_id): r.amount for r in v1["month"].collect()}
+    assert month == {("a", 202401): 15.0, ("b", 202402): 7.0}
+
+    # freshness guard: same fact → skipped, manifest unchanged
+    man_before = grp.manifest()
+    assert update_datamart(fact1, grp, ["grp"], "day_id", aggs) is False
+    assert grp.manifest() == man_before
+
+    # a newer day re-rolls BOTH members in one commit
+    fact2 = fact1.unionByName(spark.createDataFrame(
+        [("b", 20240202, 3.0)], "grp string, day_id int, amt double"
+    ))
+    assert update_datamart(fact2, grp, ["grp"], "day_id", aggs) is True
+    v2 = grp.read(spark)
+    assert {(r.grp, r.month_id): r.amount for r in v2["month"].collect()} == {
+        ("a", 202401): 15.0, ("b", 202402): 10.0
+    }
+    assert grp.manifest()["extras"]["max_day"] == 20240202

@@ -1381,3 +1381,18 @@ def test_window_and_phrase_contains(spark):
     w30 = {r.doc_id for r in docs.filter(
         window_contains(F.col("text"), ["merge", "scan"], 30)).collect()}
     assert w30 == {1, 2, 3, 4}
+
+
+def test_knn_graph_blocking_invariance(spark, emb):
+    """The blocked sqrt-decomposition self-join must be INVISIBLE in
+    the result: any block count gives the identical exact graph
+    (including num_blocks=1 — the single-task degenerate), and no
+    row ever lists itself as a neighbor."""
+    g1 = {tuple(r) for r in
+          SIM.knn_graph(emb, k=4, num_blocks=1).collect()}
+    g4 = {tuple(r) for r in
+          SIM.knn_graph(emb, k=4, num_blocks=4).collect()}
+    g7 = {tuple(r) for r in
+          SIM.knn_graph(emb, k=4, num_blocks=7).collect()}
+    assert g1 == g4 == g7 and g1
+    assert all(q != n for (q, n, _, _) in g1)
