@@ -185,3 +185,48 @@ def update_datamart(
         extras={"max_day": src_max, "fact_day_col": day_id_col},
     )
     return True
+
+
+def update_datamart_window(
+    fact_slice: DataFrame,
+    group,
+    group_cols: Sequence[str],
+    day_id_col: str,
+    aggs: dict[str, Column],
+    month_id_col: str = "month_id",
+) -> None:
+    """INCREMENTAL A4 refresh — the reference's real nightly shape:
+    the extract hands over only the cursor window's fact slice
+    (plugins/operators/bccp_to_ods.py:198-201), so the datamart
+    must advance WITHOUT re-scanning the full fact (which
+    :func:`update_datamart` does, correctly but O(fact) per run).
+    Window semantics are the M6/M7 delete+insert discipline: the
+    slice must cover WHOLE days; every day present in it REPLACES
+    that day's rows in the committed day member (so replays and
+    backdate corrections are idempotent — no sum-of-partials
+    double-count), days absent from the slice carry over untouched,
+    and the month member re-rolls from the merged day table (tiny,
+    never the fact). Both members commit through the
+    :class:`..sinks.TableGroup` — one transaction, same all-old-or-
+    all-new guarantee as :func:`update_datamart`."""
+    if tuple(group.names) != ("day", "month"):
+        raise ValueError(
+            "update_datamart_window needs a TableGroup with members "
+            f"('day', 'month'), got {group.names}"
+        )
+    spark = fact_slice.sparkSession
+    day_delta = rollup_day(fact_slice, group_cols, day_id_col, aggs)
+    if group.exists():
+        base_day = group.read(spark)["day"]
+        touched = day_delta.select(day_id_col).distinct()
+        day = base_day.join(touched, day_id_col, "left_anti").unionByName(
+            day_delta
+        )
+    else:
+        day = day_delta
+    month = rollup_month_from_day(day, group_cols, day_id_col, month_id_col)
+    src_max = day.agg(F.max(day_id_col)).first()[0]
+    group.commit(
+        {"day": day, "month": month},
+        extras={"max_day": src_max, "fact_day_col": day_id_col},
+    )

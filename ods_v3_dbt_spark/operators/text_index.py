@@ -237,6 +237,103 @@ def bm25_index_append(
     return index
 
 
+def _index_tf_df_stats(spark: SparkSession, index: Bm25Index,
+                       terms: list[str]):
+    """(tf, dfreq, stats) for ``terms`` from a resolved index —
+    bucket-pruned per-segment posting/df scans unioned; per-segment
+    df partials summed (docs are segment-disjoint); the ≤K stats
+    rows summed into the collection totals. Shared by the single-
+    and multi-query probes."""
+    cur = index.resolve(spark)
+    tf = None
+    for t in cur.postings.tables:
+        part = (
+            t.read(spark)
+            .filter(F.col("term").isin(terms))
+            .select("doc_id", "term", "tf", "dl")
+        )
+        tf = part if tf is None else tf.unionByName(part)
+    dfp = None
+    for t in cur.dfreq.tables:
+        part = t.read(spark).filter(F.col("term").isin(terms)).select(
+            "term", "df"
+        )
+        dfp = part if dfp is None else dfp.unionByName(part)
+    dfreq = dfp.groupBy("term").agg(F.sum("df").alias("df"))
+    sts = None
+    for t in cur.stats.tables:
+        part = t.read(spark).select("n_docs", "total_len")
+        sts = part if sts is None else sts.unionByName(part)
+    stats = sts.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_len").alias("total_len"),
+    )
+    return tf, dfreq, stats
+
+
+def bm25_index_multiquery_topk(
+    spark: SparkSession,
+    index: Bm25Index,
+    queries: DataFrame,
+    k: int = 5,
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+    mode: str = "rational",
+) -> DataFrame:
+    """Batch retrieval from the PERSISTED index — the indexed twin
+    of :func:`~.retrieval.bm25_multiquery_topk` (bit-identical
+    output): MANY queries served by ONE set of bucket-pruned
+    posting-list reads restricted to the union of query terms, the
+    term→query mapping broadcast fans per-(doc, term) scores out to
+    (query_id, doc) pairs, and the per-query top-k runs the same
+    deterministic fold + WindowGroupLimit as the scan path. This is
+    what a retrieval SERVICE over a 100 TB corpus runs: per query
+    batch, cost proportional to the touched posting lists — zero
+    corpus scans, zero tokenization, zero stats recompute."""
+    if mode not in ("rational", "ln"):
+        raise ValueError(f"unknown bm25 mode: {mode}")
+    k1 = F.lit(k1_milli) / F.lit(1000.0)
+    b = F.lit(b_milli) / F.lit(1000.0)
+    q = queries.select("query_id", "term")
+    terms = sorted({r.term for r in q.select("term").distinct().collect()})
+    tf, dfreq, stats = _index_tf_df_stats(spark, index, terms)
+    j = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(q), "term")
+    )
+    avgdl = F.col("total_len") / F.col("n_docs")
+    ratio = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    idf = F.log(ratio + F.lit(1.0)) if mode == "ln" else ratio
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + (k1 * ((F.lit(1.0) - b) + (b * (F.col("dl") / avgdl))))
+    s = idf * ((tf_d * (k1 + F.lit(1.0))) / denom)
+    per_term = j.select(
+        "query_id", "doc_id", F.struct(F.col("term"), s.alias("s")).alias("ts")
+    )
+    scored = per_term.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("ts")),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "doc_id",
+            F.round(F.col("score") * F.lit(1000000.0)).cast("bigint")
+            .alias("score_micro"),
+        )
+    )
+
+
 def bm25_index_topk(
     spark: SparkSession,
     index: Bm25Index,
@@ -272,30 +369,7 @@ def bm25_index_topk(
     terms = list(terms)
     k1 = F.lit(k1_milli) / F.lit(1000.0)
     b = F.lit(b_milli) / F.lit(1000.0)
-    cur = index.resolve(spark)
-    tf = None
-    for t in cur.postings.tables:
-        part = (
-            t.read(spark)
-            .filter(F.col("term").isin(terms))
-            .select("doc_id", "term", "tf", "dl")
-        )
-        tf = part if tf is None else tf.unionByName(part)
-    dfp = None
-    for t in cur.dfreq.tables:
-        part = t.read(spark).filter(F.col("term").isin(terms)).select(
-            "term", "df"
-        )
-        dfp = part if dfp is None else dfp.unionByName(part)
-    dfreq = dfp.groupBy("term").agg(F.sum("df").alias("df"))
-    sts = None
-    for t in cur.stats.tables:
-        part = t.read(spark).select("n_docs", "total_len")
-        sts = part if sts is None else sts.unionByName(part)
-    stats = sts.agg(
-        F.sum("n_docs").alias("n_docs"),
-        F.sum("total_len").alias("total_len"),
-    )
+    tf, dfreq, stats = _index_tf_df_stats(spark, index, terms)
     j = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
     avgdl = F.col("total_len") / F.col("n_docs")
     ratio = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (

@@ -209,6 +209,7 @@ _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (
     "bm25f_topk_docs",
     "bm25_window_topk",
     "knn_graph_topk",
+    "bm25_indexed_multiquery",
     # the scan-path BM25 family re-checks beside its indexed twin
     "bm25_topk_docs",
     "bm25_multiquery_topk",
@@ -233,9 +234,10 @@ _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (
     "table_fingerprint_orders",
     "dq_rule_violations",
     "semantic_dedup_cells",
-    "semantic_dedup_cells_blocked",
-    # (doc_novelty_scores yielded its slot to the round-6 addition
-    # knn_graph_topk — it is r5-driver-green and untouched)
+    # (semantic_dedup_cells_blocked and doc_novelty_scores yielded
+    # their slots to the round-6 additions knn_graph_topk and
+    # bm25_indexed_multiquery — both are r5-driver-green and
+    # untouched by this round's changes)
 )
 
 

@@ -4889,6 +4889,30 @@ def bm25_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bm25_indexed_multiquery", _BM25_MULTI_SQL)
+def bm25_indexed_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval from the PERSISTED inverted index,
+    HASH-VERIFIED against the SAME oracle as the scan-path
+    ``bm25_multiquery_topk`` (operators/text_index.py::
+    bm25_index_multiquery_topk): three queries served by one set of
+    bucket-pruned posting-list reads restricted to the union of
+    query terms — zero corpus scans, zero tokenization, per-segment
+    df/stats partials summed. Sharing the scan row's oracle is the
+    point: it proves the indexed batch fan-out is bit-identical to
+    first-principles scoring through the index's build + LSM
+    append."""
+    from ..operators.text_index import bm25_index_multiquery_topk
+
+    q = spark.createDataFrame(
+        [(1, "merge"), (1, "scan"),
+         (2, "window"), (2, "sort"), (2, "key"),
+         (3, "join")],
+        "query_id int, term string",
+    )
+    idx = _bm25_fixture_index(spark, sf_dir)
+    return bm25_index_multiquery_topk(spark, idx, q, k=5)
+
+
 _HARD_NEG_SQL = """
     WITH q AS (
       SELECT vec_id AS query_id,

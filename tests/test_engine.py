@@ -1383,3 +1383,47 @@ def test_update_datamart_transactional_day_month(spark, tmp_path):
         ("a", 202401): 15.0, ("b", 202402): 10.0
     }
     assert grp.manifest()["extras"]["max_day"] == 20240202
+
+
+def test_update_datamart_window_incremental_and_backdate(spark, tmp_path):
+    """Incremental A4: a window slice advances the day+month group
+    without re-scanning the fact; whole-day REPLACE semantics make
+    replays idempotent and backdate corrections land (the M6/M7
+    delete+insert discipline applied to the datamart)."""
+    from pyspark.sql import functions as F
+
+    from ods_v3_dbt_spark.operators.rollup import update_datamart_window
+    from ods_v3_dbt_spark.sinks import TableGroup
+
+    grp = TableGroup(tmp_path / "dm", ["day", "month"])
+    aggs = {"n_rows": F.count(F.lit(1)), "amount": F.sum("amt")}
+    schema = "grp string, day_id int, amt double"
+
+    def slice_(rows):
+        return spark.createDataFrame(rows, schema)
+
+    update_datamart_window(
+        slice_([("a", 20240101, 10.0), ("a", 20240102, 5.0)]),
+        grp, ["grp"], "day_id", aggs,
+    )
+    update_datamart_window(
+        slice_([("b", 20240201, 7.0)]), grp, ["grp"], "day_id", aggs
+    )
+
+    def month_view():
+        return {(r.grp, r.month_id): r.amount
+                for r in grp.read(spark)["month"].collect()}
+
+    assert month_view() == {("a", 202401): 15.0, ("b", 202402): 7.0}
+    # replay of the same window → identical content (whole-day replace)
+    update_datamart_window(
+        slice_([("b", 20240201, 7.0)]), grp, ["grp"], "day_id", aggs
+    )
+    assert month_view() == {("a", 202401): 15.0, ("b", 202402): 7.0}
+    # backdate correction: day 20240101 re-extracted with new values
+    update_datamart_window(
+        slice_([("a", 20240101, 99.0)]), grp, ["grp"], "day_id", aggs
+    )
+    assert month_view() == {("a", 202401): 104.0, ("b", 202402): 7.0}
+    day = {(r.grp, r.day_id): r.amount for r in grp.read(spark)["day"].collect()}
+    assert day[("a", 20240101)] == 99.0 and day[("a", 20240102)] == 5.0

@@ -28,6 +28,7 @@ PYTHON_KERNEL_QUERIES = {
     "crawl_funnel_extract",  # page→WARC build + parse/split/extract kernels
     "semantic_dedup_cells",  # within-cell pair gen = int64 numpy-gram kernel
     "semantic_dedup_cells_blocked",  # same kernel through _cell_blocks
+    "knn_graph_topk",  # blocked self-join = int64 numpy-gram kernel
 }
 
 # Nested-loop joins are allowed ONLY as scalar/tiny-broadcast
@@ -37,6 +38,10 @@ SCALAR_BROADCAST_QUERIES = {
     "bigram_collocations",       # 1-row total-token count
     "bm25_topk_docs",             # 1-row (n_docs, total_len) stats
     "bm25_multiquery_topk",       # same 1-row stats crossJoin
+    "bm25f_topk_docs",            # same 1-row stats crossJoin
+    "bm25_window_topk",           # same 1-row stats crossJoin
+    "bm25_indexed_topk",          # 1-row summed segment stats
+    "bm25_indexed_multiquery",    # same 1-row stats crossJoin
     "embedding_ann_pq",           # 10-row query ADC-table broadcast
     "embedding_centroid_assign",  # 8-row centroid seed set
     "embedding_topk",             # small query-vector side
