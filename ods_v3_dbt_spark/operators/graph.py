@@ -41,6 +41,7 @@ def pagerank_int(
     damping_ppm: int = 850_000,
     src: str = "src",
     dst: str = "dst",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over an edge list (parallel
     edges count once each; nodes = src ∪ dst). Returns (node, pr)
@@ -48,6 +49,16 @@ def pagerank_int(
 
         pr'(v) = (1e6 − damping_ppm)
                  + damping_ppm · Σ_{u→v} (pr(u) div outdeg(u)) div 1e6
+
+    With ``seeds`` (a ``node``-column DataFrame) the walk is
+    PERSONALIZED (Haveliwala, WWW 2002): teleport mass lands ONLY on
+    seed nodes and the initial 1e6 mass sits only on seeds, so
+    ranks measure proximity to the seed set — the crawl-curation
+    device for scoring pages by closeness to a trusted whitelist
+    (TrustRank, Gyöngyi et al., VLDB 2004) instead of global
+    authority. Non-seed teleport and init terms are exactly 0;
+    everything stays all-positive BIGINT, so the same unrolled-CTE
+    oracle discipline replays it.
 
     All-positive BIGINT floor arithmetic → identical on Spark's
     ``div`` (trunc) and DuckDB's ``//`` (floor)."""
@@ -58,10 +69,20 @@ def pagerank_int(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    if seeds is not None:
+        # tiny-by-contract seed set: broadcast the membership flag
+        sd = seeds.select(F.col("node")).distinct()
+        nodes = nodes.join(
+            F.broadcast(sd.withColumn("__seed", F.lit(1))), "node", "left"
+        ).select("node", F.coalesce(F.col("__seed"), F.lit(0)).alias("seed"))
+    else:
+        nodes = nodes.select("node", F.lit(1).alias("seed"))
     # static across rounds: partition on the join key once, persist
     esd = e.join(deg, "src").repartition("src").persist()
     base = 1_000_000
-    pr = nodes.select("node", F.lit(base).cast("bigint").alias("pr"))
+    pr = nodes.select(
+        "node", (F.lit(base) * F.col("seed")).cast("bigint").alias("pr")
+    )
     for _ in range(iterations):
         contrib = (
             esd.join(pr, esd["src"] == pr["node"])
@@ -82,7 +103,7 @@ def pagerank_int(
             .select(
                 "node",
                 (
-                    F.lit(base - damping_ppm)
+                    F.lit(base - damping_ppm) * F.col("seed")
                     + F.expr(
                         f"{damping_ppm} * (coalesce(s, 0L) div {base})"
                         f" + {damping_ppm} * (coalesce(s, 0L) % {base}) div {base}"

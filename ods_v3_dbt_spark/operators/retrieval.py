@@ -495,3 +495,102 @@ def bm25_multiquery_topk(
             .alias("score_micro"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    k0: int = 60,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR
+    2009) of N ranked lists — the standard hybrid-retrieval combiner
+    (sparse BM25 + dense embedding ranks fused without score
+    calibration). Each input is (id_col, rank) rows; a document's
+    fused score is the sum over lists of floor(1e6 / (k0 + rank)),
+    i.e. the classic 1/(k0+r) contribution in exact integer micro
+    units, so the fusion is engine-replayable (every contribution is
+    a single correctly-rounded division of exact integers, floored —
+    no float accumulation order can differ because the per-list
+    contributions are integers summed by a commutative BIGINT agg).
+    Returns (rank, id_col, rrf_micro, n_lists) with rank ≤ k over
+    (rrf_micro DESC, id ASC).
+
+    Scale: the inputs are already top-K-bounded candidate lists
+    (each produced by its own scale-shaped retriever), so the union
+    + groupBy touches O(N·K) rows — executor-trivial at any corpus
+    size; the corpus never re-enters the fusion. With full-corpus
+    rankings the same plan is one shuffle on the id."""
+    parts = None
+    for r in rankings:
+        contrib = r.select(
+            F.col(id_col),
+            F.floor(
+                F.lit(1000000.0) / (F.lit(k0) + F.col("rank")).cast("double")
+            ).cast("bigint").alias("c"),
+        )
+        parts = contrib if parts is None else parts.unionByName(contrib)
+    fused = parts.groupBy(id_col).agg(
+        F.sum("c").alias("rrf_micro"),
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+    )
+    w = Window.orderBy(F.col("rrf_micro").desc(), F.col(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", id_col, "rrf_micro", "n_lists")
+    )
+
+
+def retrieval_eval_binary(
+    ranked: DataFrame,
+    relevant: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Offline retrieval evaluation against a binary relevance set —
+    the measurement face of the retrieval family (a pipeline that
+    ships BM25/ANN/RRF needs MRR / precision / recall dashboards
+    computed engine-side, at corpus scale, from the same tables).
+    ``ranked`` is (rank, id) from any retriever, ``relevant`` is the
+    judgment set (id rows). One output row:
+
+      mrr_micro      floor(1e6 / first-relevant rank), 0 if none
+      hits_at_k      relevant docs in the top-k
+      n_relevant     judgment-set size
+      precision_at_k_ppm  floor(1e6 · hits / k)
+      recall_at_k_ppm     floor(1e6 · hits / n_relevant), 0 if empty
+
+    All-integer outputs (exact rational metrics — the reciprocal
+    discount replaces log2 DCG so no transcendental crosses engines).
+    Scale: judgment join is a broadcast against an already-bounded
+    top-k list; the three scalar aggregates reduce k rows."""
+    hits = (
+        ranked.filter(F.col("rank") <= k)
+        .join(F.broadcast(relevant.select(id_col)), id_col, "inner")
+    )
+    agg = hits.agg(
+        F.min("rank").alias("first_rank"),
+        F.count(F.lit(1)).alias("hits_at_k"),
+    )
+    n_rel = relevant.agg(F.count(F.lit(1)).alias("n_relevant"))
+    return agg.crossJoin(n_rel).select(
+        F.coalesce(
+            F.floor(F.lit(1000000.0) / F.col("first_rank").cast("double")),
+            F.lit(0),
+        ).cast("bigint").alias("mrr_micro"),
+        F.coalesce(F.col("hits_at_k"), F.lit(0)).cast("bigint")
+        .alias("hits_at_k"),
+        F.col("n_relevant").cast("bigint").alias("n_relevant"),
+        F.floor(
+            F.coalesce(F.col("hits_at_k"), F.lit(0)).cast("double")
+            * F.lit(1000000.0) / F.lit(float(k))
+        ).cast("bigint").alias("precision_at_k_ppm"),
+        F.when(
+            F.col("n_relevant") > 0,
+            F.floor(
+                F.coalesce(F.col("hits_at_k"), F.lit(0)).cast("double")
+                * F.lit(1000000.0) / F.col("n_relevant").cast("double")
+            ),
+        ).otherwise(F.lit(0)).cast("bigint").alias("recall_at_k_ppm"),
+    )

@@ -1129,3 +1129,65 @@ def ivfadc_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def int8_quantize_stats(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization with exact
+    reconstruction-error accounting — the storage face of the
+    embedding family (a 100 TB vector store ships int8 + per-vector
+    scale, 4× smaller and SIMD-dot-able; the recall cost is bounded
+    by exactly the errors this operator measures). Works on the
+    engine's canonical milli-int view of the floats (round(x·1000),
+    the ``dims`` convention every embedding oracle shares), so the
+    whole quantize→reconstruct→error chain is integer-exact and
+    hash-verifiable:
+
+      scale = max(|v|) per vector (≥1 — a zero vector declares
+              scale 1 and quantizes to all-zero)
+      q8_i  = floor(v_i · 127 / scale)   ∈ [−128, 127]
+      rec_i = floor(q8_i · scale / 127)
+      err_i = |v_i − rec_i|
+
+    Floor (not round/trunc) on BOTH steps: floor is the one rounding
+    both engines spell identically for signed values (Spark
+    double→long CAST truncates where DuckDB rounds — the zorder cast
+    trap), and each floored quotient is a single correctly-rounded
+    double division of exactly-representable integers. Returns
+    (id, scale, sum_abs_err, max_abs_err, sum_sq_err) — all BIGINT.
+
+    Scale shape: scan → codegen transform/aggregate projection, zero
+    shuffle, nothing leaves the row; at 100 TB this is the
+    embarrassingly-parallel map stage it should be."""
+    v = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * 1000).cast("bigint")
+    )
+    d = emb.select(F.col(id_col), v.alias("v"))
+    d = d.withColumn(
+        "scale",
+        F.greatest(
+            F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))), F.lit(1)
+        ).cast("bigint"),
+    )
+
+    def err(x):
+        q8 = F.floor(
+            (x * F.lit(127)).cast("double") / F.col("scale").cast("double")
+        ).cast("bigint")
+        rec = F.floor((q8 * F.col("scale")).cast("double") / F.lit(127.0)).cast(
+            "bigint"
+        )
+        return F.abs(x - rec)
+
+    d = d.withColumn("errs", F.transform(F.col("v"), err))
+    zero = F.lit(0).cast("bigint")
+    return d.select(
+        F.col(id_col),
+        "scale",
+        F.aggregate(F.col("errs"), zero, lambda a, x: a + x).alias("sum_abs_err"),
+        F.array_max(F.col("errs")).cast("bigint").alias("max_abs_err"),
+        F.aggregate(F.col("errs"), zero, lambda a, x: a + x * x).alias("sum_sq_err"),
+    )

@@ -227,17 +227,19 @@ _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (
     "sentinel_date_repair",
     "excel_cell_coercion_grid",
     "count_window_probe",
-    # text/fingerprint family re-checks for the remaining slots
-    "text_stats",
-    "doc_fingerprint",
-    "token_bpe_counts",
-    "table_fingerprint_orders",
-    "dq_rule_violations",
-    "semantic_dedup_cells",
-    # (semantic_dedup_cells_blocked and doc_novelty_scores yielded
-    # their slots to the round-6 additions knn_graph_topk and
-    # bm25_indexed_multiquery — both are r5-driver-green and
-    # untouched by this round's changes)
+    # round-6 LATE ADDITIONS (hybrid fusion / eval / split / quant /
+    # filtered search / personalized ranks) — new rows always enter
+    # the window that ships them; the text/fingerprint re-check
+    # fillers (text_stats, doc_fingerprint, token_bpe_counts,
+    # table_fingerprint_orders, dq_rule_violations,
+    # semantic_dedup_cells) yielded these six slots — all are
+    # driver-green on record and untouched by this round's changes
+    "hybrid_rrf_retrieval",
+    "retrieval_eval_mrr",
+    "leakage_safe_split",
+    "embedding_int8_quant",
+    "embedding_topk_filtered",
+    "personalized_pagerank",
 )
 
 

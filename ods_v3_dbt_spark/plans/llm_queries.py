@@ -4387,8 +4387,10 @@ def zorder_morton_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: parenthesized EXACTLY as the Spark side builds it
 _BM25_TERMS = ("merge", "scan", "window")
 
-_BM25_SQL = """
-    WITH tok AS (
+#: the CTE chain through ``scored`` (per-doc folded BM25 score),
+#: shared by the single-query row and the hybrid-RRF fusion row
+_BM25_CORE = """
+    tok AS (
       SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
       FROM documents),
     dl AS (SELECT doc_id, COUNT(1) AS dl FROM tok GROUP BY doc_id),
@@ -4420,6 +4422,10 @@ _BM25_SQL = """
                + COALESCE(MAX(CASE WHEN term = 'scan' THEN s END), 0.0))
               + COALESCE(MAX(CASE WHEN term = 'window' THEN s END), 0.0)) AS score
       FROM per_term GROUP BY doc_id)
+    """
+
+_BM25_SQL = f"""
+    WITH {_BM25_CORE.strip()}
     SELECT rank, doc_id, CAST(ROUND(score * 1000000.0) AS BIGINT) AS score_micro
     FROM (SELECT doc_id, score,
                  ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
@@ -5010,3 +5016,339 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "rank", "neighbor_id", "d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval fusion + offline evaluation (round 6)
+# ---------------------------------------------------------------------------
+
+#: shared milli-int embedding dims CTE (the ``dims`` convention of
+#: every embedding oracle) — kept as a fragment for fusion reuse
+_DIMS_SQL = """
+    expl AS (
+      SELECT vec_id, embedding,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings),
+    dims AS (
+      SELECT vec_id, i,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS v
+      FROM expl)
+    """
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    f"""
+    WITH {_BM25_CORE.strip()},
+    lex AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM scored) WHERE rank <= 20),
+    {_DIMS_SQL.strip()},
+    qv AS (SELECT i, v FROM dims WHERE vec_id = 0),
+    cv AS (SELECT vec_id, i, v FROM dims WHERE vec_id >= 10),
+    dots AS (
+      SELECT cv.vec_id AS doc_id, CAST(SUM(qv.v * cv.v) AS BIGINT) AS dot
+      FROM qv JOIN cv ON qv.i = cv.i
+      GROUP BY cv.vec_id),
+    dense AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY dot DESC, doc_id) AS rank
+        FROM dots) WHERE rank <= 20),
+    contrib AS (
+      SELECT doc_id, CAST(FLOOR(1000000.0 / (60 + rank)) AS BIGINT) AS c
+      FROM lex
+      UNION ALL
+      SELECT doc_id, CAST(FLOOR(1000000.0 / (60 + rank)) AS BIGINT) AS c
+      FROM dense),
+    fused AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_micro,
+             CAST(COUNT(1) AS INT) AS n_lists
+      FROM contrib GROUP BY doc_id)
+    SELECT rank, doc_id, rrf_micro, n_lists FROM (
+      SELECT doc_id, rrf_micro, n_lists,
+             ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank
+      FROM fused) WHERE rank <= 10
+    """,
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval, hash-verified end to end
+    (operators/retrieval.py::rrf_fuse): the sparse channel is the
+    engine's BM25 top-20 for the fixed 3-term query, the dense
+    channel is exact quantized-dot top-20 against query vector 0
+    over the vec_id ≥ 10 corpus (``embedding_topk``'s split), and
+    reciprocal-rank fusion combines them with integer
+    floor(1e6/(60+rank)) contributions — the SIGIR-2009 RRF
+    constant, micro-quantized so the fusion replays bit-exactly in
+    any engine (no score calibration crosses the channels, only
+    ranks). n_lists exposes single- vs both-channel hits. This is
+    the retrieval shape RAG/data-exploration stacks actually serve;
+    both channels reuse their standalone rows' machinery, so the
+    fusion row value-checks the COMPOSITION."""
+    from ..operators.retrieval import bm25_topk, rrf_fuse
+    from ..operators.similarity import topk_bruteforce
+
+    docs = load(spark, sf_dir, "documents")
+    lex = bm25_topk(docs, list(_BM25_TERMS), k=20).select("doc_id", "rank")
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    c = emb.filter(F.col("vec_id") >= 10)
+    dense = (
+        topk_bruteforce(c, q, k=20, metric="dot_q")
+        .select(F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse([lex, dense], k0=60, k=10)
+
+
+@register(
+    "retrieval_eval_mrr",
+    f"""
+    WITH {_BM25_CORE.strip()},
+    ranked AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM scored) WHERE rank <= 10),
+    rel AS (
+      SELECT doc_id FROM tf GROUP BY doc_id HAVING COUNT(DISTINCT term) >= 2),
+    hits AS (SELECT r.doc_id, r.rank FROM ranked r JOIN rel ON rel.doc_id = r.doc_id),
+    h AS (SELECT MIN(rank) AS first_rank, COUNT(1) AS hits_at_k FROM hits),
+    nr AS (SELECT COUNT(1) AS n_relevant FROM rel)
+    SELECT
+      CAST(COALESCE(FLOOR(1000000.0 / first_rank), 0) AS BIGINT) AS mrr_micro,
+      CAST(COALESCE(hits_at_k, 0) AS BIGINT) AS hits_at_k,
+      CAST(n_relevant AS BIGINT) AS n_relevant,
+      CAST(FLOOR(CAST(COALESCE(hits_at_k, 0) AS DOUBLE) * 1000000.0 / 10.0)
+           AS BIGINT) AS precision_at_k_ppm,
+      CAST(CASE WHEN n_relevant > 0
+                THEN FLOOR(CAST(COALESCE(hits_at_k, 0) AS DOUBLE)
+                           * 1000000.0 / CAST(n_relevant AS DOUBLE))
+                ELSE 0 END AS BIGINT) AS recall_at_k_ppm
+    FROM h CROSS JOIN nr
+    """,
+)
+def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline retrieval evaluation, hash-verified
+    (operators/retrieval.py::retrieval_eval_binary): BM25 top-10 for
+    the fixed query scored against a deterministic judgment set
+    (docs matching ≥ 2 distinct query terms) — MRR, hits, precision
+    and recall @10 as exact integer ppm/micro rationals (reciprocal
+    discount instead of log2 DCG, so no transcendental has to agree
+    across engines). The eval harness a retrieval stack runs after
+    every index/scorer change, expressed engine-side over the same
+    corpus tables; judgment join is a broadcast against the bounded
+    top-k, three scalar aggregates end the plan."""
+    from ..functions import text as T
+    from ..operators.retrieval import bm25_topk, retrieval_eval_binary
+
+    docs = load(spark, sf_dir, "documents")
+    ranked = bm25_topk(docs, list(_BM25_TERMS), k=10).select("doc_id", "rank")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("term"),
+    ).filter(F.col("term").isin(*_BM25_TERMS))
+    rel = (
+        toks.groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("nt"))
+        .filter(F.col("nt") >= 2)
+        .select("doc_id")
+    )
+    return retrieval_eval_binary(ranked, rel, k=10)
+
+
+@register(
+    "leakage_safe_split",
+    f"""WITH RECURSIVE {_COMPONENT_CTES}
+    SELECT doc_id, component_id,
+           CASE WHEN substring(md5('ls42:' || CAST(component_id AS VARCHAR)), 1, 2) < 'cd'
+                THEN 'train' ELSE 'test' END AS split
+    FROM comp
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/test split: near-dup connected components
+    (the ``neardup_components`` machinery verbatim) assign at the
+    CLUSTER level — the md5 coin is tossed on component_id, every
+    member inherits it, so a near-duplicate of a test doc can never
+    land in train (the eval-contamination failure mode a plain
+    per-doc hash split — ``train_test_hash_split`` — cannot
+    prevent). Same 80/20 md5-prefix threshold as the per-doc row,
+    same alternating-star component algorithm, recursive-CTE oracle.
+    Scale: the split adds one codegen projection onto the component
+    output — the components dominate, and their scale story is the
+    components row's."""
+    comps = neardup_components(spark, sf_dir)
+    return comps.select(
+        "doc_id",
+        "component_id",
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ls42:"), F.col("component_id").cast("string")
+                    )
+                ),
+                1, 2,
+            ) < "cd",
+            F.lit("train"),
+        ).otherwise(F.lit("test")).alias("split"),
+    )
+
+
+@register(
+    "embedding_int8_quant",
+    f"""
+    WITH {_DIMS_SQL.strip()},
+    sc AS (
+      SELECT vec_id, GREATEST(MAX(ABS(v)), 1) AS scale
+      FROM dims GROUP BY vec_id),
+    q AS (
+      SELECT d.vec_id, s.scale, d.v,
+             CAST(FLOOR(CAST(d.v * 127 AS DOUBLE) / s.scale) AS BIGINT) AS q8
+      FROM dims d JOIN sc s ON s.vec_id = d.vec_id),
+    e AS (
+      SELECT vec_id, scale,
+             ABS(v - CAST(FLOOR(CAST(q8 * scale AS DOUBLE) / 127.0) AS BIGINT))
+               AS err
+      FROM q)
+    SELECT vec_id, CAST(MAX(scale) AS BIGINT) AS scale,
+           CAST(SUM(err) AS BIGINT) AS sum_abs_err,
+           CAST(MAX(err) AS BIGINT) AS max_abs_err,
+           CAST(SUM(err * err) AS BIGINT) AS sum_sq_err
+    FROM e GROUP BY vec_id
+    """,
+)
+def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization with exact
+    error accounting, hash-verified
+    (operators/similarity.py::int8_quantize_stats): scale =
+    max(|milli-int|), q8 = floor(v·127/scale), reconstruction and
+    absolute-error sums all in floored integer arithmetic — the 4×
+    vector-store compression whose recall cost these error stats
+    bound. Zero-shuffle codegen transform/aggregate projection; the
+    oracle replays quantize→reconstruct→error per dimension."""
+    from ..operators.similarity import int8_quantize_stats
+
+    return int8_quantize_stats(load(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_topk_filtered",
+    """
+    WITH expl AS (
+      SELECT vec_id, embedding,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT vec_id, i,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS v
+      FROM expl
+    ),
+    q AS (SELECT vec_id AS query_id, i, v FROM dims WHERE vec_id < 10),
+    en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    c AS (
+      SELECT vec_id AS neighbor_id, i, v FROM dims
+      JOIN en ON en.doc_id = dims.vec_id
+      WHERE vec_id >= 10),
+    sims AS (
+      SELECT q.query_id, c.neighbor_id, CAST(SUM(q.v * c.v) AS BIGINT) AS sim_q
+      FROM q JOIN c ON q.i = c.i
+      GROUP BY q.query_id, c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim_q, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim_q DESC, neighbor_id ASC) AS rank
+      FROM sims) WHERE rank <= 5
+    """,
+)
+def embedding_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED dense search — the filtered-ANN workload
+    every production vector store serves (pre-filter semantics:
+    the predicate restricts the corpus BEFORE scoring, so top-k is
+    exact over the filtered set, never post-filtered short):
+    ``embedding_topk``'s exact quantized-dot top-5, corpus
+    restricted to English docs by joining the documents table on
+    vec_id = doc_id. The filter join runs corpus-side before any
+    scoring work — at 100 TB the metadata predicate prunes the
+    scan (partition/bucket pruning on the metadata table), and the
+    scoring cost scales with the SELECTED corpus, not the full one."""
+    from ..operators.similarity import topk_bruteforce
+
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    en = docs.filter(F.col("lang") == "en").select("doc_id")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10).join(
+        en, emb["vec_id"] == en["doc_id"], "left_semi"
+    )
+    out = topk_bruteforce(c, q, k=5, metric="dot_q")
+    return out.select(
+        "query_id", "neighbor_id", "sim_q",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+_PPR_SQL = (
+    """
+    WITH nc AS (SELECT COUNT(*) AS n FROM documents),
+    d AS (SELECT doc_id AS u FROM documents),
+    e AS (
+      SELECT u AS src, (3*u + 1) % nc.n AS dst FROM d, nc
+      UNION ALL SELECT u, (5*u + 2) % nc.n FROM d, nc
+      UNION ALL SELECT u, (7*u + 3) % nc.n FROM d, nc),
+    deg AS (SELECT src, COUNT(1) AS deg FROM e GROUP BY src),
+    nd AS (SELECT u AS node,
+                  CASE WHEN u % 50 = 0 THEN 1 ELSE 0 END AS seed FROM d),
+    p0 AS (SELECT node, CAST(1000000 * seed AS BIGINT) AS pr FROM nd),
+"""
+    + ",\n".join(
+        f"""    c{i} AS (
+      SELECT e.dst AS node, SUM(p.pr // g.deg) AS s
+      FROM e JOIN deg g ON g.src = e.src
+      JOIN p{i - 1} p ON p.node = e.src
+      GROUP BY e.dst),
+    p{i} AS (
+      SELECT nd.node,
+             CAST(150000 * nd.seed + 850000 * COALESCE(c.s, 0) // 1000000
+                  AS BIGINT) AS pr
+      FROM nd LEFT JOIN c{i} c ON c.node = nd.node)"""
+        for i in range(1, 6)
+    )
+    + """
+    SELECT node, pr FROM p5
+"""
+)
+
+
+@register("personalized_pagerank", _PPR_SQL)
+def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (Haveliwala, WWW 2002; the TrustRank
+    curation device, Gyöngyi et al., VLDB 2004) over the same
+    synthetic link graph as ``link_graph_pagerank``, seeded on the
+    doc_id % 50 = 0 whitelist: teleport mass and initial mass land
+    ONLY on seeds, so the converged ranks measure random-walk
+    proximity to the trusted set — how crawl pipelines score pages
+    against a quality whitelist instead of by global authority.
+    Same all-positive BIGINT ppm floor arithmetic, five unrolled
+    power-iteration rounds, same per-round join/agg scale shape as
+    the global row (the seed flag is a broadcast); the oracle
+    replays the seeded recurrence stage by stage."""
+    from ..operators import graph as G
+
+    d = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("u"))
+    nc = d.agg(F.count(F.lit(1)).alias("n"))
+    du = d.crossJoin(F.broadcast(nc))
+    edges = None
+    for a, b in [(3, 1), (5, 2), (7, 3)]:
+        part = du.select(
+            F.col("u").alias("src"),
+            ((F.lit(a) * F.col("u") + F.lit(b)) % F.col("n")).alias("dst"),
+        )
+        edges = part if edges is None else edges.union(part)
+    seeds = d.filter(F.col("u") % 50 == 0).select(F.col("u").alias("node"))
+    return G.pagerank_int(edges, iterations=5, seeds=seeds)

@@ -1396,3 +1396,109 @@ def test_knn_graph_blocking_invariance(spark, emb):
           SIM.knn_graph(emb, k=4, num_blocks=7).collect()}
     assert g1 == g4 == g7 and g1
     assert all(q != n for (q, n, _, _) in g1)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 late additions: RRF fusion, retrieval eval, int8 quant, PPR
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_hand_case(spark):
+    """Exact integer contributions on a hand-computed two-list case:
+    doc 1 (rank 1 + rank 2) beats doc 2 (rank 2 + rank 1)? No — they
+    tie in score and break on id; doc 3 (one list only) trails."""
+    from ods_v3_dbt_spark.operators.retrieval import rrf_fuse
+
+    l1 = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id int, rank int")
+    l2 = spark.createDataFrame([(2, 1), (1, 2)], "doc_id int, rank int")
+    out = {r.doc_id: r for r in rrf_fuse([l1, l2], k0=60, k=10).collect()}
+    c = lambda r: 1000000 // (60 + r)
+    assert out[1].rrf_micro == c(1) + c(2) and out[1].n_lists == 2
+    assert out[2].rrf_micro == c(2) + c(1) and out[2].n_lists == 2
+    assert out[3].rrf_micro == c(3) and out[3].n_lists == 1
+    # equal fused scores tie-break on id: doc 1 ranks 1, doc 2 ranks 2
+    assert out[1].rank == 1 and out[2].rank == 2 and out[3].rank == 3
+
+
+def test_retrieval_eval_no_relevant_in_topk(spark):
+    from ods_v3_dbt_spark.operators.retrieval import retrieval_eval_binary
+
+    ranked = spark.createDataFrame([(1, 10), (2, 20)], "rank int, doc_id int")
+    rel = spark.createDataFrame([(99,)], "doc_id int")
+    r = retrieval_eval_binary(ranked, rel, k=10).collect()[0]
+    assert r.mrr_micro == 0 and r.hits_at_k == 0
+    assert r.precision_at_k_ppm == 0 and r.recall_at_k_ppm == 0
+    assert r.n_relevant == 1
+
+
+def test_retrieval_eval_exact_fractions(spark):
+    from ods_v3_dbt_spark.operators.retrieval import retrieval_eval_binary
+
+    ranked = spark.createDataFrame(
+        [(r, r * 100) for r in range(1, 11)], "rank int, doc_id int"
+    )
+    rel = spark.createDataFrame([(300,), (700,), (9999,)], "doc_id int")
+    r = retrieval_eval_binary(ranked, rel, k=10).collect()[0]
+    assert r.mrr_micro == 1000000 // 3  # first relevant at rank 3
+    assert r.hits_at_k == 2 and r.n_relevant == 3
+    assert r.precision_at_k_ppm == 200000
+    assert r.recall_at_k_ppm == 666666
+
+
+def test_int8_quant_bounds_and_zero_vector(spark):
+    """q8 stays in int8 range and the reconstruction error obeys the
+    floor-quantization bound err ≤ scale//127 + 1; a zero vector
+    declares scale 1 with zero error."""
+    import pyspark.sql.functions as F
+    from ods_v3_dbt_spark.operators.similarity import int8_quantize_stats
+
+    rows = [
+        (1, [1.0, -1.0, 0.5, -0.25]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [2.5, -0.001, 0.003, 1.999]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {r.vec_id: r for r in int8_quantize_stats(df).collect()}
+    assert out[2].scale == 1 and out[2].sum_abs_err == 0
+    for vid, r in out.items():
+        assert r.max_abs_err <= r.scale // 127 + 1
+        assert r.sum_sq_err >= r.max_abs_err * r.max_abs_err * (0 if r.max_abs_err == 0 else 1)
+    # explicit q8 range audit on the largest-magnitude vector
+    v = [round(x * 1000) for x in rows[2][1]]
+    scale = max(1, max(abs(x) for x in v))
+    import math
+    q8s = [math.floor(x * 127 / scale) for x in v]
+    assert all(-128 <= q <= 127 for q in q8s)
+
+
+def test_personalized_pagerank_hand_replay(spark):
+    """Two-node cycle, seed {A}: hand-replayed two rounds of the
+    seeded integer recurrence."""
+    from ods_v3_dbt_spark.operators.graph import pagerank_int
+
+    edges = spark.createDataFrame([(0, 1), (1, 0)], "src int, dst int")
+    seeds = spark.createDataFrame([(0,)], "node int")
+    pr = {r.node: r.pr for r in
+          pagerank_int(edges, iterations=2, seeds=seeds).collect()}
+    # pr0: A=1e6, B=0
+    # r1:  A = 150000 + 850000*0        = 150000
+    #      B = 0      + 850000*1e6/1e6  = 850000
+    # r2:  A = 150000 + 850000*850000 div 1e6 = 872500
+    #      B = 0      + 850000*150000 div 1e6 = 127500
+    assert pr == {0: 872500, 1: 127500}
+
+
+def test_personalized_pagerank_seedless_equals_global(spark):
+    """seeds=None must preserve the original global recurrence."""
+    from ods_v3_dbt_spark.operators.graph import pagerank_int
+
+    edges = spark.createDataFrame(
+        [(i, (3 * i + 1) % 10) for i in range(10)]
+        + [(i, (7 * i + 3) % 10) for i in range(10)],
+        "src int, dst int",
+    )
+    allseed = spark.createDataFrame([(i,) for i in range(10)], "node int")
+    a = {r.node: r.pr for r in pagerank_int(edges, iterations=3).collect()}
+    b = {r.node: r.pr for r in
+         pagerank_int(edges, iterations=3, seeds=allseed).collect()}
+    assert a == b
