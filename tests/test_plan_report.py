@@ -45,9 +45,12 @@ SCALAR_BROADCAST_QUERIES = {
     "embedding_ann_pq",           # 10-row query ADC-table broadcast
     "embedding_centroid_assign",  # 8-row centroid seed set
     "embedding_topk",             # small query-vector side
+    "embedding_topk_filtered",    # same small query side, filtered corpus
     "events_day_spine_fill",      # day-spine × type dim (tiny × tiny)
     "fk_integrity_counts",        # per-edge 1-row counts unioned
     "hard_negative_mining",       # 10-row query-vector broadcast
+    "hybrid_rrf_retrieval",       # BM25 1-row stats + small dense query side
+    "retrieval_eval_mrr",         # BM25 1-row stats + 1-row metric crossJoin
     "incremental_watermark",      # 1-row max-cursor scalar
     "join_key_skew_profile",      # 1-row (total, n_keys) pair
     "link_graph_pagerank",        # 1-row node-count scalar (edge gen)
@@ -94,6 +97,7 @@ def test_suite_plan_invariants(spark):
         "semantic_dedup_cells",
         "semantic_dedup_cells_blocked",  # same checkpointed-assignment shape
         "link_graph_pagerank",
+        "personalized_pagerank",  # same checkpoint-truncated final round
         "incremental_curation_decisions",
     }
     scanless = {
