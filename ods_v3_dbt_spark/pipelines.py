@@ -426,38 +426,34 @@ def curate_increment_stream(
         # call (corpus already has the docs, the index does not, and
         # the membership filter would drop them forever).
         index_append(idx, admitted_docs)
-        # CONSISTENT-VIEW co-manifest (round 5): corpus and index
-        # commit independently (each atomically, each replay-safe),
-        # so a reader sampling both mid-refresh could pair the new
-        # corpus with the old index. After BOTH commits succeed, one
-        # atomic co-manifest replace records the matching (corpus
-        # snapshot, index epoch) pair; curated_view() resolves it for
-        # a mutually-consistent read. A crash between the two commits
-        # leaves the co-manifest at the previous consistent pair —
-        # the replayed batch re-drives both and then advances it.
-        import json as _json
-
+        # CONSISTENT-VIEW co-manifest (round 5; round 6 rides
+        # TableGroup): corpus and index commit independently (each
+        # atomically, each replay-safe), so a reader sampling both
+        # mid-refresh could pair the new corpus with the old index.
+        # After BOTH commits succeed, ONE atomic group-manifest
+        # pointer commit (TableGroup.commit_pointers — the corpus is
+        # the sole table member, the index epoch rides in extras)
+        # records the matching (corpus snapshot, index epoch) pair;
+        # curated_view() resolves it for a mutually-consistent read.
+        # A crash between the two commits leaves the co-manifest at
+        # the previous consistent pair — the replayed batch re-drives
+        # both and then advances it.
         from .operators.neardup_index import set_index_pin
+        from .sinks import TableGroup
 
-        _fs = FS.fs_for(corpus_path)
         man_path = FS.join(corpus_path, "_CURATED")
-        prev_man = None
-        if _fs.exists(man_path):
-            prev_man = _json.loads(_fs.read_text(man_path))
+        group = TableGroup.wrap({"corpus": corpus_tbl}, man_path)
+        prev_man = _curated_fields(group.manifest())
         new_epoch = idx.resolve(spark).epoch
-        _fs.write_text_atomic(
-            man_path,
-            _json.dumps(
-                {
-                    "batch_id": batch_id,
-                    "corpus_snapshot": corpus_snap.name,
-                    "index_name": index_name,
-                    "index_kind": index_kind,
-                    "index_epoch": new_epoch,
-                    "index_spec": idx.spec(),
-                },
-                sort_keys=True,
-            ),
+        group.commit_pointers(
+            {"corpus": corpus_snap.name},
+            extras={
+                "batch_id": batch_id,
+                "index_name": index_name,
+                "index_kind": index_kind,
+                "index_epoch": new_epoch,
+                "index_spec": idx.spec(),
+            },
         )
         # PIN-AWARE retention (round-6 verdict task 4): the live and
         # previous co-manifest pairs are now GUARANTEED readable —
@@ -476,6 +472,21 @@ def curate_increment_stream(
         corpus_tbl.vacuum(keep=3, pinned=pin_snaps)
 
     return process
+
+
+def _curated_fields(man: dict | None) -> dict | None:
+    """Normalize a ``_CURATED`` manifest to the flat field shape the
+    view API exposes. The round-6 group manifest records the corpus
+    snapshot under ``tables["corpus"]`` and the index pointers under
+    ``extras``; a pre-group (round-5) manifest is already flat — read
+    back-compat, same semantics."""
+    if man is None:
+        return None
+    if "tables" in man:
+        fields = dict(man["extras"])
+        fields["corpus_snapshot"] = man["tables"]["corpus"]
+        return fields
+    return man
 
 
 def _index_from_manifest(man: dict):
@@ -525,7 +536,9 @@ def curated_view(spark, corpus_path, pin_id: str | None = None):
     tbl = ParquetTable(corpus_path)
     last_err = None
     for _ in range(3):
-        man = _json.loads(fs.read_text(FS.join(corpus_path, "_CURATED")))
+        man = _curated_fields(
+            _json.loads(fs.read_text(FS.join(corpus_path, "_CURATED")))
+        )
         idx = _index_from_manifest(man)
         if pin_id is not None:
             # pin FIRST, then validate: if the pair was still live
@@ -553,7 +566,9 @@ def release_curated_view(spark, corpus_path, pin_id: str) -> None:
     from .sinks import ParquetTable
 
     fs = FS.fs_for(corpus_path)
-    man = _json.loads(fs.read_text(FS.join(corpus_path, "_CURATED")))
+    man = _curated_fields(
+        _json.loads(fs.read_text(FS.join(corpus_path, "_CURATED")))
+    )
     set_index_pin(spark, man["index_name"], f"view:{pin_id}", None)
     ParquetTable(corpus_path).set_pin(f"view:{pin_id}", None)
 

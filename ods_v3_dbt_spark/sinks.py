@@ -455,6 +455,26 @@ class TableGroup:
         self.tables = {
             n: ParquetTable(self.root / n, pc.get(n, ())) for n in self.names
         }
+        self._manifest_override: Path | None = None
+
+    @classmethod
+    def wrap(cls, tables: dict[str, "ParquetTable"],
+             manifest_path: str | Path) -> "TableGroup":
+        """Build a group over ALREADY-PLACED member tables (any
+        roots, not the ``root/name`` layout) with an explicit
+        manifest file. This is how the curation loop's ``_CURATED``
+        co-manifest rides the group machinery: its corpus table
+        lives AT the store root and its manifest name predates the
+        group type, but the commit/read/retention semantics are the
+        same pointer-set transaction."""
+        if not tables:
+            raise ValueError("TableGroup requires at least one member")
+        g = cls.__new__(cls)
+        g.root = Path(manifest_path).parent
+        g.names = tuple(tables)
+        g.tables = dict(tables)
+        g._manifest_override = Path(manifest_path)
+        return g
 
     def _fs(self):
         from . import fs as FS
@@ -462,6 +482,8 @@ class TableGroup:
         return FS.fs_for(self.root)
 
     def _manifest_path(self) -> Path:
+        if self._manifest_override is not None:
+            return self._manifest_override
         return self.root / self.MANIFEST
 
     def manifest(self) -> dict | None:
@@ -511,6 +533,51 @@ class TableGroup:
             man = {
                 "tables": assignment,
                 "prev": prev["tables"] if prev else None,
+                "extras": extras or {},
+            }
+            lk.check()  # fencing: evicted writers must not flip
+            fs.write_text_atomic(
+                self._manifest_path(), json.dumps(man, sort_keys=True)
+            )
+            return man
+
+    def commit_pointers(self, assignment: dict[str, str],
+                        extras: dict | None = None) -> dict:
+        """Atomically advance the group manifest to ALREADY-WRITTEN
+        member snapshots. :meth:`commit` owns the member writes; this
+        variant is for flows where member commits interleave with
+        non-table work that must land BEFORE the group flips — the
+        curation loop commits the corpus snapshot, then appends the
+        near-dup index, and only then publishes the (corpus, index)
+        pair, so a crash between the two leaves the group at the
+        previous consistent assignment. Each named snapshot must
+        exist (a typo here would publish an unreadable group);
+        ``extras`` carries the non-table pointers (e.g. the index
+        epoch). Holds the group writer lock across the
+        read-prev+flip so concurrent pointer commits serialize."""
+        missing = set(self.names) - set(assignment)
+        extra = set(assignment) - set(self.names)
+        if missing or extra:
+            raise ValueError(
+                f"TableGroup.commit_pointers must cover exactly the members: "
+                f"missing={sorted(missing)}, unknown={sorted(extra)}"
+            )
+        import json
+
+        fs = self._fs()
+        for name, snap in assignment.items():
+            if not fs.exists(self.tables[name].root / snap):
+                raise FileNotFoundError(
+                    f"group member {name!r} has no snapshot {snap!r}"
+                )
+        fs.mkdirs(self.root)
+        with _writer_lock(self.root) as lk:
+            prev = self.manifest()
+            man = {
+                "tables": dict(assignment),
+                # a pre-group manifest (legacy _CURATED shape) has no
+                # "tables" key — treat it as no group history
+                "prev": prev.get("tables") if prev else None,
                 "extras": extras or {},
             }
             lk.check()  # fencing: evicted writers must not flip

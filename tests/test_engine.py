@@ -1316,6 +1316,78 @@ def test_table_group_all_old_or_all_new(spark, tmp_path, monkeypatch):
         grp2.commit({"fact": fact3})
 
 
+def test_table_group_commit_pointers_wrap(spark, tmp_path):
+    """TableGroup.wrap + commit_pointers — the curated-view shape:
+    members committed individually (work interleaving between member
+    commit and group flip), then ONE pointer commit publishes the
+    assignment with non-table extras. A pointer to a nonexistent
+    snapshot is refused; the flip records prev for vacuum/readers."""
+    import pytest as _pytest
+
+    from ods_v3_dbt_spark.sinks import ParquetTable, TableGroup
+
+    tbl = ParquetTable(tmp_path / "store")
+    s1 = tbl.write(spark.createDataFrame([(1,)], "v long"))
+    grp = TableGroup.wrap({"store": tbl}, tmp_path / "store" / "_PAIR")
+    man1 = grp.commit_pointers({"store": s1.name}, extras={"epoch": 7})
+    assert man1 == grp.manifest()
+    assert man1["tables"] == {"store": s1.name} and man1["prev"] is None
+    assert man1["extras"] == {"epoch": 7}
+    # member advanced OUTSIDE the group: group readers keep the
+    # recorded snapshot until the next pointer commit
+    s2 = tbl.write(spark.createDataFrame([(2,)], "v long"))
+    assert [tuple(r) for r in grp.read(spark)["store"].collect()] == [(1,)]
+    man2 = grp.commit_pointers({"store": s2.name}, extras={"epoch": 8})
+    assert man2["prev"] == {"store": s1.name}
+    assert [tuple(r) for r in grp.read(spark)["store"].collect()] == [(2,)]
+    # a typo'd snapshot would publish an unreadable group — refused
+    with _pytest.raises(FileNotFoundError, match="no snapshot"):
+        grp.commit_pointers({"store": "snap-nope"})
+    with _pytest.raises(ValueError, match="cover exactly"):
+        grp.commit_pointers({"other": s2.name})
+
+
+def test_curated_manifest_rides_table_group(spark, tmp_path):
+    """Round-6 verdict task 3, closing clause: the curation loop's
+    ``_CURATED`` co-manifest IS a TableGroup pointer manifest (group
+    shape on disk), and a legacy pre-group flat manifest still
+    resolves through curated_view — read back-compat."""
+    import datetime as dt
+    import json
+
+    from ods_v3_dbt_spark.pipelines import (
+        curate_increment_stream,
+        curated_view,
+    )
+
+    corpus = tmp_path / "corpus"
+    T0 = dt.datetime(2024, 9, 1, 12, 0, 0)
+    process = curate_increment_stream(
+        corpus, "t_group_ride_idx", str(tmp_path / "dec"), num_buckets=2
+    )
+    process(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta", T0)],
+            "doc_id long, text string, ingest_ts timestamp",
+        ),
+        0,
+    )
+    raw = json.loads((corpus / "_CURATED").read_text())
+    assert set(raw) == {"tables", "prev", "extras"}      # group shape
+    assert set(raw["tables"]) == {"corpus"}
+    assert raw["extras"]["index_kind"] == "exact"
+    c0, r0, m0 = curated_view(spark, corpus)
+    assert {r.doc_id for r in c0.collect()} == {1}
+    assert m0["corpus_snapshot"] == raw["tables"]["corpus"]
+
+    # legacy flat manifest (round-5 shape) resolves identically
+    legacy = dict(m0)
+    (corpus / "_CURATED").write_text(json.dumps(legacy, sort_keys=True))
+    c1, r1, m1 = curated_view(spark, corpus)
+    assert {r.doc_id for r in c1.collect()} == {1}
+    assert m1 == m0
+
+
 def test_table_group_vacuum_protects_live_and_prev(spark, tmp_path):
     """TableGroup.vacuum never drops a snapshot the live OR previous
     manifest records, so a group reader resolved just before a
