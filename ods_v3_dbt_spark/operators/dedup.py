@@ -597,3 +597,68 @@ def connected_components(
             ).select(F.col("node"), F.col("node").alias("component_id"))
         )
     )
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    threshold_ppm: int = 800000,
+) -> DataFrame:
+    """Directional shingle-set CONTAINMENT (Broder's resemblance twin:
+    c(A,B) = |S(A)∩S(B)| / |S(A)|) — the quote-inclusion detector
+    Jaccard near-dup misses by construction. A short document pasted
+    verbatim into a long one has c(short→long) ≈ 1 while the pair's
+    Jaccard ≈ |A|/|B| falls under every near-dup threshold, so
+    symmetric dedup keeps both and the training set still carries the
+    duplicated passage. Output: one row per (contained, container)
+    DIRECTION with ``containment_ppm ≥ threshold_ppm``, alongside the
+    symmetric ``jacc_ppm`` for triage.
+
+    Scale: identical machinery to :func:`ngram_jaccard_pairs` — one
+    shingle-blocked self-join on the 8-byte ``sid`` surrogate (each
+    matched row IS one shared shingle, counted straight into the
+    intersection; no pair materialization, no second shingle join),
+    sizes broadcast by AQE. Never all-pairs: only docs sharing ≥1
+    shingle meet. The directional emit is a projection of the same
+    unordered-pair aggregate, so containment costs exactly one
+    near-dup pass.
+    """
+    # persist: the shingle table feeds the self-join twice plus the
+    # sizes agg — same discipline as ngram_jaccard_pairs (at scale
+    # this is the materialized shingle artifact, not a re-scan ×3)
+    sh = _shingle_table(df, text_col, id_col, shingle_n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    s1, s2 = sh.alias("s1"), sh.alias("s2")
+    inter = (
+        s1.join(
+            s2,
+            (F.col("s1.sid") == F.col("s2.sid"))
+            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
+        )
+        .groupBy(
+            F.col("s1.doc_id").alias("doc_a"), F.col("s2.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    both = _attach_jaccard(inter, sizes)
+    a_in_b = both.select(
+        F.col("doc_a").alias("contained_id"),
+        F.col("doc_b").alias("container_id"),
+        F.round(F.col("inter") * 1000000.0 / F.col("size_a"))
+        .cast("bigint")
+        .alias("containment_ppm"),
+        "jacc_ppm",
+    )
+    b_in_a = both.select(
+        F.col("doc_b").alias("contained_id"),
+        F.col("doc_a").alias("container_id"),
+        F.round(F.col("inter") * 1000000.0 / F.col("size_b"))
+        .cast("bigint")
+        .alias("containment_ppm"),
+        "jacc_ppm",
+    )
+    return a_in_b.unionByName(b_in_a).filter(
+        F.col("containment_ppm") >= threshold_ppm
+    )

@@ -223,10 +223,16 @@ _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (
     "rollup_month",
     "max_freshness_probe",
     "rollup_day",
-    "date_id_conversions",
-    "sentinel_date_repair",
-    "excel_cell_coercion_grid",
     "count_window_probe",
+    # round-6 SESSION-2 ADDITIONS (bigram-LM surprisal filter,
+    # line-level dedup with rebuilt-text hash, directional shingle
+    # containment) — new rows enter the window that ships them; the
+    # r1 fillers date_id_conversions / sentinel_date_repair /
+    # excel_cell_coercion_grid yielded these three slots (all three
+    # are driver-green on record and untouched by this session)
+    "bigram_lm_surprisal",
+    "line_dedup_rebuild",
+    "shingle_containment_pairs",
     # round-6 LATE ADDITIONS (hybrid fusion / eval / split / quant /
     # filtered search / personalized ranks) — new rows always enter
     # the window that ships them; the text/fingerprint re-check

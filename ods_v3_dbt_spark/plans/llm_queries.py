@@ -5352,3 +5352,298 @@ def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = part if edges is None else edges.union(part)
     seeds = d.filter(F.col("u") % 50 == 0).select(F.col("u").alias("node"))
     return G.pagerank_int(edges, iterations=5, seeds=seeds)
+
+
+# ---------------------------------------------------------------------------
+# Round 6: LM-filter surprisal, line-level dedup with rebuild, containment
+# ---------------------------------------------------------------------------
+
+_BIGRAM_LM_SQL = """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM words, unnest(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2),
+    c2 AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE doc_id % 3 <> 0
+      GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+    v AS (
+      SELECT COUNT(DISTINCT tok) + 1 AS v FROM (
+        SELECT unnest(w) AS tok FROM words WHERE doc_id % 3 <> 0)),
+    scored AS (
+      SELECT b.doc_id, COALESCE(c2.c2, 0) AS c2v, COALESCE(c1.c1, 0) AS c1v
+      FROM bg b
+      LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+      LEFT JOIN c1 ON b.w1 = c1.w1
+      WHERE b.doc_id % 3 = 0),
+    bits AS (
+      SELECT doc_id, c2v,
+             length(bin(1000000000 //
+               greatest(1, (c2v + 1) * 1000000000 // (c1v + v.v)))) - 1
+               AS sbits
+      FROM scored, v)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(sbits) AS BIGINT) AS sum_bits,
+           CAST(SUM(sbits) * 1000 // COUNT(*) AS BIGINT) AS mean_mbits,
+           CAST(SUM(CASE WHEN c2v = 0 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS unseen_ppm
+    FROM bits GROUP BY doc_id
+"""
+
+
+@register("bigram_lm_surprisal", _BIGRAM_LM_SQL)
+def bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained bigram-LM cross-entropy filter (the CCNet device,
+    Wenzek et al., LREC 2020: score every document by a language
+    model trained on a reference slice; cut the high-perplexity
+    tail). Train = doc_id % 3 ≠ 0, score = doc_id % 3 = 0 — a real
+    train/score split, unlike ``doc_rarity_scores``'s self-scored
+    unigram df. Add-one smoothing over prefix counts, p(w2|w1) =
+    (c2+1)/(c1+V); per-token surprisal is quantized to INTEGER BITS
+    — floor(log2(1/p)) computed as length(bin(1e9 // p_ppb)) - 1,
+    so no float log crosses the engine boundary (same discipline as
+    the ppm similarities). Output per scored doc: bigram count,
+    total/mean surprisal (milli-bits per token), unseen-bigram ppm —
+    the two columns a perplexity cut thresholds on.
+
+    Scale: the c2/c1 model tables are VOCABULARY-bound (≪ corpus —
+    at 100 TB they are the persisted LM artifact), so the scoring
+    joins shuffle on vocab keys or broadcast outright; V is a 1-row
+    scalar crossJoin. The only corpus-sized exchanges are the bigram
+    count (map-side combined) and the final per-doc aggregate —
+    exactly two, both linear."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    words = d.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("w"),
+    )
+    bg = words.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(w, 1, size(w) - 1),"
+                " (x, i) -> named_struct('w1', x, 'w2', w[i + 1]))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    train = bg.filter(F.col("doc_id") % 3 != 0)
+    c2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    v = (
+        words.filter(F.col("doc_id") % 3 != 0)
+        .select(F.explode("w").alias("tok"))
+        .agg((F.countDistinct("tok") + 1).alias("v"))
+    )
+    scored = (
+        bg.filter(F.col("doc_id") % 3 == 0)
+        .join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("c2"), F.lit(0)).alias("c2v"),
+            F.expr(
+                "length(bin(1000000000 div greatest(1,"
+                " (coalesce(c2, 0) + 1) * 1000000000 div"
+                " (coalesce(c1, 0) + v)))) - 1"
+            ).alias("sbits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("sbits").cast("bigint").alias("sum_bits"),
+        F.expr("sum(sbits) * 1000 div count(1)").alias("mean_mbits"),
+        F.expr(
+            "sum(CASE WHEN c2v = 0 THEN 1 ELSE 0 END) * 1000000 div count(1)"
+        ).alias("unseen_ppm"),
+    )
+
+
+_HEADER_LINE = "nav home about contact login search"
+_FOOTER_LINE = "copyright example corp all rights reserved"
+
+_LINE_DEDUP_SQL = f"""
+    WITH {_CORPUS_SQL},
+    words AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM corpus WHERE length(trim(text)) > 0),
+    lines AS (
+      SELECT doc_id, CAST(0 AS BIGINT) AS line_no,
+             '{_HEADER_LINE}' AS line FROM words
+      UNION ALL
+      SELECT doc_id, CAST(j + 1 AS BIGINT) AS line_no,
+             array_to_string(w[(j*12+1):(j*12+12)], ' ') AS line
+      FROM words, unnest(generate_series(0, (len(w) - 1) // 12)) AS t(j)
+      UNION ALL
+      SELECT doc_id, CAST(1000000 AS BIGINT) AS line_no,
+             '{_FOOTER_LINE}' AS line FROM words),
+    df AS (SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY line),
+    flagged AS (
+      SELECT l.doc_id, l.line_no, l.line, d.nd >= 10 AS boiler
+      FROM lines l JOIN df d USING (line))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN boiler THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+           CAST(COALESCE(SUM(CASE WHEN boiler THEN length(line) END), 0)
+                AS BIGINT) AS removed_chars,
+           md5(COALESCE(string_agg(line, chr(10) ORDER BY line_no)
+                        FILTER (WHERE NOT boiler), '')) AS cleaned_md5
+    FROM flagged GROUP BY doc_id
+"""
+
+
+@register("line_dedup_rebuild", _LINE_DEDUP_SQL)
+def line_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style LINE-level dedup WITH document reconstruction
+    (Raffel et al., JMLR 2020 §2.2: discard any line occurring more
+    than once in the corpus; CCNet dedups on exact paragraph hashes).
+    ``duplicate_span_removal`` stops at detection — this operator
+    ships the cleaned corpus: every document is decomposed into
+    lines (a synthetic nav header + 12-token content lines + a
+    copyright footer, so the corpus carries real boilerplate the way
+    crawled pages do), lines present in ≥ 10 distinct documents are
+    cut, and the survivors are re-assembled IN ORDER into the
+    cleaned text. Output per doc: line counts, chars removed, and
+    md5 of the rebuilt text — the oracle hash-checks the actual
+    reconstruction, not just the counts. The boilerplate header and
+    footer (df = corpus size) are provably removed; content lines
+    shared only by the exact/near duplicate pairs (df ≤ 3) survive.
+
+    Scale: exact-dedup shape at line grain — one corpus-linear
+    shuffle for the line-df groupBy, a join back on the line key
+    (co-partitioned with the groupBy, one exchange serves both), and
+    a per-doc aggregate whose collect_list is bounded by document
+    length. Reconstruction is array_sort over ≤ doc-length structs
+    in-row; no window, no self-join, nothing quadratic."""
+    c = corpus_with_dups(spark, sf_dir)
+    words = c.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("w"),
+    )
+    lines = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "concat("
+                f" array(named_struct('line_no', 0L, 'line', '{_HEADER_LINE}')),"
+                " transform(sequence(0, (size(w) - 1) div 12),"
+                "   j -> named_struct('line_no', cast(j + 1 as bigint),"
+                "        'line', concat_ws(' ', slice(w, j*12 + 1, 12)))),"
+                f" array(named_struct('line_no', 1000000L, 'line', '{_FOOTER_LINE}'))"
+                ")"
+            )
+        ).alias("l"),
+    ).select("doc_id", "l.line_no", "l.line")
+    df_tab = lines.groupBy("line").agg(F.countDistinct("doc_id").alias("nd"))
+    flagged = lines.join(df_tab, "line").withColumn(
+        "boiler", F.col("nd") >= 10
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("boiler"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("boiler"), F.length("line"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("removed_chars"),
+        F.md5(
+            F.concat_ws(
+                "\n",
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    " CASE WHEN NOT boiler THEN named_struct("
+                    "   'line_no', line_no, 'line', line) END)),"
+                    " x -> x.line)"
+                ),
+            )
+        ).alias("cleaned_md5"),
+    )
+
+
+_CONTAINMENT_SQL = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT a.doc_id + 30000 AS doc_id, a.text || ' ' || b.text AS text
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 20 = 0),
+    words AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM corpus),
+    sh0 AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i
+      FROM words),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4] AS shingle
+      FROM sh0),
+    sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, COUNT(1) AS i
+      FROM sh s1 JOIN sh s2
+        ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+      GROUP BY s1.doc_id, s2.doc_id),
+    pairboth AS (
+      SELECT i.doc_a, i.doc_b, i.i, sa.n AS na, sb.n AS nb,
+             CAST(ROUND(i.i * 1000000.0 / (sa.n + sb.n - i.i)) AS BIGINT)
+               AS jacc_ppm
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b),
+    dir AS (
+      SELECT doc_a AS contained_id, doc_b AS container_id,
+             CAST(ROUND(i * 1000000.0 / na) AS BIGINT) AS containment_ppm,
+             jacc_ppm
+      FROM pairboth
+      UNION ALL
+      SELECT doc_b AS contained_id, doc_a AS container_id,
+             CAST(ROUND(i * 1000000.0 / nb) AS BIGINT) AS containment_ppm,
+             jacc_ppm
+      FROM pairboth)
+    SELECT * FROM dir WHERE containment_ppm >= 800000
+"""
+
+
+@register("shingle_containment_pairs", _CONTAINMENT_SQL)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle containment (operators/dedup.py::
+    shingle_containment_pairs): catch QUOTE-INCLUSION duplication —
+    a document pasted whole into a longer one — that symmetric
+    Jaccard misses (c(A→B) ≈ 1 while J(A,B) ≈ |A|/|B| < any near-dup
+    threshold). The corpus plants exactly that: every doc_id % 20
+    document is concatenated with its successor into a new doc, so
+    both sources are ~fully contained in the composite while the
+    pair Jaccard sits near 500000 ppm — below the 600000/500000
+    near-dup gates the other queries use. 5-token shingles,
+    containment ≥ 0.8 emitted per DIRECTION with the symmetric
+    Jaccard alongside; the oracle replays the full
+    shingle→block→count pipeline, so the containment math is
+    hash-verified."""
+    from ..operators import dedup as DDops
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    nxt = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("text2")
+    )
+    aug = (
+        d.filter(F.col("doc_id") % 20 == 0)
+        .join(nxt, "doc_id")
+        .select(
+            (F.col("doc_id") + 30000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" "), F.col("text2")).alias("text"),
+        )
+    )
+    corpus = d.unionByName(aug)
+    return DDops.shingle_containment_pairs(
+        corpus, shingle_n=5, threshold_ppm=800000
+    )

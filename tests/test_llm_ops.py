@@ -1502,3 +1502,102 @@ def test_personalized_pagerank_seedless_equals_global(spark):
     b = {r.node: r.pr for r in
          pagerank_int(edges, iterations=3, seeds=allseed).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Round 6 session 2: containment, line dedup rebuild, bigram-LM surprisal
+# ---------------------------------------------------------------------------
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A short doc pasted into a long one: containment fires at 1.0
+    while the pair Jaccard sits below the 0.5/0.6 near-dup gates."""
+    from ods_v3_dbt_spark.operators.dedup import shingle_containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"pad{i}" for i in range(12))
+    rows = [(1, short), (2, f"{filler} {short}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = shingle_containment_pairs(df, shingle_n=5, threshold_ppm=800000)
+    got = {(r.contained_id, r.container_id): (r.containment_ppm, r.jacc_ppm)
+           for r in out.collect()}
+    assert (1, 2) in got
+    cont, jacc = got[(1, 2)]
+    assert cont == 1000000          # every shingle of doc 1 is in doc 2
+    assert jacc < 500000            # below every near-dup threshold
+    assert (2, 1) not in got        # direction matters: 2 ⊄ 1
+
+
+def test_containment_direction_is_asymmetric(spark):
+    from ods_v3_dbt_spark.operators.dedup import shingle_containment_pairs
+
+    text = "a b c d e f g h i j"
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    out = shingle_containment_pairs(df, shingle_n=5, threshold_ppm=800000)
+    got = {(r.contained_id, r.container_id) for r in out.collect()}
+    # identical docs contain each other — BOTH directions emitted
+    assert got == {(1, 2), (2, 1)}
+
+
+def test_line_dedup_rebuild_reconstruction(spark):
+    """The rebuilt-text md5 must equal a hand reconstruction: header
+    and footer (df = corpus) cut, unique content lines kept in order."""
+    import hashlib
+
+    from ods_v3_dbt_spark.plans.llm_queries import (
+        _FOOTER_LINE,
+        _HEADER_LINE,
+        line_dedup_rebuild,
+    )
+
+    out = {
+        r.doc_id: r
+        for r in line_dedup_rebuild(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert out, "empty result"
+    # pick a base doc and recompute its cleaned text by hand
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pydict()
+    docs = dict(zip(tbl["doc_id"], tbl["text"]))
+    doc_id, text = next(iter(sorted(docs.items())))
+    w = [t for t in text.strip().lower().split()]
+    content = [" ".join(w[j * 12:(j + 1) * 12]) for j in range((len(w) - 1) // 12 + 1)]
+    # content lines of a %10==0 doc also live in its +10000 exact copy
+    # (df 2-3 < 10) so every content line survives; header/footer go
+    rebuilt = "\n".join(content)
+    r = out[doc_id]
+    assert r.n_lines == len(content) + 2
+    assert r.n_kept == len(content)
+    assert r.removed_chars == len(_HEADER_LINE) + len(_FOOTER_LINE)
+    assert r.cleaned_md5 == hashlib.md5(rebuilt.encode()).hexdigest()
+
+
+def test_bigram_lm_surprisal_hand_case(spark):
+    """Hand-checked tiny LM: train 'a b a b', score 'a b' and 'a z'."""
+    from ods_v3_dbt_spark.plans import declared_queries as DQ
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df = spark.createDataFrame(
+            [(1, "a b a b a c"), (2, "x y x y x y"), (3, "a b x q")],
+            "doc_id long, text string",
+        )
+        df.coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        from ods_v3_dbt_spark.plans.llm_queries import bigram_lm_surprisal
+
+        rows = {r.doc_id: r for r in bigram_lm_surprisal(spark, td).collect()}
+        # train = docs 1,2 (doc_id %3 != 0) ; score = doc 3
+        # train bigrams: (a,b)x2 (b,a)x2 (a,c)x1 (x,y)x3 (y,x)x2
+        # c1: a=3, b=2, x=3, y=2 ; V = |{a,b,c,x,y}| + 1 = 6
+        # doc 3 bigrams: (a,b): p=(2+1)/(3+6)=1/3 → inv=3 → bits=1
+        #   (b,x): c2=0,c1(b)=2 → p=1/8 → inv=8 → bits=3
+        #   (x,q): c2=0,c1(x)=3 → p=1/9 → inv=9 → bits=3
+        r = rows[3]
+        assert r.n_bigrams == 3
+        assert r.sum_bits == 1 + 3 + 3
+        assert r.mean_mbits == (7 * 1000) // 3
+        assert r.unseen_ppm == (2 * 1000000) // 3
+        assert set(rows) == {3}

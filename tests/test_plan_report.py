@@ -58,6 +58,7 @@ SCALAR_BROADCAST_QUERIES = {
     "rich_dormant_customers",     # 1-row (count,sum) avg pair
     "temperature_sampled_mixture",  # 1-row (total, wsum) pair
     "tfidf_top_terms",            # 1-row n_docs scalar
+    "bigram_lm_surprisal",        # 1-row vocab-size (V) scalar
 }
 
 
