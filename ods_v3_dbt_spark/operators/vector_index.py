@@ -1,0 +1,273 @@
+"""Persisted IVF vector index — ANN's corpus-side state, so repeated
+similarity search stops re-training and re-assigning the corpus.
+
+The ad-hoc ANN queries (``similarity.ivf_topk_l2q`` and friends)
+recompute seed selection, the Lloyd refinement, and EVERY corpus
+vector's cell assignment on each call: right for one-off analysis,
+wrong for a retrieval service over a 100 TB embedding store. This
+module persists the IVF decomposition under the SAME epoch / segment
+/ manifest / pin protocol as the dedup and BM25 indexes
+(:mod:`.neardup_index`, :mod:`.text_index` — one manifest-replace
+commit, LSM delta segments for O(batch) appends, pinned-epoch
+retention):
+
+* ``assign``    (vid, v, cell) bucketed on ``cell`` — the inverted
+  lists. A probe is CELL-PRUNED: ``cell IN (probed)`` touches only
+  the buckets holding the ≤ num_cells probed cells, so probe I/O
+  scales with the probed lists, not the corpus;
+* ``centroids`` (cell, v) — the K refined centroids, FROZEN at build
+  time (classic IVF: train once, assign forever — re-training is a
+  rebuild, not an append). K rows, copied into every segment so the
+  per-segment member invariant holds; reading any one segment's copy
+  is authoritative.
+
+Appends assign ONLY the batch to the frozen centroids (one linear
+map over the batch — no shuffle, no corpus touch beyond the
+vid-column idempotence anti-join) and land it as a delta segment;
+at ``compact_after`` live segments the append folds the inverted
+lists back into one (assign rows are vid-disjoint across segments,
+so compaction is a plain union — no re-aggregation, unlike BM25's
+per-segment df partials).
+
+Exactness: quantization, centroid math, and scoring are the
+INTEGER pipeline of ``similarity._l2q_cells`` (positive-BIGINT
+milli-units, floor means, L2² with cell/neighbor tie-breaks), so an
+index built on a base slice and appended with the rest equals the
+scan-path recomputation bit-for-bit — the ``ivf_index_ann_topk``
+declared query hash-verifies build + append + probe against a DuckDB
+oracle that replays the whole pipeline from raw floats.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .neardup_index import (
+    EPOCH_COL,
+    DedupIndex,
+    _commit_manifest,
+    _gc_epochs,
+    _index_lock,
+    _keep_epochs,
+    _read_manifest,
+    _read_pins,
+    _retained_history,
+    _write_member,
+)
+from .similarity import _int_matrix_sql, _l2q_cells, _l2q_dist2, quantize_embedding
+
+
+@dataclass(frozen=True)
+class IvfIndex:
+    """Handle to a persisted IVF index (module docstring). Same
+    commit/retention protocol as :class:`~.neardup_index.DedupIndex`;
+    ``compact_after`` bounds the live segment count."""
+
+    name: str
+    num_cells: int = 8
+    num_buckets: int = 8
+    compact_after: int = 8
+
+    PARTS = {
+        "assign": ("assign", ("cell",)),
+        "centroids": ("centroids", ("cell",)),
+    }
+
+    _table = DedupIndex._table
+    resolve = DedupIndex.resolve
+    exists = DedupIndex.exists
+
+    def spec(self) -> dict:
+        return {
+            "kind": "ivf_l2q",
+            "num_cells": self.num_cells,
+            "num_buckets": self.num_buckets,
+        }
+
+
+def _quantized(vectors: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    return vectors.select(
+        F.col(id_col).alias("vid"),
+        quantize_embedding(F.col(vec_col)).alias("v"),
+    )
+
+
+def _centroid_df(spark: SparkSession, cents: list[list[int]]) -> DataFrame:
+    rows = [(i, [int(x) for x in row]) for i, row in enumerate(cents)]
+    return spark.createDataFrame(rows, "cell int, v array<bigint>")
+
+
+def _read_centroids(spark: SparkSession, cur) -> list[list[int]]:
+    """The frozen centroid matrix from the first live segment's copy
+    (all copies are identical by construction — K rows, trivially
+    collectable: the scalar-class driver path every ANN operator
+    already uses)."""
+    rows = (
+        cur.centroids.tables[0]
+        .read(spark)
+        .select("cell", "v")
+        .orderBy("cell")
+        .collect()
+    )
+    return [list(r.v) for r in rows]
+
+
+def ivf_index_write(
+    vectors: DataFrame,
+    name: str,
+    num_cells: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_buckets: int = 8,
+    compact_after: int = 8,
+) -> IvfIndex:
+    """Train (seed + one Lloyd round over the build slice — the
+    deterministic integer machinery of ``similarity._l2q_cells``)
+    and persist centroids + inverted lists as a NEW single-segment
+    epoch; one atomic manifest commit."""
+    idx = IvfIndex(name, num_cells, num_buckets, compact_after)
+    spark = vectors.sparkSession
+    c = _quantized(vectors, vec_col, id_col)
+    with _index_lock(spark, name) as lk:
+        man = _read_manifest(spark, name)
+        cur = man["epoch"] if man else 0
+        new = cur + 1
+        pins = _read_pins(spark, name)
+        hist = _retained_history(man, new, [new], pins)
+        _gc_epochs(spark, name, _keep_epochs(hist) - {new})
+        asg, _ref_lit, cents = _l2q_cells(c, num_cells)
+        _write_member(
+            idx._table("centroids", new), _centroid_df(spark, cents), new
+        )
+        _write_member(
+            idx._table("assign", new),
+            asg.select("vid", "v", F.col("cell").cast("int").alias("cell")),
+            new,
+        )
+        lk.check()
+        _commit_manifest(spark, name, new, idx.spec(), [new], hist)
+        _gc_epochs(spark, name, _keep_epochs(hist))
+    return idx
+
+
+def ivf_index_append(
+    index: IvfIndex,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> IvfIndex:
+    """Incremental refresh, LSM-shaped: assign ONLY the batch to the
+    FROZEN centroids (a linear map — the K×dim matrix is a literal,
+    no join, no shuffle) and land it as an O(batch) delta segment.
+    Idempotent via per-segment vid anti-joins (column-pruned scans of
+    the assign tables); all-or-nothing manifest commit; fold at
+    ``compact_after`` (plain union — segments are vid-disjoint)."""
+    spark = new_vectors.sparkSession
+    with _index_lock(spark, index.name) as lk:
+        man = _read_manifest(spark, index.name)
+        cur = index.resolve(spark)
+        probe = _quantized(new_vectors, vec_col, id_col)
+        for t in cur.assign.tables:
+            probe = probe.join(
+                t.read(spark).select("vid"), "vid", "left_anti"
+            )
+        batch = probe.localCheckpoint()
+        if not batch.take(1):
+            return index
+        new_epoch = cur.epoch + 1
+        compact = len(cur.segments) >= index.compact_after
+        segments = [new_epoch] if compact else [*cur.segments, new_epoch]
+        pins = _read_pins(spark, index.name)
+        hist = _retained_history(man, new_epoch, segments, pins)
+        _gc_epochs(spark, index.name, _keep_epochs(hist) - {new_epoch})
+        cents = _read_centroids(spark, cur)
+        ref_lit = F.expr(_int_matrix_sql(cents))
+        asg_new = batch.select(
+            "vid",
+            "v",
+            F.array_min(_l2q_dist2(F.col("v"), ref_lit))
+            .getField("cell")
+            .cast("int")
+            .alias("cell"),
+        )
+        if compact:
+            asg_new = (
+                cur.assign.read(spark)
+                .drop(EPOCH_COL)
+                .select("vid", "v", F.col("cell").cast("int").alias("cell"))
+                .unionByName(asg_new)
+            )
+        _write_member(index._table("assign", new_epoch), asg_new, new_epoch)
+        _write_member(
+            index._table("centroids", new_epoch),
+            _centroid_df(spark, cents),
+            new_epoch,
+        )
+        lk.check()
+        _commit_manifest(
+            spark, index.name, new_epoch, index.spec(), segments, hist
+        )
+        _gc_epochs(spark, index.name, _keep_epochs(hist))
+    return index
+
+
+def ivf_index_topk(
+    spark: SparkSession,
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    epoch: int | None = None,
+) -> DataFrame:
+    """ANN top-k served from the persisted index: each query probes
+    its ``nprobe`` nearest frozen centroids; the inverted lists are
+    read CELL-PRUNED (``cell IN (probed ∪)`` — at most num_cells
+    values, a scalar-class driver set — pushes into the bucketed
+    scans, so untouched cells cost zero I/O) across the ≤ K live
+    segments; exact integer L2² scores inside, row_number top-k with
+    the scan path's cell/neighbor tie-breaks. Byte-identical output
+    to ``similarity.ivf_topk_l2q`` over the same corpus."""
+    cur = index.resolve(spark, epoch=epoch)
+    cents = _read_centroids(spark, cur)
+    ref_lit = F.expr(_int_matrix_sql(cents))
+    q = _quantized(queries, vec_col, id_col)
+    probes = q.select(
+        F.col("vid").alias("query_id"),
+        F.col("v").alias("__qv"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(_l2q_dist2(F.col("v"), ref_lit)), 1, nprobe
+                ),
+                lambda s: s.getField("cell").cast("int"),
+            )
+        ).alias("cell"),
+    )
+    probed_cells = sorted(
+        r.cell for r in probes.select("cell").distinct().collect()
+    )
+    lists = cur.assign.read(spark).filter(
+        F.col("cell").isin(probed_cells)
+    )
+    scored = lists.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        F.col("vid").alias("neighbor_id"),
+        F.aggregate(
+            F.zip_with(
+                F.col("__qv"), F.col("v"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)

@@ -5647,3 +5647,129 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DDops.shingle_containment_pairs(
         corpus, shingle_n=5, threshold_ppm=800000
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: persisted IVF index — ANN joins the indexed-maintenance family
+# ---------------------------------------------------------------------------
+
+_IVF_IDX_SQL = """
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> greatest(CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT),
+                             -1000) + 1000) AS v
+      FROM embeddings),
+    q AS (SELECT * FROM base WHERE vec_id < 10),
+    c AS (SELECT * FROM base WHERE vec_id >= 10),
+    cb AS (SELECT * FROM c WHERE vec_id % 4 <> 0),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v
+      FROM (SELECT vec_id, v FROM cb ORDER BY vec_id LIMIT 8)),
+    d1 AS (
+      SELECT cb.vec_id, s.cell,
+             list_sum(list_transform(range(1, 65),
+               i -> (cb.v[i]-s.v[i])*(cb.v[i]-s.v[i]))) AS d2
+      FROM cb CROSS JOIN seeds s),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM d1) WHERE rn = 1),
+    dims AS (
+      SELECT a.cell, g.i, cb.v[g.i] AS x
+      FROM a1 a JOIN cb ON cb.vec_id = a.vec_id,
+           generate_series(1, 64) AS g(i)),
+    m0 AS (SELECT cell, i, SUM(x) // COUNT(1) AS m FROM dims GROUP BY cell, i),
+    mlist AS (SELECT cell, list(m ORDER BY i) AS v FROM m0 GROUP BY cell),
+    refined AS (
+      SELECT s.cell, COALESCE(ml.v, s.v) AS v
+      FROM seeds s LEFT JOIN mlist ml ON ml.cell = s.cell),
+    d2c AS (
+      SELECT c.vec_id, r.cell,
+             list_sum(list_transform(range(1, 65),
+               i -> (c.v[i]-r.v[i])*(c.v[i]-r.v[i]))) AS d2
+      FROM c CROSS JOIN refined r),
+    asg AS (
+      SELECT vec_id AS neighbor_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM d2c) WHERE rn = 1),
+    d2q AS (
+      SELECT q.vec_id, r.cell,
+             list_sum(list_transform(range(1, 65),
+               i -> (q.v[i]-r.v[i])*(q.v[i]-r.v[i]))) AS d2
+      FROM q CROSS JOIN refined r),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM d2q) WHERE rn <= 3),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             list_sum(list_transform(range(1, 65),
+               i -> (qq.v[i]-cc.v[i])*(qq.v[i]-cc.v[i]))) AS d2
+      FROM probes p JOIN asg a USING (cell)
+      JOIN q qq ON qq.vec_id = p.query_id
+      JOIN c cc ON cc.vec_id = a.neighbor_id),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(d2 AS BIGINT) AS dist2,
+           CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 5
+"""
+
+
+def _ivf_fixture_index(spark: SparkSession, sf_dir: str,
+                       force: bool = False):
+    """The persisted-IVF-index fixture: trained on 3/4 of the corpus
+    vectors (vec_id % 4 ≠ 0 — centroids are FROZEN there), the last
+    quarter APPENDED as an O(batch) delta segment — so the declared
+    query's oracle (full-pipeline recomputation with the same train
+    slice) also proves the append path preserves assignments
+    exactly."""
+    from ..operators.vector_index import (
+        IvfIndex,
+        ivf_index_append,
+        ivf_index_write,
+    )
+
+    name = f"ivf_idx_{_IDXV}_{_fixture_slug(sf_dir)}"
+    key = (id(spark.sparkContext), name)
+    idx = _IDX_CACHE.get(key)
+    if not force and idx is not None and idx.exists(spark):
+        return idx
+    idx = IvfIndex(name, 8, 8)
+    if force or not idx.exists(spark):
+        emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= 10)
+        idx = ivf_index_write(
+            emb.filter(F.col("vec_id") % 4 != 0), name,
+            num_cells=8, num_buckets=8,
+        )
+        ivf_index_append(idx, emb.filter(F.col("vec_id") % 4 == 0))
+    _IDX_CACHE[key] = idx
+    return idx
+
+
+@register("ivf_index_ann_topk", _IVF_IDX_SQL)
+def ivf_index_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 served from the PERSISTED IVF index, HASH-VERIFIED
+    (operators/vector_index.py): centroids + cell-bucketed inverted
+    lists live as epoch-committed member tables (trained on 3/4 of
+    the vectors, the rest APPENDED as an O(batch) delta assigned to
+    the FROZEN centroids), the probe reads CELL-PRUNED lists for the
+    ≤ num_cells probed cells across the live segments, and replays
+    the scan path's exact integer L2² / tie-break evaluation. The
+    oracle recomputes everything from raw floats with the same train
+    slice, so what is value-checked is that index maintenance
+    (build + LSM append) preserves centroids and assignments
+    EXACTLY — repeated ANN stops re-training and re-assigning the
+    corpus per query, and loses nothing for it. Completes the
+    persisted-index family: exact-dedup, LSH, BM25, now IVF."""
+    from ..operators.vector_index import ivf_index_topk
+
+    idx = _ivf_fixture_index(spark, sf_dir)
+    q = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return ivf_index_topk(spark, idx, q, k=5, nprobe=3)

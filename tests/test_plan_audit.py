@@ -851,3 +851,30 @@ def test_bm25_indexed_probe_bucket_pruned_postings(spark):
         assert m and int(m.group(1)) < int(m.group(2)), s
     assert ") Generate" not in plan
     assert "documents.parquet" not in plan   # the corpus scan is gone
+
+
+def test_ivf_indexed_probe_cell_pruned_lists(spark):
+    """The persisted-IVF probe: the embeddings corpus scan is GONE
+    from the probe plan — the only corpus-side reads are the assign
+    (inverted-list) scans, one per live segment (the fixture appends
+    a quarter as an LSM delta), each CELL-PRUNED (In(cell, ...)
+    pushed to the bucketed scan). The embeddings source appears only
+    for the QUERY vectors (vec_id < 10, filter pushed)."""
+    plan = _plan(spark, "ivf_index_ann_topk")
+    list_scans = [
+        b for b in plan.split("\n\n")
+        if re.search(r"Scan parquet \S*ivf_idx\S*_assign\b", b)
+        and "ReadSchema" in b
+    ]
+    assert len(list_scans) == 2          # base + appended delta segment
+    for s in list_scans:
+        assert "Bucketed: true" in s, s
+        assert re.search(r"In\(cell, \[", s), s
+    # embeddings reads = query vectors only, never the corpus side
+    emb_scans = [
+        b for b in plan.split("\n\n")
+        if "embeddings.parquet" in b and "ReadSchema" in b
+    ]
+    assert emb_scans, "query-vector scan missing"
+    for s in emb_scans:
+        assert re.search(r"LessThan\(vec_id,10\)", s), s
