@@ -222,7 +222,6 @@ _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (
     "quality_assertion_metrics",
     "rollup_month",
     "max_freshness_probe",
-    "count_window_probe",
     # round-6 SESSION-2 ADDITIONS (bigram-LM surprisal filter,
     # line-level dedup with rebuilt-text hash, directional shingle
     # containment) — new rows enter the window that ships them; the
@@ -233,9 +232,12 @@ _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (
     "line_dedup_rebuild",
     "shingle_containment_pairs",
     # persisted-IVF index probe (the ANN member of the indexed-
-    # maintenance family) — enters the window that ships it; the
-    # rollup_day r1 filler yielded the slot (driver-green on record)
+    # maintenance family) and the indexed-hybrid capstone (BM25
+    # index + IVF index fused by RRF) — enter the window that ships
+    # them; the rollup_day / count_window_probe r1 fillers yielded
+    # the slots (driver-green on record)
     "ivf_index_ann_topk",
+    "hybrid_indexed_rrf",
     # round-6 LATE ADDITIONS (hybrid fusion / eval / split / quant /
     # filtered search / personalized ranks) — new rows always enter
     # the window that ships them; the text/fingerprint re-check

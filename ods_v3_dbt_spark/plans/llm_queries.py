@@ -5653,14 +5653,19 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 6: persisted IVF index — ANN joins the indexed-maintenance family
 # ---------------------------------------------------------------------------
 
-_IVF_IDX_SQL = """
+def _ivf_idx_sql(query_pred: str, k: int) -> str:
+    """The persisted-IVF oracle (full seed/Lloyd/assign/probe replay
+    with the vec_id % 4 ≠ 0 train slice) parameterized over the
+    query predicate and k — shared by the ANN row and the indexed
+    hybrid-fusion row, whose dense channel is this same pipeline."""
+    return f"""
     WITH base AS (
       SELECT vec_id,
              list_transform(embedding,
                x -> greatest(CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT),
                              -1000) + 1000) AS v
       FROM embeddings),
-    q AS (SELECT * FROM base WHERE vec_id < 10),
+    q AS (SELECT * FROM base WHERE {query_pred}),
     c AS (SELECT * FROM base WHERE vec_id >= 10),
     cb AS (SELECT * FROM c WHERE vec_id % 4 <> 0),
     seeds AS (
@@ -5718,8 +5723,10 @@ _IVF_IDX_SQL = """
       FROM scored)
     SELECT query_id, neighbor_id, CAST(d2 AS BIGINT) AS dist2,
            CAST(rn AS INT) AS rank
-    FROM ranked WHERE rn <= 5
-"""
+    FROM ranked WHERE rn <= {k}
+    """
+
+
 
 
 def _ivf_fixture_index(spark: SparkSession, sf_dir: str,
@@ -5753,7 +5760,7 @@ def _ivf_fixture_index(spark: SparkSession, sf_dir: str,
     return idx
 
 
-@register("ivf_index_ann_topk", _IVF_IDX_SQL)
+@register("ivf_index_ann_topk", _ivf_idx_sql("vec_id < 10", 5))
 def ivf_index_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 served from the PERSISTED IVF index, HASH-VERIFIED
     (operators/vector_index.py): centroids + cell-bucketed inverted
@@ -5773,3 +5780,61 @@ def ivf_index_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _ivf_fixture_index(spark, sf_dir)
     q = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
     return ivf_index_topk(spark, idx, q, k=5, nprobe=3)
+
+
+_HYBRID_IDX_SQL = f"""
+    WITH lex AS (
+      SELECT doc_id, rank
+      FROM ({_bm25_scan_sql(_BM25_IDX_TERMS, 20).strip()}) lt),
+    dense AS (
+      SELECT neighbor_id AS doc_id, rank
+      FROM ({_ivf_idx_sql("vec_id = 0", 20).strip()}) dt),
+    contrib AS (
+      SELECT doc_id, CAST(FLOOR(1000000.0 / (60 + rank)) AS BIGINT) AS c
+      FROM lex
+      UNION ALL
+      SELECT doc_id, CAST(FLOOR(1000000.0 / (60 + rank)) AS BIGINT) AS c
+      FROM dense),
+    fused AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_micro,
+             CAST(COUNT(1) AS INT) AS n_lists
+      FROM contrib GROUP BY doc_id)
+    SELECT rank, doc_id, rrf_micro, n_lists FROM (
+      SELECT doc_id, rrf_micro, n_lists,
+             ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank
+      FROM fused) WHERE rank <= 10
+"""
+
+
+@register("hybrid_indexed_rrf", _HYBRID_IDX_SQL)
+def hybrid_indexed_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval-SERVICE path end to end on PERSISTED state,
+    hash-verified: the sparse channel reads the BM25 inverted index
+    (bucket-pruned postings, summed segment stats — zero corpus
+    scan), the dense channel probes the persisted IVF index
+    (cell-pruned inverted lists against frozen centroids), and
+    reciprocal-rank fusion combines the two top-20 lists with the
+    integer floor(1e6/(60+rank)) contributions of
+    ``hybrid_rrf_retrieval``. Together with that scan-path twin this
+    closes the loop: ad-hoc hybrid retrieval and indexed hybrid
+    retrieval share one fusion operator and one oracle discipline,
+    and the oracle here recomputes BOTH channels from raw data — so
+    the row value-checks that the entire persisted-index stack
+    (BM25 build+append, IVF build+append, both probe paths, fusion)
+    composes without drift. At 100 TB this is the query a RAG
+    service actually runs per request: posting lists + 3 cells of
+    inverted vectors, never the corpus."""
+    from ..operators.retrieval import rrf_fuse
+    from ..operators.text_index import bm25_index_topk
+    from ..operators.vector_index import ivf_index_topk
+
+    bidx = _bm25_fixture_index(spark, sf_dir)
+    lex = bm25_index_topk(
+        spark, bidx, list(_BM25_IDX_TERMS), k=20
+    ).select("doc_id", "rank")
+    vidx = _ivf_fixture_index(spark, sf_dir)
+    q = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
+    dense = ivf_index_topk(spark, vidx, q, k=20, nprobe=3).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex, dense], k0=60, k=10)

@@ -50,6 +50,7 @@ SCALAR_BROADCAST_QUERIES = {
     "fk_integrity_counts",        # per-edge 1-row counts unioned
     "hard_negative_mining",       # 10-row query-vector broadcast
     "hybrid_rrf_retrieval",       # BM25 1-row stats + small dense query side
+    "hybrid_indexed_rrf",         # indexed-BM25 1-row summed segment stats
     "retrieval_eval_mrr",         # BM25 1-row stats + 1-row metric crossJoin
     "incremental_watermark",      # 1-row max-cursor scalar
     "join_key_skew_profile",      # 1-row (total, n_keys) pair
