@@ -187,7 +187,10 @@ _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (
     "user_value_outliers",
     "brand_distinct_buyers",
     "token_positions_long",
-    "user_value_variance",
+    # fuzzy (near-dup) eval-set decontamination enters the window
+    # that ships it; the user_value_variance r5 re-check yielded the
+    # slot (driver-green r5, untouched; its outliers twin stays)
+    "fuzzy_decontamination",
     # anchors re-checked early (cheap, price at near-steady state)
     "pricing_summary",
     "revenue_by_customer",

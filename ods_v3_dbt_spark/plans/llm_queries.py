@@ -5838,3 +5838,100 @@ def hybrid_indexed_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("doc_id"), "rank"
     )
     return rrf_fuse([lex, dense], k0=60, k=10)
+
+
+_FUZZY_DECON_SQL = f"""
+    WITH {_CORPUS_SQL},
+    labeled AS (
+      SELECT doc_id, text,
+             (doc_id < 10000 AND doc_id % 17 = 0) AS is_eval
+      FROM corpus),
+    words AS (
+      SELECT doc_id, is_eval,
+             string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM labeled),
+    sh0 AS (
+      SELECT doc_id, is_eval, w,
+             unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+      FROM words),
+    sh AS (
+      SELECT DISTINCT doc_id, is_eval,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM sh0),
+    sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, COUNT(1) AS i
+      FROM sh tr JOIN sh ev
+        ON tr.shingle = ev.shingle AND ev.is_eval AND NOT tr.is_eval
+      GROUP BY tr.doc_id, ev.doc_id)
+    SELECT i.train_id, i.eval_id,
+           CAST(ROUND(i.i * 1000000.0 / (st.n + se.n - i.i)) AS BIGINT)
+             AS jacc_ppm
+    FROM inter i
+    JOIN sizes st ON st.doc_id = i.train_id
+    JOIN sizes se ON se.doc_id = i.eval_id
+    WHERE CAST(ROUND(i.i * 1000000.0 / (st.n + se.n - i.i)) AS BIGINT)
+          >= 500000
+"""
+
+
+@register("fuzzy_decontamination", _FUZZY_DECON_SQL)
+def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate eval-set decontamination — the fuzzy twin of
+    ``test_set_decontamination`` (whose n-gram-overlap check catches
+    verbatim leakage only): a training document that is a light
+    rewrite of an eval document slips an exact-shingle containment
+    gate but still leaks the answer (the Dolma / GPT-3 appendix-C
+    practice is Jaccard-level fuzzy matching). Protected slice =
+    doc_id % 17 = 0 (the decontamination convention); corpus = the
+    planted-dup corpus, whose exact copies (+10000) and two-token
+    near variants (+20000) of eval docs ARE the contamination this
+    query must find. Output: every (train, eval) pair with 3-shingle
+    Jaccard ≥ 0.5 — the pairs a decontamination pass would drop from
+    train. Hash-verified against a full bipartite replay.
+
+    Scale: the bipartite restriction (eval side ≪ corpus) makes this
+    CHEAPER than general near-dup — the shared-shingle join only
+    emits (train, eval) candidates, so the pair space is bounded by
+    |eval| × collisions, never corpus². Same single shingle-blocked
+    join + sizes broadcast as ``ngram_jaccard_neardup``; at 100 TB
+    the eval shingle side broadcasts outright."""
+    c = corpus_with_dups(spark, sf_dir)
+    lab = c.withColumn(
+        "is_eval",
+        (F.col("doc_id") < 10000) & (F.col("doc_id") % 17 == 0),
+    )
+    sh = DD._shingle_table(lab, "text", "doc_id", 3)
+    flags = lab.select("doc_id", "is_eval")
+    sh = sh.join(flags, "doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ev = sh.filter(F.col("is_eval")).select(
+        F.col("doc_id").alias("eval_id"), "sid"
+    )
+    tr = sh.filter(~F.col("is_eval")).select(
+        F.col("doc_id").alias("train_id"), "sid"
+    )
+    inter = (
+        tr.join(ev, "sid")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("train_id"),
+                         F.col("n").alias("nt")), "train_id"
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("eval_id"),
+                         F.col("n").alias("ne")), "eval_id"
+        )
+        .withColumn(
+            "jacc_ppm",
+            F.round(
+                F.col("i") * 1000000.0 / (F.col("nt") + F.col("ne") - F.col("i"))
+            ).cast("bigint"),
+        )
+    )
+    return out.filter(F.col("jacc_ppm") >= 500000).select(
+        "train_id", "eval_id", "jacc_ppm"
+    )
