@@ -1699,3 +1699,81 @@ def test_ivf_index_append_compacts_at_threshold(spark, emb):
     # full corpus indexed: assignment total matches corpus count
     assert cur.assign.read(spark).count() == c.count()
     assert len(got) > 0
+
+
+def test_ivf_index_pinned_epoch_survives_appends(spark, emb):
+    """The pin protocol extends to the IVF kind: an epoch-pinned
+    resolve stays readable (and probe-able) across multiple appends
+    that would otherwise GC it."""
+    from ods_v3_dbt_spark.operators.neardup_index import set_index_pin
+    from ods_v3_dbt_spark.operators.vector_index import (
+        ivf_index_append,
+        ivf_index_topk,
+        ivf_index_write,
+    )
+
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    idx = ivf_index_write(
+        c.filter(F.col("vec_id") % 4 == 1), "t_ivf_pin",
+        num_cells=8, num_buckets=4,
+    )
+    e0 = idx.resolve(spark).epoch
+    set_index_pin(spark, idx.name, "t_reader", [e0])
+    try:
+        base_top = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in ivf_index_topk(spark, idx, q, k=3, nprobe=8,
+                                    epoch=e0).collect()
+        }
+        for m in (2, 3, 0):
+            ivf_index_append(idx, c.filter(F.col("vec_id") % 4 == m))
+        assert idx.resolve(spark).epoch == e0 + 3
+        # the pinned epoch still resolves AND probes identically
+        again = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in ivf_index_topk(spark, idx, q, k=3, nprobe=8,
+                                    epoch=e0).collect()
+        }
+        assert again == base_top
+    finally:
+        set_index_pin(spark, idx.name, "t_reader", None)
+
+
+def test_ivf_index_full_probe_is_exact(spark, emb):
+    """nprobe = num_cells degrades IVF to exact search: the probe
+    must return the brute-force L2 top-k (recall 1.0 by identity,
+    not approximation)."""
+    from ods_v3_dbt_spark.operators.similarity import quantize_embedding
+    from ods_v3_dbt_spark.operators.vector_index import (
+        ivf_index_topk,
+        ivf_index_write,
+    )
+
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    idx = ivf_index_write(c, "t_ivf_exact", num_cells=8, num_buckets=4)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.dist2)
+        for r in ivf_index_topk(spark, idx, q, k=5, nprobe=8).collect()
+    }
+    # brute force: exact integer L2^2 over the full corpus
+    qd = q.select(F.col("vec_id").alias("query_id"),
+                  quantize_embedding(F.col("embedding")).alias("qv"))
+    cd = c.select(F.col("vec_id").alias("neighbor_id"),
+                  quantize_embedding(F.col("embedding")).alias("cv"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    brute = (
+        cd.crossJoin(qd).withColumn("d2", d2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.d2) for r in brute.collect()
+    }
+    assert got == want
