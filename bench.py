@@ -156,6 +156,40 @@ def main() -> None:
             time.perf_counter() - t0, 3
         )
 
+        # Probe fan-out pair: the LSM trade is K bucket-local joins
+        # per probe — price the probe at max fan-out (8 live
+        # segments) and again after the explicit compaction folds
+        # them to one, on the SAME total corpus. The delta is the
+        # per-segment probe overhead compaction buys back.
+        from ods_v3_dbt_spark.operators.neardup_index import (
+            dedup_index_compact,
+            exact_probe,
+        )
+
+        idx_f = dedup_index_write(
+            d.filter(F.col("doc_id") % 8 == 0).select("doc_id", "text"),
+            "bench_probe_fanout", num_buckets=8, compact_after=99,
+        )
+        for m in range(1, 8):
+            dedup_index_append(
+                idx_f,
+                d.filter(F.col("doc_id") % 8 == m).select("doc_id", "text"),
+            )
+        probe_batch = d.filter(F.col("doc_id") % 11 == 3).select(
+            "doc_id", "text"
+        )
+        t0 = time.perf_counter()
+        exact_probe(probe_batch, idx_f).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        times["index_probe_8_segments"] = round(time.perf_counter() - t0, 3)
+        dedup_index_compact(idx_f)
+        t0 = time.perf_counter()
+        exact_probe(probe_batch, idx_f).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        times["index_probe_1_segment"] = round(time.perf_counter() - t0, 3)
+
     for name, qd in registry.items():
         t0 = time.perf_counter()
         qd.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -183,13 +217,16 @@ def main() -> None:
     # recorded stdout tail truncates at 2 KB, so the per-query map was
     # only ever partially visible in BENCH_r{N}.json — BENCH_SELF.json
     # makes round-over-round comparison total instead of window-sized.
-    try:
-        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_SELF.json")
-        with open(out, "w") as f:
-            json.dump(payload, f, indent=1, sort_keys=True)
-    except OSError:
-        pass  # artifact is best-effort; stdout line is the contract
+    # A SPARK_GRAFT_ONLY-filtered run is a debugging subset — never
+    # let it clobber the full-suite artifact.
+    if not only:
+        try:
+            out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_SELF.json")
+            with open(out, "w") as f:
+                json.dump(payload, f, indent=1, sort_keys=True)
+        except OSError:
+            pass  # artifact is best-effort; stdout line is the contract
 
 
 if __name__ == "__main__":

@@ -400,3 +400,54 @@ def bm25_index_topk(
             .alias("score_micro"),
         )
     )
+
+
+def bm25_index_compact(index: Bm25Index,
+                       spark: SparkSession | None = None) -> Bm25Index:
+    """Fold all live segments into ONE — the explicit form of the
+    fold an append performs at ``compact_after``, for scheduling the
+    O(corpus) rewrite off the nightly path (the dedup index's
+    ``dedup_index_compact`` discipline). Postings/doclen are
+    doc-disjoint and concatenate; dfreq RE-AGGREGATES (per-segment
+    partials) and stats re-derive from the folded doclen. No-op if
+    already one segment."""
+    from pyspark.sql import SparkSession as _SS
+
+    spark = spark or _SS.getActiveSession()
+    with _index_lock(spark, index.name) as lk:
+        man = _read_manifest(spark, index.name)
+        cur = index.resolve(spark)
+        if len(cur.segments) <= 1:
+            return index
+        new_epoch = cur.epoch + 1
+        pins = _read_pins(spark, index.name)
+        hist = _retained_history(man, new_epoch, [new_epoch], pins)
+        _gc_epochs(spark, index.name, _keep_epochs(hist) - {new_epoch})
+        post_tbl = index._table("postings", new_epoch)
+        _write_member(
+            post_tbl, cur.postings.read(spark).drop(EPOCH_COL), new_epoch
+        )
+        _write_member(
+            index._table("dfreq", new_epoch),
+            post_tbl.read(spark).groupBy("term").agg(
+                F.count(F.lit(1)).alias("df")
+            ),
+            new_epoch,
+        )
+        doclen_tbl = index._table("doclen", new_epoch)
+        _write_member(
+            doclen_tbl, cur.doclen.read(spark).drop(EPOCH_COL), new_epoch
+        )
+        _write_member(
+            index._table("stats", new_epoch),
+            doclen_tbl.read(spark).agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").alias("total_len"),
+            ).select(F.lit("s").alias("stat_key"), "n_docs", "total_len"),
+            new_epoch,
+        )
+        lk.check()
+        _commit_manifest(spark, index.name, new_epoch, index.spec(),
+                         [new_epoch], hist)
+        _gc_epochs(spark, index.name, _keep_epochs(hist))
+    return index

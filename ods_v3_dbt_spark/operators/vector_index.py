@@ -271,3 +271,39 @@ def ivf_index_topk(
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("int")
     ).filter(F.col("rank") <= k)
+
+
+def ivf_index_compact(index: IvfIndex,
+                      spark: SparkSession | None = None) -> IvfIndex:
+    """Fold all live segments into ONE — the explicit maintenance
+    form of the append-time fold (``dedup_index_compact``'s
+    discipline applied to the IVF kind). Lists are vid-disjoint, so
+    compaction is a plain union; centroids copy unchanged (they are
+    frozen). No-op if already one segment."""
+    spark = spark or SparkSession.getActiveSession()
+    with _index_lock(spark, index.name) as lk:
+        man = _read_manifest(spark, index.name)
+        cur = index.resolve(spark)
+        if len(cur.segments) <= 1:
+            return index
+        new_epoch = cur.epoch + 1
+        pins = _read_pins(spark, index.name)
+        hist = _retained_history(man, new_epoch, [new_epoch], pins)
+        _gc_epochs(spark, index.name, _keep_epochs(hist) - {new_epoch})
+        _write_member(
+            index._table("assign", new_epoch),
+            cur.assign.read(spark)
+            .drop(EPOCH_COL)
+            .select("vid", "v", F.col("cell").cast("int").alias("cell")),
+            new_epoch,
+        )
+        _write_member(
+            index._table("centroids", new_epoch),
+            _centroid_df(spark, _read_centroids(spark, cur)),
+            new_epoch,
+        )
+        lk.check()
+        _commit_manifest(spark, index.name, new_epoch, index.spec(),
+                         [new_epoch], hist)
+        _gc_epochs(spark, index.name, _keep_epochs(hist))
+    return index

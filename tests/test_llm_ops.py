@@ -1777,3 +1777,57 @@ def test_ivf_index_full_probe_is_exact(spark, emb):
         (r.query_id, r.rank): (r.neighbor_id, r.d2) for r in brute.collect()
     }
     assert got == want
+
+
+def test_bm25_index_compact_preserves_scores(spark, corpus):
+    """Explicit compaction folds segments to one; scores (df partials
+    re-aggregated, stats re-summed) are unchanged."""
+    from ods_v3_dbt_spark.operators.text_index import (
+        bm25_index_compact,
+        bm25_index_append,
+        bm25_index_topk,
+        bm25_index_write,
+    )
+
+    docs = corpus.select("doc_id", "text")
+    idx = bm25_index_write(
+        docs.filter(F.col("doc_id") % 3 == 0), "t_bm25_cmpx", num_buckets=4,
+        compact_after=99,
+    )
+    for m in (1, 2):
+        bm25_index_append(idx, docs.filter(F.col("doc_id") % 3 == m))
+    assert len(idx.resolve(spark).segments) == 3
+    terms = ["merge", "scan", "window"]
+    before = [tuple(r) for r in
+              bm25_index_topk(spark, idx, terms, k=10).collect()]
+    bm25_index_compact(idx, spark)
+    assert len(idx.resolve(spark).segments) == 1
+    after = [tuple(r) for r in
+             bm25_index_topk(spark, idx, terms, k=10).collect()]
+    assert before == after
+
+
+def test_ivf_index_compact_preserves_probe(spark, emb):
+    from ods_v3_dbt_spark.operators.vector_index import (
+        ivf_index_append,
+        ivf_index_compact,
+        ivf_index_topk,
+        ivf_index_write,
+    )
+
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    idx = ivf_index_write(
+        c.filter(F.col("vec_id") % 3 == 0), "t_ivf_cmpx",
+        num_cells=8, num_buckets=4, compact_after=99,
+    )
+    for m in (1, 2):
+        ivf_index_append(idx, c.filter(F.col("vec_id") % 3 == m))
+    assert len(idx.resolve(spark).segments) == 3
+    before = [tuple(r) for r in
+              ivf_index_topk(spark, idx, q, k=5, nprobe=3).collect()]
+    ivf_index_compact(idx, spark)
+    assert len(idx.resolve(spark).segments) == 1
+    after = [tuple(r) for r in
+             ivf_index_topk(spark, idx, q, k=5, nprobe=3).collect()]
+    assert before == after
