@@ -75,6 +75,30 @@ rewrite. The index is now a *log-structured* set of SEGMENTS:
   manifest commit — the amortized rewrite, scheduled instead of
   paid nightly.
 
+**TOMBSTONE DELETES (round-6 session 3).** Right-to-be-forgotten is
+the write the LSM shape was made for: a delete must land nightly at
+O(batch) cost, not rewrite a 100 TB index to drop a handful of docs.
+:func:`dedup_index_delete` / :func:`lsh_index_delete` write ONLY a
+small ``tomb`` member table (the deleted doc_ids, bucketed on
+doc_id) as a new epoch and commit ``tombs + [new]`` — segments are
+untouched. Probes subtract tombstones with BROADCAST anti-joins on
+the corpus side of every per-segment scan (deletes are small, the
+anti-join adds no exchange and leaves bucket locality intact), so a
+probe after a delete is value-identical to a probe of an index
+rebuilt without those docs — that equivalence IS the oracle
+contract of the ``*_delete_probe`` queries. Tombstones are
+EPOCH-SCOPED: a tombstone committed at epoch T suppresses only
+segments older than T, so a doc deleted and later re-appended (a
+new segment > T) probes normally — delete-then-re-add ≡ never
+deleted (``dedup_index_delete_readd_probe``). The exact-dup member
+``fps`` carries ``(fp, doc_id)`` (doc-aware, spec v2) precisely so
+a delete can retract a fingerprint without suppressing OTHER docs
+that share the same text. Compaction folds tombstones away
+physically (per-segment tomb-filtered reads → one clean segment,
+empty tomb set); a delete that would push the live tomb count past
+``compact_after`` compacts inline instead of appending yet another
+tombstone table.
+
 Retention & pins: the manifest keeps a ``history`` of the segment
 sets of every RETAINED epoch — the current one, its predecessor
 (lazy plans resolved before a flip still execute against pure
@@ -138,18 +162,25 @@ def _read_manifest(spark: SparkSession, name: str) -> dict | None:
     # pre-LSM manifests (no segment list): one monolithic segment
     man.setdefault("segments", [man["epoch"]])
     man.setdefault("history", {str(man["epoch"]): man["segments"]})
+    # pre-tombstone manifests: no deletes in flight
+    man.setdefault("tombs", [])
+    man.setdefault("tomb_history", {e: [] for e in man["history"]})
     return man
 
 
 def _commit_manifest(spark: SparkSession, name: str, epoch: int,
                      spec: dict, segments: list[int],
-                     history: dict[str, list[int]]) -> None:
+                     history: dict[str, list[int]],
+                     tombs: list[int] | None = None,
+                     tomb_history: dict[str, list[int]] | None = None) -> None:
     """THE commit point: one atomic manifest replace (tmp + rename
     inside the FS adapter's ``write_text_atomic``). Everything before
     this is invisible to readers; everything after is the new segment
     set in full. ``history`` maps every RETAINED epoch (new, previous,
     pinned) to its segment set so epoch-pinned resolves survive later
-    refreshes."""
+    refreshes; ``tombs``/``tomb_history`` are the parallel structures
+    for tombstone epochs (defaults keep tomb-less callers — the
+    vector and BM25 indexes — source-compatible)."""
     from ..fs import fs_for
 
     p = _manifest_path(spark, name)
@@ -159,7 +190,9 @@ def _commit_manifest(spark: SparkSession, name: str, epoch: int,
         p,
         json.dumps(
             {"epoch": epoch, "spec": spec, "segments": segments,
-             "history": history},
+             "history": history, "tombs": list(tombs or []),
+             "tomb_history": tomb_history
+             or {e: [] for e in history}},
             sort_keys=True,
         ),
     )
@@ -250,6 +283,25 @@ def _retained_history(man: dict | None, new_epoch: int,
     return hist
 
 
+def _retained_tomb_history(man: dict | None, new_epoch: int,
+                           new_tombs: list[int],
+                           pins: dict[str, list[int]]) -> dict[str, list[int]]:
+    """The tombstone twin of :func:`_retained_history`: maps every
+    retained epoch to its tombstone-epoch list so an epoch-pinned
+    resolve replays the exact delete state its commit saw."""
+    hist: dict[str, list[int]] = {str(new_epoch): list(new_tombs)}
+    if man is not None:
+        old = man.get("tomb_history", {})
+        hist[str(man["epoch"])] = list(
+            old.get(str(man["epoch"]), man.get("tombs", []))
+        )
+        for eps in pins.values():
+            for e in eps:
+                if str(e) in old:
+                    hist[str(e)] = list(old[str(e)])
+    return hist
+
+
 def _keep_epochs(history: dict[str, list[int]]) -> set[int]:
     """Every member-table epoch any retained manifest epoch references."""
     keep: set[int] = set()
@@ -318,10 +370,29 @@ class _Resolved:
     handle's rows carry exactly ``set(segments)`` tags)."""
 
     def __init__(self, epoch: int, segments: list[int],
+                 tombs: list[tuple[int, BucketedTable]] | None = None,
                  **members: _Member) -> None:
         self.epoch = epoch
         self.segments = list(segments)
+        #: [(tomb_epoch, doc_id-bucketed tombstone table), …] — a
+        #: tombstone suppresses only segments OLDER than its epoch
+        #: (delete-then-re-add re-admits the doc's new segment rows)
+        self.tombs = list(tombs or [])
         self.__dict__.update(members)
+
+    def tomb_ids(self, spark: SparkSession,
+                 seg_epoch: int) -> DataFrame | None:
+        """doc_ids deleted AFTER segment ``seg_epoch`` was written —
+        the set a probe of that segment must anti-join away. None when
+        no tombstone applies (the zero-delete fast path keeps plans
+        unchanged)."""
+        apply = [t for (te, t) in self.tombs if te > seg_epoch]
+        if not apply:
+            return None
+        out = apply[0].read(spark).select("doc_id")
+        for t in apply[1:]:
+            out = out.unionByName(t.read(spark).select("doc_id"))
+        return out.distinct() if len(apply) > 1 else out
 
 
 @dataclass(frozen=True)
