@@ -212,7 +212,35 @@ def main() -> None:
         "queries": times,
         "sf": sf,
     }
-    print(json.dumps(payload))
+    # The driver's stdout capture keeps only a ~2 KB TAIL and parses
+    # the last JSON line it finds — a 215-query map is >10 KB, so the
+    # line's HEAD (including the opening brace) was cut and
+    # BENCH_r05/r06.json recorded "parsed": null (round-6 verdict
+    # task 4). The final stdout line is therefore COMPACT: totals +
+    # the BASELINE.md anchor queries only, guaranteed to fit in the
+    # tail window; the full per-query map lives in BENCH_SELF.json.
+    anchors = [
+        "pricing_summary", "revenue_by_customer", "merge_upsert_single",
+        "rollup_day", "rollup_month", "minhash_lsh_neardup",
+        "ngram_jaccard_neardup", "embedding_cosine_neardup",
+        "simhash_neardup", "embedding_ann_lsh", "embedding_topk",
+        "bm25_indexed_topk", "dedup_index_probe", "lsh_index_probe",
+        "ivf_index_ann_topk", "dedup_index_build",
+        "index_append_fixed_batch_small_base",
+        "index_append_fixed_batch_large_base",
+    ]
+    compact = {
+        "metric": payload["metric"],
+        "value": total,
+        "unit": "sec",
+        # a SPARK_GRAFT_ONLY debug subset is small — show every row
+        "queries": times if only else
+        {a: times[a] for a in anchors if a in times},
+        "sf": sf,
+        "n_queries": len(times),
+        "full": "BENCH_SELF.json",
+    }
+    print(json.dumps(compact))
     # Machine-readable artifact (round-5 verdict task 8): the driver's
     # recorded stdout tail truncates at 2 KB, so the per-query map was
     # only ever partially visible in BENCH_r{N}.json — BENCH_SELF.json

@@ -4883,11 +4883,14 @@ def bm25_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     some 10-token span — the positional-AND predicate of phrase-
     aware search. Statistics stay corpus-global (the predicate
     selects candidates, it does not re-define the collection); the
-    span test is a zero-shuffle scan-stage array lambda (an exists
-    over start positions, each an array_contains on a bounded
-    slice), replayed by the oracle with the identical list
-    comprehension — so the window boundary semantics (truncated
-    trailing spans included) are value-checked, not assumed."""
+    span test is a zero-shuffle SINGLE-PASS sliding aggregate over
+    the token array (last-seen position per term; hit iff
+    least(last) falls inside the span ending at the current token —
+    O(L·terms), no per-start slices). The oracle replays the
+    equivalent start-position/slice formulation, so the window
+    boundary semantics (truncated trailing spans included) are
+    value-checked across two independent formulations, not
+    assumed."""
     from ..operators.retrieval import bm25_topk_windowed
 
     return bm25_topk_windowed(

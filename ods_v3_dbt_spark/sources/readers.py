@@ -55,10 +55,23 @@ def window_predicate(spec: TableSpec, start: dt.datetime, end: dt.datetime) -> C
     return (c >= F.lit(start)) & (c < F.lit(end))
 
 
+def t_minus_window(now: dt.datetime, days: int = 1) -> tuple[dt.datetime, None]:
+    """The T-minus convenience window of ``tms_to_ods.py:127``: lower
+    bound at MIDNIGHT ``days`` days before ``now``, NO upper bound —
+    the reference formats ``(now - timedelta(days=1)).strftime('%Y-%m-
+    %d')`` and emits only ``cursor >= TO_DATE(yesterday)``. Pass the
+    pair straight to :func:`windowed_extract_sql` (``end=None``
+    suppresses the upper bound)."""
+    lo = (now - dt.timedelta(days=days)).replace(
+        hour=0, minute=0, second=0, microsecond=0
+    )
+    return lo, None
+
+
 def windowed_extract_sql(
     spec: TableSpec,
     start: dt.datetime,
-    end: dt.datetime,
+    end: dt.datetime | None,
     dialect: str = "ansi",
     src_schema: str | None = None,
     src_table: str | None = None,
@@ -70,26 +83,44 @@ def windowed_extract_sql(
     ``CONVERT(DATETIME, :s, 120)`` (``bccp_to_ods.py:199-200``); Oracle
     in ``TO_DATE(:s,'YYYY-MM-DD HH24:MI:SS')`` (``khl_to_ods.py:
     225-228``); int cursors compare raw yyyymmdd ints
-    (``casreport_to_ods.py:272-283``).
-    """
-    cols = ", ".join(spec.columns)
-    table = f"{src_schema or spec.schema_name}.{src_table or spec.name}"
+    (``casreport_to_ods.py:272-283``). ``oracle-quoted`` double-quotes
+    EVERY identifier — columns, schema, table, cursor — the way
+    ``tms_to_ods.py:119-134`` / ``casadmin_to_ods.py`` emit
+    ``SELECT "COL" FROM "SCHEMA"."TABLE" WHERE "CUR" >= …`` for
+    case-sensitive Oracle catalogs. ``end=None`` suppresses the upper
+    bound (the reference's T-1 windows are lower-bound-only — pair
+    with :func:`t_minus_window`)."""
+    quoted = dialect == "oracle-quoted"
+
+    def q(ident: str) -> str:
+        return f'"{ident}"' if quoted else ident
+
+    cols = ", ".join(q(c) for c in spec.columns)
+    schema_n = src_schema or spec.schema_name
+    table_n = src_table or spec.name
+    table = f"{q(schema_n)}.{q(table_n)}"
     base = f"SELECT {cols} FROM {table}"
     if spec.cursor_field is None:
         return base
-    cur = spec.cursor_field
+    cur = q(spec.cursor_field)
     if spec.cursor_is_int_day():
-        return f"{base} WHERE {cur} >= {_day_id(start)} AND {cur} < {_day_id(end)}"
-    s, e = start.strftime("%Y-%m-%d %H:%M:%S"), end.strftime("%Y-%m-%d %H:%M:%S")
-    if dialect == "mssql":
-        lo = f"CONVERT(DATETIME, '{s}', 120)"
-        hi = f"CONVERT(DATETIME, '{e}', 120)"
-    elif dialect == "oracle":
-        lo = f"TO_DATE('{s}', 'YYYY-MM-DD HH24:MI:SS')"
-        hi = f"TO_DATE('{e}', 'YYYY-MM-DD HH24:MI:SS')"
-    else:
-        lo, hi = f"TIMESTAMP '{s}'", f"TIMESTAMP '{e}'"
-    return f"{base} WHERE {cur} >= {lo} AND {cur} < {hi}"
+        pred = f"{cur} >= {_day_id(start)}"
+        if end is not None:
+            pred += f" AND {cur} < {_day_id(end)}"
+        return f"{base} WHERE {pred}"
+
+    def _lit(ts: dt.datetime) -> str:
+        s = ts.strftime("%Y-%m-%d %H:%M:%S")
+        if dialect == "mssql":
+            return f"CONVERT(DATETIME, '{s}', 120)"
+        if dialect in ("oracle", "oracle-quoted"):
+            return f"TO_DATE('{s}', 'YYYY-MM-DD HH24:MI:SS')"
+        return f"TIMESTAMP '{s}'"
+
+    pred = f"{cur} >= {_lit(start)}"
+    if end is not None:
+        pred += f" AND {cur} < {_lit(end)}"
+    return f"{base} WHERE {pred}"
 
 
 def jdbc_window_reader(

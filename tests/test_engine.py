@@ -101,6 +101,19 @@ def test_windowed_extract_sql_dialects():
     # S5: no cursor → unbounded
     dim = cat.get("d_row_item")
     assert "WHERE" not in windowed_extract_sql(dim, T0, T1)
+    # oracle-quoted: every identifier double-quoted + T-1 lower-bound-
+    # only window (tms_to_ods.py:119-134)
+    from ods_v3_dbt_spark.sources.readers import t_minus_window
+
+    lo, hi = t_minus_window(dt.datetime(2024, 9, 2, 14, 30))
+    assert lo == dt.datetime(2024, 9, 1) and hi is None
+    oq = windowed_extract_sql(khl, lo, hi, "oracle-quoted",
+                              src_schema="TMS", src_table="CONTRACT")
+    assert 'FROM "TMS"."CONTRACT"' in oq
+    assert f'"{khl.cursor_field}" >= TO_DATE(\'2024-09-01 00:00:00\'' in oq
+    assert "<" not in oq.split("WHERE")[1]  # no upper bound
+    for c in khl.columns:
+        assert f'"{c}"' in oq
 
 
 def test_window_predicate_halfopen(spark):
