@@ -156,6 +156,26 @@ def main() -> None:
             time.perf_counter() - t0, 3
         )
 
+        # Tombstone-delete pair (round 7): the SAME fixed-size delete
+        # set tombstoned out of the small-base and the ~19× larger
+        # index — O(batch) deletes should be ~equal (a rewrite-style
+        # delete would scale with the corpus).
+        from ods_v3_dbt_spark.operators.neardup_index import (
+            dedup_index_delete,
+        )
+
+        dels = d.filter(F.col("doc_id") % 40 == 1).select("doc_id")
+        t0 = time.perf_counter()
+        dedup_index_delete(idx_s, dels)
+        times["index_delete_fixed_batch_small_base"] = round(
+            time.perf_counter() - t0, 3
+        )
+        t0 = time.perf_counter()
+        dedup_index_delete(idx_l, dels)
+        times["index_delete_fixed_batch_large_base"] = round(
+            time.perf_counter() - t0, 3
+        )
+
         # Probe fan-out pair: the LSM trade is K bucket-local joins
         # per probe — price the probe at max fan-out (8 live
         # segments) and again after the explicit compaction folds
@@ -189,6 +209,22 @@ def main() -> None:
             "overwrite"
         ).save()
         times["index_probe_1_segment"] = round(time.perf_counter() - t0, 3)
+
+    # Delete-fixture pre-warm (untimed: their build+append cost
+    # duplicates the *_build/_append rows above, and the delete op is
+    # priced by the index_delete_fixed_batch_* pair) — the probe rows
+    # below then measure cache-warm tombstone-suppressed probes.
+    for qname, kind, readd in (
+        ("dedup_index_delete_probe", "exact", False),
+        ("dedup_index_delete_readd_probe", "exact", True),
+        ("lsh_index_delete_probe", "lsh", False),
+    ):
+        if qname in registry:
+            LQ._deleted_fixture_index(spark, sf_dir, kind=kind, readd=readd)
+    if "bm25_indexed_delete_topk" in registry:
+        LQ._bm25_deleted_fixture_index(spark, sf_dir)
+    if "ivf_index_delete_topk" in registry:
+        LQ._ivf_deleted_fixture_index(spark, sf_dir)
 
     for name, qd in registry.items():
         t0 = time.perf_counter()

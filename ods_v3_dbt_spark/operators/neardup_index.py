@@ -75,9 +75,9 @@ rewrite. The index is now a *log-structured* set of SEGMENTS:
   manifest commit — the amortized rewrite, scheduled instead of
   paid nightly.
 
-**TOMBSTONE DELETES (round-6 session 3).** Right-to-be-forgotten is
-the write the LSM shape was made for: a delete must land nightly at
-O(batch) cost, not rewrite a 100 TB index to drop a handful of docs.
+**TOMBSTONE DELETES (round 7).** Right-to-be-forgotten is the write
+the LSM shape was made for: a delete must land nightly at O(batch)
+cost, not rewrite a 100 TB index to drop a handful of docs.
 :func:`dedup_index_delete` / :func:`lsh_index_delete` write ONLY a
 small ``tomb`` member table (the deleted doc_ids, bucketed on
 doc_id) as a new epoch and commit ``tombs + [new]`` — segments are
@@ -91,13 +91,20 @@ EPOCH-SCOPED: a tombstone committed at epoch T suppresses only
 segments older than T, so a doc deleted and later re-appended (a
 new segment > T) probes normally — delete-then-re-add ≡ never
 deleted (``dedup_index_delete_readd_probe``). The exact-dup member
-``fps`` carries ``(fp, doc_id)`` (doc-aware, spec v2) precisely so
-a delete can retract a fingerprint without suppressing OTHER docs
-that share the same text. Compaction folds tombstones away
-physically (per-segment tomb-filtered reads → one clean segment,
-empty tomb set); a delete that would push the live tomb count past
-``compact_after`` compacts inline instead of appending yet another
-tombstone table.
+``fps`` carries ``(fp, doc_id)`` (doc-aware, recorded in the spec
+as ``fps: doc`` so a pre-doc-aware on-disk index refuses loudly at
+resolve instead of probing wrong) precisely so a delete can retract
+a fingerprint without suppressing OTHER docs that share the same
+text. Compaction folds tombstones away physically (per-segment
+tomb-filtered reads → one clean segment, empty tomb set); a delete
+that pushes the live tomb count to ``compact_after`` triggers that
+fold immediately after its own tomb commit, so the per-probe
+anti-join fan-out stays bounded. Tombstone member tables are
+retained exactly like segments: ``tomb_history`` in the manifest
+maps every retained epoch to the tombstone epochs its commit saw,
+the GC keep-set unions both maps, and every writer threads the live
+tomb list through its commit — an append can never silently clear
+a delete.
 
 Retention & pins: the manifest keeps a ``history`` of the segment
 sets of every RETAINED epoch — the current one, its predecessor
@@ -302,11 +309,19 @@ def _retained_tomb_history(man: dict | None, new_epoch: int,
     return hist
 
 
-def _keep_epochs(history: dict[str, list[int]]) -> set[int]:
-    """Every member-table epoch any retained manifest epoch references."""
+def _keep_epochs(history: dict[str, list[int]],
+                 tomb_history: dict[str, list[int]] | None = None) -> set[int]:
+    """Every member-table epoch any retained manifest epoch references
+    — segment epochs AND tombstone epochs (tomb tables are named
+    ``{name}__e{T}_tomb`` and match :func:`_gc_epochs`'s pattern, so
+    omitting them here would let the next writer's GC pass delete a
+    tombstone the manifest still references, silently resurrecting
+    deleted docs)."""
     keep: set[int] = set()
     for segs in history.values():
         keep.update(int(s) for s in segs)
+    for tombs in (tomb_history or {}).values():
+        keep.update(int(t) for t in tombs)
     return keep
 
 
@@ -426,6 +441,10 @@ class DedupIndex:
             "kind": "exact",
             "shingle_n": self.shingle_n,
             "num_buckets": self.num_buckets,
+            # doc-aware fps rows (fp, doc_id) — lets a delete retract
+            # a fingerprint per-doc; pre-doc-aware indexes mismatch
+            # loudly at resolve (rebuild is the migration)
+            "fps": "doc",
         }
 
     def resolve(self, spark: SparkSession,
@@ -481,7 +500,19 @@ class DedupIndex:
                     )
                 tables.append(t)
             members[part] = _Member(tables)
-        return _Resolved(epoch, segments, **members)
+        tombs: list[tuple[int, BucketedTable]] = []
+        for te in man.get("tomb_history", {}).get(str(epoch), []):
+            t = BucketedTable(
+                f"{self.name}__e{te}_tomb", ["doc_id"], self.num_buckets
+            )
+            if not t.attach(spark):
+                raise FileNotFoundError(
+                    f"index {self.name} epoch {epoch}: tombstone "
+                    f"{t.name} missing (manifest committed but member "
+                    "lost — rebuild the index)"
+                )
+            tombs.append((int(te), t))
+        return _Resolved(epoch, segments, tombs=tombs, **members)
 
     def exists(self, spark: SparkSession) -> bool:
         """True if a committed epoch fully resolves (attach-aware).
@@ -498,16 +529,51 @@ def _write_member(tbl: BucketedTable, df: DataFrame, epoch: int) -> None:
     tbl.write(df.withColumn(EPOCH_COL, F.lit(epoch)))
 
 
+def _seg_visible(cur: _Resolved, spark: SparkSession, table: BucketedTable,
+                 seg: int, id_col: str = "doc_id") -> DataFrame:
+    """One segment's member rows with that segment's applicable
+    tombstones anti-joined away (broadcast — deletes are small; the
+    zero-tomb fast path returns the bare bucketed scan so tomb-less
+    plans are unchanged)."""
+    df = table.read(spark)
+    tomb = cur.tomb_ids(spark, seg)
+    if tomb is not None:
+        if id_col != "doc_id":
+            tomb = tomb.withColumnRenamed("doc_id", id_col)
+        df = df.join(F.broadcast(tomb), id_col, "left_anti")
+    return df
+
+
+def _visible(cur: _Resolved, spark: SparkSession, part: str,
+             id_col: str = "doc_id") -> DataFrame:
+    """The union of one member's per-segment TOMB-FILTERED reads,
+    epoch column dropped — what compaction (and any fold) must read
+    so tombstones get folded away physically."""
+    dfs = [
+        _seg_visible(cur, spark, t, seg, id_col).drop(EPOCH_COL)
+        for t, seg in zip(getattr(cur, part).tables, cur.segments)
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 def _not_yet_indexed(new_docs: DataFrame, cur: _Resolved,
-                     spark: SparkSession) -> DataFrame:
+                     spark: SparkSession,
+                     member: str = "sizes",
+                     id_col: str = "doc_id") -> DataFrame:
     """Batch docs absent from EVERY live segment: a chain of
     per-segment anti-joins against the doc_id-bucketed sizes tables —
     each hop shuffles only the (shrinking) batch side; the corpus
-    scans stay bucket-local."""
+    scans stay bucket-local. Tombstoned docs count as ABSENT (their
+    member rows are suppressed), so a deleted doc re-appends cleanly
+    into a fresh segment — delete-then-re-add ≡ never deleted."""
     probe = new_docs
-    for t in cur.sizes.tables:
+    for t, seg in zip(getattr(cur, member).tables, cur.segments):
         probe = probe.join(
-            t.read(spark).select("doc_id"), "doc_id", "left_anti"
+            _seg_visible(cur, spark, t, seg, id_col).select(id_col),
+            id_col, "left_anti",
         )
     return probe
 
@@ -517,10 +583,14 @@ def _write_exact_members(idx: DedupIndex, epoch: int, docs: DataFrame,
     """Write one exact-index segment from ``docs``: fingerprint
     distinct + shingle explode off one scan; sizes derive from the
     just-written shingle table's bucketed read-back instead of a
-    second tokenize+explode."""
+    second tokenize+explode. fps rows are DOC-AWARE (fp, doc_id) so
+    a tombstone can retract one doc's fingerprint without
+    suppressing other docs that share the same text."""
     _write_member(
         idx._table("fps", epoch),
-        docs.select(T.fingerprint_md5(F.col("text")).alias("fp")).distinct(),
+        docs.select(
+            T.fingerprint_md5(F.col("text")).alias("fp"), "doc_id"
+        ).distinct(),
         epoch,
     )
     sh_tbl = idx._table("shingles", epoch)
@@ -561,16 +631,18 @@ def dedup_index_write(
         new = cur + 1
         pins = _read_pins(spark, name)
         hist = _retained_history(man, new, [new], pins)
+        tomb_hist = _retained_tomb_history(man, new, [], pins)
         # clear crashed-attempt orphans (anything no retained epoch
         # references — the new segment isn't written yet)
-        _gc_epochs(spark, name, _keep_epochs(hist) - {new})
+        _gc_epochs(spark, name, _keep_epochs(hist, tomb_hist) - {new})
         docs = corpus.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         )
         _write_exact_members(idx, new, docs, spark)
         lk.check()  # fencing: evicted writers must not flip
-        _commit_manifest(spark, name, new, idx.spec(), [new], hist)
-        _gc_epochs(spark, name, _keep_epochs(hist))
+        _commit_manifest(spark, name, new, idx.spec(), [new], hist,
+                         [], tomb_hist)
+        _gc_epochs(spark, name, _keep_epochs(hist, tomb_hist))
     return idx
 
 
@@ -622,18 +694,29 @@ def dedup_index_append(
         new_epoch = cur.epoch + 1
         compact = len(cur.segments) >= index.compact_after
         segments = [new_epoch] if compact else [*cur.segments, new_epoch]
+        # a fold reads tomb-FILTERED segments, so it carries no tombs
+        # forward; a delta append changes no segment rows, so the live
+        # tomb list rides along unchanged (dropping it would resurrect
+        # every deleted doc — ADVICE round 6)
+        tombs = [] if compact else [te for te, _ in cur.tombs]
         pins = _read_pins(spark, index.name)
         hist = _retained_history(man, new_epoch, segments, pins)
+        tomb_hist = _retained_tomb_history(man, new_epoch, tombs, pins)
         # clear any crashed attempt's orphans (nothing references them)
-        _gc_epochs(spark, index.name, _keep_epochs(hist) - {new_epoch})
+        _gc_epochs(spark, index.name,
+                   _keep_epochs(hist, tomb_hist) - {new_epoch})
         if compact:
             # fold: every live segment + the batch into ONE segment —
-            # the scheduled O(corpus) rewrite that keeps K bounded
+            # the scheduled O(corpus) rewrite that keeps K bounded and
+            # folds tombstones away physically
             _write_member(
                 index._table("fps", new_epoch),
-                cur.fps.read(spark).drop(EPOCH_COL)
+                _visible(cur, spark, "fps")
                 .unionByName(
-                    new_docs.select(T.fingerprint_md5(F.col("text")).alias("fp"))
+                    new_docs.select(
+                        T.fingerprint_md5(F.col("text")).alias("fp"),
+                        "doc_id",
+                    )
                 )
                 .distinct(),
                 new_epoch,
@@ -643,7 +726,7 @@ def dedup_index_append(
             ).select("doc_id", "sid")
             _write_member(
                 index._table("shingles", new_epoch),
-                cur.shingles.read(spark).drop(EPOCH_COL)
+                _visible(cur, spark, "shingles")
                 .unionByName(sh_new).distinct(),
                 new_epoch,
             )
@@ -659,8 +742,8 @@ def dedup_index_append(
             _write_exact_members(index, new_epoch, new_docs, spark)
         lk.check()  # fencing: evicted writers must not flip
         _commit_manifest(spark, index.name, new_epoch, index.spec(),
-                         segments, hist)
-        _gc_epochs(spark, index.name, _keep_epochs(hist))
+                         segments, hist, tombs, tomb_hist)
+        _gc_epochs(spark, index.name, _keep_epochs(hist, tomb_hist))
     return index
 
 
@@ -671,37 +754,117 @@ def dedup_index_compact(index: DedupIndex,
     O(corpus) rewrite off the nightly path (run it weekly while
     nightly appends stay O(batch)). Same manifest-commit atomicity;
     probes resolved before the fold keep reading the previous
-    (retained) epoch's segments. No-op if already one segment."""
+    (retained) epoch's segments. Tombstones fold away PHYSICALLY —
+    per-segment tomb-filtered reads land one clean segment and the
+    commit carries an empty tomb set. No-op if already one segment
+    with no live tombstones."""
     spark = spark or SparkSession.getActiveSession()
     with _index_lock(spark, index.name) as lk:
         man = _read_manifest(spark, index.name)
         cur = index.resolve(spark)
-        if len(cur.segments) <= 1:
+        if len(cur.segments) <= 1 and not cur.tombs:
             return index
         new_epoch = cur.epoch + 1
         pins = _read_pins(spark, index.name)
         hist = _retained_history(man, new_epoch, [new_epoch], pins)
-        _gc_epochs(spark, index.name, _keep_epochs(hist) - {new_epoch})
+        tomb_hist = _retained_tomb_history(man, new_epoch, [], pins)
+        _gc_epochs(spark, index.name,
+                   _keep_epochs(hist, tomb_hist) - {new_epoch})
         for part in index.PARTS:
-            df = getattr(cur, part).read(spark).drop(EPOCH_COL)
+            df = _visible(cur, spark, part)
             if part == "fps":
                 df = df.distinct()  # same text may recur across segments
             _write_member(index._table(part, new_epoch), df, new_epoch)
         lk.check()
         _commit_manifest(spark, index.name, new_epoch, index.spec(),
-                         [new_epoch], hist)
-        _gc_epochs(spark, index.name, _keep_epochs(hist))
+                         [new_epoch], hist, [], tomb_hist)
+        _gc_epochs(spark, index.name, _keep_epochs(hist, tomb_hist))
     return index
+
+
+def _tomb_delete(index, doc_ids: DataFrame, id_col: str,
+                 live_member: str, live_id: str = "doc_id",
+                 tomb_rows_fn=None, compact_fn=None):
+    """Shared tombstone-delete writer (module docstring) for every
+    index kind: restrict the requested ids to docs currently VISIBLE
+    in some live segment (idempotence — replaying a delete, or
+    deleting an unknown id, is a no-op), land them as ONE
+    doc_id-bucketed ``tomb`` member table under a new epoch, and
+    commit segments-unchanged + ``tombs + [new]``. I/O is O(delete
+    batch); segments are untouched. ``tomb_rows_fn(dead, cur,
+    spark)`` lets an index kind enrich the tomb rows with per-doc
+    stats its probes must subtract (the BM25 index stores each
+    suppressed doc's visible dl rows so collection stats correct
+    without a doclen scan at probe time). When the live tomb count
+    reaches ``compact_after``, ``compact_fn`` folds the index right
+    after the tomb commit — the same amortized-rewrite scheduling as
+    segment growth, keeping per-probe anti-join fan-out bounded."""
+    spark = doc_ids.sparkSession
+    overflow = False
+    with _index_lock(spark, index.name) as lk:
+        man = _read_manifest(spark, index.name)
+        cur = index.resolve(spark)
+        ids = doc_ids.select(F.col(id_col).alias("doc_id")).distinct()
+        parts = []
+        for t, seg in zip(getattr(cur, live_member).tables, cur.segments):
+            live = _seg_visible(cur, spark, t, seg, live_id).select(
+                F.col(live_id).alias("doc_id")
+            )
+            parts.append(ids.join(live, "doc_id", "left_semi"))
+        dead = parts[0]
+        for p in parts[1:]:
+            dead = dead.unionByName(p)
+        dead = dead.distinct().localCheckpoint()
+        if not dead.take(1):
+            return index
+        new_epoch = cur.epoch + 1
+        tombs = [te for te, _ in cur.tombs] + [new_epoch]
+        pins = _read_pins(spark, index.name)
+        hist = _retained_history(man, new_epoch, cur.segments, pins)
+        tomb_hist = _retained_tomb_history(man, new_epoch, tombs, pins)
+        _gc_epochs(spark, index.name,
+                   _keep_epochs(hist, tomb_hist) - {new_epoch})
+        rows = tomb_rows_fn(dead, cur, spark) if tomb_rows_fn else dead
+        _write_member(
+            BucketedTable(f"{index.name}__e{new_epoch}_tomb", ["doc_id"],
+                          index.num_buckets),
+            rows, new_epoch,
+        )
+        lk.check()
+        _commit_manifest(spark, index.name, new_epoch, index.spec(),
+                         cur.segments, hist, tombs, tomb_hist)
+        _gc_epochs(spark, index.name, _keep_epochs(hist, tomb_hist))
+        overflow = len(tombs) >= index.compact_after
+    if overflow and compact_fn is not None:
+        compact_fn(index, spark)
+    return index
+
+
+def dedup_index_delete(index: DedupIndex, doc_ids: DataFrame,
+                       id_col: str = "doc_id") -> DedupIndex:
+    """Tombstone-delete ``doc_ids`` from the exact dedup index —
+    O(batch), probes thereafter value-identical to an index rebuilt
+    without those docs (``dedup_index_delete_probe`` oracle). The
+    reference analog is M6 DELETE semantics
+    (dags/sql/casreport/update_des_table/casreport_rpt_full_item.sql:1-3)
+    applied to persisted index members instead of plain tables."""
+    return _tomb_delete(index, doc_ids, id_col, "sizes",
+                        compact_fn=dedup_index_compact)
 
 
 def _fp_hits(b: DataFrame, cur: _Resolved, spark: SparkSession) -> DataFrame:
     """Batch doc_ids whose fp exists in ANY live segment: per-segment
     left-semi joins (corpus side an in-place bucketed scan, only the
     batch shuffles), results unioned and de-duplicated (a doc can hit
-    in several segments when the same text recurs)."""
+    in several segments when the same text recurs). Tombstoned corpus
+    docs' fps are suppressed per segment (doc-aware fps rows), so a
+    deleted doc's text stops matching unless another live doc shares
+    it."""
     hits = [
-        b.join(t.read(spark), "fp", "left_semi").select("doc_id")
-        for t in cur.fps.tables
+        b.join(
+            _seg_visible(cur, spark, t, seg).select("fp"), "fp", "left_semi"
+        ).select("doc_id")
+        for t, seg in zip(cur.fps.tables, cur.segments)
     ]
     out = hits[0]
     for h in hits[1:]:
@@ -732,8 +895,9 @@ def _segment_df_hot(cur: _Resolved, spark: SparkSession, key_cols: list[str],
     shuffle carries one row per distinct key per segment, never the
     member tables themselves."""
     partials = [
-        t.read(spark).groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
-        for t in getattr(cur, part).tables
+        _seg_visible(cur, spark, t, seg)
+        .groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
+        for t, seg in zip(getattr(cur, part).tables, cur.segments)
     ]
     out = partials[0]
     for p in partials[1:]:
@@ -786,8 +950,11 @@ def _probe_shingles(
         hot = _segment_df_hot(cur, spark, ["sid"], "shingles", max_corpus_df)
         bsh = bsh.join(F.broadcast(hot), "sid", "left_anti")
     per_seg = []
-    for sh_t, sz_t in zip(cur.shingles.tables, cur.sizes.tables):
-        csh = sh_t.read(spark).select(F.col("doc_id").alias("corpus_id"), "sid")
+    for sh_t, sz_t, seg in zip(cur.shingles.tables, cur.sizes.tables,
+                               cur.segments):
+        csh = _seg_visible(cur, spark, sh_t, seg).select(
+            F.col("doc_id").alias("corpus_id"), "sid"
+        )
         if max_corpus_df is not None:
             csh = csh.join(F.broadcast(hot), "sid", "left_anti")
         inter = (
@@ -795,7 +962,7 @@ def _probe_shingles(
             .groupBy("doc_id", "corpus_id")
             .agg(F.count(F.lit(1)).alias("inter"))
         )
-        csizes = sz_t.read(spark).select(
+        csizes = _seg_visible(cur, spark, sz_t, seg).select(
             F.col("doc_id").alias("corpus_id"),
             F.col("n_shingles").alias("size_corpus"),
         )
@@ -856,6 +1023,7 @@ class LshIndex:
             "bands": self.bands,
             "num_buckets": self.num_buckets,
             "mode": self.mode,
+            "fps": "doc",  # see DedupIndex.spec
         }
 
     resolve = DedupIndex.resolve
@@ -872,7 +1040,9 @@ def _write_lsh_members(idx: LshIndex, epoch: int, docs: DataFrame,
 
     _write_member(
         idx._table("fps", epoch),
-        docs.select(T.fingerprint_md5(F.col("text")).alias("fp")).distinct(),
+        docs.select(
+            T.fingerprint_md5(F.col("text")).alias("fp"), "doc_id"
+        ).distinct(),
         epoch,
     )
     sh = _shingle_table(docs, "text", "doc_id", idx.shingle_n).persist()
@@ -920,14 +1090,16 @@ def lsh_index_write(
         new = cur + 1
         pins = _read_pins(spark, name)
         hist = _retained_history(man, new, [new], pins)
-        _gc_epochs(spark, name, _keep_epochs(hist) - {new})
+        tomb_hist = _retained_tomb_history(man, new, [], pins)
+        _gc_epochs(spark, name, _keep_epochs(hist, tomb_hist) - {new})
         docs = corpus.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         )
         _write_lsh_members(idx, new, docs, spark)
         lk.check()
-        _commit_manifest(spark, name, new, idx.spec(), [new], hist)
-        _gc_epochs(spark, name, _keep_epochs(hist))
+        _commit_manifest(spark, name, new, idx.spec(), [new], hist,
+                         [], tomb_hist)
+        _gc_epochs(spark, name, _keep_epochs(hist, tomb_hist))
     return idx
 
 
@@ -959,9 +1131,12 @@ def lsh_index_append(
         new_epoch = cur.epoch + 1
         compact = len(cur.segments) >= index.compact_after
         segments = [new_epoch] if compact else [*cur.segments, new_epoch]
+        tombs = [] if compact else [te for te, _ in cur.tombs]
         pins = _read_pins(spark, index.name)
         hist = _retained_history(man, new_epoch, segments, pins)
-        _gc_epochs(spark, index.name, _keep_epochs(hist) - {new_epoch})
+        tomb_hist = _retained_tomb_history(man, new_epoch, tombs, pins)
+        _gc_epochs(spark, index.name,
+                   _keep_epochs(hist, tomb_hist) - {new_epoch})
         if compact:
             from .dedup import lsh_band_table, minhash_signatures
 
@@ -970,16 +1145,19 @@ def lsh_index_append(
             ).localCheckpoint()
             _write_member(
                 index._table("fps", new_epoch),
-                cur.fps.read(spark).drop(EPOCH_COL)
+                _visible(cur, spark, "fps")
                 .unionByName(
-                    new_docs.select(T.fingerprint_md5(F.col("text")).alias("fp"))
+                    new_docs.select(
+                        T.fingerprint_md5(F.col("text")).alias("fp"),
+                        "doc_id",
+                    )
                 )
                 .distinct(),
                 new_epoch,
             )
             _write_member(
                 index._table("shingles", new_epoch),
-                cur.shingles.read(spark).drop(EPOCH_COL)
+                _visible(cur, spark, "shingles")
                 .unionByName(sh_new.select("doc_id", "sid"))
                 .distinct(),
                 new_epoch,
@@ -998,7 +1176,7 @@ def lsh_index_append(
             )
             _write_member(
                 index._table("band_tbl", new_epoch),
-                cur.band_tbl.read(spark).drop(EPOCH_COL)
+                _visible(cur, spark, "band_tbl")
                 .unionByName(bands_new).distinct(),
                 new_epoch,
             )
@@ -1006,8 +1184,8 @@ def lsh_index_append(
             _write_lsh_members(index, new_epoch, new_docs, spark)
         lk.check()
         _commit_manifest(spark, index.name, new_epoch, index.spec(),
-                         segments, hist)
-        _gc_epochs(spark, index.name, _keep_epochs(hist))
+                         segments, hist, tombs, tomb_hist)
+        _gc_epochs(spark, index.name, _keep_epochs(hist, tomb_hist))
     return index
 
 
@@ -1015,27 +1193,38 @@ def lsh_index_compact(index: LshIndex,
                       spark: SparkSession | None = None) -> LshIndex:
     """Fold all live LSH segments into ONE — see
     :func:`dedup_index_compact` (identical protocol; the band table
-    folds with the other members)."""
+    folds with the other members; tombstones fold away physically)."""
     spark = spark or SparkSession.getActiveSession()
     with _index_lock(spark, index.name) as lk:
         man = _read_manifest(spark, index.name)
         cur = index.resolve(spark)
-        if len(cur.segments) <= 1:
+        if len(cur.segments) <= 1 and not cur.tombs:
             return index
         new_epoch = cur.epoch + 1
         pins = _read_pins(spark, index.name)
         hist = _retained_history(man, new_epoch, [new_epoch], pins)
-        _gc_epochs(spark, index.name, _keep_epochs(hist) - {new_epoch})
+        tomb_hist = _retained_tomb_history(man, new_epoch, [], pins)
+        _gc_epochs(spark, index.name,
+                   _keep_epochs(hist, tomb_hist) - {new_epoch})
         for part in index.PARTS:
-            df = getattr(cur, part).read(spark).drop(EPOCH_COL)
+            df = _visible(cur, spark, part)
             if part == "fps":
                 df = df.distinct()
             _write_member(index._table(part, new_epoch), df, new_epoch)
         lk.check()
         _commit_manifest(spark, index.name, new_epoch, index.spec(),
-                         [new_epoch], hist)
-        _gc_epochs(spark, index.name, _keep_epochs(hist))
+                         [new_epoch], hist, [], tomb_hist)
+        _gc_epochs(spark, index.name, _keep_epochs(hist, tomb_hist))
     return index
+
+
+def lsh_index_delete(index: LshIndex, doc_ids: DataFrame,
+                     id_col: str = "doc_id") -> LshIndex:
+    """Tombstone-delete ``doc_ids`` from the LSH index — see
+    :func:`dedup_index_delete` (identical protocol; band-table rows
+    suppress via the same per-segment doc_id anti-joins)."""
+    return _tomb_delete(index, doc_ids, id_col, "sizes",
+                        compact_fn=lsh_index_compact)
 
 
 def lsh_index_probe(
@@ -1093,8 +1282,8 @@ def lsh_index_probe(
             cur, spark, ["band_idx", "band_key"], "band_tbl", max_bucket
         )
     cands = []
-    for b_t in cur.band_tbl.tables:
-        cbands = b_t.read(spark).select(
+    for b_t, seg in zip(cur.band_tbl.tables, cur.segments):
+        cbands = _seg_visible(cur, spark, b_t, seg).select(
             F.col("doc_id").alias("corpus_id"), "band_idx", "band_key"
         )
         if hot is not None:
@@ -1126,10 +1315,10 @@ def lsh_index_probe(
     )
     cid = cand.select("corpus_id").distinct()
     csh_parts = [
-        sh_t.read(spark)
+        _seg_visible(cur, spark, sh_t, seg)
         .select(F.col("doc_id").alias("corpus_id"), "sid")
         .join(_cand_side(cid), "corpus_id", "left_semi")
-        for sh_t in cur.shingles.tables
+        for sh_t, seg in zip(cur.shingles.tables, cur.segments)
     ]
     csh_r = csh_parts[0]
     for p in csh_parts[1:]:
@@ -1144,13 +1333,13 @@ def lsh_index_probe(
         F.count(F.lit(1)).alias("size_batch")
     )
     csz_parts = [
-        sz_t.read(spark)
+        _seg_visible(cur, spark, sz_t, seg)
         .select(
             F.col("doc_id").alias("corpus_id"),
             F.col("n_shingles").alias("size_corpus"),
         )
         .join(_cand_side(cid), "corpus_id", "left_semi")
-        for sz_t in cur.sizes.tables
+        for sz_t, seg in zip(cur.sizes.tables, cur.segments)
     ]
     csizes = csz_parts[0]
     for p in csz_parts[1:]:

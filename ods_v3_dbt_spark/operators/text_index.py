@@ -47,10 +47,13 @@ from .neardup_index import (
     _gc_epochs,
     _index_lock,
     _keep_epochs,
-    _not_yet_indexed,
     _read_manifest,
     _read_pins,
     _retained_history,
+    _retained_tomb_history,
+    _seg_visible,
+    _tomb_delete,
+    _visible,
     _write_member,
 )
 
@@ -148,11 +151,13 @@ def bm25_index_write(
         new = cur + 1
         pins = _read_pins(spark, name)
         hist = _retained_history(man, new, [new], pins)
-        _gc_epochs(spark, name, _keep_epochs(hist) - {new})
+        tomb_hist = _retained_tomb_history(man, new, [], pins)
+        _gc_epochs(spark, name, _keep_epochs(hist, tomb_hist) - {new})
         _write_bm25_members(idx, new, corpus, spark, text_col, id_col)
         lk.check()
-        _commit_manifest(spark, name, new, idx.spec(), [new], hist)
-        _gc_epochs(spark, name, _keep_epochs(hist))
+        _commit_manifest(spark, name, new, idx.spec(), [new], hist,
+                         [], tomb_hist)
+        _gc_epochs(spark, name, _keep_epochs(hist, tomb_hist))
     return idx
 
 
@@ -176,9 +181,10 @@ def bm25_index_append(
         probe = new_docs.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         )
-        for t in cur.doclen.tables:
+        for t, seg in zip(cur.doclen.tables, cur.segments):
             probe = probe.join(
-                t.read(spark).select("doc_id"), "doc_id", "left_anti"
+                _seg_visible(cur, spark, t, seg).select("doc_id"),
+                "doc_id", "left_anti",
             )
         new_docs = probe.localCheckpoint()
         if not new_docs.take(1):
@@ -186,9 +192,12 @@ def bm25_index_append(
         new_epoch = cur.epoch + 1
         compact = len(cur.segments) >= index.compact_after
         segments = [new_epoch] if compact else [*cur.segments, new_epoch]
+        tombs = [] if compact else [te for te, _ in cur.tombs]
         pins = _read_pins(spark, index.name)
         hist = _retained_history(man, new_epoch, segments, pins)
-        _gc_epochs(spark, index.name, _keep_epochs(hist) - {new_epoch})
+        tomb_hist = _retained_tomb_history(man, new_epoch, tombs, pins)
+        _gc_epochs(spark, index.name,
+                   _keep_epochs(hist, tomb_hist) - {new_epoch})
         if compact:
             tok = _tokenized(new_docs, "text", "doc_id")
             post_new = tok.groupBy("term", "doc_id").agg(
@@ -197,8 +206,7 @@ def bm25_index_append(
             post_tbl = index._table("postings", new_epoch)
             _write_member(
                 post_tbl,
-                cur.postings.read(spark).drop(EPOCH_COL)
-                .unionByName(post_new),
+                _visible(cur, spark, "postings").unionByName(post_new),
                 new_epoch,
             )
             _write_member(
@@ -216,7 +224,7 @@ def bm25_index_append(
             doclen_tbl = index._table("doclen", new_epoch)
             _write_member(
                 doclen_tbl,
-                cur.doclen.read(spark).drop(EPOCH_COL).unionByName(base),
+                _visible(cur, spark, "doclen").unionByName(base),
                 new_epoch,
             )
             _write_member(
@@ -232,8 +240,8 @@ def bm25_index_append(
                                 "text", "doc_id")
         lk.check()
         _commit_manifest(spark, index.name, new_epoch, index.spec(),
-                         segments, hist)
-        _gc_epochs(spark, index.name, _keep_epochs(hist))
+                         segments, hist, tombs, tomb_hist)
+        _gc_epochs(spark, index.name, _keep_epochs(hist, tomb_hist))
     return index
 
 
@@ -243,27 +251,47 @@ def _index_tf_df_stats(spark: SparkSession, index: Bm25Index,
     bucket-pruned per-segment posting/df scans unioned; per-segment
     df partials summed (docs are segment-disjoint); the ≤K stats
     rows summed into the collection totals. Shared by the single-
-    and multi-query probes."""
+    and multi-query probes.
+
+    TOMBSTONES: posting rows of deleted docs anti-join away per
+    segment. df then re-derives from the surviving tf rows — exact,
+    and free, because df(term) IS the posting-row count for the term
+    and the probe already reads every surviving row (the persisted
+    dfreq partials still count suppressed docs; they serve the
+    zero-tomb fast path unchanged). Collection stats subtract the
+    tomb tables' own (1 row per suppressed doclen row, dl carried —
+    written by ``bm25_index_delete``), so N and total_len correct
+    without any doclen scan: probe cost stays query-bound even with
+    deletes in flight."""
     cur = index.resolve(spark)
     tf = None
-    for t in cur.postings.tables:
+    for t, seg in zip(cur.postings.tables, cur.segments):
         part = (
-            t.read(spark)
+            _seg_visible(cur, spark, t, seg)
             .filter(F.col("term").isin(terms))
             .select("doc_id", "term", "tf", "dl")
         )
         tf = part if tf is None else tf.unionByName(part)
-    dfp = None
-    for t in cur.dfreq.tables:
-        part = t.read(spark).filter(F.col("term").isin(terms)).select(
-            "term", "df"
-        )
-        dfp = part if dfp is None else dfp.unionByName(part)
-    dfreq = dfp.groupBy("term").agg(F.sum("df").alias("df"))
+    if cur.tombs:
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    else:
+        dfp = None
+        for t in cur.dfreq.tables:
+            part = t.read(spark).filter(F.col("term").isin(terms)).select(
+                "term", "df"
+            )
+            dfp = part if dfp is None else dfp.unionByName(part)
+        dfreq = dfp.groupBy("term").agg(F.sum("df").alias("df"))
     sts = None
     for t in cur.stats.tables:
         part = t.read(spark).select("n_docs", "total_len")
         sts = part if sts is None else sts.unionByName(part)
+    for _te, tt in cur.tombs:
+        part = tt.read(spark).select(
+            F.lit(-1).cast("bigint").alias("n_docs"),
+            (-F.col("dl")).cast("bigint").alias("total_len"),
+        )
+        sts = sts.unionByName(part)
     stats = sts.agg(
         F.sum("n_docs").alias("n_docs"),
         F.sum("total_len").alias("total_len"),
@@ -409,23 +437,26 @@ def bm25_index_compact(index: Bm25Index,
     O(corpus) rewrite off the nightly path (the dedup index's
     ``dedup_index_compact`` discipline). Postings/doclen are
     doc-disjoint and concatenate; dfreq RE-AGGREGATES (per-segment
-    partials) and stats re-derive from the folded doclen. No-op if
-    already one segment."""
+    partials) and stats re-derive from the folded doclen; tombstones
+    fold away physically (tomb-filtered reads, empty tomb set).
+    No-op if already one segment with no live tombstones."""
     from pyspark.sql import SparkSession as _SS
 
     spark = spark or _SS.getActiveSession()
     with _index_lock(spark, index.name) as lk:
         man = _read_manifest(spark, index.name)
         cur = index.resolve(spark)
-        if len(cur.segments) <= 1:
+        if len(cur.segments) <= 1 and not cur.tombs:
             return index
         new_epoch = cur.epoch + 1
         pins = _read_pins(spark, index.name)
         hist = _retained_history(man, new_epoch, [new_epoch], pins)
-        _gc_epochs(spark, index.name, _keep_epochs(hist) - {new_epoch})
+        tomb_hist = _retained_tomb_history(man, new_epoch, [], pins)
+        _gc_epochs(spark, index.name,
+                   _keep_epochs(hist, tomb_hist) - {new_epoch})
         post_tbl = index._table("postings", new_epoch)
         _write_member(
-            post_tbl, cur.postings.read(spark).drop(EPOCH_COL), new_epoch
+            post_tbl, _visible(cur, spark, "postings"), new_epoch
         )
         _write_member(
             index._table("dfreq", new_epoch),
@@ -436,7 +467,7 @@ def bm25_index_compact(index: Bm25Index,
         )
         doclen_tbl = index._table("doclen", new_epoch)
         _write_member(
-            doclen_tbl, cur.doclen.read(spark).drop(EPOCH_COL), new_epoch
+            doclen_tbl, _visible(cur, spark, "doclen"), new_epoch
         )
         _write_member(
             index._table("stats", new_epoch),
@@ -448,6 +479,37 @@ def bm25_index_compact(index: Bm25Index,
         )
         lk.check()
         _commit_manifest(spark, index.name, new_epoch, index.spec(),
-                         [new_epoch], hist)
-        _gc_epochs(spark, index.name, _keep_epochs(hist))
+                         [new_epoch], hist, [], tomb_hist)
+        _gc_epochs(spark, index.name, _keep_epochs(hist, tomb_hist))
     return index
+
+
+def _bm25_tomb_rows(dead: DataFrame, cur, spark: SparkSession) -> DataFrame:
+    """Tomb rows for the BM25 kind: each deleted doc's VISIBLE doclen
+    rows (doc_id, dl) — one row per persisted doclen row the tombstone
+    suppresses, so the probe's stats correction is an exact aggregate
+    over the (tiny) tomb tables themselves."""
+    parts = []
+    for t, seg in zip(cur.doclen.tables, cur.segments):
+        vis = _seg_visible(cur, spark, t, seg).select("doc_id", "dl")
+        parts.append(vis.join(F.broadcast(dead), "doc_id", "left_semi"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def bm25_index_delete(index: Bm25Index, doc_ids: DataFrame,
+                      id_col: str = "doc_id") -> Bm25Index:
+    """Tombstone-delete ``doc_ids`` from the BM25 index — O(batch):
+    one small (doc_id, dl) tomb member lands as a new epoch; postings
+    stay untouched and probes anti-join the suppressed docs away,
+    re-deriving df from the surviving (already-read) posting rows and
+    correcting collection stats from the tomb rows' dl. Post-delete
+    ranking is value-identical to an index rebuilt without those docs
+    (``bm25_indexed_delete_topk`` oracle); compaction folds the
+    tombstones away physically. Reference analog: M6 DELETE semantics
+    (dags/sql/casreport/update_des_table/casreport_rpt_full_item.sql:1-3)."""
+    return _tomb_delete(index, doc_ids, id_col, "doclen",
+                        tomb_rows_fn=_bm25_tomb_rows,
+                        compact_fn=bm25_index_compact)

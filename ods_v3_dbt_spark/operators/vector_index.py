@@ -46,7 +46,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .neardup_index import (
-    EPOCH_COL,
     DedupIndex,
     _commit_manifest,
     _gc_epochs,
@@ -55,6 +54,10 @@ from .neardup_index import (
     _read_manifest,
     _read_pins,
     _retained_history,
+    _retained_tomb_history,
+    _seg_visible,
+    _tomb_delete,
+    _visible,
     _write_member,
 )
 from .similarity import _int_matrix_sql, _l2q_cells, _l2q_dist2, quantize_embedding
@@ -137,7 +140,8 @@ def ivf_index_write(
         new = cur + 1
         pins = _read_pins(spark, name)
         hist = _retained_history(man, new, [new], pins)
-        _gc_epochs(spark, name, _keep_epochs(hist) - {new})
+        tomb_hist = _retained_tomb_history(man, new, [], pins)
+        _gc_epochs(spark, name, _keep_epochs(hist, tomb_hist) - {new})
         asg, _ref_lit, cents = _l2q_cells(c, num_cells)
         _write_member(
             idx._table("centroids", new), _centroid_df(spark, cents), new
@@ -148,8 +152,9 @@ def ivf_index_write(
             new,
         )
         lk.check()
-        _commit_manifest(spark, name, new, idx.spec(), [new], hist)
-        _gc_epochs(spark, name, _keep_epochs(hist))
+        _commit_manifest(spark, name, new, idx.spec(), [new], hist,
+                         [], tomb_hist)
+        _gc_epochs(spark, name, _keep_epochs(hist, tomb_hist))
     return idx
 
 
@@ -170,9 +175,10 @@ def ivf_index_append(
         man = _read_manifest(spark, index.name)
         cur = index.resolve(spark)
         probe = _quantized(new_vectors, vec_col, id_col)
-        for t in cur.assign.tables:
+        for t, seg in zip(cur.assign.tables, cur.segments):
             probe = probe.join(
-                t.read(spark).select("vid"), "vid", "left_anti"
+                _seg_visible(cur, spark, t, seg, "vid").select("vid"),
+                "vid", "left_anti",
             )
         batch = probe.localCheckpoint()
         if not batch.take(1):
@@ -180,9 +186,12 @@ def ivf_index_append(
         new_epoch = cur.epoch + 1
         compact = len(cur.segments) >= index.compact_after
         segments = [new_epoch] if compact else [*cur.segments, new_epoch]
+        tombs = [] if compact else [te for te, _ in cur.tombs]
         pins = _read_pins(spark, index.name)
         hist = _retained_history(man, new_epoch, segments, pins)
-        _gc_epochs(spark, index.name, _keep_epochs(hist) - {new_epoch})
+        tomb_hist = _retained_tomb_history(man, new_epoch, tombs, pins)
+        _gc_epochs(spark, index.name,
+                   _keep_epochs(hist, tomb_hist) - {new_epoch})
         cents = _read_centroids(spark, cur)
         ref_lit = F.expr(_int_matrix_sql(cents))
         asg_new = batch.select(
@@ -195,8 +204,7 @@ def ivf_index_append(
         )
         if compact:
             asg_new = (
-                cur.assign.read(spark)
-                .drop(EPOCH_COL)
+                _visible(cur, spark, "assign", "vid")
                 .select("vid", "v", F.col("cell").cast("int").alias("cell"))
                 .unionByName(asg_new)
             )
@@ -208,9 +216,10 @@ def ivf_index_append(
         )
         lk.check()
         _commit_manifest(
-            spark, index.name, new_epoch, index.spec(), segments, hist
+            spark, index.name, new_epoch, index.spec(), segments, hist,
+            tombs, tomb_hist,
         )
-        _gc_epochs(spark, index.name, _keep_epochs(hist))
+        _gc_epochs(spark, index.name, _keep_epochs(hist, tomb_hist))
     return index
 
 
@@ -251,9 +260,14 @@ def ivf_index_topk(
     probed_cells = sorted(
         r.cell for r in probes.select("cell").distinct().collect()
     )
-    lists = cur.assign.read(spark).filter(
-        F.col("cell").isin(probed_cells)
-    )
+    seg_lists = [
+        _seg_visible(cur, spark, t, seg, "vid")
+        .filter(F.col("cell").isin(probed_cells))
+        for t, seg in zip(cur.assign.tables, cur.segments)
+    ]
+    lists = seg_lists[0]
+    for sl in seg_lists[1:]:
+        lists = lists.unionByName(sl)
     scored = lists.join(F.broadcast(probes), "cell").select(
         "query_id",
         F.col("vid").alias("neighbor_id"),
@@ -279,21 +293,23 @@ def ivf_index_compact(index: IvfIndex,
     form of the append-time fold (``dedup_index_compact``'s
     discipline applied to the IVF kind). Lists are vid-disjoint, so
     compaction is a plain union; centroids copy unchanged (they are
-    frozen). No-op if already one segment."""
+    frozen); tombstoned vids fold away physically. No-op if already
+    one segment with no live tombstones."""
     spark = spark or SparkSession.getActiveSession()
     with _index_lock(spark, index.name) as lk:
         man = _read_manifest(spark, index.name)
         cur = index.resolve(spark)
-        if len(cur.segments) <= 1:
+        if len(cur.segments) <= 1 and not cur.tombs:
             return index
         new_epoch = cur.epoch + 1
         pins = _read_pins(spark, index.name)
         hist = _retained_history(man, new_epoch, [new_epoch], pins)
-        _gc_epochs(spark, index.name, _keep_epochs(hist) - {new_epoch})
+        tomb_hist = _retained_tomb_history(man, new_epoch, [], pins)
+        _gc_epochs(spark, index.name,
+                   _keep_epochs(hist, tomb_hist) - {new_epoch})
         _write_member(
             index._table("assign", new_epoch),
-            cur.assign.read(spark)
-            .drop(EPOCH_COL)
+            _visible(cur, spark, "assign", "vid")
             .select("vid", "v", F.col("cell").cast("int").alias("cell")),
             new_epoch,
         )
@@ -304,6 +320,19 @@ def ivf_index_compact(index: IvfIndex,
         )
         lk.check()
         _commit_manifest(spark, index.name, new_epoch, index.spec(),
-                         [new_epoch], hist)
-        _gc_epochs(spark, index.name, _keep_epochs(hist))
+                         [new_epoch], hist, [], tomb_hist)
+        _gc_epochs(spark, index.name, _keep_epochs(hist, tomb_hist))
     return index
+
+
+def ivf_index_delete(index: IvfIndex, vec_ids: DataFrame,
+                     id_col: str = "vec_id") -> IvfIndex:
+    """Tombstone-delete ``vec_ids`` from the IVF index — O(batch):
+    one small tomb member lands as a new epoch; inverted lists stay
+    untouched and probes anti-join the suppressed vids away per
+    segment, so post-delete top-k is value-identical to an index
+    whose lists never held those vectors (same frozen centroids —
+    the ``ivf_index_delete_topk`` oracle replays exactly that).
+    Compaction folds tombstones away physically."""
+    return _tomb_delete(index, vec_ids, id_col, "assign", "vid",
+                        compact_fn=ivf_index_compact)

@@ -1201,7 +1201,8 @@ def incremental_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFram
 _IDX_CACHE: dict = {}
 
 #: fixture-index semantic version (see _fixture_index)
-_IDXV = "v1"
+#: v2: doc-aware fps rows (tombstone deletes) — spec change
+_IDXV = "v2"
 
 
 def _fixture_slug(sf_dir: str) -> str:
@@ -1665,6 +1666,198 @@ def lsh_index_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = _appended_fixture_index(spark, sf_dir, kind="lsh")
     return probe(batch, idx, threshold_ppm=500_000)
+
+
+# ---------------------------------------------------------------------------
+# Round 7: tombstone deletes — right-to-be-forgotten across the
+# persisted indexes (operators/neardup_index.py `*_delete`)
+# ---------------------------------------------------------------------------
+
+def _deleted_fixture_index(spark: SparkSession, sf_dir: str,
+                           kind: str = "exact", readd: bool = False):
+    """The delete-probe fixture: build the base slice, TOMBSTONE-
+    DELETE the base docs with ``doc_id % 10 = 2`` (an O(batch) tomb
+    member commit — segments untouched), then APPEND the delta slice
+    — so the oracle row also proves the tombstone survives a later
+    writer's two GC passes and its commit threading (the round-6
+    ADVICE hazards). With ``readd`` the deleted docs are appended
+    back afterwards: delete-then-re-add ≡ never deleted, checked by
+    replaying the FULL-corpus oracle. Fresh sessions rebuild the
+    whole sequence (write→delete→append is deterministic and lands
+    terminal state); within a session the cache makes repeats free."""
+    from ..operators.neardup_index import (
+        dedup_index_append,
+        dedup_index_delete,
+        dedup_index_write,
+        lsh_index_append,
+        lsh_index_delete,
+        lsh_index_write,
+    )
+
+    tag = "delre" if readd else "del"
+    name = f"{tag}_{kind}_idx_{_IDXV}_{_fixture_slug(sf_dir)}"
+    key = (id(spark.sparkContext), name)
+    idx = _IDX_CACHE.get(key)
+    if idx is not None and idx.exists(spark):
+        return idx
+    base, delta = _appended_fixture_parts(spark, sf_dir)
+    dels = base.filter(F.col("doc_id") % 10 == 2).select("doc_id")
+    if kind == "lsh":
+        idx = lsh_index_write(base, name, num_buckets=8, mode="md5")
+        lsh_index_delete(idx, dels)
+        lsh_index_append(idx, delta)
+        if readd:
+            lsh_index_append(idx, base.join(dels, "doc_id", "left_semi"))
+    else:
+        idx = dedup_index_write(base, name, num_buckets=8)
+        dedup_index_delete(idx, dels)
+        dedup_index_append(idx, delta)
+        if readd:
+            dedup_index_append(idx, base.join(dels, "doc_id", "left_semi"))
+    _IDX_CACHE[key] = idx
+    return idx
+
+
+def _delete_probe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The append-probe batch (new docs + planted near-dups of both
+    slices) — near-dups planted off DELETED docs must stop matching
+    their tombstoned source while everything else is untouched."""
+    d = load(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 3 == 1).select("doc_id", "text")
+    delta = d.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text")
+    suffix = F.concat(F.col("text"), F.lit(" extra marker token"))
+    return (
+        d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+        .unionByName(
+            base.filter(F.col("doc_id") % 5 == 2).select(
+                (F.col("doc_id") + 40000).alias("doc_id"), suffix.alias("text")
+            )
+        )
+        .unionByName(
+            delta.filter(F.col("doc_id") % 5 == 3).select(
+                (F.col("doc_id") + 50000).alias("doc_id"), suffix.alias("text")
+            )
+        )
+    )
+
+
+#: the delete-probe oracle corpus: both slices MINUS the tombstoned
+#: base docs (doc_id % 10 = 2 — half the base-planted near-dup
+#: sources, so the delete visibly removes pairs); batch unchanged
+_DELETE_HEAD = """corpus AS (
+      SELECT doc_id, text FROM documents
+      WHERE (doc_id % 3 = 1 AND NOT doc_id % 10 = 2) OR doc_id % 3 = 2),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 40000, text || ' extra marker token'
+      FROM documents WHERE doc_id % 3 = 1 AND doc_id % 5 = 2
+      UNION ALL
+      SELECT doc_id + 50000, text || ' extra marker token'
+      FROM documents WHERE doc_id % 3 = 2 AND doc_id % 5 = 3)"""
+
+
+def _exact_probe_sql(head_cte: str, threshold_ppm: int = 500_000) -> str:
+    """The exact shingle-Jaccard probe oracle (dedup_index_probe's
+    CTE chain) parameterized over the corpus/batch head — shared by
+    the delete and delete-re-add rows."""
+    return f"""
+    WITH {head_cte},
+    cw AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM corpus),
+    csh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+            FROM cw)),
+    bw AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM batch),
+    bsh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+            FROM bw)),
+    inter AS (
+      SELECT b.doc_id, c.doc_id AS corpus_id, COUNT(1) AS i
+      FROM bsh b JOIN csh c ON b.shingle = c.shingle
+      GROUP BY 1, 2),
+    bsz AS (SELECT doc_id, COUNT(1) AS n FROM bsh GROUP BY doc_id),
+    csz AS (SELECT doc_id, COUNT(1) AS n FROM csh GROUP BY doc_id)
+    SELECT i.doc_id, i.corpus_id,
+           CAST(ROUND(i.i * 1000000.0 / (b.n + c.n - i.i)) AS BIGINT)
+             AS jacc_ppm
+    FROM inter i
+    JOIN bsz b ON b.doc_id = i.doc_id
+    JOIN csz c ON c.doc_id = i.corpus_id
+    WHERE CAST(ROUND(i.i * 1000000.0 / (b.n + c.n - i.i)) AS BIGINT)
+          >= {threshold_ppm}
+    """
+
+
+@register("dedup_index_delete_probe", _exact_probe_sql(_DELETE_HEAD))
+def dedup_index_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten through the persisted dedup index,
+    HASH-VERIFIED (operators/neardup_index.py::dedup_index_delete):
+    the base slice is indexed, the docs with ``doc_id % 10 = 2`` are
+    TOMBSTONE-deleted (one O(batch) doc_id-bucketed tomb member + a
+    manifest commit — no segment rewrite), and the delta slice is
+    appended AFTERWARDS (its GC passes must keep the live tombstone;
+    its commit must thread the tomb list forward). The oracle
+    recomputes the probe from the REDUCED corpus, so what is
+    value-checked is the delete contract end to end: a post-delete
+    probe is value-identical to probing an index rebuilt without the
+    deleted docs — every suppressed pair gone, every surviving pair
+    at the exact same ppm. Reference anchor: M6 DELETE semantics
+    (dags/sql/casreport/update_des_table/casreport_rpt_full_item.sql:1-3)
+    applied to index members."""
+    from ..operators.neardup_index import neardup_probe
+
+    idx = _deleted_fixture_index(spark, sf_dir, kind="exact")
+    return neardup_probe(
+        _delete_probe_batch(spark, sf_dir), idx, threshold_ppm=500_000
+    )
+
+
+@register(
+    "dedup_index_delete_readd_probe",
+    _exact_probe_sql(_LSH_APPEND_HEAD),
+)
+def dedup_index_delete_readd_probe(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Delete-then-re-add ≡ never deleted, hash-verified: the same
+    fixture as ``dedup_index_delete_probe`` re-appends the deleted
+    docs after the delete (they land in a NEW segment the epoch-
+    scoped tombstone predates), and the oracle replays the probe
+    from the FULL corpus — bit-equality proves tombstones suppress
+    per (segment, epoch), not per doc_id forever, so an opt-out
+    followed by a re-opt-in needs no index surgery."""
+    from ..operators.neardup_index import neardup_probe
+
+    idx = _deleted_fixture_index(spark, sf_dir, kind="exact", readd=True)
+    return neardup_probe(
+        _delete_probe_batch(spark, sf_dir), idx, threshold_ppm=500_000
+    )
+
+
+@register(
+    "lsh_index_delete_probe",
+    _lsh_probe_sql(16, 4, 500_000, head_cte=_DELETE_HEAD),
+)
+def lsh_index_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH flavor of ``dedup_index_delete_probe``: band-table
+    rows of tombstoned docs anti-join away per segment before the
+    candidate join, and the verify stage's shingle/size reads
+    suppress the same docs — the oracle signs and bands the REDUCED
+    corpus from first principles, so deleted docs can neither
+    surface as candidates nor contribute verify mass."""
+    from ..operators.neardup_index import lsh_index_probe as probe
+
+    idx = _deleted_fixture_index(spark, sf_dir, kind="lsh")
+    return probe(
+        _delete_probe_batch(spark, sf_dir), idx, threshold_ppm=500_000
+    )
 
 
 #: SemDeDup oracle: the IVF assignment CTE chain over a corpus with
@@ -4642,11 +4835,15 @@ def bm25_multiquery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return op(load(spark, sf_dir, "documents"), q, k=5)
 
 
-def _bm25_scan_sql(terms: tuple[str, ...], k: int) -> str:
+def _bm25_scan_sql(terms: tuple[str, ...], k: int,
+                   corpus_pred: str = "TRUE") -> str:
     """The scan-path BM25 oracle (the ``_BM25_SQL`` evaluation tree)
     parameterized over the term set — shared by the indexed-BM25 row,
     whose Spark side reads the PERSISTED inverted index: the oracle
-    recomputing from raw text is exactly what proves indexed ≡ scan."""
+    recomputing from raw text is exactly what proves indexed ≡ scan.
+    ``corpus_pred`` restricts the oracle's corpus — the delete row
+    ranks over "documents minus the taken-down set", which is exactly
+    the rebuilt-without-them index a tombstone probe must equal."""
     ts = sorted(terms)
     in_list = ", ".join(f"'{t}'" for t in ts)
     fold = "0.0"
@@ -4656,7 +4853,7 @@ def _bm25_scan_sql(terms: tuple[str, ...], k: int) -> str:
     return f"""
     WITH tok AS (
       SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
-      FROM documents),
+      FROM documents WHERE {corpus_pred}),
     dl AS (SELECT doc_id, COUNT(1) AS dl FROM tok GROUP BY doc_id),
     stats AS (SELECT COUNT(1) AS n_docs, SUM(dl) AS total_len FROM dl),
     tf AS (
@@ -4738,6 +4935,57 @@ def bm25_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text_index import bm25_index_topk
 
     idx = _bm25_fixture_index(spark, sf_dir)
+    return bm25_index_topk(spark, idx, list(_BM25_IDX_TERMS), k=10)
+
+
+def _bm25_deleted_fixture_index(spark: SparkSession, sf_dir: str):
+    """build(3/4) → append(1/4) → tombstone-delete ``doc_id % 9 = 3``:
+    the delete lands one (doc_id, dl) tomb member — postings, df
+    partials, and stats rows stay untouched on disk, and the probe
+    must correct all three."""
+    from ..operators.text_index import (
+        bm25_index_append,
+        bm25_index_delete,
+        bm25_index_write,
+    )
+
+    name = f"delbm_idx_{_IDXV}_{_fixture_slug(sf_dir)}"
+    key = (id(spark.sparkContext), name)
+    idx = _IDX_CACHE.get(key)
+    if idx is not None and idx.exists(spark):
+        return idx
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = bm25_index_write(
+        d.filter(F.col("doc_id") % 4 != 0), name, num_buckets=8
+    )
+    bm25_index_append(idx, d.filter(F.col("doc_id") % 4 == 0))
+    bm25_index_delete(
+        idx, d.filter(F.col("doc_id") % 9 == 3).select("doc_id")
+    )
+    _IDX_CACHE[key] = idx
+    return idx
+
+
+@register(
+    "bm25_indexed_delete_topk",
+    _bm25_scan_sql(_BM25_IDX_TERMS, 10, corpus_pred="NOT doc_id % 9 = 3"),
+)
+def bm25_indexed_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten through the persisted BM25 index,
+    HASH-VERIFIED (operators/text_index.py::bm25_index_delete): docs
+    with ``doc_id % 9 = 3`` are tombstone-deleted (one O(batch)
+    (doc_id, dl) tomb member — no posting rewrite) and top-10 is
+    probed again. Ranking-function correctness is the hard part: a
+    deleted doc changes every OTHER doc's score through df, N, and
+    avgdl, so suppressing its posting rows alone would rank wrong.
+    The probe re-derives df from the surviving (already-read,
+    bucket-pruned) posting rows and corrects the collection stats
+    from the tomb rows' dl — and the oracle, ranking the REDUCED
+    corpus from raw text, proves the result equals an index that
+    never held those docs, score-for-score in exact micro units."""
+    from ..operators.text_index import bm25_index_topk
+
+    idx = _bm25_deleted_fixture_index(spark, sf_dir)
     return bm25_index_topk(spark, idx, list(_BM25_IDX_TERMS), k=10)
 
 
@@ -5656,11 +5904,15 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 6: persisted IVF index — ANN joins the indexed-maintenance family
 # ---------------------------------------------------------------------------
 
-def _ivf_idx_sql(query_pred: str, k: int) -> str:
+def _ivf_idx_sql(query_pred: str, k: int,
+                 corpus_pred: str = "TRUE") -> str:
     """The persisted-IVF oracle (full seed/Lloyd/assign/probe replay
     with the vec_id % 4 ≠ 0 train slice) parameterized over the
     query predicate and k — shared by the ANN row and the indexed
-    hybrid-fusion row, whose dense channel is this same pipeline."""
+    hybrid-fusion row, whose dense channel is this same pipeline.
+    ``corpus_pred`` restricts only the ASSIGNED corpus (the delete
+    row): centroids stay trained on the full pre-delete slice —
+    exactly the frozen-centroid semantics of a tombstone delete."""
     return f"""
     WITH base AS (
       SELECT vec_id,
@@ -5671,6 +5923,7 @@ def _ivf_idx_sql(query_pred: str, k: int) -> str:
     q AS (SELECT * FROM base WHERE {query_pred}),
     c AS (SELECT * FROM base WHERE vec_id >= 10),
     cb AS (SELECT * FROM c WHERE vec_id % 4 <> 0),
+    cv AS (SELECT * FROM c WHERE {corpus_pred}),
     seeds AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v
       FROM (SELECT vec_id, v FROM cb ORDER BY vec_id LIMIT 8)),
@@ -5694,10 +5947,10 @@ def _ivf_idx_sql(query_pred: str, k: int) -> str:
       SELECT s.cell, COALESCE(ml.v, s.v) AS v
       FROM seeds s LEFT JOIN mlist ml ON ml.cell = s.cell),
     d2c AS (
-      SELECT c.vec_id, r.cell,
+      SELECT cv.vec_id, r.cell,
              list_sum(list_transform(range(1, 65),
-               i -> (c.v[i]-r.v[i])*(c.v[i]-r.v[i]))) AS d2
-      FROM c CROSS JOIN refined r),
+               i -> (cv.v[i]-r.v[i])*(cv.v[i]-r.v[i]))) AS d2
+      FROM cv CROSS JOIN refined r),
     asg AS (
       SELECT vec_id AS neighbor_id, cell FROM (
         SELECT vec_id, cell,
@@ -5719,7 +5972,7 @@ def _ivf_idx_sql(query_pred: str, k: int) -> str:
                i -> (qq.v[i]-cc.v[i])*(qq.v[i]-cc.v[i]))) AS d2
       FROM probes p JOIN asg a USING (cell)
       JOIN q qq ON qq.vec_id = p.query_id
-      JOIN c cc ON cc.vec_id = a.neighbor_id),
+      JOIN cv cc ON cc.vec_id = a.neighbor_id),
     ranked AS (
       SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
@@ -5781,6 +6034,57 @@ def ivf_index_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.vector_index import ivf_index_topk
 
     idx = _ivf_fixture_index(spark, sf_dir)
+    q = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return ivf_index_topk(spark, idx, q, k=5, nprobe=3)
+
+
+def _ivf_deleted_fixture_index(spark: SparkSession, sf_dir: str):
+    """build(3/4 train) → append(1/4) → tombstone-delete
+    ``vec_id % 9 = 4``: the inverted lists stay untouched, the
+    centroids stay FROZEN (classic IVF — a delete never re-trains)."""
+    from ..operators.vector_index import (
+        IvfIndex,
+        ivf_index_append,
+        ivf_index_delete,
+        ivf_index_write,
+    )
+
+    name = f"delivf_idx_{_IDXV}_{_fixture_slug(sf_dir)}"
+    key = (id(spark.sparkContext), name)
+    idx = _IDX_CACHE.get(key)
+    if idx is not None and idx.exists(spark):
+        return idx
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= 10)
+    idx = ivf_index_write(
+        emb.filter(F.col("vec_id") % 4 != 0), name,
+        num_cells=8, num_buckets=8,
+    )
+    ivf_index_append(idx, emb.filter(F.col("vec_id") % 4 == 0))
+    ivf_index_delete(
+        idx, emb.filter(F.col("vec_id") % 9 == 4).select("vec_id")
+    )
+    _IDX_CACHE[key] = idx
+    return idx
+
+
+@register(
+    "ivf_index_delete_topk",
+    _ivf_idx_sql("vec_id < 10", 5, corpus_pred="NOT vec_id % 9 = 4"),
+)
+def ivf_index_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten through the persisted IVF index,
+    HASH-VERIFIED (operators/vector_index.py::ivf_index_delete):
+    vectors with ``vec_id % 9 = 4`` are tombstone-deleted (one
+    O(batch) tomb member — inverted lists untouched, centroids
+    FROZEN) and ANN top-5 is probed again. The oracle re-runs the
+    full integer pipeline with centroids trained on the ORIGINAL
+    slice but only the reduced corpus assigned — exactly the state a
+    tombstone encodes — so deleted vectors can never surface as
+    neighbors and every surviving neighbor keeps its exact distance
+    and deterministic tie-break rank."""
+    from ..operators.vector_index import ivf_index_topk
+
+    idx = _ivf_deleted_fixture_index(spark, sf_dir)
     q = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
     return ivf_index_topk(spark, idx, q, k=5, nprobe=3)
 

@@ -1,0 +1,263 @@
+"""Tombstone-delete semantics for the persisted indexes (dedup, LSH,
+BM25, IVF) — the right-to-be-forgotten contract the oracle rows
+(`*_delete_probe`, `bm25_indexed_delete_topk`, `ivf_index_delete_topk`)
+hash-verify, plus the invariants SQL can't express: GC safety of
+tombstone member tables across later writers, pinned-epoch replay of
+delete state, replay idempotence, and physical fold at compaction.
+
+Reference anchor: M6 DELETE semantics
+(dags/sql/casreport/update_des_table/casreport_rpt_full_item.sql:1-3)
+applied to persisted index members instead of plain tables.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ods_v3_dbt_spark.operators.neardup_index import (
+    DedupIndex,
+    dedup_index_append,
+    dedup_index_compact,
+    dedup_index_delete,
+    dedup_index_write,
+    exact_probe,
+    lsh_index_delete,
+    lsh_index_probe,
+    lsh_index_write,
+    neardup_probe,
+    set_index_pin,
+)
+from ods_v3_dbt_spark.operators.text_index import (
+    bm25_index_delete,
+    bm25_index_topk,
+    bm25_index_write,
+)
+from ods_v3_dbt_spark.operators.vector_index import (
+    ivf_index_append,
+    ivf_index_delete,
+    ivf_index_topk,
+    ivf_index_write,
+)
+
+
+def _docs(spark, n=30):
+    return spark.createDataFrame(
+        [
+            (
+                i,
+                f"alpha beta gamma delta epsilon zeta doc{i} "
+                f"tail{i % 4} more words here",
+            )
+            for i in range(n)
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+def _batch(spark):
+    return spark.createDataFrame(
+        [
+            (
+                1005,
+                "alpha beta gamma delta epsilon zeta doc5 tail1 "
+                "more words here extra",
+            )
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+def _pairs(df):
+    return sorted((r.doc_id, r.corpus_id, r.jacc_ppm) for r in df.collect())
+
+
+def test_dedup_delete_equals_rebuild_and_append_gc_keeps_tomb(spark):
+    """Delete == rebuild-without-the-docs, and — the round-6 ADVICE
+    GC hazard — a LATER append's GC pass must not collect the live
+    tombstone member table."""
+    docs = _docs(spark)
+    idx = dedup_index_write(
+        docs.filter("doc_id < 20"), "tdel_dd", num_buckets=4
+    )
+    dedup_index_append(idx, docs.filter("doc_id >= 20 and doc_id < 25"))
+    dels = spark.createDataFrame([(5,), (21,)], "doc_id bigint")
+    dedup_index_delete(idx, dels)
+    # a subsequent append runs two GC passes; the tombstone (still in
+    # the live manifest) must survive both
+    dedup_index_append(idx, docs.filter("doc_id >= 25"))
+    got = _pairs(neardup_probe(_batch(spark), idx, 400_000))
+    ref_idx = dedup_index_write(
+        docs.filter("doc_id not in (5, 21)"), "tdel_dd_ref", num_buckets=4
+    )
+    ref = _pairs(neardup_probe(_batch(spark), ref_idx, 400_000))
+    assert got == ref
+    assert not any(c in (5, 21) for (_, c, _) in got)
+
+
+def test_dedup_delete_readd_and_replay_idempotent(spark):
+    """Delete-then-re-add == never deleted (epoch-scoped tombstones);
+    replaying a delete of already-tombstoned docs is a no-op commit."""
+    docs = _docs(spark)
+    idx = dedup_index_write(docs, "tdel_readd", num_buckets=4)
+    dels = spark.createDataFrame([(5,), (9,)], "doc_id bigint")
+    dedup_index_delete(idx, dels)
+    epoch_after_delete = idx.resolve(spark).epoch
+    # replay: nothing visible to delete -> manifest unmoved
+    dedup_index_delete(idx, dels)
+    assert idx.resolve(spark).epoch == epoch_after_delete
+    # re-add doc 5: lands in a NEW segment the tombstone predates
+    dedup_index_append(idx, docs.filter("doc_id = 5"))
+    got = _pairs(neardup_probe(_batch(spark), idx, 400_000))
+    ref_idx = dedup_index_write(
+        docs.filter("doc_id <> 9"), "tdel_readd_ref", num_buckets=4
+    )
+    ref = _pairs(neardup_probe(_batch(spark), ref_idx, 400_000))
+    assert got == ref
+    assert any(c == 5 for (_, c, _) in got)
+    # exact probe: re-added text matches, deleted text does not
+    eb = docs.filter("doc_id in (5, 9)").select(
+        (F.col("doc_id") + 100).alias("doc_id"), "text"
+    )
+    hits = {r.doc_id for r in exact_probe(eb, idx).collect()}
+    assert hits == {105}
+
+
+def test_dedup_doc_aware_fps_keeps_shared_text_alive(spark):
+    """Deleting ONE doc of an exact-duplicate pair must not suppress
+    the other's fingerprint — the doc-aware fps contract."""
+    docs = spark.createDataFrame(
+        [(1, "shared text body one two three"),
+         (2, "shared text body one two three"),
+         (3, "unique text body four five six")],
+        "doc_id bigint, text string",
+    )
+    idx = dedup_index_write(docs, "tdel_fps", num_buckets=4)
+    dedup_index_delete(
+        idx, spark.createDataFrame([(1,)], "doc_id bigint")
+    )
+    probe = spark.createDataFrame(
+        [(10, "shared text body one two three")], "doc_id bigint, text string"
+    )
+    assert exact_probe(probe, idx).count() == 1  # doc 2 still carries it
+    dedup_index_delete(
+        idx, spark.createDataFrame([(2,)], "doc_id bigint")
+    )
+    assert exact_probe(probe, idx).count() == 0
+
+
+def test_delete_overflow_triggers_fold_and_pins_replay_delete_state(spark):
+    """compact_after deletes fold the index (bounded probe fan-out);
+    a pinned pre-delete epoch keeps resolving with its own (empty)
+    delete state while the current epoch suppresses."""
+    docs = _docs(spark)
+    idx = dedup_index_write(
+        docs, "tdel_fold", num_buckets=4, compact_after=2
+    )
+    pinned = idx.resolve(spark).epoch
+    set_index_pin(spark, idx.name, "t", [pinned])
+    dedup_index_delete(
+        idx, spark.createDataFrame([(5,)], "doc_id bigint")
+    )
+    cur = idx.resolve(spark)
+    assert [te for te, _ in cur.tombs]  # one live tombstone
+    # second delete reaches compact_after=2 -> fold right after commit
+    dedup_index_delete(
+        idx, spark.createDataFrame([(9,)], "doc_id bigint")
+    )
+    cur = idx.resolve(spark)
+    assert cur.tombs == [] and len(cur.segments) == 1
+    got = _pairs(neardup_probe(_batch(spark), idx, 400_000))
+    assert not any(c in (5, 9) for (_, c, _) in got)
+    # the pinned epoch still sees the full pre-delete corpus
+    old = idx.resolve(spark, epoch=pinned)
+    assert old.tombs == []
+    assert old.sizes.read(spark).count() == 30
+    set_index_pin(spark, idx.name, "t", None)
+
+
+def test_lsh_delete_equals_rebuild(spark):
+    docs = _docs(spark)
+    idx = lsh_index_write(docs, "tdel_lsh", num_buckets=4)
+    lsh_index_delete(
+        idx, spark.createDataFrame([(5,)], "doc_id bigint")
+    )
+    got = _pairs(lsh_index_probe(_batch(spark), idx, 400_000))
+    ref_idx = lsh_index_write(
+        docs.filter("doc_id <> 5"), "tdel_lsh_ref", num_buckets=4
+    )
+    ref = _pairs(lsh_index_probe(_batch(spark), ref_idx, 400_000))
+    assert got == ref
+
+
+def test_bm25_delete_exact_scores_and_stats_correction(spark):
+    """Post-delete ranking must be BIT-IDENTICAL to an index built
+    without the docs — df re-derivation and the tomb-row stats
+    correction (N, total_len) both participate in every score."""
+    docs = _docs(spark)
+    idx = bm25_index_write(docs, "tdel_bm", num_buckets=4)
+    dels = spark.createDataFrame([(5,), (13,)], "doc_id bigint")
+    bm25_index_delete(idx, dels)
+    terms = ["doc5", "tail1", "alpha"]
+    got = [
+        (r.rank, r.doc_id, r.score_micro)
+        for r in bm25_index_topk(spark, idx, terms, k=8).collect()
+    ]
+    ref_idx = bm25_index_write(
+        docs.filter("doc_id not in (5, 13)"), "tdel_bm_ref", num_buckets=4
+    )
+    ref = [
+        (r.rank, r.doc_id, r.score_micro)
+        for r in bm25_index_topk(spark, ref_idx, terms, k=8).collect()
+    ]
+    assert got == ref
+    assert not any(d in (5, 13) for (_, d, _) in got)
+
+
+def test_ivf_delete_suppresses_and_readd_restores(spark):
+    import random
+
+    random.seed(11)
+    vecs = spark.createDataFrame(
+        [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    idx = ivf_index_write(vecs, "tdel_ivf", num_cells=4, num_buckets=4)
+    qs = vecs.filter("vec_id < 3")
+    top1 = {
+        r.neighbor_id
+        for r in ivf_index_topk(spark, idx, qs, k=1, nprobe=2).collect()
+    }
+    dels = spark.createDataFrame([(v,) for v in top1], "vec_id bigint")
+    ivf_index_delete(idx, dels)
+    post = {
+        r.neighbor_id
+        for r in ivf_index_topk(spark, idx, qs, k=3, nprobe=2).collect()
+    }
+    assert not (post & top1)
+    # re-append the deleted vectors: assignment to the same frozen
+    # centroids means the original top-1s come back verbatim
+    ivf_index_append(idx, vecs.join(dels, "vec_id", "left_semi"))
+    back = {
+        r.neighbor_id
+        for r in ivf_index_topk(spark, idx, qs, k=1, nprobe=2).collect()
+    }
+    assert back == top1
+
+
+def test_pre_doc_aware_index_spec_refuses_loudly(spark):
+    """A handle whose spec differs from the on-disk manifest (e.g. a
+    pre-doc-aware fps index) must raise at resolve, not probe wrong."""
+    docs = _docs(spark, n=6)
+    dedup_index_write(docs, "tdel_spec", num_buckets=4)
+    import json
+
+    from ods_v3_dbt_spark.fs import fs_for
+    from ods_v3_dbt_spark.operators.neardup_index import _manifest_path
+
+    p = _manifest_path(spark, "tdel_spec")
+    man = json.loads(fs_for(p).read_text(p))
+    man["spec"].pop("fps")  # simulate a pre-doc-aware on-disk index
+    fs_for(p).write_text_atomic(p, json.dumps(man, sort_keys=True))
+    with pytest.raises(ValueError, match="spec mismatch"):
+        DedupIndex("tdel_spec", 3, 4).resolve(spark)

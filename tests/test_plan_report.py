@@ -41,6 +41,7 @@ SCALAR_BROADCAST_QUERIES = {
     "bm25f_topk_docs",            # same 1-row stats crossJoin
     "bm25_window_topk",           # same 1-row stats crossJoin
     "bm25_indexed_topk",          # 1-row summed segment stats
+    "bm25_indexed_delete_topk",   # same stats crossJoin, tomb-corrected
     "bm25_indexed_multiquery",    # same 1-row stats crossJoin
     "embedding_ann_pq",           # 10-row query ADC-table broadcast
     "embedding_centroid_assign",  # 8-row centroid seed set
