@@ -557,6 +557,149 @@ def curated_view(spark, corpus_path, pin_id: str | None = None):
     raise last_err
 
 
+def _index_delete_any(idx, doc_ids: DataFrame):
+    """Dispatch a tombstone delete to the right index kind — the one
+    verb ``corpus_takedown`` speaks to every derived-state store."""
+    from .operators.neardup_index import (
+        DedupIndex,
+        LshIndex,
+        dedup_index_delete,
+        lsh_index_delete,
+    )
+    from .operators.text_index import Bm25Index, bm25_index_delete
+    from .operators.vector_index import IvfIndex, ivf_index_delete
+
+    if isinstance(idx, LshIndex):
+        return lsh_index_delete(idx, doc_ids)
+    if isinstance(idx, DedupIndex):
+        return dedup_index_delete(idx, doc_ids)
+    if isinstance(idx, Bm25Index):
+        return bm25_index_delete(idx, doc_ids)
+    if isinstance(idx, IvfIndex):
+        return ivf_index_delete(idx, doc_ids, id_col="doc_id")
+    raise TypeError(f"no tombstone-delete for index type {type(idx)!r}")
+
+
+def corpus_takedown(
+    spark,
+    corpus_path,
+    doc_ids: DataFrame,
+    extra_indexes=(),
+    keep: int = 3,
+) -> dict:
+    """RIGHT-TO-BE-FORGOTTEN for a curated store: remove ``doc_ids``
+    from the corpus table AND every derived index, then publish ONE
+    consistent post-takedown view — the production delete a 100 TB
+    training corpus needs for opt-out/takedown requests. Reference
+    analog: M6 DELETE semantics
+    (dags/sql/casreport/update_des_table/casreport_rpt_full_item.sql:1-3)
+    extended from one plain table to a table + its index fleet.
+
+    The store is the one :func:`curate_increment_stream` maintains
+    (corpus ``ParquetTable`` + curation dedup/LSH index, paired by
+    the ``_CURATED`` co-manifest); ``extra_indexes`` adds any other
+    handles derived from the same corpus (``Bm25Index``,
+    ``IvfIndex``, further ``DedupIndex``/``LshIndex``) so retrieval
+    and ANN stop serving the docs in the same takedown.
+
+    Sequence — every step idempotent, so a replay after a crash
+    anywhere converges on the same terminal state:
+
+    1. every index tombstone-deletes the doc set (O(batch) tomb
+       member commits — see ``operators/neardup_index.py``; no
+       segment rewrite, suppression is exact per the
+       ``*_delete_probe`` oracles);
+    2. the corpus rewrites via ONE anti-join snapshot-swap (readers
+       follow the old pointer until the flip; at 100 TB this step
+       rides partition overwrite (``operators/merge.py`` M7) or a
+       Delta DELETE touching only affected files — the index fleet,
+       the expensive side, stays O(batch) regardless);
+    3. ONE ``TableGroup`` pointer commit records the matching
+       (reduced corpus snapshot, post-delete index epoch) pair —
+       ``curated_view`` readers see all-old or all-new, never a
+       corpus without its docs paired with an index still serving
+       them;
+    4. pins + vacuum advance exactly like the curation loop's:
+       the new and previous pairs stay readable; a pre-takedown
+       epoch a reader pinned keeps resolving (time travel is the
+       point of pins) until its pin is released, after which the
+       next writer's GC retires it — the taken-down docs then exist
+       NOWHERE on disk once compaction folds the tombstones.
+
+    Re-ingestion policy is deliberately the caller's: a later batch
+    re-submitting identical text is genuinely new to the store and
+    will be re-admitted (delete-then-re-add ≡ never deleted); a
+    caller that must block re-entry keeps the takedown list in its
+    ingest gate. Returns a receipt dict (removed count, the new
+    corpus snapshot, the post-delete index epoch)."""
+    import json as _json
+
+    from .sinks import ParquetTable, TableGroup
+
+    fs = FS.fs_for(corpus_path)
+    man_path = FS.join(corpus_path, "_CURATED")
+    if not fs.exists(man_path):
+        raise FileNotFoundError(
+            f"no _CURATED co-manifest under {corpus_path} — "
+            "corpus_takedown operates on a curated store "
+            "(curate_increment_stream); for a bare table use the "
+            "merge operators' M6 delete directly"
+        )
+    man = _curated_fields(
+        _json.loads(fs.read_text(man_path))
+    )
+    idx = _index_from_manifest(man)
+    corpus_tbl = ParquetTable(corpus_path)
+    ids = doc_ids.select("doc_id").distinct().localCheckpoint()
+
+    # 1. the index fleet: O(batch) tombstone commits, idempotent
+    for target in (idx, *extra_indexes):
+        _index_delete_any(target, ids)
+
+    # 2. the corpus: one anti-join snapshot-swap (replay-safe — a
+    # second run anti-joins an already-reduced corpus to itself)
+    existing = corpus_tbl.read(spark)
+    from pyspark.sql import functions as _F
+
+    n_before = existing.count()
+    reduced = existing.join(_F.broadcast(ids), "doc_id", "left_anti")
+    corpus_snap = corpus_tbl.write(reduced)
+    n_removed = n_before - corpus_tbl.read(spark).count()
+
+    # 3. ONE consistent pointer commit for the post-takedown pair
+    from .operators.neardup_index import set_index_pin
+
+    group = TableGroup.wrap({"corpus": corpus_tbl}, man_path)
+    prev_man = _curated_fields(group.manifest())
+    new_epoch = idx.resolve(spark).epoch
+    group.commit_pointers(
+        {"corpus": corpus_snap.name},
+        extras={
+            "batch_id": man.get("batch_id"),
+            "takedown": True,
+            "index_name": man["index_name"],
+            "index_kind": man["index_kind"],
+            "index_epoch": new_epoch,
+            "index_spec": idx.spec(),
+        },
+    )
+
+    # 4. retention: live + previous pairs guaranteed readable
+    pin_epochs = [new_epoch]
+    pin_snaps = [corpus_snap.name]
+    if prev_man is not None and prev_man["index_name"] == man["index_name"]:
+        pin_epochs.append(prev_man["index_epoch"])
+        pin_snaps.append(prev_man["corpus_snapshot"])
+    set_index_pin(spark, man["index_name"], f"curated:{corpus_path}",
+                  pin_epochs)
+    corpus_tbl.vacuum(keep=keep, pinned=pin_snaps)
+    return {
+        "n_removed": n_removed,
+        "corpus_snapshot": corpus_snap.name,
+        "index_epoch": new_epoch,
+    }
+
+
 def release_curated_view(spark, corpus_path, pin_id: str) -> None:
     """Release a :func:`curated_view` pin: the pair it protected
     becomes collectible by the loop's normal retention."""

@@ -1,0 +1,215 @@
+"""corpus_takedown — right-to-be-forgotten across a curated store:
+the corpus table and every derived index drop a doc set, one
+consistent pointer commit publishes the pair, and a taken-down doc
+can no longer be retrieved through ANY probe path. Reference analog:
+M6 DELETE semantics (casreport_rpt_full_item.sql:1-3) extended to a
+table + its index fleet."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+SCHEMA = "doc_id long, text string, ingest_ts timestamp"
+T0 = dt.datetime(2024, 9, 1, 12, 0, 0)
+BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+FRESH = "totally new words nobody used before in any earlier batch"
+OTHER = "unrelated vocabulary occupying its own lexical island entirely"
+
+
+def _seed_store(spark, tmp_path, name):
+    """Two micro-batches through the production curation loop —
+    corpus {1, 13, 14} with the persisted dedup index in step."""
+    from ods_v3_dbt_spark.pipelines import curate_increment_stream
+
+    src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+    corpus, decisions = tmp_path / "corpus", tmp_path / "decisions"
+    process = curate_increment_stream(
+        corpus, name, str(decisions), num_buckets=2
+    )
+
+    def write(rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def drain():
+        q = (
+            spark.readStream.schema(SCHEMA).parquet(str(src))
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    write([(1, BASE, T0)])
+    drain()
+    write([(13, FRESH, T0), (14, OTHER, T0)])
+    drain()
+    return corpus, process, write, drain
+
+
+def test_takedown_removes_from_corpus_and_every_index(spark, tmp_path):
+    from ods_v3_dbt_spark.operators.text_index import (
+        bm25_index_topk,
+        bm25_index_write,
+    )
+    from ods_v3_dbt_spark.operators.vector_index import (
+        ivf_index_topk,
+        ivf_index_write,
+    )
+    from ods_v3_dbt_spark.pipelines import corpus_takedown, curated_view
+    from ods_v3_dbt_spark.sinks import ParquetTable
+
+    corpus, process, write, drain = _seed_store(spark, tmp_path, "tk_idx")
+    docs = ParquetTable(corpus).read(spark)
+    assert sorted(r.doc_id for r in docs.select("doc_id").collect()) == [
+        1, 13, 14,
+    ]
+
+    # derived state beyond the curation index: BM25 + IVF over the
+    # same doc ids (embeddings keyed by doc_id as vec_id)
+    bm = bm25_index_write(docs, "tk_bm25", num_buckets=2)
+    import random
+
+    random.seed(3)
+    emb = spark.createDataFrame(
+        [
+            (i, [random.uniform(-1, 1) for _ in range(8)])
+            for i in (1, 13, 14)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    iv = ivf_index_write(emb, "tk_ivf", num_cells=2, num_buckets=2)
+
+    # doc 13 is retrievable pre-takedown through every path
+    assert 13 in {
+        r.doc_id
+        for r in bm25_index_topk(spark, bm, ["totally", "new"], k=3).collect()
+    }
+    assert 13 in {
+        r.neighbor_id
+        for r in ivf_index_topk(
+            spark, iv, emb.filter("vec_id = 13"), k=3, nprobe=2
+        ).collect()
+    }
+
+    receipt = corpus_takedown(
+        spark,
+        corpus,
+        spark.createDataFrame([(13,)], "doc_id bigint"),
+        extra_indexes=(bm, iv),
+    )
+    assert receipt["n_removed"] == 1
+
+    # corpus: gone; consistent view pairs the reduced corpus with the
+    # post-delete index epoch
+    view_docs, ridx, man = curated_view(spark, corpus)
+    assert sorted(r.doc_id for r in view_docs.select("doc_id").collect()) == [
+        1, 14,
+    ]
+    assert man["index_epoch"] == receipt["index_epoch"]
+    assert man.get("takedown") is True
+
+    # BM25: doc 13 unretrievable, and scores equal a rebuild without it
+    got = [
+        (r.rank, r.doc_id, r.score_micro)
+        for r in bm25_index_topk(spark, bm, ["totally", "new"], k=3).collect()
+    ]
+    ref = bm25_index_write(
+        docs.filter("doc_id <> 13"), "tk_bm25_ref", num_buckets=2
+    )
+    assert got == [
+        (r.rank, r.doc_id, r.score_micro)
+        for r in bm25_index_topk(spark, ref, ["totally", "new"], k=3).collect()
+    ]
+    assert not any(d == 13 for (_, d, _) in got)
+
+    # IVF: its own embedding no longer finds it
+    assert 13 not in {
+        r.neighbor_id
+        for r in ivf_index_topk(
+            spark, iv, emb.filter("vec_id = 13"), k=3, nprobe=2
+        ).collect()
+    }
+
+    # curation index: the taken-down doc's exact text probes clean,
+    # so a re-submission is genuinely NEW (documented re-ingestion
+    # policy: delete-then-re-add ≡ never deleted)
+    from ods_v3_dbt_spark.operators.neardup_index import exact_probe
+    from ods_v3_dbt_spark.pipelines import _index_from_manifest
+
+    probe = spark.createDataFrame([(99, FRESH)], "doc_id long, text string")
+    idx = _index_from_manifest(man)
+    assert exact_probe(probe, idx).count() == 0
+
+    # replay: a second identical takedown is a no-op converging on
+    # the same terminal state
+    receipt2 = corpus_takedown(
+        spark,
+        corpus,
+        spark.createDataFrame([(13,)], "doc_id bigint"),
+        extra_indexes=(bm, iv),
+    )
+    assert receipt2["n_removed"] == 0
+    assert receipt2["index_epoch"] == receipt["index_epoch"]
+
+
+def test_takedown_pinned_epoch_time_travel_then_retire(spark, tmp_path):
+    """A reader that PINNED the pre-takedown pair keeps its view
+    (time travel is the point of pins); releasing the pin and one
+    more refresh retires the old epoch — the taken-down doc then
+    resolves NOWHERE."""
+    from ods_v3_dbt_spark.pipelines import (
+        _index_from_manifest,
+        corpus_takedown,
+        curated_view,
+        release_curated_view,
+    )
+
+    corpus, process, write, drain = _seed_store(spark, tmp_path, "tk_pin")
+    pre_docs, pre_idx, pre_man = curated_view(spark, corpus, pin_id="aud")
+    assert 13 in {r.doc_id for r in pre_docs.select("doc_id").collect()}
+
+    corpus_takedown(
+        spark, corpus, spark.createDataFrame([(13,)], "doc_id bigint")
+    )
+
+    # pinned pre-takedown pair still readable (audit window)
+    pre_docs2, pre_idx2, _ = curated_view(spark, corpus, pin_id="aud")
+    # the pin resolves the CURRENT manifest; re-resolve the ORIGINAL
+    # epoch explicitly — pinned, so it must still attach
+    idx = _index_from_manifest(pre_man)
+    old = idx.resolve(spark, epoch=pre_man["index_epoch"])
+    assert old.epoch == pre_man["index_epoch"]
+
+    # release + one more refresh (a new batch through the loop) →
+    # the pre-takedown epoch ages out of retention and is collected
+    release_curated_view(spark, corpus, "aud")
+    write([(21, "yet another brand new document body arriving", T0)])
+    drain()
+    write([(22, "and one more to push retention past the pair", T0)])
+    drain()
+    with pytest.raises(FileNotFoundError):
+        idx.resolve(spark, epoch=pre_man["index_epoch"])
+    # and the current view still lacks the taken-down doc
+    cur_docs, _, _ = curated_view(spark, corpus)
+    ids = {r.doc_id for r in cur_docs.select("doc_id").collect()}
+    assert 13 not in ids and {21, 22} <= ids
+
+
+def test_takedown_requires_curated_store(spark, tmp_path):
+    from ods_v3_dbt_spark.pipelines import corpus_takedown
+    from ods_v3_dbt_spark.sinks import ParquetTable
+
+    tbl = ParquetTable(tmp_path / "bare")
+    tbl.write(spark.createDataFrame([(1, "x")], "doc_id long, text string"))
+    with pytest.raises(FileNotFoundError, match="_CURATED"):
+        corpus_takedown(
+            spark,
+            tmp_path / "bare",
+            spark.createDataFrame([(1,)], "doc_id bigint"),
+        )
