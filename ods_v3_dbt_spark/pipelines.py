@@ -237,6 +237,10 @@ def curate_increment_stream(
     neardup_jaccard_ppm: int = 500_000,
     num_buckets: int = 8,
     index_kind: str = "exact",
+    embedding_col: str | None = None,
+    semantic_dist2_max: int = 300_000,
+    semantic_nprobe: int = 3,
+    ivf_cells: int = 8,
 ):
     """The PRODUCTION shape of the LLM curation pipeline: a
     ``foreachBatch`` sink that lands each micro-batch through the full
@@ -280,7 +284,22 @@ def curate_increment_stream(
     is a candidate) or ``"lsh"`` (LshIndex — sub-linear band-
     collision candidates, LSH's recall trade; the web-scale
     default). Both run the same decision semantics through
-    ``curate_increment(index=)``."""
+    ``curate_increment(index=)``.
+
+    **SEMANTIC channel (round 7 — the verdict's lead task).** Pass
+    ``embedding_col`` and the loop maintains a persisted IVF index
+    (``{index_name}_ivf``, ``operators/vector_index.py``) ALONGSIDE
+    the text index: each micro-batch's survivors probe it (cell-
+    pruned, exact integer L2² inside — ``neardup_semantic`` for a
+    top-1 within ``semantic_dist2_max``), and each batch's ADMITTED
+    embeddings append as an O(batch) delta — so a near-PARAPHRASE of
+    a doc admitted three batches ago is caught even though it shares
+    no shingles with it. The corpus table then also persists the
+    embedding column (the consistency rule extends: corpus is the
+    source of truth for BOTH indexes — a missing/orphaned IVF index
+    rebuilds from the corpus's embedding column; a corpus that has
+    no rows yet runs the batch channel-off and trains the first IVF
+    epoch from its own admissions, centroids frozen thereafter)."""
     from .operators.neardup_index import (
         DedupIndex,
         LshIndex,
@@ -293,13 +312,23 @@ def curate_increment_stream(
 
     if index_kind not in ("exact", "lsh"):
         raise ValueError(f"unknown index_kind: {index_kind}")
+    sem = embedding_col is not None
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from .operators.vector_index import (
+            IvfIndex,
+            ivf_index_append,
+            ivf_index_write,
+        )
+
         spark = batch_df.sparkSession
+        cols = [F.col("doc_id"), F.col("text")]
+        if sem:
+            cols.append(F.col(embedding_col).alias("embedding"))
         gated = batch_df.filter(
             (T.quality_score_milli(F.col("text")) >= quality_floor_milli)
             & T.token_count(F.col("text")).between(min_tokens, max_tokens)
-        ).select("doc_id", "text")
+        ).select(*cols)
         corpus_tbl = ParquetTable(corpus_path)
         if index_kind == "lsh":
             idx = LshIndex(index_name, num_buckets=num_buckets)
@@ -332,6 +361,28 @@ def curate_increment_stream(
             )
         elif not idx.exists(spark):
             idx = index_write(corpus_tbl.read(spark).select("doc_id", "text"))
+        # Semantic channel state: same consistency rule — the IVF
+        # index is derived from the corpus's embedding column. No
+        # corpus rows yet ⇒ channel OFF for this batch (nothing
+        # admitted to paraphrase; the first non-empty corpus trains
+        # epoch 1 below, centroids frozen thereafter); corpus without
+        # IVF ⇒ rebuild from the corpus.
+        ivf = None
+        ivf_ready = False
+        if sem:
+            ivf = IvfIndex(f"{index_name}_ivf", ivf_cells, num_buckets)
+            if corpus_tbl.exists():
+                if ivf.exists(spark):
+                    ivf_ready = True
+                else:
+                    cem = corpus_tbl.read(spark)
+                    if "embedding" in cem.columns and cem.take(1):
+                        ivf_index_write(
+                            cem.select("doc_id", "embedding"), ivf.name,
+                            num_cells=ivf_cells, vec_col="embedding",
+                            id_col="doc_id", num_buckets=num_buckets,
+                        )
+                        ivf_ready = True
         # Epoch idempotence: the FIRST attempt's decision record is
         # authoritative. A retry after a mid-process crash must not
         # re-decide — the index may already contain this batch's
@@ -374,7 +425,13 @@ def curate_increment_stream(
             decisions = stored
         else:
             decisions = curate_increment(
-                gated, index=idx, neardup_jaccard_ppm=neardup_jaccard_ppm
+                gated, index=idx, neardup_jaccard_ppm=neardup_jaccard_ppm,
+                ivf_index=ivf if ivf_ready else None,
+                batch_embeddings=(
+                    gated.select("doc_id", "embedding") if ivf_ready else None
+                ),
+                semantic_dist2_max=semantic_dist2_max,
+                semantic_nprobe=semantic_nprobe,
             )
             # ATOMIC per-partition publication (round 5, closing the
             # torn-partition residual the round-4 note documented):
@@ -404,7 +461,7 @@ def curate_increment_stream(
         admitted = decisions.filter("verdict = 'admitted'").select("doc_id")
         admitted_docs = gated.join(admitted, "doc_id").localCheckpoint()
         if corpus_tbl.exists():
-            existing_docs = corpus_tbl.read(spark).select("doc_id", "text")
+            existing_docs = corpus_tbl.read(spark).select(*gated.columns)
             # replay guard: docs already committed by the crashed
             # attempt must not re-enter the corpus
             corpus_new = admitted_docs.join(
@@ -426,6 +483,26 @@ def curate_increment_stream(
         # call (corpus already has the docs, the index does not, and
         # the membership filter would drop them forever).
         index_append(idx, admitted_docs)
+        # semantic-channel maintenance: admitted embeddings append as
+        # an O(batch) delta (frozen centroids); a store whose IVF is
+        # not yet trained gets its first epoch from the post-commit
+        # corpus — later batches probe it. Idempotent like the text
+        # index (per-segment vid anti-joins inside the append).
+        if sem:
+            if ivf_ready:
+                ivf_index_append(
+                    ivf, admitted_docs.select("doc_id", "embedding"),
+                    vec_col="embedding", id_col="doc_id",
+                )
+            else:
+                cem = corpus_tbl.read(spark)
+                if cem.take(1):
+                    ivf_index_write(
+                        cem.select("doc_id", "embedding"), ivf.name,
+                        num_cells=ivf_cells, vec_col="embedding",
+                        id_col="doc_id", num_buckets=num_buckets,
+                    )
+                    ivf_ready = True
         # CONSISTENT-VIEW co-manifest (round 5; round 6 rides
         # TableGroup): corpus and index commit independently (each
         # atomically, each replay-safe), so a reader sampling both
@@ -445,16 +522,20 @@ def curate_increment_stream(
         group = TableGroup.wrap({"corpus": corpus_tbl}, man_path)
         prev_man = _curated_fields(group.manifest())
         new_epoch = idx.resolve(spark).epoch
-        group.commit_pointers(
-            {"corpus": corpus_snap.name},
-            extras={
-                "batch_id": batch_id,
-                "index_name": index_name,
-                "index_kind": index_kind,
-                "index_epoch": new_epoch,
-                "index_spec": idx.spec(),
-            },
-        )
+        extras = {
+            "batch_id": batch_id,
+            "index_name": index_name,
+            "index_kind": index_kind,
+            "index_epoch": new_epoch,
+            "index_spec": idx.spec(),
+        }
+        ivf_epoch = None
+        if sem and ivf_ready:
+            ivf_epoch = ivf.resolve(spark).epoch
+            extras["ivf_name"] = ivf.name
+            extras["ivf_epoch"] = ivf_epoch
+            extras["ivf_spec"] = ivf.spec()
+        group.commit_pointers({"corpus": corpus_snap.name}, extras=extras)
         # PIN-AWARE retention (round-6 verdict task 4): the live and
         # previous co-manifest pairs are now GUARANTEED readable —
         # their index epochs are pinned (so index GC carries their
@@ -469,6 +550,12 @@ def curate_increment_stream(
             pin_snaps.append(prev_man["corpus_snapshot"])
         set_index_pin(spark, index_name, f"curated:{corpus_path}",
                       pin_epochs)
+        if sem and ivf_epoch is not None:
+            ivf_pins = [ivf_epoch]
+            if prev_man is not None and prev_man.get("ivf_name") == ivf.name:
+                ivf_pins.append(prev_man["ivf_epoch"])
+            set_index_pin(spark, ivf.name, f"curated:{corpus_path}",
+                          ivf_pins)
         corpus_tbl.vacuum(keep=3, pinned=pin_snaps)
 
     return process
@@ -652,8 +739,23 @@ def corpus_takedown(
     corpus_tbl = ParquetTable(corpus_path)
     ids = doc_ids.select("doc_id").distinct().localCheckpoint()
 
-    # 1. the index fleet: O(batch) tombstone commits, idempotent
-    for target in (idx, *extra_indexes):
+    # 1. the index fleet: O(batch) tombstone commits, idempotent —
+    # the curation text index, the loop's semantic IVF index if the
+    # store runs the embedding channel, plus any caller extras
+    targets = [idx]
+    if man.get("ivf_name"):
+        from .operators.vector_index import IvfIndex
+
+        ivf_spec = man.get("ivf_spec", {})
+        targets.append(
+            IvfIndex(
+                man["ivf_name"],
+                ivf_spec.get("num_cells", 8),
+                ivf_spec.get("num_buckets", 8),
+            )
+        )
+    targets.extend(extra_indexes)
+    for target in targets:
         _index_delete_any(target, ids)
 
     # 2. the corpus: one anti-join snapshot-swap (replay-safe — a
@@ -721,6 +823,10 @@ def curate_increment(
     existing: DataFrame | None = None,
     neardup_jaccard_ppm: int = 500_000,
     index=None,
+    ivf_index=None,
+    batch_embeddings: DataFrame | None = None,
+    semantic_dist2_max: int = 300_000,
+    semantic_nprobe: int = 3,
 ) -> DataFrame:
     """INCREMENTAL curation — the nightly production shape: a new
     batch lands against an already-curated corpus, and only what is
@@ -743,6 +849,17 @@ def curate_increment(
        re-shingling the corpus; this composition uses the exact
        shingle-blocked pairs so the declared query's oracle can
        replay it);
+    3.5 (SEMANTIC channel, round 7 — only when ``ivf_index`` +
+       ``batch_embeddings`` are passed alongside ``index``): a
+       surviving batch doc whose nearest vector in the persisted
+       IVF index (``semantic_nprobe`` cells probed, exact integer
+       L2² inside) sits within ``semantic_dist2_max`` →
+       ``neardup_semantic`` — the near-PARAPHRASE gate the shingle
+       channels can't see (different words, same meaning). The IVF
+       recall trade applies: a paraphrase whose embedding probes
+       only unprobed cells is admitted, and that is part of the
+       declared semantics (the oracle replays the same cell
+       pruning);
     4. remaining batch docs that near-dup EACH OTHER resolve by
        connected components, non-min members ``neardup_batch``;
     5. everything else ``admitted``.
@@ -774,8 +891,19 @@ def curate_increment(
 
     if (existing is None) == (index is None):
         raise ValueError("pass exactly one of existing= or index=")
+    if (ivf_index is None) != (batch_embeddings is None):
+        raise ValueError(
+            "semantic channel needs BOTH ivf_index= and batch_embeddings="
+        )
+    if ivf_index is not None and index is None:
+        raise ValueError("the semantic channel requires indexed mode")
     if index is not None:
-        return _curate_increment_indexed(batch, index, neardup_jaccard_ppm)
+        return _curate_increment_indexed(
+            batch, index, neardup_jaccard_ppm,
+            ivf_index=ivf_index, batch_embeddings=batch_embeddings,
+            semantic_dist2_max=semantic_dist2_max,
+            semantic_nprobe=semantic_nprobe,
+        )
 
     fp = T.fingerprint_md5(F.col("text"))
     b = batch.select("doc_id", "text", fp.alias("fp"))
@@ -861,7 +989,9 @@ def curate_increment(
 
 
 def _curate_increment_indexed(
-    batch: DataFrame, index, threshold_ppm: int
+    batch: DataFrame, index, threshold_ppm: int,
+    ivf_index=None, batch_embeddings: DataFrame | None = None,
+    semantic_dist2_max: int = 300_000, semantic_nprobe: int = 3,
 ) -> DataFrame:
     """The index-probing arm of :func:`curate_increment` — identical
     verdict semantics, corpus state read from the persisted bucketed
@@ -934,6 +1064,30 @@ def _curate_increment_indexed(
     dne = probe_hits.select("doc_id").distinct().localCheckpoint()
     r3 = r2.select("doc_id").join(F.broadcast(dne), "doc_id", "left_anti")
 
+    # stage 3.5 — SEMANTIC channel: survivors with embeddings probe
+    # the persisted IVF index (cell-pruned inverted lists, exact
+    # integer L2² inside); top-1 within the radius is a near-
+    # PARAPHRASE of an admitted corpus doc and gets its own verdict.
+    # Precedence: an exact or shingle near-dup never reaches here.
+    dns = None
+    if ivf_index is not None:
+        from .operators.vector_index import ivf_index_topk
+
+        q = batch_embeddings.select("doc_id", "embedding").join(
+            F.broadcast(r3), "doc_id"
+        )
+        top1 = ivf_index_topk(
+            spark, ivf_index, q, k=1, nprobe=semantic_nprobe,
+            vec_col="embedding", id_col="doc_id",
+        )
+        dns = (
+            top1.filter(F.col("dist2") <= semantic_dist2_max)
+            .select(F.col("query_id").alias("doc_id"))
+            .distinct()
+            .localCheckpoint()
+        )
+        r3 = r3.join(F.broadcast(dns), "doc_id", "left_anti")
+
     # stage 4: near-dups among stage-1-3 SURVIVORS only — restrict
     # the shingle table to r3 before the self-join so a rejected doc
     # cannot drag a survivor into a cluster
@@ -965,10 +1119,13 @@ def _curate_increment_indexed(
     def v(df: DataFrame, verdict: str) -> DataFrame:
         return df.select("doc_id", F.lit(verdict).alias("verdict"))
 
-    return (
+    out = (
         v(dee, "dup_exact_existing")
         .unionByName(v(deb, "dup_exact_batch"))
         .unionByName(v(dne, "neardup_existing"))
-        .unionByName(v(losers, "neardup_batch"))
-        .unionByName(v(admitted, "admitted"))
+    )
+    if dns is not None:
+        out = out.unionByName(v(dns, "neardup_semantic"))
+    return out.unionByName(v(losers, "neardup_batch")).unionByName(
+        v(admitted, "admitted")
     )

@@ -1190,6 +1190,303 @@ def incremental_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFram
     return curate_increment(batch, index=idx)
 
 
+#: the semantic-curation oracle: the text-channel CTE chain of
+#: incremental_curation_decisions EXTENDED with the IVF replay —
+#: train on the corpus embeddings (seeds = 8 lowest ids, one Lloyd),
+#: assign the corpus, probe the batch survivors' embeddings through
+#: nprobe=3 cells, top-1 within 300 000 quantized-L2² ⇒
+#: neardup_semantic; the planted +70000 docs reverse their source's
+#: WORD ORDER (shingle channel blind) while bumping one embedding
+#: dim +0.5 (≈250 000 L2² from the source — inside the radius, far
+#: below the ~973 000 minimum between unrelated sf0.01 vectors).
+_Q = ("list_transform(embedding, x -> greatest(CAST(round("
+      "CAST(x AS DOUBLE)*1000) AS BIGINT), -1000) + 1000)")
+_SEM_CURATION_SQL = f"""
+    WITH RECURSIVE existing AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+    newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+    batch AS (
+      SELECT doc_id, text FROM newd
+      UNION ALL
+      SELECT doc_id + 30000, text FROM existing WHERE doc_id % 5 = 1
+      UNION ALL
+      SELECT doc_id + 40000, text || ' extra marker token'
+      FROM existing WHERE doc_id % 5 = 2
+      UNION ALL
+      SELECT doc_id + 70000,
+             array_to_string(list_reverse(
+               string_split_regex(lower(trim(text)), '\\s+')), ' ')
+      FROM existing WHERE doc_id % 5 = 3),
+    ce AS (
+      SELECT vec_id AS doc_id, {_Q} AS v
+      FROM embeddings WHERE vec_id % 3 <> 0),
+    be AS (
+      SELECT vec_id AS doc_id, {_Q} AS v
+      FROM embeddings WHERE vec_id % 3 = 0
+      UNION ALL
+      SELECT vec_id + 30000, {_Q}
+      FROM embeddings WHERE vec_id % 3 <> 0 AND vec_id % 5 = 1
+      UNION ALL
+      SELECT vec_id + 40000, {_Q}
+      FROM embeddings WHERE vec_id % 3 <> 0 AND vec_id % 5 = 2
+      UNION ALL
+      SELECT vec_id + 70000,
+             list_transform(embedding, (x, i) -> greatest(CAST(round(
+               (CAST(x AS DOUBLE)
+                + CASE WHEN i = vec_id % 64 + 1 THEN 0.5 ELSE 0 END)
+               * 1000) AS BIGINT), -1000) + 1000)
+      FROM embeddings WHERE vec_id % 3 <> 0 AND vec_id % 5 = 3),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS INT) AS cell, v
+      FROM (SELECT doc_id, v FROM ce ORDER BY doc_id LIMIT 8)),
+    d1 AS (
+      SELECT ce.doc_id, s.cell,
+             list_sum(list_transform(range(1, 65),
+               i -> (ce.v[i]-s.v[i])*(ce.v[i]-s.v[i]))) AS d2
+      FROM ce CROSS JOIN seeds s),
+    a1 AS (
+      SELECT doc_id, cell FROM (
+        SELECT doc_id, cell,
+               row_number() OVER (PARTITION BY doc_id ORDER BY d2, cell) AS rn
+        FROM d1) WHERE rn = 1),
+    dims AS (
+      SELECT a.cell, g.i, ce.v[g.i] AS x
+      FROM a1 a JOIN ce ON ce.doc_id = a.doc_id,
+           generate_series(1, 64) AS g(i)),
+    m0 AS (SELECT cell, i, SUM(x) // COUNT(1) AS m FROM dims GROUP BY cell, i),
+    mlist AS (SELECT cell, list(m ORDER BY i) AS v FROM m0 GROUP BY cell),
+    refined AS (
+      SELECT s.cell, COALESCE(ml.v, s.v) AS v
+      FROM seeds s LEFT JOIN mlist ml ON ml.cell = s.cell),
+    d2c AS (
+      SELECT ce.doc_id, r.cell,
+             list_sum(list_transform(range(1, 65),
+               i -> (ce.v[i]-r.v[i])*(ce.v[i]-r.v[i]))) AS d2
+      FROM ce CROSS JOIN refined r),
+    asg AS (
+      SELECT doc_id AS neighbor_id, cell FROM (
+        SELECT doc_id, cell,
+               row_number() OVER (PARTITION BY doc_id ORDER BY d2, cell) AS rn
+        FROM d2c) WHERE rn = 1),
+    bfp AS (SELECT doc_id, md5(lower(trim(text))) AS fp, text FROM batch),
+    efp AS (SELECT DISTINCT md5(lower(trim(text))) AS fp FROM existing),
+    dee AS (SELECT doc_id FROM bfp WHERE fp IN (SELECT fp FROM efp)),
+    r1 AS (SELECT * FROM bfp
+           WHERE doc_id NOT IN (SELECT doc_id FROM dee)),
+    rk AS (SELECT doc_id, text,
+                  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+           FROM r1),
+    deb AS (SELECT doc_id FROM rk WHERE rn > 1),
+    r2 AS (SELECT doc_id, text FROM rk WHERE rn = 1),
+    uni AS (SELECT doc_id, text FROM r2
+            UNION ALL SELECT doc_id, text FROM existing),
+    words AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM uni),
+    sh0 AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+      FROM words),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM sh0),
+    cand AS (
+      SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+      FROM sh s1 JOIN sh s2
+        ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id),
+    sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(1) AS i
+      FROM cand p
+      JOIN sh s1 ON s1.doc_id = p.doc_a
+      JOIN sh s2 ON s2.doc_id = p.doc_b AND s2.shingle = s1.shingle
+      GROUP BY 1, 2),
+    jp AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(ROUND(i.i * 1000000.0 / (sa.n + sb.n - i.i)) AS BIGINT)
+            >= 500000),
+    bset AS (SELECT doc_id FROM r2),
+    dne AS (
+      SELECT DISTINCT d AS doc_id FROM (
+        SELECT doc_a AS d FROM jp
+        WHERE doc_a IN (SELECT doc_id FROM bset)
+          AND doc_b NOT IN (SELECT doc_id FROM bset)
+        UNION ALL
+        SELECT doc_b AS d FROM jp
+        WHERE doc_b IN (SELECT doc_id FROM bset)
+          AND doc_a NOT IN (SELECT doc_id FROM bset))),
+    r3 AS (SELECT doc_id FROM r2
+           WHERE doc_id NOT IN (SELECT doc_id FROM dne)),
+    bq AS (SELECT b.doc_id, b.v FROM be b JOIN r3 USING (doc_id)),
+    d2q AS (
+      SELECT q.doc_id, r.cell,
+             list_sum(list_transform(range(1, 65),
+               i -> (q.v[i]-r.v[i])*(q.v[i]-r.v[i]))) AS d2
+      FROM bq q CROSS JOIN refined r),
+    probes AS (
+      SELECT doc_id, cell FROM (
+        SELECT doc_id, cell,
+               row_number() OVER (PARTITION BY doc_id ORDER BY d2, cell) AS rn
+        FROM d2q) WHERE rn <= 3),
+    semsc AS (
+      SELECT p.doc_id, a.neighbor_id,
+             list_sum(list_transform(range(1, 65),
+               i -> (qq.v[i]-cc.v[i])*(qq.v[i]-cc.v[i]))) AS d2
+      FROM probes p JOIN asg a USING (cell)
+      JOIN bq qq ON qq.doc_id = p.doc_id
+      JOIN ce cc ON cc.doc_id = a.neighbor_id),
+    top1 AS (
+      SELECT doc_id, d2 FROM (
+        SELECT doc_id, d2,
+               row_number() OVER (
+                 PARTITION BY doc_id ORDER BY d2, neighbor_id) AS rn
+        FROM semsc) WHERE rn = 1),
+    dns AS (SELECT doc_id FROM top1 WHERE d2 <= 300000),
+    r3s AS (SELECT doc_id FROM r3
+            WHERE doc_id NOT IN (SELECT doc_id FROM dns)),
+    ed0 AS (
+      SELECT doc_a, doc_b FROM jp
+      WHERE doc_a IN (SELECT doc_id FROM r3s)
+        AND doc_b IN (SELECT doc_id FROM r3s)),
+    edges AS (
+      SELECT doc_a AS eu, doc_b AS ev FROM ed0
+      UNION ALL SELECT doc_b, doc_a FROM ed0),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM r3s
+      UNION
+      SELECT e.ev, r.r FROM reach r JOIN edges e ON e.eu = r.node),
+    comp AS (
+      SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node),
+    losers AS (SELECT doc_id FROM comp WHERE component_id <> doc_id)
+    SELECT doc_id, 'dup_exact_existing' AS verdict FROM dee
+    UNION ALL SELECT doc_id, 'dup_exact_batch' AS verdict FROM deb
+    UNION ALL SELECT doc_id, 'neardup_existing' AS verdict FROM dne
+    UNION ALL SELECT doc_id, 'neardup_semantic' AS verdict FROM dns
+    UNION ALL SELECT doc_id, 'neardup_batch' AS verdict FROM losers
+    UNION ALL SELECT doc_id, 'admitted' AS verdict
+    FROM comp WHERE component_id = doc_id
+    """
+
+
+def _sem_ivf_fixture_index(spark: SparkSession, sf_dir: str):
+    """The semantic-curation IVF fixture: trained on ALL corpus
+    embeddings (vec_id % 3 ≠ 0 — the same corpus slice the text
+    index holds) via ``ivf_index_write`` — seeds are the 8 lowest
+    ids, one Lloyd round, centroids frozen."""
+    from ..operators.vector_index import IvfIndex, ivf_index_write
+
+    name = f"semivf_idx_{_IDXV}_{_fixture_slug(sf_dir)}"
+    key = (id(spark.sparkContext), name)
+    idx = _IDX_CACHE.get(key)
+    if idx is not None and idx.exists(spark):
+        return idx
+    idx = IvfIndex(name, 8, 8)
+    if not idx.exists(spark):
+        emb = load(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % 3 != 0
+        )
+        idx = ivf_index_write(
+            emb, name, num_cells=8, vec_col="embedding", id_col="vec_id",
+            num_buckets=8,
+        )
+    _IDX_CACHE[key] = idx
+    return idx
+
+
+@register("incremental_curation_semantic_decisions", _SEM_CURATION_SQL)
+def incremental_curation_semantic_decisions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The round-7 LEAD task under the driver's own gate: incremental
+    curation with the SEMANTIC channel live — stage 3.5 of
+    ``pipelines.curate_increment`` probes the persisted IVF index
+    (``operators/vector_index.py``) with the survivors' embeddings,
+    and a top-1 within 300 000 quantized-L2² (nprobe=3 cells) is a
+    near-PARAPHRASE of an admitted corpus doc: verdict
+    ``neardup_semantic``, ranked between ``neardup_existing`` and
+    ``neardup_batch`` in the precedence chain. The planted batch
+    docs (+70000) REVERSE their source's word order — zero shared
+    3-gram shingles, so the text channels are provably blind to
+    them — while carrying the source's embedding with one dimension
+    bumped +0.5 (the SemDeDup oracle's construction, ≈250 000 L2²
+    from the source). The oracle replays BOTH channels from raw
+    data: the full text decision chain of
+    ``incremental_curation_decisions`` plus the IVF train/assign/
+    probe pipeline of ``ivf_index_ann_topk`` — so what is
+    value-checked end to end is that the persisted vector index,
+    wired into the decision path, flags exactly the paraphrases an
+    inline recomputation would, with the exact same precedence.
+    Reference anchor: the M3 freshness-merge idempotence contract
+    (dags/sql/bccp/update_des_table/bccp_item.sql:175) extended to
+    the semantic domain — batch state judged against accumulated
+    corpus state, never by re-deriving the corpus."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    existing = d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    newd = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    suffix = F.concat(F.col("text"), F.lit(" extra marker token"))
+    reversed_text = F.concat_ws(
+        " ", F.reverse(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    )
+    batch = (
+        newd
+        .unionByName(
+            existing.filter(F.col("doc_id") % 5 == 1)
+            .select((F.col("doc_id") + 30000).alias("doc_id"), "text")
+        )
+        .unionByName(
+            existing.filter(F.col("doc_id") % 5 == 2)
+            .select((F.col("doc_id") + 40000).alias("doc_id"),
+                    suffix.alias("text"))
+        )
+        .unionByName(
+            existing.filter(F.col("doc_id") % 5 == 3)
+            .select((F.col("doc_id") + 70000).alias("doc_id"),
+                    reversed_text.alias("text"))
+        )
+    )
+    as_double = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    bumped = F.expr(
+        "concat("
+        " slice(transform(embedding, x -> CAST(x AS DOUBLE)),"
+        "       1, CAST(vec_id % 64 AS INT)),"
+        " array(CAST(element_at(embedding, CAST(vec_id % 64 AS INT) + 1)"
+        "       AS DOUBLE) + 0.5D),"
+        " slice(transform(embedding, x -> CAST(x AS DOUBLE)),"
+        "       CAST(vec_id % 64 AS INT) + 2, 64))"
+    )
+    bemb = (
+        e.filter(F.col("vec_id") % 3 == 0)
+        .select(F.col("vec_id").alias("doc_id"), as_double.alias("embedding"))
+        .unionByName(
+            e.filter((F.col("vec_id") % 3 != 0) & (F.col("vec_id") % 5 == 1))
+            .select((F.col("vec_id") + 30000).alias("doc_id"),
+                    as_double.alias("embedding"))
+        )
+        .unionByName(
+            e.filter((F.col("vec_id") % 3 != 0) & (F.col("vec_id") % 5 == 2))
+            .select((F.col("vec_id") + 40000).alias("doc_id"),
+                    as_double.alias("embedding"))
+        )
+        .unionByName(
+            e.filter((F.col("vec_id") % 3 != 0) & (F.col("vec_id") % 5 == 3))
+            .select((F.col("vec_id") + 70000).alias("doc_id"),
+                    bumped.alias("embedding"))
+        )
+    )
+    from ..pipelines import curate_increment
+
+    idx = _fixture_index(spark, sf_dir)
+    ivf = _sem_ivf_fixture_index(spark, sf_dir)
+    return curate_increment(
+        batch, index=idx, ivf_index=ivf, batch_embeddings=bemb,
+        semantic_dist2_max=300_000, semantic_nprobe=3,
+    )
+
+
 #: One corpus index per (session, sf_dir): both index-probing queries
 #: read the same corpus (doc_id % 3 <> 0), and the nightly-production
 #: shape is "index built ONCE, probed by every batch" — the shared

@@ -638,3 +638,82 @@ def test_curated_view_pin_survives_refreshes(spark, tmp_path):
     assert m0["corpus_snapshot"] not in {p.name for p in tbl.history()}
     with pytest.raises(FileNotFoundError):
         idx.resolve(spark, epoch=pinned_epoch)
+
+
+def test_curate_increment_stream_semantic_channel(spark, tmp_path):
+    """Round-7 lead task: the streaming loop with ``embedding_col``
+    maintains a persisted IVF index alongside the text index — a
+    near-PARAPHRASE of a doc admitted in an EARLIER micro-batch
+    (different words, near-identical embedding) is caught across
+    batches as ``neardup_semantic``, and after the source doc's
+    takedown (which reaches the loop's IVF index automatically via
+    the co-manifest) the same paraphrase is genuinely new again."""
+    import datetime as dt
+    import random
+
+    from ods_v3_dbt_spark.pipelines import (
+        corpus_takedown,
+        curate_increment_stream,
+    )
+    from ods_v3_dbt_spark.sinks import ParquetTable
+
+    random.seed(5)
+    SCHEMA = "doc_id long, text string, embedding array<double>, ingest_ts timestamp"
+    T0 = dt.datetime(2024, 9, 1, 12, 0, 0)
+    vecs = [[random.uniform(-1, 1) for _ in range(8)] for _ in range(3)]
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    fresh = "totally new words nobody used before in any earlier batch"
+    para = "entirely different phrasing conveying the very same idea again"
+    src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+    corpus, dec = tmp_path / "corpus", tmp_path / "dec"
+    process = curate_increment_stream(
+        corpus, "t_sem_idx", str(dec), num_buckets=2,
+        embedding_col="embedding", ivf_cells=2,
+    )
+
+    def write(rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def drain():
+        q = (
+            spark.readStream.schema(SCHEMA).parquet(str(src))
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    write([(1, base, vecs[0], T0), (2, fresh, vecs[1], T0)])
+    drain()
+    # batch 2: paraphrase of doc 1 (zero shared shingles, embedding =
+    # doc 1's + a small bump) and an unrelated new doc
+    bumped = [vecs[0][0] + 0.05] + vecs[0][1:]
+    write([
+        (11, para, bumped, T0),
+        (12, "completely separate topic about gardening tools", vecs[2], T0),
+    ])
+    drain()
+    verdicts = {
+        r.doc_id: r.verdict for r in spark.read.parquet(str(dec)).collect()
+    }
+    assert verdicts[11] == "neardup_semantic"
+    assert verdicts[1] == verdicts[2] == verdicts[12] == "admitted"
+    got = sorted(
+        r.doc_id for r in ParquetTable(corpus).read(spark).collect()
+    )
+    assert got == [1, 2, 12]
+
+    # takedown of the semantic source reaches the IVF index via the
+    # co-manifest; the paraphrase then admits
+    corpus_takedown(
+        spark, corpus, spark.createDataFrame([(1,)], "doc_id bigint")
+    )
+    write([(21, para + " slightly", bumped, T0)])
+    drain()
+    verdicts = {
+        r.doc_id: r.verdict for r in spark.read.parquet(str(dec)).collect()
+    }
+    assert verdicts[21] == "admitted"

@@ -719,6 +719,24 @@ def test_incremental_curation_plan_is_stage_truncated(spark):
     assert rep["generates"] == 0, rep  # every explode ran inside a stage
 
 
+def test_semantic_curation_plan_is_stage_truncated(spark):
+    """The round-7 semantic channel must not fatten the decisions
+    plan: the IVF probe's corpus side is cell-pruned bucketed scans
+    and the stage discipline checkpoints its verdict list like every
+    other stage — same shallow budget as the text-only flavor, no
+    Generate, no Python eval, no nested loop."""
+    from ods_v3_dbt_spark.plans.planreport import plan_report
+
+    df = DQ.registry()["incremental_curation_semantic_decisions"].spark(
+        spark, SF
+    )
+    rep = plan_report(df)
+    assert rep["exchanges"] <= 10, rep
+    assert rep["generates"] == 0, rep
+    assert rep["python_evals"] == 0, rep
+    assert rep["nested_loop_joins"] == 0, rep
+
+
 def test_pq_ivfadc_job_budget(spark):
     """Round-4 task 3 regression pin: the PQ/IVFADC operators were
     compile-bound multi-action chains (17 / 22 Spark jobs, 8-15 s at
