@@ -415,11 +415,19 @@ def bm25_topk_windowed(
     scored = bm25_scores(docs, terms, text_col=text_col, id_col=id_col,
                          **kwargs)
     keep = toks.filter(pred).select("doc_id")
+    # heap-based global top-k (round-7 verdict task 6): orderBy+limit
+    # compiles to TakeOrderedAndProject — per-partition k-heaps merged
+    # on the driver — instead of the previous unpartitioned
+    # row_number Window that funneled every candidate through ONE
+    # partition. The residual Window below ranks only the k survivors.
+    top = (
+        scored.join(keep, "doc_id", "left_semi")
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     return (
-        scored.join(keep, "doc_id", "left_semi")
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .select(
             "rank",
             "doc_id",

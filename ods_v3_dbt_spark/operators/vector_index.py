@@ -325,6 +325,153 @@ def ivf_index_compact(index: IvfIndex,
     return index
 
 
+def ivf_index_recall_ppm(
+    spark: SparkSession,
+    index: IvfIndex,
+    k: int = 10,
+    nprobe: int = 3,
+    max_sample: int = 32,
+) -> int:
+    """Probe-recall TELEMETRY (round-7 verdict task 3): how much of
+    the exact top-k does a cell-pruned probe still find? Appends
+    assign to FROZEN centroids, so after heavy out-of-distribution
+    drift the true neighbors of a query spread across cells the
+    probe never visits and recall decays silently — this measures
+    it. A deterministic hash-ordered sample of the index's own
+    visible vectors (≤ ``max_sample``) is probed twice: through the
+    normal nprobe-pruned path and against the FULL visible list
+    (brute force — maintenance-priced, sample×corpus); recall@k is
+    the mean overlap, returned in ppm. 1e6 exactly when
+    nprobe == num_cells (the full-probe exactness contract)."""
+    from pyspark.sql import Window
+
+    cur = index.resolve(spark)
+    vis = _visible(cur, spark, "assign", "vid").select("vid", "v", "cell")
+    sample = (
+        vis.select("vid", "v")
+        .orderBy(F.xxhash64(F.col("vid").cast("string")), F.col("vid"))
+        .limit(max_sample)
+        .localCheckpoint()
+    )
+    cents = _read_centroids(spark, cur)
+    ref_lit = F.expr(_int_matrix_sql(cents))
+    probes = sample.select(
+        F.col("vid").alias("query_id"),
+        F.col("v").alias("__qv"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(_l2q_dist2(F.col("v"), ref_lit)), 1, nprobe
+                ),
+                lambda s: s.getField("cell").cast("int"),
+            )
+        ).alias("cell"),
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("v"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col("neighbor_id").asc()
+    )
+
+    def topk(scored):
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id")
+        )
+
+    ivf_hits = topk(
+        vis.join(F.broadcast(probes), "cell").select(
+            "query_id", F.col("vid").alias("neighbor_id"), dist2.alias("dist2")
+        )
+    )
+    exact = topk(
+        vis.crossJoin(
+            F.broadcast(
+                sample.select(
+                    F.col("vid").alias("query_id"), F.col("v").alias("__qv")
+                )
+            )
+        ).select(
+            "query_id", F.col("vid").alias("neighbor_id"), dist2.alias("dist2")
+        )
+    )
+    row = (
+        exact.join(ivf_hits.withColumn("__hit", F.lit(1)),
+                   ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("__hit").alias("hits"),
+        )
+        .collect()[0]
+    )
+    if row.n == 0:
+        return 1_000_000
+    return int(row.hits * 1_000_000 // row.n)
+
+
+def ivf_index_refresh(
+    index: IvfIndex,
+    spark: SparkSession | None = None,
+    k: int = 10,
+    nprobe: int = 3,
+    recall_floor_ppm: int = 900_000,
+    max_sample: int = 32,
+) -> dict:
+    """Centroid-refresh MAINTENANCE with a recall gate (round-7
+    verdict task 3): measure probe recall (:func:`ivf_index_recall_ppm`);
+    if it sits at or above ``recall_floor_ppm`` the index is healthy
+    and nothing is written. Below the floor, RE-TRAIN from the
+    current visible vectors — the same deterministic seed + one-Lloyd
+    integer pipeline as a fresh build — and land centroids + full
+    reassignment as one new single-segment epoch (tombstones fold
+    away; same manifest-commit atomicity as compaction). A refresh is
+    value-identical to ``ivf_index_write`` over the visible vectors,
+    so the append≡rebuild oracle discipline survives it: probes of
+    the refreshed index equal probes of a from-scratch index on the
+    same corpus (pinned in tests). Schedule it weekly next to
+    compaction; nightly appends stay O(batch) against the new frozen
+    centroids. Returns
+    ``{"recall_ppm", "refreshed", "epoch"}``."""
+    spark = spark or SparkSession.getActiveSession()
+    recall = ivf_index_recall_ppm(spark, index, k, nprobe, max_sample)
+    if recall >= recall_floor_ppm:
+        return {
+            "recall_ppm": recall,
+            "refreshed": False,
+            "epoch": index.resolve(spark).epoch,
+        }
+    with _index_lock(spark, index.name) as lk:
+        man = _read_manifest(spark, index.name)
+        cur = index.resolve(spark)
+        new_epoch = cur.epoch + 1
+        pins = _read_pins(spark, index.name)
+        hist = _retained_history(man, new_epoch, [new_epoch], pins)
+        tomb_hist = _retained_tomb_history(man, new_epoch, [], pins)
+        _gc_epochs(spark, index.name,
+                   _keep_epochs(hist, tomb_hist) - {new_epoch})
+        vis = _visible(cur, spark, "assign", "vid").select("vid", "v")
+        asg, _ref_lit, cents = _l2q_cells(vis, index.num_cells)
+        _write_member(
+            index._table("centroids", new_epoch),
+            _centroid_df(spark, cents),
+            new_epoch,
+        )
+        _write_member(
+            index._table("assign", new_epoch),
+            asg.select("vid", "v", F.col("cell").cast("int").alias("cell")),
+            new_epoch,
+        )
+        lk.check()
+        _commit_manifest(spark, index.name, new_epoch, index.spec(),
+                         [new_epoch], hist, [], tomb_hist)
+        _gc_epochs(spark, index.name, _keep_epochs(hist, tomb_hist))
+    return {"recall_ppm": recall, "refreshed": True, "epoch": new_epoch}
+
+
 def ivf_index_delete(index: IvfIndex, vec_ids: DataFrame,
                      id_col: str = "vec_id") -> IvfIndex:
     """Tombstone-delete ``vec_ids`` from the IVF index — O(batch):

@@ -420,22 +420,54 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _capped_lsh_fixture_index(spark: SparkSession, sf_dir: str,
+                              force: bool = False):
+    """LSH index over the ``corpus_with_dups`` fixture corpus — the
+    persisted state ``minhash_lsh_capped`` self-joins (round-7
+    verdict task 5: signatures computed and banded ONCE at build,
+    not per run)."""
+    from ..operators.neardup_index import LshIndex, lsh_index_write
+
+    name = f"cappedlsh_idx_{_IDXV}_{_fixture_slug(sf_dir)}"
+    key = (id(spark.sparkContext), name)
+    idx = _IDX_CACHE.get(key)
+    if not force and idx is not None and idx.exists(spark):
+        return idx
+    idx = LshIndex(name, 3, 16, 4, 8, "md5")
+    if force or not idx.exists(spark):
+        idx = lsh_index_write(
+            corpus_with_dups(spark, sf_dir), name,
+            num_hashes=16, bands=4, num_buckets=8, mode="md5",
+        )
+    _IDX_CACHE[key] = idx
+    return idx
+
+
 @register("minhash_lsh_capped", _minhash_sql(16, 4, 600000, max_bucket=3))
 def minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup with the HOT-BUCKET GUARD live
-    (round-2 verdict item 3): identical pipeline to
-    minhash_lsh_neardup, but band-key buckets larger than 3 docs are
-    dropped before the candidate self-join
-    (``lsh_candidate_pairs(max_bucket=3)``). At sf0.01 the corpus has
-    exactly one size-4 bucket, so the cap provably bites here — and
-    the oracle replays the same bucket-size filter, so what survives
-    (pairs re-surfacing through their other three bands) is
+    (round-2 verdict item 3): band-key buckets larger than 3 docs
+    are dropped before the candidate self-join. At sf0.01 the corpus
+    has exactly one size-4 bucket, so the cap provably bites here —
+    and the oracle replays the same bucket-size filter, so what
+    survives (pairs re-surfacing through their other three bands) is
     hash-verified, not assumed. At 100 TB this is the guard that
     keeps one boilerplate band key from emitting n²/2 candidate
-    rows; ``minhash_band_stats`` prices the cap before the run."""
-    c = corpus_with_dups(spark, sf_dir)
-    return DD.minhash_lsh_pairs(
-        c, num_hashes=16, bands=4, threshold_ppm=600000, mode="md5", max_bucket=3
+    rows; ``minhash_band_stats`` prices the cap before the run.
+
+    Round 7 (verdict task 5): the pipeline now runs over PERSISTED
+    signatures — the corpus is shingled, signed, and banded ONCE
+    into an :class:`~..operators.neardup_index.LshIndex` and the
+    capped flavor self-joins the bucketed band table
+    (``lsh_index_self_pairs``), replacing the per-run 32-exchange /
+    48-scan recomputation with a probe-class plan. The oracle is
+    UNCHANGED — index-served pairs are value-identical to the
+    inline recomputation, which is exactly what the hash proves."""
+    from ..operators.neardup_index import lsh_index_self_pairs
+
+    idx = _capped_lsh_fixture_index(spark, sf_dir)
+    return lsh_index_self_pairs(
+        idx, threshold_ppm=600000, max_bucket=3, spark=spark
     )
 
 

@@ -46,6 +46,7 @@ def plan_report(df: DataFrame) -> dict:
         "nested_loop_joins": phys.count("BroadcastNestedLoopJoin")
         + phys.count("CartesianProduct"),
         "window_group_limits": phys.count("WindowGroupLimit"),
+        "take_ordered": phys.count("TakeOrderedAndProject"),
         "expands": phys.count("Expand"),
         "generates": phys.count("Generate"),
         "python_evals": phys.count("BatchEvalPython")
