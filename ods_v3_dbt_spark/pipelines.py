@@ -330,6 +330,25 @@ def curate_increment_stream(
             & T.token_count(F.col("text")).between(min_tokens, max_tokens)
         ).select(*cols)
         corpus_tbl = ParquetTable(corpus_path)
+        # DENYLIST gate (``corpus_takedown(deny=True)``): a
+        # re-submission of taken-down CONTENT — same text under any
+        # doc_id — is refused by fingerprint before any decision
+        # machinery and recorded in the audit trail as ``denied``.
+        # The denylist holds fingerprints only, so honoring a
+        # takedown never requires retaining what was taken down.
+        deny_tbl = ParquetTable(f"{corpus_path}__deny")
+        denied = None
+        clean = gated
+        if deny_tbl.exists():
+            denied = (
+                gated.select(
+                    "doc_id", T.fingerprint_md5(F.col("text")).alias("fp")
+                )
+                .join(F.broadcast(deny_tbl.read(spark)), "fp", "left_semi")
+                .select("doc_id")
+                .localCheckpoint()
+            )
+            clean = gated.join(F.broadcast(denied), "doc_id", "left_anti")
         if index_kind == "lsh":
             idx = LshIndex(index_name, num_buckets=num_buckets)
 
@@ -425,14 +444,20 @@ def curate_increment_stream(
             decisions = stored
         else:
             decisions = curate_increment(
-                gated, index=idx, neardup_jaccard_ppm=neardup_jaccard_ppm,
+                clean, index=idx, neardup_jaccard_ppm=neardup_jaccard_ppm,
                 ivf_index=ivf if ivf_ready else None,
                 batch_embeddings=(
-                    gated.select("doc_id", "embedding") if ivf_ready else None
+                    clean.select("doc_id", "embedding") if ivf_ready else None
                 ),
                 semantic_dist2_max=semantic_dist2_max,
                 semantic_nprobe=semantic_nprobe,
             )
+            if denied is not None:
+                decisions = decisions.unionByName(
+                    denied.select(
+                        "doc_id", F.lit("denied").alias("verdict")
+                    )
+                )
             # ATOMIC per-partition publication (round 5, closing the
             # torn-partition residual the round-4 note documented):
             # the epoch's verdicts land in a dot-prefixed staging dir
@@ -673,6 +698,7 @@ def corpus_takedown(
     doc_ids: DataFrame,
     extra_indexes=(),
     keep: int = 3,
+    deny: bool = True,
 ) -> dict:
     """RIGHT-TO-BE-FORGOTTEN for a curated store: remove ``doc_ids``
     from the corpus table AND every derived index, then publish ONE
@@ -713,12 +739,16 @@ def corpus_takedown(
        next writer's GC retires it — the taken-down docs then exist
        NOWHERE on disk once compaction folds the tombstones.
 
-    Re-ingestion policy is deliberately the caller's: a later batch
-    re-submitting identical text is genuinely new to the store and
-    will be re-admitted (delete-then-re-add ≡ never deleted); a
-    caller that must block re-entry keeps the takedown list in its
-    ingest gate. Returns a receipt dict (removed count, the new
-    corpus snapshot, the post-delete index epoch)."""
+    Re-ingestion policy: with ``deny=True`` (default) the taken-down
+    docs' content FINGERPRINTS land in a persistent denylist table
+    (``{corpus_path}__deny`` — fingerprints only, never the content,
+    so the denylist itself holds nothing forgettable) and
+    :func:`curate_increment_stream` rejects any later submission of
+    identical text at the gate with verdict ``denied``. With
+    ``deny=False`` the index-level doctrine applies instead:
+    delete-then-re-add ≡ never deleted, and an identical
+    re-submission is genuinely new. Returns a receipt dict (removed
+    count, the new corpus snapshot, the post-delete index epoch)."""
     import json as _json
 
     from .sinks import ParquetTable, TableGroup
@@ -759,9 +789,23 @@ def corpus_takedown(
         _index_delete_any(target, ids)
 
     # 2. the corpus: one anti-join snapshot-swap (replay-safe — a
-    # second run anti-joins an already-reduced corpus to itself)
+    # second run anti-joins an already-reduced corpus to itself).
+    # First, with deny on, record the taken-down CONTENT fingerprints
+    # (never the text) so the ingest gate can refuse re-submissions —
+    # idempotent: the union-distinct converges on replay.
     existing = corpus_tbl.read(spark)
     from pyspark.sql import functions as _F
+
+    if deny:
+        deny_tbl = ParquetTable(f"{corpus_path}__deny")
+        fps = (
+            existing.join(_F.broadcast(ids), "doc_id", "left_semi")
+            .select(T.fingerprint_md5(_F.col("text")).alias("fp"))
+            .distinct()
+        )
+        if deny_tbl.exists():
+            fps = deny_tbl.read(spark).unionByName(fps).distinct()
+        deny_tbl.write(fps)
 
     n_before = existing.count()
     reduced = existing.join(_F.broadcast(ids), "doc_id", "left_anti")

@@ -213,3 +213,72 @@ def test_takedown_requires_curated_store(spark, tmp_path):
             tmp_path / "bare",
             spark.createDataFrame([(1,)], "doc_id bigint"),
         )
+
+
+def test_denylist_blocks_reingestion_of_taken_down_content(spark, tmp_path):
+    """corpus_takedown(deny=True) records content fingerprints in the
+    persistent denylist; a later submission of IDENTICAL text under a
+    fresh doc_id is refused at the gate (verdict ``denied``, never
+    admitted, never indexed), while new content flows normally. The
+    denylist stores fingerprints only — no retained text."""
+    from ods_v3_dbt_spark.pipelines import corpus_takedown
+    from ods_v3_dbt_spark.sinks import ParquetTable
+
+    corpus, process, write, drain = _seed_store(spark, tmp_path, "tk_deny")
+    corpus_takedown(
+        spark, corpus, spark.createDataFrame([(13,)], "doc_id bigint")
+    )
+    deny = ParquetTable(f"{corpus}__deny")
+    assert deny.exists() and deny.read(spark).columns == ["fp"]
+
+    # identical text, new id -> denied; fresh content -> admitted
+    write([(31, FRESH, T0),
+           (32, "genuinely novel material for the denylist test", T0)])
+    drain()
+    verdicts = {
+        r.doc_id: r.verdict for r in spark.read.parquet(
+            str(tmp_path / "decisions")
+        ).collect()
+    }
+    assert verdicts[31] == "denied"
+    assert verdicts[32] == "admitted"
+    ids = {r.doc_id for r in ParquetTable(corpus).read(spark).collect()}
+    assert 31 not in ids and 32 in ids
+
+    # the denied text is not in the curation index either
+    from ods_v3_dbt_spark.operators.neardup_index import exact_probe
+    from ods_v3_dbt_spark.pipelines import _index_from_manifest, curated_view
+
+    _, _, man = curated_view(spark, corpus)
+    probe = spark.createDataFrame([(99, FRESH)], "doc_id long, text string")
+    assert exact_probe(probe, _index_from_manifest(man)).count() == 0
+
+    # replay idempotence: a second takedown of already-gone content
+    # leaves the denylist converged (one fp row per taken-down text)
+    n = deny.read(spark).count()
+    corpus_takedown(
+        spark, corpus, spark.createDataFrame([(13,)], "doc_id bigint")
+    )
+    assert deny.read(spark).count() == n
+
+
+def test_takedown_deny_false_keeps_readd_doctrine(spark, tmp_path):
+    """deny=False: no denylist lands and an identical re-submission is
+    genuinely new (delete-then-re-add ≡ never deleted)."""
+    from ods_v3_dbt_spark.pipelines import corpus_takedown
+    from ods_v3_dbt_spark.sinks import ParquetTable
+
+    corpus, process, write, drain = _seed_store(spark, tmp_path, "tk_nodeny")
+    corpus_takedown(
+        spark, corpus, spark.createDataFrame([(13,)], "doc_id bigint"),
+        deny=False,
+    )
+    assert not ParquetTable(f"{corpus}__deny").exists()
+    write([(41, FRESH, T0)])
+    drain()
+    verdicts = {
+        r.doc_id: r.verdict for r in spark.read.parquet(
+            str(tmp_path / "decisions")
+        ).collect()
+    }
+    assert verdicts[41] == "admitted"
