@@ -81,11 +81,24 @@ def main() -> None:
     # queries then find the session-cached index via exists().
     from ods_v3_dbt_spark.plans import llm_queries as LQ  # noqa: E402
 
-    needs_exact = {"dedup_index_probe", "incremental_curation_decisions"}
+    needs_exact = {"dedup_index_probe", "incremental_curation_decisions",
+                   "incremental_curation_semantic_decisions"}
     if needs_exact & registry.keys():
         t0 = time.perf_counter()
         LQ._fixture_index(spark, sf_dir, force=True)
         times["dedup_index_build"] = round(time.perf_counter() - t0, 3)
+    if "incremental_curation_semantic_decisions" in registry:
+        # the semantic channel's IVF corpus state — its own build row
+        t0 = time.perf_counter()
+        LQ._sem_ivf_fixture_index(spark, sf_dir, force=True)
+        times["sem_ivf_index_build"] = round(time.perf_counter() - t0, 3)
+    if "minhash_lsh_capped" in registry:
+        # round 7: the capped flavor self-joins PERSISTED signatures —
+        # the sign+band build is priced here, the registry row below
+        # measures the probe-class self-join
+        t0 = time.perf_counter()
+        LQ._capped_lsh_fixture_index(spark, sf_dir, force=True)
+        times["cappedlsh_index_build"] = round(time.perf_counter() - t0, 3)
     if "lsh_index_probe" in registry:
         t0 = time.perf_counter()
         LQ._lsh_fixture_index(spark, sf_dir, force=True)

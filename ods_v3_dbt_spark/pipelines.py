@@ -336,6 +336,11 @@ def curate_increment_stream(
         # machinery and recorded in the audit trail as ``denied``.
         # The denylist holds fingerprints only, so honoring a
         # takedown never requires retaining what was taken down.
+        # Scale note: takedown lists are small (thousands-to-millions
+        # of 32-byte fps — megabytes), so the broadcast semi-join is
+        # right for years of accumulation; a pathological denylist
+        # outgrowing broadcast swaps to an fp-bucketed table + shuffle
+        # semi-join with a runtime bloom on the batch side.
         deny_tbl = ParquetTable(f"{corpus_path}__deny")
         denied = None
         clean = gated
@@ -807,10 +812,13 @@ def corpus_takedown(
             fps = deny_tbl.read(spark).unionByName(fps).distinct()
         deny_tbl.write(fps)
 
-    n_before = existing.count()
+    # receipt count from the (bounded) id side: one column-pruned
+    # semi-join instead of two full-corpus counts
+    n_removed = existing.join(
+        _F.broadcast(ids), "doc_id", "left_semi"
+    ).count()
     reduced = existing.join(_F.broadcast(ids), "doc_id", "left_anti")
     corpus_snap = corpus_tbl.write(reduced)
-    n_removed = n_before - corpus_tbl.read(spark).count()
 
     # 3. ONE consistent pointer commit for the post-takedown pair
     from .operators.neardup_index import set_index_pin

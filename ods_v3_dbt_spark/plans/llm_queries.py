@@ -1403,7 +1403,8 @@ _SEM_CURATION_SQL = f"""
     """
 
 
-def _sem_ivf_fixture_index(spark: SparkSession, sf_dir: str):
+def _sem_ivf_fixture_index(spark: SparkSession, sf_dir: str,
+                           force: bool = False):
     """The semantic-curation IVF fixture: trained on ALL corpus
     embeddings (vec_id % 3 ≠ 0 — the same corpus slice the text
     index holds) via ``ivf_index_write`` — seeds are the 8 lowest
@@ -1413,10 +1414,10 @@ def _sem_ivf_fixture_index(spark: SparkSession, sf_dir: str):
     name = f"semivf_idx_{_IDXV}_{_fixture_slug(sf_dir)}"
     key = (id(spark.sparkContext), name)
     idx = _IDX_CACHE.get(key)
-    if idx is not None and idx.exists(spark):
+    if not force and idx is not None and idx.exists(spark):
         return idx
     idx = IvfIndex(name, 8, 8)
-    if not idx.exists(spark):
+    if force or not idx.exists(spark):
         emb = load(spark, sf_dir, "embeddings").filter(
             F.col("vec_id") % 3 != 0
         )
