@@ -261,3 +261,91 @@ def test_pre_doc_aware_index_spec_refuses_loudly(spark):
     fs_for(p).write_text_atomic(p, json.dumps(man, sort_keys=True))
     with pytest.raises(ValueError, match="spec mismatch"):
         DedupIndex("tdel_spec", 3, 4).resolve(spark)
+
+
+def test_delete_crash_replay_converges(spark, monkeypatch):
+    """Delete shares the append's epoch-commit crash semantics: a
+    delete that dies before the manifest replace leaves the index
+    fully readable with the doc still visible (the orphaned tomb
+    member is invisible), and the replay converges — one tombstone,
+    suppression exact, no double-subtraction anywhere."""
+    import ods_v3_dbt_spark.operators.neardup_index as NI
+
+    docs = _docs(spark)
+    idx = dedup_index_write(docs, "tdel_crash", num_buckets=4)
+    e0 = idx.resolve(spark).epoch
+    dels = spark.createDataFrame([(5,)], "doc_id bigint")
+
+    real_commit = NI._commit_manifest
+
+    def dying_commit(*a, **k):
+        raise RuntimeError("simulated crash before manifest commit")
+
+    monkeypatch.setattr(NI, "_commit_manifest", dying_commit)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        dedup_index_delete(idx, dels)
+    cur = idx.resolve(spark)
+    assert cur.epoch == e0 and cur.tombs == []
+    assert any(
+        c == 5 for (_, c, _) in
+        ((r.doc_id, r.corpus_id, r.jacc_ppm)
+         for r in neardup_probe(_batch(spark), idx, 400_000).collect())
+    )
+
+    monkeypatch.setattr(NI, "_commit_manifest", real_commit)
+    dedup_index_delete(idx, dels)
+    cur = idx.resolve(spark)
+    assert cur.epoch == e0 + 1
+    assert [te for te, _ in cur.tombs] == [e0 + 1]
+    got = _pairs(neardup_probe(_batch(spark), idx, 400_000))
+    ref_idx = dedup_index_write(
+        docs.filter("doc_id <> 5"), "tdel_crash_ref", num_buckets=4
+    )
+    assert got == _pairs(neardup_probe(_batch(spark), ref_idx, 400_000))
+
+
+def test_pinned_epoch_with_tombs_survives_compaction(spark):
+    """The GC-subtlety the round-6 ADVICE flagged, end to end: pin an
+    epoch WHOSE DELETE STATE IS LIVE (tombs attached), then compact
+    (tombs fold physically, new epoch) — the pinned epoch must keep
+    resolving with its tombstone tables attached and keep suppressing
+    exactly what its commit saw, because tomb_history carries pinned
+    epochs' tomb lists and the GC keep-set unions them."""
+    from ods_v3_dbt_spark.operators.neardup_index import exact_probe
+
+    docs = _docs(spark)
+    idx = dedup_index_write(docs, "tdel_pintomb", num_buckets=4)
+    dedup_index_delete(
+        idx, spark.createDataFrame([(5,)], "doc_id bigint")
+    )
+    pinned = idx.resolve(spark).epoch  # the tombed epoch
+    set_index_pin(spark, idx.name, "aud", [pinned])
+    # fold: tombs vanish from the CURRENT epoch...
+    dedup_index_compact(idx, spark)
+    # ...and an unrelated append GCs again
+    dedup_index_append(
+        idx,
+        spark.createDataFrame(
+            [(200, "brand new appended document body here")],
+            "doc_id bigint, text string",
+        ),
+    )
+    cur = idx.resolve(spark)
+    assert cur.tombs == []
+    # the pinned epoch still attaches its tombstone and suppresses
+    old = idx.resolve(spark, epoch=pinned)
+    assert [te for te, _ in old.tombs] == [pinned]
+    probe = docs.filter("doc_id = 5").select(
+        (F.col("doc_id") + 100).alias("doc_id"), "text"
+    )
+    # doc 5's exact text: invisible at the pinned epoch (tombstoned),
+    # invisible now (folded away) — visible nowhere
+    b = probe.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+    )
+    from ods_v3_dbt_spark.operators.neardup_index import _fp_hits
+
+    assert _fp_hits(b, old, spark).count() == 0
+    assert exact_probe(probe, idx).count() == 0
+    set_index_pin(spark, idx.name, "aud", None)
