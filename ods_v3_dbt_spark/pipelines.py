@@ -704,6 +704,8 @@ def corpus_takedown(
     extra_indexes=(),
     keep: int = 3,
     deny: bool = True,
+    run_log=None,
+    job_id: str = "takedown",
 ) -> dict:
     """RIGHT-TO-BE-FORGOTTEN for a curated store: remove ``doc_ids``
     from the corpus table AND every derived index, then publish ONE
@@ -753,8 +755,18 @@ def corpus_takedown(
     ``deny=False`` the index-level doctrine applies instead:
     delete-then-re-add ≡ never deleted, and an identical
     re-submission is genuinely new. Returns a receipt dict (removed
-    count, the new corpus snapshot, the post-delete index epoch)."""
+    count, the new corpus snapshot, the post-delete index epoch);
+    pass ``run_log`` (a :class:`..runlog.RunLog`) and the receipt is
+    also appended to the run-metadata table — the reference's O11
+    ``task_result`` discipline (helper1/task_logger.py:25-66) applied
+    to compliance actions, so "when was request X honored and what
+    did it remove" stays queryable without retaining the content."""
+    import datetime as _dt
     import json as _json
+    import time as _time
+
+    started = _dt.datetime.now()
+    t0 = _time.perf_counter()
 
     from .sinks import ParquetTable, TableGroup
 
@@ -847,11 +859,23 @@ def corpus_takedown(
     set_index_pin(spark, man["index_name"], f"curated:{corpus_path}",
                   pin_epochs)
     corpus_tbl.vacuum(keep=keep, pinned=pin_snaps)
-    return {
+    receipt = {
         "n_removed": n_removed,
         "corpus_snapshot": corpus_snap.name,
         "index_epoch": new_epoch,
     }
+    if run_log is not None:
+        from .runlog import RunRecord
+
+        run_log.append(
+            spark,
+            RunRecord(
+                job_id, "corpus_takedown", started.strftime("%Y%m%d"),
+                started, round(_time.perf_counter() - t0, 3),
+                _json.dumps(receipt, sort_keys=True), True,
+            ),
+        )
+    return receipt
 
 
 def release_curated_view(spark, corpus_path, pin_id: str) -> None:

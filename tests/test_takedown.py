@@ -282,3 +282,25 @@ def test_takedown_deny_false_keeps_readd_doctrine(spark, tmp_path):
         ).collect()
     }
     assert verdicts[41] == "admitted"
+
+
+def test_takedown_runlog_receipt(spark, tmp_path):
+    """corpus_takedown(run_log=) appends the receipt to the run-
+    metadata table (O11 applied to compliance actions): queryable
+    when/what, zero retained content."""
+    import json
+
+    from ods_v3_dbt_spark.pipelines import corpus_takedown
+    from ods_v3_dbt_spark.runlog import RunLog
+
+    corpus, process, write, drain = _seed_store(spark, tmp_path, "tk_log")
+    log = RunLog(tmp_path / "runlog")
+    receipt = corpus_takedown(
+        spark, corpus, spark.createDataFrame([(13,)], "doc_id bigint"),
+        run_log=log, job_id="gdpr-req-42",
+    )
+    rows = log.read(spark).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.job_id == "gdpr-req-42" and r.task_id == "corpus_takedown"
+    assert r.is_success and json.loads(r.result) == receipt
