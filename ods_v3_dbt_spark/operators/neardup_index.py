@@ -804,7 +804,12 @@ def _tomb_delete(index, doc_ids: DataFrame, id_col: str,
     with _index_lock(spark, index.name) as lk:
         man = _read_manifest(spark, index.name)
         cur = index.resolve(spark)
-        ids = doc_ids.select(F.col(id_col).alias("doc_id")).distinct()
+        # checkpoint: the id plan feeds one semi-join PER SEGMENT —
+        # materialize once instead of replaying the caller's plan K×
+        ids = (
+            doc_ids.select(F.col(id_col).alias("doc_id")).distinct()
+            .localCheckpoint()
+        )
         parts = []
         for t, seg in zip(getattr(cur, live_member).tables, cur.segments):
             live = _seg_visible(cur, spark, t, seg, live_id).select(

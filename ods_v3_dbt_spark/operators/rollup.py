@@ -230,3 +230,70 @@ def update_datamart_window(
         {"day": day, "month": month},
         extras={"max_day": src_max, "fact_day_col": day_id_col},
     )
+
+
+def fact_delete_cascade(
+    spark,
+    group,
+    keys: DataFrame,
+    key_cols: Sequence[str],
+    group_cols: Sequence[str],
+    day_id_col: str,
+    aggs: dict[str, Column],
+    month_id_col: str = "month_id",
+) -> dict:
+    """M6 DELETE cascaded into the A4 datamarts as ONE transaction
+    (round 7 — the relational twin of ``pipelines.corpus_takedown``):
+    remove every fact row matching ``keys`` (e.g. all events of an
+    opted-out user) and re-derive EXACTLY the affected days' rollup
+    rows from the reduced fact, committing fact + day + month behind
+    one :class:`..sinks.TableGroup` manifest replace — a reader can
+    never pair a reduced fact with a datamart still counting the
+    deleted rows, which is precisely why the reference runs its
+    delete+insert scripts and datamart procs inside one Postgres
+    transaction (dags/sql/casreport/update_des_table/
+    casreport_rpt_full_item.sql:1-3; dags/sql/pns/update_des_table/
+    update_datamart.sql:4-27).
+
+    Scale shape: the delete keys broadcast; untouched days carry
+    over WITHOUT recompute (anti-join on the affected-day set); the
+    delta recompute scans the reduced fact restricted to affected
+    days — with a day-partitioned fact that is a pruned scan, so
+    cascade cost tracks the deleted rows' day spread, not fact size.
+    A day whose rows all vanished disappears from the day member and
+    its month re-sums accordingly. Idempotent: a replay deletes
+    nothing and recommits the same state. ``group`` must be a
+    TableGroup with members ``("fact", "day", "month")`` holding a
+    prior commit (build it with :func:`update_datamart` over the
+    same group, or commit the initial trio directly)."""
+    if tuple(group.names) != ("fact", "day", "month"):
+        raise ValueError(
+            "fact_delete_cascade needs a TableGroup with members "
+            f"('fact', 'day', 'month'), got {group.names}"
+        )
+    cur = group.read(spark)
+    fact = cur["fact"]
+    kb = keys.select(*key_cols).distinct().localCheckpoint()
+    affected = (
+        fact.join(F.broadcast(kb), list(key_cols), "left_semi")
+        .select(day_id_col)
+        .distinct()
+        .localCheckpoint()
+    )
+    reduced = fact.join(F.broadcast(kb), list(key_cols), "left_anti")
+    day_delta = rollup_day(
+        reduced.join(F.broadcast(affected), day_id_col, "left_semi"),
+        group_cols, day_id_col, aggs,
+    )
+    day = (
+        cur["day"]
+        .join(F.broadcast(affected), day_id_col, "left_anti")
+        .unionByName(day_delta)
+    )
+    month = rollup_month_from_day(day, group_cols, day_id_col, month_id_col)
+    group.commit(
+        {"fact": reduced, "day": day, "month": month},
+        extras={"cascade_delete": True, "fact_day_col": day_id_col},
+    )
+    n_days = affected.count()
+    return {"n_days_affected": n_days}

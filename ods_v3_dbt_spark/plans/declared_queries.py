@@ -981,6 +981,64 @@ def rollup_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fact_delete_cascade_day",
+    """
+    SELECT event_type, CAST(strftime(ts, '%Y%m%d') AS INT) AS day_id,
+           CAST(COUNT(1) AS BIGINT) AS item_count,
+           CAST(SUM(CAST(ROUND(COALESCE(value, 0.0)*100) AS BIGINT)) AS BIGINT)
+             AS value_c
+    FROM events
+    WHERE NOT user_id % 13 = 4
+    GROUP BY event_type, CAST(strftime(ts, '%Y%m%d') AS INT)
+    """,
+)
+def fact_delete_cascade_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 DELETE cascaded into the A4 datamarts, hash-verified
+    (operators/rollup.py::fact_delete_cascade — round 7, the
+    relational twin of ``corpus_takedown``): the events fact + its
+    day/month rollups commit as one TableGroup; then every event of
+    the opted-out users (``user_id % 13 = 4``) is deleted and ONLY
+    the affected days' rollup rows re-derive from the reduced fact —
+    untouched days carry over without recompute, a day whose rows
+    all vanished disappears, and fact + day + month flip behind ONE
+    manifest replace. The oracle re-aggregates the reduced fact from
+    scratch, so what is value-checked is that the carry-over +
+    affected-day-delta merge equals a full recompute — the
+    correctness trap in every incremental-delete datamart. Reference
+    anchor: the one-Postgres-transaction delete+refresh discipline
+    (casreport_rpt_full_item.sql:1-3, update_datamart.sql:4-27)."""
+    from ..operators.rollup import fact_delete_cascade
+    from ..sinks import TableGroup, _warehouse_path
+
+    import re as _re
+
+    slug = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+    group = TableGroup(
+        _warehouse_path(spark) / f"cascade_{slug}", ("fact", "day", "month")
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        CL.day_id(F.col("ts")).alias("day_id"),
+        "value",
+        "user_id",
+    )
+    aggs = {
+        "item_count": F.count(F.lit(1)),
+        "value_c": F.sum(cents(F.coalesce(F.col("value"), F.lit(0.0)))),
+    }
+    day0 = R.rollup_day(ev, ["event_type"], "day_id", aggs)
+    group.commit(
+        {"fact": ev, "day": day0,
+         "month": R.rollup_month_from_day(day0, ["event_type"], "day_id")}
+    )
+    keys = ev.filter(F.col("user_id") % 13 == 4).select("user_id")
+    fact_delete_cascade(
+        spark, group, keys, ["user_id"], ["event_type"], "day_id", aggs
+    )
+    return group.read(spark)["day"]
+
+
+@register(
     "quality_assertion_metrics",
     """
     SELECT CAST(COUNT(1) AS BIGINT) AS n_rows,
