@@ -208,3 +208,104 @@ def write_wds_shards(
     return df.groupBy(shard_col).applyInPandas(
         pack, schema="shard_id long, path string, n_samples long, n_bytes long"
     )
+
+
+def wds_shards_takedown(
+    spark: SparkSession,
+    path_glob: str,
+    keys: DataFrame,
+    key_col: str = "key",
+) -> DataFrame:
+    """Remove samples by ``__key__`` from WebDataset shards,
+    rewriting ONLY the shards that contain them — the multimodal arm
+    of the round-7 takedown family (``pipelines.corpus_takedown``
+    covers text corpora + indexes; a 100 TB multimodal corpus lives
+    as tar shards, and a takedown that re-packed every shard would
+    be a full-corpus rewrite).
+
+    Two passes, both shard-parallel:
+
+    1. IDENTIFY — a header-only scan (tar headers are 512-byte
+       blocks; member payloads are skipped, though ``binaryFile``
+       still ships whole shard bytes to the task) maps shard →
+       sample keys; shards intersecting the takedown set survive to
+       pass 2, everything else is UNTOUCHED byte-for-byte;
+    2. REWRITE — each affected shard re-packs its surviving samples
+       with the deterministic :func:`build_tar_shard` builder and
+       swaps in place via temp-file + ``os.replace`` (the writer's
+       atomicity discipline: a task retry republishes an identical
+       file; readers see the old complete shard or the new complete
+       shard, never a torn one).
+
+    Idempotent — a replay finds no shard containing the keys and
+    rewrites nothing. Returns the receipt (path, n_removed,
+    n_samples_after, n_bytes_after); a shard whose samples are ALL
+    taken down rewrites to an empty tar (two zero blocks) and
+    reports n_samples_after=0 — dropping the file itself is the
+    caller's manifest-level decision."""
+    dead = {str(r[0]) for r in keys.select(key_col).distinct().collect()}
+    if not dead:
+        return spark.createDataFrame(
+            [], "path string, n_removed long, n_samples_after long, "
+                "n_bytes_after long"
+        )
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def find(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hits = []
+            for _, row in pdf.iterrows():
+                try:
+                    tf = tarfile.open(
+                        fileobj=io.BytesIO(bytes(row["content"])), mode="r:*"
+                    )
+                    for member in tf:
+                        base = member.name.rsplit("/", 1)[-1]
+                        key = base.split(".", 1)[0] if "." in base else base
+                        if key in dead:
+                            hits.append(row["path"])
+                            break
+                except tarfile.TarError:
+                    continue  # malformed shards are the reader's ok=false rows
+            yield pd.DataFrame({"path": hits})
+
+    affected = (
+        files.select("path", "content")
+        .mapInPandas(find, schema="path string")
+        .localCheckpoint()
+    )
+
+    def rewrite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+
+        for pdf in batches:
+            out = {"path": [], "n_removed": [], "n_samples_after": [],
+                   "n_bytes_after": []}
+            for _, row in pdf.iterrows():
+                samples = parse_tar_samples(bytes(row["content"]))
+                keep = [s for s in samples if s["key"] not in dead]
+                payload = build_tar_shard(
+                    [{"__key__": s["key"], **s["parts"]} for s in keep]
+                )
+                from urllib.parse import urlparse
+
+                path = row["path"]
+                parsed = urlparse(path)
+                local = parsed.path if parsed.scheme else path
+                tmp = f"{local}.tmp-{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(payload)
+                os.replace(tmp, local)
+                out["path"].append(path)
+                out["n_removed"].append(len(samples) - len(keep))
+                out["n_samples_after"].append(len(keep))
+                out["n_bytes_after"].append(len(payload))
+            yield pd.DataFrame(out)
+
+    return files.join(affected, "path", "left_semi").select(
+        "path", "content"
+    ).mapInPandas(
+        rewrite,
+        schema="path string, n_removed long, n_samples_after long, "
+               "n_bytes_after long",
+    )

@@ -134,3 +134,63 @@ def test_write_wds_shards_roundtrip(spark, tmp_path):
         df, out, shard_col="shard_id", key_col="key", part_cols=("cls", "txt")
     ).collect()
     assert {m.shard_id: m.n_bytes for m in manifest2} == sizes1
+
+
+def test_wds_shards_takedown_rewrites_only_affected(spark, tmp_path):
+    """Round-7 takedown for the multimodal container: samples vanish
+    from exactly the shards holding them (atomic in-place swap);
+    untouched shards stay BYTE-IDENTICAL; an all-taken-down shard
+    rewrites to an empty tar; replay is a no-op."""
+    rows = [
+        (i, i // 4, f"{i:06d}", f"body of {i}", str(i % 3))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, shard_id long, key string, txt string, cls string"
+    )
+    W.write_wds_shards(
+        df, str(tmp_path), shard_col="shard_id", key_col="key",
+        part_cols=("cls", "txt"),
+    ).collect()
+    untouched = (tmp_path / "shard-000002.tar").read_bytes()
+
+    # take down two samples from shard 0 and one from shard 1
+    keys = spark.createDataFrame(
+        [("000001",), ("000002",), ("000005",)], "key string"
+    )
+    receipt = {
+        r.path.rsplit("/", 1)[-1]: (r.n_removed, r.n_samples_after)
+        for r in W.wds_shards_takedown(
+            spark, str(tmp_path / "*.tar"), keys
+        ).collect()
+    }
+    assert receipt == {
+        "shard-000000.tar": (2, 2),
+        "shard-000001.tar": (1, 3),
+    }
+    # shard 2 untouched byte-for-byte
+    assert (tmp_path / "shard-000002.tar").read_bytes() == untouched
+    # re-read: the keys are gone, everything else survives
+    back = W.wds_samples(spark, str(tmp_path / "*.tar"))
+    got = {r.key for r in back.collect() if r.ok}
+    assert got == {f"{i:06d}" for i in range(12)} - {"000001", "000002",
+                                                     "000005"}
+    # replay: nothing left to rewrite
+    assert W.wds_shards_takedown(
+        spark, str(tmp_path / "*.tar"), keys
+    ).count() == 0
+
+    # all-vanished shard: empty tar, zero samples, file kept
+    all_keys = spark.createDataFrame(
+        [(f"{i:06d}",) for i in range(8, 12)], "key string"
+    )
+    rec = {
+        r.path.rsplit("/", 1)[-1]: r.n_samples_after
+        for r in W.wds_shards_takedown(
+            spark, str(tmp_path / "*.tar"), all_keys
+        ).collect()
+    }
+    assert rec == {"shard-000002.tar": 0}
+    assert W.parse_tar_samples(
+        (tmp_path / "shard-000002.tar").read_bytes()
+    ) == []
