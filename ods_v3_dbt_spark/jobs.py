@@ -433,3 +433,103 @@ def row_count_branch(
     if predicate is not None:
         df = df.filter(predicate)
     return df.count() > threshold
+
+
+def maintain_indexes(
+    spark: SparkSession,
+    indexes: Sequence,
+    fold_multi_segment: bool = True,
+    ivf_recall_floor_ppm: int = 900_000,
+    ivf_recall_k: int = 10,
+    ivf_nprobe: int = 3,
+    run_log=None,
+    job_id: str = "index-maintenance",
+) -> list[dict]:
+    """The scheduled MAINTENANCE pass over persisted indexes — the
+    weekly sibling of the nightly O(batch) appends/deletes (round 7).
+    The LSM design deliberately defers two O(corpus) rewrites off the
+    nightly path: the segment/tombstone FOLD (probe fan-out and
+    anti-join overhead accrue until compaction) and the IVF
+    RE-CLUSTER (frozen centroids drift under out-of-distribution
+    appends). This job runs both on a schedule, the reference's
+    split between incremental syncs and scheduled full refreshes
+    (M8 full-refresh scripts vs the nightly M1-M7 merges) applied to
+    index state:
+
+    * every handle with >1 live segment (``fold_multi_segment``) or
+      ANY live tombstone compacts — one clean segment, tombs folded
+      away physically;
+    * every :class:`~.operators.vector_index.IvfIndex` additionally
+      measures probe recall on a sample and re-clusters when it sags
+      below ``ivf_recall_floor_ppm`` (``ivf_index_refresh`` — a
+      no-op write when healthy).
+
+    Appends one run-log row per index when ``run_log`` is given
+    (O11), with the action report as the result payload. Returns the
+    reports. Probes resolved before any fold keep reading the
+    previous (retained) epoch — maintenance never blocks readers."""
+    import json as _json
+    import time as _time
+
+    from .operators.neardup_index import (
+        DedupIndex,
+        LshIndex,
+        dedup_index_compact,
+        lsh_index_compact,
+    )
+    from .operators.text_index import Bm25Index, bm25_index_compact
+    from .operators.vector_index import (
+        IvfIndex,
+        ivf_index_compact,
+        ivf_index_refresh,
+    )
+
+    compact_fn = {
+        LshIndex: lsh_index_compact,
+        DedupIndex: dedup_index_compact,
+        Bm25Index: bm25_index_compact,
+        IvfIndex: ivf_index_compact,
+    }
+    reports: list[dict] = []
+    for idx in indexes:
+        started = dt.datetime.now()
+        t0 = _time.perf_counter()
+        cur = idx.resolve(spark)
+        rep: dict = {
+            "index": idx.name,
+            "kind": idx.spec()["kind"],
+            "segments_before": len(cur.segments),
+            "tombs_before": len(cur.tombs),
+            "compacted": False,
+        }
+        needs_fold = bool(cur.tombs) or (
+            fold_multi_segment and len(cur.segments) > 1
+        )
+        if needs_fold:
+            fn = next(
+                f for t, f in compact_fn.items() if isinstance(idx, t)
+            )
+            fn(idx, spark)
+            rep["compacted"] = True
+        if isinstance(idx, IvfIndex):
+            out = ivf_index_refresh(
+                idx, spark, k=ivf_recall_k, nprobe=ivf_nprobe,
+                recall_floor_ppm=ivf_recall_floor_ppm,
+            )
+            rep["recall_ppm"] = out["recall_ppm"]
+            rep["refreshed"] = out["refreshed"]
+        rep["segments_after"] = len(idx.resolve(spark).segments)
+        reports.append(rep)
+        if run_log is not None:
+            from .runlog import RunRecord
+
+            run_log.append(
+                spark,
+                RunRecord(
+                    job_id, f"maintain:{idx.name}",
+                    started.strftime("%Y%m%d"), started,
+                    round(_time.perf_counter() - t0, 3),
+                    _json.dumps(rep, sort_keys=True), True,
+                ),
+            )
+    return reports

@@ -349,3 +349,91 @@ def test_pinned_epoch_with_tombs_survives_compaction(spark):
     assert _fp_hits(b, old, spark).count() == 0
     assert exact_probe(probe, idx).count() == 0
     set_index_pin(spark, idx.name, "aud", None)
+
+
+def test_bm25_multiquery_delete_equals_rebuild(spark):
+    """The df re-derivation and stats correction must also hold in
+    the BATCH retrieval shape (one set of pruned posting reads fanned
+    out to many queries) — scores bit-equal to a rebuilt index."""
+    from ods_v3_dbt_spark.operators.text_index import (
+        bm25_index_multiquery_topk,
+    )
+
+    docs = _docs(spark)
+    idx = bm25_index_write(docs, "tdel_bmq", num_buckets=4)
+    bm25_index_delete(
+        idx, spark.createDataFrame([(5,), (13,)], "doc_id bigint")
+    )
+    qs = spark.createDataFrame(
+        [("q1", "doc5"), ("q1", "alpha"), ("q2", "tail1"), ("q2", "beta")],
+        "query_id string, term string",
+    )
+    got = sorted(
+        tuple(r)
+        for r in bm25_index_multiquery_topk(spark, idx, qs, k=5).collect()
+    )
+    ref_idx = bm25_index_write(
+        docs.filter("doc_id not in (5, 13)"), "tdel_bmq_ref", num_buckets=4
+    )
+    ref = sorted(
+        tuple(r)
+        for r in bm25_index_multiquery_topk(spark, ref_idx, qs, k=5).collect()
+    )
+    assert got == ref
+    assert not any(t[2] in (5, 13) for t in got)
+
+
+def test_maintain_indexes_folds_and_refreshes(spark, tmp_path):
+    """The weekly maintenance job: multi-segment / tombstoned indexes
+    fold, healthy single-segment ones are untouched, IVF gets recall
+    telemetry, and every action lands an audit row."""
+    import json
+
+    from ods_v3_dbt_spark.jobs import maintain_indexes
+    from ods_v3_dbt_spark.runlog import RunLog
+
+    docs = _docs(spark)
+    d_idx = dedup_index_write(
+        docs.filter("doc_id < 15"), "tmnt_dd", num_buckets=4,
+        compact_after=99,
+    )
+    dedup_index_append(d_idx, docs.filter("doc_id >= 15"))
+    dedup_index_delete(
+        d_idx, spark.createDataFrame([(5,)], "doc_id bigint")
+    )
+    b_idx = bm25_index_write(docs, "tmnt_bm", num_buckets=4)  # healthy
+    import random
+
+    random.seed(9)
+    emb = spark.createDataFrame(
+        [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(30)],
+        "vec_id bigint, embedding array<double>",
+    )
+    v_idx = ivf_index_write(emb, "tmnt_ivf", num_cells=2, num_buckets=2)
+
+    log = RunLog(tmp_path / "mlog")
+    reports = maintain_indexes(
+        spark, [d_idx, b_idx, v_idx], ivf_nprobe=2, run_log=log
+    )
+    by_name = {r["index"]: r for r in reports}
+    assert by_name["tmnt_dd"]["compacted"] is True
+    assert by_name["tmnt_dd"]["segments_after"] == 1
+    assert by_name["tmnt_bm"]["compacted"] is False
+    assert by_name["tmnt_ivf"]["recall_ppm"] == 1_000_000  # full probe
+    assert by_name["tmnt_ivf"]["refreshed"] is False
+
+    # the fold kept the delete: suppression is now physical
+    got = _pairs(neardup_probe(_batch(spark), d_idx, 400_000))
+    assert not any(c == 5 for (_, c, _) in got)
+    cur = d_idx.resolve(spark)
+    assert cur.tombs == [] and len(cur.segments) == 1
+
+    rows = log.read(spark).collect()
+    assert {r.task_id for r in rows} == {
+        "maintain:tmnt_dd", "maintain:tmnt_bm", "maintain:tmnt_ivf"
+    }
+    assert all(r.is_success for r in rows)
+    logged = json.loads(
+        next(r for r in rows if r.task_id == "maintain:tmnt_dd").result
+    )
+    assert logged["compacted"] is True
