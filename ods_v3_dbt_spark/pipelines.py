@@ -730,10 +730,12 @@ def corpus_takedown(
        segment rewrite, suppression is exact per the
        ``*_delete_probe`` oracles);
     2. the corpus rewrites via ONE anti-join snapshot-swap (readers
-       follow the old pointer until the flip; at 100 TB this step
-       rides partition overwrite (``operators/merge.py`` M7) or a
-       Delta DELETE touching only affected files — the index fleet,
-       the expensive side, stays O(batch) regardless);
+       follow the old pointer until the flip). This step is the
+       O(corpus) one; the documented production swap-in at 100 TB is
+       partition overwrite (``operators/merge.py`` M7, for a
+       day-partitioned corpus) or a Delta DELETE touching only
+       affected files — the index fleet, the expensive side, stays
+       O(batch) under any corpus layout;
     3. ONE ``TableGroup`` pointer commit records the matching
        (reduced corpus snapshot, post-delete index epoch) pair —
        ``curated_view`` readers see all-old or all-new, never a
