@@ -643,22 +643,30 @@ def shingle_containment_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     both = _attach_jaccard(inter, sizes)
-    a_in_b = both.select(
-        F.col("doc_a").alias("contained_id"),
-        F.col("doc_b").alias("container_id"),
-        F.round(F.col("inter") * 1000000.0 / F.col("size_a"))
-        .cast("bigint")
-        .alias("containment_ppm"),
-        "jacc_ppm",
+    # both DIRECTIONS from one in-row explode — a union of two
+    # projections would replay the entire self-join + aggregate
+    # subtree per branch in the plan (measured: 2× the exchanges and
+    # scans of the single pass this op advertises)
+    direction = F.explode(
+        F.array(
+            F.struct(
+                F.col("doc_a").alias("contained_id"),
+                F.col("doc_b").alias("container_id"),
+                F.round(F.col("inter") * 1000000.0 / F.col("size_a"))
+                .cast("bigint")
+                .alias("containment_ppm"),
+            ),
+            F.struct(
+                F.col("doc_b").alias("contained_id"),
+                F.col("doc_a").alias("container_id"),
+                F.round(F.col("inter") * 1000000.0 / F.col("size_b"))
+                .cast("bigint")
+                .alias("containment_ppm"),
+            ),
+        )
     )
-    b_in_a = both.select(
-        F.col("doc_b").alias("contained_id"),
-        F.col("doc_a").alias("container_id"),
-        F.round(F.col("inter") * 1000000.0 / F.col("size_b"))
-        .cast("bigint")
-        .alias("containment_ppm"),
-        "jacc_ppm",
-    )
-    return a_in_b.unionByName(b_in_a).filter(
-        F.col("containment_ppm") >= threshold_ppm
+    return (
+        both.select(direction.alias("d"), "jacc_ppm")
+        .select("d.*", "jacc_ppm")
+        .filter(F.col("containment_ppm") >= threshold_ppm)
     )
