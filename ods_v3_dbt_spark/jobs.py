@@ -477,6 +477,7 @@ def maintain_indexes(
         dedup_index_compact,
         lsh_index_compact,
     )
+    from .operators.simhash_index import SimhashIndex, simhash_index_compact
     from .operators.text_index import Bm25Index, bm25_index_compact
     from .operators.vector_index import (
         IvfIndex,
@@ -487,6 +488,7 @@ def maintain_indexes(
     compact_fn = {
         LshIndex: lsh_index_compact,
         DedupIndex: dedup_index_compact,
+        SimhashIndex: simhash_index_compact,
         Bm25Index: bm25_index_compact,
         IvfIndex: ivf_index_compact,
     }

@@ -683,6 +683,7 @@ def _index_delete_any(idx, doc_ids: DataFrame):
         dedup_index_delete,
         lsh_index_delete,
     )
+    from .operators.simhash_index import SimhashIndex, simhash_index_delete
     from .operators.text_index import Bm25Index, bm25_index_delete
     from .operators.vector_index import IvfIndex, ivf_index_delete
 
@@ -690,6 +691,8 @@ def _index_delete_any(idx, doc_ids: DataFrame):
         return lsh_index_delete(idx, doc_ids)
     if isinstance(idx, DedupIndex):
         return dedup_index_delete(idx, doc_ids)
+    if isinstance(idx, SimhashIndex):
+        return simhash_index_delete(idx, doc_ids)
     if isinstance(idx, Bm25Index):
         return bm25_index_delete(idx, doc_ids)
     if isinstance(idx, IvfIndex):

@@ -2190,6 +2190,151 @@ def lsh_index_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_sig_ctes(src: str, p: str) -> str:
+    """The md5-SimHash signature CTE chain (60-bit, per-instance
+    sign-sums — the ``simhash_neardup`` oracle's arithmetic) over
+    source CTE ``src``, names prefixed with ``p``."""
+    return f"""{p}words AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+      FROM {src}),
+    {p}h AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(word), 1, 15))::BIGINT AS h
+      FROM {p}words),
+    {p}bits AS (
+      SELECT doc_id, g.b,
+             SUM(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM {p}h, generate_series(0, 59) AS g(b)
+      GROUP BY doc_id, g.b),
+    {p}sims AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM {p}bits GROUP BY doc_id)"""
+
+
+def _simhash_probe_sql(corpus_pred: str, max_hamming: int = 6) -> str:
+    """Batch-vs-corpus SimHash probe oracle: both sides signed with
+    the same md5 chain, candidates on top-8-bit block collision,
+    exact Hamming filter — shared by the probe and delete rows
+    (``corpus_pred`` is the reduced-corpus knob)."""
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE {corpus_pred}),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 30000, text FROM documents
+      WHERE doc_id % 3 <> 0 AND doc_id % 5 = 1
+      UNION ALL
+      SELECT doc_id + 40000, text || ' extra marker token'
+      FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 2),
+    {_simhash_sig_ctes("corpus", "c")},
+    {_simhash_sig_ctes("batch", "b")}
+    SELECT b.doc_id, c.doc_id AS corpus_id,
+           CAST(bit_count(xor(b.simhash, c.simhash)) AS INT) AS hamming
+    FROM bsims b JOIN csims c
+      ON (b.simhash >> 52) = (c.simhash >> 52)
+    WHERE bit_count(xor(b.simhash, c.simhash)) <= {max_hamming}
+    """
+
+
+def _simhash_fixture_index(spark: SparkSession, sf_dir: str,
+                           deleted: bool = False, force: bool = False):
+    """SimHash-index fixture: base slice (doc_id % 3 = 1) written,
+    delta slice (% 3 = 2) appended; the ``deleted`` flavor tombstones
+    the base docs with ``doc_id % 10 = 2`` BETWEEN the two (so the
+    append's GC/commit threading is exercised, like the dedup delete
+    fixture)."""
+    from ..operators.simhash_index import (
+        SimhashIndex,
+        simhash_index_append,
+        simhash_index_delete,
+        simhash_index_write,
+    )
+
+    tag = "delsim" if deleted else "sim"
+    name = f"{tag}_idx_{_IDXV}_{_fixture_slug(sf_dir)}"
+    key = (id(spark.sparkContext), name)
+    idx = _IDX_CACHE.get(key)
+    if not force and idx is not None and idx.exists(spark):
+        return idx
+    base, delta = _appended_fixture_parts(spark, sf_dir)
+    idx = simhash_index_write(base, name, num_buckets=8)
+    if deleted:
+        simhash_index_delete(
+            idx, base.filter(F.col("doc_id") % 10 == 2).select("doc_id")
+        )
+    simhash_index_append(idx, delta)
+    _IDX_CACHE[key] = idx
+    return idx
+
+
+def _simhash_probe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    return (
+        d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 5 == 1).select(
+                (F.col("doc_id") + 30000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 5 == 2).select(
+                (F.col("doc_id") + 40000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" extra marker token"))
+                .alias("text"),
+            )
+        )
+    )
+
+
+@register("simhash_index_probe", _simhash_probe_sql("doc_id % 3 <> 0"))
+def simhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted SIMHASH index probe, hash-verified — the third
+    near-dup flavor joins the LSM index family
+    (operators/simhash_index.py), so exact-shingle, banded-MinHash,
+    AND SimHash dedup all have corpus-state twins: corpus signatures
+    live as ONE block-bucketed member table (built from the first
+    slice, second slice APPENDED as an O(batch) delta), the batch —
+    new docs plus planted exact copies and suffix-token variants of
+    corpus docs — signs itself and joins each segment's signatures
+    in place (no corpus re-hash, no corpus exchange), exact
+    Hamming ≤ 6 in-row. The oracle recomputes both sides' signatures
+    from raw text with the bit-identical md5 chain, so the
+    write→append→probe round-trip, the top-8-bit blocking, and the
+    Hamming arithmetic are all value-checked."""
+    from ..operators.simhash_index import (
+        simhash_index_probe as probe,
+    )
+
+    idx = _simhash_fixture_index(spark, sf_dir)
+    return probe(_simhash_probe_batch(spark, sf_dir), idx, max_hamming=6)
+
+
+@register(
+    "simhash_index_delete_probe",
+    _simhash_probe_sql(
+        "(doc_id % 3 = 1 AND NOT doc_id % 10 = 2) OR doc_id % 3 = 2"
+    ),
+)
+def simhash_index_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten through the SimHash index: base docs
+    with ``doc_id % 10 = 2`` tombstone-delete between the build and
+    the append (one O(batch) tomb member; the later append's GC and
+    commit must carry it), and the oracle replays the probe from the
+    REDUCED corpus — planted copies of deleted docs stop matching,
+    everything else keeps its exact Hamming distance."""
+    from ..operators.simhash_index import (
+        simhash_index_probe as probe,
+    )
+
+    idx = _simhash_fixture_index(spark, sf_dir, deleted=True)
+    return probe(_simhash_probe_batch(spark, sf_dir), idx, max_hamming=6)
+
+
 #: SemDeDup oracle: the IVF assignment CTE chain over a corpus with
 #: CONSTRUCTED near-dups (every 5th vector cloned at id+10000 with
 #: one dimension bumped +0.5 → quantized L2² ≈ 250 000, far below

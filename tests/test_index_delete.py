@@ -437,3 +437,54 @@ def test_maintain_indexes_folds_and_refreshes(spark, tmp_path):
         next(r for r in rows if r.task_id == "maintain:tmnt_dd").result
     )
     assert logged["compacted"] is True
+
+
+def test_simhash_index_delete_compact_and_maintenance(spark, tmp_path):
+    """The SimHash kind honors the family contracts: delete ==
+    rebuild-without, compaction folds tombs physically, and
+    maintain_indexes dispatches its fold."""
+    from ods_v3_dbt_spark.jobs import maintain_indexes
+    from ods_v3_dbt_spark.operators.simhash_index import (
+        simhash_index_append,
+        simhash_index_delete,
+        simhash_index_probe,
+        simhash_index_write,
+    )
+
+    docs = _docs(spark)
+    idx = simhash_index_write(
+        docs.filter("doc_id < 20"), "tdel_sh", num_buckets=4,
+        compact_after=99,
+    )
+    simhash_index_append(idx, docs.filter("doc_id >= 20"))
+    simhash_index_delete(
+        idx, spark.createDataFrame([(5,)], "doc_id bigint")
+    )
+    batch = docs.filter("doc_id in (5, 9)").select(
+        (F.col("doc_id") + 100).alias("doc_id"), "text"
+    )
+    got = sorted(
+        (r.doc_id, r.corpus_id, r.hamming)
+        for r in simhash_index_probe(batch, idx, 6).collect()
+    )
+    ref = simhash_index_write(
+        docs.filter("doc_id <> 5"), "tdel_sh_ref", num_buckets=4
+    )
+    assert got == sorted(
+        (r.doc_id, r.corpus_id, r.hamming)
+        for r in simhash_index_probe(batch, ref, 6).collect()
+    )
+    assert (105, 9, 0) not in got  # different docs, no false pair
+    assert not any(c == 5 for (_, c, _) in got)
+    assert any(b == 109 and c == 9 for (b, c, _) in got)
+
+    # maintenance folds the 2 segments + 1 tomb into one clean segment
+    reports = maintain_indexes(spark, [idx])
+    rep = reports[0]
+    assert rep["compacted"] is True and rep["segments_after"] == 1
+    cur = idx.resolve(spark)
+    assert cur.tombs == []
+    assert got == sorted(
+        (r.doc_id, r.corpus_id, r.hamming)
+        for r in simhash_index_probe(batch, idx, 6).collect()
+    )
