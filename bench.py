@@ -92,6 +92,14 @@ def main() -> None:
         t0 = time.perf_counter()
         LQ._sem_ivf_fixture_index(spark, sf_dir, force=True)
         times["sem_ivf_index_build"] = round(time.perf_counter() - t0, 3)
+    if "simhash_index_probe" in registry:
+        # SimHash index: build+append priced on its own row, probe
+        # rows come cache-warm from the registry loop
+        t0 = time.perf_counter()
+        LQ._simhash_fixture_index(spark, sf_dir, force=True)
+        times["simhash_index_build"] = round(time.perf_counter() - t0, 3)
+    if "simhash_index_delete_probe" in registry:
+        LQ._simhash_fixture_index(spark, sf_dir, deleted=True)  # pre-warm
     if "minhash_lsh_capped" in registry:
         # round 7: the capped flavor self-joins PERSISTED signatures —
         # the sign+band build is priced here, the registry row below
