@@ -1471,6 +1471,65 @@ def lsh_index_self_pairs(
     )
 
 
+def index_self_pairs(
+    index,
+    threshold_ppm: int = 500_000,
+    max_corpus_df: int | None = None,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """ALL exact n-gram-Jaccard near-dup pairs WITHIN the indexed
+    corpus — the exhaustive twin of :func:`lsh_index_self_pairs`
+    (every shared shingle is a candidate, no banding recall trade),
+    served from the SAME persisted shingle/size members, so it works
+    on either a :class:`DedupIndex` or an :class:`LshIndex` handle.
+    The nightly "dedup the corpus against itself" job stops
+    re-shingling: the self-join runs on the sid-bucketed member
+    scans (exchange-free corpus sides on a compacted index), sizes
+    come from the persisted doc-keyed member, tombstoned docs are
+    suppressed. ``max_corpus_df`` is the hot-shingle guard
+    (:func:`_probe_shingles` semantics — capped Jaccard is a
+    conservative lower bound)."""
+    spark = spark or SparkSession.getActiveSession()
+    cur = index.resolve(spark)
+    sh = _visible(cur, spark, "shingles").select("doc_id", "sid")
+    if max_corpus_df is not None:
+        hot = _segment_df_hot(cur, spark, ["sid"], "shingles",
+                              max_corpus_df)
+        sh = sh.join(F.broadcast(hot), "sid", "left_anti")
+    s1, s2 = sh.alias("s1"), sh.alias("s2")
+    inter = (
+        s1.join(
+            s2,
+            (F.col("s1.sid") == F.col("s2.sid"))
+            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
+        )
+        .groupBy(
+            F.col("s1.doc_id").alias("doc_a"),
+            F.col("s2.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = _visible(cur, spark, "sizes")
+    out = inter.join(
+        sizes.select(F.col("doc_id").alias("doc_a"),
+                     F.col("n_shingles").alias("size_a")),
+        "doc_a",
+    ).join(
+        sizes.select(F.col("doc_id").alias("doc_b"),
+                     F.col("n_shingles").alias("size_b")),
+        "doc_b",
+    )
+    union = F.col("size_a") + F.col("size_b") - F.col("inter")
+    return (
+        out.withColumn(
+            "jacc_ppm",
+            F.round(F.col("inter") * 1000000.0 / union).cast("bigint"),
+        )
+        .filter(F.col("jacc_ppm") >= threshold_ppm)
+        .select("doc_a", "doc_b", "jacc_ppm")
+    )
+
+
 def neardup_probe(
     batch: DataFrame,
     index: DedupIndex,

@@ -504,6 +504,48 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ngram_jaccard_indexed_pairs",
+    f"""
+    WITH {_CORPUS_SQL}, {_SHINGLE_SQL},
+    pairs AS (
+      SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+      FROM sh s1 JOIN sh s2
+        ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(1) AS i
+      FROM pairs p
+      JOIN sh s1 ON s1.doc_id = p.doc_a
+      JOIN sh s2 ON s2.doc_id = p.doc_b AND s2.shingle = s1.shingle
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(ROUND(i.i * 1000000.0 / (sa.n + sb.n - i.i)) AS BIGINT) AS jacc_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(ROUND(i.i * 1000000.0 / (sa.n + sb.n - i.i)) AS BIGINT) >= 500000
+    """,
+)
+def ngram_jaccard_indexed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exhaustive all-pairs dedup served from PERSISTED corpus
+    state (round 7): ``index_self_pairs`` self-joins the LSH fixture
+    index's sid-bucketed shingle member and reads sizes from the
+    doc-keyed member — the nightly corpus-against-itself dedup with
+    zero re-shingling (the inline ``ngram_jaccard_neardup`` stays the
+    ad-hoc spelling). SAME oracle as the inline flavor: index-served
+    pairs must be value-identical to first-principles shingling,
+    which is exactly what the hash proves — and since the fixture is
+    the capped-LSH row's index, the shingle state is built once and
+    shared."""
+    from ..operators.neardup_index import index_self_pairs
+
+    idx = _capped_lsh_fixture_index(spark, sf_dir)
+    return index_self_pairs(idx, threshold_ppm=500000, spark=spark)
+
+
+@register(
     "simhash_neardup",
     f"""
     WITH {_CORPUS_SQL},
