@@ -488,3 +488,43 @@ def test_simhash_index_delete_compact_and_maintenance(spark, tmp_path):
         (r.doc_id, r.corpus_id, r.hamming)
         for r in simhash_index_probe(batch, idx, 6).collect()
     )
+
+
+def test_index_self_pairs_matches_inline_and_honors_tombs(spark):
+    """index_self_pairs == the inline shingle-blocked pipeline over
+    the same corpus, and a tombstoned doc contributes no pairs until
+    re-added."""
+    from ods_v3_dbt_spark.operators.dedup import ngram_jaccard_pairs
+    from ods_v3_dbt_spark.operators.neardup_index import index_self_pairs
+
+    docs = _docs(spark).unionByName(
+        # plant a near-dup pair inside the corpus
+        spark.createDataFrame(
+            [(105, "alpha beta gamma delta epsilon zeta doc5 tail1 "
+                   "more words here extra")],
+            "doc_id bigint, text string",
+        )
+    )
+    idx = dedup_index_write(docs, "tsp_idx", num_buckets=4)
+    got = sorted(
+        (r.doc_a, r.doc_b, r.jacc_ppm)
+        for r in index_self_pairs(idx, 400_000, spark=spark).collect()
+    )
+    ref = sorted(
+        (r.doc_a, r.doc_b, r.jacc_ppm)
+        for r in ngram_jaccard_pairs(docs, threshold_ppm=400_000).collect()
+    )
+    assert got == ref and got  # non-trivial and identical
+    # tombstone doc 5: every pair it participated in vanishes
+    dedup_index_delete(idx, spark.createDataFrame([(5,)], "doc_id bigint"))
+    post = sorted(
+        (r.doc_a, r.doc_b, r.jacc_ppm)
+        for r in index_self_pairs(idx, 400_000, spark=spark).collect()
+    )
+    assert post == sorted(
+        (r.doc_a, r.doc_b, r.jacc_ppm)
+        for r in ngram_jaccard_pairs(
+            docs.filter("doc_id <> 5"), threshold_ppm=400_000
+        ).collect()
+    )
+    assert not any(5 in (a, b) for (a, b, _) in post)
