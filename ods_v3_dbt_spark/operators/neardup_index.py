@@ -561,14 +561,22 @@ def _visible(cur: _Resolved, spark: SparkSession, part: str,
 
 def _not_yet_indexed(new_docs: DataFrame, cur: _Resolved,
                      spark: SparkSession,
-                     member: str = "sizes",
+                     member: str = "fps",
                      id_col: str = "doc_id") -> DataFrame:
     """Batch docs absent from EVERY live segment: a chain of
-    per-segment anti-joins against the doc_id-bucketed sizes tables —
+    per-segment anti-joins against the member tables' doc_id column —
     each hop shuffles only the (shrinking) batch side; the corpus
     scans stay bucket-local. Tombstoned docs count as ABSENT (their
     member rows are suppressed), so a deleted doc re-appends cleanly
-    into a fresh segment — delete-then-re-add ≡ never deleted."""
+    into a fresh segment — delete-then-re-add ≡ never deleted.
+
+    The membership member is ``fps``, not ``sizes``: a doc with
+    fewer than ``shingle_n`` tokens yields ZERO shingles and hence
+    no sizes row, but it ALWAYS has a fingerprint row — judging
+    presence by sizes made such docs invisible to the idempotence
+    guard (duplicate fps rows on replay) and, worse, to deletes
+    (round-7 ADVICE: deleting a sub-shingle-length doc was a silent
+    no-op and its fingerprint stayed live)."""
     probe = new_docs
     for t, seg in zip(getattr(cur, member).tables, cur.segments):
         probe = probe.join(
@@ -852,8 +860,13 @@ def dedup_index_delete(index: DedupIndex, doc_ids: DataFrame,
     without those docs (``dedup_index_delete_probe`` oracle). The
     reference analog is M6 DELETE semantics
     (dags/sql/casreport/update_des_table/casreport_rpt_full_item.sql:1-3)
-    applied to persisted index members instead of plain tables."""
-    return _tomb_delete(index, doc_ids, id_col, "sizes",
+    applied to persisted index members instead of plain tables.
+
+    The live-doc restriction reads the ``fps`` member (every doc has
+    a fingerprint row; only docs with ≥ shingle_n tokens have sizes
+    rows — restricting by sizes silently no-op'd deletes of
+    sub-shingle-length docs, round-7 ADVICE)."""
+    return _tomb_delete(index, doc_ids, id_col, "fps",
                         compact_fn=dedup_index_compact)
 
 
@@ -1227,8 +1240,9 @@ def lsh_index_delete(index: LshIndex, doc_ids: DataFrame,
                      id_col: str = "doc_id") -> LshIndex:
     """Tombstone-delete ``doc_ids`` from the LSH index — see
     :func:`dedup_index_delete` (identical protocol; band-table rows
-    suppress via the same per-segment doc_id anti-joins)."""
-    return _tomb_delete(index, doc_ids, id_col, "sizes",
+    suppress via the same per-segment doc_id anti-joins; live set
+    from the ``fps`` member so sub-shingle docs delete too)."""
+    return _tomb_delete(index, doc_ids, id_col, "fps",
                         compact_fn=lsh_index_compact)
 
 

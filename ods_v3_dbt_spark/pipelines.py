@@ -379,11 +379,21 @@ def curate_increment_stream(
         # must be rebuilt empty, or every genuinely-new doc would be
         # flagged a dup of ghosts. Corpus without index ⇒ rebuild
         # from corpus.
+        try:
+            idx_ok = idx.exists(spark)
+        except ValueError:
+            # spec mismatch: a LEGACY on-disk index (e.g. built before
+            # the doc-aware fps upgrade) refuses to resolve under the
+            # current handle. The corpus is the documented source of
+            # truth, so the stream self-migrates — rebuild the index
+            # under the current spec — instead of failing every batch
+            # (round-7 ADVICE, low).
+            idx_ok = False
         if not corpus_tbl.exists():
             idx = index_write(
                 spark.createDataFrame([], "doc_id long, text string")
             )
-        elif not idx.exists(spark):
+        elif not idx_ok:
             idx = index_write(corpus_tbl.read(spark).select("doc_id", "text"))
         # Semantic channel state: same consistency rule — the IVF
         # index is derived from the corpus's embedding column. No
@@ -399,14 +409,19 @@ def curate_increment_stream(
                 if ivf.exists(spark):
                     ivf_ready = True
                 else:
+                    # rebuild trains on docs that HAVE embeddings — a
+                    # store migrated onto the semantic channel carries
+                    # NULL backfills for its pre-channel docs (below)
                     cem = corpus_tbl.read(spark)
-                    if "embedding" in cem.columns and cem.take(1):
-                        ivf_index_write(
-                            cem.select("doc_id", "embedding"), ivf.name,
-                            num_cells=ivf_cells, vec_col="embedding",
-                            id_col="doc_id", num_buckets=num_buckets,
-                        )
-                        ivf_ready = True
+                    if "embedding" in cem.columns:
+                        cem = cem.filter(F.col("embedding").isNotNull())
+                        if cem.take(1):
+                            ivf_index_write(
+                                cem.select("doc_id", "embedding"), ivf.name,
+                                num_cells=ivf_cells, vec_col="embedding",
+                                id_col="doc_id", num_buckets=num_buckets,
+                            )
+                            ivf_ready = True
         # Epoch idempotence: the FIRST attempt's decision record is
         # authoritative. A retry after a mid-process crash must not
         # re-decide — the index may already contain this batch's
@@ -491,7 +506,20 @@ def curate_increment_stream(
         admitted = decisions.filter("verdict = 'admitted'").select("doc_id")
         admitted_docs = gated.join(admitted, "doc_id").localCheckpoint()
         if corpus_tbl.exists():
-            existing_docs = corpus_tbl.read(spark).select(*gated.columns)
+            existing_docs = corpus_tbl.read(spark)
+            # MIGRATION path (round-7 ADVICE, low): enabling
+            # embedding_col on a store whose corpus predates the
+            # semantic channel must not crash on the missing column —
+            # pre-channel docs backfill NULL embeddings (they simply
+            # never participate in IVF training/appends, which filter
+            # non-null), giving a working turn-it-on story instead of
+            # a per-batch select error.
+            for f in gated.schema.fields:
+                if f.name not in existing_docs.columns:
+                    existing_docs = existing_docs.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
+                    )
+            existing_docs = existing_docs.select(*gated.columns)
             # replay guard: docs already committed by the crashed
             # attempt must not re-enter the corpus
             corpus_new = admitted_docs.join(
@@ -521,11 +549,14 @@ def curate_increment_stream(
         if sem:
             if ivf_ready:
                 ivf_index_append(
-                    ivf, admitted_docs.select("doc_id", "embedding"),
+                    ivf, admitted_docs.select("doc_id", "embedding")
+                    .filter(F.col("embedding").isNotNull()),
                     vec_col="embedding", id_col="doc_id",
                 )
             else:
-                cem = corpus_tbl.read(spark)
+                cem = corpus_tbl.read(spark).filter(
+                    F.col("embedding").isNotNull()
+                )
                 if cem.take(1):
                     ivf_index_write(
                         cem.select("doc_id", "embedding"), ivf.name,
@@ -795,17 +826,17 @@ def corpus_takedown(
     # the curation text index, the loop's semantic IVF index if the
     # store runs the embedding channel, plus any caller extras
     targets = [idx]
+    ivf = None
     if man.get("ivf_name"):
         from .operators.vector_index import IvfIndex
 
         ivf_spec = man.get("ivf_spec", {})
-        targets.append(
-            IvfIndex(
-                man["ivf_name"],
-                ivf_spec.get("num_cells", 8),
-                ivf_spec.get("num_buckets", 8),
-            )
+        ivf = IvfIndex(
+            man["ivf_name"],
+            ivf_spec.get("num_cells", 8),
+            ivf_spec.get("num_buckets", 8),
         )
+        targets.append(ivf)
     targets.extend(extra_indexes)
     for target in targets:
         _index_delete_any(target, ids)
@@ -843,17 +874,26 @@ def corpus_takedown(
     group = TableGroup.wrap({"corpus": corpus_tbl}, man_path)
     prev_man = _curated_fields(group.manifest())
     new_epoch = idx.resolve(spark).epoch
-    group.commit_pointers(
-        {"corpus": corpus_snap.name},
-        extras={
-            "batch_id": man.get("batch_id"),
-            "takedown": True,
-            "index_name": man["index_name"],
-            "index_kind": man["index_kind"],
-            "index_epoch": new_epoch,
-            "index_spec": idx.spec(),
-        },
-    )
+    extras = {
+        "batch_id": man.get("batch_id"),
+        "takedown": True,
+        "index_name": man["index_name"],
+        "index_kind": man["index_kind"],
+        "index_epoch": new_epoch,
+        "index_spec": idx.spec(),
+    }
+    # carry the semantic-channel pointers forward — commit_pointers
+    # REPLACES extras wholesale, so omitting ivf_* here would make a
+    # second takedown (or the next curated_view) lose the IVF index
+    # and silently stop tombstoning it: taken-down docs would stay
+    # retrievable through the ANN channel (round-7 ADVICE, high)
+    ivf_epoch = None
+    if ivf is not None:
+        ivf_epoch = ivf.resolve(spark).epoch
+        extras["ivf_name"] = ivf.name
+        extras["ivf_epoch"] = ivf_epoch
+        extras["ivf_spec"] = man.get("ivf_spec", ivf.spec())
+    group.commit_pointers({"corpus": corpus_snap.name}, extras=extras)
 
     # 4. retention: live + previous pairs guaranteed readable
     pin_epochs = [new_epoch]
@@ -863,12 +903,19 @@ def corpus_takedown(
         pin_snaps.append(prev_man["corpus_snapshot"])
     set_index_pin(spark, man["index_name"], f"curated:{corpus_path}",
                   pin_epochs)
+    if ivf is not None and ivf_epoch is not None:
+        ivf_pins = [ivf_epoch]
+        if prev_man is not None and prev_man.get("ivf_name") == ivf.name:
+            ivf_pins.append(prev_man["ivf_epoch"])
+        set_index_pin(spark, ivf.name, f"curated:{corpus_path}", ivf_pins)
     corpus_tbl.vacuum(keep=keep, pinned=pin_snaps)
     receipt = {
         "n_removed": n_removed,
         "corpus_snapshot": corpus_snap.name,
         "index_epoch": new_epoch,
     }
+    if ivf_epoch is not None:
+        receipt["ivf_epoch"] = ivf_epoch
     if run_log is not None:
         from .runlog import RunRecord
 

@@ -238,11 +238,18 @@ def wds_shards_takedown(
        shard, never a torn one).
 
     Idempotent — a replay finds no shard containing the keys and
-    rewrites nothing. Returns the receipt (path, n_removed,
-    n_samples_after, n_bytes_after); a shard whose samples are ALL
-    taken down rewrites to an empty tar (two zero blocks) and
-    reports n_samples_after=0 — dropping the file itself is the
-    caller's manifest-level decision."""
+    rewrites nothing. The rewrite pass is MATERIALIZED inside this
+    call (the receipts are collected and returned as a small local
+    DataFrame): a compliance primitive must not be a lazy side
+    effect of whether the caller happens to evaluate the returned
+    plan — an unactioned return would remove nothing, and every
+    re-evaluation would re-run executor-local file writes (round-7
+    ADVICE, this file). The collect is bounded by the AFFECTED shard
+    count (O(takedown batch), never the corpus). Returns the receipt
+    (path, n_removed, n_samples_after, n_bytes_after); a shard whose
+    samples are ALL taken down rewrites to an empty tar (two zero
+    blocks) and reports n_samples_after=0 — dropping the file itself
+    is the caller's manifest-level decision."""
     dead = {str(r[0]) for r in keys.select(key_col).distinct().collect()}
     if not dead:
         return spark.createDataFrame(
@@ -302,10 +309,16 @@ def wds_shards_takedown(
                 out["n_bytes_after"].append(len(payload))
             yield pd.DataFrame(out)
 
-    return files.join(affected, "path", "left_semi").select(
-        "path", "content"
-    ).mapInPandas(
-        rewrite,
-        schema="path string, n_removed long, n_samples_after long, "
-               "n_bytes_after long",
+    schema = (
+        "path string, n_removed long, n_samples_after long, "
+        "n_bytes_after long"
     )
+    # Execute the rewrites NOW (exactly once) and hand back the
+    # collected receipts — affected-shard-bounded, never corpus-sized.
+    receipts = (
+        files.join(affected, "path", "left_semi")
+        .select("path", "content")
+        .mapInPandas(rewrite, schema=schema)
+        .collect()
+    )
+    return spark.createDataFrame(receipts, schema)
