@@ -213,6 +213,50 @@ def simhash_index_delete(index: SimhashIndex, doc_ids: DataFrame,
                         compact_fn=simhash_index_compact)
 
 
+def simhash_index_self_pairs(
+    index: SimhashIndex,
+    max_hamming: int = 6,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """All SimHash near-dup pairs WITHIN the indexed corpus — the
+    SimHash twin of :func:`~.neardup_index.lsh_index_self_pairs`
+    (round-7 verdict task 5 closed the Jaccard flavors; this closes
+    the third, so every persisted near-dup index serves the nightly
+    corpus self-dedup job from state). Instead of re-signing the
+    corpus per run (``dedup.simhash64`` + ``simhash_near_pairs`` — a
+    full corpus pass at 100 TB), the self-join runs over the
+    PERSISTED block-bucketed signature member: on a compacted
+    (single-segment) index both sides are the same bucketed scan on
+    exactly the join key, so the candidate join carries no corpus
+    exchange and the plan has ZERO Generate (nothing re-hashes);
+    exact Hamming filters in-row. Value-identical to the inline
+    pipeline with the same (hash_mode, prefix_bits) family — the
+    ``simhash_indexed_pairs`` declared query shares
+    ``simhash_neardup``'s oracle. Multi-segment indexes union their
+    signature segments first (pairs must cross segments), costing
+    one shuffle; compaction restores the exchange-free shape.
+    Tombstoned docs are suppressed per segment before the join."""
+    spark = spark or SparkSession.getActiveSession()
+    cur = index.resolve(spark)
+    sigs = _visible(cur, spark, "sigs").select("doc_id", "simhash", "block")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_index_probe(
     batch: DataFrame,
     index: SimhashIndex,

@@ -545,9 +545,7 @@ def ngram_jaccard_indexed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_self_pairs(idx, threshold_ppm=500000, spark=spark)
 
 
-@register(
-    "simhash_neardup",
-    f"""
+_SIMHASH_NEARDUP_SQL = f"""
     WITH {_CORPUS_SQL},
     words AS (
       SELECT doc_id,
@@ -574,8 +572,10 @@ def ngram_jaccard_indexed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON (a.simhash >> 52) = (b2.simhash >> 52)
        AND a.doc_id < b2.doc_id)
     SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
-    """,
-)
+    """
+
+
+@register("simhash_neardup", _SIMHASH_NEARDUP_SQL)
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup, HASH-VERIFIED: 60-bit md5-derived signatures
     (oracle mode, mirroring minhash's md5/xxhash split — the xxhash
@@ -2375,6 +2375,48 @@ def simhash_index_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _simhash_fixture_index(spark, sf_dir, deleted=True)
     return probe(_simhash_probe_batch(spark, sf_dir), idx, max_hamming=6)
+
+
+def _selfpairs_simhash_fixture_index(spark: SparkSession, sf_dir: str,
+                                     force: bool = False):
+    """SimHash index over the ``corpus_with_dups`` fixture corpus —
+    the persisted state ``simhash_indexed_pairs`` self-joins
+    (signatures computed and blocked ONCE at build, not per run)."""
+    from ..operators.simhash_index import SimhashIndex, simhash_index_write
+
+    name = f"spsim_idx_{_IDXV}_{_fixture_slug(sf_dir)}"
+    key = (id(spark.sparkContext), name)
+    idx = _IDX_CACHE.get(key)
+    if not force and idx is not None and idx.exists(spark):
+        return idx
+    idx = SimhashIndex(name, "md5", 8, 8)
+    if force or not idx.exists(spark):
+        idx = simhash_index_write(
+            corpus_with_dups(spark, sf_dir), name, num_buckets=8
+        )
+    _IDX_CACHE[key] = idx
+    return idx
+
+
+@register("simhash_indexed_pairs", _SIMHASH_NEARDUP_SQL)
+def simhash_indexed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus self-dedup served from the PERSISTED SimHash index —
+    the third near-dup flavor's ``*_indexed_pairs`` spelling (round-7
+    verdict task 5 closed exact-Jaccard and banded-MinHash; this
+    closes SimHash, so all three flavors serve the nightly
+    self-dedup job from state with zero re-hashing). The corpus is
+    signed and block-bucketed ONCE at index build
+    (operators/simhash_index.py::simhash_index_self_pairs); this row
+    self-joins the persisted signature member in place — zero
+    Generate in the plan, both candidate-join sides the same bucketed
+    scan on the join key — and the oracle is simhash_neardup's
+    UNCHANGED full recomputation from raw text: index-served pairs
+    are value-identical to the inline pipeline, which is exactly what
+    the hash proves."""
+    from ..operators.simhash_index import simhash_index_self_pairs
+
+    idx = _selfpairs_simhash_fixture_index(spark, sf_dir)
+    return simhash_index_self_pairs(idx, max_hamming=6, spark=spark)
 
 
 #: SemDeDup oracle: the IVF assignment CTE chain over a corpus with

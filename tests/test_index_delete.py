@@ -528,3 +528,61 @@ def test_index_self_pairs_matches_inline_and_honors_tombs(spark):
         ).collect()
     )
     assert not any(5 in (a, b) for (a, b, _) in post)
+
+
+def test_simhash_self_pairs_matches_inline_and_honors_tombs(spark):
+    """simhash_index_self_pairs == the inline simhash64 +
+    simhash_near_pairs pipeline over the same corpus, and a
+    tombstoned doc contributes no pairs until re-added."""
+    from ods_v3_dbt_spark.operators.dedup import (
+        simhash64,
+        simhash_near_pairs,
+    )
+    from ods_v3_dbt_spark.operators.simhash_index import (
+        simhash_index_append,
+        simhash_index_delete,
+        simhash_index_self_pairs,
+        simhash_index_write,
+    )
+
+    docs = _docs(spark).unionByName(
+        # exact copy of doc 5 → hamming 0, guaranteed in any blocking
+        spark.createDataFrame(
+            [(105, "alpha beta gamma delta epsilon zeta doc5 "
+                   "tail1 more words here")],
+            "doc_id bigint, text string",
+        )
+    )
+
+    def inline(d):
+        return sorted(
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_near_pairs(
+                simhash64(d, hash_mode="md5"),
+                max_hamming=10, prefix_bits=8, hash_bits=60,
+            ).collect()
+        )
+
+    idx = simhash_index_write(docs, "tspsim_idx", num_buckets=4)
+    got = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_index_self_pairs(idx, 10, spark=spark).collect()
+    )
+    assert got == inline(docs) and got
+    # tombstone doc 5: every pair it participated in vanishes
+    simhash_index_delete(idx, spark.createDataFrame([(5,)], "doc_id bigint"))
+    post = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_index_self_pairs(idx, 10, spark=spark).collect()
+    )
+    assert post == inline(docs.filter("doc_id <> 5"))
+    assert not any(5 in (a, b) for (a, b, _) in post)
+    # re-add via append: delete-then-re-add ≡ never deleted
+    simhash_index_append(
+        idx, docs.filter("doc_id = 5").select("doc_id", "text")
+    )
+    back = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_index_self_pairs(idx, 10, spark=spark).collect()
+    )
+    assert back == inline(docs)
