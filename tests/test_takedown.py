@@ -304,3 +304,77 @@ def test_takedown_runlog_receipt(spark, tmp_path):
     r = rows[0]
     assert r.job_id == "gdpr-req-42" and r.task_id == "corpus_takedown"
     assert r.is_success and json.loads(r.result) == receipt
+
+
+def test_denylist_blocks_perturbed_copies_of_taken_down_content(
+    spark, tmp_path
+):
+    """Round-8 lead task: takedown tombstones the doc from every
+    dedup index, so the near-dup machinery no longer remembers it —
+    the deny store's SIGNATURE arm must therefore refuse a lightly
+    perturbed copy (verdict ``denied_neardup``) while an unrelated
+    doc passes. The deny store holds one-way hashes only (fps + band
+    keys), growth O(taken-down docs)."""
+    from ods_v3_dbt_spark.pipelines import corpus_takedown
+    from ods_v3_dbt_spark.sinks import ParquetTable
+
+    corpus, process, write, drain = _seed_store(spark, tmp_path, "tk_dnnd")
+    corpus_takedown(
+        spark, corpus, spark.createDataFrame([(13,)], "doc_id bigint")
+    )
+    sig = ParquetTable(f"{corpus}__deny_sig")
+    assert sig.exists()
+    assert sorted(sig.read(spark).columns) == ["band_idx", "band_key"]
+    n_sig = sig.read(spark).count()
+    assert n_sig <= 4  # bands rows per taken-down doc, nothing more
+
+    # a lightly-edited copy of the taken-down text (exact-fp gate
+    # blind: different fingerprint) is refused; unrelated content
+    # passes; a VERBATIM copy still reports the exact verdict
+    write([
+        (51, FRESH + " nearly", T0),
+        (52, "entirely unrelated content about something else", T0),
+        (53, FRESH, T0),
+    ])
+    drain()
+    verdicts = {
+        r.doc_id: r.verdict for r in spark.read.parquet(
+            str(tmp_path / "decisions")
+        ).collect()
+    }
+    assert verdicts[51] == "denied_neardup"
+    assert verdicts[52] == "admitted"
+    assert verdicts[53] == "denied"
+    ids = {r.doc_id for r in ParquetTable(corpus).read(spark).collect()}
+    assert 51 not in ids and 53 not in ids and 52 in ids
+
+    # replay idempotence: a second takedown converges (no sig growth)
+    corpus_takedown(
+        spark, corpus, spark.createDataFrame([(13,)], "doc_id bigint")
+    )
+    assert sig.read(spark).count() == n_sig
+
+
+def test_takedown_deny_signatures_false_keeps_exact_only_gate(
+    spark, tmp_path
+):
+    """deny_signatures=False: exact-fp denylist only — the perturbed
+    copy admits (the pre-round-8 contract, kept opt-out-able)."""
+    from ods_v3_dbt_spark.pipelines import corpus_takedown
+    from ods_v3_dbt_spark.sinks import ParquetTable
+
+    corpus, process, write, drain = _seed_store(spark, tmp_path, "tk_dexo")
+    corpus_takedown(
+        spark, corpus, spark.createDataFrame([(13,)], "doc_id bigint"),
+        deny_signatures=False,
+    )
+    assert not ParquetTable(f"{corpus}__deny_sig").exists()
+    write([(61, FRESH + " nearly", T0), (62, FRESH, T0)])
+    drain()
+    verdicts = {
+        r.doc_id: r.verdict for r in spark.read.parquet(
+            str(tmp_path / "decisions")
+        ).collect()
+    }
+    assert verdicts[61] == "admitted"
+    assert verdicts[62] == "denied"
