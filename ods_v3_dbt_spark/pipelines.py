@@ -341,6 +341,7 @@ def curate_increment_stream(
     semantic_dist2_max: int = 300_000,
     semantic_nprobe: int = 3,
     ivf_cells: int = 8,
+    corpus_partition: str | None = None,
 ):
     """The PRODUCTION shape of the LLM curation pipeline: a
     ``foreachBatch`` sink that lands each micro-batch through the full
@@ -399,7 +400,23 @@ def curate_increment_stream(
     source of truth for BOTH indexes — a missing/orphaned IVF index
     rebuilds from the corpus's embedding column; a corpus that has
     no rows yet runs the batch channel-off and trains the first IVF
-    epoch from its own admissions, centroids frozen thereafter)."""
+    epoch from its own admissions, centroids frozen thereafter).
+
+    **PARTITIONED corpus (round 8 — the verdict's task 2).** Pass
+    ``corpus_partition`` (a column of the incoming batch, e.g. an
+    ingest day or a source id) and the corpus lands as a
+    :class:`~.sinks.PartitionedTable` instead of a monolithic
+    snapshot table: each batch's admission rewrites ONLY the
+    partitions its docs fall in (everything else carried by
+    reference), so the nightly corpus commit drops from O(corpus) to
+    O(batch + touched partitions) — and :func:`corpus_takedown` on
+    such a store rewrites only the partitions containing the doc set
+    (its receipt records them). The ``_CURATED`` co-manifest records
+    the layout, so ``curated_view``/takedown resolve the right table
+    type; time-travel/pins/vacuum semantics are unchanged. The
+    partition value must be non-null on every doc (the table refuses
+    otherwise — a partitioned store must be able to NAME what it
+    touches)."""
     from .operators.neardup_index import (
         DedupIndex,
         LshIndex,
@@ -408,7 +425,7 @@ def curate_increment_stream(
         lsh_index_append,
         lsh_index_write,
     )
-    from .sinks import ParquetTable
+    from .sinks import ParquetTable, PartitionedTable
 
     if index_kind not in ("exact", "lsh"):
         raise ValueError(f"unknown index_kind: {index_kind}")
@@ -425,11 +442,17 @@ def curate_increment_stream(
         cols = [F.col("doc_id"), F.col("text")]
         if sem:
             cols.append(F.col(embedding_col).alias("embedding"))
+        if corpus_partition is not None:
+            cols.append(F.col(corpus_partition))
         gated = batch_df.filter(
             (T.quality_score_milli(F.col("text")) >= quality_floor_milli)
             & T.token_count(F.col("text")).between(min_tokens, max_tokens)
         ).select(*cols)
-        corpus_tbl = ParquetTable(corpus_path)
+        corpus_tbl = (
+            PartitionedTable(corpus_path, corpus_partition)
+            if corpus_partition is not None
+            else ParquetTable(corpus_path)
+        )
         # DENYLIST gate (``corpus_takedown(deny=True)``): a
         # re-submission of taken-down CONTENT is refused before any
         # decision machinery and recorded in the audit trail — exact
@@ -605,10 +628,7 @@ def curate_increment_stream(
                 raise RuntimeError(
                     f"decisions partition publish lost a race: {part}"
                 )
-        admitted = decisions.filter("verdict = 'admitted'").select("doc_id")
-        admitted_docs = gated.join(admitted, "doc_id").localCheckpoint()
-        if corpus_tbl.exists():
-            existing_docs = corpus_tbl.read(spark)
+        def _backfill(existing_docs):
             # MIGRATION path (round-7 ADVICE, low): enabling
             # embedding_col on a store whose corpus predates the
             # semantic channel must not crash on the missing column —
@@ -621,18 +641,56 @@ def curate_increment_stream(
                     existing_docs = existing_docs.withColumn(
                         f.name, F.lit(None).cast(f.dataType)
                     )
-            existing_docs = existing_docs.select(*gated.columns)
-            # replay guard: docs already committed by the crashed
-            # attempt must not re-enter the corpus
-            corpus_new = admitted_docs.join(
-                existing_docs.select("doc_id"), "doc_id", "left_anti"
+            return existing_docs.select(*gated.columns)
+
+        admitted = decisions.filter("verdict = 'admitted'").select("doc_id")
+        admitted_docs = gated.join(admitted, "doc_id").localCheckpoint()
+        if corpus_partition is not None and corpus_tbl.exists():
+            # PARTITIONED admission: only the partitions this batch's
+            # admitted docs fall in are read (replay guard) and
+            # rewritten — every other partition carries by reference,
+            # so the nightly corpus commit is O(batch + touched
+            # partitions), not O(corpus). Touched values are a
+            # batch-bounded scalar set (driver collect is fine).
+            touched = sorted(
+                r["__v"]
+                for r in admitted_docs.select(
+                    F.col(corpus_partition).cast("string").alias("__v")
+                ).distinct().collect()
             )
-            updated = existing_docs.unionByName(corpus_new)
+            if touched:
+                existing_slice = corpus_tbl.read_partitions(spark, touched)
+                if existing_slice is not None:
+                    existing_slice = _backfill(existing_slice)
+                    corpus_new = admitted_docs.join(
+                        existing_slice.select("doc_id"), "doc_id",
+                        "left_anti",
+                    )
+                    updated = existing_slice.unionByName(corpus_new)
+                else:
+                    updated = admitted_docs
+                corpus_snap = corpus_tbl.overwrite_partitions(
+                    updated, touched
+                )
+            else:
+                # nothing admitted: the pair re-commits on the
+                # unchanged current snapshot (pointer-only batch)
+                corpus_snap = corpus_tbl.current_snapshot()
         else:
-            updated = admitted_docs
-        # snapshot-swap writes a NEW snapshot while readers (and this
-        # plan) follow the old pointer — safe read-modify-write
-        corpus_snap = corpus_tbl.write(updated)
+            if corpus_tbl.exists():
+                existing_docs = _backfill(corpus_tbl.read(spark))
+                # replay guard: docs already committed by the crashed
+                # attempt must not re-enter the corpus
+                corpus_new = admitted_docs.join(
+                    existing_docs.select("doc_id"), "doc_id", "left_anti"
+                )
+                updated = existing_docs.unionByName(corpus_new)
+            else:
+                updated = admitted_docs
+            # snapshot-swap writes a NEW snapshot while readers (and
+            # this plan) follow the old pointer — safe
+            # read-modify-write
+            corpus_snap = corpus_tbl.write(updated)
         # index refresh is the INCREMENTAL append: only the admitted
         # docs shingle; corpus state unions through as bucketed longs
         # (a full dedup_index_write here would re-shingle history
@@ -692,6 +750,9 @@ def curate_increment_stream(
             "index_epoch": new_epoch,
             "index_spec": idx.spec(),
         }
+        if corpus_partition is not None:
+            extras["corpus_layout"] = "partitioned"
+            extras["corpus_partition"] = corpus_partition
         ivf_epoch = None
         if sem and ivf_ready:
             ivf_epoch = ivf.resolve(spark).epoch
@@ -753,6 +814,17 @@ def _index_from_manifest(man: dict):
     )
 
 
+def _corpus_table_from_manifest(corpus_path, man: dict | None):
+    """The corpus table handle a ``_CURATED`` manifest describes —
+    :class:`~.sinks.PartitionedTable` when the store runs the
+    partitioned layout (round 8), plain snapshot table otherwise."""
+    from .sinks import ParquetTable, PartitionedTable
+
+    if man and man.get("corpus_layout") == "partitioned":
+        return PartitionedTable(corpus_path, man["corpus_partition"])
+    return ParquetTable(corpus_path)
+
+
 def curated_view(spark, corpus_path, pin_id: str | None = None):
     """Mutually-consistent (corpus, index) READ of a curated store
     maintained by :func:`curate_increment_stream`: resolve the
@@ -780,15 +852,14 @@ def curated_view(spark, corpus_path, pin_id: str | None = None):
     import json as _json
 
     from .operators.neardup_index import set_index_pin
-    from .sinks import ParquetTable
 
     fs = FS.fs_for(corpus_path)
-    tbl = ParquetTable(corpus_path)
     last_err = None
     for _ in range(3):
         man = _curated_fields(
             _json.loads(fs.read_text(FS.join(corpus_path, "_CURATED")))
         )
+        tbl = _corpus_table_from_manifest(corpus_path, man)
         idx = _index_from_manifest(man)
         if pin_id is not None:
             # pin FIRST, then validate: if the pair was still live
@@ -867,13 +938,18 @@ def corpus_takedown(
        member commits — see ``operators/neardup_index.py``; no
        segment rewrite, suppression is exact per the
        ``*_delete_probe`` oracles);
-    2. the corpus rewrites via ONE anti-join snapshot-swap (readers
-       follow the old pointer until the flip). This step is the
-       O(corpus) one; the documented production swap-in at 100 TB is
-       partition overwrite (``operators/merge.py`` M7, for a
-       day-partitioned corpus) or a Delta DELETE touching only
-       affected files — the index fleet, the expensive side, stays
-       O(batch) under any corpus layout;
+    2. the corpus rewrites. A plain snapshot store does ONE anti-join
+       snapshot-swap (readers follow the old pointer until the flip)
+       — O(corpus). A PARTITIONED store (round 8:
+       ``curate_increment_stream(corpus_partition=...)`` →
+       :class:`~.sinks.PartitionedTable`) instead locates the
+       partitions holding the doc set with one column-pruned scan
+       and rewrites ONLY those — the M7 move at snapshot
+       granularity: untouched partitions carry by reference
+       (byte-identical, pinned in tests), the write side is
+       O(affected partitions), and the receipt records
+       ``partitions_touched`` as the compliance evidence. Either
+       way the index fleet, the expensive side, stays O(batch);
     3. ONE ``TableGroup`` pointer commit records the matching
        (reduced corpus snapshot, post-delete index epoch) pair —
        ``curated_view`` readers see all-old or all-new, never a
@@ -936,7 +1012,8 @@ def corpus_takedown(
         _json.loads(fs.read_text(man_path))
     )
     idx = _index_from_manifest(man)
-    corpus_tbl = ParquetTable(corpus_path)
+    corpus_tbl = _corpus_table_from_manifest(corpus_path, man)
+    partitioned = man.get("corpus_layout") == "partitioned"
     ids = doc_ids.select("doc_id").distinct().localCheckpoint()
 
     # 1. the index fleet: O(batch) tombstone commits, idempotent —
@@ -958,19 +1035,47 @@ def corpus_takedown(
     for target in targets:
         _index_delete_any(target, ids)
 
-    # 2. the corpus: one anti-join snapshot-swap (replay-safe — a
-    # second run anti-joins an already-reduced corpus to itself).
-    # First, with deny on, record the taken-down CONTENT fingerprints
-    # (never the text) so the ingest gate can refuse re-submissions —
+    # 2. the corpus. Non-partitioned stores: one anti-join
+    # snapshot-swap — O(corpus), replay-safe (a second run anti-joins
+    # an already-reduced corpus to itself). PARTITIONED stores
+    # (round-8 task 2): locate the partitions holding the doc set
+    # with ONE column-pruned semi-join scan, then rewrite ONLY those
+    # partitions — everything else carries by reference, so the
+    # write side is O(affected partitions) and untouched partition
+    # files stay byte-identical (pinned in tests). First, with deny
+    # on, record the taken-down CONTENT fingerprints (never the
+    # text) so the ingest gate can refuse re-submissions —
     # idempotent: the union-distinct converges on replay.
     existing = corpus_tbl.read(spark)
     from pyspark.sql import functions as _F
 
-    if deny:
-        deny_tbl = ParquetTable(f"{corpus_path}__deny")
+    touched: list[str] = []
+    if partitioned:
+        pcol = man["corpus_partition"]
+        # one (doc_id, pcol) column-pruned scan names the partitions;
+        # the taken rows then come from a manifest-pruned read
+        touched = sorted(
+            r["__v"]
+            for r in existing.join(_F.broadcast(ids), "doc_id", "left_semi")
+            .select(_F.col(pcol).cast("string").alias("__v"))
+            .distinct()
+            .collect()
+        )
+        slice_df = (
+            corpus_tbl.read_partitions(spark, touched) if touched else None
+        )
+        taken = (
+            slice_df.join(_F.broadcast(ids), "doc_id", "left_semi")
+            if slice_df is not None
+            else existing.limit(0)
+        ).localCheckpoint()
+    else:
         taken = existing.join(
             _F.broadcast(ids), "doc_id", "left_semi"
         ).localCheckpoint()
+
+    if deny:
+        deny_tbl = ParquetTable(f"{corpus_path}__deny")
         fps = taken.select(
             T.fingerprint_md5(_F.col("text")).alias("fp")
         ).distinct()
@@ -1011,13 +1116,21 @@ def corpus_takedown(
                     spec_p, _json.dumps(spec, sort_keys=True)
                 )
 
-    # receipt count from the (bounded) id side: one column-pruned
-    # semi-join instead of two full-corpus counts
-    n_removed = existing.join(
-        _F.broadcast(ids), "doc_id", "left_semi"
-    ).count()
-    reduced = existing.join(_F.broadcast(ids), "doc_id", "left_anti")
-    corpus_snap = corpus_tbl.write(reduced)
+    # receipt count from the checkpointed taken set (batch-bounded)
+    n_removed = taken.count()
+    if partitioned:
+        if touched:
+            reduced = corpus_tbl.read_partitions(spark, touched).join(
+                _F.broadcast(ids), "doc_id", "left_anti"
+            )
+            corpus_snap = corpus_tbl.overwrite_partitions(reduced, touched)
+        else:
+            # replay / unknown ids: nothing to rewrite — re-commit the
+            # pair on the unchanged current snapshot
+            corpus_snap = corpus_tbl.current_snapshot()
+    else:
+        reduced = existing.join(_F.broadcast(ids), "doc_id", "left_anti")
+        corpus_snap = corpus_tbl.write(reduced)
 
     # 3. ONE consistent pointer commit for the post-takedown pair
     from .operators.neardup_index import set_index_pin
@@ -1044,6 +1157,9 @@ def corpus_takedown(
         extras["ivf_name"] = ivf.name
         extras["ivf_epoch"] = ivf_epoch
         extras["ivf_spec"] = man.get("ivf_spec", ivf.spec())
+    if partitioned:
+        extras["corpus_layout"] = "partitioned"
+        extras["corpus_partition"] = man["corpus_partition"]
     group.commit_pointers({"corpus": corpus_snap.name}, extras=extras)
 
     # 4. retention: live + previous pairs guaranteed readable
@@ -1067,6 +1183,12 @@ def corpus_takedown(
     }
     if ivf_epoch is not None:
         receipt["ivf_epoch"] = ivf_epoch
+    if partitioned:
+        # the compliance evidence the partitioned layout exists for:
+        # WHICH partitions this takedown rewrote (everything else is
+        # provably byte-identical) and how many it left alone
+        receipt["partitions_touched"] = touched
+        receipt["partitions_total"] = len(corpus_tbl.partitions())
     if run_log is not None:
         from .runlog import RunRecord
 
@@ -1087,14 +1209,15 @@ def release_curated_view(spark, corpus_path, pin_id: str) -> None:
     import json as _json
 
     from .operators.neardup_index import set_index_pin
-    from .sinks import ParquetTable
 
     fs = FS.fs_for(corpus_path)
     man = _curated_fields(
         _json.loads(fs.read_text(FS.join(corpus_path, "_CURATED")))
     )
     set_index_pin(spark, man["index_name"], f"view:{pin_id}", None)
-    ParquetTable(corpus_path).set_pin(f"view:{pin_id}", None)
+    _corpus_table_from_manifest(corpus_path, man).set_pin(
+        f"view:{pin_id}", None
+    )
 
 
 def curate_increment(

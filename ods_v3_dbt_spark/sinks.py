@@ -411,6 +411,317 @@ class ParquetTable:
         return (n_before, self.file_stats()[0])
 
 
+class PartitionedTable:
+    """Partition-manifest snapshot table — the layout that makes
+    partial rewrites O(touched partitions) while keeping snapshot
+    isolation and time travel (round-8 verdict task 2).
+
+    :class:`ParquetTable` snapshots are monolithic: every write —
+    including a takedown that removes three docs, or a nightly append
+    of one day — produces a full new copy of the table, O(corpus) at
+    100 TB. This table versions at PARTITION granularity instead,
+    the same idea Delta/Iceberg apply at file granularity:
+
+    * each partition value owns an IMMUTABLE physical directory
+      under ``root/parts/`` (data files keep the partition column —
+      a dir is self-describing, readable standalone);
+    * a snapshot is ONE small JSON manifest mapping partition value →
+      directory; ``_CURRENT`` points at the live manifest (atomic
+      flip, same as ParquetTable);
+    * a writer rewrites only the partitions it touches — new dirs for
+      those values, every other entry CARRIED BY REFERENCE from the
+      previous manifest, so untouched partitions stay byte-identical
+      across snapshots (pinned in tests) and cost zero I/O;
+    * retention is refcounted: :meth:`vacuum` drops old manifests,
+      then deletes only partition dirs no retained (or pinned)
+      manifest references — shared dirs survive as long as any
+      reader can reach them.
+
+    Partition values are tracked as STRINGS (the column is cast on
+    write; pass str/int/date-like values — ``str(v)`` must equal
+    Spark's string cast, which holds for those types). NULL partition
+    values are refused: a takedown/append must be able to NAME every
+    partition it touches. Readers either take the whole table
+    (:meth:`read` — a union of the manifest's dirs; per-dir constant
+    partition columns still prune at row-group level) or name values
+    (:meth:`read_partitions` — only those dirs are even listed, the
+    manifest IS the partition index, no filesystem glob at 100 TB).
+
+    Same writer-lock/fencing, pin, and time-travel contracts as
+    :class:`ParquetTable`; `TableGroup.wrap`/`commit_pointers`
+    compose unchanged (a manifest file is the snapshot name).
+    Production note: Delta's DELETE/OVERWRITE WHERE is the grown-up
+    version of this manifest — documented in README."""
+
+    def __init__(self, root: str | Path, partition_col: str) -> None:
+        if not partition_col:
+            raise ValueError("PartitionedTable requires a partition column")
+        self.root = Path(root)
+        self.partition_col = partition_col
+
+    # -- plumbing shared with ParquetTable ----------------------------------
+
+    _fs = ParquetTable._fs
+    _pins_file = ParquetTable._pins_file
+    pinned_snapshots = ParquetTable.pinned_snapshots
+    set_pin = ParquetTable.set_pin
+
+    def _pointer(self) -> Path:
+        return self.root / CURRENT_MARKER
+
+    def current_snapshot(self) -> Path | None:
+        fs = self._fs()
+        if not fs.exists(self._pointer()):
+            return None
+        name = fs.read_text(self._pointer()).strip()
+        snap = self.root / name
+        return snap if fs.exists(snap) else None
+
+    def exists(self) -> bool:
+        return self.current_snapshot() is not None
+
+    def history(self) -> list[Path]:
+        return sorted(
+            (p for p in self.root.glob("snap-*.json") if p.is_file()),
+            reverse=True,
+        )
+
+    # -- manifest IO ----------------------------------------------------------
+
+    def _manifest(self, snap: Path) -> dict:
+        import json
+
+        return json.loads(self._fs().read_text(snap))
+
+    def partitions(self, version: int | str | None = None) -> dict[str, str]:
+        """{partition value: physical dir name} of a snapshot
+        (default: current)."""
+        snap = self._resolve_snap(version)
+        return self._manifest(snap)["partitions"]
+
+    def _resolve_snap(self, version: int | str | None) -> Path:
+        if version is None:
+            snap = self.current_snapshot()
+            if snap is None:
+                raise FileNotFoundError(f"table has no snapshot: {self.root}")
+            return snap
+        snaps = self.history()
+        if isinstance(version, int):
+            if not 0 <= version < len(snaps):
+                raise IndexError(
+                    f"snapshot index {version} out of range "
+                    f"({len(snaps)} retained)"
+                )
+            return snaps[version]
+        snap = self.root / version
+        if not snap.is_file():
+            raise FileNotFoundError(f"no such snapshot: {snap}")
+        return snap
+
+    # -- reads ----------------------------------------------------------------
+
+    def _read_dirs(self, spark: SparkSession, dirs: list[str]) -> DataFrame:
+        if not dirs:
+            raise FileNotFoundError(
+                f"partitioned table has no partitions: {self.root}"
+            )
+        return spark.read.parquet(
+            *[str(self.root / "parts" / d) for d in dirs]
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return self.read_snapshot(spark, None)
+
+    def read_snapshot(self, spark: SparkSession,
+                      version: int | str | None) -> DataFrame:
+        man = self._manifest(self._resolve_snap(version))
+        return self._read_dirs(spark, sorted(man["partitions"].values()))
+
+    def read_partitions(self, spark: SparkSession, values,
+                        version: int | str | None = None) -> DataFrame:
+        """Read ONLY the named partition values (absent values are
+        simply not in the manifest — zero I/O, no error): the
+        manifest-pruned scan a partial rewrite plans against."""
+        parts = self.partitions(version)
+        dirs = sorted(
+            parts[v] for v in {str(v) for v in values} if v in parts
+        )
+        if not dirs:
+            return None
+        return self._read_dirs(spark, dirs)
+
+    # -- writes ---------------------------------------------------------------
+
+    def _stage_partitions(self, df: DataFrame, fs) -> dict[str, str]:
+        """Write ``df`` ONCE partitioned by (a string copy of) the
+        partition column into a staging dir, then promote each hive
+        subdir to an immutable ``parts/p-*`` dir. Returns
+        {value: dirname}. The copy column keeps the real column in
+        the data files, so every partition dir is self-describing."""
+        import json
+        from urllib.parse import unquote
+
+        from pyspark.sql import functions as F
+
+        pt = "__pt"
+        pcol = F.col(self.partition_col).cast("string")
+        staged = df.withColumn(pt, pcol)
+        stage_dir = self.root / f".staging-{uuid.uuid4().hex[:8]}"
+        staged.write.partitionBy(pt).parquet(str(stage_dir))
+        fs.mkdirs(self.root / "parts")
+        out: dict[str, str] = {}
+        for sub in Path(stage_dir).glob(f"{pt}=*"):
+            enc = sub.name[len(pt) + 1:]
+            if enc == "__HIVE_DEFAULT_PARTITION__":
+                raise ValueError(
+                    f"NULL {self.partition_col!r} partition value: a "
+                    "partitioned table must be able to NAME every "
+                    "partition it touches — filter or backfill first"
+                )
+            val = unquote(enc)
+            dirname = f"p-{uuid.uuid4().hex[:12]}"
+            if not fs.rename(sub, self.root / "parts" / dirname):
+                raise ConcurrentWriteError(
+                    f"staging promote lost a race: {sub}"
+                )
+            # per-dir sidecar: which value this dir holds (debugging /
+            # audit; the manifest is authoritative)
+            fs.write_text_atomic(
+                self.root / "parts" / dirname / "_PARTITION",
+                json.dumps({self.partition_col: val}),
+            )
+            out[val] = dirname
+        fs.delete(stage_dir)
+        return out
+
+    def _commit(self, fs, partitions: dict[str, str], lk) -> Path:
+        import json
+
+        snap = f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}.json"
+        fs.write_text_atomic(
+            self.root / snap,
+            json.dumps(
+                {
+                    "partition_col": self.partition_col,
+                    "partitions": partitions,
+                },
+                sort_keys=True,
+            ),
+        )
+        lk.check()  # fencing: abort (not flip) if evicted mid-produce
+        fs.write_text_atomic(self._pointer(), snap)
+        return self.root / snap
+
+    def _referenced_dirs(self) -> set[str]:
+        return {
+            d
+            for snap in self.history()
+            for d in self._manifest(snap)["partitions"].values()
+        }
+
+    def _gc_orphan_dirs(self, fs) -> None:
+        """Under the writer lock: delete parts dirs no manifest
+        references (crashed writers' residue — never a live dir,
+        since manifests only ever reference fully-promoted dirs)."""
+        live = self._referenced_dirs()
+        parts_root = self.root / "parts"
+        if not parts_root.is_dir():
+            return
+        for d in parts_root.iterdir():
+            if d.is_dir() and d.name not in live:
+                fs.delete(d)
+
+    def write(self, df: DataFrame) -> Path:
+        """Full snapshot write (every partition rewrites) — the
+        bootstrap / full-refresh path; incremental writers use
+        :meth:`overwrite_partitions`."""
+        with _writer_lock(self.root) as lk:
+            fs = self._fs()
+            self._gc_orphan_dirs(fs)
+            return self._commit(fs, self._stage_partitions(df, fs), lk)
+
+    def overwrite_partitions(self, df: DataFrame, values) -> Path:
+        """The M7 move at snapshot granularity: replace EXACTLY the
+        named partition values with ``df``'s rows (which must all
+        fall inside them — enforced), carry every other partition by
+        reference, flip one manifest. A named value with zero rows in
+        ``df`` drops out of the new snapshot (how a takedown empties
+        a partition); a new value appends. I/O is O(touched
+        partitions); untouched partitions are not read, not written,
+        and stay byte-identical."""
+        from pyspark.sql import functions as F
+
+        values = {str(v) for v in values}
+        if not values:
+            raise ValueError("overwrite_partitions: empty value set")
+        stray = (
+            df.select(F.col(self.partition_col).cast("string").alias("__v"))
+            .filter(~F.col("__v").isin(*values) | F.col("__v").isNull())
+            .take(1)
+        )
+        if stray:
+            raise ValueError(
+                f"overwrite_partitions: rows outside the declared "
+                f"partition set (found {self.partition_col}="
+                f"{stray[0]['__v']!r}) — the declared values bound "
+                "what this commit may replace"
+            )
+        with _writer_lock(self.root) as lk:
+            fs = self._fs()
+            self._gc_orphan_dirs(fs)
+            prev = {}
+            if self.exists():
+                prev = dict(self.partitions())
+            fresh = self._stage_partitions(df, fs)
+            merged = {
+                v: d for v, d in prev.items() if v not in values
+            }
+            merged.update(fresh)
+            return self._commit(fs, merged, lk)
+
+    # -- retention --------------------------------------------------------------
+
+    def vacuum(self, keep: int = 2, pinned: Sequence[str] = ()) -> list[Path]:
+        """Drop all but the newest ``keep`` manifests (never the
+        current, never one named in ``pinned`` or held by
+        :meth:`set_pin`), then refcount-delete partition dirs no
+        retained manifest references. Returns removed paths."""
+        import shutil
+
+        current = self.current_snapshot()
+        protect = set(pinned) | self.pinned_snapshots()
+        snaps = self.history()
+        victims = [
+            p
+            for p in snaps[keep:]
+            if p != current and p.name not in protect
+        ]
+        removed: list[Path] = []
+        for p in victims:
+            p.unlink()
+            removed.append(p)
+        live = self._referenced_dirs()
+        parts_root = self.root / "parts"
+        if parts_root.is_dir():
+            for d in parts_root.iterdir():
+                if d.is_dir() and d.name not in live:
+                    shutil.rmtree(d)
+                    removed.append(d)
+        return removed
+
+    def file_stats(self) -> tuple[int, int]:
+        """(n_data_files, total_bytes) of the current snapshot."""
+        if not self.exists():
+            return (0, 0)
+        files = [
+            p
+            for d in self.partitions().values()
+            for p in (self.root / "parts" / d).rglob("*.parquet")
+            if p.is_file()
+        ]
+        return (len(files), sum(p.stat().st_size for p in files))
+
+
 class TableGroup:
     """N named snapshot-swap tables + ONE atomic commit — the
     multi-table transaction (round-6 verdict task 3).

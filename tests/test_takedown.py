@@ -378,3 +378,132 @@ def test_takedown_deny_signatures_false_keeps_exact_only_gate(
     }
     assert verdicts[61] == "admitted"
     assert verdicts[62] == "denied"
+
+
+def _seed_partitioned_store(spark, tmp_path, name):
+    """Three docs across three day-partitions through the production
+    loop with corpus_partition='day'."""
+    from ods_v3_dbt_spark.pipelines import curate_increment_stream
+
+    PSCHEMA = "doc_id long, text string, day string, ingest_ts timestamp"
+    src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+    corpus, decisions = tmp_path / "corpus", tmp_path / "decisions"
+    process = curate_increment_stream(
+        corpus, name, str(decisions), num_buckets=2, corpus_partition="day"
+    )
+
+    def write(rows):
+        spark.createDataFrame(rows, PSCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def drain():
+        q = (
+            spark.readStream.schema(PSCHEMA).parquet(str(src))
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    write([(1, BASE, "d1", T0), (2, FRESH, "d1", T0)])
+    drain()
+    write([(3, OTHER, "d2", T0),
+           (4, "fourth document with its own vocabulary", "d3", T0)])
+    drain()
+    return corpus, process, write, drain
+
+
+def _partition_fingerprints(corpus, dirnames):
+    import hashlib
+    from pathlib import Path
+
+    out = {}
+    for d in dirnames:
+        root = Path(corpus) / "parts" / d
+        out[d] = {
+            p.name: hashlib.md5(p.read_bytes()).hexdigest()
+            for p in sorted(root.rglob("*.parquet"))
+        }
+    return out
+
+
+def test_partitioned_takedown_rewrites_only_affected_partitions(
+    spark, tmp_path
+):
+    """Round-8 verdict task 2: on a day-partitioned curated store,
+    takedown step 2 rewrites ONLY the partitions containing the doc
+    set — untouched partitions' files stay byte-identical, the
+    receipt records partitions_touched, and the consistent-view /
+    deny / replay contracts all hold."""
+    from ods_v3_dbt_spark.pipelines import (
+        _index_from_manifest,
+        corpus_takedown,
+        curated_view,
+    )
+    from ods_v3_dbt_spark.sinks import PartitionedTable
+
+    corpus, process, write, drain = _seed_partitioned_store(
+        spark, tmp_path, "tk_part_idx"
+    )
+    tbl = PartitionedTable(corpus, "day")
+    parts0 = tbl.partitions()
+    assert sorted(parts0) == ["d1", "d2", "d3"]
+    fp0 = _partition_fingerprints(corpus, [parts0["d2"], parts0["d3"]])
+
+    receipt = corpus_takedown(
+        spark, corpus, spark.createDataFrame([(1,)], "doc_id bigint")
+    )
+    assert receipt["n_removed"] == 1
+    assert receipt["partitions_touched"] == ["d1"]
+    assert receipt["partitions_total"] == 3
+
+    # d2/d3: same physical dirs, same bytes (carried by reference)
+    parts1 = tbl.partitions()
+    assert parts1["d2"] == parts0["d2"] and parts1["d3"] == parts0["d3"]
+    assert parts1["d1"] != parts0["d1"]
+    assert _partition_fingerprints(
+        corpus, [parts1["d2"], parts1["d3"]]
+    ) == fp0
+
+    # consistent view pairs the reduced corpus with the new epoch
+    view_docs, _, man = curated_view(spark, corpus)
+    got = sorted(r.doc_id for r in view_docs.select("doc_id").collect())
+    assert got == [2, 3, 4]
+    assert man["corpus_layout"] == "partitioned"
+    assert man["index_epoch"] == receipt["index_epoch"]
+
+    # the curation index probes clean for the taken-down text
+    from ods_v3_dbt_spark.operators.neardup_index import exact_probe
+
+    probe = spark.createDataFrame([(99, BASE)], "doc_id long, text string")
+    assert exact_probe(probe, _index_from_manifest(man)).count() == 0
+
+    # replay: converges, touches nothing
+    receipt2 = corpus_takedown(
+        spark, corpus, spark.createDataFrame([(1,)], "doc_id bigint")
+    )
+    assert receipt2["n_removed"] == 0
+    assert receipt2["partitions_touched"] == []
+    assert receipt2["index_epoch"] == receipt["index_epoch"]
+
+    # the deny gate still runs on the partitioned store: a perturbed
+    # copy of the taken-down text is refused, and the new batch's day
+    # partition appends WITHOUT touching d2/d3
+    write([(11, BASE + " nearly", "d4", T0),
+           (12, "completely new content for day four", "d4", T0)])
+    drain()
+    verdicts = {
+        r.doc_id: r.verdict for r in spark.read.parquet(
+            str(tmp_path / "decisions")
+        ).collect()
+    }
+    assert verdicts[11] == "denied_neardup"
+    assert verdicts[12] == "admitted"
+    parts2 = tbl.partitions()
+    assert parts2["d2"] == parts0["d2"] and parts2["d3"] == parts0["d3"]
+    assert sorted(parts2) == ["d1", "d2", "d3", "d4"]
+    assert _partition_fingerprints(
+        corpus, [parts2["d2"], parts2["d3"]]
+    ) == fp0
