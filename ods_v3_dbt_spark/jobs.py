@@ -477,6 +477,7 @@ def maintain_indexes(
         dedup_index_compact,
         lsh_index_compact,
     )
+    from .operators.pq_index import PqIndex, pq_index_compact
     from .operators.simhash_index import SimhashIndex, simhash_index_compact
     from .operators.text_index import Bm25Index, bm25_index_compact
     from .operators.vector_index import (
@@ -491,6 +492,7 @@ def maintain_indexes(
         SimhashIndex: simhash_index_compact,
         Bm25Index: bm25_index_compact,
         IvfIndex: ivf_index_compact,
+        PqIndex: pq_index_compact,
     }
     reports: list[dict] = []
     for idx in indexes:

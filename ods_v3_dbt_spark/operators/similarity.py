@@ -846,6 +846,67 @@ def _adc_tables(vec, books: list, sub_dim: int):
     )
 
 
+def _pq_subvectors(c: DataFrame, num_subs: int, sub_dim: int,
+                   carry: tuple[str, ...] = ()) -> DataFrame:
+    """(vid, *carry, sub, sv): the corpus exploded into subvector
+    rows — ONE shuffle-free explode, the shared front of training and
+    encoding."""
+    return c.select(
+        "vid",
+        *carry,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {num_subs - 1}), m -> "
+                f"struct(cast(m as int) as sub, "
+                f"slice(v, m * {sub_dim} + 1, {sub_dim}) as sv))"
+            )
+        ).alias("s"),
+    ).select("vid", *carry, "s.sub", "s.sv")
+
+
+def _pq_argmin_code(books: list) -> F.Column:
+    """argmin codeword of a subvector row against its subspace's
+    codebook — array_min over struct(d2, code): one pass, one
+    embedded literal, exact (d2, code) tie-break (the _l2q_dist2
+    discipline). The codebook rides as ONE parsed SQL string — a
+    single py4j call; do NOT be tempted by F.lit(nested_list), which
+    PySpark expands to array(lit(e), ...) RECURSIVELY: one py4j
+    round-trip per element (~2048 here) cost ~5 s of pure driver
+    chatter per action, measured."""
+    bsql = _books_sql(books)
+    return F.expr(
+        f"array_min(transform(element_at({bsql}, sub + 1), "
+        "(cw, k) -> struct("
+        "aggregate(zip_with(sv, cw, (a, b) -> (a - b) * (a - b)), "
+        "0L, (acc, x) -> acc + x) as d2, "
+        "cast(k as int) as code))).code"
+    )
+
+
+def pq_encode(c: DataFrame, books: list,
+              carry: tuple[str, ...] = ()) -> DataFrame:
+    """Encode (vid, *carry, v) against FROZEN codebooks — the append
+    path of a persisted PQ index (``operators/pq_index.py``): no
+    training, no collect, one shuffle-free explode + per-row argmin +
+    one groupBy. Bit-identical to the encode stage of
+    :func:`pq_train_encode` with the same books."""
+    num_subs = len(books)
+    sub_dim = len(books[0][0])
+    ssub = _pq_subvectors(c, num_subs, sub_dim, carry)
+    enc = ssub.select(
+        "vid", *carry, "sub", _pq_argmin_code(books).alias("code")
+    )
+    agg_cols = [
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda st: st.getField("code"),
+        ).alias("codes")
+    ]
+    if carry:
+        agg_cols = [F.first(col).alias(col) for col in carry] + agg_cols
+    return enc.groupBy("vid").agg(*agg_cols).select("vid", *carry, "codes")
+
+
 def pq_train_encode(
     c: DataFrame,
     num_subs: int,
@@ -900,38 +961,9 @@ def pq_train_encode(
     # issue (the encode consumer is lazy, owned by the caller) —
     # checkpoint blocks are GC-managed instead (the graph.py leak
     # lesson applied).
-    ssub = (
-        c.select(
-            "vid",
-            *carry,
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, {num_subs - 1}), m -> "
-                    f"struct(cast(m as int) as sub, "
-                    f"slice(v, m * {sub_dim} + 1, {sub_dim}) as sv))"
-                )
-            ).alias("s"),
-        )
-        .select("vid", *carry, "s.sub", "s.sv")
-        .localCheckpoint()
-    )
+    ssub = _pq_subvectors(c, num_subs, sub_dim, carry).localCheckpoint()
 
-    def argmin_code(books: list) -> F.Column:
-        # array_min over struct(d2, code) = one pass, one embedded
-        # literal, exact (d2, code) tie-break (the _l2q_dist2
-        # discipline). The codebook rides as ONE parsed SQL string —
-        # a single py4j call; do NOT be tempted by F.lit(nested_list),
-        # which PySpark expands to array(lit(e), ...) RECURSIVELY:
-        # one py4j round-trip per element (~2048 here) cost ~5 s of
-        # pure driver chatter per action, measured.
-        bsql = _books_sql(books)
-        return F.expr(
-            f"array_min(transform(element_at({bsql}, sub + 1), "
-            "(cw, k) -> struct("
-            "aggregate(zip_with(sv, cw, (a, b) -> (a - b) * (a - b)), "
-            "0L, (acc, x) -> acc + x) as d2, "
-            "cast(k as int) as code))).code"
-        )
+    argmin_code = _pq_argmin_code
 
     a1 = ssub.select("vid", "sub", "sv", argmin_code(seeds).alias("code"))
     sums = a1.groupBy("sub", "code").agg(

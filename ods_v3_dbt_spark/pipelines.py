@@ -887,6 +887,7 @@ def _index_delete_any(idx, doc_ids: DataFrame):
         dedup_index_delete,
         lsh_index_delete,
     )
+    from .operators.pq_index import PqIndex, pq_index_delete
     from .operators.simhash_index import SimhashIndex, simhash_index_delete
     from .operators.text_index import Bm25Index, bm25_index_delete
     from .operators.vector_index import IvfIndex, ivf_index_delete
@@ -901,6 +902,8 @@ def _index_delete_any(idx, doc_ids: DataFrame):
         return bm25_index_delete(idx, doc_ids)
     if isinstance(idx, IvfIndex):
         return ivf_index_delete(idx, doc_ids, id_col="doc_id")
+    if isinstance(idx, PqIndex):
+        return pq_index_delete(idx, doc_ids, id_col="doc_id")
     raise TypeError(f"no tombstone-delete for index type {type(idx)!r}")
 
 
