@@ -90,8 +90,33 @@ def main() -> None:
     if "incremental_curation_semantic_decisions" in registry:
         # the semantic channel's IVF corpus state — its own build row
         t0 = time.perf_counter()
-        LQ._sem_ivf_fixture_index(spark, sf_dir, force=True)
+        sem_ivf = LQ._sem_ivf_fixture_index(spark, sf_dir, force=True)
         times["sem_ivf_index_build"] = round(time.perf_counter() - t0, 3)
+        # probe-class row (round-8 verdict task 4): stage 3.5 ALONE —
+        # the batch-survivor embeddings' k=1/nprobe=3 probe of the
+        # prebuilt IVF index — so the composition row's cost reads as
+        # text chain + THIS, and a semantic-probe regression can't
+        # hide inside the (intrinsically larger) decision-chain row.
+        from pyspark.sql import functions as F
+
+        from ods_v3_dbt_spark.operators.vector_index import ivf_index_topk
+
+        qe = (
+            DQ.load(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") % 3 == 0)
+            .select(
+                F.col("vec_id").alias("doc_id"),
+                F.expr(
+                    "transform(embedding, x -> cast(x as double))"
+                ).alias("embedding"),
+            )
+        )
+        t0 = time.perf_counter()
+        ivf_index_topk(
+            spark, sem_ivf, qe, k=1, nprobe=3,
+            vec_col="embedding", id_col="doc_id",
+        ).write.format("noop").mode("overwrite").save()
+        times["sem_ivf_probe"] = round(time.perf_counter() - t0, 3)
     if "simhash_index_probe" in registry:
         # SimHash index: build+append priced on its own row, probe
         # rows come cache-warm from the registry loop
@@ -123,6 +148,19 @@ def main() -> None:
         t0 = time.perf_counter()
         LQ._ivf_fixture_index(spark, sf_dir, force=True)
         times["ivf_index_build"] = round(time.perf_counter() - t0, 3)
+    if "pq_index_ann_topk" in registry:
+        # persisted IVFADC: coarse train + residual codebooks + encode
+        # + encode-only append, priced on its own row (round 8)
+        t0 = time.perf_counter()
+        LQ._pq_fixture_index(spark, sf_dir, force=True)
+        times["pq_index_build"] = round(time.perf_counter() - t0, 3)
+    if "pq_index_delete_topk" in registry:
+        LQ._pq_fixture_index(spark, sf_dir, deleted=True)  # pre-warm
+    if "simhash_indexed_pairs" in registry:
+        # self-pairs SimHash corpus state (sign + block once)
+        t0 = time.perf_counter()
+        LQ._selfpairs_simhash_fixture_index(spark, sf_dir, force=True)
+        times["spsim_index_build"] = round(time.perf_counter() - t0, 3)
 
     # Append-fixture rows split one level further (round-6 verdict
     # task 2): base build / delta append / probe are separate rows, so
