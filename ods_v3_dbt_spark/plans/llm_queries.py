@@ -7054,6 +7054,59 @@ def hybrid_indexed_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex, dense], k0=60, k=10)
 
 
+_HYBRID_PQ_SQL = f"""
+    WITH lex AS (
+      SELECT doc_id, rank
+      FROM ({_bm25_scan_sql(_BM25_IDX_TERMS, 20).strip()}) lt),
+    dense AS (
+      SELECT neighbor_id AS doc_id, rank
+      FROM ({_pq_idx_sql("vec_id = 0", 20).strip()}) dt),
+    contrib AS (
+      SELECT doc_id, CAST(FLOOR(1000000.0 / (60 + rank)) AS BIGINT) AS c
+      FROM lex
+      UNION ALL
+      SELECT doc_id, CAST(FLOOR(1000000.0 / (60 + rank)) AS BIGINT) AS c
+      FROM dense),
+    fused AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_micro,
+             CAST(COUNT(1) AS INT) AS n_lists
+      FROM contrib GROUP BY doc_id)
+    SELECT rank, doc_id, rrf_micro, n_lists FROM (
+      SELECT doc_id, rrf_micro, n_lists,
+             ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank
+      FROM fused) WHERE rank <= 10
+"""
+
+
+@register("hybrid_indexed_rrf_pq", _HYBRID_PQ_SQL)
+def hybrid_indexed_rrf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval service at its DEPLOYED memory footprint,
+    hash-verified: ``hybrid_indexed_rrf`` with the dense channel
+    served from the persisted IVFADC index (cell-pruned COMPRESSED
+    code lists + per-query ADC tables) instead of the full-vector
+    IVF index — the composition a RAG service actually runs when the
+    embedding store outgrows full-precision inverted lists. Sparse
+    channel unchanged (BM25 inverted index, bucket-pruned postings);
+    fusion the same integer floor(1e6/(60+rank)) RRF. The oracle
+    recomputes BOTH channels from raw data — BM25 from text, the
+    whole IVFADC train/encode/probe pipeline from raw floats — so
+    the compressed dense path composes into fusion without drift."""
+    from ..operators.pq_index import pq_index_topk
+    from ..operators.retrieval import rrf_fuse
+    from ..operators.text_index import bm25_index_topk
+
+    bidx = _bm25_fixture_index(spark, sf_dir)
+    lex = bm25_index_topk(
+        spark, bidx, list(_BM25_IDX_TERMS), k=20
+    ).select("doc_id", "rank")
+    pidx = _pq_fixture_index(spark, sf_dir)
+    q = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
+    dense = pq_index_topk(spark, pidx, q, k=20, nprobe=4).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex, dense], k0=60, k=10)
+
+
 _FUZZY_DECON_SQL = f"""
     WITH {_CORPUS_SQL},
     labeled AS (
