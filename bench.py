@@ -320,7 +320,8 @@ def main() -> None:
         "ngram_jaccard_neardup", "embedding_cosine_neardup",
         "simhash_neardup", "embedding_ann_lsh", "embedding_topk",
         "bm25_indexed_topk", "dedup_index_probe", "lsh_index_probe",
-        "ivf_index_ann_topk", "dedup_index_build",
+        "ivf_index_ann_topk", "pq_index_ann_topk", "sem_ivf_probe",
+        "dedup_index_build",
         "index_append_fixed_batch_small_base",
         "index_append_fixed_batch_large_base",
     ]

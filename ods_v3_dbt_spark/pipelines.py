@@ -259,6 +259,7 @@ def deny_probe(
     deny_fps: DataFrame,
     deny_bands: DataFrame | None = None,
     spec: dict | None = None,
+    broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
     """The takedown-denylist GATE probe, shared by the streaming loop
     and the ``deny_neardup_decisions`` declared query: one (doc_id,
@@ -281,15 +282,26 @@ def deny_probe(
     ``num_hashes/bands`` minhashes per key the rate is vanishing.
 
     Scale: the batch side shingles+signs O(batch); the deny sides
-    broadcast (fps: one row per taken-down text; bands: ``bands``
-    rows per taken-down doc — megabytes for years of takedowns; a
-    pathological denylist outgrowing broadcast swaps both semi-joins
-    to key-bucketed shuffles with a runtime bloom on the batch)."""
+    broadcast while small (fps: one row per taken-down text; bands:
+    ``bands`` rows per taken-down doc — megabytes for years of
+    takedowns). ``broadcast_limit`` is the size gate (the
+    ``lsh_index_probe`` discipline): a pathological denylist above
+    it switches both semi-joins to plain shuffles — identical
+    output, bounded driver memory, shuffle sized by the deny store,
+    and Spark's runtime bloom prunes the batch side."""
+
+    def _deny_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if deny_is_small else df
+
+    n_deny = deny_fps.count() + (
+        deny_bands.count() if deny_bands is not None else 0
+    )
+    deny_is_small = n_deny <= broadcast_limit
     exact = (
         batch.select(
             "doc_id", T.fingerprint_md5(F.col("text")).alias("fp")
         )
-        .join(F.broadcast(deny_fps.select("fp")), "fp", "left_semi")
+        .join(_deny_side(deny_fps.select("fp")), "fp", "left_semi")
         .select("doc_id")
     )
     out = exact.select("doc_id", F.lit("denied").alias("verdict"))
@@ -298,7 +310,7 @@ def deny_probe(
         coll = (
             deny_signature_bands(rest.select("doc_id", "text"), spec)
             .join(
-                F.broadcast(deny_bands.select("band_idx", "band_key")),
+                _deny_side(deny_bands.select("band_idx", "band_key")),
                 ["band_idx", "band_key"],
                 "left_semi",
             )

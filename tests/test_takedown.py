@@ -599,3 +599,37 @@ def test_takedown_races_live_curation_loop_serializably(spark, tmp_path):
         ).collect()
     }
     assert verdicts[300] in ("denied", "denied_neardup")
+
+
+def test_deny_probe_shuffle_fallback_identical(spark):
+    """deny_probe above broadcast_limit switches the deny semi-joins
+    to shuffles — identical verdicts (the lsh_index_probe size-gate
+    discipline applied to the compliance gate)."""
+    from pyspark.sql import functions as F
+
+    from ods_v3_dbt_spark.functions import text as T
+    from ods_v3_dbt_spark.pipelines import deny_probe, deny_signature_bands
+
+    deny_docs = spark.createDataFrame(
+        [(1, BASE), (2, FRESH)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, BASE), (11, FRESH + " nearly"), (12, OTHER)],
+        "doc_id long, text string",
+    )
+    fps = deny_docs.select(
+        T.fingerprint_md5(F.col("text")).alias("fp")
+    ).distinct()
+    bands = deny_signature_bands(deny_docs).select(
+        "band_idx", "band_key"
+    ).distinct()
+    broad = sorted(
+        (r.doc_id, r.verdict)
+        for r in deny_probe(batch, fps, bands).collect()
+    )
+    shuf = sorted(
+        (r.doc_id, r.verdict)
+        for r in deny_probe(batch, fps, bands, broadcast_limit=0).collect()
+    )
+    assert broad == shuf
+    assert broad == [(10, "denied"), (11, "denied_neardup")]
