@@ -297,12 +297,16 @@ def deny_probe(
         deny_bands.count() if deny_bands is not None else 0
     )
     deny_is_small = n_deny <= broadcast_limit
+    # localCheckpoint (the curate_increment stage discipline): exact
+    # feeds BOTH the verdict union and the band stage's anti-join —
+    # without it each consumer re-derives the fingerprint subtree
     exact = (
         batch.select(
             "doc_id", T.fingerprint_md5(F.col("text")).alias("fp")
         )
         .join(_deny_side(deny_fps.select("fp")), "fp", "left_semi")
         .select("doc_id")
+        .localCheckpoint()
     )
     out = exact.select("doc_id", F.lit("denied").alias("verdict"))
     if deny_bands is not None:
@@ -323,6 +327,27 @@ def deny_probe(
             )
         )
     return out
+
+
+def _store_lock(corpus_path):
+    """Writer mutex over a WHOLE curated-store update — acquired by
+    :func:`curate_increment_stream`'s batch function and by
+    :func:`corpus_takedown` around their full read→decide→commit
+    sequences (round-8 race test). The per-table/per-index locks
+    serialize individual COMMITS, but both writers are
+    read-modify-write at store scope: a takedown that read the corpus
+    before a concurrent batch's snapshot flip would write a reduced
+    corpus MISSING that batch's admission — the classic lost update.
+    One store-scoped mutex (a sibling lock dir, so it never collides
+    with the corpus table's own ``_LOCK``) makes whole store updates
+    serial; contenders fail fast with ConcurrentWriteError and retry
+    (foreachBatch replays are idempotent by design). Readers never
+    take it."""
+    from pathlib import Path as _P
+
+    from .sinks import _writer_lock
+
+    return _writer_lock(_P(f"{corpus_path}__storelock"))
 
 
 def _deny_spec_path(corpus_path):
@@ -444,6 +469,16 @@ def curate_increment_stream(
     sem = embedding_col is not None
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # store-scoped writer mutex: the whole read→decide→commit
+        # sequence below is read-modify-write against corpus + index
+        # state, and a concurrent corpus_takedown interleaving between
+        # this batch's corpus read and its snapshot flip would lose
+        # one side's update (round-8 race test). Contenders error
+        # fast; foreachBatch replays are idempotent.
+        with _store_lock(corpus_path):
+            _process_locked(batch_df, batch_id)
+
+    def _process_locked(batch_df: DataFrame, batch_id: int) -> None:
         from .operators.vector_index import (
             IvfIndex,
             ivf_index_append,
@@ -545,9 +580,30 @@ def curate_increment_stream(
         ivf = None
         ivf_ready = False
         if sem:
+            import json as _json
+
             ivf = IvfIndex(f"{index_name}_ivf", ivf_cells, num_buckets)
             if corpus_tbl.exists():
-                if ivf.exists(spark):
+                # ORPHAN check (round-8 race-suite catch): an
+                # attachable index under this DERIVED name may be a
+                # previous deployment's leftovers — warehouse state
+                # outlives tmp corpus stores. The _CURATED
+                # co-manifest is the authority on whether THIS store
+                # ever committed an IVF pointer: a manifest without
+                # ivf_name + an attachable index = ghosts, and
+                # probing them would flag new docs as paraphrases of
+                # vanished content. Rebuild from the corpus (the
+                # source of truth) instead of attaching.
+                _cm = FS.join(corpus_path, "_CURATED")
+                _cfs = FS.fs_for(corpus_path)
+                owned = False
+                if _cfs.exists(_cm):
+                    owned = bool(
+                        _curated_fields(
+                            _json.loads(_cfs.read_text(_cm))
+                        ).get("ivf_name")
+                    )
+                if ivf.exists(spark) and owned:
                     ivf_ready = True
                 else:
                     # rebuild trains on docs that HAVE embeddings — a
@@ -1023,199 +1079,204 @@ def corpus_takedown(
             "(curate_increment_stream); for a bare table use the "
             "merge operators' M6 delete directly"
         )
-    man = _curated_fields(
-        _json.loads(fs.read_text(man_path))
-    )
-    idx = _index_from_manifest(man)
-    corpus_tbl = _corpus_table_from_manifest(corpus_path, man)
-    partitioned = man.get("corpus_layout") == "partitioned"
-    ids = doc_ids.select("doc_id").distinct().localCheckpoint()
-
-    # 1. the index fleet: O(batch) tombstone commits, idempotent —
-    # the curation text index, the loop's semantic IVF index if the
-    # store runs the embedding channel, plus any caller extras
-    targets = [idx]
-    ivf = None
-    if man.get("ivf_name"):
-        from .operators.vector_index import IvfIndex
-
-        ivf_spec = man.get("ivf_spec", {})
-        ivf = IvfIndex(
-            man["ivf_name"],
-            ivf_spec.get("num_cells", 8),
-            ivf_spec.get("num_buckets", 8),
+    # store-scoped writer mutex (see _store_lock): without it a
+    # takedown's corpus read could predate a concurrent batch's
+    # snapshot flip and its write would erase that batch's
+    # admission — the lost update the round-8 race test caught
+    with _store_lock(corpus_path):
+        man = _curated_fields(
+            _json.loads(fs.read_text(man_path))
         )
-        targets.append(ivf)
-    targets.extend(extra_indexes)
-    for target in targets:
-        _index_delete_any(target, ids)
+        idx = _index_from_manifest(man)
+        corpus_tbl = _corpus_table_from_manifest(corpus_path, man)
+        partitioned = man.get("corpus_layout") == "partitioned"
+        ids = doc_ids.select("doc_id").distinct().localCheckpoint()
 
-    # 2. the corpus. Non-partitioned stores: one anti-join
-    # snapshot-swap — O(corpus), replay-safe (a second run anti-joins
-    # an already-reduced corpus to itself). PARTITIONED stores
-    # (round-8 task 2): locate the partitions holding the doc set
-    # with ONE column-pruned semi-join scan, then rewrite ONLY those
-    # partitions — everything else carries by reference, so the
-    # write side is O(affected partitions) and untouched partition
-    # files stay byte-identical (pinned in tests). First, with deny
-    # on, record the taken-down CONTENT fingerprints (never the
-    # text) so the ingest gate can refuse re-submissions —
-    # idempotent: the union-distinct converges on replay.
-    existing = corpus_tbl.read(spark)
-    from pyspark.sql import functions as _F
+        # 1. the index fleet: O(batch) tombstone commits, idempotent —
+        # the curation text index, the loop's semantic IVF index if the
+        # store runs the embedding channel, plus any caller extras
+        targets = [idx]
+        ivf = None
+        if man.get("ivf_name"):
+            from .operators.vector_index import IvfIndex
 
-    touched: list[str] = []
-    if partitioned:
-        pcol = man["corpus_partition"]
-        # one (doc_id, pcol) column-pruned scan names the partitions;
-        # the taken rows then come from a manifest-pruned read
-        touched = sorted(
-            r["__v"]
-            for r in existing.join(_F.broadcast(ids), "doc_id", "left_semi")
-            .select(_F.col(pcol).cast("string").alias("__v"))
-            .distinct()
-            .collect()
-        )
-        slice_df = (
-            corpus_tbl.read_partitions(spark, touched) if touched else None
-        )
-        taken = (
-            slice_df.join(_F.broadcast(ids), "doc_id", "left_semi")
-            if slice_df is not None
-            else existing.limit(0)
-        ).localCheckpoint()
-    else:
-        taken = existing.join(
-            _F.broadcast(ids), "doc_id", "left_semi"
-        ).localCheckpoint()
-
-    if deny:
-        deny_tbl = ParquetTable(f"{corpus_path}__deny")
-        fps = taken.select(
-            T.fingerprint_md5(_F.col("text")).alias("fp")
-        ).distinct()
-        if deny_tbl.exists():
-            fps = deny_tbl.read(spark).unionByName(fps).distinct()
-        deny_tbl.write(fps)
-        if deny_signatures:
-            # near-dup arm: persist the taken-down docs' band KEYS
-            # (signatures only — the gate re-bands candidates with
-            # the same persisted family and refuses collisions as
-            # denied_neardup). Idempotent: union-distinct converges.
-            import json as _json
-
-            spec_p = _deny_spec_path(corpus_path)
-            sfs = FS.fs_for(spec_p)
-            if sfs.exists(spec_p):
-                spec = _json.loads(sfs.read_text(spec_p))
-                if deny_spec is not None and deny_spec != spec:
-                    raise ValueError(
-                        f"deny-signature spec mismatch: store pinned "
-                        f"{spec}, caller passed {deny_spec} — the gate "
-                        "replays the persisted family; rebuild the "
-                        "deny store to change it"
-                    )
-            else:
-                spec = dict(deny_spec or DENY_SIG_SPEC)
-            sig_tbl = ParquetTable(f"{corpus_path}__deny_sig")
-            bands = deny_signature_bands(
-                taken.select("doc_id", "text"), spec
-            ).select("band_idx", "band_key").distinct()
-            if sig_tbl.exists():
-                bands = sig_tbl.read(spark).unionByName(bands).distinct()
-            sig_tbl.write(bands)
-            if not sfs.exists(spec_p):
-                # after the first member write so the dir exists;
-                # read path defaults to DENY_SIG_SPEC until pinned
-                sfs.write_text_atomic(
-                    spec_p, _json.dumps(spec, sort_keys=True)
-                )
-
-    # receipt count from the checkpointed taken set (batch-bounded)
-    n_removed = taken.count()
-    if partitioned:
-        if touched:
-            reduced = corpus_tbl.read_partitions(spark, touched).join(
-                _F.broadcast(ids), "doc_id", "left_anti"
+            ivf_spec = man.get("ivf_spec", {})
+            ivf = IvfIndex(
+                man["ivf_name"],
+                ivf_spec.get("num_cells", 8),
+                ivf_spec.get("num_buckets", 8),
             )
-            corpus_snap = corpus_tbl.overwrite_partitions(reduced, touched)
+            targets.append(ivf)
+        targets.extend(extra_indexes)
+        for target in targets:
+            _index_delete_any(target, ids)
+
+        # 2. the corpus. Non-partitioned stores: one anti-join
+        # snapshot-swap — O(corpus), replay-safe (a second run anti-joins
+        # an already-reduced corpus to itself). PARTITIONED stores
+        # (round-8 task 2): locate the partitions holding the doc set
+        # with ONE column-pruned semi-join scan, then rewrite ONLY those
+        # partitions — everything else carries by reference, so the
+        # write side is O(affected partitions) and untouched partition
+        # files stay byte-identical (pinned in tests). First, with deny
+        # on, record the taken-down CONTENT fingerprints (never the
+        # text) so the ingest gate can refuse re-submissions —
+        # idempotent: the union-distinct converges on replay.
+        existing = corpus_tbl.read(spark)
+        from pyspark.sql import functions as _F
+
+        touched: list[str] = []
+        if partitioned:
+            pcol = man["corpus_partition"]
+            # one (doc_id, pcol) column-pruned scan names the partitions;
+            # the taken rows then come from a manifest-pruned read
+            touched = sorted(
+                r["__v"]
+                for r in existing.join(_F.broadcast(ids), "doc_id", "left_semi")
+                .select(_F.col(pcol).cast("string").alias("__v"))
+                .distinct()
+                .collect()
+            )
+            slice_df = (
+                corpus_tbl.read_partitions(spark, touched) if touched else None
+            )
+            taken = (
+                slice_df.join(_F.broadcast(ids), "doc_id", "left_semi")
+                if slice_df is not None
+                else existing.limit(0)
+            ).localCheckpoint()
         else:
-            # replay / unknown ids: nothing to rewrite — re-commit the
-            # pair on the unchanged current snapshot
-            corpus_snap = corpus_tbl.current_snapshot()
-    else:
-        reduced = existing.join(_F.broadcast(ids), "doc_id", "left_anti")
-        corpus_snap = corpus_tbl.write(reduced)
+            taken = existing.join(
+                _F.broadcast(ids), "doc_id", "left_semi"
+            ).localCheckpoint()
 
-    # 3. ONE consistent pointer commit for the post-takedown pair
-    from .operators.neardup_index import set_index_pin
+        if deny:
+            deny_tbl = ParquetTable(f"{corpus_path}__deny")
+            fps = taken.select(
+                T.fingerprint_md5(_F.col("text")).alias("fp")
+            ).distinct()
+            if deny_tbl.exists():
+                fps = deny_tbl.read(spark).unionByName(fps).distinct()
+            deny_tbl.write(fps)
+            if deny_signatures:
+                # near-dup arm: persist the taken-down docs' band KEYS
+                # (signatures only — the gate re-bands candidates with
+                # the same persisted family and refuses collisions as
+                # denied_neardup). Idempotent: union-distinct converges.
+                import json as _json
 
-    group = TableGroup.wrap({"corpus": corpus_tbl}, man_path)
-    prev_man = _curated_fields(group.manifest())
-    new_epoch = idx.resolve(spark).epoch
-    extras = {
-        "batch_id": man.get("batch_id"),
-        "takedown": True,
-        "index_name": man["index_name"],
-        "index_kind": man["index_kind"],
-        "index_epoch": new_epoch,
-        "index_spec": idx.spec(),
-    }
-    # carry the semantic-channel pointers forward — commit_pointers
-    # REPLACES extras wholesale, so omitting ivf_* here would make a
-    # second takedown (or the next curated_view) lose the IVF index
-    # and silently stop tombstoning it: taken-down docs would stay
-    # retrievable through the ANN channel (round-7 ADVICE, high)
-    ivf_epoch = None
-    if ivf is not None:
-        ivf_epoch = ivf.resolve(spark).epoch
-        extras["ivf_name"] = ivf.name
-        extras["ivf_epoch"] = ivf_epoch
-        extras["ivf_spec"] = man.get("ivf_spec", ivf.spec())
-    if partitioned:
-        extras["corpus_layout"] = "partitioned"
-        extras["corpus_partition"] = man["corpus_partition"]
-    group.commit_pointers({"corpus": corpus_snap.name}, extras=extras)
+                spec_p = _deny_spec_path(corpus_path)
+                sfs = FS.fs_for(spec_p)
+                if sfs.exists(spec_p):
+                    spec = _json.loads(sfs.read_text(spec_p))
+                    if deny_spec is not None and deny_spec != spec:
+                        raise ValueError(
+                            f"deny-signature spec mismatch: store pinned "
+                            f"{spec}, caller passed {deny_spec} — the gate "
+                            "replays the persisted family; rebuild the "
+                            "deny store to change it"
+                        )
+                else:
+                    spec = dict(deny_spec or DENY_SIG_SPEC)
+                sig_tbl = ParquetTable(f"{corpus_path}__deny_sig")
+                bands = deny_signature_bands(
+                    taken.select("doc_id", "text"), spec
+                ).select("band_idx", "band_key").distinct()
+                if sig_tbl.exists():
+                    bands = sig_tbl.read(spark).unionByName(bands).distinct()
+                sig_tbl.write(bands)
+                if not sfs.exists(spec_p):
+                    # after the first member write so the dir exists;
+                    # read path defaults to DENY_SIG_SPEC until pinned
+                    sfs.write_text_atomic(
+                        spec_p, _json.dumps(spec, sort_keys=True)
+                    )
 
-    # 4. retention: live + previous pairs guaranteed readable
-    pin_epochs = [new_epoch]
-    pin_snaps = [corpus_snap.name]
-    if prev_man is not None and prev_man["index_name"] == man["index_name"]:
-        pin_epochs.append(prev_man["index_epoch"])
-        pin_snaps.append(prev_man["corpus_snapshot"])
-    set_index_pin(spark, man["index_name"], f"curated:{corpus_path}",
-                  pin_epochs)
-    if ivf is not None and ivf_epoch is not None:
-        ivf_pins = [ivf_epoch]
-        if prev_man is not None and prev_man.get("ivf_name") == ivf.name:
-            ivf_pins.append(prev_man["ivf_epoch"])
-        set_index_pin(spark, ivf.name, f"curated:{corpus_path}", ivf_pins)
-    corpus_tbl.vacuum(keep=keep, pinned=pin_snaps)
-    receipt = {
-        "n_removed": n_removed,
-        "corpus_snapshot": corpus_snap.name,
-        "index_epoch": new_epoch,
-    }
-    if ivf_epoch is not None:
-        receipt["ivf_epoch"] = ivf_epoch
-    if partitioned:
-        # the compliance evidence the partitioned layout exists for:
-        # WHICH partitions this takedown rewrote (everything else is
-        # provably byte-identical) and how many it left alone
-        receipt["partitions_touched"] = touched
-        receipt["partitions_total"] = len(corpus_tbl.partitions())
-    if run_log is not None:
-        from .runlog import RunRecord
+        # receipt count from the checkpointed taken set (batch-bounded)
+        n_removed = taken.count()
+        if partitioned:
+            if touched:
+                reduced = corpus_tbl.read_partitions(spark, touched).join(
+                    _F.broadcast(ids), "doc_id", "left_anti"
+                )
+                corpus_snap = corpus_tbl.overwrite_partitions(reduced, touched)
+            else:
+                # replay / unknown ids: nothing to rewrite — re-commit the
+                # pair on the unchanged current snapshot
+                corpus_snap = corpus_tbl.current_snapshot()
+        else:
+            reduced = existing.join(_F.broadcast(ids), "doc_id", "left_anti")
+            corpus_snap = corpus_tbl.write(reduced)
 
-        run_log.append(
-            spark,
-            RunRecord(
-                job_id, "corpus_takedown", started.strftime("%Y%m%d"),
-                started, round(_time.perf_counter() - t0, 3),
-                _json.dumps(receipt, sort_keys=True), True,
-            ),
-        )
-    return receipt
+        # 3. ONE consistent pointer commit for the post-takedown pair
+        from .operators.neardup_index import set_index_pin
+
+        group = TableGroup.wrap({"corpus": corpus_tbl}, man_path)
+        prev_man = _curated_fields(group.manifest())
+        new_epoch = idx.resolve(spark).epoch
+        extras = {
+            "batch_id": man.get("batch_id"),
+            "takedown": True,
+            "index_name": man["index_name"],
+            "index_kind": man["index_kind"],
+            "index_epoch": new_epoch,
+            "index_spec": idx.spec(),
+        }
+        # carry the semantic-channel pointers forward — commit_pointers
+        # REPLACES extras wholesale, so omitting ivf_* here would make a
+        # second takedown (or the next curated_view) lose the IVF index
+        # and silently stop tombstoning it: taken-down docs would stay
+        # retrievable through the ANN channel (round-7 ADVICE, high)
+        ivf_epoch = None
+        if ivf is not None:
+            ivf_epoch = ivf.resolve(spark).epoch
+            extras["ivf_name"] = ivf.name
+            extras["ivf_epoch"] = ivf_epoch
+            extras["ivf_spec"] = man.get("ivf_spec", ivf.spec())
+        if partitioned:
+            extras["corpus_layout"] = "partitioned"
+            extras["corpus_partition"] = man["corpus_partition"]
+        group.commit_pointers({"corpus": corpus_snap.name}, extras=extras)
+
+        # 4. retention: live + previous pairs guaranteed readable
+        pin_epochs = [new_epoch]
+        pin_snaps = [corpus_snap.name]
+        if prev_man is not None and prev_man["index_name"] == man["index_name"]:
+            pin_epochs.append(prev_man["index_epoch"])
+            pin_snaps.append(prev_man["corpus_snapshot"])
+        set_index_pin(spark, man["index_name"], f"curated:{corpus_path}",
+                      pin_epochs)
+        if ivf is not None and ivf_epoch is not None:
+            ivf_pins = [ivf_epoch]
+            if prev_man is not None and prev_man.get("ivf_name") == ivf.name:
+                ivf_pins.append(prev_man["ivf_epoch"])
+            set_index_pin(spark, ivf.name, f"curated:{corpus_path}", ivf_pins)
+        corpus_tbl.vacuum(keep=keep, pinned=pin_snaps)
+        receipt = {
+            "n_removed": n_removed,
+            "corpus_snapshot": corpus_snap.name,
+            "index_epoch": new_epoch,
+        }
+        if ivf_epoch is not None:
+            receipt["ivf_epoch"] = ivf_epoch
+        if partitioned:
+            # the compliance evidence the partitioned layout exists for:
+            # WHICH partitions this takedown rewrote (everything else is
+            # provably byte-identical) and how many it left alone
+            receipt["partitions_touched"] = touched
+            receipt["partitions_total"] = len(corpus_tbl.partitions())
+        if run_log is not None:
+            from .runlog import RunRecord
+
+            run_log.append(
+                spark,
+                RunRecord(
+                    job_id, "corpus_takedown", started.strftime("%Y%m%d"),
+                    started, round(_time.perf_counter() - t0, 3),
+                    _json.dumps(receipt, sort_keys=True), True,
+                ),
+            )
+        return receipt
 
 
 def release_curated_view(spark, corpus_path, pin_id: str) -> None:

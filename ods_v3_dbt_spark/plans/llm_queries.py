@@ -2533,9 +2533,14 @@ def deny_neardup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = deny_signature_bands(deny_docs).select(
         "band_idx", "band_key"
     ).distinct()
-    hits = deny_probe(batch, fps, bands)
+    # stage discipline: the hit set feeds the verdict union AND the
+    # passed anti-join — checkpoint so the shingle→minhash→band
+    # subtree computes once (plan stays within the suite's
+    # 50-exchange invariant instead of re-deriving per consumer)
+    hits = deny_probe(batch, fps, bands).localCheckpoint()
     passed = (
-        batch.join(hits.select("doc_id"), "doc_id", "left_anti")
+        batch.join(F.broadcast(hits.select("doc_id")), "doc_id",
+                   "left_anti")
         .select("doc_id", F.lit("passed").alias("verdict"))
     )
     return hits.unionByName(passed)

@@ -282,3 +282,76 @@ def test_stream_rebuilds_index_on_spec_mismatch(spark, tmp_path):
     assert verdicts[12] == "admitted"
     ids = {r.doc_id for r in ParquetTable(corpus).read(spark).collect()}
     assert ids == {1, 12}
+
+
+def test_fresh_store_ignores_ghost_ivf_under_same_index_name(spark, tmp_path):
+    """Warehouse index state outlives corpus stores (attach-aware
+    catalogs); a NEW curated store reusing an index name must not
+    probe a previous deployment's IVF ghosts — the _CURATED
+    co-manifest is the authority on whether THIS store ever committed
+    an IVF pointer (round-8 race-suite catch: a doc whose embedding
+    matched a ghost was flagged neardup_semantic of vanished
+    content)."""
+    import random
+
+    from ods_v3_dbt_spark.pipelines import curate_increment_stream
+    from ods_v3_dbt_spark.sinks import ParquetTable
+
+    random.seed(31)
+    SCHEMA = (
+        "doc_id long, text string, embedding array<double>, "
+        "ingest_ts timestamp"
+    )
+    vecs = [[random.uniform(-1, 1) for _ in range(8)] for _ in range(2)]
+
+    # deployment A: semantic store admits docs 1-2, leaves its IVF
+    # index in the warehouse under the shared name
+    pa = curate_increment_stream(
+        tmp_path / "a", "adv8_ghost_idx", str(tmp_path / "deca"),
+        num_buckets=2, embedding_col="embedding", ivf_cells=2,
+    )
+    pa(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta", vecs[0], T0),
+             (2, "totally new words nobody used before", vecs[1], T0)],
+            SCHEMA,
+        ),
+        1,
+    )
+
+    # deployment B: FRESH store, same index name. Doc 11 reuses doc
+    # 1's exact embedding — against A's ghost IVF it would score
+    # dist2=0; a correct store sees an empty semantic history and
+    # ADMITS it.
+    pb = curate_increment_stream(
+        tmp_path / "b", "adv8_ghost_idx", str(tmp_path / "decb"),
+        num_buckets=2, embedding_col="embedding", ivf_cells=2,
+    )
+    pb(
+        spark.createDataFrame(
+            [(11, "wholly unrelated sentence with its own words",
+              vecs[0], T0)],
+            SCHEMA,
+        ),
+        1,
+    )
+    verdicts = {
+        r.doc_id: r.verdict
+        for r in spark.read.parquet(str(tmp_path / "decb")).collect()
+    }
+    assert verdicts[11] == "admitted"
+    assert {r.doc_id for r in ParquetTable(tmp_path / "b").read(spark).collect()} == {11}
+    # and the same-embedding paraphrase WITHIN store B is still caught
+    pb(
+        spark.createDataFrame(
+            [(12, "different words conveying the very same idea",
+              vecs[0], T0)],
+            SCHEMA,
+        ),
+        2,
+    )
+    verdicts = {
+        r.doc_id: r.verdict
+        for r in spark.read.parquet(str(tmp_path / "decb")).collect()
+    }
+    assert verdicts[12] == "neardup_semantic"

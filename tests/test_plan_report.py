@@ -52,6 +52,8 @@ SCALAR_BROADCAST_QUERIES = {
     "hard_negative_mining",       # 10-row query-vector broadcast
     "hybrid_rrf_retrieval",       # BM25 1-row stats + small dense query side
     "hybrid_indexed_rrf",         # indexed-BM25 1-row summed segment stats
+    "hybrid_indexed_rrf_pq",      # same 1-row BM25 stats crossJoin (dense
+    #                               channel = cell-pruned PQ lists, no NL)
     "retrieval_eval_mrr",         # BM25 1-row stats + 1-row metric crossJoin
     "incremental_watermark",      # 1-row max-cursor scalar
     "join_key_skew_profile",      # 1-row (total, n_keys) pair

@@ -633,3 +633,84 @@ def test_deny_probe_shuffle_fallback_identical(spark):
     )
     assert broad == shuf
     assert broad == [(10, "denied"), (11, "denied_neardup")]
+
+
+def test_partitioned_store_with_semantic_channel(spark, tmp_path):
+    """The two round-8 corpus modes COMPOSE: a day-partitioned store
+    with embedding_col runs both — appends touch only the batch's
+    partitions, takedown tombstones the IVF channel AND rewrites only
+    the victim's partition, and the post-takedown paraphrase of the
+    victim admits (index memory gone) unless the deny arm catches
+    textual near-copies."""
+    import random
+
+    from ods_v3_dbt_spark.pipelines import (
+        corpus_takedown,
+        curate_increment_stream,
+    )
+    from ods_v3_dbt_spark.sinks import PartitionedTable
+
+    random.seed(21)
+    SCHEMA_PS = (
+        "doc_id long, text string, embedding array<double>, day string, "
+        "ingest_ts timestamp"
+    )
+    vecs = [[random.uniform(-1, 1) for _ in range(8)] for _ in range(3)]
+    corpus, dec = tmp_path / "corpus", tmp_path / "dec"
+    process = curate_increment_stream(
+        corpus, "tk_ps_idx", str(dec), num_buckets=2,
+        embedding_col="embedding", ivf_cells=2, corpus_partition="day",
+    )
+    process(
+        spark.createDataFrame(
+            [(1, BASE, vecs[0], "d1", T0), (2, FRESH, vecs[1], "d1", T0)],
+            SCHEMA_PS,
+        ),
+        1,
+    )
+    process(
+        spark.createDataFrame(
+            [(3, OTHER, vecs[2], "d2", T0)], SCHEMA_PS
+        ),
+        2,
+    )
+    tbl = PartitionedTable(corpus, "day")
+    parts0 = tbl.partitions()
+    assert sorted(parts0) == ["d1", "d2"]
+
+    receipt = corpus_takedown(
+        spark, corpus, spark.createDataFrame([(1,)], "doc_id bigint")
+    )
+    assert receipt["partitions_touched"] == ["d1"]
+    assert "ivf_epoch" in receipt  # the semantic channel was reached
+    assert tbl.partitions()["d2"] == parts0["d2"]  # carried by ref
+
+    # paraphrase of the victim (same embedding + bump, different
+    # words): the IVF index forgot it, the deny arm has no semantic
+    # signatures (text-only), so it ADMITS — the documented trade
+    bumped = [vecs[0][0] + 0.05] + vecs[0][1:]
+    process(
+        spark.createDataFrame(
+            [(11, "wholly different words same meaning here",
+              bumped, "d3", T0)],
+            SCHEMA_PS,
+        ),
+        3,
+    )
+    verdicts = {
+        r.doc_id: r.verdict
+        for r in spark.read.parquet(str(dec)).collect()
+    }
+    assert verdicts[11] == "admitted"
+    # but a textual near-copy of the victim is still denied
+    process(
+        spark.createDataFrame(
+            [(12, BASE + " nearly", vecs[1], "d3", T0)], SCHEMA_PS
+        ),
+        4,
+    )
+    verdicts = {
+        r.doc_id: r.verdict
+        for r in spark.read.parquet(str(dec)).collect()
+    }
+    assert verdicts[12] == "denied_neardup"
