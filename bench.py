@@ -269,6 +269,67 @@ def main() -> None:
         ).save()
         times["index_probe_1_segment"] = round(time.perf_counter() - t0, 3)
 
+    # Partitioned-vs-monolithic corpus write pair (round 8): the SAME
+    # fixed-size batch lands on a day-partitioned store (rewrites one
+    # new partition, carries the base by reference) and on a
+    # monolithic snapshot store (rewrites everything) — the
+    # PartitionedTable design claim priced directly. Same shape for a
+    # small takedown: partitioned rewrites one day, monolithic
+    # rewrites the corpus.
+    if "dedup_index_append_probe" in registry:
+        from pyspark.sql import functions as F
+
+        from ods_v3_dbt_spark.sinks import ParquetTable, PartitionedTable
+
+        d = DQ.load(spark, sf_dir, "documents")
+        base = d.select(
+            "doc_id", "text", (F.col("doc_id") % 16).cast("string").alias("day")
+        )
+        batch = d.filter(F.col("doc_id") % 20 == 3).select(
+            (F.col("doc_id") + 500000).alias("doc_id"), "text",
+            F.lit("d_new").alias("day"),
+        ).localCheckpoint()
+        import shutil as _sh
+        import tempfile as _tf
+
+        troot = _tf.mkdtemp(prefix="bench_corpus_")
+        try:
+            pt = PartitionedTable(f"{troot}/part", "day")
+            pt.write(base)
+            mt = ParquetTable(f"{troot}/mono")
+            mt.write(base)
+            t0 = time.perf_counter()
+            pt.overwrite_partitions(batch, ["d_new"])
+            times["corpus_append_partitioned"] = round(
+                time.perf_counter() - t0, 3
+            )
+            t0 = time.perf_counter()
+            mt.write(mt.read(spark).unionByName(batch))
+            times["corpus_append_monolithic"] = round(
+                time.perf_counter() - t0, 3
+            )
+            # takedown shape: remove a handful of docs from ONE day
+            dels = base.filter(
+                (F.col("day") == "5") & (F.col("doc_id") % 40 == 5)
+            ).select("doc_id").localCheckpoint()
+            t0 = time.perf_counter()
+            reduced = pt.read_partitions(spark, ["5"]).join(
+                F.broadcast(dels), "doc_id", "left_anti"
+            )
+            pt.overwrite_partitions(reduced, ["5"])
+            times["corpus_takedown_partitioned"] = round(
+                time.perf_counter() - t0, 3
+            )
+            t0 = time.perf_counter()
+            mt.write(
+                mt.read(spark).join(F.broadcast(dels), "doc_id", "left_anti")
+            )
+            times["corpus_takedown_monolithic"] = round(
+                time.perf_counter() - t0, 3
+            )
+        finally:
+            _sh.rmtree(troot, ignore_errors=True)
+
     # Delete-fixture pre-warm (untimed: their build+append cost
     # duplicates the *_build/_append rows above, and the delete op is
     # priced by the index_delete_fixed_batch_* pair) — the probe rows
