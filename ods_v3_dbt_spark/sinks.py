@@ -721,6 +721,63 @@ class PartitionedTable:
         ]
         return (len(files), sum(p.stat().st_size for p in files))
 
+    def _partition_stats(self) -> dict[str, tuple[int, int]]:
+        """{value: (n_files, n_bytes)} of the current snapshot."""
+        out: dict[str, tuple[int, int]] = {}
+        for v, d in self.partitions().items():
+            files = [
+                p
+                for p in (self.root / "parts" / d).rglob("*.parquet")
+                if p.is_file()
+            ]
+            out[v] = (len(files), sum(p.stat().st_size for p in files))
+        return out
+
+    def compact(
+        self,
+        spark: SparkSession,
+        values=None,
+        target_file_bytes: int = 128 << 20,
+        min_files: int = 2,
+    ) -> dict[str, tuple[int, int]]:
+        """OPTIMIZE at partition scope: rewrite fragmented partitions
+        with right-sized files and carry everything else by
+        reference — the maintenance pass a partitioned curation
+        corpus needs once nightly O(batch) appends accrete small
+        files per day (the same scheduler-vs-IO argument as
+        :meth:`ParquetTable.compact`, but the rewrite cost is
+        O(fragmented partitions), never the table). ``values`` names
+        the partitions to consider (default: all); a partition is
+        rewritten only when it holds at least ``min_files`` files OR
+        more than ceil(bytes / target_file_bytes) files. One
+        manifest commit publishes the result; readers mid-scan keep
+        the previous snapshot. Returns {value: (files_before,
+        files_after)} for the rewritten partitions."""
+        from pyspark.sql import functions as F
+
+        stats = self._partition_stats()
+        if values is not None:
+            names = {str(v) for v in values}
+            stats = {v: s for v, s in stats.items() if v in names}
+        victims = {
+            v
+            for v, (n, total) in stats.items()
+            if n >= min_files and n > max(1, -(-total // target_file_bytes))
+        }
+        if not victims:
+            return {}
+        # ONE job rewrites every fragmented partition: hash
+        # repartitioning on the partition column puts each value
+        # wholly in one task, so each victim lands as one
+        # right-sized dir (values larger than target_file_bytes can
+        # pass a values= subset and a bigger target instead)
+        df = self.read_partitions(spark, sorted(victims)).repartition(
+            F.col(self.partition_col)
+        )
+        self.overwrite_partitions(df, sorted(victims))
+        after = self._partition_stats()
+        return {v: (stats[v][0], after[v][0]) for v in sorted(victims)}
+
 
 class TableGroup:
     """N named snapshot-swap tables + ONE atomic commit — the

@@ -114,3 +114,35 @@ def test_partition_values_survive_url_encoding(spark, tmp_path):
     assert sorted(t.partitions()) == ["2024-01-01", "a b/c"]
     only = t.read_partitions(spark, ["a b/c"])
     assert {r.doc_id for r in only.collect()} == {1}
+
+
+def test_compact_rewrites_only_fragmented_partitions(spark, tmp_path):
+    """compact() coalesces a partition fragmented by repeated
+    appends while untouched partitions carry by reference; content
+    and time travel survive."""
+    t = PartitionedTable(tmp_path / "t", "day")
+    t.write(_rows(spark, [(1, "d1", "a"), (2, "d2", "b")]))
+    # fragment d1: three single-row overwrites appending docs
+    for i in range(3):
+        cur = {(r.doc_id, r.day, r.text)
+               for r in t.read_partitions(spark, ["d1"]).collect()}
+        t.overwrite_partitions(
+            _rows(spark, sorted(cur) + [(10 + i, "d1", f"x{i}")]), ["d1"]
+        )
+    d2_dir = t.partitions()["d2"]
+    fp_d2 = _dir_fingerprint(tmp_path / "t" / "parts" / d2_dir)
+    before = {(r.doc_id, r.text) for r in t.read(spark).collect()}
+    n_before = len(list(
+        (tmp_path / "t" / "parts" / t.partitions()["d1"]).rglob("*.parquet")
+    ))
+    assert n_before >= 2
+
+    rep = t.compact(spark)
+    assert set(rep) == {"d1"}
+    assert rep["d1"][1] < rep["d1"][0] and rep["d1"][1] == 1
+    # d2 untouched byte-for-byte; logical content identical
+    assert t.partitions()["d2"] == d2_dir
+    assert _dir_fingerprint(tmp_path / "t" / "parts" / d2_dir) == fp_d2
+    assert {(r.doc_id, r.text) for r in t.read(spark).collect()} == before
+    # idempotent: a second compact finds nothing fragmented
+    assert t.compact(spark) == {}
