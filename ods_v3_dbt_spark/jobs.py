@@ -537,3 +537,166 @@ def maintain_indexes(
                 ),
             )
     return reports
+
+
+def maintain_curated_store(
+    spark: SparkSession,
+    corpus_path,
+    target_file_bytes: int = 128 << 20,
+    keep: int = 3,
+    ivf_recall_floor_ppm: int = 900_000,
+    run_log=None,
+    job_id: str = "store-maintenance",
+) -> dict:
+    """Scheduled maintenance for a WHOLE curated store (round 8) —
+    the one weekly verb that keeps a ``curate_increment_stream``
+    deployment healthy after months of nightly O(batch) commits:
+
+    * the store's index fleet (curation text index + semantic IVF if
+      the store runs the embedding channel) folds segments/tombstones
+      and recall-gates the IVF re-cluster via
+      :func:`maintain_indexes`;
+    * the corpus compacts — a partitioned store rewrites ONLY
+      fragmented partitions (:meth:`~..sinks.PartitionedTable.compact`,
+      everything else carried by reference), a monolithic store
+      bin-packs when its file count exceeds the target;
+    * ONE new ``_CURATED`` pointer pair publishes the (compacted
+      corpus snapshot, post-fold index epochs), so
+      ``curated_view`` readers actually SEE the folded state —
+      without this commit they keep resolving the pre-maintenance
+      pair and pay the old probe fan-out forever;
+    * pins + vacuum advance exactly like the loop's (live + previous
+      pairs stay readable; older unpinned history retires).
+
+    Runs under the store-scoped writer mutex (``pipelines._store_lock``)
+    so it can never interleave with a live batch or a takedown —
+    corpus compaction is read-modify-write at store scope, and racing
+    a batch would lose its admission (the round-8 race lesson).
+    Content is provably unchanged: compaction and folds are
+    value-identical rewrites (pinned in tests). Returns a report
+    dict; with ``run_log`` it lands as one O11 row per index plus a
+    ``maintain_store`` row."""
+    import json as _json
+    import time as _time
+
+    from . import fs as FS
+    from .pipelines import (
+        _corpus_table_from_manifest,
+        _curated_fields,
+        _index_from_manifest,
+        _store_lock,
+    )
+    from .sinks import ParquetTable, PartitionedTable, TableGroup
+
+    started = dt.datetime.now()
+    t0 = _time.perf_counter()
+    fs = FS.fs_for(corpus_path)
+    man_path = FS.join(corpus_path, "_CURATED")
+    if not fs.exists(man_path):
+        raise FileNotFoundError(
+            f"no _CURATED co-manifest under {corpus_path} — "
+            "maintain_curated_store operates on a curated store"
+        )
+    with _store_lock(corpus_path):
+        man = _curated_fields(_json.loads(fs.read_text(man_path)))
+        corpus_tbl = _corpus_table_from_manifest(corpus_path, man)
+        idx = _index_from_manifest(man)
+        targets = [idx]
+        ivf = None
+        if man.get("ivf_name"):
+            from .operators.vector_index import IvfIndex
+
+            ivf_spec = man.get("ivf_spec", {})
+            ivf = IvfIndex(
+                man["ivf_name"],
+                ivf_spec.get("num_cells", 8),
+                ivf_spec.get("num_buckets", 8),
+            )
+            targets.append(ivf)
+        index_reports = maintain_indexes(
+            spark, targets,
+            ivf_recall_floor_ppm=ivf_recall_floor_ppm,
+            run_log=run_log, job_id=job_id,
+        )
+
+        # corpus compaction — partial for partitioned stores, gated
+        # by file-count for monolithic ones (ParquetTable.compact
+        # rewrites unconditionally, so the gate lives here)
+        corpus_report: dict = {}
+        if isinstance(corpus_tbl, PartitionedTable):
+            rep = corpus_tbl.compact(
+                spark, target_file_bytes=target_file_bytes
+            )
+            corpus_report = {
+                "partitions_compacted": sorted(rep),
+                "files": {v: list(fa) for v, fa in rep.items()},
+            }
+        else:
+            n, total = corpus_tbl.file_stats()
+            target = max(1, -(-total // target_file_bytes))
+            if n > target:
+                before, after = corpus_tbl.compact(
+                    spark, target_file_bytes=target_file_bytes
+                )
+                corpus_report = {"files_before": before,
+                                 "files_after": after}
+
+        # publish the post-maintenance pair: folded index epochs +
+        # (possibly) compacted corpus snapshot, one pointer commit
+        from .operators.neardup_index import set_index_pin
+
+        group = TableGroup.wrap({"corpus": corpus_tbl}, man_path)
+        prev_man = _curated_fields(group.manifest())
+        new_epoch = idx.resolve(spark).epoch
+        snap = corpus_tbl.current_snapshot()
+        extras = {
+            "batch_id": man.get("batch_id"),
+            "maintenance": True,
+            "index_name": man["index_name"],
+            "index_kind": man["index_kind"],
+            "index_epoch": new_epoch,
+            "index_spec": idx.spec(),
+        }
+        ivf_epoch = None
+        if ivf is not None:
+            ivf_epoch = ivf.resolve(spark).epoch
+            extras["ivf_name"] = ivf.name
+            extras["ivf_epoch"] = ivf_epoch
+            extras["ivf_spec"] = man.get("ivf_spec", ivf.spec())
+        if man.get("corpus_layout") == "partitioned":
+            extras["corpus_layout"] = "partitioned"
+            extras["corpus_partition"] = man["corpus_partition"]
+        group.commit_pointers({"corpus": snap.name}, extras=extras)
+
+        pin_epochs = [new_epoch]
+        pin_snaps = [snap.name]
+        if prev_man is not None and prev_man["index_name"] == man["index_name"]:
+            pin_epochs.append(prev_man["index_epoch"])
+            pin_snaps.append(prev_man["corpus_snapshot"])
+        set_index_pin(spark, man["index_name"], f"curated:{corpus_path}",
+                      pin_epochs)
+        if ivf is not None and ivf_epoch is not None:
+            ivf_pins = [ivf_epoch]
+            if prev_man is not None and prev_man.get("ivf_name") == ivf.name:
+                ivf_pins.append(prev_man["ivf_epoch"])
+            set_index_pin(spark, ivf.name, f"curated:{corpus_path}",
+                          ivf_pins)
+        corpus_tbl.vacuum(keep=keep, pinned=pin_snaps)
+    report = {
+        "corpus": corpus_report,
+        "indexes": index_reports,
+        "corpus_snapshot": snap.name,
+        "index_epoch": new_epoch,
+    }
+    if run_log is not None:
+        from .runlog import RunRecord
+
+        run_log.append(
+            spark,
+            RunRecord(
+                job_id, "maintain_store", started.strftime("%Y%m%d"),
+                started, round(_time.perf_counter() - t0, 3),
+                _json.dumps(report, sort_keys=True), True,
+            ),
+        )
+    return report

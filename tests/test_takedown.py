@@ -714,3 +714,63 @@ def test_partitioned_store_with_semantic_channel(spark, tmp_path):
         for r in spark.read.parquet(str(dec)).collect()
     }
     assert verdicts[12] == "denied_neardup"
+
+
+def test_maintain_curated_store_folds_compacts_and_advances_pair(
+    spark, tmp_path
+):
+    """maintain_curated_store: index segments fold, the (partitioned)
+    corpus compacts only fragmented partitions, and ONE new _CURATED
+    pair publishes the folded epochs — curated_view sees identical
+    content on fewer segments/files."""
+    from ods_v3_dbt_spark.jobs import maintain_curated_store
+    from ods_v3_dbt_spark.pipelines import curated_view
+    from ods_v3_dbt_spark.runlog import RunLog
+    from ods_v3_dbt_spark.sinks import PartitionedTable
+
+    corpus, process, write, drain = _seed_partitioned_store(
+        spark, tmp_path, "tk_maint_idx"
+    )
+    # a few more single-doc batches fragment d1 and grow segments
+    write([(21, "more words for day one first extra batch", "d1", T0)])
+    drain()
+    write([(22, "and again different new content second", "d1", T0)])
+    drain()
+    pre_docs, pre_idx, pre_man = curated_view(spark, corpus)
+    pre_ids = sorted(r.doc_id for r in pre_docs.select("doc_id").collect())
+    assert len(pre_idx.segments) > 1
+
+    log = RunLog(tmp_path / "runlog")
+    report = maintain_curated_store(spark, corpus, run_log=log,
+                                    job_id="weekly")
+    assert report["indexes"][0]["compacted"]
+
+    post_docs, post_idx, post_man = curated_view(spark, corpus)
+    assert sorted(
+        r.doc_id for r in post_docs.select("doc_id").collect()
+    ) == pre_ids
+    # curated_view now resolves the FOLDED epoch (one segment)
+    assert len(post_idx.segments) == 1
+    assert post_man.get("maintenance") is True
+    assert post_man["corpus_layout"] == "partitioned"
+    # decisions keep working after maintenance (the pair is live)
+    write([(31, "post maintenance document flows normally", "d2", T0)])
+    drain()
+    verdicts = {
+        r.doc_id: r.verdict for r in spark.read.parquet(
+            str(tmp_path / "decisions")
+        ).collect()
+    }
+    assert verdicts[31] == "admitted"
+    # run-log: one row per index + one store row
+    kinds = {r.task_id for r in log.read(spark).collect()}
+    assert "maintain_store" in kinds
+    assert any(k.startswith("maintain:") for k in kinds)
+    # monolithic flavor: the plain-store path also advances the pair
+    corpus2, p2, w2, d2 = _seed_store(spark, tmp_path / "m", "tk_maint2")
+    rep2 = maintain_curated_store(spark, corpus2)
+    docs2, idx2, man2 = curated_view(spark, corpus2)
+    assert len(idx2.segments) == 1 and man2.get("maintenance") is True
+    assert sorted(r.doc_id for r in docs2.select("doc_id").collect()) == [
+        1, 13, 14,
+    ]
