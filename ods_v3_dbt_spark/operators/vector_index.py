@@ -245,6 +245,10 @@ def ivf_index_topk(
     cents = _read_centroids(spark, cur)
     ref_lit = F.expr(_int_matrix_sql(cents))
     q = _quantized(queries, vec_col, id_col)
+    # localCheckpoint: the probe table feeds the probed-cells collect
+    # AND the scoring join — without it the quantize+argmin subtree
+    # (batch-sized when the curation loop probes a whole micro-batch)
+    # computes twice
     probes = q.select(
         F.col("vid").alias("query_id"),
         F.col("v").alias("__qv"),
@@ -256,7 +260,7 @@ def ivf_index_topk(
                 lambda s: s.getField("cell").cast("int"),
             )
         ).alias("cell"),
-    )
+    ).localCheckpoint()
     probed_cells = sorted(
         r.cell for r in probes.select("cell").distinct().collect()
     )
