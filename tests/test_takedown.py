@@ -540,14 +540,14 @@ def test_takedown_races_live_curation_loop_serializably(spark, tmp_path):
         try:
             for i, rows in enumerate(batches):
                 df = spark.createDataFrame(rows, SCHEMA)
-                for attempt in range(60):
+                for attempt in range(600):
                     try:
                         process(df, 100 + i)
                         break
                     except ConcurrentWriteError:
                         import time as _t
 
-                        _t.sleep(0.1)
+                        _t.sleep(0.5)
                 else:
                     raise RuntimeError("batch never got the lock")
         except Exception as e:  # noqa: BLE001
@@ -555,7 +555,7 @@ def test_takedown_races_live_curation_loop_serializably(spark, tmp_path):
 
     def run_takedown():
         try:
-            for attempt in range(60):
+            for attempt in range(600):
                 try:
                     corpus_takedown(
                         spark, corpus,
@@ -565,7 +565,7 @@ def test_takedown_races_live_curation_loop_serializably(spark, tmp_path):
                 except ConcurrentWriteError:
                     import time as _t
 
-                    _t.sleep(0.1)
+                    _t.sleep(0.5)
             raise RuntimeError("takedown never got the lock")
         except Exception as e:  # noqa: BLE001
             errors.append(e)
