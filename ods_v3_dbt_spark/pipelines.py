@@ -893,7 +893,8 @@ def _corpus_table_from_manifest(corpus_path, man: dict | None):
     return ParquetTable(corpus_path)
 
 
-def curated_view(spark, corpus_path, pin_id: str | None = None):
+def curated_view(spark, corpus_path, pin_id: str | None = None,
+                 partitions=None):
     """Mutually-consistent (corpus, index) READ of a curated store
     maintained by :func:`curate_increment_stream`: resolve the
     co-manifest ONCE and pin both sides to the pair it records —
@@ -938,7 +939,25 @@ def curated_view(spark, corpus_path, pin_id: str | None = None):
                           [man["index_epoch"]])
             tbl.set_pin(f"view:{pin_id}", [man["corpus_snapshot"]])
         try:
-            corpus = tbl.read_snapshot(spark, man["corpus_snapshot"])
+            if partitions is not None:
+                # manifest-pruned read (PartitionedTable stores only):
+                # a trainer streaming three days of a 100 TB corpus
+                # lists exactly those days' dirs — the snapshot pin
+                # still applies (values resolve inside the named
+                # snapshot's manifest)
+                from .sinks import PartitionedTable
+
+                if not isinstance(tbl, PartitionedTable):
+                    raise ValueError(
+                        "curated_view(partitions=...) requires a "
+                        "partitioned corpus (curate_increment_stream"
+                        "(corpus_partition=...))"
+                    )
+                corpus = tbl.read_partitions(
+                    spark, partitions, version=man["corpus_snapshot"]
+                )
+            else:
+                corpus = tbl.read_snapshot(spark, man["corpus_snapshot"])
             return corpus, idx.resolve(spark, epoch=man["index_epoch"]), man
         except FileNotFoundError as e:
             last_err = e

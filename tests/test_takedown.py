@@ -774,3 +774,23 @@ def test_maintain_curated_store_folds_compacts_and_advances_pair(
     assert sorted(r.doc_id for r in docs2.select("doc_id").collect()) == [
         1, 13, 14,
     ]
+
+
+def test_curated_view_partition_pruned_read(spark, tmp_path):
+    """curated_view(partitions=[...]) on a partitioned store reads
+    only the named days' dirs from the PINNED snapshot; a
+    non-partitioned store refuses."""
+    import pytest as _pt
+
+    from ods_v3_dbt_spark.pipelines import curated_view
+
+    corpus, process, write, drain = _seed_partitioned_store(
+        spark, tmp_path, "tk_view_idx"
+    )
+    docs, _, man = curated_view(spark, corpus, partitions=["d1", "d9"])
+    assert sorted(r.doc_id for r in docs.select("doc_id").collect()) == [
+        1, 2,
+    ]
+    corpus2, *_ = _seed_store(spark, tmp_path / "m", "tk_view2")
+    with _pt.raises(ValueError, match="partitioned corpus"):
+        curated_view(spark, corpus2, partitions=["d1"])
