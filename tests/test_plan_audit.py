@@ -888,11 +888,18 @@ def test_ivf_indexed_probe_cell_pruned_lists(spark):
     for s in list_scans:
         assert "Bucketed: true" in s, s
         assert re.search(r"In\(cell, \[", s), s
-    # embeddings reads = query vectors only, never the corpus side
+    # embeddings reads = query vectors only, never the corpus side.
+    # Round 8: the probe table is localCheckpoint-ed (its quantize+
+    # argmin subtree feeds both the probed-cells collect and the
+    # scoring join — checkpointing computes it once), so the query
+    # scan ran eagerly inside the checkpoint job and the returned
+    # plan joins a batch-sized LogicalRDD; what matters is that NO
+    # embeddings scan (i.e. no corpus-side vector read) remains.
     emb_scans = [
         b for b in plan.split("\n\n")
         if "embeddings.parquet" in b and "ReadSchema" in b
     ]
-    assert emb_scans, "query-vector scan missing"
-    for s in emb_scans:
-        assert re.search(r"LessThan\(vec_id,10\)", s), s
+    assert not emb_scans, emb_scans
+    # the checkpointed probe side (formatted plans print LogicalRDD
+    # as an ExistingRDD scan)
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
