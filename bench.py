@@ -23,6 +23,21 @@ from ods_v3_dbt_spark.plans import declared_queries as DQ  # noqa: E402
 from ods_v3_dbt_spark.session import get_spark  # noqa: E402
 
 
+#: BASELINE.md anchor rows — the compact output line every run prints
+#: AND the row set the opt-in SPARK_GRAFT_BENCH_TIER=anchors runs.
+ANCHORS = [
+    "pricing_summary", "revenue_by_customer", "merge_upsert_single",
+    "rollup_day", "rollup_month", "minhash_lsh_neardup",
+    "ngram_jaccard_neardup", "embedding_cosine_neardup",
+    "simhash_neardup", "embedding_ann_lsh", "embedding_topk",
+    "bm25_indexed_topk", "dedup_index_probe", "lsh_index_probe",
+    "ivf_index_ann_topk", "pq_index_ann_topk", "sem_ivf_probe",
+    "dedup_index_build",
+    "index_append_fixed_batch_small_base",
+    "index_append_fixed_batch_large_base",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -50,6 +65,15 @@ def main() -> None:
     if only:
         keep = {n.strip() for n in only.split(",") if n.strip()}
         registry = {n: q for n, q in registry.items() if n in keep}
+    # Bench tiers (round-8 verdict task 7's suggestion, opt-in): the
+    # full 250+-row suite is the default (what the driver records);
+    # SPARK_GRAFT_BENCH_TIER=anchors runs only the BASELINE.md anchor
+    # rows (+ their fixture builds) for a fast inner-loop signal —
+    # the anchors-tier run never overwrites BENCH_SELF.json.
+    tier = os.environ.get("SPARK_GRAFT_BENCH_TIER", "full")
+    if tier == "anchors" and not only:
+        registry = {n: q for n, q in registry.items() if n in ANCHORS}
+        only = "tier:anchors"  # reuse the debug-subset output rules
 
     # Warm the JVM + parquet footers so q1 doesn't pay session startup,
     # and spin up the Arrow Python workers so the first Pandas-UDF
@@ -375,17 +399,7 @@ def main() -> None:
     # task 4). The final stdout line is therefore COMPACT: totals +
     # the BASELINE.md anchor queries only, guaranteed to fit in the
     # tail window; the full per-query map lives in BENCH_SELF.json.
-    anchors = [
-        "pricing_summary", "revenue_by_customer", "merge_upsert_single",
-        "rollup_day", "rollup_month", "minhash_lsh_neardup",
-        "ngram_jaccard_neardup", "embedding_cosine_neardup",
-        "simhash_neardup", "embedding_ann_lsh", "embedding_topk",
-        "bm25_indexed_topk", "dedup_index_probe", "lsh_index_probe",
-        "ivf_index_ann_topk", "pq_index_ann_topk", "sem_ivf_probe",
-        "dedup_index_build",
-        "index_append_fixed_batch_small_base",
-        "index_append_fixed_batch_large_base",
-    ]
+    anchors = ANCHORS
     compact = {
         "metric": payload["metric"],
         "value": total,
