@@ -146,3 +146,28 @@ def test_compact_rewrites_only_fragmented_partitions(spark, tmp_path):
     assert {(r.doc_id, r.text) for r in t.read(spark).collect()} == before
     # idempotent: a second compact finds nothing fragmented
     assert t.compact(spark) == {}
+
+
+def test_write_collects_crashed_writer_orphans(spark, tmp_path):
+    """A parts dir no manifest references (a crashed writer's
+    residue) is swept by the next write's orphan GC — never a live
+    dir (manifests only reference fully-promoted dirs)."""
+    t = PartitionedTable(tmp_path / "t", "day")
+    t.write(_rows(spark, [(1, "d1", "a")]))
+    orphan = tmp_path / "t" / "parts" / "p-deadbeefcafe"
+    orphan.mkdir()
+    (orphan / "junk.parquet").write_bytes(b"not really parquet")
+    live = set(t.partitions().values())
+    t.overwrite_partitions(_rows(spark, [(2, "d2", "b")]), ["d2"])
+    assert not orphan.exists()
+    for d in live:  # live dirs survived the sweep
+        assert (tmp_path / "t" / "parts" / d).is_dir()
+
+
+def test_overwrite_partitions_bootstraps_empty_table(spark, tmp_path):
+    """overwrite_partitions on a table with no snapshot behaves as a
+    first write of exactly the named partitions."""
+    t = PartitionedTable(tmp_path / "t", "day")
+    t.overwrite_partitions(_rows(spark, [(1, "d1", "a")]), ["d1"])
+    assert sorted(t.partitions()) == ["d1"]
+    assert {r.doc_id for r in t.read(spark).collect()} == {1}

@@ -794,3 +794,29 @@ def test_curated_view_partition_pruned_read(spark, tmp_path):
     corpus2, *_ = _seed_store(spark, tmp_path / "m", "tk_view2")
     with _pt.raises(ValueError, match="partitioned corpus"):
         curated_view(spark, corpus2, partitions=["d1"])
+
+
+def test_deny_spec_mismatch_refuses(spark, tmp_path):
+    """A takedown passing a deny_spec different from the store's
+    pinned family must refuse loudly — the gate replays the
+    persisted family and silent drift would quietly zero the
+    near-dup arm's recall."""
+    import pytest as _pt
+
+    from ods_v3_dbt_spark.pipelines import DENY_SIG_SPEC, corpus_takedown
+
+    corpus, process, write, drain = _seed_store(spark, tmp_path, "tk_spec")
+    corpus_takedown(
+        spark, corpus, spark.createDataFrame([(13,)], "doc_id bigint")
+    )
+    other = dict(DENY_SIG_SPEC, bands=8)
+    with _pt.raises(ValueError, match="deny-signature spec mismatch"):
+        corpus_takedown(
+            spark, corpus, spark.createDataFrame([(14,)], "doc_id bigint"),
+            deny_spec=other,
+        )
+    # the pinned family keeps working
+    r = corpus_takedown(
+        spark, corpus, spark.createDataFrame([(14,)], "doc_id bigint")
+    )
+    assert r["n_removed"] == 1
