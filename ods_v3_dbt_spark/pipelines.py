@@ -1198,18 +1198,22 @@ def corpus_takedown(
                 else:
                     spec = dict(deny_spec or DENY_SIG_SPEC)
                 sig_tbl = ParquetTable(f"{corpus_path}__deny_sig")
+                # pin the family BEFORE the first signature rows land:
+                # the gate only consults the spec once the sig table
+                # exists, so spec-first ordering closes the crash
+                # window where a CUSTOM family's rows would be
+                # re-banded under the default by a later writer
+                if not sfs.exists(spec_p):
+                    sfs.mkdirs(f"{corpus_path}__deny_sig")
+                    sfs.write_text_atomic(
+                        spec_p, _json.dumps(spec, sort_keys=True)
+                    )
                 bands = deny_signature_bands(
                     taken.select("doc_id", "text"), spec
                 ).select("band_idx", "band_key").distinct()
                 if sig_tbl.exists():
                     bands = sig_tbl.read(spark).unionByName(bands).distinct()
                 sig_tbl.write(bands)
-                if not sfs.exists(spec_p):
-                    # after the first member write so the dir exists;
-                    # read path defaults to DENY_SIG_SPEC until pinned
-                    sfs.write_text_atomic(
-                        spec_p, _json.dumps(spec, sort_keys=True)
-                    )
 
         # receipt count from the checkpointed taken set (batch-bounded)
         n_removed = taken.count()
