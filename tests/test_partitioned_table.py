@@ -171,3 +171,70 @@ def test_overwrite_partitions_bootstraps_empty_table(spark, tmp_path):
     t.overwrite_partitions(_rows(spark, [(1, "d1", "a")]), ["d1"])
     assert sorted(t.partitions()) == ["d1"]
     assert {r.doc_id for r in t.read(spark).collect()} == {1}
+
+
+def test_partitioned_table_random_walk_matches_model(spark, tmp_path):
+    """Model-based walk: random interleavings of overwrite / full
+    write / compact / vacuum against a plain dict model — after every
+    op the table's logical content equals the model (the storage
+    layer's refcounting, carry-by-reference, and GC can never lose or
+    resurrect a row)."""
+    import random
+
+    for seed in (5, 17):
+        rng = random.Random(seed)
+        t = PartitionedTable(tmp_path / f"w{seed}", "day")
+        model: dict[str, dict[int, str]] = {}
+        days = [f"d{i}" for i in range(4)]
+        next_id = 0
+
+        def flat(m):
+            return [
+                (i, d, s) for d, docs in m.items() for i, s in docs.items()
+            ]
+
+        # bootstrap
+        for d in days[:2]:
+            model[d] = {}
+            for _ in range(2):
+                model[d][next_id] = f"t{next_id}"
+                next_id += 1
+        t.write(_rows(spark, flat(model)))
+
+        for step in range(10):
+            op = rng.choice(["overwrite", "compact", "vacuum", "overwrite"])
+            if op == "overwrite":
+                k = rng.randint(1, 2)
+                vals = rng.sample(days, k)
+                for d in vals:
+                    if rng.random() < 0.25:
+                        model[d] = {}  # emptied (takedown shape)
+                    else:
+                        model.setdefault(d, {})
+                        for _ in range(rng.randint(1, 2)):
+                            model[d][next_id] = f"t{next_id}"
+                            next_id += 1
+                        # occasionally drop one doc
+                        if model[d] and rng.random() < 0.5:
+                            model[d].pop(rng.choice(list(model[d])))
+                repl = {d: model.get(d, {}) for d in vals}
+                t.overwrite_partitions(
+                    _rows(spark, [
+                        (i, d, s)
+                        for d, docs in repl.items()
+                        for i, s in docs.items()
+                    ]),
+                    vals,
+                )
+                for d in vals:
+                    if not model.get(d):
+                        model.pop(d, None)
+            elif op == "compact":
+                t.compact(spark)
+            else:
+                t.vacuum(keep=2)
+            got = sorted(
+                (r.doc_id, r.day, r.text) for r in t.read(spark).collect()
+            ) if model else []
+            assert got == sorted(flat(model)), f"seed={seed} step={step} {op}"
+            assert sorted(t.partitions()) == sorted(model)
