@@ -586,3 +586,78 @@ def test_simhash_self_pairs_matches_inline_and_honors_tombs(spark):
         for r in simhash_index_self_pairs(idx, 10, spark=spark).collect()
     )
     assert back == inline(docs)
+
+
+def test_dedup_index_random_walk_matches_model(spark):
+    """Model-based walk over the LSM index state machine: random
+    interleavings of append / tombstone-delete / compact against a
+    dict model — after every op, exact probes see exactly the model's
+    live texts (epoch-scoped delete-then-re-add, fps doc-awareness,
+    and tombstone GC can never lose or resurrect a membership)."""
+    import random
+
+    from ods_v3_dbt_spark.operators.neardup_index import (
+        DedupIndex,
+        dedup_index_append,
+        dedup_index_compact,
+        dedup_index_delete,
+        dedup_index_write,
+        exact_probe,
+    )
+
+    for seed in (3, 23):
+        rng = random.Random(seed)
+        name = f"walk_idx_{seed}"
+        texts = [
+            f"alpha beta gamma document body number {i} tail words"
+            for i in range(12)
+        ] + ["tiny doc"]  # sub-shingle member exercises the fps path
+        model: dict[int, str] = {}
+        next_id = 0
+
+        def batch(rows):
+            return spark.createDataFrame(rows, "doc_id long, text string")
+
+        # bootstrap with 4 docs
+        for _ in range(4):
+            model[next_id] = texts[next_id % len(texts)]
+            next_id += 1
+        idx = dedup_index_write(batch(list(model.items())), name,
+                                num_buckets=2, compact_after=99)
+
+        def check(step, op):
+            probe = batch([(900 + i, t) for i, t in enumerate(texts)])
+            hits = {
+                r.doc_id
+                for r in exact_probe(probe, idx).collect()
+            }
+            live_texts = set(model.values())
+            want = {
+                900 + i for i, t in enumerate(texts) if t in live_texts
+            }
+            assert hits == want, f"seed={seed} step={step} {op}"
+
+        for step in range(8):
+            op = rng.choice(["append", "append", "delete", "compact"])
+            if op == "append":
+                rows = []
+                for _ in range(rng.randint(1, 3)):
+                    model[next_id] = texts[rng.randrange(len(texts))]
+                    rows.append((next_id, model[next_id]))
+                    next_id += 1
+                if rng.random() < 0.3 and model:
+                    # replay an existing doc too (idempotence)
+                    did = rng.choice(list(model))
+                    rows.append((did, model[did]))
+                dedup_index_append(idx, batch(rows))
+            elif op == "delete" and model:
+                k = rng.randint(1, min(2, len(model)))
+                dead = rng.sample(list(model), k)
+                dedup_index_delete(
+                    idx, batch([(d, "") for d in dead]).select("doc_id")
+                )
+                for d in dead:
+                    model.pop(d)
+            elif op == "compact":
+                dedup_index_compact(idx, spark)
+            check(step, op)
