@@ -180,6 +180,11 @@ def main() -> None:
         times["pq_index_build"] = round(time.perf_counter() - t0, 3)
     if "pq_index_delete_topk" in registry:
         LQ._pq_fixture_index(spark, sf_dir, deleted=True)  # pre-warm
+    if "semantic_dedup_indexed_cells" in registry:
+        # indexed SemDeDup's corpus state (train + assign once)
+        t0 = time.perf_counter()
+        LQ._semdedup_fixture_index(spark, sf_dir, force=True)
+        times["semdu_index_build"] = round(time.perf_counter() - t0, 3)
     if "simhash_indexed_pairs" in registry:
         # self-pairs SimHash corpus state (sign + block once)
         t0 = time.perf_counter()

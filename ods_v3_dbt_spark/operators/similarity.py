@@ -504,8 +504,6 @@ def semantic_dedup_l2q(
     Components run on the near-dup edge list, which is tiny relative
     to the corpus.
     """
-    from . import dedup as DD
-
     qv = quantize_embedding(F.col(vec_col))
     # Checkpoint the quantized corpus BEFORE the cell machinery: it
     # feeds seeding, the Lloyd round, assignment, and both self-join
@@ -518,6 +516,22 @@ def semantic_dedup_l2q(
     # carry their own transform()).
     c = corpus.select(F.col(id_col).alias("vid"), qv.alias("v")).localCheckpoint()
     asg, _, _cents = _l2q_cells(c, num_cells)
+    return within_cell_dedup(asg, radius2, max_cell_rows)
+
+
+def within_cell_dedup(
+    asg: DataFrame, radius2: int, max_cell_rows: int = 8192
+) -> DataFrame:
+    """The cell-blocked dedup BACK HALF shared by the inline SemDeDup
+    (:func:`semantic_dedup_l2q`) and the persisted-index flavor
+    (``vector_index.ivf_index_self_dedup``): given a (vid, v, cell)
+    assignment — recomputed or read from persisted inverted lists —
+    generate within-cell pairs at integer L2² ≤ ``radius2`` (exact
+    numpy-gram Arrow kernels, hot cells block-pair decomposed), run
+    connected components, keep each group's min id. Returns one row
+    per vector: (vec_id, cell, component_id, keep)."""
+    from . import dedup as DD
+
     # Materialize the assignment once (it feeds both self-join sides
     # and the final output — the argmin linear map would re-run per
     # consumer), then give the b-side its OWN checkpoint: Spark's

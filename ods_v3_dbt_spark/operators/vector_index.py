@@ -291,6 +291,37 @@ def ivf_index_topk(
     ).filter(F.col("rank") <= k)
 
 
+def ivf_index_self_dedup(
+    index: IvfIndex,
+    radius2: int = 300_000,
+    max_cell_rows: int = 8192,
+    spark: SparkSession | None = None,
+    epoch: int | None = None,
+) -> DataFrame:
+    """SemDeDup served from the PERSISTED IVF index — the semantic
+    member of the ``*_indexed`` self-dedup family (round 8; exact
+    shingles, banded MinHash, and SimHash got theirs in rounds 7-8):
+    instead of re-quantizing, re-seeding, re-Lloyd-ing, and
+    re-assigning the corpus per run (``similarity.semantic_dedup_l2q``'s
+    front half — a full corpus pass plus two driver collects at
+    100 TB), the within-cell dedup back half
+    (``similarity.within_cell_dedup`` — numpy-gram pair kernels,
+    hot-cell block decomposition, components, min-id keep) runs
+    directly over the index's visible (vid, v, cell) inverted lists:
+    zero training work, cell-bucketed scans in place, tombstoned
+    vectors suppressed. Value-identical to the inline flavor over the
+    same corpus (the index's write/append pipeline IS the inline
+    assignment arithmetic) — the ``semantic_dedup_indexed_cells``
+    declared query shares ``semantic_dedup_cells``' oracle. Returns
+    (vec_id, cell, component_id, keep)."""
+    from .similarity import within_cell_dedup
+
+    spark = spark or SparkSession.getActiveSession()
+    cur = index.resolve(spark, epoch=epoch)
+    asg = _visible(cur, spark, "assign", "vid").select("vid", "v", "cell")
+    return within_cell_dedup(asg, radius2, max_cell_rows)
+
+
 def ivf_index_compact(index: IvfIndex,
                       spark: SparkSession | None = None) -> IvfIndex:
     """Fold all live segments into ONE — the explicit maintenance

@@ -2699,6 +2699,76 @@ def semantic_dedup_cells_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semdedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup fixture corpus (planted near-dups) shared by the
+    inline, blocked, and indexed flavors."""
+    emb = load(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            "concat("
+            " slice(transform(embedding, x -> CAST(x AS DOUBLE)),"
+            "       1, CAST(vec_id % 64 AS INT)),"
+            " array(CAST(element_at(embedding, CAST(vec_id % 64 AS INT) + 1)"
+            "       AS DOUBLE) + 0.5D),"
+            " slice(transform(embedding, x -> CAST(x AS DOUBLE)),"
+            "       CAST(vec_id % 64 AS INT) + 2, 64))"
+        ).alias("embedding"),
+    )
+    return emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+            "embedding"
+        ),
+    ).unionByName(copies)
+
+
+def _semdedup_fixture_index(spark: SparkSession, sf_dir: str,
+                            force: bool = False):
+    """Persisted IVF index over the SemDeDup fixture corpus — built
+    in ONE write (training slice = the whole corpus, exactly the
+    inline flavor's _l2q_cells call), so assignments are
+    bit-identical to the recomputing flavors and all three share one
+    oracle."""
+    from ..operators.vector_index import IvfIndex, ivf_index_write
+
+    name = f"semdu_idx_{_IDXV}_{_fixture_slug(sf_dir)}"
+    key = (id(spark.sparkContext), name)
+    idx = _IDX_CACHE.get(key)
+    if not force and idx is not None and idx.exists(spark):
+        return idx
+    idx = IvfIndex(name, 8, 8)
+    if force or not idx.exists(spark):
+        idx = ivf_index_write(
+            _semdedup_corpus(spark, sf_dir), name, num_cells=8,
+            vec_col="embedding", id_col="vec_id", num_buckets=8,
+        )
+    _IDX_CACHE[key] = idx
+    return idx
+
+
+@register("semantic_dedup_indexed_cells", _SEMDEDUP_SQL)
+def semantic_dedup_indexed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup served from the PERSISTED IVF index, hash-verified
+    (round 8 — operators/vector_index.py::ivf_index_self_dedup): the
+    semantic member of the ``*_indexed`` self-dedup family joins
+    exact-shingle (``ngram_jaccard_indexed_pairs``), banded-MinHash
+    (``minhash_lsh_capped``), and SimHash
+    (``simhash_indexed_pairs``) — every near-dup flavor now runs the
+    nightly corpus-against-itself job from persisted state. The
+    quantize/seed/Lloyd/assign front half (the inline flavor's
+    dominant corpus-pass cost) is read from the index's cell-bucketed
+    inverted lists; only the within-cell pair kernels + components
+    run. The oracle is ``semantic_dedup_cells``' UNCHANGED full
+    recomputation from raw floats — index-served assignments are
+    bit-identical to first-principles, which is exactly what the
+    hash proves."""
+    from ..operators.vector_index import ivf_index_self_dedup
+
+    idx = _semdedup_fixture_index(spark, sf_dir)
+    return ivf_index_self_dedup(idx, radius2=300_000, spark=spark)
+
+
 @register("embedding_ann_ivf", _IVF_L2Q_SQL)
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN, HASH-VERIFIED: the quantized-L2 twin

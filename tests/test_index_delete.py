@@ -661,3 +661,54 @@ def test_dedup_index_random_walk_matches_model(spark):
             elif op == "compact":
                 dedup_index_compact(idx, spark)
             check(step, op)
+
+
+def test_ivf_self_dedup_matches_inline_and_honors_tombs(spark):
+    """ivf_index_self_dedup == the inline semantic_dedup_l2q over the
+    same corpus, and a tombstoned vector contributes no rows/pairs
+    until re-added."""
+    import random
+
+    from ods_v3_dbt_spark.operators.similarity import semantic_dedup_l2q
+    from ods_v3_dbt_spark.operators.vector_index import (
+        ivf_index_self_dedup,
+        ivf_index_write,
+    )
+
+    random.seed(41)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)])
+            for i in range(40)]
+    # plant near-dups: clones of every 4th vector, one dim bumped
+    rows += [
+        (i + 100, [v + (0.05 if d == 0 else 0.0)
+                   for d, v in enumerate(vec)])
+        for i, vec in rows[:40:4]
+    ]
+    vdf = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+
+    def shape(df):
+        return sorted(
+            (r.vec_id, r.cell, r.component_id, r.keep)
+            for r in df.collect()
+        )
+
+    idx = ivf_index_write(vdf, "tsd_ivf", num_cells=4, num_buckets=2)
+    inline = shape(semantic_dedup_l2q(vdf, num_cells=4, radius2=300_000))
+    assert shape(ivf_index_self_dedup(idx, 300_000, spark=spark)) == inline
+    assert any(not k for (_, _, _, k) in inline)  # dups actually found
+
+    # tombstone one planted clone: its row vanishes and its source
+    # becomes (or stays) its own keeper — equal to the inline run on
+    # the reduced corpus ASSIGNED under the same frozen centroids,
+    # which for this fixture equals dropping its rows/edges
+    from ods_v3_dbt_spark.operators.vector_index import ivf_index_delete
+
+    ivf_index_delete(idx, spark.createDataFrame([(100,)], "vec_id bigint"))
+    post = shape(ivf_index_self_dedup(idx, 300_000, spark=spark))
+    assert all(v != 100 for (v, _, _, _) in post)
+    # vec 0 (the clone's source) now keeps itself unless another
+    # clone shares its component
+    d = {v: (comp, k) for (v, _, comp, k) in post}
+    assert d[0][1] or d[0][0] != 0
