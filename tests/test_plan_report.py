@@ -101,6 +101,10 @@ def test_suite_plan_invariants(spark):
         "bpe_learned_merges",
         "semantic_dedup_cells",
         "semantic_dedup_cells_blocked",  # same checkpointed-assignment shape
+        "semantic_dedup_indexed_cells",  # same: within_cell_dedup checkpoints
+        #   the (index-read) assignment, so the index member scans ran
+        #   eagerly inside it; bucket/prune hygiene is pinned by the
+        #   ivf_index_ann_topk plan audit on the same member tables
         "link_graph_pagerank",
         "personalized_pagerank",  # same checkpoint-truncated final round
         "incremental_curation_decisions",
