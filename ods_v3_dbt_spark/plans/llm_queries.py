@@ -2762,13 +2762,13 @@ def semantic_dedup_indexed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     run. The oracle is ``semantic_dedup_cells``' UNCHANGED full
     recomputation from raw floats — index-served assignments are
     bit-identical to first-principles, which is exactly what the
-    hash proves. Bench note: at fixture scale (2.6k vectors) the
-    index read path's fixed costs (resolve + 2 bucketed member
-    attaches) exceed the tiny training it avoids, so this row prices
-    ~1 s ABOVE the inline flavor — the trade is asymptotic: the
-    inline front half is two driver collects plus two full corpus
-    passes (seed/Lloyd/assign), the indexed one is cell-bucketed
-    scans of state someone already paid for (SCALE.md)."""
+    hash proves. Bench note: in-suite (catalog warm) this row prices
+    ~1.5 s BELOW the inline flavor even at fixture scale (2.0 s vs
+    3.5 s at sf0.1 — the retired front half is two driver collects
+    plus two corpus passes); a COLD single run instead pays the index
+    resolve + member attaches and lands ~1 s above. The real win is
+    asymptotic: cell-bucketed scans of state someone already paid
+    for, vs re-training per run (SCALE.md)."""
     from ..operators.vector_index import ivf_index_self_dedup
 
     idx = _semdedup_fixture_index(spark, sf_dir)
