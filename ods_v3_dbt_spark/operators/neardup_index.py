@@ -561,7 +561,7 @@ def _visible(cur: _Resolved, spark: SparkSession, part: str,
 
 def _not_yet_indexed(new_docs: DataFrame, cur: _Resolved,
                      spark: SparkSession,
-                     member: str = "fps",
+                     member: str = "sizes",
                      id_col: str = "doc_id") -> DataFrame:
     """Batch docs absent from EVERY live segment: a chain of
     per-segment anti-joins against the member tables' doc_id column —
@@ -570,13 +570,16 @@ def _not_yet_indexed(new_docs: DataFrame, cur: _Resolved,
     member rows are suppressed), so a deleted doc re-appends cleanly
     into a fresh segment — delete-then-re-add ≡ never deleted.
 
-    The membership member is ``fps``, not ``sizes``: a doc with
-    fewer than ``shingle_n`` tokens yields ZERO shingles and hence
-    no sizes row, but it ALWAYS has a fingerprint row — judging
-    presence by sizes made such docs invisible to the idempotence
-    guard (duplicate fps rows on replay) and, worse, to deletes
-    (round-7 ADVICE: deleting a sub-shingle-length doc was a silent
-    no-op and its fingerprint stayed live)."""
+    The membership member must be a doc_id-BUCKETED one whose rows
+    cover EVERY indexed doc. ``sizes`` is both since round 9: every
+    doc gets a sizes row, zero-shingle docs included
+    (:func:`_sizes_rows`, spec marker ``sizes: total``). The round-8
+    interim — membership by ``fps`` — fixed sub-shingle-doc
+    visibility (round-7 ADVICE) but broke the bucket-local claim:
+    fps is bucketed on ``fp``, a left_anti can only broadcast its
+    RIGHT side, so every append/delete sort-merge-shuffled each
+    segment's corpus-sized fps member — O(corpus) per batch,
+    contradicting the O(batch) append contract (round-8 ADVICE)."""
     probe = new_docs
     for t, seg in zip(getattr(cur, member).tables, cur.segments):
         probe = probe.join(
@@ -586,14 +589,39 @@ def _not_yet_indexed(new_docs: DataFrame, cur: _Resolved,
     return probe
 
 
+def _sizes_rows(docs: DataFrame, shingles: DataFrame) -> DataFrame:
+    """One ``(doc_id, n_shingles)`` row for EVERY doc in ``docs`` —
+    a doc with fewer than ``shingle_n`` tokens yields zero shingles
+    and gets an EXPLICIT ``n_shingles = 0`` row. That makes the
+    doc_id-bucketed sizes member a COMPLETE membership list, which
+    is what lets :func:`_not_yet_indexed` and the delete live-set
+    restriction join it bucket-locally (spec marker
+    ``sizes: total``; round-8 ADVICE). The zero rows are inert for
+    every Jaccard consumer: candidates only arise from shingle/band
+    joins, which zero-shingle docs never enter."""
+    counts = shingles.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    return (
+        docs.select("doc_id").distinct()
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shingles"), F.lit(0).cast("long"))
+            .alias("n_shingles"),
+        )
+    )
+
+
 def _write_exact_members(idx: DedupIndex, epoch: int, docs: DataFrame,
                          spark: SparkSession) -> None:
     """Write one exact-index segment from ``docs``: fingerprint
     distinct + shingle explode off one scan; sizes derive from the
     just-written shingle table's bucketed read-back instead of a
-    second tokenize+explode. fps rows are DOC-AWARE (fp, doc_id) so
-    a tombstone can retract one doc's fingerprint without
-    suppressing other docs that share the same text."""
+    second tokenize+explode, with an explicit zero row for every
+    sub-shingle doc (:func:`_sizes_rows`). fps rows are DOC-AWARE
+    (fp, doc_id) so a tombstone can retract one doc's fingerprint
+    without suppressing other docs that share the same text."""
     _write_member(
         idx._table("fps", epoch),
         docs.select(
@@ -610,9 +638,7 @@ def _write_exact_members(idx: DedupIndex, epoch: int, docs: DataFrame,
     )
     _write_member(
         idx._table("sizes", epoch),
-        sh_tbl.read(spark).drop(EPOCH_COL)
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shingles")),
+        _sizes_rows(docs, sh_tbl.read(spark).drop(EPOCH_COL)),
         epoch,
     )
 
