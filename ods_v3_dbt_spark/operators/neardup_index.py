@@ -445,6 +445,14 @@ class DedupIndex:
             # a fingerprint per-doc; pre-doc-aware indexes mismatch
             # loudly at resolve (rebuild is the migration)
             "fps": "doc",
+            # TOTAL sizes member: every indexed doc has a sizes row,
+            # n_shingles=0 included (_sizes_rows) — what lets
+            # membership and the delete live-set restriction join the
+            # doc_id-bucketed sizes tables bucket-locally. An on-disk
+            # index written before this marker lacks the zero rows
+            # and would silently re-admit sub-shingle docs on replay;
+            # resolve() refuses it loudly instead (rebuild migrates).
+            "sizes": "total",
         }
 
     def resolve(self, spark: SparkSession,
@@ -764,11 +772,17 @@ def dedup_index_append(
                 .unionByName(sh_new).distinct(),
                 new_epoch,
             )
+            # sizes fold PRESERVES totality: the per-segment sizes
+            # rows (each doc lives in exactly one segment, zero rows
+            # included) union the batch's _sizes_rows — rebuilding
+            # from the folded shingle table instead silently dropped
+            # every n_shingles=0 row, so one compaction un-did the
+            # membership guarantee and replays re-admitted
+            # sub-shingle docs (round-9 ADVICE)
             _write_member(
                 index._table("sizes", new_epoch),
-                index._table("shingles", new_epoch).read(spark)
-                .groupBy("doc_id")
-                .agg(F.count(F.lit(1)).alias("n_shingles")),
+                _visible(cur, spark, "sizes")
+                .unionByName(_sizes_rows(new_docs, sh_new)),
                 new_epoch,
             )
         else:
@@ -816,6 +830,25 @@ def dedup_index_compact(index: DedupIndex,
     return index
 
 
+def _live_subset(ids: DataFrame, cur: _Resolved, spark: SparkSession,
+                 member: str, id_col: str = "doc_id") -> DataFrame:
+    """The subset of ``ids`` (a doc_id column) currently VISIBLE in
+    some live segment — per-segment left-semi joins against the
+    member tables, unioned. Like :func:`_not_yet_indexed` (its
+    complement), the member must be doc_id-bucketed so each hop
+    shuffles only the id batch; the corpus scans stay bucket-local."""
+    parts = []
+    for t, seg in zip(getattr(cur, member).tables, cur.segments):
+        live = _seg_visible(cur, spark, t, seg, id_col).select(
+            F.col(id_col).alias("doc_id")
+        )
+        parts.append(ids.join(live, "doc_id", "left_semi"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _tomb_delete(index, doc_ids: DataFrame, id_col: str,
                  live_member: str, live_id: str = "doc_id",
                  tomb_rows_fn=None, compact_fn=None):
@@ -844,15 +877,7 @@ def _tomb_delete(index, doc_ids: DataFrame, id_col: str,
             doc_ids.select(F.col(id_col).alias("doc_id")).distinct()
             .localCheckpoint()
         )
-        parts = []
-        for t, seg in zip(getattr(cur, live_member).tables, cur.segments):
-            live = _seg_visible(cur, spark, t, seg, live_id).select(
-                F.col(live_id).alias("doc_id")
-            )
-            parts.append(ids.join(live, "doc_id", "left_semi"))
-        dead = parts[0]
-        for p in parts[1:]:
-            dead = dead.unionByName(p)
+        dead = _live_subset(ids, cur, spark, live_member, live_id)
         dead = dead.distinct().localCheckpoint()
         if not dead.take(1):
             return index
@@ -888,11 +913,16 @@ def dedup_index_delete(index: DedupIndex, doc_ids: DataFrame,
     (dags/sql/casreport/update_des_table/casreport_rpt_full_item.sql:1-3)
     applied to persisted index members instead of plain tables.
 
-    The live-doc restriction reads the ``fps`` member (every doc has
-    a fingerprint row; only docs with ≥ shingle_n tokens have sizes
-    rows — restricting by sizes silently no-op'd deletes of
-    sub-shingle-length docs, round-7 ADVICE)."""
-    return _tomb_delete(index, doc_ids, id_col, "fps",
+    The live-doc restriction reads the ``sizes`` member: it is TOTAL
+    (every indexed doc has a row, n_shingles=0 included — spec marker
+    ``sizes: total``) and bucketed on doc_id, so each per-segment
+    semi-join is bucket-local — only the delete batch shuffles. The
+    round-8 interim restricted by ``fps`` instead (sizes was not yet
+    total, so sizes-restriction silently no-op'd deletes of
+    sub-shingle docs — round-7 ADVICE), but fps is bucketed on fp,
+    making every delete sort-merge-shuffle each segment's
+    corpus-sized member (round-8/9 ADVICE)."""
+    return _tomb_delete(index, doc_ids, id_col, "sizes",
                         compact_fn=dedup_index_compact)
 
 
@@ -1068,6 +1098,7 @@ class LshIndex:
             "num_buckets": self.num_buckets,
             "mode": self.mode,
             "fps": "doc",  # see DedupIndex.spec
+            "sizes": "total",  # see DedupIndex.spec
         }
 
     resolve = DedupIndex.resolve
@@ -1078,8 +1109,10 @@ def _write_lsh_members(idx: LshIndex, epoch: int, docs: DataFrame,
                        spark: SparkSession) -> None:
     """Write one LSH-index segment from ``docs``: one shingle pass
     feeds the shingle table, sizes derive from its bucketed
-    read-back, and the banded signatures land bucketed on the
-    candidate-join keys."""
+    read-back WITH an explicit zero row for every sub-shingle doc
+    (:func:`_sizes_rows` — totality is what membership and the
+    delete live-set restriction rely on), and the banded signatures
+    land bucketed on the candidate-join keys."""
     from .dedup import lsh_band_table, minhash_signatures
 
     _write_member(
@@ -1094,9 +1127,7 @@ def _write_lsh_members(idx: LshIndex, epoch: int, docs: DataFrame,
     _write_member(sh_tbl, sh.select("doc_id", "sid"), epoch)
     _write_member(
         idx._table("sizes", epoch),
-        sh_tbl.read(spark).drop(EPOCH_COL)
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shingles")),
+        _sizes_rows(docs, sh_tbl.read(spark).drop(EPOCH_COL)),
         epoch,
     )
     sigs = minhash_signatures(sh, idx.num_hashes, idx.mode)
@@ -1206,11 +1237,13 @@ def lsh_index_append(
                 .distinct(),
                 new_epoch,
             )
+            # totality-preserving sizes fold — see dedup_index_append
             _write_member(
                 index._table("sizes", new_epoch),
-                index._table("shingles", new_epoch).read(spark)
-                .groupBy("doc_id")
-                .agg(F.count(F.lit(1)).alias("n_shingles")),
+                _visible(cur, spark, "sizes")
+                .unionByName(
+                    _sizes_rows(new_docs, sh_new.select("doc_id", "sid"))
+                ),
                 new_epoch,
             )
             bands_new = lsh_band_table(
@@ -1267,8 +1300,10 @@ def lsh_index_delete(index: LshIndex, doc_ids: DataFrame,
     """Tombstone-delete ``doc_ids`` from the LSH index — see
     :func:`dedup_index_delete` (identical protocol; band-table rows
     suppress via the same per-segment doc_id anti-joins; live set
-    from the ``fps`` member so sub-shingle docs delete too)."""
-    return _tomb_delete(index, doc_ids, id_col, "fps",
+    from the TOTAL doc_id-bucketed ``sizes`` member, so sub-shingle
+    docs delete too and the per-segment semi-joins stay
+    bucket-local)."""
+    return _tomb_delete(index, doc_ids, id_col, "sizes",
                         compact_fn=lsh_index_compact)
 
 

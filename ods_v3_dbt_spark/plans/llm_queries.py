@@ -1574,7 +1574,10 @@ _IDX_CACHE: dict = {}
 
 #: fixture-index semantic version (see _fixture_index)
 #: v2: doc-aware fps rows (tombstone deletes) — spec change
-_IDXV = "v2"
+#: v3: total sizes member (explicit n_shingles=0 rows) + simhash
+#:     docs membership member — spec change; pre-v3 on-disk indexes
+#:     refuse at resolve (``sizes: total`` / ``docs: member``)
+_IDXV = "v3"
 
 
 def _fixture_slug(sf_dir: str) -> str:

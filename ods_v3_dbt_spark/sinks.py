@@ -81,6 +81,36 @@ class _LockHandle:
             )
 
 
+def _holder_dead(fs, lock) -> bool:
+    """True when the lock's recorded holder is a LOCAL pid that no
+    longer exists — a crashed (kill -9'd) writer's lock is then
+    stolen IMMEDIATELY instead of blocking every later writer for
+    the full ``stale_after_s`` age-out (a stale 20-minute lock from
+    a killed test run failed unrelated suites two rounds straight).
+    Only meaningful for LocalFS locks: a pid recorded from another
+    host is indistinguishable from a live local one, so non-local
+    adapters return False and the age-out path applies. Pid reuse
+    makes a dead holder look alive, never the reverse — the check
+    can only delay a steal, not evict a live writer."""
+    from . import fs as FS
+
+    if not isinstance(fs, FS.LocalFS):
+        return False
+    try:
+        pid = int(fs.read_text(lock).split("-", 1)[0])
+    except (FileNotFoundError, ValueError):
+        return False
+    if pid == os.getpid():
+        return False  # our own lock (misuse, not a crash)
+    try:
+        os.kill(pid, 0)
+        return False
+    except ProcessLookupError:
+        return True
+    except PermissionError:
+        return False  # exists, owned by another user
+
+
 @contextlib.contextmanager
 def _writer_lock(root: Path, stale_after_s: float = 3600.0,
                  heartbeat: bool = True):
@@ -135,7 +165,7 @@ def _writer_lock(root: Path, stale_after_s: float = 3600.0,
             age = time.time() - fs.mtime(lock)
         except FileNotFoundError:
             continue  # holder just released; race again
-        if age > stale_after_s:
+        if age > stale_after_s or _holder_dead(fs, lock):
             # Steal-by-rename with CONTENT VERIFICATION: between
             # our stat and our rename another stealer may have
             # removed the stale lock and a fresh writer may have
@@ -280,16 +310,23 @@ class ParquetTable:
         semantics pinned in tests/test_engine.py).
         """
         with _writer_lock(self.root) as lk:
-            snap = f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
-            writer = df.write.mode("errorifexists")
-            if self.partition_cols:
-                writer = writer.partitionBy(*self.partition_cols)
-            writer.parquet(str(self.root / snap))
-            lk.check()  # fencing: abort (not flip) if evicted mid-produce
-            # atomic pointer flip through the FS adapter (tmp-in-dir
-            # + replace inside write_text_atomic)
-            self._fs().write_text_atomic(self._pointer(), snap)
-            return self.root / snap
+            return self._produce(df, lk)
+
+    def _produce(self, df: DataFrame, lk) -> Path:
+        """Snapshot write + pointer flip, CALLER-LOCKED — the shared
+        tail of :meth:`write` and :meth:`compact` (compact must hold
+        the lock across its read→rewrite, and the lock file is not
+        reentrant)."""
+        snap = f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
+        writer = df.write.mode("errorifexists")
+        if self.partition_cols:
+            writer = writer.partitionBy(*self.partition_cols)
+        writer.parquet(str(self.root / snap))
+        lk.check()  # fencing: abort (not flip) if evicted mid-produce
+        # atomic pointer flip through the FS adapter (tmp-in-dir
+        # + replace inside write_text_atomic)
+        self._fs().write_text_atomic(self._pointer(), snap)
+        return self.root / snap
 
     def history(self) -> list[Path]:
         """All retained snapshots, newest first (current marked by the
@@ -361,21 +398,27 @@ class ParquetTable:
         """Drop all but the newest ``keep`` snapshots — never the
         current one, never a snapshot named in ``pinned`` (caller-
         supplied, e.g. the live/previous ``_CURATED`` co-manifest
-        pair), and never one protected by :meth:`set_pin`. Returns
-        removed paths."""
+        pair), and never one protected by :meth:`set_pin`. Runs under
+        the writer lock: an unlocked vacuum could sample the pointer,
+        lose the CPU while a writer commits + a reader resolves the
+        NEW snapshot, and then delete it as 'beyond keep' (round-9
+        ADVICE). Returns removed paths."""
         import shutil
 
-        current = self.current_snapshot()
-        protect = set(pinned) | self.pinned_snapshots()
-        snaps = sorted(
-            (p for p in self.root.glob("snap-*") if p.is_dir()), reverse=True
-        )
-        victims = [
-            p for p in snaps[keep:] if p != current and p.name not in protect
-        ]
-        for p in victims:
-            shutil.rmtree(p)
-        return victims
+        with _writer_lock(self.root):
+            current = self.current_snapshot()
+            protect = set(pinned) | self.pinned_snapshots()
+            snaps = sorted(
+                (p for p in self.root.glob("snap-*") if p.is_dir()),
+                reverse=True,
+            )
+            victims = [
+                p for p in snaps[keep:]
+                if p != current and p.name not in protect
+            ]
+            for p in victims:
+                shutil.rmtree(p)
+            return victims
 
     def file_stats(self) -> tuple[int, int]:
         """(n_data_files, total_bytes) of the current snapshot."""
@@ -396,19 +439,24 @@ class ParquetTable:
         ``ceil(bytes / target_file_bytes)`` files (per partition for
         partitioned tables via a shuffle-free coalesce / partition-key
         repartition) and snapshot-swaps, so readers never see a
-        half-compacted table. Returns (files_before, files_after)."""
-        n_before, total = self.file_stats()
-        if n_before == 0:
-            return (0, 0)
-        df = self.read(spark)
-        if self.partition_cols:
-            # one task per partition value → one file per partition dir
-            df = df.repartition(*[df[c] for c in self.partition_cols])
-        else:
-            n_target = max(1, -(-total // target_file_bytes))
-            df = df.coalesce(n_target)
-        self.write(df)
-        return (n_before, self.file_stats()[0])
+        half-compacted table. Holds the writer lock across the whole
+        read→rewrite: unlocked, a writer committing between
+        compact's read and its write would have its commit replaced
+        by the stale pre-commit rows (round-9 ADVICE — lost update).
+        Returns (files_before, files_after)."""
+        with _writer_lock(self.root) as lk:
+            n_before, total = self.file_stats()
+            if n_before == 0:
+                return (0, 0)
+            df = self.read(spark)
+            if self.partition_cols:
+                # one task per partition value → one file per dir
+                df = df.repartition(*[df[c] for c in self.partition_cols])
+            else:
+                n_target = max(1, -(-total // target_file_bytes))
+                df = df.coalesce(n_target)
+            self._produce(df, lk)
+            return (n_before, self.file_stats()[0])
 
 
 class PartitionedTable:
@@ -520,8 +568,28 @@ class PartitionedTable:
 
     # -- reads ----------------------------------------------------------------
 
-    def _read_dirs(self, spark: SparkSession, dirs: list[str]) -> DataFrame:
+    def _read_dirs(self, spark: SparkSession, dirs: list[str],
+                   man: dict | None = None) -> DataFrame:
+        """Union scan of the named dirs; ZERO dirs returns an EMPTY
+        DataFrame with the manifest's recorded schema. Every commit
+        records the written DataFrame's schema precisely so an empty
+        snapshot stays READABLE: the curation stream's first
+        micro-batch can admit nothing, and the zero-partition
+        manifest it commits must not wedge curated_view / takedown /
+        the IVF rebuild until a partition lands (round-9 ADVICE). A
+        legacy zero-partition manifest (pre-schema) still raises."""
         if not dirs:
+            schema = (man or {}).get("schema")
+            if schema is not None:
+                from pyspark.sql.types import StructType
+
+                return spark.createDataFrame([], StructType.fromJson(schema))
+            if man is not None and man["partitions"]:
+                # schema-less manifest but live partitions: footer-only
+                # read of one dir gives the store schema
+                return self._read_dirs(
+                    spark, [sorted(man["partitions"].values())[0]]
+                ).limit(0)
             raise FileNotFoundError(
                 f"partitioned table has no partitions: {self.root}"
             )
@@ -535,20 +603,22 @@ class PartitionedTable:
     def read_snapshot(self, spark: SparkSession,
                       version: int | str | None) -> DataFrame:
         man = self._manifest(self._resolve_snap(version))
-        return self._read_dirs(spark, sorted(man["partitions"].values()))
+        return self._read_dirs(spark, sorted(man["partitions"].values()), man)
 
     def read_partitions(self, spark: SparkSession, values,
                         version: int | str | None = None) -> DataFrame:
         """Read ONLY the named partition values (absent values are
         simply not in the manifest — zero I/O, no error): the
-        manifest-pruned scan a partial rewrite plans against."""
-        parts = self.partitions(version)
+        manifest-pruned scan a partial rewrite plans against. All
+        values absent returns an EMPTY DataFrame in the store's
+        schema (returning None made every caller crash on the next
+        method call — round-9 ADVICE)."""
+        man = self._manifest(self._resolve_snap(version))
+        parts = man["partitions"]
         dirs = sorted(
             parts[v] for v in {str(v) for v in values} if v in parts
         )
-        if not dirs:
-            return None
-        return self._read_dirs(spark, dirs)
+        return self._read_dirs(spark, dirs, man)
 
     # -- writes ---------------------------------------------------------------
 
@@ -594,21 +664,31 @@ class PartitionedTable:
         fs.delete(stage_dir)
         return out
 
-    def _commit(self, fs, partitions: dict[str, str], lk) -> Path:
+    def _commit(self, fs, partitions: dict[str, str], lk,
+                schema: dict | None = None) -> Path:
         import json
 
         snap = f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}.json"
-        fs.write_text_atomic(
-            self.root / snap,
-            json.dumps(
-                {
-                    "partition_col": self.partition_col,
-                    "partitions": partitions,
-                },
-                sort_keys=True,
-            ),
-        )
-        lk.check()  # fencing: abort (not flip) if evicted mid-produce
+        man = {
+            "partition_col": self.partition_col,
+            "partitions": partitions,
+        }
+        if schema is not None:
+            # written-DataFrame schema: keeps a zero-partition
+            # snapshot readable (see _read_dirs)
+            man["schema"] = schema
+        # STAGE the manifest (a name history()/_referenced_dirs never
+        # match), fence, then publish: writing the snap-*.json before
+        # lk.check() let an EVICTED writer's manifest enter history —
+        # pinning dirs alive and serving time-travel reads of a
+        # commit that never happened (round-9 ADVICE)
+        staged = self.root / f".{snap}.staged"
+        fs.write_text_atomic(staged, json.dumps(man, sort_keys=True))
+        lk.check()  # fencing: abort (not publish) if evicted
+        if not fs.rename(staged, self.root / snap):
+            raise ConcurrentWriteError(
+                f"manifest publish lost a race: {staged}"
+            )
         fs.write_text_atomic(self._pointer(), snap)
         return self.root / snap
 
@@ -625,6 +705,10 @@ class PartitionedTable:
         since manifests only ever reference fully-promoted dirs)."""
         live = self._referenced_dirs()
         parts_root = self.root / "parts"
+        # crashed/evicted writers' staged manifests (never published,
+        # nothing references them)
+        for p in self.root.glob(".snap-*.staged"):
+            fs.delete(p)
         if not parts_root.is_dir():
             return
         for d in parts_root.iterdir():
@@ -635,10 +719,13 @@ class PartitionedTable:
         """Full snapshot write (every partition rewrites) — the
         bootstrap / full-refresh path; incremental writers use
         :meth:`overwrite_partitions`."""
+        import json
+
         with _writer_lock(self.root) as lk:
             fs = self._fs()
             self._gc_orphan_dirs(fs)
-            return self._commit(fs, self._stage_partitions(df, fs), lk)
+            return self._commit(fs, self._stage_partitions(df, fs), lk,
+                                schema=json.loads(df.schema.json()))
 
     def overwrite_partitions(self, df: DataFrame, values) -> Path:
         """The M7 move at snapshot granularity: replace EXACTLY the
@@ -667,17 +754,26 @@ class PartitionedTable:
                 "what this commit may replace"
             )
         with _writer_lock(self.root) as lk:
-            fs = self._fs()
-            self._gc_orphan_dirs(fs)
-            prev = {}
-            if self.exists():
-                prev = dict(self.partitions())
-            fresh = self._stage_partitions(df, fs)
-            merged = {
-                v: d for v, d in prev.items() if v not in values
-            }
-            merged.update(fresh)
-            return self._commit(fs, merged, lk)
+            return self._overwrite_locked(df, values, lk)
+
+    def _overwrite_locked(self, df: DataFrame, values: set, lk) -> Path:
+        """CALLER-LOCKED tail of :meth:`overwrite_partitions`
+        (compact holds the lock across its read→rewrite — the lock
+        file is not reentrant)."""
+        import json
+
+        fs = self._fs()
+        self._gc_orphan_dirs(fs)
+        prev = {}
+        if self.exists():
+            prev = dict(self.partitions())
+        fresh = self._stage_partitions(df, fs)
+        merged = {
+            v: d for v, d in prev.items() if v not in values
+        }
+        merged.update(fresh)
+        return self._commit(fs, merged, lk,
+                            schema=json.loads(df.schema.json()))
 
     # -- retention --------------------------------------------------------------
 
@@ -685,29 +781,34 @@ class PartitionedTable:
         """Drop all but the newest ``keep`` manifests (never the
         current, never one named in ``pinned`` or held by
         :meth:`set_pin`), then refcount-delete partition dirs no
-        retained manifest references. Returns removed paths."""
+        retained manifest references. Runs under the writer lock —
+        unlocked, the pointer sample could predate a concurrent
+        commit and vacuum would delete the NEW snapshot as 'beyond
+        keep' (round-9 ADVICE; same fix as
+        :meth:`ParquetTable.vacuum`). Returns removed paths."""
         import shutil
 
-        current = self.current_snapshot()
-        protect = set(pinned) | self.pinned_snapshots()
-        snaps = self.history()
-        victims = [
-            p
-            for p in snaps[keep:]
-            if p != current and p.name not in protect
-        ]
-        removed: list[Path] = []
-        for p in victims:
-            p.unlink()
-            removed.append(p)
-        live = self._referenced_dirs()
-        parts_root = self.root / "parts"
-        if parts_root.is_dir():
-            for d in parts_root.iterdir():
-                if d.is_dir() and d.name not in live:
-                    shutil.rmtree(d)
-                    removed.append(d)
-        return removed
+        with _writer_lock(self.root):
+            current = self.current_snapshot()
+            protect = set(pinned) | self.pinned_snapshots()
+            snaps = self.history()
+            victims = [
+                p
+                for p in snaps[keep:]
+                if p != current and p.name not in protect
+            ]
+            removed: list[Path] = []
+            for p in victims:
+                p.unlink()
+                removed.append(p)
+            live = self._referenced_dirs()
+            parts_root = self.root / "parts"
+            if parts_root.is_dir():
+                for d in parts_root.iterdir():
+                    if d.is_dir() and d.name not in live:
+                        shutil.rmtree(d)
+                        removed.append(d)
+            return removed
 
     def file_stats(self) -> tuple[int, int]:
         """(n_data_files, total_bytes) of the current snapshot."""
@@ -751,32 +852,37 @@ class PartitionedTable:
         rewritten only when it holds at least ``min_files`` files OR
         more than ceil(bytes / target_file_bytes) files. One
         manifest commit publishes the result; readers mid-scan keep
-        the previous snapshot. Returns {value: (files_before,
-        files_after)} for the rewritten partitions."""
+        the previous snapshot. Holds the writer lock across the whole
+        read→rewrite (see :meth:`ParquetTable.compact` — unlocked,
+        a commit landing between the stats read and the overwrite
+        would be replaced by stale rows). Returns {value:
+        (files_before, files_after)} for the rewritten partitions."""
         from pyspark.sql import functions as F
 
-        stats = self._partition_stats()
-        if values is not None:
-            names = {str(v) for v in values}
-            stats = {v: s for v, s in stats.items() if v in names}
-        victims = {
-            v
-            for v, (n, total) in stats.items()
-            if n >= min_files and n > max(1, -(-total // target_file_bytes))
-        }
-        if not victims:
-            return {}
-        # ONE job rewrites every fragmented partition: hash
-        # repartitioning on the partition column puts each value
-        # wholly in one task, so each victim lands as one
-        # right-sized dir (values larger than target_file_bytes can
-        # pass a values= subset and a bigger target instead)
-        df = self.read_partitions(spark, sorted(victims)).repartition(
-            F.col(self.partition_col)
-        )
-        self.overwrite_partitions(df, sorted(victims))
-        after = self._partition_stats()
-        return {v: (stats[v][0], after[v][0]) for v in sorted(victims)}
+        with _writer_lock(self.root) as lk:
+            stats = self._partition_stats()
+            if values is not None:
+                names = {str(v) for v in values}
+                stats = {v: s for v, s in stats.items() if v in names}
+            victims = {
+                v
+                for v, (n, total) in stats.items()
+                if n >= min_files
+                and n > max(1, -(-total // target_file_bytes))
+            }
+            if not victims:
+                return {}
+            # ONE job rewrites every fragmented partition: hash
+            # repartitioning on the partition column puts each value
+            # wholly in one task, so each victim lands as one
+            # right-sized dir (values larger than target_file_bytes
+            # can pass a values= subset and a bigger target instead)
+            df = self.read_partitions(spark, sorted(victims)).repartition(
+                F.col(self.partition_col)
+            )
+            self._overwrite_locked(df, {str(v) for v in victims}, lk)
+            after = self._partition_stats()
+            return {v: (stats[v][0], after[v][0]) for v in sorted(victims)}
 
 
 class TableGroup:

@@ -34,7 +34,11 @@ def test_roundtrip_and_partition_pruned_read(spark, tmp_path):
     assert got == {(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c")}
     only = t.read_partitions(spark, ["d2", "d9"])
     assert {r.doc_id for r in only.collect()} == {3}
-    assert t.read_partitions(spark, ["d9"]) is None
+    # all-absent values: EMPTY DataFrame in the store schema, not
+    # None (round-9 ADVICE — None crashed every caller's next call)
+    none_hit = t.read_partitions(spark, ["d9"])
+    assert none_hit.count() == 0
+    assert none_hit.schema == t.read(spark).schema
 
 
 def test_overwrite_touches_only_named_partitions(spark, tmp_path):
