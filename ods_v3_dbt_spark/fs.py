@@ -49,6 +49,63 @@ import uuid
 from pathlib import Path
 
 
+class UriPath:
+    """Minimal pathlib-like wrapper for ``scheme://`` URIs so the
+    snapshot stores can hold EITHER a local :class:`~pathlib.Path`
+    or an object-store URI in ``self.root`` and keep using the
+    ``root / name`` idiom (round-8/9 verdict: the store listings
+    were pathlib-only, so the curated store could not live on a
+    Hadoop-reachable URI even though the lock/manifest protocol
+    already ran through this adapter). Only the operations the
+    stores use: ``/``, ``str``, ``.name``, ``.parent``, ordering
+    (snapshot names sort lexicographically), equality, hashing."""
+
+    __slots__ = ("_s",)
+
+    def __init__(self, s) -> None:
+        s = str(s)
+        # keep the scheme's "//" but trim a trailing separator so
+        # name/parent splits are stable
+        self._s = s if s.endswith("://") else s.rstrip("/")
+
+    def __truediv__(self, other) -> "UriPath":
+        return UriPath(f"{self._s}/{other}")
+
+    def __str__(self) -> str:
+        return self._s
+
+    def __repr__(self) -> str:
+        return f"UriPath({self._s!r})"
+
+    def __eq__(self, other) -> bool:
+        if isinstance(other, (UriPath, str)):
+            return self._s == str(other)
+        return NotImplemented
+
+    def __hash__(self) -> int:
+        return hash(self._s)
+
+    def __lt__(self, other) -> bool:
+        return self._s < str(other)
+
+    @property
+    def name(self) -> str:
+        return self._s.rsplit("/", 1)[1]
+
+    @property
+    def parent(self) -> "UriPath":
+        return UriPath(self._s.rsplit("/", 1)[0])
+
+
+def norm_root(p):
+    """The store-root constructor: URIs become :class:`UriPath`
+    (every subsequent ``root / x`` stays a URI and ``fs_for``
+    dispatches to :class:`HadoopFS`), bare paths stay
+    :class:`~pathlib.Path`."""
+    s = str(p)
+    return UriPath(s) if "://" in s else Path(p)
+
+
 class LocalFS:
     """os/pathlib implementation — the engine's default seam."""
 
@@ -130,6 +187,35 @@ class LocalFS:
     def touch(self, p) -> None:
         now = time.time()
         os.utime(str(p), (now, now))
+
+    def list(self, p) -> list[tuple[str, bool, int]]:
+        """Non-recursive children of ``p`` as ``(name, is_dir,
+        size)``; ``[]`` when ``p`` is missing or not a dir — the
+        listing primitive the snapshot stores' history/vacuum/GC
+        paths run on (one RPC per level on object stores, never a
+        client-side glob)."""
+        p = Path(p)
+        if not p.is_dir():
+            return []
+        out: list[tuple[str, bool, int]] = []
+        for c in p.iterdir():
+            try:
+                d = c.is_dir()
+                out.append((c.name, d, 0 if d else c.stat().st_size))
+            except FileNotFoundError:
+                continue  # raced a concurrent delete
+        return out
+
+    def list_files(self, p) -> list[tuple[str, int]]:
+        """All FILES under ``p`` recursively as ``(name, size)`` —
+        the file_stats primitive (HadoopFS maps it to the single
+        bulk ``listFiles(recursive)`` RPC object stores optimize)."""
+        p = Path(p)
+        if not p.exists():
+            return []
+        return [
+            (c.name, c.stat().st_size) for c in p.rglob("*") if c.is_file()
+        ]
 
 
 class HadoopFS:
@@ -227,6 +313,26 @@ class HadoopFS:
 
     def touch(self, p) -> None:
         self._fs.setTimes(self._path(p), int(time.time() * 1000), -1)
+
+    def list(self, p) -> list[tuple[str, bool, int]]:
+        jp = self._path(p)
+        if not self._fs.exists(jp):
+            return []
+        return [
+            (st.getPath().getName(), st.isDirectory(), st.getLen())
+            for st in self._fs.listStatus(jp)
+        ]
+
+    def list_files(self, p) -> list[tuple[str, int]]:
+        jp = self._path(p)
+        if not self._fs.exists(jp):
+            return []
+        it = self._fs.listFiles(jp, True)
+        out: list[tuple[str, int]] = []
+        while it.hasNext():
+            st = it.next()
+            out.append((st.getPath().getName(), st.getLen()))
+        return out
 
 
 def join(base, *parts) -> str | Path:

@@ -343,11 +343,9 @@ def _store_lock(corpus_path):
     serial; contenders fail fast with ConcurrentWriteError and retry
     (foreachBatch replays are idempotent by design). Readers never
     take it."""
-    from pathlib import Path as _P
+    from .sinks import _norm_root, _writer_lock
 
-    from .sinks import _writer_lock
-
-    return _writer_lock(_P(f"{corpus_path}__storelock"))
+    return _writer_lock(_norm_root(f"{corpus_path}__storelock"))
 
 
 def _deny_spec_path(corpus_path):

@@ -42,6 +42,20 @@ def _warehouse_path(spark: SparkSession) -> Path:
     return Path(wh)
 
 
+def _norm_root(root):
+    """Store roots accept bare paths AND ``scheme://`` URIs: the
+    latter become :class:`..fs.UriPath` so every ``root / name``
+    stays a URI and :func:`..fs.fs_for` dispatches the whole
+    snapshot protocol (locks, manifests, listings, deletes) to
+    :class:`..fs.HadoopFS` — the curated store runs on any
+    Hadoop-supported object store (round-8/9 verdict task; proven
+    through ``file://`` in tests, the one scheme this container
+    hosts)."""
+    from . import fs as FS
+
+    return FS.norm_root(root)
+
+
 class ConcurrentWriteError(RuntimeError):
     """Another writer holds the table's writer lock. Retry after it
     commits (snapshot-swap keeps the table readable throughout)."""
@@ -265,7 +279,7 @@ class ParquetTable:
     """Snapshot-swap Parquet table (see module docstring)."""
 
     def __init__(self, root: str | Path, partition_cols: Sequence[str] = ()) -> None:
-        self.root = Path(root)
+        self.root = _norm_root(root)
         self.partition_cols = tuple(partition_cols)
 
     # -- pointer management -------------------------------------------------
@@ -332,9 +346,14 @@ class ParquetTable:
         """All retained snapshots, newest first (current marked by the
         pointer, prior ones readable until :meth:`vacuum`) — the
         snapshot-swap design gives time travel for free within the
-        retention window."""
+        retention window (one adapter listing, URI-capable)."""
         return sorted(
-            (p for p in self.root.glob("snap-*") if p.is_dir()), reverse=True
+            (
+                self.root / name
+                for (name, is_dir, _) in self._fs().list(self.root)
+                if is_dir and name.startswith("snap-")
+            ),
+            reverse=True,
         )
 
     def read_snapshot(self, spark: SparkSession, version: int | str) -> DataFrame:
@@ -348,7 +367,7 @@ class ParquetTable:
             snap = snaps[version]
         else:
             snap = self.root / version
-            if not snap.is_dir():
+            if not self._fs().is_dir(snap):
                 raise FileNotFoundError(f"no such snapshot: {snap}")
         return spark.read.parquet(str(snap))
 
@@ -403,21 +422,17 @@ class ParquetTable:
         lose the CPU while a writer commits + a reader resolves the
         NEW snapshot, and then delete it as 'beyond keep' (round-9
         ADVICE). Returns removed paths."""
-        import shutil
-
         with _writer_lock(self.root):
+            fs = self._fs()
             current = self.current_snapshot()
             protect = set(pinned) | self.pinned_snapshots()
-            snaps = sorted(
-                (p for p in self.root.glob("snap-*") if p.is_dir()),
-                reverse=True,
-            )
+            snaps = self.history()
             victims = [
                 p for p in snaps[keep:]
                 if p != current and p.name not in protect
             ]
             for p in victims:
-                shutil.rmtree(p)
+                fs.delete(p)
             return victims
 
     def file_stats(self) -> tuple[int, int]:
@@ -425,8 +440,12 @@ class ParquetTable:
         snap = self.current_snapshot()
         if snap is None:
             return (0, 0)
-        files = [p for p in snap.rglob("*.parquet") if p.is_file()]
-        return (len(files), sum(p.stat().st_size for p in files))
+        files = [
+            (n, s)
+            for (n, s) in self._fs().list_files(snap)
+            if n.endswith(".parquet")
+        ]
+        return (len(files), sum(s for _, s in files))
 
     def compact(
         self, spark: SparkSession, target_file_bytes: int = 128 << 20
@@ -504,7 +523,7 @@ class PartitionedTable:
     def __init__(self, root: str | Path, partition_col: str) -> None:
         if not partition_col:
             raise ValueError("PartitionedTable requires a partition column")
-        self.root = Path(root)
+        self.root = _norm_root(root)
         self.partition_col = partition_col
 
     # -- plumbing shared with ParquetTable ----------------------------------
@@ -530,7 +549,13 @@ class PartitionedTable:
 
     def history(self) -> list[Path]:
         return sorted(
-            (p for p in self.root.glob("snap-*.json") if p.is_file()),
+            (
+                self.root / name
+                for (name, is_dir, _) in self._fs().list(self.root)
+                if not is_dir
+                and name.startswith("snap-")
+                and name.endswith(".json")
+            ),
             reverse=True,
         )
 
@@ -562,7 +587,8 @@ class PartitionedTable:
                 )
             return snaps[version]
         snap = self.root / version
-        if not snap.is_file():
+        fs = self._fs()
+        if not fs.exists(snap) or fs.is_dir(snap):
             raise FileNotFoundError(f"no such snapshot: {snap}")
         return snap
 
@@ -640,7 +666,12 @@ class PartitionedTable:
         staged.write.partitionBy(pt).parquet(str(stage_dir))
         fs.mkdirs(self.root / "parts")
         out: dict[str, str] = {}
-        for sub in Path(stage_dir).glob(f"{pt}=*"):
+        subs = [
+            stage_dir / name
+            for (name, is_dir, _) in fs.list(stage_dir)
+            if is_dir and name.startswith(f"{pt}=")
+        ]
+        for sub in subs:
             enc = sub.name[len(pt) + 1:]
             if enc == "__HIVE_DEFAULT_PARTITION__":
                 raise ValueError(
@@ -707,13 +738,16 @@ class PartitionedTable:
         parts_root = self.root / "parts"
         # crashed/evicted writers' staged manifests (never published,
         # nothing references them)
-        for p in self.root.glob(".snap-*.staged"):
-            fs.delete(p)
-        if not parts_root.is_dir():
-            return
-        for d in parts_root.iterdir():
-            if d.is_dir() and d.name not in live:
-                fs.delete(d)
+        for (name, is_dir, _) in fs.list(self.root):
+            if (
+                not is_dir
+                and name.startswith(".snap-")
+                and name.endswith(".staged")
+            ):
+                fs.delete(self.root / name)
+        for (name, is_dir, _) in fs.list(parts_root):
+            if is_dir and name not in live:
+                fs.delete(parts_root / name)
 
     def write(self, df: DataFrame) -> Path:
         """Full snapshot write (every partition rewrites) — the
@@ -786,9 +820,8 @@ class PartitionedTable:
         commit and vacuum would delete the NEW snapshot as 'beyond
         keep' (round-9 ADVICE; same fix as
         :meth:`ParquetTable.vacuum`). Returns removed paths."""
-        import shutil
-
         with _writer_lock(self.root):
+            fs = self._fs()
             current = self.current_snapshot()
             protect = set(pinned) | self.pinned_snapshots()
             snaps = self.history()
@@ -799,39 +832,37 @@ class PartitionedTable:
             ]
             removed: list[Path] = []
             for p in victims:
-                p.unlink()
+                fs.delete(p)
                 removed.append(p)
             live = self._referenced_dirs()
             parts_root = self.root / "parts"
-            if parts_root.is_dir():
-                for d in parts_root.iterdir():
-                    if d.is_dir() and d.name not in live:
-                        shutil.rmtree(d)
-                        removed.append(d)
+            for (name, is_dir, _) in fs.list(parts_root):
+                if is_dir and name not in live:
+                    fs.delete(parts_root / name)
+                    removed.append(parts_root / name)
             return removed
 
     def file_stats(self) -> tuple[int, int]:
         """(n_data_files, total_bytes) of the current snapshot."""
         if not self.exists():
             return (0, 0)
-        files = [
-            p
-            for d in self.partitions().values()
-            for p in (self.root / "parts" / d).rglob("*.parquet")
-            if p.is_file()
-        ]
-        return (len(files), sum(p.stat().st_size for p in files))
+        stats = self._partition_stats()
+        return (
+            sum(n for n, _ in stats.values()),
+            sum(b for _, b in stats.values()),
+        )
 
     def _partition_stats(self) -> dict[str, tuple[int, int]]:
         """{value: (n_files, n_bytes)} of the current snapshot."""
+        fs = self._fs()
         out: dict[str, tuple[int, int]] = {}
         for v, d in self.partitions().items():
             files = [
-                p
-                for p in (self.root / "parts" / d).rglob("*.parquet")
-                if p.is_file()
+                (n, s)
+                for (n, s) in fs.list_files(self.root / "parts" / d)
+                if n.endswith(".parquet")
             ]
-            out[v] = (len(files), sum(p.stat().st_size for p in files))
+            out[v] = (len(files), sum(s for _, s in files))
         return out
 
     def compact(
@@ -923,7 +954,7 @@ class TableGroup:
                  partition_cols: dict[str, Sequence[str]] | None = None) -> None:
         if not names:
             raise ValueError("TableGroup requires at least one member")
-        self.root = Path(root)
+        self.root = _norm_root(root)
         self.names = tuple(names)
         pc = partition_cols or {}
         self.tables = {
@@ -944,10 +975,10 @@ class TableGroup:
         if not tables:
             raise ValueError("TableGroup requires at least one member")
         g = cls.__new__(cls)
-        g.root = Path(manifest_path).parent
+        g.root = _norm_root(manifest_path).parent
         g.names = tuple(tables)
         g.tables = dict(tables)
-        g._manifest_override = Path(manifest_path)
+        g._manifest_override = _norm_root(manifest_path)
         return g
 
     def _fs(self):
