@@ -238,6 +238,16 @@ def curate_stream(
 DENY_SIG_SPEC = {"shingle_n": 3, "num_hashes": 16, "bands": 4,
                  "mode": "md5"}
 
+#: semantic deny-arm family: embeddings quantize to the engine's
+#: shared positive integer grid (operators/similarity.py::
+#: quantize_embedding — scale·x rounded, clamped at −offset, shifted
+#: +offset) and a resubmission is refused when its quantized L2² to
+#: ANY deny centroid is ≤ dist2_max. 300 000 is the engine's
+#: standing paraphrase radius (semantic_dist2_max in the curation
+#: loop): a one-dim +0.5 perturbation of a 64-dim unit embedding
+#: lands ≈250 000 away, unrelated sf0.01 vectors ≥ ~973 000.
+DENY_SEM_SPEC = {"scale": 1000, "offset": 1000, "dist2_max": 300_000}
+
 
 def deny_signature_bands(docs: DataFrame, spec: dict | None = None
                          ) -> DataFrame:
@@ -254,12 +264,42 @@ def deny_signature_bands(docs: DataFrame, spec: dict | None = None
     return DD.lsh_band_table(sigs, spec["num_hashes"], spec["bands"])
 
 
+def deny_semantic_centroids(docs: DataFrame, spec: dict | None = None,
+                            embedding_col: str = "embedding") -> DataFrame:
+    """(centroid BIGINT array, radius2) rows for the SEMANTIC deny
+    arm — one quantized embedding per taken-down doc plus the
+    family's refusal radius (persisted per row so later takedowns
+    can tighten or widen without rewriting history). The centroid is
+    the lossy integer-grid quantization of the doc's embedding —
+    like the fp/band members it is a one-way, non-reconstructable
+    residue: honoring a semantic takedown never requires retaining
+    the content OR its full-precision embedding. Docs with NULL
+    embeddings contribute nothing (the textual arms still cover
+    them)."""
+    from .operators.similarity import quantize_embedding
+
+    spec = spec or DENY_SEM_SPEC
+    return (
+        docs.filter(F.col(embedding_col).isNotNull())
+        .select(
+            quantize_embedding(
+                F.col(embedding_col), spec["scale"], spec["offset"]
+            ).alias("centroid"),
+            F.lit(spec["dist2_max"]).cast("bigint").alias("radius2"),
+        )
+        .distinct()
+    )
+
+
 def deny_probe(
     batch: DataFrame,
     deny_fps: DataFrame,
     deny_bands: DataFrame | None = None,
     spec: dict | None = None,
     broadcast_limit: int = 2_000_000,
+    deny_sem: DataFrame | None = None,
+    sem_spec: dict | None = None,
+    batch_embeddings: DataFrame | None = None,
 ) -> DataFrame:
     """The takedown-denylist GATE probe, shared by the streaming loop
     and the ``deny_neardup_decisions`` declared query: one (doc_id,
@@ -288,13 +328,35 @@ def deny_probe(
     ``lsh_index_probe`` discipline): a pathological denylist above
     it switches both semi-joins to plain shuffles — identical
     output, bounded driver memory, shuffle sized by the deny store,
-    and Spark's runtime bloom prunes the batch side."""
+    and Spark's runtime bloom prunes the batch side.
+
+    SEMANTIC arm (round-9 verdict task 7, opt-in): ``deny_sem`` is
+    the persisted (centroid, radius2) table a semantic takedown
+    leaves behind (:func:`deny_semantic_centroids`) and
+    ``batch_embeddings`` the batch's (doc_id, embedding) rows. Docs
+    surviving both textual arms whose QUANTIZED embedding lands
+    within ``radius2`` integer-L2² of ANY deny centroid report
+    ``denied_semantic`` — the arm that closes the PARAPHRASE hole:
+    a reworded copy of taken-down content shares no shingles (both
+    textual arms blind) but lands next to it in embedding space.
+    Precedence exact > neardup > semantic, so each doc reports the
+    strongest evidence class. Scale: the deny side broadcasts while
+    small and the comparison is a broadcast nested-loop over the
+    TEXTUALLY-SURVIVING batch docs — exact by construction (a
+    compliance gate should not trade recall for speed; contrast the
+    band arm's declared LSH miss). A deny list beyond
+    ``broadcast_limit`` falls back to the same shuffle discipline;
+    the growth path past that is routing both sides through the
+    store's IVF cells, trading boundary recall for candidate
+    pruning — deliberately NOT the default for a deny gate."""
 
     def _deny_side(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if deny_is_small else df
 
-    n_deny = deny_fps.count() + (
-        deny_bands.count() if deny_bands is not None else 0
+    n_deny = (
+        deny_fps.count()
+        + (deny_bands.count() if deny_bands is not None else 0)
+        + (deny_sem.count() if deny_sem is not None else 0)
     )
     deny_is_small = n_deny <= broadcast_limit
     # localCheckpoint (the curate_increment stage discipline): exact
@@ -309,6 +371,7 @@ def deny_probe(
         .localCheckpoint()
     )
     out = exact.select("doc_id", F.lit("denied").alias("verdict"))
+    hit = exact
     if deny_bands is not None:
         rest = batch.join(F.broadcast(exact), "doc_id", "left_anti")
         coll = (
@@ -320,10 +383,50 @@ def deny_probe(
             )
             .select("doc_id")
             .distinct()
+            # feeds the verdict union AND the semantic arm's
+            # precedence anti-join — same stage discipline as exact
+            .localCheckpoint()
         )
         out = out.unionByName(
             coll.select(
                 "doc_id", F.lit("denied_neardup").alias("verdict")
+            )
+        )
+        hit = hit.unionByName(coll)
+    if deny_sem is not None and batch_embeddings is not None:
+        from .operators.similarity import quantize_embedding
+
+        sspec = sem_spec or DENY_SEM_SPEC
+        bq = (
+            batch_embeddings.filter(F.col("embedding").isNotNull())
+            .join(F.broadcast(hit), "doc_id", "left_anti")
+            .select(
+                "doc_id",
+                quantize_embedding(
+                    F.col("embedding"), sspec["scale"], sspec["offset"]
+                ).alias("__qv"),
+            )
+        )
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("__qv"), F.col("centroid"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        sem_hits = (
+            bq.join(
+                _deny_side(deny_sem.select("centroid", "radius2")),
+                how="cross",
+            )
+            .filter(d2 <= F.col("radius2"))
+            .select("doc_id")
+            .distinct()
+        )
+        out = out.unionByName(
+            sem_hits.select(
+                "doc_id", F.lit("denied_semantic").alias("verdict")
             )
         )
     return out
@@ -360,6 +463,20 @@ def _read_deny_spec(corpus_path) -> dict:
     if fs.exists(p):
         return _json.loads(fs.read_text(p))
     return dict(DENY_SIG_SPEC)
+
+
+def _deny_sem_spec_path(corpus_path):
+    return FS.join(f"{corpus_path}__deny_sem", "_DENY_SEM_SPEC")
+
+
+def _read_deny_sem_spec(corpus_path) -> dict:
+    import json as _json
+
+    p = _deny_sem_spec_path(corpus_path)
+    fs = FS.fs_for(p)
+    if fs.exists(p):
+        return _json.loads(fs.read_text(p))
+    return dict(DENY_SEM_SPEC)
 
 
 def curate_increment_stream(
@@ -510,9 +627,21 @@ def curate_increment_stream(
         # taken down. Probe shape + scale notes: :func:`deny_probe`.
         deny_tbl = ParquetTable(f"{corpus_path}__deny")
         deny_sig_tbl = ParquetTable(f"{corpus_path}__deny_sig")
+        deny_sem_tbl = ParquetTable(f"{corpus_path}__deny_sem")
+        # a store carrying SEMANTIC takedown state must gate with the
+        # embedding channel: silently skipping the arm would re-admit
+        # paraphrases of taken-down content — the exact hole the arm
+        # closes. Misconfiguration fails the batch loudly instead.
+        if deny_sem_tbl.exists() and not sem:
+            raise ValueError(
+                f"curated store {corpus_path} holds a semantic denylist "
+                "(__deny_sem) but the stream runs without an "
+                "embedding_col — gate would silently re-admit "
+                "paraphrases of taken-down content; pass embedding_col"
+            )
         denied = None
         clean = gated
-        if deny_tbl.exists() or deny_sig_tbl.exists():
+        if deny_tbl.exists() or deny_sig_tbl.exists() or deny_sem_tbl.exists():
             fps = (
                 deny_tbl.read(spark)
                 if deny_tbl.exists()
@@ -521,9 +650,19 @@ def curate_increment_stream(
             bands = (
                 deny_sig_tbl.read(spark) if deny_sig_tbl.exists() else None
             )
+            sem_cents = (
+                deny_sem_tbl.read(spark) if deny_sem_tbl.exists() else None
+            )
             denied = deny_probe(
                 gated.select("doc_id", "text"), fps, bands,
                 _read_deny_spec(corpus_path),
+                deny_sem=sem_cents,
+                sem_spec=_read_deny_sem_spec(corpus_path),
+                batch_embeddings=(
+                    gated.select("doc_id", F.col("embedding"))
+                    if sem_cents is not None
+                    else None
+                ),
             ).localCheckpoint()
             clean = gated.join(
                 F.broadcast(denied.select("doc_id")), "doc_id", "left_anti"
@@ -1001,6 +1140,8 @@ def corpus_takedown(
     deny: bool = True,
     deny_signatures: bool = True,
     deny_spec: dict | None = None,
+    deny_semantic: bool = False,
+    deny_sem_spec: dict | None = None,
     run_log=None,
     job_id: str = "takedown",
 ) -> dict:
@@ -1067,9 +1208,17 @@ def corpus_takedown(
     signature family is pinned in a ``_DENY_SPEC`` sidecar at the
     first signature takedown (``deny_spec`` overrides the default
     :data:`DENY_SIG_SPEC` there; later takedowns reuse the persisted
-    family, so gate and takedown can never drift). Deny-store growth
+    family, so gate and takedown can never drift). With
+    ``deny_semantic=True`` (opt-in; requires the store's embedding
+    channel) the docs' QUANTIZED embedding centroids + refusal radii
+    additionally land in ``{corpus_path}__deny_sem`` so the gate also
+    refuses PARAPHRASES — reworded copies both textual arms are blind
+    to — with verdict ``denied_semantic`` (family pinned in
+    ``_DENY_SEM_SPEC``; see :func:`deny_semantic_centroids` /
+    :func:`deny_probe`). Deny-store growth
     stays O(taken-down docs): one fp row per distinct text + ``bands``
-    key rows per doc. With ``deny=False`` the index-level doctrine
+    key rows per doc (+ one centroid row with the semantic arm).
+    With ``deny=False`` the index-level doctrine
     applies instead: delete-then-re-add ≡ never deleted, and an
     identical re-submission is genuinely new. Returns a receipt dict (removed
     count, the new corpus snapshot, the post-delete index epoch);
@@ -1212,6 +1361,48 @@ def corpus_takedown(
                 if sig_tbl.exists():
                     bands = sig_tbl.read(spark).unionByName(bands).distinct()
                 sig_tbl.write(bands)
+            if deny_semantic:
+                # SEMANTIC arm (opt-in, round-9 verdict task 7): the
+                # taken docs' QUANTIZED embedding centroids + refusal
+                # radii land in __deny_sem, so the gate also refuses
+                # PARAPHRASES — reworded copies that share no shingles
+                # (both textual arms blind) but sit inside the radius
+                # in embedding space. Lossy integer centroids only:
+                # nothing reconstructable is retained. The family pins
+                # spec-first in _DENY_SEM_SPEC exactly like the band
+                # arm, so gate and takedown can never drift; the store
+                # must run the embedding channel (a takedown without
+                # embeddings cannot promise semantic refusal — loud).
+                if "embedding" not in taken.columns:
+                    raise ValueError(
+                        "deny_semantic=True needs the curated store's "
+                        "embedding channel (corpus has no 'embedding' "
+                        "column) — run curate_increment_stream with "
+                        "embedding_col, or drop deny_semantic"
+                    )
+                sem_p = _deny_sem_spec_path(corpus_path)
+                mfs = FS.fs_for(sem_p)
+                if mfs.exists(sem_p):
+                    sspec = _json.loads(mfs.read_text(sem_p))
+                    if deny_sem_spec is not None and deny_sem_spec != sspec:
+                        raise ValueError(
+                            f"semantic deny spec mismatch: store pinned "
+                            f"{sspec}, caller passed {deny_sem_spec} — "
+                            "the gate replays the persisted family; "
+                            "rebuild the deny store to change it"
+                        )
+                else:
+                    sspec = dict(deny_sem_spec or DENY_SEM_SPEC)
+                sem_tbl = ParquetTable(f"{corpus_path}__deny_sem")
+                if not mfs.exists(sem_p):
+                    mfs.mkdirs(f"{corpus_path}__deny_sem")
+                    mfs.write_text_atomic(
+                        sem_p, _json.dumps(sspec, sort_keys=True)
+                    )
+                cents = deny_semantic_centroids(taken, sspec)
+                if sem_tbl.exists():
+                    cents = sem_tbl.read(spark).unionByName(cents).distinct()
+                sem_tbl.write(cents)
 
         # receipt count from the checkpointed taken set (batch-bounded)
         n_removed = taken.count()

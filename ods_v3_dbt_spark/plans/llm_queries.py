@@ -2549,6 +2549,168 @@ def deny_neardup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.unionByName(passed)
 
 
+#: semantic deny-gate oracle: deny docs (text ⋈ embedding on id)
+#: leave fp + band + quantized-centroid residues; the batch plants a
+#: verbatim copy (+80000 → denied), a suffix perturbation (+85000 —
+#: textual near-copy; band collision where LSH catches it, the
+#: identical embedding catches the rest), and a PARAPHRASE (+90000:
+#: word order reversed so both textual arms are blind, embedding
+#: bumped +0.5 in one dim → quantized L2² ≈ 250 000 ≤ 300 000 →
+#: denied_semantic). Precedence exact > neardup > semantic replayed
+#: in full.
+_DENY_SEMANTIC_SQL = f"""
+    WITH deny AS (
+      SELECT d.doc_id, d.text,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+      WHERE d.doc_id % 11 = 1),
+    batch AS (
+      SELECT d.doc_id, d.text,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+      WHERE d.doc_id % 11 = 2
+      UNION ALL
+      SELECT doc_id + 80000, text, emb FROM deny
+      UNION ALL
+      SELECT doc_id + 85000, text || ' extra marker token', emb FROM deny
+      UNION ALL
+      SELECT doc_id + 90000,
+             array_to_string(list_reverse(
+               string_split_regex(lower(trim(text)), '\\s+')), ' '),
+             list_transform(emb,
+               (x, i) -> x + CASE WHEN i = doc_id % 64 + 1
+                               THEN 0.5 ELSE 0 END)
+      FROM deny),
+    dfp AS (SELECT DISTINCT md5(lower(trim(text))) AS fp FROM deny),
+    bfp AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM batch),
+    den AS (SELECT doc_id FROM bfp WHERE fp IN (SELECT fp FROM dfp)),
+    {_deny_band_ctes("deny", "d")},
+    rest AS (
+      SELECT doc_id, text FROM batch
+      WHERE doc_id NOT IN (SELECT doc_id FROM den)),
+    {_deny_band_ctes("rest", "b")},
+    dkeys AS (SELECT DISTINCT band_idx, band_key FROM dbands),
+    coll AS (
+      SELECT DISTINCT b.doc_id
+      FROM bbands b JOIN dkeys d
+        ON b.band_idx = d.band_idx AND b.band_key = d.band_key),
+    dc AS (
+      SELECT DISTINCT list_transform(emb,
+        x -> greatest(CAST(round(x * 1000) AS BIGINT), -1000) + 1000) AS v
+      FROM deny),
+    bv AS (
+      SELECT doc_id, list_transform(emb,
+        x -> greatest(CAST(round(x * 1000) AS BIGINT), -1000) + 1000) AS v
+      FROM batch
+      WHERE doc_id NOT IN (SELECT doc_id FROM den)
+        AND doc_id NOT IN (SELECT doc_id FROM coll)),
+    sem AS (
+      SELECT DISTINCT b.doc_id
+      FROM bv b CROSS JOIN dc c
+      WHERE list_sum(list_transform(range(1, 65),
+              i -> (b.v[i]-c.v[i])*(b.v[i]-c.v[i]))) <= 300000)
+    SELECT doc_id, 'denied' AS verdict FROM den
+    UNION ALL SELECT doc_id, 'denied_neardup' AS verdict FROM coll
+    UNION ALL SELECT doc_id, 'denied_semantic' AS verdict FROM sem
+    UNION ALL
+    SELECT doc_id, 'passed' AS verdict FROM batch
+    WHERE doc_id NOT IN (SELECT doc_id FROM den)
+      AND doc_id NOT IN (SELECT doc_id FROM coll)
+      AND doc_id NOT IN (SELECT doc_id FROM sem)
+"""
+
+
+@register("deny_semantic_decisions", _DENY_SEMANTIC_SQL)
+def deny_semantic_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEMANTIC takedown-deny arm, HASH-VERIFIED (round-9
+    verdict task 7 — ``pipelines.deny_probe``'s third arm): a
+    semantic takedown leaves behind the docs' QUANTIZED embedding
+    centroids + refusal radii (``deny_semantic_centroids`` — lossy
+    integer residues, nothing reconstructable) alongside the fp and
+    band members; a later batch's survivors of BOTH textual arms are
+    quantized with the same persisted family and refused as
+    ``denied_semantic`` when within integer-L2² radius of any
+    centroid. This closes the hole the band arm leaves open: a
+    PARAPHRASE (here: word order reversed — zero shared shingles, so
+    fp and bands are both blind) re-submits taken-down content with
+    impunity under a text-only denylist. The planted batch exercises
+    the full precedence lattice — verbatim (+80000 → ``denied``),
+    suffix perturbation (+85000 → ``denied_neardup`` where a band
+    collides, ``denied_semantic`` otherwise — identical embedding),
+    paraphrase (+90000: bumped one dim +0.5 → quantized L2² ≈
+    250 000, inside the 300 000 radius; unrelated vectors sit ≥
+    ~973 000 away) — and the oracle replays fingerprints, the full
+    band chain, quantization, and the brute-force distance gate, so
+    the arm's EXACTNESS (no LSH recall trade on the semantic side —
+    a compliance gate; see ``deny_probe``) is part of the checked
+    contract."""
+    from ..pipelines import (
+        deny_probe,
+        deny_semantic_centroids,
+        deny_signature_bands,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    e = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+            "embedding"
+        ),
+    )
+    de = d.join(e, "doc_id").filter(F.col("doc_id") % 11 == 1)
+    # +0.5 bump at dim (doc_id mod 64): slice/concat, not an index
+    # lambda capturing doc_id — the same Catalyst NamedLambdaVariable
+    # hazard documented at semantic_dedup_cells
+    bumped = F.expr(
+        "concat("
+        " slice(embedding, 1, CAST(doc_id % 64 AS INT)),"
+        " array(element_at(embedding, CAST(doc_id % 64 AS INT) + 1) + 0.5D),"
+        " slice(embedding, CAST(doc_id % 64 AS INT) + 2, 64))"
+    )
+    reversed_text = F.array_join(
+        F.reverse(F.split(F.lower(F.trim(F.col("text"))), r"\s+")), " "
+    )
+    batch = (
+        d.join(e, "doc_id").filter(F.col("doc_id") % 11 == 2)
+        .unionByName(
+            de.select(
+                (F.col("doc_id") + 80000).alias("doc_id"), "text", "embedding"
+            )
+        )
+        .unionByName(
+            de.select(
+                (F.col("doc_id") + 85000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" extra marker token")).alias(
+                    "text"
+                ),
+                "embedding",
+            )
+        )
+        .unionByName(
+            de.select(
+                (F.col("doc_id") + 90000).alias("doc_id"),
+                reversed_text.alias("text"),
+                bumped.alias("embedding"),
+            )
+        )
+    ).localCheckpoint()
+    fps = de.select(T.fingerprint_md5(F.col("text")).alias("fp")).distinct()
+    bands = deny_signature_bands(de.select("doc_id", "text")).select(
+        "band_idx", "band_key"
+    ).distinct()
+    cents = deny_semantic_centroids(de)
+    hits = deny_probe(
+        batch.select("doc_id", "text"), fps, bands,
+        deny_sem=cents,
+        batch_embeddings=batch.select("doc_id", "embedding"),
+    ).localCheckpoint()
+    passed = (
+        batch.join(F.broadcast(hits.select("doc_id")), "doc_id", "left_anti")
+        .select("doc_id", F.lit("passed").alias("verdict"))
+    )
+    return hits.unionByName(passed)
+
+
 #: SemDeDup oracle: the IVF assignment CTE chain over a corpus with
 #: CONSTRUCTED near-dups (every 5th vector cloned at id+10000 with
 #: one dimension bumped +0.5 → quantized L2² ≈ 250 000, far below
