@@ -2693,7 +2693,7 @@ def deny_semantic_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bumped.alias("embedding"),
             )
         )
-    ).localCheckpoint()
+    )
     fps = de.select(T.fingerprint_md5(F.col("text")).alias("fp")).distinct()
     bands = deny_signature_bands(de.select("doc_id", "text")).select(
         "band_idx", "band_key"

@@ -124,3 +124,73 @@ def test_suite_plan_invariants(spark):
         if v.get("exchanges", 0) > 50
     }
     assert not fat, fat
+    # Delete-probe family caps (round-8 verdict task 4): tombstone
+    # suppression is ONE checkpointed broadcast side shared by every
+    # segment (neardup_index._Resolved.tomb_max), so a delete probe
+    # costs the base probe + one cheap BroadcastExchange per
+    # (tomb-applicable segment × member) — these absolutes pin that
+    # shape (the flatness-in-tombstone-count invariant is pinned
+    # separately below).
+    DELETE_PROBE_EXCHANGE_CAPS = {
+        "lsh_index_delete_probe": 18,
+        "dedup_index_delete_probe": 10,
+        "dedup_index_delete_readd_probe": 13,
+        "bm25_indexed_delete_topk": 9,
+    }
+    over = {
+        k: rep[k]["exchanges"]
+        for k, cap in DELETE_PROBE_EXCHANGE_CAPS.items()
+        if rep[k].get("exchanges", 0) > cap
+    }
+    assert not over, over
+
+
+def test_delete_probe_plan_flat_in_tombstone_count(spark, tmp_path):
+    """The 100 TB contract behind the caps above: a probe's PLAN must
+    not grow with the number of live tombstones. Nightly takedowns
+    accumulate up to compact_after−1 tomb members between folds; the
+    old shape unioned every applicable tombstone scan into every
+    segment's visibility anti-join — O(segments × tombstones)
+    Exchange nodes. Now all segments share one checkpointed
+    (doc_id, max tomb epoch) broadcast side, so FOUR separate delete
+    batches must yield the exact same probe plan as ONE."""
+    from pyspark.sql import functions as F
+
+    from ods_v3_dbt_spark.operators.neardup_index import (
+        dedup_index_delete,
+        dedup_index_write,
+        lsh_index_delete,
+        lsh_index_write,
+        lsh_index_probe,
+        neardup_probe,
+    )
+    from ods_v3_dbt_spark.plans.planreport import plan_report
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 3 == 0)
+    )
+    batch = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 3 == 1)
+    )
+
+    def ids(m):
+        return docs.filter(F.col("doc_id") % 10 == m).select("doc_id")
+
+    for kind, write, delete, probe in [
+        ("exact", dedup_index_write, dedup_index_delete,
+         lambda b, i: neardup_probe(b, i)),
+        ("lsh", lsh_index_write, lsh_index_delete,
+         lambda b, i: lsh_index_probe(b, i)),
+    ]:
+        idx = write(docs, f"tflat_{kind}_idx", num_buckets=4)
+        delete(idx, ids(0))
+        one = plan_report(probe(batch, idx))
+        for m in (1, 2, 3):  # three MORE tomb members, no fold (< 8)
+            delete(idx, ids(m))
+        four = plan_report(probe(batch, idx))
+        assert four["exchanges"] == one["exchanges"], (kind, one, four)
+        assert four["broadcast_hash_joins"] == one["broadcast_hash_joins"]
