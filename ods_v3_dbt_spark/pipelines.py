@@ -1542,14 +1542,21 @@ def curate_increment(
     3.5 (SEMANTIC channel, round 7 — only when ``ivf_index`` +
        ``batch_embeddings`` are passed alongside ``index``): a
        surviving batch doc whose nearest vector in the persisted
-       IVF index (``semantic_nprobe`` cells probed, exact integer
-       L2² inside) sits within ``semantic_dist2_max`` →
-       ``neardup_semantic`` — the near-PARAPHRASE gate the shingle
-       channels can't see (different words, same meaning). The IVF
-       recall trade applies: a paraphrase whose embedding probes
-       only unprobed cells is admitted, and that is part of the
-       declared semantics (the oracle replays the same cell
-       pruning);
+       vector index (``semantic_nprobe`` cells probed) sits within
+       ``semantic_dist2_max`` → ``neardup_semantic`` — the
+       near-PARAPHRASE gate the shingle channels can't see
+       (different words, same meaning). ``ivf_index`` takes either
+       flavor: an :class:`~.operators.vector_index.IvfIndex` (exact
+       integer L2² against full quantized vectors inside the probed
+       cells) or a :class:`~.operators.pq_index.PqIndex` (IVFADC:
+       ADC lookup-table sums over one-byte codes — the memory-frugal
+       service flavor; round-9 verdict task 9). The cell-pruning
+       recall trade applies to both, and PQ adds its quantization
+       error to the distance — all part of the declared semantics
+       (the ``incremental_curation_semantic_decisions`` /
+       ``incremental_curation_pq_decisions`` oracles replay cell
+       pruning, and for PQ the full codebook-training + ADC
+       arithmetic);
     4. remaining batch docs that near-dup EACH OTHER resolve by
        connected components, non-min members ``neardup_batch``;
     5. everything else ``admitted``.
@@ -1755,23 +1762,42 @@ def _curate_increment_indexed(
     r3 = r2.select("doc_id").join(F.broadcast(dne), "doc_id", "left_anti")
 
     # stage 3.5 — SEMANTIC channel: survivors with embeddings probe
-    # the persisted IVF index (cell-pruned inverted lists, exact
-    # integer L2² inside); top-1 within the radius is a near-
+    # the persisted vector index; top-1 within the radius is a near-
     # PARAPHRASE of an admitted corpus doc and gets its own verdict.
     # Precedence: an exact or shingle near-dup never reaches here.
+    # Two index flavors (round-9 verdict task 9): an IvfIndex probes
+    # cell-pruned inverted lists of FULL quantized vectors (exact
+    # integer L2² inside the probed cells), a PqIndex probes the
+    # IVFADC decomposition — per-cell ADC lookup-table sums over
+    # one-byte codes, never a full corpus vector (the memory-frugal
+    # flavor a 100 TB service deploys: lists 8-64× smaller). The ADC
+    # distance approximates the same quantized L2², so
+    # ``semantic_dist2_max`` keeps its units; the PQ quantization
+    # error is part of the declared decision contract (the
+    # incremental_curation_pq_decisions oracle replays the exact ADC
+    # arithmetic, codebook training included).
     dns = None
     if ivf_index is not None:
+        from .operators.pq_index import PqIndex, pq_index_topk
         from .operators.vector_index import ivf_index_topk
 
         q = batch_embeddings.select("doc_id", "embedding").join(
             F.broadcast(r3), "doc_id"
         )
-        top1 = ivf_index_topk(
-            spark, ivf_index, q, k=1, nprobe=semantic_nprobe,
-            vec_col="embedding", id_col="doc_id",
-        )
+        if isinstance(ivf_index, PqIndex):
+            top1 = pq_index_topk(
+                spark, ivf_index, q, k=1, nprobe=semantic_nprobe,
+                vec_col="embedding", id_col="doc_id",
+            )
+            dist_col = "adc_d2"
+        else:
+            top1 = ivf_index_topk(
+                spark, ivf_index, q, k=1, nprobe=semantic_nprobe,
+                vec_col="embedding", id_col="doc_id",
+            )
+            dist_col = "dist2"
         dns = (
-            top1.filter(F.col("dist2") <= semantic_dist2_max)
+            top1.filter(F.col(dist_col) <= semantic_dist2_max)
             .select(F.col("query_id").alias("doc_id"))
             .distinct()
             .localCheckpoint()

@@ -1275,7 +1275,7 @@ def incremental_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFram
 #: below the ~973 000 minimum between unrelated sf0.01 vectors).
 _Q = ("list_transform(embedding, x -> greatest(CAST(round("
       "CAST(x AS DOUBLE)*1000) AS BIGINT), -1000) + 1000)")
-_SEM_CURATION_SQL = f"""
+_SEM_CURATION_HEAD = f"""
     WITH RECURSIVE existing AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
     newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
@@ -1405,6 +1405,11 @@ _SEM_CURATION_SQL = f"""
         SELECT doc_id, cell,
                row_number() OVER (PARTITION BY doc_id ORDER BY d2, cell) AS rn
         FROM d2q) WHERE rn <= 3),
+"""
+
+#: IVF flavor of stage 3.5: exact integer L2² against the assigned
+#: full corpus vectors inside the probed cells, top-1 ≤ radius.
+_SEM_IVF_BLOCK = """
     semsc AS (
       SELECT p.doc_id, a.neighbor_id,
              list_sum(list_transform(range(1, 65),
@@ -1419,6 +1424,98 @@ _SEM_CURATION_SQL = f"""
                  PARTITION BY doc_id ORDER BY d2, neighbor_id) AS rn
         FROM semsc) WHERE rn = 1),
     dns AS (SELECT doc_id FROM top1 WHERE d2 <= 300000),
+"""
+
+#: IVFADC flavor of stage 3.5 (round-9 verdict task 9 — the PqIndex
+#: curation channel): residual PQ codebooks train on the corpus
+#: (seeds = the 32 lowest doc_ids' residuals vs their assigned
+#: refined centroid, one Lloyd — pq_index_write's _train verbatim),
+#: the corpus encodes to codes, survivors build per-cell ADC tables,
+#: and the decision distance is the ADC LOOKUP SUM — never a full
+#: corpus vector (what the memory-frugal service flavor can afford
+#: at 100 TB). Same +2000 residual offset / floor-mean / (d2, code)
+#: tie-break as the pq_index_ann_topk oracle.
+_SEM_PQ_BLOCK = """
+    rsd AS (
+      SELECT a.neighbor_id AS doc_id, a.cell,
+             list_transform(range(1, 65), i -> cc.v[i] - r.v[i] + 2000) AS v
+      FROM asg a JOIN ce cc ON cc.doc_id = a.neighbor_id
+      JOIN refined r ON r.cell = a.cell),
+    subs AS (SELECT unnest(generate_series(0, 31)) AS sub),
+    rsub AS (
+      SELECT rsd.doc_id, rsd.cell, s.sub,
+             list_transform(range(1, 3), i -> rsd.v[s.sub*2 + i]) AS sv
+      FROM rsd CROSS JOIN subs s),
+    pseeds AS (
+      SELECT CAST(row_number() OVER (PARTITION BY sub ORDER BY doc_id) - 1
+                  AS INT) AS code,
+             sub, sv
+      FROM rsub
+      WHERE doc_id IN (SELECT doc_id FROM ce ORDER BY doc_id LIMIT 32)),
+    pd1 AS (
+      SELECT rs.doc_id, rs.sub, s.code,
+             (rs.sv[1]-s.sv[1])*(rs.sv[1]-s.sv[1])
+               + (rs.sv[2]-s.sv[2])*(rs.sv[2]-s.sv[2]) AS d2
+      FROM rsub rs JOIN pseeds s ON s.sub = rs.sub),
+    pa1 AS (
+      SELECT doc_id, sub, code FROM (
+        SELECT doc_id, sub, code,
+               row_number() OVER (PARTITION BY doc_id, sub
+                                  ORDER BY d2, code) AS rn
+        FROM pd1) WHERE rn = 1),
+    pdims AS (
+      SELECT a.sub, a.code, g.i, rs.sv[g.i] AS x
+      FROM pa1 a
+      JOIN rsub rs ON rs.doc_id = a.doc_id AND rs.sub = a.sub,
+      generate_series(1, 2) AS g(i)),
+    pm0 AS (SELECT sub, code, i, SUM(x) // COUNT(1) AS m
+            FROM pdims GROUP BY sub, code, i),
+    pmlist AS (SELECT sub, code, list(m ORDER BY i) AS sv
+               FROM pm0 GROUP BY sub, code),
+    prefined AS (
+      SELECT s.sub, s.code, COALESCE(ml.sv, s.sv) AS sv
+      FROM pseeds s
+      LEFT JOIN pmlist ml ON ml.sub = s.sub AND ml.code = s.code),
+    pd2c AS (
+      SELECT rs.doc_id, rs.cell, rs.sub, r.code,
+             (rs.sv[1]-r.sv[1])*(rs.sv[1]-r.sv[1])
+               + (rs.sv[2]-r.sv[2])*(rs.sv[2]-r.sv[2]) AS d2
+      FROM rsub rs JOIN prefined r ON r.sub = rs.sub),
+    pcodes AS (
+      SELECT doc_id, cell, sub, code FROM (
+        SELECT doc_id, cell, sub, code,
+               row_number() OVER (PARTITION BY doc_id, sub
+                                  ORDER BY d2, code) AS rn
+        FROM pd2c) WHERE rn = 1),
+    qr AS (
+      SELECT p.doc_id, p.cell,
+             list_transform(range(1, 65), i -> qq.v[i] - r.v[i] + 2000) AS v
+      FROM probes p JOIN bq qq ON qq.doc_id = p.doc_id
+      JOIN refined r ON r.cell = p.cell),
+    qrsub AS (
+      SELECT qr.doc_id, qr.cell, s.sub,
+             list_transform(range(1, 3), i -> qr.v[s.sub*2 + i]) AS sv
+      FROM qr CROSS JOIN subs s),
+    qtab AS (
+      SELECT qs.doc_id, qs.cell, qs.sub, r.code,
+             (qs.sv[1]-r.sv[1])*(qs.sv[1]-r.sv[1])
+               + (qs.sv[2]-r.sv[2])*(qs.sv[2]-r.sv[2]) AS d2
+      FROM qrsub qs JOIN prefined r ON r.sub = qs.sub),
+    semsc AS (
+      SELECT t.doc_id, pc.doc_id AS neighbor_id, SUM(t.d2) AS adc
+      FROM pcodes pc
+      JOIN qtab t ON t.cell = pc.cell AND t.sub = pc.sub AND t.code = pc.code
+      GROUP BY 1, 2),
+    top1 AS (
+      SELECT doc_id, adc FROM (
+        SELECT doc_id, adc,
+               row_number() OVER (
+                 PARTITION BY doc_id ORDER BY adc, neighbor_id) AS rn
+        FROM semsc) WHERE rn = 1),
+    dns AS (SELECT doc_id FROM top1 WHERE adc <= 300000),
+"""
+
+_SEM_CURATION_TAIL = """
     r3s AS (SELECT doc_id FROM r3
             WHERE doc_id NOT IN (SELECT doc_id FROM dns)),
     ed0 AS (
@@ -1443,6 +1540,9 @@ _SEM_CURATION_SQL = f"""
     UNION ALL SELECT doc_id, 'admitted' AS verdict
     FROM comp WHERE component_id = doc_id
     """
+
+_SEM_CURATION_SQL = _SEM_CURATION_HEAD + _SEM_IVF_BLOCK + _SEM_CURATION_TAIL
+_PQ_CURATION_SQL = _SEM_CURATION_HEAD + _SEM_PQ_BLOCK + _SEM_CURATION_TAIL
 
 
 def _sem_ivf_fixture_index(spark: SparkSession, sf_dir: str,
@@ -1471,33 +1571,37 @@ def _sem_ivf_fixture_index(spark: SparkSession, sf_dir: str,
     return idx
 
 
-@register("incremental_curation_semantic_decisions", _SEM_CURATION_SQL)
-def incremental_curation_semantic_decisions(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """The round-7 LEAD task under the driver's own gate: incremental
-    curation with the SEMANTIC channel live — stage 3.5 of
-    ``pipelines.curate_increment`` probes the persisted IVF index
-    (``operators/vector_index.py``) with the survivors' embeddings,
-    and a top-1 within 300 000 quantized-L2² (nprobe=3 cells) is a
-    near-PARAPHRASE of an admitted corpus doc: verdict
-    ``neardup_semantic``, ranked between ``neardup_existing`` and
-    ``neardup_batch`` in the precedence chain. The planted batch
-    docs (+70000) REVERSE their source's word order — zero shared
-    3-gram shingles, so the text channels are provably blind to
-    them — while carrying the source's embedding with one dimension
-    bumped +0.5 (the SemDeDup oracle's construction, ≈250 000 L2²
-    from the source). The oracle replays BOTH channels from raw
-    data: the full text decision chain of
-    ``incremental_curation_decisions`` plus the IVF train/assign/
-    probe pipeline of ``ivf_index_ann_topk`` — so what is
-    value-checked end to end is that the persisted vector index,
-    wired into the decision path, flags exactly the paraphrases an
-    inline recomputation would, with the exact same precedence.
-    Reference anchor: the M3 freshness-merge idempotence contract
-    (dags/sql/bccp/update_des_table/bccp_item.sql:175) extended to
-    the semantic domain — batch state judged against accumulated
-    corpus state, never by re-deriving the corpus."""
+def _sem_pq_fixture_index(spark: SparkSession, sf_dir: str,
+                          force: bool = False):
+    """The PQ-channel sibling of :func:`_sem_ivf_fixture_index`:
+    an IVFADC index trained on the SAME corpus embeddings
+    (``pq_index_write`` — coarse seeds = 8 lowest ids, codebook
+    seeds = residuals of the 32 lowest, one Lloyd each, everything
+    frozen)."""
+    from ..operators.pq_index import PqIndex, pq_index_write
+
+    name = f"sempq_idx_{_IDXV}_{_fixture_slug(sf_dir)}"
+    key = (id(spark.sparkContext), name)
+    idx = _IDX_CACHE.get(key)
+    if not force and idx is not None and idx.exists(spark):
+        return idx
+    idx = PqIndex(name, 8, 32, 32, 64, 8)
+    if force or not idx.exists(spark):
+        emb = load(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % 3 != 0
+        )
+        idx = pq_index_write(
+            emb, name, num_cells=8, num_subs=32, num_codes=32,
+            dim_count=64, num_buckets=8,
+        )
+    _IDX_CACHE[key] = idx
+    return idx
+
+
+def _sem_curation_fixture(spark: SparkSession, sf_dir: str):
+    """(batch, batch_embeddings) of the semantic-curation rows —
+    shared verbatim by the IVF and PQ channel queries so their
+    decision difference is EXACTLY the vector-index flavor."""
     d = load(spark, sf_dir, "documents")
     e = load(spark, sf_dir, "embeddings")
     existing = d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
@@ -1552,8 +1656,73 @@ def incremental_curation_semantic_decisions(
                     bumped.alias("embedding"))
         )
     )
+    return batch, bemb
+
+
+@register("incremental_curation_pq_decisions", _PQ_CURATION_SQL)
+def incremental_curation_pq_decisions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``incremental_curation_semantic_decisions`` with the semantic
+    channel served by the persisted IVFADC index (round-9 verdict
+    task 9 — ``operators/pq_index.py`` as a CURATION component, not
+    just a retrieval one): stage 3.5's decision distance is the ADC
+    lookup-table sum over one-byte codes — the index never stores a
+    full corpus vector, which is what the semantic channel can
+    afford when the corpus is 100 TB. The batch, text chain, radius,
+    and nprobe are IDENTICAL to the IVF row; the oracle replays the
+    ENTIRE ADC decision contract from raw floats — coarse training,
+    residual codebook training (seeds = residuals of the 32 lowest
+    corpus ids, one Lloyd), corpus encoding, per-cell query tables,
+    lookup-sum scoring, (distance, neighbor) tie-breaks, and the
+    radius gate — so the PQ quantization error's effect on verdicts
+    is pinned, not hand-waved (a paraphrase whose ADC distance
+    crosses the radius is admitted BY CONTRACT in both engines; at
+    sf0.01 ADC overestimation admits ~2/3 of the planted
+    paraphrases the exact-L2 channel flags, so a deployment tuning
+    for recall widens semantic_dist2_max against a labeled sample —
+    the knob, not the arithmetic, is the operator's)."""
     from ..pipelines import curate_increment
 
+    batch, bemb = _sem_curation_fixture(spark, sf_dir)
+    idx = _fixture_index(spark, sf_dir)
+    pq = _sem_pq_fixture_index(spark, sf_dir)
+    return curate_increment(
+        batch, index=idx, ivf_index=pq, batch_embeddings=bemb,
+        semantic_dist2_max=300_000, semantic_nprobe=3,
+    )
+
+
+@register("incremental_curation_semantic_decisions", _SEM_CURATION_SQL)
+def incremental_curation_semantic_decisions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The round-7 LEAD task under the driver's own gate: incremental
+    curation with the SEMANTIC channel live — stage 3.5 of
+    ``pipelines.curate_increment`` probes the persisted IVF index
+    (``operators/vector_index.py``) with the survivors' embeddings,
+    and a top-1 within 300 000 quantized-L2² (nprobe=3 cells) is a
+    near-PARAPHRASE of an admitted corpus doc: verdict
+    ``neardup_semantic``, ranked between ``neardup_existing`` and
+    ``neardup_batch`` in the precedence chain. The planted batch
+    docs (+70000) REVERSE their source's word order — zero shared
+    3-gram shingles, so the text channels are provably blind to
+    them — while carrying the source's embedding with one dimension
+    bumped +0.5 (the SemDeDup oracle's construction, ≈250 000 L2²
+    from the source). The oracle replays BOTH channels from raw
+    data: the full text decision chain of
+    ``incremental_curation_decisions`` plus the IVF train/assign/
+    probe pipeline of ``ivf_index_ann_topk`` — so what is
+    value-checked end to end is that the persisted vector index,
+    wired into the decision path, flags exactly the paraphrases an
+    inline recomputation would, with the exact same precedence.
+    Reference anchor: the M3 freshness-merge idempotence contract
+    (dags/sql/bccp/update_des_table/bccp_item.sql:175) extended to
+    the semantic domain — batch state judged against accumulated
+    corpus state, never by re-deriving the corpus."""
+    from ..pipelines import curate_increment
+
+    batch, bemb = _sem_curation_fixture(spark, sf_dir)
     idx = _fixture_index(spark, sf_dir)
     ivf = _sem_ivf_fixture_index(spark, sf_dir)
     return curate_increment(
