@@ -151,6 +151,13 @@ def main() -> None:
             vec_col="embedding", id_col="doc_id",
         ).write.format("noop").mode("overwrite").save()
         times["sem_ivf_probe"] = round(time.perf_counter() - t0, 3)
+    if "incremental_curation_pq_decisions" in registry:
+        # the PQ semantic channel's IVFADC corpus state — build
+        # (coarse + codebook training) priced on its own row so a
+        # decision-chain regression can't hide inside training noise
+        t0 = time.perf_counter()
+        LQ._sem_pq_fixture_index(spark, sf_dir, force=True)
+        times["sem_pq_index_build"] = round(time.perf_counter() - t0, 3)
     if "simhash_index_probe" in registry:
         # SimHash index: build+append priced on its own row, probe
         # rows come cache-warm from the registry loop

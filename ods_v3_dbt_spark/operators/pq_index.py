@@ -350,11 +350,23 @@ def pq_index_topk(
             )
         ).alias("cell"),
     )
-    qres = _residual(F.col("__qv"), F.col("cell"), ref_lit)
-    qtabs = probes.select(
+    # materialize the per-(query, cell) residual BEFORE the table
+    # build: Catalyst's CollapseProject would otherwise inline the
+    # residual zip_with into _adc_tables' consumer, where the outer
+    # per-sub slice re-evaluates it num_subs× per row (and before
+    # the slice hoist in _adc_tables, num_subs×num_codes× — the
+    # measured 9.6-of-14 s hot spot at 667 sf0.1 queries; ~2 s for
+    # both stages after). The checkpoint is query-sized: nprobe rows
+    # of dim_count bigints per query.
+    qr = probes.select(
         "query_id",
         F.col("cell").cast("int").alias("cell"),
-        _adc_tables(qres, books, sub_dim).alias("tabs"),
+        _residual(F.col("__qv"), F.col("cell"), ref_lit).alias("__qr"),
+    ).localCheckpoint()
+    qtabs = qr.select(
+        "query_id",
+        "cell",
+        _adc_tables(F.col("__qr"), books, sub_dim).alias("tabs"),
     ).localCheckpoint()
     probed_cells = sorted(
         r.cell for r in qtabs.select("cell").distinct().collect()
