@@ -584,6 +584,7 @@ def maintain_curated_store(
         _corpus_table_from_manifest,
         _curated_fields,
         _index_from_manifest,
+        _sem_index_from_manifest,
         _store_lock,
     )
     from .sinks import ParquetTable, PartitionedTable, TableGroup
@@ -602,22 +603,36 @@ def maintain_curated_store(
         corpus_tbl = _corpus_table_from_manifest(corpus_path, man)
         idx = _index_from_manifest(man)
         targets = [idx]
-        ivf = None
-        if man.get("ivf_name"):
-            from .operators.vector_index import IvfIndex
-
-            ivf_spec = man.get("ivf_spec", {})
-            ivf = IvfIndex(
-                man["ivf_name"],
-                ivf_spec.get("num_cells", 8),
-                ivf_spec.get("num_buckets", 8),
-            )
+        ivf = _sem_index_from_manifest(man)
+        if ivf is not None:
             targets.append(ivf)
         index_reports = maintain_indexes(
             spark, targets,
             ivf_recall_floor_ppm=ivf_recall_floor_ppm,
             run_log=run_log, job_id=job_id,
         )
+        # IVFADC recall gate: maintain_indexes recall-refreshes only
+        # IvfIndex (a PqIndex retains no full vectors to re-train
+        # from); at STORE scope the corpus supplies the floats — the
+        # same consistency rule the stream's rebuild path follows.
+        from .operators.pq_index import PqIndex, pq_index_refresh
+
+        if isinstance(ivf, PqIndex):
+            cem = corpus_tbl.read(spark)
+            if "embedding" in cem.columns:
+                cem = cem.filter(
+                    cem["embedding"].isNotNull()
+                ).select("doc_id", "embedding")
+                if cem.take(1):
+                    out = pq_index_refresh(
+                        ivf, cem, spark,
+                        recall_floor_ppm=ivf_recall_floor_ppm,
+                        vec_col="embedding", id_col="doc_id",
+                    )
+                    for rep in index_reports:
+                        if rep["index"] == ivf.name:
+                            rep["recall_ppm"] = out["recall_ppm"]
+                            rep["refreshed"] = out["refreshed"]
 
         # corpus compaction — partial for partitioned stores, gated
         # by file-count for monolithic ones (ParquetTable.compact

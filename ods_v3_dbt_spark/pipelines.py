@@ -494,6 +494,10 @@ def curate_increment_stream(
     semantic_nprobe: int = 3,
     ivf_cells: int = 8,
     corpus_partition: str | None = None,
+    semantic_index_kind: str = "ivf",
+    pq_subs: int = 32,
+    pq_codes: int = 32,
+    pq_dims: int = 64,
 ):
     """The PRODUCTION shape of the LLM curation pipeline: a
     ``foreachBatch`` sink that lands each micro-batch through the full
@@ -553,6 +557,16 @@ def curate_increment_stream(
     rebuilds from the corpus's embedding column; a corpus that has
     no rows yet runs the batch channel-off and trains the first IVF
     epoch from its own admissions, centroids frozen thereafter).
+    ``semantic_index_kind="pq"`` (round-9 verdict task 9) runs the
+    channel on a persisted IVFADC index instead
+    (``{index_name}_pq``, ``operators/pq_index.py``,
+    ``pq_subs``/``pq_codes``/``pq_dims`` shaping the codebooks):
+    decisions come from ADC lookup sums over one-byte codes — the
+    index never stores a full corpus vector, the memory-frugal
+    flavor a 100 TB corpus affords — with the same radius/nprobe
+    contract plus PQ's declared quantization error; takedowns and
+    whole-store maintenance resolve the flavor from the
+    co-manifest's recorded spec (``kind: ivfadc``).
 
     **PARTITIONED corpus (round 8 — the verdict's task 2).** Pass
     ``corpus_partition`` (a column of the incoming batch, e.g. an
@@ -581,6 +595,10 @@ def curate_increment_stream(
 
     if index_kind not in ("exact", "lsh"):
         raise ValueError(f"unknown index_kind: {index_kind}")
+    if semantic_index_kind not in ("ivf", "pq"):
+        raise ValueError(
+            f"unknown semantic_index_kind: {semantic_index_kind}"
+        )
     sem = embedding_col is not None
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -593,13 +611,50 @@ def curate_increment_stream(
         with _store_lock(corpus_path):
             _process_locked(batch_df, batch_id)
 
-    def _process_locked(batch_df: DataFrame, batch_id: int) -> None:
-        from .operators.vector_index import (
-            IvfIndex,
-            ivf_index_append,
-            ivf_index_write,
+    def _sem_index():
+        """The semantic channel's persisted index handle — flavor by
+        ``semantic_index_kind`` (co-manifest records the spec, so
+        takedown/maintenance re-derive the same handle)."""
+        if semantic_index_kind == "pq":
+            from .operators.pq_index import PqIndex
+
+            return PqIndex(f"{index_name}_pq", ivf_cells, pq_subs,
+                           pq_codes, pq_dims, num_buckets)
+        from .operators.vector_index import IvfIndex
+
+        return IvfIndex(f"{index_name}_ivf", ivf_cells, num_buckets)
+
+    def _sem_write(handle, vecs):
+        """Train + persist the first epoch from corpus vectors."""
+        if semantic_index_kind == "pq":
+            from .operators.pq_index import pq_index_write
+
+            return pq_index_write(
+                vecs, handle.name, num_cells=ivf_cells, num_subs=pq_subs,
+                num_codes=pq_codes, dim_count=pq_dims,
+                vec_col="embedding", id_col="doc_id",
+                num_buckets=num_buckets,
+            )
+        from .operators.vector_index import ivf_index_write
+
+        return ivf_index_write(
+            vecs, handle.name, num_cells=ivf_cells, vec_col="embedding",
+            id_col="doc_id", num_buckets=num_buckets,
         )
 
+    def _sem_append(handle, vecs):
+        """O(batch) delta append against the frozen quantizers."""
+        if semantic_index_kind == "pq":
+            from .operators.pq_index import pq_index_append
+
+            return pq_index_append(handle, vecs, vec_col="embedding",
+                                   id_col="doc_id")
+        from .operators.vector_index import ivf_index_append
+
+        return ivf_index_append(handle, vecs, vec_col="embedding",
+                                id_col="doc_id")
+
+    def _process_locked(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         cols = [F.col("doc_id"), F.col("text")]
         if sem:
@@ -719,7 +774,7 @@ def curate_increment_stream(
         if sem:
             import json as _json
 
-            ivf = IvfIndex(f"{index_name}_ivf", ivf_cells, num_buckets)
+            ivf = _sem_index()
             if corpus_tbl.exists():
                 # ORPHAN check (round-8 race-suite catch): an
                 # attachable index under this DERIVED name may be a
@@ -750,11 +805,7 @@ def curate_increment_stream(
                     if "embedding" in cem.columns:
                         cem = cem.filter(F.col("embedding").isNotNull())
                         if cem.take(1):
-                            ivf_index_write(
-                                cem.select("doc_id", "embedding"), ivf.name,
-                                num_cells=ivf_cells, vec_col="embedding",
-                                id_col="doc_id", num_buckets=num_buckets,
-                            )
+                            _sem_write(ivf, cem.select("doc_id", "embedding"))
                             ivf_ready = True
         # Epoch idempotence: the FIRST attempt's decision record is
         # authoritative. A retry after a mid-process crash must not
@@ -913,21 +964,16 @@ def curate_increment_stream(
         # index (per-segment vid anti-joins inside the append).
         if sem:
             if ivf_ready:
-                ivf_index_append(
+                _sem_append(
                     ivf, admitted_docs.select("doc_id", "embedding")
                     .filter(F.col("embedding").isNotNull()),
-                    vec_col="embedding", id_col="doc_id",
                 )
             else:
                 cem = corpus_tbl.read(spark).filter(
                     F.col("embedding").isNotNull()
                 )
                 if cem.take(1):
-                    ivf_index_write(
-                        cem.select("doc_id", "embedding"), ivf.name,
-                        num_cells=ivf_cells, vec_col="embedding",
-                        id_col="doc_id", num_buckets=num_buckets,
-                    )
+                    _sem_write(ivf, cem.select("doc_id", "embedding"))
                     ivf_ready = True
         # CONSISTENT-VIEW co-manifest (round 5; round 6 rides
         # TableGroup): corpus and index commit independently (each
@@ -1016,6 +1062,37 @@ def _index_from_manifest(man: dict):
         )
     return DedupIndex(
         man["index_name"], spec["shingle_n"], spec["num_buckets"]
+    )
+
+
+def _sem_index_from_manifest(man: dict):
+    """The semantic-channel index handle a co-manifest records, or
+    None when the store never ran the embedding channel. Dispatches
+    on the RECORDED spec's kind (``ivfadc`` → :class:`PqIndex`, else
+    :class:`IvfIndex`) so takedown and whole-store maintenance drive
+    whichever flavor the stream was configured with — resolving an
+    IVFADC store through an IvfIndex handle would fail the spec check
+    loudly, but failing is not honoring the takedown."""
+    if not man.get("ivf_name"):
+        return None
+    spec = man.get("ivf_spec", {})
+    if spec.get("kind") == "ivfadc":
+        from .operators.pq_index import PqIndex
+
+        return PqIndex(
+            man["ivf_name"],
+            spec.get("num_cells", 8),
+            spec.get("num_subs", 32),
+            spec.get("num_codes", 32),
+            spec.get("dim_count", 64),
+            spec.get("num_buckets", 8),
+        )
+    from .operators.vector_index import IvfIndex
+
+    return IvfIndex(
+        man["ivf_name"],
+        spec.get("num_cells", 8),
+        spec.get("num_buckets", 8),
     )
 
 
@@ -1262,16 +1339,8 @@ def corpus_takedown(
         # the curation text index, the loop's semantic IVF index if the
         # store runs the embedding channel, plus any caller extras
         targets = [idx]
-        ivf = None
-        if man.get("ivf_name"):
-            from .operators.vector_index import IvfIndex
-
-            ivf_spec = man.get("ivf_spec", {})
-            ivf = IvfIndex(
-                man["ivf_name"],
-                ivf_spec.get("num_cells", 8),
-                ivf_spec.get("num_buckets", 8),
-            )
+        ivf = _sem_index_from_manifest(man)
+        if ivf is not None:
             targets.append(ivf)
         targets.extend(extra_indexes)
         for target in targets:
