@@ -1167,6 +1167,11 @@ def ivfadc_topk(
         F.element_at(ref_lit, F.col("cell") + 1),
         lambda a, b: a - b + 2000,
     )
+    # NOTE: the residual deliberately stays an inline expression here
+    # (pq_index_topk materializes it instead — the declared-query
+    # plan audit requires this inline composition to keep its parquet
+    # scans); _adc_tables' per-sub slice hoist bounds the residual
+    # re-evaluation at num_subs× per row either way.
     qtabs = probes.select(
         "query_id",
         "cell",
