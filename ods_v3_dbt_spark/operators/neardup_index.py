@@ -333,15 +333,16 @@ def _gc_epochs(spark: SparkSession, name: str, parts_keep: set[int]) -> None:
     attempt's orphans, after a commit to retire segments no retained
     epoch (current, previous, pinned) references."""
     import re
-    import shutil
+
+    from .. import fs as FS
 
     pat = re.compile(rf"^{re.escape(name.lower())}__e(\d+)_")
     wh = _warehouse_path(spark)
-    if wh.is_dir():
-        for p in wh.iterdir():
-            m = pat.match(p.name)
-            if m and int(m.group(1)) not in parts_keep and p.is_dir():
-                shutil.rmtree(p, ignore_errors=True)
+    fs = FS.fs_for(wh)
+    for (nm, is_dir, _) in fs.list(wh):
+        m = pat.match(nm)
+        if m and int(m.group(1)) not in parts_keep and is_dir:
+            fs.delete(wh / nm)
     for t in spark.catalog.listTables():
         m = pat.match(t.name.lower())
         if m and int(m.group(1)) not in parts_keep:

@@ -33,13 +33,27 @@ CURRENT_MARKER = "_CURRENT"
 LOCK_MARKER = "_LOCK"
 
 
-def _warehouse_path(spark: SparkSession) -> Path:
+def _warehouse_path(spark: SparkSession):
+    """The warehouse root as a path object: ``file:`` URIs unwrap to
+    a local :class:`~pathlib.Path` (byte-identical to the historical
+    behavior every local deployment and test relies on); any OTHER
+    scheme (s3a://, hdfs://, …) stays a URI (:func:`..fs.norm_root`)
+    so the index manifests/locks/GC that key off this root run
+    through HadoopFS instead of mangling the URI into a relative
+    local path."""
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     for prefix in ("file://", "file:"):
         if wh.startswith(prefix):
             wh = wh[len(prefix):]
             break
-    return Path(wh)
+    return _norm_root(wh)
+
+
+def _loc(p) -> str:
+    """A path object as a catalog LOCATION / writer path string:
+    local paths resolve (relative warehouse dirs must anchor to one
+    absolute location), URIs pass through."""
+    return str(p.resolve()) if isinstance(p, Path) else str(p)
 
 
 def _norm_root(root):
@@ -1293,8 +1307,13 @@ class BucketedTable:
         if self.exists(spark):
             return True
         self._repair(spark)  # promote a crash-orphaned tombstone first
+        from . import fs as FS
+
         path = _warehouse_path(spark) / self.name.lower()
-        if not path.is_dir() or not any(path.glob("*.parquet")):
+        fs = FS.fs_for(path)
+        if not any(
+            n.endswith(".parquet") for (n, d, _) in fs.list(path) if not d
+        ):
             return False
         # Registering the DECLARED spec over files laid out under a
         # DIFFERENT spec would make Spark trust wrong bucketing
@@ -1303,11 +1322,11 @@ class BucketedTable:
         # write path drops a _BUCKET_SPEC sidecar; refuse on
         # mismatch (rebuild is the correct response).
         spec = path / "_BUCKET_SPEC"
-        if spec.exists():
+        if fs.exists(spec):
             import json
 
             want = {"keys": list(self.keys), "num_buckets": self.num_buckets}
-            got = json.loads(spec.read_text())
+            got = json.loads(fs.read_text(spec))
             if got != want:
                 raise ValueError(
                     f"bucket-spec mismatch attaching {self.name}: "
@@ -1330,7 +1349,7 @@ class BucketedTable:
             f"CREATE TABLE {self.name} ({cols}) USING parquet "
             f"CLUSTERED BY ({keys}) SORTED BY ({keys}) "
             f"INTO {self.num_buckets} BUCKETS "
-            f"LOCATION '{path.resolve()}'"
+            f"LOCATION '{_loc(path)}'"
         )
 
     def read(self, spark: SparkSession) -> DataFrame:
@@ -1384,7 +1403,7 @@ class BucketedTable:
                 .write.format("parquet")
                 .bucketBy(self.num_buckets, self.keys[0], *self.keys[1:])
                 .sortBy(self.keys[0], *self.keys[1:])
-                .option("path", str(side_dir.resolve()))
+                .option("path", _loc(side_dir))
                 .saveAsTable(side)
             )
             # bucket-spec sidecar rides INSIDE the snapshot from birth
