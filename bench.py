@@ -433,6 +433,11 @@ def main() -> None:
         {a: times[a] for a in anchors if a in times},
         "sf": sf,
         "n_queries": len(times),
+        # which tier produced this line: "anchors" walls are NOT
+        # comparable to a prior round's full-suite wall — compare
+        # per-anchor rows (always present) or BENCH_SELF.json
+        "tier": "full" if not only else
+        (tier if only == "tier:anchors" else f"subset:{only}"),
         "full": "BENCH_SELF.json",
     }
     print(json.dumps(compact))
