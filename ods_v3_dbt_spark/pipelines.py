@@ -1560,6 +1560,77 @@ def corpus_takedown(
         return receipt
 
 
+def deny_release(spark, corpus_path, docs: DataFrame) -> dict:
+    """RE-ALLOW: remove ``docs``' residues from every deny arm, so a
+    later submission of that content is judged on its merits again —
+    the inverse verb a takedown workflow eventually needs (an opt-out
+    withdrawn, a dispute resolved, a license obtained). ``docs`` must
+    carry the CONTENT being released (``text``, plus ``embedding``
+    when the store runs the semantic arm): the deny store holds only
+    one-way residues, so release recomputes the same fp / band-key /
+    quantized-centroid residues under the PERSISTED families and
+    anti-joins them out of ``__deny`` / ``__deny_sig`` /
+    ``__deny_sem`` (snapshot-swap writes — concurrent gate readers
+    finish on the old snapshot). Idempotent: releasing absent
+    content is a no-op.
+
+    Declared edge (same class as the arms' own semantics): residues
+    are keyed by CONTENT, so two taken-down docs that are near-copies
+    of each other can share band keys (or an identical text shares
+    one fp row) — releasing one releases the shared residue. That is
+    the conservative-set inverse of the gate's conservative-refuse
+    direction; a deployment needing per-REQUEST provenance adds a
+    request id column to the deny rows (noted in SCALE.md). Returns
+    a receipt of per-arm rows removed."""
+    from .sinks import ParquetTable
+
+    with _store_lock(corpus_path):
+        receipt: dict = {}
+        deny_tbl = ParquetTable(f"{corpus_path}__deny")
+        if deny_tbl.exists():
+            fps = docs.select(
+                T.fingerprint_md5(F.col("text")).alias("fp")
+            ).distinct()
+            cur = deny_tbl.read(spark)
+            kept = cur.join(F.broadcast(fps), "fp", "left_anti")
+            before, after = cur.count(), kept.count()
+            if after < before:
+                deny_tbl.write(kept)
+            receipt["fps_removed"] = before - after
+        sig_tbl = ParquetTable(f"{corpus_path}__deny_sig")
+        if sig_tbl.exists():
+            bands = deny_signature_bands(
+                docs.select("doc_id", "text"), _read_deny_spec(corpus_path)
+            ).select("band_idx", "band_key").distinct()
+            cur = sig_tbl.read(spark)
+            kept = cur.join(
+                F.broadcast(bands), ["band_idx", "band_key"], "left_anti"
+            )
+            before, after = cur.count(), kept.count()
+            if after < before:
+                sig_tbl.write(kept)
+            receipt["bands_removed"] = before - after
+        sem_tbl = ParquetTable(f"{corpus_path}__deny_sem")
+        if sem_tbl.exists():
+            if "embedding" not in docs.columns:
+                raise ValueError(
+                    "deny_release on a store with a semantic denylist "
+                    "(__deny_sem) needs the released docs' 'embedding' "
+                    "column — without it the paraphrase residue would "
+                    "silently survive the release"
+                )
+            cents = deny_semantic_centroids(
+                docs, _read_deny_sem_spec(corpus_path)
+            ).select("centroid")
+            cur = sem_tbl.read(spark)
+            kept = cur.join(F.broadcast(cents), "centroid", "left_anti")
+            before, after = cur.count(), kept.count()
+            if after < before:
+                sem_tbl.write(kept)
+            receipt["centroids_removed"] = before - after
+        return receipt
+
+
 def release_curated_view(spark, corpus_path, pin_id: str) -> None:
     """Release a :func:`curated_view` pin: the pair it protected
     becomes collectible by the loop's normal retention."""

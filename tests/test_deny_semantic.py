@@ -213,3 +213,55 @@ def test_semantic_denylist_requires_embedding_channel(spark, tmp_path):
     with pytest.raises(Exception, match="semantic denylist|__deny_sem"):
         q.awaitTermination(180)
         raise RuntimeError("stream should have failed")
+
+
+def test_deny_release_reallows_content(spark, tmp_path):
+    """The inverse verb: releasing ONE doc's residues re-admits its
+    content (verbatim AND paraphrase) while the other taken-down
+    doc's residues keep refusing — across all three arms."""
+    from ods_v3_dbt_spark.pipelines import deny_release
+
+    random.seed(9)
+    vecs = [[random.uniform(-1, 1) for _ in range(8)] for _ in range(2)]
+    corpus, write, drain, verdicts = _harness(spark, tmp_path, "t_drel_idx")
+    write([(1, BASE, vecs[0], T0), (2, FRESH, vecs[1], T0)])
+    drain()
+    corpus_takedown(
+        spark, corpus,
+        spark.createDataFrame([(1,), (2,)], "doc_id bigint"),
+        deny_semantic=True,
+    )
+    bump1 = [vecs[0][0] + 0.05] + vecs[0][1:]
+    write([(31, BASE, vecs[0], T0), (32, PARA, bump1, T0)])
+    drain()
+    v = verdicts()
+    assert v[31] == "denied" and v[32] == "denied_semantic"
+
+    receipt = deny_release(
+        spark, corpus,
+        spark.createDataFrame(
+            [(1, BASE, vecs[0])], "doc_id long, text string, embedding array<double>"
+        ),
+    )
+    assert receipt["fps_removed"] == 1
+    assert receipt["bands_removed"] >= 1
+    assert receipt["centroids_removed"] == 1
+    # released content re-admits (takedown tombstoned the index, so
+    # it is genuinely new); the OTHER doc's residues keep refusing
+    bump2 = [vecs[1][0] + 0.05] + vecs[1][1:]
+    write([(41, BASE, vecs[0], T0), (42, PARA + " two", bump1, T0),
+           (43, FRESH, vecs[1], T0),
+           (44, "reworded copy of the still denied second document", bump2, T0)])
+    drain()
+    v = verdicts()
+    assert v[41] == "admitted" and v[42] == "admitted"
+    assert v[43] == "denied" and v[44] == "denied_semantic"
+    # idempotent: releasing the same content again removes nothing
+    receipt = deny_release(
+        spark, corpus,
+        spark.createDataFrame(
+            [(1, BASE, vecs[0])], "doc_id long, text string, embedding array<double>"
+        ),
+    )
+    assert receipt == {"fps_removed": 0, "bands_removed": 0,
+                       "centroids_removed": 0}
