@@ -33,12 +33,52 @@ SEMANTICS CONTRACT (both implementations):
 * ``create_exclusive`` is the lock-acquire primitive: atomic
   create-if-absent (O_CREAT|O_EXCL / HDFS create(overwrite=false)).
 
-OBJECT-STORE CAVEATS (documented, not hidden): S3A's rename is a
-copy+delete — non-atomic and O(size) — so the lock steal and dir
-swaps degrade there; HDFS/ABFS/GCS renames are atomic. On S3, the
-production answer is Delta Lake's log (README) or a DynamoDB-style
-lock service; this adapter keeps the protocol correct everywhere
-renames are atomic and makes the degradation explicit elsewhere.
+OBJECT-STORE SEMANTICS (round-10 verdict task 1 — the commit
+protocol no longer ASSUMES atomic rename anywhere):
+
+* Every FS advertises ``supports_atomic_rename()``. LocalFS and the
+  rename-atomic Hadoop schemes (hdfs, file, viewfs, abfs/abfss,
+  ofs/o3fs) answer True; object-store schemes (s3/s3a/s3n, gs, oss,
+  cos, swift, wasb/wasbs) and UNKNOWN schemes answer False — the
+  conservative default, since a wrong True silently tears commits
+  while a wrong False merely switches to the log protocol below.
+* ``write_text_atomic`` stays atomic EVERYWHERE by changing its
+  implementation, not its contract: on rename-atomic stores it is
+  tmp-in-dir + atomic replace (POSIX needs the dance); on object
+  stores it is ONE direct ``create(overwrite=true)`` whole-object
+  PUT — visible only at close(), which on S3A/GCS *is* the atomic
+  primitive, and the tmp+rename dance would be the broken path.
+* Clobbering pointer flips are gone from the commit protocol:
+  :func:`commit_pointer` / :func:`read_pointer` keep the legacy
+  single-file pointer on rename-atomic stores (unchanged on-disk
+  format) and switch to a **log-dir commit** on object stores —
+  entries ``<ptr>.d/<seq 020d>.ptr`` created with the atomic
+  ``create_exclusive`` conditional-put, readers resolve max(seq).
+  A seq collision means two writers believed they held the mutex:
+  it raises :class:`PointerCommitConflict` LOUDLY instead of
+  last-writer-wins. Old entries beyond a retention window are
+  pruned; readers re-list on a raced delete.
+* ``create_exclusive`` is REQUIRED atomic on every implementation.
+  On S3 that is the conditional write (PUT + If-None-Match,
+  Hadoop 3.4.1+ S3A); on GCS generation-match; on Azure ETag.
+  Connectors predating conditional create degrade to
+  check-then-act — the same residual any lockfile has — which is
+  why the pointer COMMIT no longer depends on the lock alone.
+* Multi-file directory renames remain copy+delete on object
+  stores. The snapshot stores only ever rename INTO unique
+  uuid-named immutable destinations before the pointer commit
+  (crash residue is invisible and GC'd), so no reader can observe
+  a torn directory; the one protocol that swaps a LIVE directory
+  in place (BucketedTable's tombstone swap) refuses loudly on a
+  non-rename-atomic FS (sinks.py) — use ParquetTable /
+  PartitionedTable (or Delta) for object-store warehouses.
+
+The object-store semantics are proven in tests against
+``tests/fake_object_fs.FakeObjectFS`` — a seam implementation with
+atomic per-object PUT / conditional create but copy+delete renames,
+delete-then-copy replace, and crash injection — via
+``register_fs_override`` below (this container cannot host MinIO;
+the fake models exactly the primitives real stores document).
 """
 
 from __future__ import annotations
@@ -106,8 +146,29 @@ def norm_root(p):
     return UriPath(s) if "://" in s else Path(p)
 
 
+class PointerCommitConflict(RuntimeError):
+    """Two writers raced the SAME pointer-log sequence number — the
+    writer-mutex discipline was already broken, so the loser must
+    surface loudly instead of silently becoming (or clobbering) the
+    committed value. On a rename-atomic FS this cannot happen (the
+    legacy single-file flip is used there); on an object store the
+    ``create_exclusive`` conditional-put is what detects it."""
+
+
+#: Hadoop schemes whose FileSystem.rename is a single atomic
+#: metadata operation. Everything else — object stores and any
+#: scheme not listed — is treated as copy+delete (conservative:
+#: a wrong False only switches protocols, a wrong True tears them).
+_ATOMIC_RENAME_SCHEMES = frozenset(
+    {"hdfs", "file", "viewfs", "abfs", "abfss", "ofs", "o3fs"}
+)
+
+
 class LocalFS:
     """os/pathlib implementation — the engine's default seam."""
+
+    def supports_atomic_rename(self) -> bool:
+        return True
 
     def exists(self, p) -> bool:
         return Path(p).exists()
@@ -229,6 +290,11 @@ class HadoopFS:
         self._gw = spark.sparkContext._gateway
         self._conf = spark._jsc.hadoopConfiguration()
         self._fs = self._path(base_uri).getFileSystem(self._conf)
+        scheme = str(base_uri).split("://", 1)[0].lower()
+        self._atomic_rename = scheme in _ATOMIC_RENAME_SCHEMES
+
+    def supports_atomic_rename(self) -> bool:
+        return self._atomic_rename
 
     def _path(self, p):
         return self._jvm.org.apache.hadoop.fs.Path(str(p))
@@ -264,6 +330,14 @@ class HadoopFS:
             out.close()
 
     def write_text_atomic(self, p, content: str) -> None:
+        if not self._atomic_rename:
+            # Object store: ONE whole-object PUT, visible at close()
+            # — that IS the store's atomic primitive. The tmp+rename
+            # dance below would be the torn path here (rename is
+            # copy+delete; FileContext OVERWRITE may delete dst
+            # first, leaving a reader-visible missing-pointer window).
+            self._write(p, content, overwrite=True)
+            return
         parent = str(p).rsplit("/", 1)[0]
         name = str(p).rsplit("/", 1)[1]
         tmp = f"{parent}/.{name}.{uuid.uuid4().hex[:8]}"
@@ -347,6 +421,88 @@ def join(base, *parts) -> str | Path:
 
 _LOCAL = LocalFS()
 
+#: prefix → FS instance, consulted FIRST by :func:`fs_for`. This is
+#: the test seam that lets the suite route a local path through an
+#: object-store-semantics implementation (tests/fake_object_fs.py)
+#: while Spark keeps reading/writing the same path natively — the
+#: only way to integration-test the non-atomic-rename protocol in a
+#: container that cannot host MinIO. Production code never registers
+#: overrides.
+_FS_OVERRIDES: dict[str, object] = {}
+
+
+def register_fs_override(prefix: str, fs) -> None:
+    _FS_OVERRIDES[str(prefix)] = fs
+
+
+def clear_fs_override(prefix: str) -> None:
+    _FS_OVERRIDES.pop(str(prefix), None)
+
+
+def _log_dir(ptr):
+    """Sibling commit-log directory of a pointer file:
+    ``…/_CURRENT`` → ``…/_CURRENT.d`` (never collides with the
+    stores' ``snap-*`` history namespaces)."""
+    s = str(ptr) + ".d"
+    return UriPath(s) if "://" in s else Path(s)
+
+
+def read_pointer(fs, ptr) -> str | None:
+    """Resolve a committed pointer value, or None before the first
+    commit. Log-dir entries (object-store protocol) supersede the
+    legacy single file; readers take max(seq) and re-list if a
+    retention prune raced the read."""
+    d = _log_dir(ptr)
+    for _attempt in range(3):
+        entries = sorted(
+            name
+            for (name, is_dir, _) in fs.list(d)
+            if not is_dir and name.endswith(".ptr")
+        )
+        if not entries:
+            break
+        try:
+            return fs.read_text(join(d, entries[-1]))
+        except FileNotFoundError:
+            continue  # raced a retention prune; re-list
+    if fs.exists(ptr):
+        return fs.read_text(ptr)
+    return None
+
+
+def commit_pointer(fs, ptr, value: str, retain: int = 8) -> None:
+    """THE pointer commit. Rename-atomic FS → legacy single-file
+    atomic replace (on-disk format unchanged for every existing
+    store). Non-atomic FS → log-dir commit: entry
+    ``<ptr>.d/<seq:020d>.ptr`` created with the atomic
+    ``create_exclusive`` conditional-put; readers resolve max(seq),
+    so the commit is all-old-or-all-new with NO rename anywhere. A
+    seq collision (two writers both computed the same next seq) is a
+    broken-mutex signal and raises :class:`PointerCommitConflict`
+    loudly — create-if-absent makes the pointer flip itself a CAS,
+    which the posix single-file flip never was. Entries beyond
+    ``retain`` are pruned after the commit (readers re-list on a
+    raced delete; max(seq) is always retained)."""
+    if fs.supports_atomic_rename():
+        fs.write_text_atomic(ptr, value)
+        return
+    d = _log_dir(ptr)
+    fs.mkdirs(d)
+    seqs = sorted(
+        int(name.split(".", 1)[0])
+        for (name, is_dir, _) in fs.list(d)
+        if not is_dir and name.endswith(".ptr")
+    )
+    seq = (seqs[-1] + 1) if seqs else 1
+    if not fs.create_exclusive(join(d, f"{seq:020d}.ptr"), value):
+        raise PointerCommitConflict(
+            f"pointer log {d} seq {seq} already committed by a "
+            "concurrent writer — writer-mutex discipline broke; "
+            "back off, re-resolve, and retry"
+        )
+    for old in seqs[: max(0, len(seqs) - (retain - 1))]:
+        fs.delete(join(d, f"{old:020d}.ptr"), recursive=False)
+
 
 def fs_for(path, spark=None):
     """Scheme dispatch: ``scheme://…`` → :class:`HadoopFS` (needs the
@@ -354,6 +510,10 @@ def fs_for(path, spark=None):
     deliberately go through HadoopFS — that is how the Hadoop arm is
     integration-tested in this container."""
     s = str(path)
+    if _FS_OVERRIDES:
+        for prefix, fsimpl in _FS_OVERRIDES.items():
+            if s.startswith(prefix):
+                return fsimpl
     if "://" in s:
         if spark is None:
             from pyspark.sql import SparkSession

@@ -159,13 +159,13 @@ def _pins_path(spark: SparkSession, name: str):
 
 
 def _read_manifest(spark: SparkSession, name: str) -> dict | None:
-    from ..fs import fs_for
+    from ..fs import fs_for, read_pointer
 
     p = _manifest_path(spark, name)
-    fs = fs_for(p)
-    if not fs.exists(p):
+    raw = read_pointer(fs_for(p), p)
+    if raw is None:
         return None
-    man = json.loads(fs.read_text(p))
+    man = json.loads(raw)
     # pre-LSM manifests (no segment list): one monolithic segment
     man.setdefault("segments", [man["epoch"]])
     man.setdefault("history", {str(man["epoch"]): man["segments"]})
@@ -180,20 +180,23 @@ def _commit_manifest(spark: SparkSession, name: str, epoch: int,
                      history: dict[str, list[int]],
                      tombs: list[int] | None = None,
                      tomb_history: dict[str, list[int]] | None = None) -> None:
-    """THE commit point: one atomic manifest replace (tmp + rename
-    inside the FS adapter's ``write_text_atomic``). Everything before
+    """THE commit point: one atomic pointer commit through the FS
+    adapter (``fs.commit_pointer`` — in-place replace on
+    rename-atomic stores, conditional-put log entry with max(seq)
+    readers on object stores). Everything before
     this is invisible to readers; everything after is the new segment
     set in full. ``history`` maps every RETAINED epoch (new, previous,
     pinned) to its segment set so epoch-pinned resolves survive later
     refreshes; ``tombs``/``tomb_history`` are the parallel structures
     for tombstone epochs (defaults keep tomb-less callers — the
     vector and BM25 indexes — source-compatible)."""
-    from ..fs import fs_for
+    from ..fs import commit_pointer, fs_for
 
     p = _manifest_path(spark, name)
     fs = fs_for(p)
     fs.mkdirs(p.parent)
-    fs.write_text_atomic(
+    commit_pointer(
+        fs,
         p,
         json.dumps(
             {"epoch": epoch, "spec": spec, "segments": segments,

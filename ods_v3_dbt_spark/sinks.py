@@ -75,6 +75,15 @@ class ConcurrentWriteError(RuntimeError):
     commits (snapshot-swap keeps the table readable throughout)."""
 
 
+class AtomicRenameRequiredError(RuntimeError):
+    """The requested protocol swaps a LIVE directory in place and is
+    only safe where renames are atomic (``fs.supports_atomic_rename``).
+    Raised LOUDLY on object-store roots instead of exposing torn
+    reads; the pointer-log stores (:class:`ParquetTable`,
+    :class:`PartitionedTable`, :class:`TableGroup`) are the
+    object-store-correct alternatives (round-10 verdict task 1)."""
+
+
 class _LockHandle:
     """What ``_writer_lock`` yields: the holder's identity plus a
     FENCING check. ``check()`` re-reads the lock file and raises
@@ -307,11 +316,13 @@ class ParquetTable:
         return self.root / CURRENT_MARKER
 
     def current_snapshot(self) -> Path | None:
+        from . import fs as FS
+
         fs = self._fs()
-        if not fs.exists(self._pointer()):
+        name = FS.read_pointer(fs, self._pointer())
+        if name is None:
             return None
-        name = fs.read_text(self._pointer()).strip()
-        snap = self.root / name
+        snap = self.root / name.strip()
         return snap if fs.exists(snap) else None
 
     def exists(self) -> bool:
@@ -351,9 +362,12 @@ class ParquetTable:
             writer = writer.partitionBy(*self.partition_cols)
         writer.parquet(str(self.root / snap))
         lk.check()  # fencing: abort (not flip) if evicted mid-produce
-        # atomic pointer flip through the FS adapter (tmp-in-dir
-        # + replace inside write_text_atomic)
-        self._fs().write_text_atomic(self._pointer(), snap)
+        # pointer commit through the FS adapter: atomic replace on
+        # rename-atomic stores, conditional-put log entry on object
+        # stores (fs.commit_pointer — all-old-or-all-new either way)
+        from . import fs as FS
+
+        FS.commit_pointer(self._fs(), self._pointer(), snap)
         return self.root / snap
 
     def history(self) -> list[Path]:
@@ -551,11 +565,13 @@ class PartitionedTable:
         return self.root / CURRENT_MARKER
 
     def current_snapshot(self) -> Path | None:
+        from . import fs as FS
+
         fs = self._fs()
-        if not fs.exists(self._pointer()):
+        name = FS.read_pointer(fs, self._pointer())
+        if name is None:
             return None
-        name = fs.read_text(self._pointer()).strip()
-        snap = self.root / name
+        snap = self.root / name.strip()
         return snap if fs.exists(snap) else None
 
     def exists(self) -> bool:
@@ -727,14 +743,29 @@ class PartitionedTable:
         # lk.check() let an EVICTED writer's manifest enter history —
         # pinning dirs alive and serving time-travel reads of a
         # commit that never happened (round-9 ADVICE)
+        from . import fs as FS
+
         staged = self.root / f".{snap}.staged"
         fs.write_text_atomic(staged, json.dumps(man, sort_keys=True))
         lk.check()  # fencing: abort (not publish) if evicted
-        if not fs.rename(staged, self.root / snap):
-            raise ConcurrentWriteError(
-                f"manifest publish lost a race: {staged}"
-            )
-        fs.write_text_atomic(self._pointer(), snap)
+        if fs.supports_atomic_rename():
+            if not fs.rename(staged, self.root / snap):
+                raise ConcurrentWriteError(
+                    f"manifest publish lost a race: {staged}"
+                )
+        else:
+            # object store: no-clobber rename is check-then-act there,
+            # so publish with the atomic conditional-put instead (the
+            # manifest name is the CAS key); the staged copy becomes
+            # ordinary residue for _gc_orphan_dirs
+            if not fs.create_exclusive(
+                self.root / snap, json.dumps(man, sort_keys=True)
+            ):
+                raise ConcurrentWriteError(
+                    f"manifest publish lost a race: {snap}"
+                )
+            fs.delete(staged, recursive=False)
+        FS.commit_pointer(fs, self._pointer(), snap)
         return self.root / snap
 
     def _referenced_dirs(self) -> set[str]:
@@ -1011,10 +1042,12 @@ class TableGroup:
         "extras": {...}}``."""
         import json
 
-        fs = self._fs()
-        if not fs.exists(self._manifest_path()):
+        from . import fs as FS
+
+        raw = FS.read_pointer(self._fs(), self._manifest_path())
+        if raw is None:
             return None
-        return json.loads(fs.read_text(self._manifest_path()))
+        return json.loads(raw)
 
     def exists(self) -> bool:
         return self.manifest() is not None
@@ -1055,8 +1088,10 @@ class TableGroup:
                 "extras": extras or {},
             }
             lk.check()  # fencing: evicted writers must not flip
-            fs.write_text_atomic(
-                self._manifest_path(), json.dumps(man, sort_keys=True)
+            from . import fs as FS
+
+            FS.commit_pointer(
+                fs, self._manifest_path(), json.dumps(man, sort_keys=True)
             )
             return man
 
@@ -1100,8 +1135,10 @@ class TableGroup:
                 "extras": extras or {},
             }
             lk.check()  # fencing: evicted writers must not flip
-            fs.write_text_atomic(
-                self._manifest_path(), json.dumps(man, sort_keys=True)
+            from . import fs as FS
+
+            FS.commit_pointer(
+                fs, self._manifest_path(), json.dumps(man, sort_keys=True)
             )
             return man
 
@@ -1392,6 +1429,24 @@ class BucketedTable:
             from . import fs as FS
 
             fs = FS.fs_for(live)
+            if not fs.supports_atomic_rename():
+                # The tombstone swap renames the LIVE directory in
+                # place — the ONE protocol here that needs atomic
+                # multi-file rename (readers resolve the dir by name,
+                # not via a manifest). On an object store that rename
+                # is copy+delete: a reader would see a half-copied
+                # table. Refuse loudly; ParquetTable/PartitionedTable
+                # commit via pointer logs and work on any store, and
+                # production bucketed facts on object storage belong
+                # in a Hive/Delta catalog (README).
+                raise AtomicRenameRequiredError(
+                    f"BucketedTable {self.name!r}: warehouse {live} is on "
+                    "a store without atomic rename — the in-place "
+                    "tombstone swap would expose torn reads. Use "
+                    "ParquetTable/PartitionedTable (pointer-log commit) "
+                    "for object-store warehouses, or an external "
+                    "catalog (Delta/Hive) for bucketed facts."
+                )
             self._repair(spark)  # finish a predecessor's crashed swap
             # clear residue from prior crashes/losers (catalog entries
             # are external → drops are catalog-only; dirs explicit)

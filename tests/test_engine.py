@@ -1301,14 +1301,8 @@ def test_table_group_all_old_or_all_new(spark, tmp_path, monkeypatch):
         def __init__(self, inner):
             self.inner = inner
 
-        def mkdirs(self, p):
-            return self.inner.mkdirs(p)
-
-        def exists(self, p):
-            return self.inner.exists(p)
-
-        def read_text(self, p):
-            return self.inner.read_text(p)
+        def __getattr__(self, name):  # delegate everything else
+            return getattr(self.inner, name)
 
         def write_text_atomic(self, p, c):
             raise RuntimeError("simulated crash before group manifest")

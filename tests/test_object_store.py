@@ -1,0 +1,248 @@
+"""Object-store-atomic commit protocol (round-10 verdict task 1).
+
+These tests register :class:`tests.fake_object_fs.FakeObjectFS` —
+per-object atomic PUT + conditional create, but copy+delete renames
+and delete-then-copy replace, i.e. exactly what S3-class stores
+document — over local roots via ``fs.register_fs_override`` and
+prove the engine's durability claims survive it:
+
+* pointer commits switch to the log-dir protocol (``_CURRENT.d/<seq
+  020d>.ptr`` via conditional-put; readers resolve max(seq)) — NO
+  ``replace`` ever touches a pointer, so there is no
+  reader-visible missing/torn-pointer window by construction;
+* a seq collision raises :class:`PointerCommitConflict` loudly
+  (create-if-absent CAS) instead of last-writer-wins;
+* ParquetTable / PartitionedTable / TableGroup lifecycles run green
+  end-to-end, including time travel, pins, vacuum, and the
+  all-old-or-all-new group read;
+* a crash mid dir-copy (injected) aborts a commit WITHOUT tearing
+  the published table;
+* BucketedTable's in-place tombstone swap — the one protocol that
+  genuinely needs atomic rename — refuses loudly
+  (:class:`AtomicRenameRequiredError`).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ods_v3_dbt_spark import fs as FS
+from ods_v3_dbt_spark.fs import (
+    PointerCommitConflict,
+    commit_pointer,
+    read_pointer,
+)
+from ods_v3_dbt_spark.sinks import (
+    AtomicRenameRequiredError,
+    ParquetTable,
+    PartitionedTable,
+    TableGroup,
+)
+from tests.fake_object_fs import FakeCrash, FakeObjectFS
+
+
+@pytest.fixture()
+def objfs(tmp_path):
+    """A FakeObjectFS routed over ``tmp_path`` for the test's
+    duration; every engine ``fs_for`` under that root sees object
+    semantics while Spark does native local I/O on the same paths."""
+    fs = FakeObjectFS()
+    FS.register_fs_override(str(tmp_path), fs)
+    try:
+        yield fs
+    finally:
+        FS.clear_fs_override(str(tmp_path))
+
+
+def test_pointer_log_commit_and_cas(tmp_path, objfs):
+    ptr = tmp_path / "_CURRENT"
+    assert read_pointer(objfs, ptr) is None
+
+    commit_pointer(objfs, ptr, "snap-1")
+    assert read_pointer(objfs, ptr) == "snap-1"
+    commit_pointer(objfs, ptr, "snap-2")
+    assert read_pointer(objfs, ptr) == "snap-2"
+    # log protocol, not a single replaceable file
+    assert not ptr.exists()
+    assert (tmp_path / "_CURRENT.d" / f"{2:020d}.ptr").exists()
+
+    # CAS: a concurrent writer lands the next seq AFTER our listing
+    # but BEFORE our conditional-put → the put fails → LOUD conflict
+    class RacingFS(FakeObjectFS):
+        race = None
+
+        def list(self, p):
+            out = super().list(p)
+            if self.race is not None:
+                race, self.race = self.race, None
+                race()
+            return out
+
+    racing = RacingFS()
+    FS.register_fs_override(str(tmp_path), racing)  # replaces objfs
+    racing.race = lambda: racing.create_exclusive(
+        tmp_path / "_CURRENT.d" / f"{3:020d}.ptr", "x"
+    )
+    with pytest.raises(PointerCommitConflict):
+        commit_pointer(racing, ptr, "snap-3")
+    # the competitor's committed value was NOT clobbered
+    assert read_pointer(racing, ptr) == "x"
+
+
+def test_pointer_log_retention(tmp_path, objfs):
+    ptr = tmp_path / "_CURRENT"
+    for i in range(20):
+        commit_pointer(objfs, ptr, f"snap-{i}", retain=8)
+    assert read_pointer(objfs, ptr) == "snap-19"
+    entries = [n for (n, d, _) in objfs.list(tmp_path / "_CURRENT.d")]
+    assert len(entries) <= 8
+    # newest entry always retained
+    assert f"{20:020d}.ptr" in entries
+
+
+def test_legacy_pointer_still_readable(tmp_path, objfs):
+    """A store created on a rename-atomic FS (legacy single-file
+    pointer) stays readable after moving behind object semantics;
+    the first commit there switches to the log, which supersedes."""
+    ptr = tmp_path / "_CURRENT"
+    (tmp_path / "snap-old").mkdir(parents=True)
+    ptr.write_text("snap-old")
+    assert read_pointer(objfs, ptr) == "snap-old"
+    commit_pointer(objfs, ptr, "snap-new")
+    assert read_pointer(objfs, ptr) == "snap-new"
+
+
+def test_parquet_table_lifecycle_on_object_store(spark, tmp_path, objfs):
+    """write → read → second write → time travel → pins → vacuum,
+    with object-store semantics underneath — and NO replace/delete
+    ever touching a pointer (the torn-flip class is structurally
+    gone, not just untriggered)."""
+    t = ParquetTable(tmp_path / "t")
+    t.write(spark.range(5).toDF("id"))
+    assert sorted(r.id for r in t.read(spark).collect()) == list(range(5))
+
+    t.write(spark.range(3).toDF("id"))
+    snaps = t.history()
+    assert len(snaps) == 2
+    assert t.read_snapshot(spark, 1).count() == 5
+
+    # pointer committed via the log, never via replace
+    assert not (tmp_path / "t" / "_CURRENT").exists()
+    assert (tmp_path / "t" / "_CURRENT.d").is_dir()
+    assert not [op for op in objfs.ops if op[0] == "replace"]
+
+    t.set_pin("reader-a", [snaps[1].name])
+    assert t.vacuum(keep=1) == []
+    assert t.read_snapshot(spark, snaps[1].name).count() == 5
+    t.set_pin("reader-a", None)
+    removed = t.vacuum(keep=1)
+    assert [p.name for p in removed] == [snaps[1].name]
+    assert t.read(spark).count() == 3
+
+
+def test_partitioned_table_crash_mid_promote_never_tears(
+    spark, tmp_path, objfs
+):
+    """Inject a crash during the staging dir-copy of a partial
+    rewrite: the commit aborts, the published table still reads the
+    FULL previous version, and a retry commits cleanly."""
+    t = PartitionedTable(tmp_path / "pt", "day")
+    df1 = spark.createDataFrame(
+        [(1, "d1"), (2, "d1"), (3, "d2")], "id long, day string"
+    )
+    t.write(df1)
+    before = {(r.id, r.day) for r in t.read(spark).collect()}
+
+    objfs.fail_after_copies = 0  # first object copy inside a rename dies
+    with pytest.raises(FakeCrash):
+        t.overwrite_partitions(
+            spark.createDataFrame([(9, "d1")], "id long, day string"),
+            ["d1"],
+        )
+    objfs.fail_after_copies = None
+
+    after = {(r.id, r.day) for r in t.read(spark).collect()}
+    assert after == before  # all-old, never a mix
+
+    t.overwrite_partitions(
+        spark.createDataFrame([(9, "d1")], "id long, day string"),
+        ["d1"],
+    )
+    got = sorted(r.id for r in t.read(spark).collect())
+    assert got == [3, 9]
+
+
+def test_table_group_all_old_or_all_new_on_object_store(
+    spark, tmp_path, objfs
+):
+    g = TableGroup(tmp_path / "g", ["fact", "mart"])
+    g.commit(
+        {
+            "fact": spark.range(4).toDF("id"),
+            "mart": spark.range(2).toDF("id"),
+        }
+    )
+    v1 = {n: df.count() for n, df in g.read(spark).items()}
+    assert v1 == {"fact": 4, "mart": 2}
+
+    # advance the MEMBER tables (new snapshots + member pointers) —
+    # the group read must stay pinned to the committed assignment
+    # until the single group pointer commit lands
+    snap_f = g.tables["fact"].write(spark.range(10).toDF("id"))
+    snap_m = g.tables["mart"].write(spark.range(20).toDF("id"))
+    mid = {n: df.count() for n, df in g.read(spark).items()}
+    assert mid == v1  # all-old
+
+    g.commit_pointers({"fact": snap_f.name, "mart": snap_m.name})
+    v2 = {n: df.count() for n, df in g.read(spark).items()}
+    assert v2 == {"fact": 10, "mart": 20}  # all-new
+
+    # the group manifest went through the log protocol
+    assert not (tmp_path / "g" / "_GROUP").exists()
+    assert (tmp_path / "g" / "_GROUP.d").is_dir()
+    assert not [op for op in objfs.ops if op[0] == "replace"]
+
+
+def test_bucketed_table_refuses_on_object_store(spark, tmp_path):
+    from ods_v3_dbt_spark.sinks import BucketedTable, _warehouse_path
+
+    wh = _warehouse_path(spark)
+    name = "fakeobj_refusal_tbl"
+    fs = FakeObjectFS()
+    FS.register_fs_override(str(wh / name), fs)
+    try:
+        t = BucketedTable(name, ["id"], num_buckets=4)
+        with pytest.raises(AtomicRenameRequiredError):
+            t.write(spark.range(10).toDF("id"))
+    finally:
+        FS.clear_fs_override(str(wh / name))
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(f"DROP TABLE IF EXISTS {name}__snap")
+
+
+def test_index_manifest_log_commit(spark, tmp_path):
+    """The shared index-manifest commit point (every index family
+    funnels through it) uses the pointer log on object stores."""
+    from ods_v3_dbt_spark.operators.neardup_index import (
+        _commit_manifest,
+        _manifest_path,
+        _read_manifest,
+    )
+
+    name = "fakeobj_idx_manifest"
+    p = _manifest_path(spark, name)
+    fs = FakeObjectFS()
+    FS.register_fs_override(str(p), fs)
+    try:
+        spec = {"kind": "test", "shingle_n": 3}
+        _commit_manifest(spark, name, 1, spec, [1], {"1": [1]})
+        man = _read_manifest(spark, name)
+        assert man["epoch"] == 1 and man["segments"] == [1]
+        _commit_manifest(spark, name, 2, spec, [1, 2], {"2": [1, 2]})
+        assert _read_manifest(spark, name)["epoch"] == 2
+        from pathlib import Path
+
+        assert not Path(str(p)).exists()
+        assert Path(str(p) + ".d").is_dir()
+    finally:
+        FS.clear_fs_override(str(p))
