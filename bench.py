@@ -37,6 +37,35 @@ ANCHORS = [
     "index_append_fixed_batch_large_base",
 ]
 
+#: Host-drift self-identification (round-10 verdict task 7): the
+#: cleanest-on-record walls of three pure-JVM anchors no round's code
+#: changes touch (BASELINE.md noise protocol — round-8 close values).
+#: Every artifact stamps ``anchor_drift`` = geomean(measured /
+#: calibration): ~1.0-1.3 is a clean window; ≳1.4 means the host was
+#: throttled and the run's absolute walls should be read through that
+#: ratio (the judge previously had to infer this from the anchors by
+#: hand).
+DRIFT_CALIBRATION = {
+    "pricing_summary": 0.63,
+    "revenue_by_customer": 0.71,
+    "merge_upsert_single": 0.33,
+}
+
+
+def _anchor_drift(times: dict) -> float | None:
+    import math
+
+    ratios = [
+        times[q] / ref
+        for q, ref in DRIFT_CALIBRATION.items()
+        if q in times and times[q] > 0
+    ]
+    if not ratios:
+        return None
+    return round(
+        math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3
+    )
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -407,12 +436,14 @@ def main() -> None:
         gc.collect()
 
     total = round(sum(times.values()), 3)
+    drift = _anchor_drift(times)
     payload = {
         "metric": "declared_query_suite_wall",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "anchor_drift": drift,
     }
     # The driver's stdout capture keeps only a ~2 KB TAIL and parses
     # the last JSON line it finds — a 215-query map is >10 KB, so the
@@ -439,6 +470,9 @@ def main() -> None:
         "tier": "full" if not only else
         (tier if only == "tier:anchors" else f"subset:{only}"),
         "full": "BENCH_SELF.json",
+        # host-drift stamp (see DRIFT_CALIBRATION): ≳1.4 = throttled
+        # window, read absolute walls through this ratio
+        "anchor_drift": drift,
     }
     print(json.dumps(compact))
     # Machine-readable artifact (round-5 verdict task 8): the driver's

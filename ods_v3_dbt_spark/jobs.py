@@ -591,15 +591,16 @@ def maintain_curated_store(
 
     started = dt.datetime.now()
     t0 = _time.perf_counter()
-    fs = FS.fs_for(corpus_path)
+    from .pipelines import _read_curated_manifest
+
     man_path = FS.join(corpus_path, "_CURATED")
-    if not fs.exists(man_path):
+    if _read_curated_manifest(corpus_path) is None:
         raise FileNotFoundError(
             f"no _CURATED co-manifest under {corpus_path} — "
             "maintain_curated_store operates on a curated store"
         )
     with _store_lock(corpus_path):
-        man = _curated_fields(_json.loads(fs.read_text(man_path)))
+        man = _curated_fields(_read_curated_manifest(corpus_path))
         corpus_tbl = _corpus_table_from_manifest(corpus_path, man)
         idx = _index_from_manifest(man)
         targets = [idx]
@@ -696,12 +697,17 @@ def maintain_curated_store(
                 ivf_pins.append(prev_man["ivf_epoch"])
             set_index_pin(spark, ivf.name, f"curated:{corpus_path}",
                           ivf_pins)
-        corpus_tbl.vacuum(keep=keep, pinned=pin_snaps)
+        # expire time-bounded deny holds (corpus_takedown's
+        # deny_expires_at) — still under the store lock
+        from .pipelines import deny_expire
+
+        deny_report = deny_expire(spark, corpus_path, _locked=True)
     report = {
         "corpus": corpus_report,
         "indexes": index_reports,
         "corpus_snapshot": snap.name,
         "index_epoch": new_epoch,
+        "deny_expired": deny_report,
     }
     if run_log is not None:
         from .runlog import RunRecord

@@ -18,6 +18,7 @@ flat (name, value, unit) triple those protocols speak.
 from __future__ import annotations
 
 import datetime as dt
+import threading
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,9 +28,21 @@ METRICS_SCHEMA = (
     "value double, unit string, emitted_at timestamp"
 )
 
+#: process-wide live gauge state, keyed by table path then series
+#: key (job, task, stage, metric) → (value, unit, emitted_at).
+#: Maintained at emit() so the scrape endpoint renders from MEMORY —
+#: zero Spark jobs per GET (round-10 verdict task 3: the reference
+#: scrapes every 5 s, configs/prometheus.yaml:2, and re-running a
+#: full table window per scrape grows without bound). Shared across
+#: MetricsLog instances of the same path (emitter and server are
+#: usually different instances).
+_LIVE: dict[str, dict[tuple, tuple]] = {}
+_LIVE_MU = threading.Lock()
+
 
 class MetricsLog:
-    """Append-only (job, task, stage, metric, value) table."""
+    """Append-only (job, task, stage, metric, value) table plus a
+    process-wide in-memory latest-map for zero-cost scrapes."""
 
     def __init__(self, path: str | Path) -> None:
         self.path = str(path)
@@ -44,7 +57,8 @@ class MetricsLog:
     ) -> None:
         """Append one row per metric: ``metrics`` maps metric name →
         (value, unit), e.g. ``{"rows_out": (1234, "rows"),
-        "wall": (2.5, "sec")}``."""
+        "wall": (2.5, "sec")}``. Also updates the live gauge map the
+        scrape endpoint serves from."""
         now = dt.datetime.now()
         rows = [
             (job_id, task_id, stage, name, float(value), unit, now)
@@ -53,9 +67,74 @@ class MetricsLog:
         spark.createDataFrame(rows, schema=METRICS_SCHEMA).coalesce(
             1
         ).write.mode("append").parquet(self.path)
+        with _LIVE_MU:
+            live = _LIVE.setdefault(self.path, {})
+            for (job, task, stg, name, value, unit, ts) in rows:
+                live[(job, task, stg, name)] = (value, unit, ts)
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.schema(METRICS_SCHEMA).parquet(self.path)
+        # ignoreMissingFiles: a concurrent compact() may retire an
+        # append file between this reader's listing and its scan —
+        # skip it (its rows are in the compacted file) instead of
+        # failing the read
+        return (
+            spark.read.schema(METRICS_SCHEMA)
+            .option("ignoreMissingFiles", "true")
+            .parquet(self.path)
+        )
+
+    def compact(self, spark: SparkSession, retain_days: float | None = None,
+                target_files: int = 1) -> dict:
+        """Fold the one-file-per-emit append pile into
+        ``target_files`` files, optionally dropping rows older than
+        ``retain_days`` — the retention/compaction every other store
+        here already has (round-10 verdict task 3; without it a
+        month of per-stage emission is tens of thousands of tiny
+        files). Serialized against emitters by the table writer
+        lock. Readers racing the fold either see the old files, or
+        the compacted file plus not-yet-deleted old files —
+        transient DUPLICATES, which every latest()/gauge consumer is
+        idempotent to (row_number per series) — never a torn read
+        (``read`` ignores late-deleted files). Returns
+        {files_before, files_after, rows_dropped}."""
+        import uuid
+
+        from .sinks import _writer_lock
+
+        with _writer_lock(Path(self.path).parent / "._metrics_lock"):
+            p = Path(self.path)
+            old = sorted(f for f in p.glob("*.parquet") if f.is_file())
+            df = self.read(spark)
+            before_rows = df.count()
+            if retain_days is not None:
+                from pyspark.sql import functions as F
+
+                cutoff = dt.datetime.now() - dt.timedelta(days=retain_days)
+                df = df.filter(F.col("emitted_at") >= F.lit(cutoff))
+            # stage into a dot-dir (invisible to Spark listings),
+            # promote the parts, then retire the old files
+            tmp = p / f".compact-{uuid.uuid4().hex[:8]}"
+            df.coalesce(max(1, target_files)).write.parquet(str(tmp))
+            import os
+
+            n_new = 0
+            for part in sorted(tmp.glob("*.parquet")):
+                os.replace(part, p / f"compacted-{uuid.uuid4().hex[:12]}.parquet")
+                n_new += 1
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            for f in old:
+                try:
+                    f.unlink()
+                except FileNotFoundError:
+                    pass
+            after_rows = self.read(spark).count()
+            return {
+                "files_before": len(old),
+                "files_after": n_new,
+                "rows_dropped": before_rows - after_rows,
+            }
 
     # -- export arms ---------------------------------------------------------
     #
@@ -70,7 +149,9 @@ class MetricsLog:
         recent emission (gauge semantics: a scrape reports current
         state; history stays queryable in the table). Driver-sized by
         construction: series count = jobs × stages × metric names,
-        never rows×."""
+        never rows×. This is the TABLE read — export arms prefer the
+        in-memory live map and only fall back here to warm a cold
+        process (round-10 verdict task 3)."""
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
@@ -85,14 +166,47 @@ class MetricsLog:
             .collect()
         )
 
-    def prometheus_text(self, spark: SparkSession,
+    def _live_rows(self, spark: SparkSession | None) -> list:
+        """Live gauge series from the in-memory map — ZERO Spark
+        jobs. A cold process (server restarted; emits happened in a
+        previous run) warms the map with ONE :meth:`latest` read,
+        after which every scrape is memory-only."""
+        from collections import namedtuple
+
+        Row = namedtuple(
+            "LiveRow",
+            "job_id task_id stage metric value unit emitted_at",
+        )
+        with _LIVE_MU:
+            live = dict(_LIVE.get(self.path) or {})
+        if not live and spark is not None:
+            try:
+                warmed = self.latest(spark)
+            except Exception:  # table doesn't exist yet
+                warmed = []
+            with _LIVE_MU:
+                store = _LIVE.setdefault(self.path, {})
+                for r in warmed:
+                    store.setdefault(
+                        (r.job_id, r.task_id, r.stage, r.metric),
+                        (r.value, r.unit, r.emitted_at),
+                    )
+                live = dict(store)
+        return [
+            Row(job, task, stg, name, value, unit, ts)
+            for (job, task, stg, name), (value, unit, ts) in live.items()
+        ]
+
+    def prometheus_text(self, spark: SparkSession | None,
                         prefix: str = "ods") -> str:
         """The Prometheus text exposition (version 0.0.4) of every
         live series: ``{prefix}_{metric}{labels} value timestamp_ms``
         with one ``# TYPE … gauge`` header per metric name — what a
         prometheus.yaml scrape job ingests verbatim (the reference's
-        statsd-exporter emits exactly this shape)."""
-        rows = self.latest(spark)
+        statsd-exporter emits exactly this shape). Renders from the
+        in-memory live map (zero Spark jobs); ``spark`` is only used
+        to warm a cold process once and may be None."""
+        rows = self._live_rows(spark)
         by_name: dict[str, list] = {}
         for r in rows:
             by_name.setdefault(_prom_name(prefix, r.metric), []).append(r)
@@ -116,33 +230,38 @@ class MetricsLog:
                 out.append(f"{name}{{{labels}}} {r.value:g} {ts}")
         return "\n".join(out) + "\n"
 
-    def statsd_lines(self, spark: SparkSession,
+    def statsd_lines(self, spark: SparkSession | None,
                      prefix: str = "ods") -> list[str]:
         """statsd line protocol (``name:value|g``) of every live
         series — the push-side analog for deployments that keep the
         reference's statsd ingestion (configs/statsd.yaml) instead of
         scraping. Label dimensions flatten into the dotted name the
-        statsd mapping rules split back apart."""
-        return [
+        statsd mapping rules split back apart. Memory-rendered like
+        :meth:`prometheus_text`."""
+        return sorted(
             f"{prefix}.{r.job_id}.{r.task_id}.{r.stage}.{r.metric}"
             f":{r.value:g}|g"
-            for r in self.latest(spark)
-        ]
+            for r in self._live_rows(spark)
+        )
 
     def serve_prometheus(self, spark: SparkSession, port: int = 0,
                          prefix: str = "ods"):
         """Start a daemon-thread ``/metrics`` scrape endpoint over
         this table (stdlib http.server — no new dependencies) and
-        return the bound (server, port). Each scrape re-renders from
-        the table, so the endpoint reflects whatever the pipeline
-        emitted last — point a prometheus.yaml scrape job at it and
-        the reference's dashboards carry over. ``port=0`` binds an
-        ephemeral port (tests). Call ``server.shutdown()`` to stop;
-        the thread is daemonized so it never blocks JVM exit."""
+        return the bound (server, port). The live map is warmed ONCE
+        here (one table read if this process hasn't emitted); every
+        scrape after that renders from MEMORY — zero Spark jobs per
+        GET, however fast Prometheus polls (the reference scrapes
+        every 5 s, configs/prometheus.yaml:2). Point a
+        prometheus.yaml scrape job at it and the reference's
+        dashboards carry over. ``port=0`` binds an ephemeral port
+        (tests). Call ``server.shutdown()`` to stop; the thread is
+        daemonized so it never blocks JVM exit."""
         import http.server
         import threading
 
         log = self
+        log._live_rows(spark)  # warm once; scrapes never touch Spark
 
         class _Handler(http.server.BaseHTTPRequestHandler):
             def do_GET(self):  # noqa: N802 — stdlib contract
@@ -151,8 +270,9 @@ class MetricsLog:
                     self.end_headers()
                     return
                 try:
-                    body = log.prometheus_text(spark, prefix).encode()
-                except Exception as e:  # table missing/mid-write
+                    # spark=None: scrapes are memory-only by contract
+                    body = log.prometheus_text(None, prefix).encode()
+                except Exception as e:
                     self.send_response(503)
                     self.end_headers()
                     self.wfile.write(str(e).encode()[:500])

@@ -300,6 +300,7 @@ def deny_probe(
     deny_sem: DataFrame | None = None,
     sem_spec: dict | None = None,
     batch_embeddings: DataFrame | None = None,
+    deny_count: int | None = None,
 ) -> DataFrame:
     """The takedown-denylist GATE probe, shared by the streaming loop
     and the ``deny_neardup_decisions`` declared query: one (doc_id,
@@ -353,8 +354,15 @@ def deny_probe(
     def _deny_side(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if deny_is_small else df
 
+    # ``deny_count`` is the caller's precomputed total (the stream
+    # gate reads it from the _DENY_COUNTS sidecar the store-locked
+    # mutation verbs maintain) — passing it makes the plan choice
+    # ZERO Spark jobs; counting here is the cold-path fallback
+    # (round-10 verdict task 4)
     n_deny = (
-        deny_fps.count()
+        deny_count
+        if deny_count is not None
+        else deny_fps.count()
         + (deny_bands.count() if deny_bands is not None else 0)
         + (deny_sem.count() if deny_sem is not None else 0)
     )
@@ -479,6 +487,87 @@ def _read_deny_sem_spec(corpus_path) -> dict:
     return dict(DENY_SEM_SPEC)
 
 
+# -- deny-row provenance + cached arm counts (round-10 verdict
+# tasks 2 & 4) -----------------------------------------------------------
+
+
+def _deny_meta_ts(v):
+    """Normalize an ``expires_at`` argument (None / ISO string /
+    datetime) to a datetime for the timestamp column."""
+    import datetime as _dt
+
+    if v is None or isinstance(v, _dt.datetime):
+        return v
+    return _dt.datetime.fromisoformat(str(v))
+
+
+def _stamp_deny_meta(df: DataFrame, request_id: str | None,
+                     expires_at) -> DataFrame:
+    """Attach per-request provenance to deny rows: ``request_id``
+    scopes a later :func:`deny_release` to exactly this takedown's
+    residues (round-10 verdict task 2 — content-keyed release
+    collides when two near-copy takedowns share band keys), and
+    ``expires_at`` lets :func:`~.jobs.maintain_curated_store` expire
+    time-bounded holds."""
+    return df.withColumn(
+        "request_id", F.lit(request_id).cast("string")
+    ).withColumn(
+        "expires_at", F.lit(_deny_meta_ts(expires_at)).cast("timestamp")
+    )
+
+
+def _norm_deny_meta(df: DataFrame) -> DataFrame:
+    """Legacy deny tables predate the provenance columns — read them
+    as unattributed, never-expiring rows (NULLs)."""
+    if "request_id" not in df.columns:
+        df = df.withColumn("request_id", F.lit(None).cast("string"))
+    if "expires_at" not in df.columns:
+        df = df.withColumn("expires_at", F.lit(None).cast("timestamp"))
+    return df
+
+
+def _deny_counts_path(corpus_path):
+    return FS.join(f"{corpus_path}__deny", "_DENY_COUNTS")
+
+
+def _read_deny_counts(corpus_path) -> dict | None:
+    """The persisted per-arm deny row counts, or None on a store
+    whose denylist predates the sidecar. The counts exist so the
+    micro-batch gate can size its broadcast-vs-shuffle choice with
+    ZERO Spark jobs (round-10 verdict task 4: three ``count()`` jobs
+    per batch on the always-on hot path); only takedown / release /
+    expiry — the verbs that change the tables, all store-locked —
+    rewrite them."""
+    import json as _json
+
+    p = _deny_counts_path(corpus_path)
+    fs = FS.fs_for(p)
+    if fs.exists(p):
+        return _json.loads(fs.read_text(p))
+    return None
+
+
+def _update_deny_counts(spark, corpus_path) -> dict:
+    """Recount the deny arms (one job per existing arm — called only
+    from the store-locked mutation verbs, never per micro-batch) and
+    persist the sidecar."""
+    import json as _json
+
+    from .sinks import ParquetTable
+
+    counts = {}
+    for arm, suffix in (
+        ("fps", "__deny"), ("bands", "__deny_sig"), ("cents", "__deny_sem")
+    ):
+        t = ParquetTable(f"{corpus_path}{suffix}")
+        counts[arm] = t.read(spark).count() if t.exists() else 0
+    p = _deny_counts_path(corpus_path)
+    fs = FS.fs_for(p)
+    fs.mkdirs(f"{corpus_path}__deny")
+    fs.write_text_atomic(p, _json.dumps(counts, sort_keys=True))
+    return counts
+
+
 def curate_increment_stream(
     corpus_path,
     index_name: str,
@@ -498,6 +587,9 @@ def curate_increment_stream(
     pq_subs: int = 32,
     pq_codes: int = 32,
     pq_dims: int = 64,
+    metrics_log=None,
+    recall_probe_every: int = 10,
+    recall_probe_sample: int = 16,
 ):
     """The PRODUCTION shape of the LLM curation pipeline: a
     ``foreachBatch`` sink that lands each micro-batch through the full
@@ -708,6 +800,13 @@ def curate_increment_stream(
             sem_cents = (
                 deny_sem_tbl.read(spark) if deny_sem_tbl.exists() else None
             )
+            # broadcast-vs-shuffle sizing from the _DENY_COUNTS
+            # sidecar — zero Spark jobs on the per-batch hot path; a
+            # legacy store without the sidecar pays the counts ONCE
+            # here (we hold the store lock) and backfills it
+            counts = _read_deny_counts(corpus_path)
+            if counts is None:
+                counts = _update_deny_counts(spark, corpus_path)
             denied = deny_probe(
                 gated.select("doc_id", "text"), fps, bands,
                 _read_deny_spec(corpus_path),
@@ -718,6 +817,7 @@ def curate_increment_stream(
                     if sem_cents is not None
                     else None
                 ),
+                deny_count=sum(counts.values()),
             ).localCheckpoint()
             clean = gated.join(
                 F.broadcast(denied.select("doc_id")), "doc_id", "left_anti"
@@ -786,15 +886,10 @@ def curate_increment_stream(
                 # probing them would flag new docs as paraphrases of
                 # vanished content. Rebuild from the corpus (the
                 # source of truth) instead of attaching.
-                _cm = FS.join(corpus_path, "_CURATED")
-                _cfs = FS.fs_for(corpus_path)
-                owned = False
-                if _cfs.exists(_cm):
-                    owned = bool(
-                        _curated_fields(
-                            _json.loads(_cfs.read_text(_cm))
-                        ).get("ivf_name")
-                    )
+                _cman = _read_curated_manifest(corpus_path)
+                owned = bool(
+                    _curated_fields(_cman).get("ivf_name")
+                ) if _cman is not None else False
                 if ivf.exists(spark) and owned:
                     ivf_ready = True
                 else:
@@ -975,6 +1070,45 @@ def curate_increment_stream(
                 if cem.take(1):
                     _sem_write(ivf, cem.select("doc_id", "embedding"))
                     ivf_ready = True
+        # DRIFT TELEMETRY (round-10 verdict task 6): between weekly
+        # recall-gated refreshes the stream appends to FROZEN
+        # centroids blind — sample probe recall every
+        # ``recall_probe_every`` micro-batches (bounded: ≤
+        # ``recall_probe_sample`` queries, maintenance-priced
+        # sample×corpus scan) and emit it through ``metrics_log`` so
+        # an operator sees the decay BEFORE the weekly gate would
+        # act on it. Alert threshold: the refresh gate's own floor,
+        # recall_floor_ppm = 900_000 (SCALE.md).
+        if (
+            sem and ivf_ready and metrics_log is not None
+            and recall_probe_every > 0
+            and int(batch_id) % recall_probe_every == 0
+        ):
+            if semantic_index_kind == "pq":
+                from .operators.pq_index import pq_index_recall_ppm
+
+                recall = pq_index_recall_ppm(
+                    spark, ivf,
+                    corpus_tbl.read(spark)
+                    .filter(F.col("embedding").isNotNull())
+                    .select("doc_id", "embedding"),
+                    k=1, nprobe=semantic_nprobe,
+                    max_sample=recall_probe_sample,
+                    vec_col="embedding", id_col="doc_id",
+                )
+                mname = "pq_index_recall_ppm"
+            else:
+                from .operators.vector_index import ivf_index_recall_ppm
+
+                recall = ivf_index_recall_ppm(
+                    spark, ivf, k=1, nprobe=semantic_nprobe,
+                    max_sample=recall_probe_sample,
+                )
+                mname = "ivf_index_recall_ppm"
+            metrics_log.emit(
+                spark, f"curation:{index_name}", "stream",
+                "semantic_recall", {mname: (float(recall), "ppm")},
+            )
         # CONSISTENT-VIEW co-manifest (round 5; round 6 rides
         # TableGroup): corpus and index commit independently (each
         # atomically, each replay-safe), so a reader sampling both
@@ -1049,6 +1183,19 @@ def _curated_fields(man: dict | None) -> dict | None:
         fields["corpus_snapshot"] = man["tables"]["corpus"]
         return fields
     return man
+
+
+def _read_curated_manifest(corpus_path) -> dict | None:
+    """Resolve the raw ``_CURATED`` co-manifest through the pointer
+    protocol (``fs.read_pointer``): on object stores the manifest is
+    committed as a log-dir entry, not a single replaceable file, so
+    a bare ``read_text`` would miss it (round-10 verdict task 1).
+    Returns None when the store has no co-manifest yet."""
+    import json as _json
+
+    p = FS.join(corpus_path, "_CURATED")
+    raw = FS.read_pointer(FS.fs_for(p), p)
+    return _json.loads(raw) if raw is not None else None
 
 
 def _index_from_manifest(man: dict):
@@ -1139,9 +1286,12 @@ def curated_view(spark, corpus_path, pin_id: str | None = None,
     fs = FS.fs_for(corpus_path)
     last_err = None
     for _ in range(3):
-        man = _curated_fields(
-            _json.loads(fs.read_text(FS.join(corpus_path, "_CURATED")))
-        )
+        raw_man = _read_curated_manifest(corpus_path)
+        if raw_man is None:
+            raise FileNotFoundError(
+                f"no _CURATED co-manifest under {corpus_path}"
+            )
+        man = _curated_fields(raw_man)
         tbl = _corpus_table_from_manifest(corpus_path, man)
         idx = _index_from_manifest(man)
         if pin_id is not None:
@@ -1219,6 +1369,8 @@ def corpus_takedown(
     deny_spec: dict | None = None,
     deny_semantic: bool = False,
     deny_sem_spec: dict | None = None,
+    request_id: str | None = None,
+    deny_expires_at=None,
     run_log=None,
     job_id: str = "takedown",
 ) -> dict:
@@ -1315,7 +1467,7 @@ def corpus_takedown(
 
     fs = FS.fs_for(corpus_path)
     man_path = FS.join(corpus_path, "_CURATED")
-    if not fs.exists(man_path):
+    if _read_curated_manifest(corpus_path) is None:
         raise FileNotFoundError(
             f"no _CURATED co-manifest under {corpus_path} — "
             "corpus_takedown operates on a curated store "
@@ -1327,9 +1479,7 @@ def corpus_takedown(
     # snapshot flip and its write would erase that batch's
     # admission — the lost update the round-8 race test caught
     with _store_lock(corpus_path):
-        man = _curated_fields(
-            _json.loads(fs.read_text(man_path))
-        )
+        man = _curated_fields(_read_curated_manifest(corpus_path))
         idx = _index_from_manifest(man)
         corpus_tbl = _corpus_table_from_manifest(corpus_path, man)
         partitioned = man.get("corpus_layout") == "partitioned"
@@ -1386,12 +1536,26 @@ def corpus_takedown(
             ).localCheckpoint()
 
         if deny:
+            # every deny row carries (request_id, expires_at)
+            # provenance: deny_release(request_id=...) releases
+            # exactly this takedown's residues even when two
+            # near-copy takedowns share band keys, and
+            # maintain_curated_store expires time-bounded holds
+            # (round-10 verdict task 2). request_id=None stamps NULL
+            # (unattributed — content-keyed release is the only way
+            # back); replays of the same request converge by
+            # union-distinct.
             deny_tbl = ParquetTable(f"{corpus_path}__deny")
-            fps = taken.select(
-                T.fingerprint_md5(_F.col("text")).alias("fp")
-            ).distinct()
+            fps = _stamp_deny_meta(
+                taken.select(
+                    T.fingerprint_md5(_F.col("text")).alias("fp")
+                ).distinct(),
+                request_id, deny_expires_at,
+            )
             if deny_tbl.exists():
-                fps = deny_tbl.read(spark).unionByName(fps).distinct()
+                fps = _norm_deny_meta(
+                    deny_tbl.read(spark)
+                ).unionByName(fps).distinct()
             deny_tbl.write(fps)
             if deny_signatures:
                 # near-dup arm: persist the taken-down docs' band KEYS
@@ -1424,11 +1588,16 @@ def corpus_takedown(
                     sfs.write_text_atomic(
                         spec_p, _json.dumps(spec, sort_keys=True)
                     )
-                bands = deny_signature_bands(
-                    taken.select("doc_id", "text"), spec
-                ).select("band_idx", "band_key").distinct()
+                bands = _stamp_deny_meta(
+                    deny_signature_bands(
+                        taken.select("doc_id", "text"), spec
+                    ).select("band_idx", "band_key").distinct(),
+                    request_id, deny_expires_at,
+                )
                 if sig_tbl.exists():
-                    bands = sig_tbl.read(spark).unionByName(bands).distinct()
+                    bands = _norm_deny_meta(
+                        sig_tbl.read(spark)
+                    ).unionByName(bands).distinct()
                 sig_tbl.write(bands)
             if deny_semantic:
                 # SEMANTIC arm (opt-in, round-9 verdict task 7): the
@@ -1468,10 +1637,19 @@ def corpus_takedown(
                     mfs.write_text_atomic(
                         sem_p, _json.dumps(sspec, sort_keys=True)
                     )
-                cents = deny_semantic_centroids(taken, sspec)
+                cents = _stamp_deny_meta(
+                    deny_semantic_centroids(taken, sspec),
+                    request_id, deny_expires_at,
+                )
                 if sem_tbl.exists():
-                    cents = sem_tbl.read(spark).unionByName(cents).distinct()
+                    cents = _norm_deny_meta(
+                        sem_tbl.read(spark)
+                    ).unionByName(cents).distinct()
                 sem_tbl.write(cents)
+
+            # refresh the cached arm counts the micro-batch gate
+            # sizes its plan with (round-10 verdict task 4)
+            _update_deny_counts(spark, corpus_path)
 
         # receipt count from the checkpointed taken set (batch-bounded)
         n_removed = taken.count()
@@ -1560,57 +1738,94 @@ def corpus_takedown(
         return receipt
 
 
-def deny_release(spark, corpus_path, docs: DataFrame) -> dict:
-    """RE-ALLOW: remove ``docs``' residues from every deny arm, so a
-    later submission of that content is judged on its merits again —
-    the inverse verb a takedown workflow eventually needs (an opt-out
-    withdrawn, a dispute resolved, a license obtained). ``docs`` must
-    carry the CONTENT being released (``text``, plus ``embedding``
-    when the store runs the semantic arm): the deny store holds only
-    one-way residues, so release recomputes the same fp / band-key /
-    quantized-centroid residues under the PERSISTED families and
-    anti-joins them out of ``__deny`` / ``__deny_sig`` /
-    ``__deny_sem`` (snapshot-swap writes — concurrent gate readers
-    finish on the old snapshot). Idempotent: releasing absent
-    content is a no-op.
+def deny_release(spark, corpus_path, docs: DataFrame | None = None,
+                 request_id: str | None = None) -> dict:
+    """RE-ALLOW: remove deny residues, so a later submission of that
+    content is judged on its merits again — the inverse verb a
+    takedown workflow eventually needs (an opt-out withdrawn, a
+    dispute resolved, a license obtained). Two scopes:
 
-    Declared edge (same class as the arms' own semantics): residues
-    are keyed by CONTENT, so two taken-down docs that are near-copies
-    of each other can share band keys (or an identical text shares
-    one fp row) — releasing one releases the shared residue. That is
-    the conservative-set inverse of the gate's conservative-refuse
-    direction; a deployment needing per-REQUEST provenance adds a
-    request id column to the deny rows (noted in SCALE.md). Returns
-    a receipt of per-arm rows removed."""
+    * ``request_id=...`` (preferred, round-10 verdict task 2):
+      release exactly the rows a ``corpus_takedown(request_id=...)``
+      stamped. No content needed, and — the point — residues SHARED
+      with a still-standing takedown survive, because each request's
+      rows are its own: releasing one of two near-copy takedowns no
+      longer silently weakens the other (the residue-collision
+      incident class the round-10 verdict named). Rows predating the
+      provenance column (NULL request_id) are never touched by this
+      scope.
+    * ``docs=...`` (content-keyed fallback, for unattributed rows):
+      ``docs`` carries the CONTENT being released (``text``, plus
+      ``embedding`` when the store runs the semantic arm); release
+      recomputes the fp / band-key / quantized-centroid residues
+      under the PERSISTED families and anti-joins them out. Declared
+      conservative-set edge: content-keyed residues shared by two
+      takedowns are released together — use request ids to avoid it.
+
+    All arm rewrites are snapshot-swap writes (concurrent gate
+    readers finish on the old snapshot) and the cached arm counts
+    refresh at the end. Idempotent: releasing an absent request or
+    absent content is a no-op. Returns a receipt of per-arm rows
+    removed."""
     from .sinks import ParquetTable
+
+    if (docs is None) == (request_id is None):
+        raise ValueError(
+            "deny_release takes exactly one scope: request_id=... "
+            "(release that takedown's rows) OR docs=... "
+            "(content-keyed release of unattributed rows)"
+        )
+
+    def _arm(tbl: ParquetTable, keep_filter) -> int:
+        """Rewrite one arm under ``keep_filter``; returns rows
+        removed (0 when the rewrite would be a no-op)."""
+        cur = _norm_deny_meta(tbl.read(spark))
+        kept = keep_filter(cur)
+        before, after = cur.count(), kept.count()
+        if after < before:
+            tbl.write(kept)
+        return before - after
 
     with _store_lock(corpus_path):
         receipt: dict = {}
         deny_tbl = ParquetTable(f"{corpus_path}__deny")
+        sig_tbl = ParquetTable(f"{corpus_path}__deny_sig")
+        sem_tbl = ParquetTable(f"{corpus_path}__deny_sem")
+        if request_id is not None:
+            def by_req(cur: DataFrame) -> DataFrame:
+                # NULL request_id = unattributed legacy rows: never
+                # released by a request-scoped call
+                return cur.filter(
+                    F.col("request_id").isNull()
+                    | (F.col("request_id") != F.lit(request_id))
+                )
+
+            if deny_tbl.exists():
+                receipt["fps_removed"] = _arm(deny_tbl, by_req)
+            if sig_tbl.exists():
+                receipt["bands_removed"] = _arm(sig_tbl, by_req)
+            if sem_tbl.exists():
+                receipt["centroids_removed"] = _arm(sem_tbl, by_req)
+            _update_deny_counts(spark, corpus_path)
+            return receipt
         if deny_tbl.exists():
             fps = docs.select(
                 T.fingerprint_md5(F.col("text")).alias("fp")
             ).distinct()
-            cur = deny_tbl.read(spark)
-            kept = cur.join(F.broadcast(fps), "fp", "left_anti")
-            before, after = cur.count(), kept.count()
-            if after < before:
-                deny_tbl.write(kept)
-            receipt["fps_removed"] = before - after
-        sig_tbl = ParquetTable(f"{corpus_path}__deny_sig")
+            receipt["fps_removed"] = _arm(
+                deny_tbl,
+                lambda cur: cur.join(F.broadcast(fps), "fp", "left_anti"),
+            )
         if sig_tbl.exists():
             bands = deny_signature_bands(
                 docs.select("doc_id", "text"), _read_deny_spec(corpus_path)
             ).select("band_idx", "band_key").distinct()
-            cur = sig_tbl.read(spark)
-            kept = cur.join(
-                F.broadcast(bands), ["band_idx", "band_key"], "left_anti"
+            receipt["bands_removed"] = _arm(
+                sig_tbl,
+                lambda cur: cur.join(
+                    F.broadcast(bands), ["band_idx", "band_key"], "left_anti"
+                ),
             )
-            before, after = cur.count(), kept.count()
-            if after < before:
-                sig_tbl.write(kept)
-            receipt["bands_removed"] = before - after
-        sem_tbl = ParquetTable(f"{corpus_path}__deny_sem")
         if sem_tbl.exists():
             if "embedding" not in docs.columns:
                 raise ValueError(
@@ -1622,26 +1837,63 @@ def deny_release(spark, corpus_path, docs: DataFrame) -> dict:
             cents = deny_semantic_centroids(
                 docs, _read_deny_sem_spec(corpus_path)
             ).select("centroid")
-            cur = sem_tbl.read(spark)
-            kept = cur.join(F.broadcast(cents), "centroid", "left_anti")
+            receipt["centroids_removed"] = _arm(
+                sem_tbl,
+                lambda cur: cur.join(
+                    F.broadcast(cents), "centroid", "left_anti"
+                ),
+            )
+        _update_deny_counts(spark, corpus_path)
+        return receipt
+
+
+def deny_expire(spark, corpus_path, now=None, _locked: bool = False) -> dict:
+    """Purge deny rows whose ``expires_at`` has passed — the
+    scheduled half of time-bounded holds (round-10 verdict task 2):
+    a takedown stamped with ``deny_expires_at`` stops gating once
+    the hold lapses, without anyone issuing a release. Rows with
+    NULL ``expires_at`` (the default, and every legacy row) never
+    expire. Runs from :func:`~.jobs.maintain_curated_store` (the
+    weekly verb) or standalone; ``now`` is injectable for tests.
+    Returns per-arm removed counts."""
+    import datetime as _dt
+    from contextlib import nullcontext
+
+    from .sinks import ParquetTable
+
+    now = _deny_meta_ts(now) or _dt.datetime.now()
+    with (nullcontext() if _locked else _store_lock(corpus_path)):
+        receipt: dict = {}
+        changed = False
+        for key, suffix in (
+            ("fps_expired", "__deny"),
+            ("bands_expired", "__deny_sig"),
+            ("cents_expired", "__deny_sem"),
+        ):
+            tbl = ParquetTable(f"{corpus_path}{suffix}")
+            if not tbl.exists():
+                continue
+            cur = _norm_deny_meta(tbl.read(spark))
+            kept = cur.filter(
+                F.col("expires_at").isNull()
+                | (F.col("expires_at") > F.lit(now))
+            )
             before, after = cur.count(), kept.count()
             if after < before:
-                sem_tbl.write(kept)
-            receipt["centroids_removed"] = before - after
+                tbl.write(kept)
+                changed = True
+            receipt[key] = before - after
+        if changed:
+            _update_deny_counts(spark, corpus_path)
         return receipt
 
 
 def release_curated_view(spark, corpus_path, pin_id: str) -> None:
     """Release a :func:`curated_view` pin: the pair it protected
     becomes collectible by the loop's normal retention."""
-    import json as _json
-
     from .operators.neardup_index import set_index_pin
 
-    fs = FS.fs_for(corpus_path)
-    man = _curated_fields(
-        _json.loads(fs.read_text(FS.join(corpus_path, "_CURATED")))
-    )
+    man = _curated_fields(_read_curated_manifest(corpus_path))
     set_index_pin(spark, man["index_name"], f"view:{pin_id}", None)
     _corpus_table_from_manifest(corpus_path, man).set_pin(
         f"view:{pin_id}", None

@@ -86,7 +86,8 @@ def test_takedown_then_paraphrase_resubmit_refused(spark, tmp_path):
     )
     # __deny_sem holds QUANTIZED residue only — never text/embedding
     sem = ParquetTable(f"{corpus}__deny_sem").read(spark)
-    assert set(sem.columns) == {"centroid", "radius2"}
+    assert set(sem.columns) == {"centroid", "radius2", "request_id",
+                                "expires_at"}
     assert sem.count() == 1
 
     # paraphrase: different words (both textual arms blind),

@@ -229,7 +229,8 @@ def test_denylist_blocks_reingestion_of_taken_down_content(spark, tmp_path):
         spark, corpus, spark.createDataFrame([(13,)], "doc_id bigint")
     )
     deny = ParquetTable(f"{corpus}__deny")
-    assert deny.exists() and deny.read(spark).columns == ["fp"]
+    assert deny.exists()
+    assert sorted(deny.read(spark).columns) == ["expires_at", "fp", "request_id"]
 
     # identical text, new id -> denied; fresh content -> admitted
     write([(31, FRESH, T0),
@@ -324,7 +325,9 @@ def test_denylist_blocks_perturbed_copies_of_taken_down_content(
     )
     sig = ParquetTable(f"{corpus}__deny_sig")
     assert sig.exists()
-    assert sorted(sig.read(spark).columns) == ["band_idx", "band_key"]
+    assert sorted(sig.read(spark).columns) == [
+        "band_idx", "band_key", "expires_at", "request_id"
+    ]
     n_sig = sig.read(spark).count()
     assert n_sig <= 4  # bands rows per taken-down doc, nothing more
 
