@@ -470,7 +470,8 @@ def read_pointer(fs, ptr) -> str | None:
     return None
 
 
-def commit_pointer(fs, ptr, value: str, retain: int = 8) -> None:
+def commit_pointer(fs, ptr, value: str, retain: int = 8,
+                   fence=None) -> None:
     """THE pointer commit. Rename-atomic FS → legacy single-file
     atomic replace (on-disk format unchanged for every existing
     store). Non-atomic FS → log-dir commit: entry
@@ -482,11 +483,28 @@ def commit_pointer(fs, ptr, value: str, retain: int = 8) -> None:
     loudly — create-if-absent makes the pointer flip itself a CAS,
     which the posix single-file flip never was. Entries beyond
     ``retain`` are pruned after the commit (readers re-list on a
-    raced delete; max(seq) is always retained)."""
-    if fs.supports_atomic_rename():
-        fs.write_text_atomic(ptr, value)
-        return
+    raced delete; max(seq) is always retained).
+
+    ``fence`` (optional, e.g. a ``_LockHandle.check`` bound method)
+    runs immediately before the final write/create — the narrowest
+    possible check-then-flip window for an evicted writer (callers
+    previously fenced, then spent the pointer-IO time unfenced)."""
     d = _log_dir(ptr)
+    if fs.supports_atomic_rename():
+        # one-way door: once a store has log entries (it lived on an
+        # object store), later commits on an atomic FS MUST keep
+        # appending to the log — readers prefer the log, so a legacy
+        # single-file write here would be invisible behind a stale
+        # log entry
+        has_log = any(
+            not is_dir and name.endswith(".ptr")
+            for (name, is_dir, _) in fs.list(d)
+        )
+        if not has_log:
+            if fence is not None:
+                fence()
+            fs.write_text_atomic(ptr, value)
+            return
     fs.mkdirs(d)
     seqs = sorted(
         int(name.split(".", 1)[0])
@@ -494,6 +512,8 @@ def commit_pointer(fs, ptr, value: str, retain: int = 8) -> None:
         if not is_dir and name.endswith(".ptr")
     )
     seq = (seqs[-1] + 1) if seqs else 1
+    if fence is not None:
+        fence()
     if not fs.create_exclusive(join(d, f"{seq:020d}.ptr"), value):
         raise PointerCommitConflict(
             f"pointer log {d} seq {seq} already committed by a "

@@ -367,7 +367,8 @@ class ParquetTable:
         # stores (fs.commit_pointer — all-old-or-all-new either way)
         from . import fs as FS
 
-        FS.commit_pointer(self._fs(), self._pointer(), snap)
+        FS.commit_pointer(self._fs(), self._pointer(), snap,
+                          fence=lk.check)
         return self.root / snap
 
     def history(self) -> list[Path]:
@@ -765,7 +766,7 @@ class PartitionedTable:
                     f"manifest publish lost a race: {snap}"
                 )
             fs.delete(staged, recursive=False)
-        FS.commit_pointer(fs, self._pointer(), snap)
+        FS.commit_pointer(fs, self._pointer(), snap, fence=lk.check)
         return self.root / snap
 
     def _referenced_dirs(self) -> set[str]:
@@ -1087,11 +1088,13 @@ class TableGroup:
                 "prev": prev["tables"] if prev else None,
                 "extras": extras or {},
             }
-            lk.check()  # fencing: evicted writers must not flip
             from . import fs as FS
 
+            # fencing: evicted writers must not flip — checked at the
+            # narrowest point, inside the pointer commit itself
             FS.commit_pointer(
-                fs, self._manifest_path(), json.dumps(man, sort_keys=True)
+                fs, self._manifest_path(), json.dumps(man, sort_keys=True),
+                fence=lk.check,
             )
             return man
 
@@ -1134,11 +1137,13 @@ class TableGroup:
                 "prev": prev.get("tables") if prev else None,
                 "extras": extras or {},
             }
-            lk.check()  # fencing: evicted writers must not flip
             from . import fs as FS
 
+            # fencing: evicted writers must not flip — checked at the
+            # narrowest point, inside the pointer commit itself
             FS.commit_pointer(
-                fs, self._manifest_path(), json.dumps(man, sort_keys=True)
+                fs, self._manifest_path(), json.dumps(man, sort_keys=True),
+                fence=lk.check,
             )
             return man
 

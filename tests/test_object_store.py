@@ -246,3 +246,18 @@ def test_index_manifest_log_commit(spark, tmp_path):
         assert Path(str(p) + ".d").is_dir()
     finally:
         FS.clear_fs_override(str(p))
+
+
+def test_log_supersedes_legacy_after_migration_back(tmp_path, objfs):
+    """One-way door: a store that ever committed via the log keeps
+    committing via the log even back on a rename-atomic FS — a
+    legacy single-file write would be invisible behind the log."""
+    from ods_v3_dbt_spark.fs import LocalFS
+
+    ptr = tmp_path / "_CURRENT"
+    commit_pointer(objfs, ptr, "snap-obj")  # log entry created
+    local = LocalFS()
+    commit_pointer(local, ptr, "snap-local")  # atomic FS, log exists
+    assert read_pointer(local, ptr) == "snap-local"
+    assert read_pointer(objfs, ptr) == "snap-local"
+    assert not ptr.exists()  # never wrote the legacy file
