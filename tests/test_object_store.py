@@ -261,3 +261,25 @@ def test_log_supersedes_legacy_after_migration_back(tmp_path, objfs):
     assert read_pointer(local, ptr) == "snap-local"
     assert read_pointer(objfs, ptr) == "snap-local"
     assert not ptr.exists()  # never wrote the legacy file
+
+
+def test_writer_lock_steal_on_object_store(tmp_path, objfs):
+    """The stale-lock steal (rename + content verification) works
+    through object-store rename semantics: copy+delete with a
+    client-side no-clobber check — the content re-read after the
+    rename is what makes the steal safe there."""
+    import time
+
+    from ods_v3_dbt_spark.sinks import _writer_lock
+
+    root = tmp_path / "t"
+    objfs.mkdirs(root)
+    # an abandoned lock: foreign holder id, aged past stale_after_s
+    (root / "_LOCK").write_text("999999999-deadbeef 0.0")
+    old = time.time() - 3600
+    import os
+
+    os.utime(root / "_LOCK", (old, old))
+    with _writer_lock(root, stale_after_s=1.0) as lk:
+        lk.check()  # we own it; the stale lock was stolen
+    assert not (root / "_LOCK").exists()  # released cleanly
