@@ -97,44 +97,12 @@ class MetricsLog:
         idempotent to (row_number per series) — never a torn read
         (``read`` ignores late-deleted files). Returns
         {files_before, files_after, rows_dropped}."""
-        import uuid
+        from .sinks import compact_append_dir
 
-        from .sinks import _writer_lock
-
-        with _writer_lock(Path(self.path).parent / "._metrics_lock"):
-            p = Path(self.path)
-            old = sorted(f for f in p.glob("*.parquet") if f.is_file())
-            df = self.read(spark)
-            before_rows = df.count()
-            if retain_days is not None:
-                from pyspark.sql import functions as F
-
-                cutoff = dt.datetime.now() - dt.timedelta(days=retain_days)
-                df = df.filter(F.col("emitted_at") >= F.lit(cutoff))
-            # stage into a dot-dir (invisible to Spark listings),
-            # promote the parts, then retire the old files
-            tmp = p / f".compact-{uuid.uuid4().hex[:8]}"
-            df.coalesce(max(1, target_files)).write.parquet(str(tmp))
-            import os
-
-            n_new = 0
-            for part in sorted(tmp.glob("*.parquet")):
-                os.replace(part, p / f"compacted-{uuid.uuid4().hex[:12]}.parquet")
-                n_new += 1
-            import shutil
-
-            shutil.rmtree(tmp, ignore_errors=True)
-            for f in old:
-                try:
-                    f.unlink()
-                except FileNotFoundError:
-                    pass
-            after_rows = self.read(spark).count()
-            return {
-                "files_before": len(old),
-                "files_after": n_new,
-                "rows_dropped": before_rows - after_rows,
-            }
+        return compact_append_dir(
+            spark, self.path, self.read, "emitted_at",
+            retain_days=retain_days, target_files=target_files,
+        )
 
     # -- export arms ---------------------------------------------------------
     #

@@ -46,7 +46,29 @@ class RunLog:
         ).write.mode("append").parquet(self.path)
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.schema(RUN_LOG_SCHEMA).parquet(self.path)
+        # ignoreMissingFiles: tolerate a concurrent compact() retiring
+        # an append file between listing and scan (rows live on in the
+        # compacted file)
+        return (
+            spark.read.schema(RUN_LOG_SCHEMA)
+            .option("ignoreMissingFiles", "true")
+            .parquet(self.path)
+        )
+
+    def compact(self, spark: SparkSession, retain_days: float | None = None,
+                target_files: int = 1) -> dict:
+        """Fold the one-file-per-run append pile (a year of nightly
+        tasks is tens of thousands of tiny files) into
+        ``target_files`` files, optionally dropping rows older than
+        ``retain_days`` — same discipline as
+        :meth:`..metrics.MetricsLog.compact` (round-11; shared
+        implementation in ``sinks.compact_append_dir``)."""
+        from .sinks import compact_append_dir
+
+        return compact_append_dir(
+            spark, self.path, self.read, "started_at",
+            retain_days=retain_days, target_files=target_files,
+        )
 
     @contextmanager
     def track(self, spark: SparkSession, job_id: str, task_id: str, try_number: int = 1):

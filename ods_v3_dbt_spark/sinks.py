@@ -1177,6 +1177,53 @@ class TableGroup:
         return removed
 
 
+def compact_append_dir(spark: SparkSession, path: str, read_fn,
+                       ts_col: str, retain_days: float | None = None,
+                       target_files: int = 1) -> dict:
+    """Fold an append-only parquet dir (one tiny file per append —
+    the RunLog/MetricsLog discipline) into ``target_files`` files,
+    optionally dropping rows whose ``ts_col`` is older than
+    ``retain_days``. Serialized against appenders by a writer lock
+    next to the dir. Readers racing the fold either see the old
+    files, or the compacted file plus not-yet-deleted old files —
+    transient duplicates the log consumers are idempotent to — never
+    a torn read (callers' ``read`` uses ignoreMissingFiles). Returns
+    {files_before, files_after, rows_dropped}."""
+    import datetime as _dt
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    p = Path(path)
+    with _writer_lock(p.parent / f"._{p.name}_compact_lock"):
+        old = sorted(f for f in p.glob("*.parquet") if f.is_file())
+        df = read_fn(spark)
+        before_rows = df.count()
+        if retain_days is not None:
+            cutoff = _dt.datetime.now() - _dt.timedelta(days=retain_days)
+            df = df.filter(F.col(ts_col) >= F.lit(cutoff))
+        # stage into a dot-dir (invisible to Spark listings), promote
+        # the parts, then retire the old files
+        tmp = p / f".compact-{uuid.uuid4().hex[:8]}"
+        df.coalesce(max(1, target_files)).write.parquet(str(tmp))
+        n_new = 0
+        for part in sorted(tmp.glob("*.parquet")):
+            os.replace(part, p / f"compacted-{uuid.uuid4().hex[:12]}.parquet")
+            n_new += 1
+        shutil.rmtree(tmp, ignore_errors=True)
+        for f in old:
+            try:
+                f.unlink()
+            except FileNotFoundError:
+                pass
+        after_rows = read_fn(spark).count()
+        return {
+            "files_before": len(old),
+            "files_after": n_new,
+            "rows_dropped": before_rows - after_rows,
+        }
+
+
 def write_landing(df: DataFrame, path: str, partition_cols: Sequence[str] = ()) -> None:
     """L1: landing-zone write — the reference's CSV-batch-to-MinIO spill
     (``bccp_to_ods.py:245-255``) becomes a straight Parquet append (no

@@ -187,3 +187,27 @@ def test_compaction_folds_files_and_applies_retention(spark, tmp_path):
     }
     assert latest[("job", "task", "s", "m")] == 5.0
     assert ("job", "task", "s", "ancient") not in latest
+
+
+def test_runlog_compaction_shares_the_discipline(spark, tmp_path):
+    """RunLog gets the same fold+retention as MetricsLog (round 11 —
+    the one-file-per-append growth class, closed everywhere)."""
+    import datetime as dt
+    from pathlib import Path
+
+    from ods_v3_dbt_spark.runlog import RunLog, RunRecord
+
+    log = RunLog(tmp_path / "runs")
+    t_new = dt.datetime.now()
+    t_old = t_new - dt.timedelta(days=30)
+    for i in range(5):
+        log.append(spark, RunRecord(
+            "dag", f"task{i}", "20260816", t_new, 1.0, "ok", True))
+    log.append(spark, RunRecord(
+        "dag", "ancient", "20260716", t_old, 1.0, "ok", True))
+    n_files = len(list(Path(str(tmp_path / "runs")).glob("*.parquet")))
+    assert n_files == 6
+    rep = log.compact(spark, retain_days=7)
+    assert rep == {"files_before": 6, "files_after": 1, "rows_dropped": 1}
+    tasks = {r.task_id for r in log.read(spark).collect()}
+    assert "ancient" not in tasks and len(tasks) == 5
