@@ -1716,6 +1716,12 @@ def corpus_takedown(
             "corpus_snapshot": corpus_snap.name,
             "index_epoch": new_epoch,
         }
+        if request_id is not None:
+            # the compliance key: "when was request X honored and
+            # what did it remove" is answerable from the run log
+            receipt["request_id"] = request_id
+        if deny_expires_at is not None:
+            receipt["deny_expires_at"] = str(_deny_meta_ts(deny_expires_at))
         if ivf_epoch is not None:
             receipt["ivf_epoch"] = ivf_epoch
         if partitioned:
@@ -1739,7 +1745,8 @@ def corpus_takedown(
 
 
 def deny_release(spark, corpus_path, docs: DataFrame | None = None,
-                 request_id: str | None = None) -> dict:
+                 request_id: str | None = None,
+                 run_log=None, job_id: str = "deny_release") -> dict:
     """RE-ALLOW: remove deny residues, so a later submission of that
     content is judged on its merits again — the inverse verb a
     takedown workflow eventually needs (an opt-out withdrawn, a
@@ -1766,8 +1773,33 @@ def deny_release(spark, corpus_path, docs: DataFrame | None = None,
     readers finish on the old snapshot) and the cached arm counts
     refresh at the end. Idempotent: releasing an absent request or
     absent content is a no-op. Returns a receipt of per-arm rows
-    removed."""
+    removed (plus the request id when request-scoped); pass
+    ``run_log`` and the receipt also lands in the run-metadata table
+    — the same O11 audit discipline as the takedown itself."""
+    import datetime as _dt
+    import json as _json
+    import time as _time
+
     from .sinks import ParquetTable
+
+    started = _dt.datetime.now()
+    t0 = _time.perf_counter()
+
+    def _audit(receipt: dict) -> dict:
+        if request_id is not None:
+            receipt["request_id"] = request_id
+        if run_log is not None:
+            from .runlog import RunRecord
+
+            run_log.append(
+                spark,
+                RunRecord(
+                    job_id, "deny_release", started.strftime("%Y%m%d"),
+                    started, round(_time.perf_counter() - t0, 3),
+                    _json.dumps(receipt, sort_keys=True), True,
+                ),
+            )
+        return receipt
 
     if (docs is None) == (request_id is None):
         raise ValueError(
@@ -1807,7 +1839,7 @@ def deny_release(spark, corpus_path, docs: DataFrame | None = None,
             if sem_tbl.exists():
                 receipt["centroids_removed"] = _arm(sem_tbl, by_req)
             _update_deny_counts(spark, corpus_path)
-            return receipt
+            return _audit(receipt)
         if deny_tbl.exists():
             fps = docs.select(
                 T.fingerprint_md5(F.col("text")).alias("fp")
@@ -1844,7 +1876,7 @@ def deny_release(spark, corpus_path, docs: DataFrame | None = None,
                 ),
             )
         _update_deny_counts(spark, corpus_path)
-        return receipt
+        return _audit(receipt)
 
 
 def deny_expire(spark, corpus_path, now=None, _locked: bool = False) -> dict:

@@ -310,3 +310,25 @@ def test_stream_semantic_recall_telemetry(spark, tmp_path):
     r = rows[-1]
     assert r.job_id == "curation:t_recall_tel" and r.stage == "semantic_recall"
     assert 0 <= r.value <= 1_000_000 and r.unit == "ppm"
+
+
+def test_release_and_takedown_receipts_carry_request_id(spark, tmp_path):
+    """Compliance audit trail: takedown and release receipts record
+    the request id, and deny_release(run_log=) lands in the
+    run-metadata table like the takedown itself (O11 discipline)."""
+    from ods_v3_dbt_spark.pipelines import corpus_takedown, deny_release
+    from ods_v3_dbt_spark.runlog import RunLog
+
+    corpus, process, write, drain = _seed_store(spark, tmp_path, "tk_audit")
+    rl = RunLog(tmp_path / "runs")
+    receipt = corpus_takedown(
+        spark, corpus, spark.createDataFrame([(13,)], "doc_id bigint"),
+        request_id="req-42", run_log=rl, job_id="gdpr-42",
+    )
+    assert receipt["request_id"] == "req-42"
+    rel = deny_release(spark, corpus, request_id="req-42",
+                       run_log=rl, job_id="gdpr-42-withdrawn")
+    assert rel["request_id"] == "req-42" and rel["fps_removed"] == 1
+    rows = {(r.job_id, r.task_id) for r in rl.read(spark).collect()}
+    assert ("gdpr-42", "corpus_takedown") in rows
+    assert ("gdpr-42-withdrawn", "deny_release") in rows
