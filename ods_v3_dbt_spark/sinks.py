@@ -1481,8 +1481,10 @@ class BucketedTable:
             from . import fs as FS
 
             fs = FS.fs_for(live)
-            if not fs.supports_atomic_rename():
-                # The tombstone swap renames the LIVE directory in
+            if not fs.supports_atomic_rename() and (
+                fs.exists(live) or fs.exists(tomb)
+            ):
+                # OVERWRITING a live table swaps the LIVE directory in
                 # place — the ONE protocol here that needs atomic
                 # multi-file rename (readers resolve the dir by name,
                 # not via a manifest). On an object store that rename
@@ -1490,14 +1492,24 @@ class BucketedTable:
                 # table. Refuse loudly; ParquetTable/PartitionedTable
                 # commit via pointer logs and work on any store, and
                 # production bucketed facts on object storage belong
-                # in a Hive/Delta catalog (README).
+                # in a Hive/Delta catalog (README). A FRESH table
+                # (no live dir, no tomb residue) proceeds below: its
+                # only rename promotes a never-referenced side dir —
+                # safe on copy+delete semantics (a crash leaves an
+                # unregistered side dir the next attempt clears), so
+                # the LSM indexes, whose members are all
+                # write-once-per-epoch fresh tables, stay fully
+                # object-store capable (they pay one server-side copy
+                # per segment promote).
                 raise AtomicRenameRequiredError(
                     f"BucketedTable {self.name!r}: warehouse {live} is on "
-                    "a store without atomic rename — the in-place "
-                    "tombstone swap would expose torn reads. Use "
-                    "ParquetTable/PartitionedTable (pointer-log commit) "
-                    "for object-store warehouses, or an external "
-                    "catalog (Delta/Hive) for bucketed facts."
+                    "a store without atomic rename and the table already "
+                    "exists — the in-place tombstone swap would expose "
+                    "torn reads. Use ParquetTable/PartitionedTable "
+                    "(pointer-log commit) for mutable object-store "
+                    "tables, or an external catalog (Delta/Hive) for "
+                    "bucketed facts; write-once tables (the index "
+                    "segments) are unaffected."
                 )
             self._repair(spark)  # finish a predecessor's crashed swap
             # clear residue from prior crashes/losers (catalog entries

@@ -203,7 +203,13 @@ def test_table_group_all_old_or_all_new_on_object_store(
     assert not [op for op in objfs.ops if op[0] == "replace"]
 
 
-def test_bucketed_table_refuses_on_object_store(spark, tmp_path):
+def test_bucketed_table_fresh_ok_overwrite_refuses_on_object_store(
+    spark, tmp_path
+):
+    """A FRESH bucketed table (write-once — the index-segment shape)
+    lands fine on object-store semantics: its only rename promotes a
+    never-referenced side dir. OVERWRITING it — the in-place
+    tombstone swap of a LIVE directory — refuses loudly."""
     from ods_v3_dbt_spark.sinks import BucketedTable, _warehouse_path
 
     wh = _warehouse_path(spark)
@@ -212,8 +218,11 @@ def test_bucketed_table_refuses_on_object_store(spark, tmp_path):
     FS.register_fs_override(str(wh / name), fs)
     try:
         t = BucketedTable(name, ["id"], num_buckets=4)
+        t.write(spark.range(10).toDF("id"))  # fresh: allowed
+        assert t.read(spark).count() == 10
         with pytest.raises(AtomicRenameRequiredError):
-            t.write(spark.range(10).toDF("id"))
+            t.write(spark.range(3).toDF("id"))  # live swap: refused
+        assert t.read(spark).count() == 10  # untouched
     finally:
         FS.clear_fs_override(str(wh / name))
         spark.sql(f"DROP TABLE IF EXISTS {name}")
@@ -283,3 +292,63 @@ def test_writer_lock_steal_on_object_store(tmp_path, objfs):
     with _writer_lock(root, stale_after_s=1.0) as lk:
         lk.check()  # we own it; the stale lock was stolen
     assert not (root / "_LOCK").exists()  # released cleanly
+
+
+def test_dedup_index_lifecycle_on_object_store(spark, tmp_path):
+    """The LSM index layer end-to-end behind object-store semantics:
+    build → O(batch) append → exact probe → delete → compact, with
+    every member promote a copy+delete dir rename and the manifest a
+    log-dir pointer. Index members are write-once-per-epoch fresh
+    BucketedTables, so the live-swap refusal never fires."""
+    from ods_v3_dbt_spark.operators.neardup_index import (
+        DedupIndex,
+        dedup_index_append,
+        dedup_index_compact,
+        dedup_index_delete,
+        dedup_index_write,
+        exact_probe,
+    )
+    from ods_v3_dbt_spark.sinks import _warehouse_path
+
+    wh = _warehouse_path(spark)
+    name = "fakeobjidx2"
+    fs = FakeObjectFS()
+    FS.register_fs_override(str(wh / name), fs)
+    try:
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon"),
+             (2, "one two three four five six")],
+            "doc_id long, text string",
+        )
+        idx = dedup_index_write(docs, name, num_buckets=2)
+        dedup_index_append(
+            idx,
+            spark.createDataFrame(
+                [(3, "red orange yellow green blue")],
+                "doc_id long, text string",
+            ),
+        )
+        probe = spark.createDataFrame(
+            [(90, "alpha beta gamma delta epsilon"),
+             (91, "red orange yellow green blue"),
+             (92, "nothing matches this probe at all")],
+            "doc_id long, text string",
+        )
+        hits = {r.doc_id for r in exact_probe(probe, idx).collect()}
+        assert hits == {90, 91}
+        # manifest went through the log protocol
+        from pathlib import Path
+
+        man = wh / f"{name}__index_manifest.json"
+        assert not Path(str(man)).exists()
+        assert Path(str(man) + ".d").is_dir()
+
+        dedup_index_delete(idx, spark.createDataFrame(
+            [(1,)], "doc_id long"))
+        hits = {r.doc_id for r in exact_probe(probe, idx).collect()}
+        assert hits == {91}
+        dedup_index_compact(idx)
+        hits = {r.doc_id for r in exact_probe(probe, idx).collect()}
+        assert hits == {91}
+    finally:
+        FS.clear_fs_override(str(wh / name))
