@@ -69,9 +69,12 @@ protocol no longer ASSUMES atomic rename anywhere):
   uuid-named immutable destinations before the pointer commit
   (crash residue is invisible and GC'd), so no reader can observe
   a torn directory; the one protocol that swaps a LIVE directory
-  in place (BucketedTable's tombstone swap) refuses loudly on a
-  non-rename-atomic FS (sinks.py) — use ParquetTable /
-  PartitionedTable (or Delta) for object-store warehouses.
+  in place (BucketedTable's tombstone swap of an EXISTING table)
+  refuses loudly on a non-rename-atomic FS (sinks.py) — use
+  ParquetTable / PartitionedTable (or Delta) for mutable
+  object-store tables. Fresh (write-once) bucketed tables — the
+  LSM index segments — proceed: their promote rename touches a
+  never-referenced dir.
 
 The object-store semantics are proven in tests against
 ``tests/fake_object_fs.FakeObjectFS`` — a seam implementation with

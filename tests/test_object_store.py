@@ -352,3 +352,85 @@ def test_dedup_index_lifecycle_on_object_store(spark, tmp_path):
         assert hits == {91}
     finally:
         FS.clear_fs_override(str(wh / name))
+
+
+def test_curated_store_end_to_end_on_object_store(spark, tmp_path):
+    """The flagship claim at full strength: the curation stream
+    (corpus snapshots + `_CURATED` co-manifest + persisted dedup
+    index + store mutex) AND a takedown with denylisting, with BOTH
+    the corpus root and the index's warehouse paths behind
+    object-store semantics — every pointer a log commit, every
+    promote a copy+delete rename, zero `replace` calls anywhere."""
+    import datetime as dt
+
+    from ods_v3_dbt_spark.pipelines import corpus_takedown, curate_increment_stream
+    from ods_v3_dbt_spark.sinks import ParquetTable, _warehouse_path
+
+    SCHEMA = "doc_id long, text string, ingest_ts timestamp"
+    src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+    corpus, decisions = tmp_path / "corpus", tmp_path / "dec"
+    T0 = dt.datetime(2024, 9, 1, 12, 0, 0)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    fresh = "totally new words nobody used before in any earlier batch"
+
+    fs = FakeObjectFS()
+    name = "fakeobjstream_idx"
+    wh = _warehouse_path(spark)
+    FS.register_fs_override(str(tmp_path), fs)       # corpus + deny arms
+    FS.register_fs_override(str(wh / name), fs)      # index members/manifest
+    try:
+        process = curate_increment_stream(
+            corpus, name, str(decisions), num_buckets=2
+        )
+
+        def write(rows):
+            spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+
+        def drain():
+            q = (
+                spark.readStream.schema(SCHEMA).parquet(str(src))
+                .writeStream.foreachBatch(process)
+                .option("checkpointLocation", str(ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        write([(1, base, T0)])
+        drain()
+        write([(11, base, T0), (13, fresh, T0)])
+        drain()
+        by_doc = {
+            r.doc_id: r.verdict
+            for r in spark.read.parquet(str(decisions)).collect()
+        }
+        assert by_doc[1] == "admitted"
+        assert by_doc[11] == "dup_exact_existing"
+        assert by_doc[13] == "admitted"
+
+        receipt = corpus_takedown(
+            spark, corpus, spark.createDataFrame([(13,)], "doc_id bigint"),
+            request_id="req-obj",
+        )
+        assert receipt["n_removed"] == 1
+        got = sorted(
+            r.doc_id for r in ParquetTable(corpus).read(spark).collect()
+        )
+        assert got == [1]
+
+        # resubmission of taken-down content refused at the gate
+        write([(31, fresh, T0)])
+        drain()
+        by_doc = {
+            r.doc_id: r.verdict
+            for r in spark.read.parquet(str(decisions)).collect()
+        }
+        assert by_doc[31] == "denied"
+
+        # the whole run never used the non-atomic replace primitive
+        assert not [op for op in fs.ops if op[0] == "replace"]
+    finally:
+        FS.clear_fs_override(str(tmp_path))
+        FS.clear_fs_override(str(wh / name))
