@@ -434,3 +434,35 @@ def test_curated_store_end_to_end_on_object_store(spark, tmp_path):
     finally:
         FS.clear_fs_override(str(tmp_path))
         FS.clear_fs_override(str(wh / name))
+
+
+def test_no_missing_pointer_window_under_live_commits(spark, tmp_path, objfs):
+    """A reader polling current_snapshot() concurrently with a
+    committing writer NEVER observes a missing pointer on object
+    semantics — the log commit is create-only (the in-place replace
+    protocol had a reader-visible delete-then-copy window)."""
+    import threading
+
+    t = ParquetTable(tmp_path / "t")
+    t.write(spark.range(2).toDF("id"))
+
+    stop = threading.Event()
+    misses: list[int] = []
+    polls: list[int] = []
+
+    def reader():
+        while not stop.is_set():
+            polls.append(1)
+            if t.current_snapshot() is None:
+                misses.append(1)
+                return
+
+    th = threading.Thread(target=reader, daemon=True)
+    th.start()
+    try:
+        for i in range(4):
+            t.write(spark.range(3 + i).toDF("id"))
+    finally:
+        stop.set()
+        th.join(timeout=30)
+    assert not misses and len(polls) > 50
