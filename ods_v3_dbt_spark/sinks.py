@@ -1190,32 +1190,42 @@ def compact_append_dir(spark: SparkSession, path: str, read_fn,
     a torn read (callers' ``read`` uses ignoreMissingFiles). Returns
     {files_before, files_after, rows_dropped}."""
     import datetime as _dt
-    import shutil
 
     from pyspark.sql import functions as F
 
-    p = Path(path)
+    from . import fs as FS
+
+    p = _norm_root(path)
+    fs = FS.fs_for(p)
     with _writer_lock(p.parent / f"._{p.name}_compact_lock"):
-        old = sorted(f for f in p.glob("*.parquet") if f.is_file())
+        old = sorted(
+            name
+            for (name, is_dir, _) in fs.list(p)
+            if not is_dir and name.endswith(".parquet")
+        )
         df = read_fn(spark)
         before_rows = df.count()
         if retain_days is not None:
             cutoff = _dt.datetime.now() - _dt.timedelta(days=retain_days)
             df = df.filter(F.col(ts_col) >= F.lit(cutoff))
         # stage into a dot-dir (invisible to Spark listings), promote
-        # the parts, then retire the old files
+        # the parts (unique final names, never referenced until they
+        # appear in a listing — object-store safe), retire the old
         tmp = p / f".compact-{uuid.uuid4().hex[:8]}"
         df.coalesce(max(1, target_files)).write.parquet(str(tmp))
         n_new = 0
-        for part in sorted(tmp.glob("*.parquet")):
-            os.replace(part, p / f"compacted-{uuid.uuid4().hex[:12]}.parquet")
+        for part in sorted(
+            name
+            for (name, is_dir, _) in fs.list(tmp)
+            if not is_dir and name.endswith(".parquet")
+        ):
+            fs.rename(
+                tmp / part, p / f"compacted-{uuid.uuid4().hex[:12]}.parquet"
+            )
             n_new += 1
-        shutil.rmtree(tmp, ignore_errors=True)
-        for f in old:
-            try:
-                f.unlink()
-            except FileNotFoundError:
-                pass
+        fs.delete(tmp)
+        for name in old:
+            fs.delete(p / name, recursive=False)
         after_rows = read_fn(spark).count()
         return {
             "files_before": len(old),

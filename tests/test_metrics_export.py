@@ -211,3 +211,16 @@ def test_runlog_compaction_shares_the_discipline(spark, tmp_path):
     assert rep == {"files_before": 6, "files_after": 1, "rows_dropped": 1}
     tasks = {r.task_id for r in log.read(spark).collect()}
     assert "ancient" not in tasks and len(tasks) == 5
+
+
+def test_compaction_on_uri_root(spark, tmp_path):
+    """compact_append_dir runs through the FS adapter — a metrics
+    log on a file:// (HadoopFS) root folds the same way."""
+    log = MetricsLog(f"file://{tmp_path}/metrics")
+    for i in range(4):
+        log.emit(spark, "job", "task", "s", {"m": (float(i), "rows")})
+    rep = log.compact(spark)
+    assert rep["files_before"] == 4 and rep["files_after"] == 1
+    assert rep["rows_dropped"] == 0
+    latest = {r.metric: r.value for r in log.latest(spark)}
+    assert latest["m"] == 3.0
