@@ -142,7 +142,8 @@ def test_release_by_request_skips_unattributed_rows(spark, tmp_path):
     )
     n_sig = ParquetTable(f"{corpus}__deny_sig").read(spark).count()
     receipt = deny_release(spark, corpus, request_id="req-nope")
-    assert receipt == {"fps_removed": 0, "bands_removed": 0}
+    assert receipt == {"fps_removed": 0, "bands_removed": 0,
+                       "request_id": "req-nope"}
     assert ParquetTable(f"{corpus}__deny_sig").read(spark).count() == n_sig
 
     # content-keyed release still works for them

@@ -212,8 +212,17 @@ def test_bucketed_table_fresh_ok_overwrite_refuses_on_object_store(
     tombstone swap of a LIVE directory — refuses loudly."""
     from ods_v3_dbt_spark.sinks import BucketedTable, _warehouse_path
 
+    import shutil
+
     wh = _warehouse_path(spark)
     name = "fakeobj_refusal_tbl"
+    # the warehouse dir persists across runs — clear residue from a
+    # previous execution or the (refined) refusal fires on the FIRST
+    # write instead of the overwrite
+    for d in (name, f"{name}__tomb", f"{name}__snap"):
+        shutil.rmtree(wh / d, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(f"DROP TABLE IF EXISTS {name}__snap")
     fs = FakeObjectFS()
     FS.register_fs_override(str(wh / name), fs)
     try:
@@ -227,6 +236,8 @@ def test_bucketed_table_fresh_ok_overwrite_refuses_on_object_store(
         FS.clear_fs_override(str(wh / name))
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         spark.sql(f"DROP TABLE IF EXISTS {name}__snap")
+        for d in (name, f"{name}__tomb", f"{name}__snap"):
+            shutil.rmtree(wh / d, ignore_errors=True)
 
 
 def test_index_manifest_log_commit(spark, tmp_path):
