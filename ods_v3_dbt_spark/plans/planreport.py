@@ -69,6 +69,14 @@ def suite_report(spark: SparkSession, sf_dir: str) -> dict[str, dict]:
     out: dict[str, dict] = {}
     for name, qd in sorted(DQ.registry().items()):
         try:
+            # clear cached relations between queries: an earlier
+            # query's cache swaps a file scan for an InMemoryRelation
+            # whose statistics flip later join strategies, so the
+            # recorded plan would depend on SWEEP ORDER instead of
+            # the query (observed: minhash_lsh_neardup 15 exchanges
+            # isolated vs 21 mid-sweep). bench.py does the same
+            # between timed rows.
+            spark.catalog.clearCache()
             out[name] = plan_report(qd.spark(spark, sf_dir))
         except Exception as e:  # pragma: no cover — report, don't die
             out[name] = {"error": str(e)[:200]}
