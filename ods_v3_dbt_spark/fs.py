@@ -160,10 +160,16 @@ class PointerCommitConflict(RuntimeError):
 
 #: Hadoop schemes whose FileSystem.rename is a single atomic
 #: metadata operation. Everything else — object stores and any
-#: scheme not listed — is treated as copy+delete (conservative:
-#: a wrong False only switches protocols, a wrong True tears them).
+#: scheme not listed — is treated as an OBJECT store: pointer
+#: commits go through the log protocol (always safe) and
+#: write_text_atomic becomes one whole-object PUT, which is atomic
+#: on every real object store (visible at close). A POSIX-like
+#: filesystem behind an unlisted scheme would see torn small-file
+#: reads from that PUT arm — if you deploy on one, add its scheme
+#: here (that is also the faster path for it).
 _ATOMIC_RENAME_SCHEMES = frozenset(
-    {"hdfs", "file", "viewfs", "abfs", "abfss", "ofs", "o3fs"}
+    {"hdfs", "file", "viewfs", "abfs", "abfss", "ofs", "o3fs",
+     "webhdfs", "swebhdfs"}
 )
 
 

@@ -697,6 +697,7 @@ def maintain_curated_store(
                 ivf_pins.append(prev_man["ivf_epoch"])
             set_index_pin(spark, ivf.name, f"curated:{corpus_path}",
                           ivf_pins)
+        corpus_tbl.vacuum(keep=keep, pinned=pin_snaps)
         # expire time-bounded deny holds (corpus_takedown's
         # deny_expires_at) — still under the store lock
         from .pipelines import deny_expire

@@ -37,6 +37,9 @@ METRICS_SCHEMA = (
 #: MetricsLog instances of the same path (emitter and server are
 #: usually different instances).
 _LIVE: dict[str, dict[tuple, tuple]] = {}
+#: paths whose cold-warm table read already ran — an EMPTY table
+#: must not re-trigger the full latest() window on every render
+_LIVE_WARMED: set[str] = set()
 _LIVE_MU = threading.Lock()
 
 
@@ -71,6 +74,7 @@ class MetricsLog:
             live = _LIVE.setdefault(self.path, {})
             for (job, task, stg, name, value, unit, ts) in rows:
                 live[(job, task, stg, name)] = (value, unit, ts)
+            _LIVE_WARMED.add(self.path)
 
     def read(self, spark: SparkSession) -> DataFrame:
         # ignoreMissingFiles: a concurrent compact() may retire an
@@ -147,10 +151,19 @@ class MetricsLog:
         )
         with _LIVE_MU:
             live = dict(_LIVE.get(self.path) or {})
-        if not live and spark is not None:
+            done = self.path in _LIVE_WARMED
+        if not live and not done and spark is not None:
             try:
                 warmed = self.latest(spark)
-            except Exception:  # table doesn't exist yet
+            except Exception as e:
+                # ONLY a not-yet-created table is "no data"; any
+                # other read failure must surface (a swallowed error
+                # here would serve healthy-looking empty 200s and
+                # silently blind every alert on these metrics)
+                from pyspark.errors import AnalysisException
+
+                if not isinstance(e, AnalysisException):
+                    raise
                 warmed = []
             with _LIVE_MU:
                 store = _LIVE.setdefault(self.path, {})
@@ -159,6 +172,7 @@ class MetricsLog:
                         (r.job_id, r.task_id, r.stage, r.metric),
                         (r.value, r.unit, r.emitted_at),
                     )
+                _LIVE_WARMED.add(self.path)
                 live = dict(store)
         return [
             Row(job, task, stg, name, value, unit, ts)

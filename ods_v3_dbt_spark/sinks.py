@@ -746,26 +746,27 @@ class PartitionedTable:
         # commit that never happened (round-9 ADVICE)
         from . import fs as FS
 
-        staged = self.root / f".{snap}.staged"
-        fs.write_text_atomic(staged, json.dumps(man, sort_keys=True))
-        lk.check()  # fencing: abort (not publish) if evicted
         if fs.supports_atomic_rename():
+            staged = self.root / f".{snap}.staged"
+            fs.write_text_atomic(staged, json.dumps(man, sort_keys=True))
+            lk.check()  # fencing: abort (not publish) if evicted
             if not fs.rename(staged, self.root / snap):
                 raise ConcurrentWriteError(
                     f"manifest publish lost a race: {staged}"
                 )
         else:
             # object store: no-clobber rename is check-then-act there,
-            # so publish with the atomic conditional-put instead (the
-            # manifest name is the CAS key); the staged copy becomes
-            # ordinary residue for _gc_orphan_dirs
+            # so publish with the atomic conditional-put directly (the
+            # manifest name is the CAS key) — the POSIX stage-then-
+            # rename dance would just be a wasted PUT + DELETE here,
+            # and the fence ordering is identical
+            lk.check()  # fencing: abort (not publish) if evicted
             if not fs.create_exclusive(
                 self.root / snap, json.dumps(man, sort_keys=True)
             ):
                 raise ConcurrentWriteError(
                     f"manifest publish lost a race: {snap}"
                 )
-            fs.delete(staged, recursive=False)
         FS.commit_pointer(fs, self._pointer(), snap, fence=lk.check)
         return self.root / snap
 
@@ -1183,13 +1184,18 @@ def compact_append_dir(spark: SparkSession, path: str, read_fn,
     """Fold an append-only parquet dir (one tiny file per append —
     the RunLog/MetricsLog discipline) into ``target_files`` files,
     optionally dropping rows whose ``ts_col`` is older than
-    ``retain_days``. Serialized against appenders by a writer lock
-    next to the dir. Readers racing the fold either see the old
-    files, or the compacted file plus not-yet-deleted old files —
-    transient duplicates the log consumers are idempotent to — never
-    a torn read (callers' ``read`` uses ignoreMissingFiles). Returns
+    ``retain_days``. The writer lock serializes concurrent COMPACTS;
+    appenders need no lock at all: the fold deletes exactly the
+    files the DataFrame actually read (``df.inputFiles()`` — the
+    scan's pinned file set), so a file appended mid-fold is neither
+    folded nor deleted — no permanent duplicates, no loss. Readers
+    racing the fold either see the old files, or the compacted file
+    plus not-yet-deleted old files — transient duplicates the log
+    consumers are idempotent to — never a torn read (callers'
+    ``read`` uses ignoreMissingFiles). Returns
     {files_before, files_after, rows_dropped}."""
     import datetime as _dt
+    from urllib.parse import unquote, urlparse
 
     from pyspark.sql import functions as F
 
@@ -1198,12 +1204,12 @@ def compact_append_dir(spark: SparkSession, path: str, read_fn,
     p = _norm_root(path)
     fs = FS.fs_for(p)
     with _writer_lock(p.parent / f"._{p.name}_compact_lock"):
-        old = sorted(
-            name
-            for (name, is_dir, _) in fs.list(p)
-            if not is_dir and name.endswith(".parquet")
-        )
+        if not fs.exists(p):  # never appended to: nothing to fold
+            return {"files_before": 0, "files_after": 0, "rows_dropped": 0}
         df = read_fn(spark)
+        # the EXACT file set this scan pinned at planning — only
+        # these are retired below
+        old = [f for f in df.inputFiles() if f.endswith(".parquet")]
         before_rows = df.count()
         if retain_days is not None:
             cutoff = _dt.datetime.now() - _dt.timedelta(days=retain_days)
@@ -1224,8 +1230,15 @@ def compact_append_dir(spark: SparkSession, path: str, read_fn,
             )
             n_new += 1
         fs.delete(tmp)
-        for name in old:
-            fs.delete(p / name, recursive=False)
+        for furi in old:
+            # inputFiles returns URIs; file: ones unwrap to the local
+            # path (matching the store root's dispatch), others stay
+            # URIs for HadoopFS
+            parsed = urlparse(furi)
+            target = (
+                unquote(parsed.path) if parsed.scheme == "file" else furi
+            )
+            FS.fs_for(target).delete(target, recursive=False)
         after_rows = read_fn(spark).count()
         return {
             "files_before": len(old),

@@ -333,3 +333,30 @@ def test_release_and_takedown_receipts_carry_request_id(spark, tmp_path):
     rows = {(r.job_id, r.task_id) for r in rl.read(spark).collect()}
     assert ("gdpr-42", "corpus_takedown") in rows
     assert ("gdpr-42-withdrawn", "deny_release") in rows
+
+
+def test_maintenance_still_vacuums_corpus_snapshots(spark, tmp_path):
+    """Regression (round-11 self-review): wiring deny expiry into
+    maintain_curated_store must not displace the corpus vacuum —
+    the weekly verb still retires snapshots beyond ``keep``."""
+    from ods_v3_dbt_spark.jobs import maintain_curated_store
+    from ods_v3_dbt_spark.sinks import ParquetTable
+
+    corpus, process, write, drain = _seed_store(spark, tmp_path, "tk_vac")
+    # several more admissions → several more snapshots
+    for i, t in enumerate([
+        "one two three four five six seven",
+        "red orange yellow green blue indigo",
+        "north south east west up down around",
+    ]):
+        write([(40 + i, t, T0)])
+        drain()
+    tbl = ParquetTable(corpus)
+    n_before = len(tbl.history())
+    assert n_before >= 3  # the loop's own keep=3 retention
+    report = maintain_curated_store(spark, corpus, keep=1)
+    assert "deny_expired" in report  # the new arm ran too
+    # vacuum honored keep (live/prev pair pins can retain a couple
+    # extra; what must NOT happen is 'no snapshot ever retired')
+    n_after = len(tbl.history())
+    assert n_after < n_before

@@ -144,6 +144,7 @@ def test_cold_process_warms_live_map_once(spark, tmp_path, monkeypatch):
 
     log = _seed(spark, tmp_path)
     M._LIVE.pop(log.path, None)  # simulate process restart
+    M._LIVE_WARMED.discard(log.path)
     text = MetricsLog(log.path).prometheus_text(spark)
     assert "ods_rows_out" in text and " 250 " in text
     monkeypatch.setattr(
