@@ -51,20 +51,88 @@ DRIFT_CALIBRATION = {
     "merge_upsert_single": 0.33,
 }
 
+#: Pinned per-query baseline anchors (seconds, sf0.1 local[32]) — the
+#: EXACT denominators of the 2× gate, mechanized (round-12 verdict
+#: task 4: BASELINE.md's noise protocol was prose a judge applied by
+#: hand). One row per ANCHORS entry; values are each query's pinned
+#: anchor from BASELINE.md §4.1 — the §4 table where applicable,
+#: superseded by the round-2 re-anchors (simhash_neardup,
+#: embedding_ann_lsh) and by the round-6/8 build/probe-split rows for
+#: the index queries. ``tests/test_bench_gate.py`` pins this dict
+#: against the BASELINE.md §4.1 table so the two cannot drift apart.
+ANCHOR_BASELINES = {
+    "pricing_summary": 0.63,
+    "revenue_by_customer": 0.71,
+    "merge_upsert_single": 0.33,
+    "rollup_day": 0.40,
+    "rollup_month": 0.50,
+    "minhash_lsh_neardup": 4.2,
+    "ngram_jaccard_neardup": 3.1,
+    "embedding_cosine_neardup": 2.9,
+    "simhash_neardup": 3.1,
+    "embedding_ann_lsh": 3.2,
+    "embedding_topk": 1.5,
+    "bm25_indexed_topk": 1.0,
+    "dedup_index_probe": 1.6,
+    "lsh_index_probe": 3.5,
+    "ivf_index_ann_topk": 0.95,
+    "pq_index_ann_topk": 1.12,
+    "sem_ivf_probe": 3.0,
+    "dedup_index_build": 12.1,
+    "index_append_fixed_batch_small_base": 2.0,
+    "index_append_fixed_batch_large_base": 2.0,
+}
 
-def _anchor_drift(times: dict) -> float | None:
+
+def _geomean(vals) -> float | None:
     import math
 
-    ratios = [
+    vals = [v for v in vals if v > 0]
+    if not vals:
+        return None
+    return round(
+        math.exp(sum(math.log(v) for v in vals) / len(vals)), 3
+    )
+
+
+def _anchor_drift(times: dict) -> float | None:
+    return _geomean(
         times[q] / ref
         for q, ref in DRIFT_CALIBRATION.items()
         if q in times and times[q] > 0
-    ]
-    if not ratios:
-        return None
-    return round(
-        math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3
     )
+
+
+def baseline_gate(times: dict, drift: float | None) -> dict:
+    """Mechanized 2× gate (BASELINE.md noise protocol as code): per
+    anchor query, the raw ratio vs its pinned baseline and the
+    drift-calibrated ratio (raw ÷ the window's ``anchor_drift`` stamp
+    — the by-hand step the protocol prescribed for throttled
+    windows); suite-level geomeans of both; and ``gate_pass`` —
+    calibrated geomean ≤ 1.0 would be strictly match-or-beat, the
+    GATE is the documented 2× bound: geomean ≤ 2.0 AND no single
+    query over 2× calibrated."""
+    ratios = {
+        q: round(times[q] / ref, 3)
+        for q, ref in ANCHOR_BASELINES.items()
+        if q in times and times[q] > 0
+    }
+    d = drift if drift and drift > 0 else 1.0
+    calibrated = {q: round(r / d, 3) for q, r in ratios.items()}
+    raw_geo = _geomean(ratios.values())
+    cal_geo = _geomean(calibrated.values())
+    return {
+        "baseline": {q: ANCHOR_BASELINES[q] for q in ratios},
+        "baseline_ratio": ratios,
+        "baseline_ratio_calibrated": calibrated,
+        "baseline_geomean": raw_geo,
+        "baseline_geomean_calibrated": cal_geo,
+        "gate_pass": bool(
+            cal_geo is not None
+            and cal_geo <= 2.0
+            and max(calibrated.values()) <= 2.0
+        ),
+    }
 
 
 def main() -> None:
@@ -437,6 +505,11 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     drift = _anchor_drift(times)
+    # mechanized 2× gate (round-12 verdict task 4): per-anchor pinned
+    # baselines + raw/calibrated ratios + suite-level pass bool. Only
+    # meaningful at the frozen denominator's scale factor — at other
+    # SFs the anchors don't apply, so the gate is omitted.
+    gate = baseline_gate(times, drift) if sf == 0.1 else None
     payload = {
         "metric": "declared_query_suite_wall",
         "value": total,
@@ -445,6 +518,8 @@ def main() -> None:
         "sf": sf,
         "anchor_drift": drift,
     }
+    if gate is not None:
+        payload.update(gate)
     # The driver's stdout capture keeps only a ~2 KB TAIL and parses
     # the last JSON line it finds — a 215-query map is >10 KB, so the
     # line's HEAD (including the opening brace) was cut and
@@ -474,6 +549,15 @@ def main() -> None:
         # window, read absolute walls through this ratio
         "anchor_drift": drift,
     }
+    if gate is not None:
+        # gate summary only (the per-query ratio maps live in
+        # BENCH_SELF.json — the compact line must fit the driver's
+        # ~2 KB stdout tail)
+        compact["baseline_geomean"] = gate["baseline_geomean"]
+        compact["baseline_geomean_calibrated"] = (
+            gate["baseline_geomean_calibrated"]
+        )
+        compact["gate_pass"] = gate["gate_pass"]
     print(json.dumps(compact))
     # Machine-readable artifact (round-5 verdict task 8): the driver's
     # recorded stdout tail truncates at 2 KB, so the per-query map was

@@ -68,13 +68,13 @@ protocol no longer ASSUMES atomic rename anywhere):
   stores. The snapshot stores only ever rename INTO unique
   uuid-named immutable destinations before the pointer commit
   (crash residue is invisible and GC'd), so no reader can observe
-  a torn directory; the one protocol that swaps a LIVE directory
-  in place (BucketedTable's tombstone swap of an EXISTING table)
-  refuses loudly on a non-rename-atomic FS (sinks.py) — use
-  ParquetTable / PartitionedTable (or Delta) for mutable
-  object-store tables. Fresh (write-once) bucketed tables — the
-  LSM index segments — proceed: their promote rename touches a
-  never-referenced dir.
+  a torn directory. Since round 12 NO engine protocol swaps a live
+  directory in place: BucketedTable — the last holdout — writes
+  each bucketed snapshot into a fresh epoch dir under its root and
+  flips a ``_CURRENT`` pointer (zero renames on the steady-state
+  path; the one legacy-migration rename promotes a never-referenced
+  dot-staged dir), so mutable bucketed tables are fully
+  object-store capable.
 
 The object-store semantics are proven in tests against
 ``tests/fake_object_fs.FakeObjectFS`` — a seam implementation with
@@ -459,10 +459,20 @@ def _log_dir(ptr):
 def read_pointer(fs, ptr) -> str | None:
     """Resolve a committed pointer value, or None before the first
     commit. Log-dir entries (object-store protocol) supersede the
-    legacy single file; readers take max(seq) and re-list if a
-    retention prune raced the read."""
+    legacy single file; readers take max(seq) and re-list (with a
+    short back-off) if a retention prune raced the read.
+
+    The legacy single-file fallback applies ONLY when the log dir is
+    empty: once log entries were OBSERVED, falling through would
+    return a stale pre-migration value (or None — a live table
+    briefly "nonexistent"), so exhausting the retries then raises
+    instead of masking the anomaly (round-12 advisor, fs.py:477).
+    Retention keeps ``retain`` entries and always the newest, so all
+    retries failing means something beyond a routine prune race —
+    surface it."""
     d = _log_dir(ptr)
-    for _attempt in range(3):
+    saw_entries = False
+    for attempt in range(5):
         entries = sorted(
             name
             for (name, is_dir, _) in fs.list(d)
@@ -470,10 +480,21 @@ def read_pointer(fs, ptr) -> str | None:
         )
         if not entries:
             break
+        saw_entries = True
         try:
             return fs.read_text(join(d, entries[-1]))
         except FileNotFoundError:
-            continue  # raced a retention prune; re-list
+            # raced a retention prune (or a stale listing); back off
+            # briefly and re-list
+            time.sleep(0.02 * (attempt + 1))
+            continue
+    if saw_entries:
+        raise RuntimeError(
+            f"pointer log {d} has entries but every max-seq read "
+            "raced away across retries — listing/read inconsistency "
+            "beyond a routine retention prune; refusing the stale "
+            "legacy fallback"
+        )
     if fs.exists(ptr):
         return fs.read_text(ptr)
     return None
@@ -531,6 +552,35 @@ def commit_pointer(fs, ptr, value: str, retain: int = 8,
         )
     for old in seqs[: max(0, len(seqs) - (retain - 1))]:
         fs.delete(join(d, f"{old:020d}.ptr"), recursive=False)
+
+
+def retry_pointer_conflicts(fn, attempts: int = 3,
+                            base_sleep_s: float = 0.2):
+    """Run a REPLAY-IDEMPOTENT verb, retrying on
+    :class:`PointerCommitConflict` with exponential back-off
+    (round-12 verdict task 3). The CAS loser is contract-correct to
+    die loudly — the conflict means two writers believed they held
+    the mutex — but for verbs whose whole body is a deterministic
+    fold over committed state (index/store maintenance, log
+    compaction) a transient conflict wasting the entire fold is the
+    wrong economics at 100 TB: the verb re-acquires the lock,
+    RE-RESOLVES the now-current state, and replays; converging on a
+    no-op if the racing writer already did the work.
+
+    ONLY wrap verbs where replay-after-a-competitor's-commit is
+    semantically a no-op or a fresh fold. Verbs carrying
+    caller-supplied payloads (writes, takedowns, deny releases) must
+    NOT be wrapped — their loser has to surface so the caller can
+    decide; they keep failing fast."""
+    last: PointerCommitConflict | None = None
+    for attempt in range(max(1, attempts)):
+        try:
+            return fn()
+        except PointerCommitConflict as e:
+            last = e
+            if attempt + 1 < max(1, attempts):
+                time.sleep(base_sleep_s * (2 ** attempt))
+    raise last
 
 
 def fs_for(path, spark=None):

@@ -444,6 +444,37 @@ def maintain_indexes(
     ivf_nprobe: int = 3,
     run_log=None,
     job_id: str = "index-maintenance",
+    conflict_retries: int = 2,
+) -> list[dict]:
+    """Retry shell around :func:`_maintain_indexes_once` — index
+    maintenance is a deterministic fold over committed state, so a
+    transient :class:`~.fs.PointerCommitConflict` (a racing writer
+    slipped past a stolen lock) replays bounded times instead of
+    wasting the whole fold (round-12 verdict task 3); an
+    already-folded index replays as a no-op. Non-idempotent verbs
+    (writes, takedowns) are NOT wrapped and keep failing fast."""
+    from . import fs as FS
+
+    return FS.retry_pointer_conflicts(
+        lambda: _maintain_indexes_once(
+            spark, indexes, fold_multi_segment=fold_multi_segment,
+            ivf_recall_floor_ppm=ivf_recall_floor_ppm,
+            ivf_recall_k=ivf_recall_k, ivf_nprobe=ivf_nprobe,
+            run_log=run_log, job_id=job_id,
+        ),
+        attempts=conflict_retries + 1,
+    )
+
+
+def _maintain_indexes_once(
+    spark: SparkSession,
+    indexes: Sequence,
+    fold_multi_segment: bool = True,
+    ivf_recall_floor_ppm: int = 900_000,
+    ivf_recall_k: int = 10,
+    ivf_nprobe: int = 3,
+    run_log=None,
+    job_id: str = "index-maintenance",
 ) -> list[dict]:
     """The scheduled MAINTENANCE pass over persisted indexes — the
     weekly sibling of the nightly O(batch) appends/deletes (round 7).
@@ -540,6 +571,37 @@ def maintain_indexes(
 
 
 def maintain_curated_store(
+    spark: SparkSession,
+    corpus_path,
+    target_file_bytes: int = 128 << 20,
+    keep: int = 3,
+    ivf_recall_floor_ppm: int = 900_000,
+    run_log=None,
+    job_id: str = "store-maintenance",
+    conflict_retries: int = 2,
+) -> dict:
+    """Retry shell around :func:`_maintain_curated_store_once`: store
+    maintenance (index folds + corpus compaction + one `_CURATED`
+    re-publish) is replay-idempotent — a retry re-acquires the store
+    lock, re-resolves the now-current manifest, and folds whatever is
+    still fragmented — so a transient
+    :class:`~.fs.PointerCommitConflict` replays bounded times instead
+    of killing the weekly fold (round-12 verdict task 3). Verbs with
+    caller payloads (the curation batch itself, takedowns) are NOT
+    wrapped."""
+    from . import fs as FS
+
+    return FS.retry_pointer_conflicts(
+        lambda: _maintain_curated_store_once(
+            spark, corpus_path, target_file_bytes=target_file_bytes,
+            keep=keep, ivf_recall_floor_ppm=ivf_recall_floor_ppm,
+            run_log=run_log, job_id=job_id,
+        ),
+        attempts=conflict_retries + 1,
+    )
+
+
+def _maintain_curated_store_once(
     spark: SparkSession,
     corpus_path,
     target_file_bytes: int = 128 << 20,

@@ -76,12 +76,13 @@ class ConcurrentWriteError(RuntimeError):
 
 
 class AtomicRenameRequiredError(RuntimeError):
-    """The requested protocol swaps a LIVE directory in place and is
-    only safe where renames are atomic (``fs.supports_atomic_rename``).
-    Raised LOUDLY on object-store roots instead of exposing torn
-    reads; the pointer-log stores (:class:`ParquetTable`,
-    :class:`PartitionedTable`, :class:`TableGroup`) are the
-    object-store-correct alternatives (round-10 verdict task 1)."""
+    """A requested protocol would swap a LIVE directory in place,
+    which is only safe where renames are atomic
+    (``fs.supports_atomic_rename``). Since round 12 NO engine
+    protocol needs this: :class:`BucketedTable` — the last holdout —
+    commits via pointer indirection like every other store. The
+    class is retained for import compatibility and for any future
+    protocol that genuinely cannot avoid a live-dir swap."""
 
 
 class _LockHandle:
@@ -1178,23 +1179,77 @@ class TableGroup:
         return removed
 
 
+def _finish_retirements(fs, p) -> None:
+    """Crash recovery for :func:`compact_append_dir` (round-12
+    advisor, sinks.py:1233): replay any ``_RETIRE-*.json`` manifest
+    left by a compactor that died between promoting its compacted
+    parts and deleting the folded inputs. The manifest records the
+    full intent (staging dir, part→final promote pairs, input files
+    to retire) and every step is idempotent — finish the promotes
+    that didn't happen (a final that already exists means that
+    promote landed), delete the inputs, drop the manifest. Without
+    this, crash residue left BOTH file sets visible and the next
+    fold made the duplicates permanent. Orphan ``.compact-*``
+    staging dirs with no manifest (crash before intent was recorded)
+    are plain garbage — their inputs were never retired — and are
+    swept."""
+    import json
+
+    manifests = sorted(
+        name
+        for (name, is_dir, _) in fs.list(p)
+        if not is_dir and name.startswith("_RETIRE-") and name.endswith(".json")
+    )
+    from . import fs as FS
+
+    claimed_tmp: set[str] = set()
+    for mname in manifests:
+        intent = json.loads(fs.read_text(p / mname))
+        tmp = p / intent["tmp"]
+        claimed_tmp.add(intent["tmp"])
+        for part, final in intent["promote"]:
+            if not fs.exists(p / final) and fs.exists(tmp / part):
+                fs.rename(tmp / part, p / final)
+        fs.delete(tmp)
+        for target in intent["retire"]:
+            FS.fs_for(target).delete(target, recursive=False)
+        fs.delete(p / mname, recursive=False)
+    for (name, is_dir, _) in fs.list(p):
+        if is_dir and name.startswith(".compact-") and name not in claimed_tmp:
+            fs.delete(p / name)
+
+
 def compact_append_dir(spark: SparkSession, path: str, read_fn,
                        ts_col: str, retain_days: float | None = None,
                        target_files: int = 1) -> dict:
     """Fold an append-only parquet dir (one tiny file per append —
     the RunLog/MetricsLog discipline) into ``target_files`` files,
     optionally dropping rows whose ``ts_col`` is older than
-    ``retain_days``. The writer lock serializes concurrent COMPACTS;
-    appenders need no lock at all: the fold deletes exactly the
-    files the DataFrame actually read (``df.inputFiles()`` — the
+    ``retain_days``. The compact lock serializes concurrent COMPACTS
+    (only) — appenders need no lock at all: the fold deletes exactly
+    the files the DataFrame actually read (``df.inputFiles()`` — the
     scan's pinned file set), so a file appended mid-fold is neither
     folded nor deleted — no permanent duplicates, no loss. Readers
     racing the fold either see the old files, or the compacted file
     plus not-yet-deleted old files — transient duplicates the log
     consumers are idempotent to — never a torn read (callers'
-    ``read`` uses ignoreMissingFiles). Returns
-    {files_before, files_after, rows_dropped}."""
+    ``read`` uses ignoreMissingFiles).
+
+    CRASH SAFETY (round-12 advisor, sinks.py:1233): before the first
+    promote, the full intent — staging dir, part→final names, the
+    pinned input files to retire — is written atomically as a
+    ``_RETIRE-*.json`` manifest (underscore-prefixed: invisible to
+    Spark listings). A compactor dying anywhere after that point
+    leaves a manifest the NEXT compact replays to completion under
+    the same lock (:func:`_finish_retirements`), so crash residue is
+    transient, never a permanent duplicate. A crash BEFORE the
+    manifest leaves only an invisible orphan staging dir, also swept.
+
+    Returns {files_before, files_after, rows_dropped};
+    ``rows_dropped`` is exact for the pinned input set (rows pinned
+    minus rows kept), unaffected by concurrent appends."""
     import datetime as _dt
+    import json
     from urllib.parse import unquote, urlparse
 
     from pyspark.sql import functions as F
@@ -1206,6 +1261,7 @@ def compact_append_dir(spark: SparkSession, path: str, read_fn,
     with _writer_lock(p.parent / f"._{p.name}_compact_lock"):
         if not fs.exists(p):  # never appended to: nothing to fold
             return {"files_before": 0, "files_after": 0, "rows_dropped": 0}
+        _finish_retirements(fs, p)  # replay a dead compactor's intent
         df = read_fn(spark)
         # the EXACT file set this scan pinned at planning — only
         # these are retired below
@@ -1214,36 +1270,54 @@ def compact_append_dir(spark: SparkSession, path: str, read_fn,
         if retain_days is not None:
             cutoff = _dt.datetime.now() - _dt.timedelta(days=retain_days)
             df = df.filter(F.col(ts_col) >= F.lit(cutoff))
-        # stage into a dot-dir (invisible to Spark listings), promote
-        # the parts (unique final names, never referenced until they
-        # appear in a listing — object-store safe), retire the old
-        tmp = p / f".compact-{uuid.uuid4().hex[:8]}"
+        # stage into a dot-dir (invisible to Spark listings), record
+        # the retirement intent, promote the parts (unique final
+        # names, never referenced until they appear in a listing —
+        # object-store safe), retire the old
+        tmp_name = f".compact-{uuid.uuid4().hex[:8]}"
+        tmp = p / tmp_name
         df.coalesce(max(1, target_files)).write.parquet(str(tmp))
-        n_new = 0
-        for part in sorted(
+        parts = sorted(
             name
             for (name, is_dir, _) in fs.list(tmp)
             if not is_dir and name.endswith(".parquet")
-        ):
-            fs.rename(
-                tmp / part, p / f"compacted-{uuid.uuid4().hex[:12]}.parquet"
-            )
-            n_new += 1
-        fs.delete(tmp)
+        )
+        promote = [
+            (part, f"compacted-{uuid.uuid4().hex[:12]}.parquet")
+            for part in parts
+        ]
+        retire = []
         for furi in old:
             # inputFiles returns URIs; file: ones unwrap to the local
             # path (matching the store root's dispatch), others stay
             # URIs for HadoopFS
             parsed = urlparse(furi)
-            target = (
+            retire.append(
                 unquote(parsed.path) if parsed.scheme == "file" else furi
             )
+        # exact kept-row count for the pinned set, measured on the
+        # staged (not-yet-promoted) parts — immune to appends landing
+        # mid-fold (the old post-fold recount could go negative)
+        kept_rows = (
+            spark.read.parquet(str(tmp)).count() if parts else 0
+        )
+        manifest = p / f"_RETIRE-{uuid.uuid4().hex[:8]}.json"
+        fs.write_text_atomic(
+            manifest,
+            json.dumps(
+                {"tmp": tmp_name, "promote": promote, "retire": retire}
+            ),
+        )
+        for part, final in promote:
+            fs.rename(tmp / part, p / final)
+        fs.delete(tmp)
+        for target in retire:
             FS.fs_for(target).delete(target, recursive=False)
-        after_rows = read_fn(spark).count()
+        fs.delete(manifest, recursive=False)
         return {
             "files_before": len(old),
-            "files_after": n_new,
-            "rows_dropped": before_rows - after_rows,
+            "files_after": len(promote),
+            "rows_dropped": before_rows - kept_rows,
         }
 
 
@@ -1362,9 +1436,33 @@ class BucketedTable:
 
     Unlike :class:`ParquetTable` this lives in the session catalog
     (``saveAsTable``) because Spark's bucketing metadata only exists
-    there; overwrite of a committed table is atomic at the catalog
-    level for a single-writer ETL job, which matches the reference's
-    one-scheduler model.
+    there — the bucket spec rides on the catalog entry, which
+    :meth:`write` re-creates over each committed snapshot.
+
+    STORAGE PROTOCOL (round-12 verdict task 1 — pointer indirection,
+    the same commit primitive every other store here uses): the
+    warehouse dir ``wh/{name}`` is a ROOT holding a ``_CURRENT``
+    pointer (:func:`..fs.commit_pointer` — legacy single-file flip on
+    rename-atomic stores, log-dir conditional-put CAS on object
+    stores) plus immutable snapshot dirs ``snap-<seq>-<uuid>``. A
+    write lands the new bucketed snapshot DIRECTLY into a fresh
+    never-referenced snapshot dir, flips the pointer, and re-registers
+    the catalog entry over it — **no live directory is ever renamed or
+    swapped**, so mutable bucketed tables work on any store, object
+    stores included (this retired the round-10/11
+    ``AtomicRenameRequiredError`` refusal). The previous snapshot is
+    retained until the NEXT write commits (reader grace, mirroring
+    ParquetTable's keep-previous vacuum default); crash residue —
+    a partial snapshot dir from a dead writer — is unreferenced by
+    construction and cleared by the next writer under the lock.
+
+    Pre-round-12 tables (bucket files directly under the root, the
+    tombstone-swap era layout) stay readable: :meth:`attach` falls
+    back to the legacy layout when no pointer exists, and the first
+    :meth:`write` migrates — it stages the new snapshot in a
+    dot-prefixed dir (invisible to a legacy reader listing the root),
+    renames it into place, commits the pointer, and retires the
+    legacy root files.
     """
 
     def __init__(self, name: str, keys: Sequence[str], num_buckets: int = 32) -> None:
@@ -1384,19 +1482,30 @@ class BucketedTable:
         return wh / base, wh / f"{base}__tomb", wh / f"{base}__snap"
 
     def _repair(self, spark: SparkSession) -> None:
-        """Crash repair for the tombstone swap (round-4 advisor,
-        sinks.py:495): if a writer died between demoting the live dir
-        to its tombstone and promoting the new snapshot, the live dir
-        is missing but the tombstone holds the complete previous
-        table — rename it back so the table resolves again. The side
-        (un-promoted) snapshot is NEVER auto-promoted: it may belong
-        to a fenced-off loser whose commit must not resurrect."""
+        """Crash repair for the LEGACY tombstone swap (round-4
+        advisor, sinks.py:495): if a pre-round-12 writer died between
+        demoting the live dir to its tombstone and promoting the new
+        snapshot, the live dir is missing but the tombstone holds the
+        complete previous table — rename it back so the table
+        resolves again. The pointer protocol that replaced the swap
+        never strands a table (the root dir is not touched by a
+        commit), so this only fires on tombstone-era residue. The
+        side (un-promoted) snapshot is NEVER auto-promoted: it may
+        belong to a fenced-off loser whose commit must not
+        resurrect."""
         from . import fs as FS
 
         live, tomb, _ = self._dirs(spark)
         fs = FS.fs_for(live)
         if not fs.exists(live) and fs.exists(tomb):
             fs.rename(tomb, live)
+
+    def _current(self, fs, live) -> str | None:
+        """The committed snapshot-dir name, or None (legacy layout or
+        never written)."""
+        from . import fs as FS
+
+        return FS.read_pointer(fs, live / "_CURRENT")
 
     def attach(self, spark: SparkSession) -> bool:
         """Ensure this table is catalog-registered, re-attaching a
@@ -1421,8 +1530,11 @@ class BucketedTable:
         self._repair(spark)  # promote a crash-orphaned tombstone first
         from . import fs as FS
 
-        path = _warehouse_path(spark) / self.name.lower()
-        fs = FS.fs_for(path)
+        root = _warehouse_path(spark) / self.name.lower()
+        fs = FS.fs_for(root)
+        # pointer layout first (round 12); legacy flat layout second
+        cur = self._current(fs, root)
+        path = root / cur if cur is not None else root
         if not any(
             n.endswith(".parquet") for (n, d, _) in fs.list(path) if not d
         ):
@@ -1431,8 +1543,9 @@ class BucketedTable:
         # DIFFERENT spec would make Spark trust wrong bucketing
         # metadata — scans prune/elide exchanges by it, so a
         # num_buckets or key drift silently loses join matches. The
-        # write path drops a _BUCKET_SPEC sidecar; refuse on
-        # mismatch (rebuild is the correct response).
+        # write path drops a _BUCKET_SPEC sidecar inside the snapshot
+        # (legacy: the root); refuse on mismatch (rebuild is the
+        # correct response).
         spec = path / "_BUCKET_SPEC"
         if fs.exists(spec):
             import json
@@ -1468,7 +1581,8 @@ class BucketedTable:
         return spark.table(self.name)
 
     def write(self, df: DataFrame) -> None:
-        """Bucketed snapshot write + tombstone dir-swap.
+        """Bucketed snapshot write + pointer commit (round-12 verdict
+        task 1 — the tombstone dir-swap is retired).
 
         Pre-repartitions on the bucket keys so each task holds exactly
         one bucket's rows → one file per bucket, not
@@ -1477,25 +1591,41 @@ class BucketedTable:
         partitioned on the key from its own shuffle, so this
         repartition reuses the existing exchange.
 
-        The snapshot lands in a SIDE directory as an external table
-        (Spark refuses to overwrite a table its own plan reads —
-        UNSUPPORTED_OVERWRITE — and a merge result always reads its
-        target), then swaps into place with two atomic dir renames:
-        live → tombstone, side → live. Unlike the previous
-        DROP-then-RENAME, a complete table dir exists at EVERY
-        instant — a crash between the renames leaves the tombstone,
-        which :meth:`attach`/:meth:`_repair` promotes back (round-4
-        advisor, sinks.py:495). The catalog entry is re-created
-        after the swap (brief same-session catalog-resolution window,
-        documented; data is never at risk since all entries are
-        external). The fencing check runs before the first rename so
-        an evicted writer aborts without touching the live table."""
+        The snapshot lands as an external SIDE table (Spark refuses to
+        overwrite a table its own plan reads — UNSUPPORTED_OVERWRITE —
+        and a merge result always reads its target) written DIRECTLY
+        into a fresh never-referenced ``snap-<seq>-<uuid>`` dir under
+        the table root, then commits by flipping the root's
+        ``_CURRENT`` pointer (:func:`..fs.commit_pointer` — atomic
+        single-file flip or object-store log CAS) and re-registering
+        the catalog entry over the new snapshot. No rename touches a
+        live directory at any point, so the protocol is object-store
+        safe end-to-end; a crash leaves either the old pointer intact
+        (partial snapshot dir = invisible residue, cleared by the next
+        writer) or the new commit complete. The previous snapshot
+        survives until the NEXT write's residue sweep — in-flight
+        readers of the old catalog entry keep resolving. The catalog
+        entry is re-created after the commit (brief same-session
+        catalog-resolution window, documented; data is never at risk
+        since all entries are external). The fencing check runs before
+        the pointer commit so an evicted writer aborts without
+        publishing.
+
+        LEGACY MIGRATION: a pre-round-12 table (bucket files directly
+        under the root, no pointer) is migrated by this write — the
+        snapshot stages in a dot-prefixed dir (invisible to a legacy
+        reader listing the root) and renames into its final snapshot
+        name before the pointer commit; the legacy root files retire
+        after the catalog re-registration. Legacy layouts only exist
+        on rename-atomic stores (object-store writes refused before
+        round 12), so the one staging rename is atomic where it can
+        ever run."""
         spark = df.sparkSession
         side = f"{self.name}__snap"
         live, tomb, side_dir = self._dirs(spark)
         # same writer mutex as ParquetTable, keyed in the warehouse
         # dir: serializes cross-session writers racing on the same
-        # side-table location + dir swap
+        # snapshot-produce + pointer commit
         with _writer_lock(
             _warehouse_path(spark) / f"{self.name.lower()}__lock"
         ) as lk:
@@ -1504,80 +1634,74 @@ class BucketedTable:
             from . import fs as FS
 
             fs = FS.fs_for(live)
-            if not fs.supports_atomic_rename() and (
-                fs.exists(live) or fs.exists(tomb)
-            ):
-                # OVERWRITING a live table swaps the LIVE directory in
-                # place — the ONE protocol here that needs atomic
-                # multi-file rename (readers resolve the dir by name,
-                # not via a manifest). On an object store that rename
-                # is copy+delete: a reader would see a half-copied
-                # table. Refuse loudly; ParquetTable/PartitionedTable
-                # commit via pointer logs and work on any store, and
-                # production bucketed facts on object storage belong
-                # in a Hive/Delta catalog (README). A FRESH table
-                # (no live dir, no tomb residue) proceeds below: its
-                # only rename promotes a never-referenced side dir —
-                # safe on copy+delete semantics (a crash leaves an
-                # unregistered side dir the next attempt clears), so
-                # the LSM indexes, whose members are all
-                # write-once-per-epoch fresh tables, stay fully
-                # object-store capable (they pay one server-side copy
-                # per segment promote).
-                raise AtomicRenameRequiredError(
-                    f"BucketedTable {self.name!r}: warehouse {live} is on "
-                    "a store without atomic rename and the table already "
-                    "exists — the in-place tombstone swap would expose "
-                    "torn reads. Use ParquetTable/PartitionedTable "
-                    "(pointer-log commit) for mutable object-store "
-                    "tables, or an external catalog (Delta/Hive) for "
-                    "bucketed facts; write-once tables (the index "
-                    "segments) are unaffected."
+            self._repair(spark)  # finish a tombstone-era crashed swap
+            cur = self._current(fs, live)
+            legacy_files = [
+                nm
+                for (nm, is_dir, _) in fs.list(live)
+                if not is_dir
+                and (
+                    nm.endswith(".parquet")
+                    or nm in ("_BUCKET_SPEC", "_SUCCESS")
                 )
-            self._repair(spark)  # finish a predecessor's crashed swap
-            # clear residue from prior crashes/losers (catalog entries
-            # are external → drops are catalog-only; dirs explicit)
+            ]
+            # residue sweep (under the lock): catalog side entries are
+            # external → drops are catalog-only; dirs explicit. Retires
+            # (a) snapshot/staging dirs no pointer references — dead
+            # writers' partials and the previous epoch's grace copy —
+            # (b) tombstone-era side/tomb dirs, (c) legacy root files
+            # left by a crashed migration that already committed its
+            # pointer.
             spark.sql(f"DROP TABLE IF EXISTS {side}")
+            for (nm, is_dir, _) in fs.list(live):
+                if is_dir and nm.startswith((".stage-", "snap-")) and nm != cur:
+                    fs.delete(live / nm)
             fs.delete(side_dir)
             fs.delete(tomb)
+            if cur is not None and legacy_files:
+                for nm in legacy_files:
+                    fs.delete(live / nm, recursive=False)
+                legacy_files = []
+            seq = int(cur.split("-")[1]) + 1 if cur is not None else 1
+            new = f"snap-{seq:08d}-{uuid.uuid4().hex[:12]}"
+            migrating = cur is None and bool(legacy_files)
+            # during a legacy migration the root IS a live data dir —
+            # stage dot-prefixed (invisible to Spark listings) and
+            # rename once; otherwise write straight into the final
+            # never-referenced snapshot dir (zero renames)
+            target_dir = live / (f".stage-{new}" if migrating else new)
             (
                 df.repartition(self.num_buckets, *[df[k] for k in self.keys])
                 .write.format("parquet")
                 .bucketBy(self.num_buckets, self.keys[0], *self.keys[1:])
                 .sortBy(self.keys[0], *self.keys[1:])
-                .option("path", _loc(side_dir))
+                .option("path", _loc(target_dir))
                 .saveAsTable(side)
             )
             # bucket-spec sidecar rides INSIDE the snapshot from birth
             # (underscore prefix → invisible to Spark's file listing,
-            # like _SUCCESS), so a promoted dir always validates
+            # like _SUCCESS), so a committed dir always validates
             fs.write_text_atomic(
-                FS.join(side_dir, "_BUCKET_SPEC"),
+                FS.join(target_dir, "_BUCKET_SPEC"),
                 json.dumps(
                     {"keys": list(self.keys), "num_buckets": self.num_buckets}
                 ),
             )
-            lk.check()  # fencing: abort (not swap) if evicted mid-write
-            spark.sql(f"DROP TABLE IF EXISTS {self.name}")
-            # fs.rename signals failure by returning False (a
-            # survivor at the destination — e.g. a tomb/side cleanup
-            # that silently failed above, since fs.delete ignores
-            # errors). Proceeding would re-register OLD data under
-            # the NEW schema and silently lose the write — raise
-            # loudly instead (round-6 advisor, sinks.py:631).
-            if fs.exists(live) and not fs.rename(live, tomb):
+            if migrating and not fs.rename(target_dir, live / new):
                 raise ConcurrentWriteError(
-                    f"bucketed swap: demoting {live} to its tombstone "
-                    "failed (stale tombstone survived cleanup?) — "
-                    "aborting before the promote"
+                    f"bucketed migration: promoting {target_dir} to "
+                    f"{live / new} failed (a concurrent writer slipped "
+                    "past the lock?) — write aborted, legacy table "
+                    "untouched"
                 )
-            if not fs.rename(side_dir, live):
-                raise ConcurrentWriteError(
-                    f"bucketed swap: promoting {side_dir} to {live} "
-                    "failed (a concurrent writer recreated the live "
-                    "dir?) — write aborted, previous table restorable "
-                    "from the tombstone"
-                )
+            lk.check()  # fencing: abort (not commit) if evicted mid-write
+            FS.commit_pointer(fs, live / "_CURRENT", new, fence=lk.check)
             spark.sql(f"DROP TABLE IF EXISTS {side}")
-            self._register(spark, live, df.schema)
-            fs.delete(tomb)
+            spark.sql(f"DROP TABLE IF EXISTS {self.name}")
+            self._register(spark, live / new, df.schema)
+            # retire the migrated legacy root files only AFTER the
+            # catalog points at the snapshot (a crash here leaves
+            # harmless duplicates on disk that the next sweep clears;
+            # the catalog never resolves them again)
+            for nm in legacy_files:
+                fs.delete(live / nm, recursive=False)

@@ -1,0 +1,270 @@
+"""Round-11 advisor findings + round-12 verdict tasks 3/6, pinned.
+
+* compact_append_dir crash window (advisor, sinks.py:1233): the
+  retirement intent is recorded in a ``_RETIRE-*.json`` manifest
+  before any promote; a compactor dying between promote and retire
+  leaves residue the NEXT compact replays to completion — no
+  permanent duplicates, no loss, whichever side of the promote the
+  crash lands on.
+* read_pointer legacy fallback (advisor, fs.py:477): once log
+  entries were observed, exhausting the re-list retries raises
+  instead of silently serving a stale legacy value / None.
+* rows_dropped (advisor, metrics.py:97): exact for the pinned input
+  set — measured on the staged parts, immune to concurrent appends.
+* PointerCommitConflict bounded retry (verdict task 3): maintenance
+  verbs replay on a transient conflict and converge; non-idempotent
+  verbs still fail fast.
+* MetricsLog path normalization (verdict task 6): aliased spellings
+  of one table dir share one live-gauge series map.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from ods_v3_dbt_spark import fs as FS
+from ods_v3_dbt_spark.fs import PointerCommitConflict, retry_pointer_conflicts
+from ods_v3_dbt_spark.metrics import MetricsLog
+from ods_v3_dbt_spark.sinks import compact_append_dir
+
+
+def _emit_files(spark, log, n, start=0):
+    for i in range(start, start + n):
+        log.emit(spark, "j", "t", "s", {f"m{i}": (float(i), "rows")})
+
+
+def test_compact_crash_before_promote_replays_cleanly(spark, tmp_path):
+    """Crash AFTER the _RETIRE manifest but BEFORE any promote: the
+    next compact finishes the promote, retires the folded inputs, and
+    the table holds exactly the original rows — no duplicates, no
+    loss."""
+    path = tmp_path / "metrics"
+    log = MetricsLog(path)
+    _emit_files(spark, log, 3)
+    assert log.read(spark).count() == 3
+    old = [f for f in log.read(spark).inputFiles() if f.endswith(".parquet")]
+    assert len(old) == 3
+
+    # hand-build the crash state: staged compacted parts + manifest,
+    # promote/retire never ran
+    log.read(spark).coalesce(1).write.parquet(str(path / ".compact-dead1"))
+    parts = [
+        p.name for p in (path / ".compact-dead1").iterdir()
+        if p.name.endswith(".parquet")
+    ]
+    from urllib.parse import unquote, urlparse
+
+    retire = [unquote(urlparse(f).path) for f in old]
+    (path / "_RETIRE-dead1.json").write_text(json.dumps({
+        "tmp": ".compact-dead1",
+        "promote": [[parts[0], "compacted-dead1recover.parquet"]],
+        "retire": retire,
+    }))
+    # reader mid-crash sees the OLD files only (staging is invisible)
+    assert log.read(spark).count() == 3
+
+    rep = log.compact(spark)
+    assert log.read(spark).count() == 3  # exact — no dup, no loss
+    assert not (path / "_RETIRE-dead1.json").exists()
+    assert not (path / ".compact-dead1").exists()
+    # the recovered file was promoted, then legitimately folded by
+    # this compact — the fold's input was the RECOVERED state
+    assert rep["files_before"] == 1
+    assert rep["rows_dropped"] == 0
+
+
+def test_compact_crash_after_promote_retires_duplicates(spark, tmp_path):
+    """Crash AFTER the promote but BEFORE retiring the inputs — the
+    state the round-11 advisor flagged as a PERMANENT duplicate: both
+    file sets visible, and the next fold used to bake them in. Now
+    the manifest replay deletes the folded inputs first, so the next
+    compact lands on the exact original rows."""
+    path = tmp_path / "metrics"
+    log = MetricsLog(path)
+    _emit_files(spark, log, 3)
+    old = [f for f in log.read(spark).inputFiles() if f.endswith(".parquet")]
+
+    # promote happened: compacted file in place; inputs NOT retired
+    log.read(spark).coalesce(1).write.parquet(str(path / ".compact-dead2"))
+    parts = [
+        p.name for p in (path / ".compact-dead2").iterdir()
+        if p.name.endswith(".parquet")
+    ]
+    (path / ".compact-dead2" / parts[0]).rename(
+        path / "compacted-dead2promoted.parquet"
+    )
+    import shutil
+
+    shutil.rmtree(path / ".compact-dead2")
+    from urllib.parse import unquote, urlparse
+
+    retire = [unquote(urlparse(f).path) for f in old]
+    (path / "_RETIRE-dead2.json").write_text(json.dumps({
+        "tmp": ".compact-dead2",
+        "promote": [[parts[0], "compacted-dead2promoted.parquet"]],
+        "retire": retire,
+    }))
+    # transient duplicates are visible (documented) ...
+    assert log.read(spark).count() == 6
+    # ... but the next compact replays the retirement and folds the
+    # EXACT original rows — the duplicates never become permanent
+    log.compact(spark)
+    assert log.read(spark).count() == 3
+    assert not (path / "_RETIRE-dead2.json").exists()
+
+
+def test_compact_orphan_staging_dir_swept(spark, tmp_path):
+    """A crash BEFORE the manifest leaves only an invisible orphan
+    staging dir — swept by the next compact, inputs untouched."""
+    path = tmp_path / "metrics"
+    log = MetricsLog(path)
+    _emit_files(spark, log, 2)
+    log.read(spark).coalesce(1).write.parquet(str(path / ".compact-orphan"))
+    assert log.read(spark).count() == 2
+    log.compact(spark)
+    assert not (path / ".compact-orphan").exists()
+    assert log.read(spark).count() == 2
+
+
+def test_compact_rows_dropped_exact_under_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """rows_dropped is measured on the staged parts of the PINNED
+    input set — an append landing mid-fold neither skews it negative
+    nor counts as dropped (round-11 advisor, metrics.py:97 /
+    sinks.py:1246)."""
+    path = tmp_path / "metrics"
+    log = MetricsLog(path)
+    _emit_files(spark, log, 3)
+
+    # inject an append between the fold's pin and its promote by
+    # hooking the staging write via fs.write_text_atomic (the first
+    # post-stage step) — i.e. the append lands mid-compact
+    orig = FS.LocalFS.write_text_atomic
+    fired = {"done": False}
+
+    def hook(self, p, content):
+        if "_RETIRE-" in str(p) and not fired["done"]:
+            fired["done"] = True
+            _emit_files(spark, log, 1, start=100)
+        return orig(self, p, content)
+
+    monkeypatch.setattr(FS.LocalFS, "write_text_atomic", hook)
+    rep = log.compact(spark)
+    assert fired["done"]
+    assert rep["rows_dropped"] == 0  # nothing expired; never negative
+    assert rep["files_before"] == 3
+    # pinned rows + the mid-fold append both survive
+    assert log.read(spark).count() == 4
+
+
+def test_read_pointer_raises_when_log_entries_unreadable(tmp_path):
+    """Entries observed + every max-seq read racing away is an
+    anomaly, not 'table missing': read_pointer raises instead of
+    falling through to the stale legacy file (round-11 advisor,
+    fs.py:477)."""
+
+    class VanishingFS(FS.LocalFS):
+        def read_text(self, p):
+            if str(p).endswith(".ptr"):
+                raise FileNotFoundError(str(p))
+            return super().read_text(p)
+
+    ptr = tmp_path / "_CURRENT"
+    FS.commit_pointer(FS.LocalFS(), ptr, "snap-legacy")  # legacy file
+    d = tmp_path / "_CURRENT.d"
+    d.mkdir()
+    (d / f"{1:020d}.ptr").write_text("snap-log")
+    with pytest.raises(RuntimeError, match="pointer log"):
+        FS.read_pointer(VanishingFS(), ptr)
+    # empty log dir still falls back to the legacy file (unchanged)
+    (d / f"{1:020d}.ptr").unlink()
+    assert FS.read_pointer(VanishingFS(), ptr) == "snap-legacy"
+
+
+def test_retry_pointer_conflicts_bounded():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise PointerCommitConflict("transient")
+        return "ok"
+
+    assert retry_pointer_conflicts(flaky, attempts=3, base_sleep_s=0.0) == "ok"
+    assert calls["n"] == 3
+
+    calls["n"] = 0
+    with pytest.raises(PointerCommitConflict):
+        retry_pointer_conflicts(flaky, attempts=2, base_sleep_s=0.0)
+    assert calls["n"] == 2  # bounded — no infinite spin
+
+
+def test_maintain_indexes_retries_transient_conflict(spark, tmp_path):
+    """Verdict task 3 end-to-end: a PointerCommitConflict injected
+    into the FIRST manifest commit of an index fold makes the
+    maintenance verb replay and converge (second attempt folds
+    cleanly); the injected conflict is not swallowed silently —
+    exhausting retries re-raises (checked via conflict_retries=0)."""
+    from ods_v3_dbt_spark.jobs import maintain_indexes
+    from ods_v3_dbt_spark.operators.neardup_index import (
+        dedup_index_append,
+        dedup_index_write,
+        exact_probe,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    idx = dedup_index_write(docs, "t_r12_retry_idx", num_buckets=2)
+    dedup_index_append(idx, spark.createDataFrame(
+        [(3, "red orange yellow green blue")], "doc_id long, text string"))
+    assert len(idx.resolve(spark).segments) == 2  # multi-segment → folds
+
+    real = FS.commit_pointer
+    state = {"fail_next": True}
+
+    def flaky_commit(fs, ptr, value, retain=8, fence=None):
+        if state["fail_next"] and "index_manifest" in str(ptr):
+            state["fail_next"] = False
+            raise PointerCommitConflict("injected")
+        return real(fs, ptr, value, retain=retain, fence=fence)
+
+    import unittest.mock as mock
+
+    # fail fast when retries are exhausted (non-idempotent posture)
+    state["fail_next"] = True
+    with mock.patch.object(FS, "commit_pointer", flaky_commit):
+        with pytest.raises(PointerCommitConflict):
+            maintain_indexes(spark, [idx], conflict_retries=0)
+        # bounded retry: replays once and converges
+        state["fail_next"] = True
+        reports = maintain_indexes(spark, [idx], conflict_retries=2)
+    assert len(idx.resolve(spark).segments) == 1  # folded
+    assert any(r["compacted"] for r in reports)
+    probe = spark.createDataFrame(
+        [(90, "alpha beta gamma delta epsilon")], "doc_id long, text string")
+    assert {r.doc_id for r in exact_probe(probe, idx).collect()} == {90}
+
+
+def test_metricslog_path_aliases_share_one_series(spark, tmp_path):
+    """Verdict task 6: `path` and `path + '/'` (and a dot segment)
+    key the SAME live map — one series set, no splits."""
+    p = str(tmp_path / "m")
+    a = MetricsLog(p)
+    b = MetricsLog(p + "/")
+    c = MetricsLog(str(tmp_path / "." / "m"))
+    assert a.path == b.path == c.path
+    a.emit(spark, "j", "t", "s", {"x": (1.0, "rows")})
+    b.emit(spark, "j", "t", "s", {"x": (2.0, "rows")})  # same series
+    lines = c.statsd_lines(None)
+    assert lines == ["ods.j.t.s.x:2|g"]  # one series, latest value
+
+    # URI spelling: trailing-slash alias normalizes too (no FS trip)
+    u = MetricsLog("s3a://bucket/metrics/")
+    v = MetricsLog("s3a://bucket/metrics")
+    assert u.path == v.path

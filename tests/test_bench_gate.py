@@ -1,0 +1,83 @@
+"""Mechanized bench gate (round-12 verdict task 4): bench.py's
+pinned anchor table and BASELINE.md §4.1 cannot drift apart, and the
+gate math implements exactly the documented noise protocol."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def _load_bench():
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", ROOT / "bench.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("bench", mod)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _baseline_md_anchors() -> dict[str, float]:
+    """Parse the §4.1 anchor table out of BASELINE.md."""
+    text = (ROOT / "BASELINE.md").read_text()
+    m = re.search(
+        r"### 4\.1 .*?\n(.*?)\n## ", text, flags=re.DOTALL
+    )
+    assert m, "BASELINE.md §4.1 anchor table missing"
+    out: dict[str, float] = {}
+    for line in m.group(1).splitlines():
+        row = re.match(r"\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|", line)
+        if row:
+            out[row.group(1)] = float(row.group(2))
+    assert out, "no anchor rows parsed from §4.1"
+    return out
+
+
+def test_anchor_table_matches_baseline_md():
+    bench = _load_bench()
+    md = _baseline_md_anchors()
+    assert md == bench.ANCHOR_BASELINES
+    # every bench ANCHORS row is priced, and nothing extra is pinned
+    assert set(bench.ANCHOR_BASELINES) == set(bench.ANCHORS)
+    # the drift-calibration trio is a subset with identical values
+    for q, v in bench.DRIFT_CALIBRATION.items():
+        assert bench.ANCHOR_BASELINES[q] == v
+
+
+def test_baseline_gate_math():
+    bench = _load_bench()
+    # exactly-at-anchor in a clean window: all ratios 1.0, pass
+    times = dict(bench.ANCHOR_BASELINES)
+    gate = bench.baseline_gate(times, drift=1.0)
+    assert gate["gate_pass"] is True
+    assert gate["baseline_geomean"] == 1.0
+    assert gate["baseline_geomean_calibrated"] == 1.0
+    assert set(gate["baseline_ratio"]) == set(bench.ANCHOR_BASELINES)
+
+    # throttled window: raw 1.5× everywhere, drift stamp 1.5 →
+    # calibrated back to 1.0 — pass (the documented protocol)
+    times = {q: v * 1.5 for q, v in bench.ANCHOR_BASELINES.items()}
+    gate = bench.baseline_gate(times, drift=1.5)
+    assert gate["baseline_geomean"] == 1.5
+    assert gate["baseline_geomean_calibrated"] == 1.0
+    assert gate["gate_pass"] is True
+
+    # one genuinely regressed query (>2× calibrated) fails the gate
+    # even when the geomean stays under 2.0
+    times = dict(bench.ANCHOR_BASELINES)
+    times["sem_ivf_probe"] = bench.ANCHOR_BASELINES["sem_ivf_probe"] * 2.5
+    gate = bench.baseline_gate(times, drift=1.0)
+    assert gate["baseline_ratio_calibrated"]["sem_ivf_probe"] == 2.5
+    assert gate["gate_pass"] is False
+    assert gate["baseline_geomean_calibrated"] < 2.0
+
+    # missing rows (a subset run) simply aren't priced
+    gate = bench.baseline_gate({"pricing_summary": 0.63}, drift=None)
+    assert list(gate["baseline_ratio"]) == ["pricing_summary"]
+    assert gate["gate_pass"] is True

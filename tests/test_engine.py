@@ -1013,6 +1013,59 @@ def test_parquet_table_slow_writer_fenced_commit(spark, tmp_path):
     assert len(errs) == 1 and isinstance(errs[0], ConcurrentWriteError)
 
 
+def test_bucketed_table_legacy_layout_migration(spark):
+    """Round-12 protocol change: a pre-pointer table (bucket files
+    directly under the warehouse root — the tombstone-swap era
+    layout) still attaches, and the first write() migrates it to the
+    pointer-epoch layout: data correct, pointer committed, legacy
+    root files retired, and the bucketed groupBy stays
+    exchange-free."""
+    import json
+    import shutil
+
+    from ods_v3_dbt_spark.sinks import BucketedTable, _warehouse_path
+
+    name = "t_legacy_migrate"
+    wh = _warehouse_path(spark)
+    root = wh / name
+    shutil.rmtree(root, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        t = BucketedTable(name, ["k"], num_buckets=2)
+        t.write(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+        # DOWNGRADE to the legacy flat layout: hoist the committed
+        # snapshot's files into the root, drop pointer + snapshot dir
+        cur = (root / "_CURRENT").read_text()
+        for f in (root / cur).iterdir():
+            f.rename(root / f.name)
+        shutil.rmtree(root / cur)
+        (root / "_CURRENT").unlink()
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        assert json.loads((root / "_BUCKET_SPEC").read_text())["num_buckets"] == 2
+
+        # legacy attach arm: registers over the flat root
+        assert BucketedTable(name, ["k"], num_buckets=2).attach(spark)
+        assert {r.v for r in spark.table(name).collect()} == {"a", "b"}
+
+        # first write migrates: pointer layout from here on
+        t.write(spark.createDataFrame([(3, "c")], "k long, v string"))
+        assert {r.v for r in t.read(spark).collect()} == {"c"}
+        assert (root / "_CURRENT").exists() or (root / "_CURRENT.d").is_dir()
+        # legacy root files retired; exactly one committed snapshot
+        stray = [f for f in root.iterdir()
+                 if f.is_file() and f.name.endswith(".parquet")]
+        assert stray == []
+        snaps = [d for d in root.iterdir() if d.name.startswith("snap-")]
+        assert len(snaps) == 1
+        g = t.read(spark).groupBy("k").count()
+        assert g._jdf.queryExecution().executedPlan().toString().count(
+            "Exchange") == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(f"DROP TABLE IF EXISTS {name}__snap")
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_bucketed_table_tombstone_crash_repair(spark):
     """Round-4 advisor (sinks.py:495): the swap never passes through
     a state with NO complete data dir. Simulate a crash between the

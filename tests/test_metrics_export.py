@@ -225,3 +225,57 @@ def test_compaction_on_uri_root(spark, tmp_path):
     assert rep["rows_dropped"] == 0
     latest = {r.metric: r.value for r in log.latest(spark)}
     assert latest["m"] == 3.0
+
+
+def test_es_bulk_shape_runlog_and_metrics(spark, tmp_path):
+    """Round-12 verdict task 7 — the fluentd→Elasticsearch arm
+    (fluent.conf:1-26): RunLog/MetricsLog rows render as ES bulk-API
+    NDJSON with the fluentd plugin's logstash_format shape —
+    date-suffixed index, deterministic _id (id_key), tag (tag_key),
+    @timestamp — and a replayed export is byte-identical
+    (idempotent overwrite, never a duplicate doc)."""
+    import datetime as dt
+    import json
+
+    from ods_v3_dbt_spark.esexport import metrics_es_bulk, runlog_es_bulk
+    from ods_v3_dbt_spark.runlog import RunLog, RunRecord
+
+    t0 = dt.datetime(2026, 8, 1, 3, 4, 5, 678000)
+    rl = RunLog(tmp_path / "runs")
+    rl.append(spark, RunRecord("bccp_dag", "load_ods", "20260801",
+                               t0, 12.5, "ok", True))
+    rl.append(spark, RunRecord("bccp_dag", "load_ods", "20260801",
+                               t0, 3.0, "error: boom", False, 2))
+
+    lines = runlog_es_bulk(spark, rl)
+    assert len(lines) == 4  # action + source per row
+    actions = [json.loads(lines[i]) for i in (0, 2)]
+    sources = [json.loads(lines[i]) for i in (1, 3)]
+    for a in actions:
+        # logstash_format: date-suffixed index from the event time
+        assert a["index"]["_index"] == "ods-run-log-2026.08.01"
+        assert len(a["index"]["_id"]) == 32  # md5 id_key analog
+    assert actions[0]["index"]["_id"] != actions[1]["index"]["_id"]
+    by_try = {s["try_number"]: s for s in sources}
+    assert by_try[1]["is_success"] is True
+    assert by_try[2]["result"] == "error: boom"
+    for s in sources:
+        assert s["tag"] == "ods.runlog"  # tag_key
+        assert s["@timestamp"].startswith("2026-08-01T03:04:05")
+
+    # replay-idempotent: re-export is byte-identical (same _ids)
+    assert runlog_es_bulk(spark, rl) == lines
+    # windowed ship: since= filters
+    assert runlog_es_bulk(
+        spark, rl, since=dt.datetime(2026, 8, 2)) == []
+
+    log = MetricsLog(tmp_path / "metrics")
+    log.emit(spark, "curation", "stream", "admit",
+             {"rows_out": (7.0, "rows")})
+    mlines = metrics_es_bulk(spark, log)
+    assert len(mlines) == 2
+    act, src = json.loads(mlines[0]), json.loads(mlines[1])
+    assert act["index"]["_index"].startswith("ods-task-metrics-")
+    assert src["tag"] == "ods.metrics"
+    assert src["metric"] == "rows_out" and src["value"] == 7.0
+    assert "@timestamp" in src

@@ -17,9 +17,10 @@ prove the engine's durability claims survive it:
   all-old-or-all-new group read;
 * a crash mid dir-copy (injected) aborts a commit WITHOUT tearing
   the published table;
-* BucketedTable's in-place tombstone swap — the one protocol that
-  genuinely needs atomic rename — refuses loudly
-  (:class:`AtomicRenameRequiredError`).
+* BucketedTable (round-12 verdict task 1) overwrites a LIVE table
+  via pointer-indirected epoch snapshots — zero ``replace`` calls,
+  zero renames of a live directory — and the catalog bucket
+  registration survives the indirection (exchange-free scans).
 """
 
 from __future__ import annotations
@@ -33,7 +34,6 @@ from ods_v3_dbt_spark.fs import (
     read_pointer,
 )
 from ods_v3_dbt_spark.sinks import (
-    AtomicRenameRequiredError,
     ParquetTable,
     PartitionedTable,
     TableGroup,
@@ -203,22 +203,21 @@ def test_table_group_all_old_or_all_new_on_object_store(
     assert not [op for op in objfs.ops if op[0] == "replace"]
 
 
-def test_bucketed_table_fresh_ok_overwrite_refuses_on_object_store(
-    spark, tmp_path
-):
-    """A FRESH bucketed table (write-once — the index-segment shape)
-    lands fine on object-store semantics: its only rename promotes a
-    never-referenced side dir. OVERWRITING it — the in-place
-    tombstone swap of a LIVE directory — refuses loudly."""
+def test_bucketed_table_live_overwrite_on_object_store(spark, tmp_path):
+    """Round-12 verdict task 1 pinned DONE-criteria: overwriting an
+    EXISTING BucketedTable behind object-store semantics commits via
+    pointer indirection — zero ``replace`` calls, zero renames
+    touching the live table root — and the bucket metastore
+    registration survives the indirection (groupBy on the bucket key
+    stays exchange-free after the overwrite). The previous snapshot
+    is retained for reader grace and swept by the next write."""
     from ods_v3_dbt_spark.sinks import BucketedTable, _warehouse_path
 
     import shutil
+    from pathlib import Path
 
     wh = _warehouse_path(spark)
-    name = "fakeobj_refusal_tbl"
-    # the warehouse dir persists across runs — clear residue from a
-    # previous execution or the (refined) refusal fires on the FIRST
-    # write instead of the overwrite
+    name = "fakeobj_live_overwrite_tbl"
     for d in (name, f"{name}__tomb", f"{name}__snap"):
         shutil.rmtree(wh / d, ignore_errors=True)
     spark.sql(f"DROP TABLE IF EXISTS {name}")
@@ -227,11 +226,38 @@ def test_bucketed_table_fresh_ok_overwrite_refuses_on_object_store(
     FS.register_fs_override(str(wh / name), fs)
     try:
         t = BucketedTable(name, ["id"], num_buckets=4)
-        t.write(spark.range(10).toDF("id"))  # fresh: allowed
+        t.write(spark.range(10).toDF("id"))  # fresh
         assert t.read(spark).count() == 10
-        with pytest.raises(AtomicRenameRequiredError):
-            t.write(spark.range(3).toDF("id"))  # live swap: refused
-        assert t.read(spark).count() == 10  # untouched
+        t.write(spark.range(3).toDF("id"))  # LIVE overwrite: allowed now
+        assert sorted(r.id for r in t.read(spark).collect()) == [0, 1, 2]
+        t.write(spark.range(7).toDF("id"))  # and again
+        assert t.read(spark).count() == 7
+
+        # zero replace calls, zero renames anywhere near the live root
+        assert not [op for op in fs.ops if op[0] == "replace"]
+        assert not [op for op in fs.ops if op[0] == "rename"]
+        # pointer went through the log protocol
+        root = Path(str(wh / name))
+        assert not (root / "_CURRENT").exists()
+        assert (root / "_CURRENT.d").is_dir()
+        # current + previous snapshot retained (reader grace), older
+        # epochs swept
+        snaps = [d for d in root.iterdir() if d.name.startswith("snap-")]
+        assert len(snaps) == 2
+
+        # bucket registration survives: groupBy on the bucket key is
+        # exchange-free after the pointer-indirected overwrite
+        g = t.read(spark).groupBy("id").count()
+        gplan = g._jdf.queryExecution().executedPlan().toString()
+        assert gplan.count("Exchange") == 0
+
+        # attach from a fresh catalog resolves the pointer
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        assert BucketedTable(name, ["id"], num_buckets=4).attach(spark)
+        assert spark.table(name).count() == 7
+        with pytest.raises(ValueError, match="bucket-spec mismatch"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            BucketedTable(name, ["id"], num_buckets=8).attach(spark)
     finally:
         FS.clear_fs_override(str(wh / name))
         spark.sql(f"DROP TABLE IF EXISTS {name}")
@@ -441,6 +467,139 @@ def test_curated_store_end_to_end_on_object_store(spark, tmp_path):
         assert by_doc[31] == "denied"
 
         # the whole run never used the non-atomic replace primitive
+        assert not [op for op in fs.ops if op[0] == "replace"]
+    finally:
+        FS.clear_fs_override(str(tmp_path))
+        FS.clear_fs_override(str(wh / name))
+
+
+def test_two_writer_curation_race_on_object_store(spark, tmp_path):
+    """Round-12 verdict task 2: the store mutex and the pointer CAS,
+    COMPOSED — a curation stream batch racing a corpus_takedown on
+    the SAME corpus over object-store semantics. Contract: writers
+    either serialize or fail LOUDLY (ConcurrentWriteError /
+    PointerCommitConflict) and replay cleanly — never a torn
+    ``_CURATED`` pair, never a lost admission or deny row.
+
+    Two arms: (a) deterministic — a held store lock makes the
+    contender fail fast with ConcurrentWriteError and the replay
+    after release succeeds; (b) concurrent — batch and takedown race
+    from two threads with bounded retry-on-conflict, and the final
+    state reflects BOTH writers regardless of commit order."""
+    import datetime as dt
+    import threading
+
+    from ods_v3_dbt_spark.pipelines import (
+        _store_lock,
+        corpus_takedown,
+        curate_increment_stream,
+        curated_view,
+    )
+    from ods_v3_dbt_spark.sinks import (
+        ConcurrentWriteError,
+        ParquetTable,
+        _warehouse_path,
+    )
+
+    SCHEMA = "doc_id long, text string, ingest_ts timestamp"
+    corpus, decisions = tmp_path / "corpus", tmp_path / "dec"
+    T0 = dt.datetime(2024, 9, 1, 12, 0, 0)
+    d1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d2 = "remove me later this text is the takedown target words"
+    d3 = "totally new words nobody used before in any earlier batch"
+
+    fs = FakeObjectFS()
+    name = "fakeobj_race_idx"
+    wh = _warehouse_path(spark)
+    FS.register_fs_override(str(tmp_path), fs)
+    FS.register_fs_override(str(wh / name), fs)
+    try:
+        process = curate_increment_stream(
+            corpus, name, str(decisions), num_buckets=2
+        )
+
+        def batch(rows, bid):
+            process(spark.createDataFrame(rows, SCHEMA), bid)
+
+        batch([(1, d1, T0), (2, d2, T0)], 0)
+
+        # (a) deterministic: a takedown contending with a held store
+        # lock fails FAST and LOUD, and replays cleanly after release
+        with _store_lock(corpus):
+            with pytest.raises(ConcurrentWriteError):
+                corpus_takedown(
+                    spark, corpus,
+                    spark.createDataFrame([(2,)], "doc_id bigint"),
+                    request_id="req-race",
+                )
+        # store state untouched by the loser: both docs still live
+        assert sorted(
+            r.doc_id for r in ParquetTable(corpus).read(spark).collect()
+        ) == [1, 2]
+
+        # (b) concurrent: batch admission races the takedown replay;
+        # each retries on the loud conflict classes until it lands
+        errs: list = []
+        conflicts = {"n": 0}
+        start = threading.Barrier(2)
+
+        def _retrying(fn):
+            start.wait(timeout=60)
+            for _ in range(200):
+                try:
+                    fn()
+                    return
+                except (ConcurrentWriteError, PointerCommitConflict):
+                    conflicts["n"] += 1
+                    import time as _t
+
+                    _t.sleep(0.05)
+                except Exception as e:  # anything else = torn protocol
+                    errs.append(e)
+                    return
+            errs.append(TimeoutError("writer never landed"))
+
+        ta = threading.Thread(
+            target=_retrying, args=(lambda: batch([(3, d3, T0)], 1),)
+        )
+        tb = threading.Thread(
+            target=_retrying,
+            args=(
+                lambda: corpus_takedown(
+                    spark, corpus,
+                    spark.createDataFrame([(2,)], "doc_id bigint"),
+                    request_id="req-race",
+                ),
+            ),
+        )
+        ta.start(), tb.start()
+        ta.join(timeout=300), tb.join(timeout=300)
+        assert not errs, errs
+
+        # BOTH writers' effects landed, no lost update in either order
+        got = sorted(
+            r.doc_id for r in ParquetTable(corpus).read(spark).collect()
+        )
+        assert got == [1, 3]
+
+        # no torn _CURATED pair: the co-manifest resolves to a
+        # mutually consistent (corpus snapshot, index epoch) view
+        cdf, idx, man = curated_view(spark, corpus)
+        assert sorted(r.doc_id for r in cdf.collect()) == [1, 3]
+        assert idx.epoch == man["index_epoch"]
+
+        # no lost deny row: resubmission of the taken-down content is
+        # refused at the gate
+        batch([(31, d2, T0)], 2)
+        by_doc = {
+            r.doc_id: r.verdict
+            for r in spark.read.parquet(str(decisions)).collect()
+        }
+        assert by_doc[31] == "denied"
+        # admission decisions for the racing batch are intact too
+        assert by_doc[3] == "admitted"
+
+        # object semantics held throughout: no replace anywhere
         assert not [op for op in fs.ops if op[0] == "replace"]
     finally:
         FS.clear_fs_override(str(tmp_path))
