@@ -172,6 +172,9 @@ def _read_manifest(spark: SparkSession, name: str) -> dict | None:
     # pre-tombstone manifests: no deletes in flight
     man.setdefault("tombs", [])
     man.setdefault("tomb_history", {e: [] for e in man["history"]})
+    # pre-spec-evolution manifests (round 12): every retained epoch
+    # was committed under the manifest's single spec
+    man.setdefault("spec_history", {e: man["spec"] for e in man["history"]})
     return man
 
 
@@ -179,7 +182,8 @@ def _commit_manifest(spark: SparkSession, name: str, epoch: int,
                      spec: dict, segments: list[int],
                      history: dict[str, list[int]],
                      tombs: list[int] | None = None,
-                     tomb_history: dict[str, list[int]] | None = None) -> None:
+                     tomb_history: dict[str, list[int]] | None = None,
+                     spec_history: dict[str, dict] | None = None) -> None:
     """THE commit point: one atomic pointer commit through the FS
     adapter (``fs.commit_pointer`` — in-place replace on
     rename-atomic stores, conditional-put log entry with max(seq)
@@ -189,9 +193,21 @@ def _commit_manifest(spark: SparkSession, name: str, epoch: int,
     pinned) to its segment set so epoch-pinned resolves survive later
     refreshes; ``tombs``/``tomb_history`` are the parallel structures
     for tombstone epochs (defaults keep tomb-less callers — the
-    vector and BM25 indexes — source-compatible)."""
+    vector and BM25 indexes — source-compatible).
+
+    ``spec_history`` (round 12, spec evolution) maps every retained
+    epoch to the spec it was COMMITTED under, so a pinned old-spec
+    epoch stays resolvable by an old-spec handle across a
+    ``*_index_rebuild(new_spec)`` migration. Defaults to carrying
+    each retained epoch's recorded spec forward (the new epoch gets
+    ``spec``) — transparent for every same-spec commit path."""
     from ..fs import commit_pointer, fs_for
 
+    if spec_history is None:
+        prev = _read_manifest(spark, name)
+        base = {} if prev is None else prev["spec_history"]
+        spec_history = {e: base.get(e, spec) for e in history}
+        spec_history[str(epoch)] = spec
     p = _manifest_path(spark, name)
     fs = fs_for(p)
     fs.mkdirs(p.parent)
@@ -202,7 +218,8 @@ def _commit_manifest(spark: SparkSession, name: str, epoch: int,
             {"epoch": epoch, "spec": spec, "segments": segments,
              "history": history, "tombs": list(tombs or []),
              "tomb_history": tomb_history
-             or {e: [] for e in history}},
+             or {e: [] for e in history},
+             "spec_history": spec_history},
             sort_keys=True,
         ),
     )
@@ -505,12 +522,6 @@ class DedupIndex:
         man = _read_manifest(spark, self.name)
         if man is None:
             raise FileNotFoundError(f"no index manifest for {self.name}")
-        if man["spec"] != self.spec():
-            raise ValueError(
-                f"index-spec mismatch for {self.name}: on disk "
-                f"{man['spec']}, handle declares {self.spec()} — "
-                "rebuild the index"
-            )
         if epoch is None:
             epoch = man["epoch"]
         segments = man["history"].get(str(epoch))
@@ -519,6 +530,18 @@ class DedupIndex:
                 f"index {self.name}: epoch {epoch} is not retained "
                 "(current/previous/pinned) — pin epochs before relying "
                 "on them (set_index_pin)"
+            )
+        # per-EPOCH spec (round-12 spec evolution): an epoch is
+        # checked against the spec it was committed under, so a
+        # pinned pre-migration epoch stays resolvable by the matching
+        # old handle after a *_index_rebuild migration
+        want = man["spec_history"].get(str(epoch), man["spec"])
+        if want != self.spec():
+            raise ValueError(
+                f"index-spec mismatch for {self.name} epoch {epoch}: "
+                f"on disk {want}, handle declares {self.spec()} — "
+                "rebuild the index (dedup_index_rebuild / "
+                "lsh_index_rebuild is the one-verb migration)"
             )
         members = {}
         for part in self.PARTS:
@@ -1670,3 +1693,52 @@ def neardup_probe(
         .localCheckpoint()
     )
     return _probe_shingles(bsh, cur, threshold_ppm, max_corpus_df)
+
+
+def dedup_index_rebuild(
+    corpus: DataFrame,
+    new: DedupIndex,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DedupIndex:
+    """The ONE-VERB spec migration (round-12 verdict task 8): rebuild
+    index ``new.name`` from the corpus under ``new``'s spec —
+    previously a spec change meant hand-rolling delete-and-rebuild
+    around the loud :meth:`DedupIndex.resolve` refusal. One index
+    lock, one new single-segment epoch, one manifest commit; pins
+    are HONORED — every pinned pre-migration epoch stays on disk and
+    stays resolvable by the matching OLD-spec handle (the manifest's
+    per-epoch ``spec_history``), so a ``curated_view`` pair riding a
+    pinned epoch survives the migration exactly as it survives a
+    refresh. Handles still declaring the OLD spec refuse on the
+    current epoch afterwards (correct: they must be migrated too).
+    The result is oracle-equivalent to a from-scratch
+    :func:`dedup_index_write` of the same corpus (pinned in tests).
+
+    Reference analog: the M8 TRUNCATE+INSERT full-refresh scripts —
+    the scheduled full rebuild that sidesteps incremental state when
+    the shape of that state changes
+    (``dags/sql/cms/update_des_table/customers.sql:1-2`` and the
+    casadmin family)."""
+    return dedup_index_write(
+        corpus, new.name, text_col=text_col, id_col=id_col,
+        shingle_n=new.shingle_n, num_buckets=new.num_buckets,
+        compact_after=new.compact_after,
+    )
+
+
+def lsh_index_rebuild(
+    corpus: DataFrame,
+    new: "LshIndex",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "LshIndex":
+    """LSH twin of :func:`dedup_index_rebuild` — one-verb migration
+    to ``new``'s spec (shingle_n / num_hashes / bands / mode /
+    num_buckets), pinned old-spec epochs retained and resolvable."""
+    return lsh_index_write(
+        corpus, new.name, text_col=text_col, id_col=id_col,
+        shingle_n=new.shingle_n, num_hashes=new.num_hashes,
+        bands=new.bands, num_buckets=new.num_buckets, mode=new.mode,
+        compact_after=new.compact_after,
+    )

@@ -1948,6 +1948,116 @@ def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_probe(batch, idx, threshold_ppm=500_000)
 
 
+def _rebuilt_fixture_index(spark: SparkSession, sf_dir: str):
+    """The spec-migration fixture (round-12 verdict task 8): a
+    3-gram dedup index REBUILT to 4-gram via
+    ``dedup_index_rebuild`` — the one-verb migration. Cached like
+    every fixture index; a crashed run's on-disk 3-gram state makes
+    the new handle's ``exists`` refuse with the spec mismatch, which
+    is exactly the state the rebuild below migrates."""
+    from ..operators.neardup_index import (
+        DedupIndex,
+        dedup_index_rebuild,
+        dedup_index_write,
+    )
+
+    name = f"rebuilt_idx_{_IDXV}_{_fixture_slug(sf_dir)}"
+    key = (id(spark.sparkContext), name)
+    new = DedupIndex(name, 4, 8)
+    idx = _IDX_CACHE.get(key)
+    if idx is None:
+        try:
+            if new.exists(spark):
+                idx = new
+        except ValueError:
+            pass  # pre-migration on-disk state; rebuild below
+    if idx is not None and idx.exists(spark):
+        _IDX_CACHE[key] = idx
+        return idx
+    corpus = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 != 0)
+        .select("doc_id", "text")
+    )
+    dedup_index_write(corpus, name, shingle_n=3, num_buckets=8)
+    idx = dedup_index_rebuild(corpus, new)
+    _IDX_CACHE[key] = idx
+    return idx
+
+
+@register(
+    "dedup_index_rebuild_probe",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 40000, text || ' extra marker token'
+      FROM corpus WHERE doc_id % 5 = 2),
+    cw AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM corpus),
+    csh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+               AS shingle
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 3, 0))) AS i
+            FROM cw)),
+    bw AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM batch),
+    bsh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+               AS shingle
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 3, 0))) AS i
+            FROM bw)),
+    inter AS (
+      SELECT b.doc_id, c.doc_id AS corpus_id, COUNT(1) AS i
+      FROM bsh b JOIN csh c ON b.shingle = c.shingle
+      GROUP BY 1, 2),
+    bsz AS (SELECT doc_id, COUNT(1) AS n FROM bsh GROUP BY doc_id),
+    csz AS (SELECT doc_id, COUNT(1) AS n FROM csh GROUP BY doc_id)
+    SELECT i.doc_id, i.corpus_id,
+           CAST(ROUND(i.i * 1000000.0 / (b.n + c.n - i.i)) AS BIGINT)
+             AS jacc_ppm
+    FROM inter i
+    JOIN bsz b ON b.doc_id = i.doc_id
+    JOIN csz c ON c.doc_id = i.corpus_id
+    WHERE CAST(ROUND(i.i * 1000000.0 / (b.n + c.n - i.i)) AS BIGINT) >= 500000
+    """,
+)
+def dedup_index_rebuild_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe THROUGH a spec-migrated index (round-12 verdict task 8):
+    the corpus is indexed at 3-gram, migrated to 4-gram with the
+    one-verb ``dedup_index_rebuild``, and the batch probes the
+    REBUILT state. The oracle recomputes 4-gram Jaccard pairs from
+    the raw tables, so what is value-checked is that a rebuild is
+    indistinguishable from a from-scratch build of the new spec —
+    no stale 3-gram state leaks through the migration. Pin-survival
+    and old-handle refusal are pinned in
+    tests/test_advice_r11.py::test_index_rebuild_spec_migration.
+    Reference anchor: the M8 TRUNCATE+INSERT full-refresh scripts
+    (``dags/sql/cms/update_des_table/customers.sql:1-2``) — the
+    scheduled full rebuild that replaces incremental state when its
+    shape changes."""
+    from ..operators.neardup_index import neardup_probe
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    batch = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text").unionByName(
+        corpus.filter(F.col("doc_id") % 5 == 2).select(
+            (F.col("doc_id") + 40000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra marker token")).alias("text"),
+        )
+    )
+    idx = _rebuilt_fixture_index(spark, sf_dir)
+    return neardup_probe(batch, idx, threshold_ppm=500_000)
+
+
 @register(
     "dedup_index_append_probe",
     """

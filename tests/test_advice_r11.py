@@ -268,3 +268,87 @@ def test_metricslog_path_aliases_share_one_series(spark, tmp_path):
     u = MetricsLog("s3a://bucket/metrics/")
     v = MetricsLog("s3a://bucket/metrics")
     assert u.path == v.path
+
+
+def test_index_rebuild_spec_migration(spark):
+    """Round-12 verdict task 8: `dedup_index_rebuild(new_spec)` is a
+    one-verb migration — rebuild ≡ build-from-scratch equivalence,
+    pinned pre-migration epochs survive and stay resolvable by the
+    OLD-spec handle, and stale old-spec handles refuse loudly on the
+    current epoch."""
+    from ods_v3_dbt_spark.operators.neardup_index import (
+        DedupIndex,
+        dedup_index_rebuild,
+        dedup_index_write,
+        exact_probe,
+        neardup_probe,
+        set_index_pin,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven"),
+         (3, "red orange yellow green blue indigo")],
+        "doc_id long, text string",
+    )
+    old = dedup_index_write(docs, "t_r12_rebuild_idx", shingle_n=3,
+                            num_buckets=2)
+    pinned_epoch = old.resolve(spark).epoch
+    set_index_pin(spark, old.name, "trainer-1", [pinned_epoch])
+    try:
+        # migrate to 5-gram shingles
+        new = DedupIndex("t_r12_rebuild_idx", shingle_n=5, num_buckets=2)
+        dedup_index_rebuild(docs, new)
+
+        # rebuild ≡ from-scratch: probe results match a fresh 5-gram
+        # build of the same corpus
+        fresh = dedup_index_write(docs, "t_r12_rebuild_fresh",
+                                  shingle_n=5, num_buckets=2)
+        probe = spark.createDataFrame(
+            [(90, "alpha beta gamma delta epsilon zeta"),
+             (91, "nothing matches this probe text here")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id for r in exact_probe(probe, new).collect()}
+        want = {r.doc_id for r in exact_probe(probe, fresh).collect()}
+        assert got == want == {90}
+        nd_got = sorted(
+            (r.doc_id, r.corpus_id)
+            for r in neardup_probe(probe, new, threshold_ppm=400_000).collect()
+        )
+        nd_want = sorted(
+            (r.doc_id, r.corpus_id)
+            for r in neardup_probe(probe, fresh,
+                                   threshold_ppm=400_000).collect()
+        )
+        assert nd_got == nd_want
+
+        # pinned pre-migration epoch survives: the OLD-spec handle
+        # resolves it and probes through it
+        old_handle = DedupIndex("t_r12_rebuild_idx", shingle_n=3,
+                                num_buckets=2)
+        pinned = old_handle.resolve(spark, epoch=pinned_epoch)
+        assert pinned.epoch == pinned_epoch
+        # ...while the CURRENT epoch refuses the stale handle loudly
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="index-spec mismatch"):
+            old_handle.resolve(spark)
+        # and the new handle cannot resolve the old-spec pinned epoch
+        with _pytest.raises(ValueError, match="index-spec mismatch"):
+            new.resolve(spark, epoch=pinned_epoch)
+
+        # post-migration increments run on the new spec
+        from ods_v3_dbt_spark.operators.neardup_index import (
+            dedup_index_append,
+        )
+
+        dedup_index_append(new, spark.createDataFrame(
+            [(4, "completely novel appended words arrive here now")],
+            "doc_id long, text string"))
+        probe2 = spark.createDataFrame(
+            [(92, "completely novel appended words arrive here now")],
+            "doc_id long, text string")
+        assert {r.doc_id for r in exact_probe(probe2, new).collect()} == {92}
+    finally:
+        set_index_pin(spark, "t_r12_rebuild_idx", "trainer-1", None)

@@ -258,6 +258,9 @@ def test_pre_doc_aware_index_spec_refuses_loudly(spark):
     p = _manifest_path(spark, "tdel_spec")
     man = json.loads(fs_for(p).read_text(p))
     man["spec"].pop("fps")  # simulate a pre-doc-aware on-disk index
+    # a genuinely old manifest predates spec_history too (round 12);
+    # _read_manifest re-derives it from the mutated spec
+    man.pop("spec_history", None)
     fs_for(p).write_text_atomic(p, json.dumps(man, sort_keys=True))
     with pytest.raises(ValueError, match="spec mismatch"):
         DedupIndex("tdel_spec", 3, 4).resolve(spark)
