@@ -379,6 +379,14 @@ def pq_index_topk(
     lists = seg_lists[0]
     for sl in seg_lists[1:]:
         lists = lists.unionByName(sl)
+    # scoring parallelism floor — same profile-backed fix as
+    # ivf_index_topk (round 12): the pruned code lists collapse to a
+    # few input splits while the broadcast join expands each row
+    # ×|queries probing its cell|; fan the PRUNED lists (never the
+    # corpus) across the cluster before the pair expansion
+    par = spark.sparkContext.defaultParallelism
+    if lists.rdd.getNumPartitions() < par:
+        lists = lists.repartition(par)
     scored = lists.join(F.broadcast(qtabs), "cell").select(
         "query_id",
         F.col("vid").alias("neighbor_id"),

@@ -272,6 +272,18 @@ def ivf_index_topk(
     lists = seg_lists[0]
     for sl in seg_lists[1:]:
         lists = lists.unionByName(sl)
+    # Scoring parallelism floor (round-12 sem_ivf_probe profile): the
+    # cell-pruned lists often collapse to a handful of input splits
+    # (few files per probed cell), but the broadcast join below
+    # EXPANDS each list row ×|queries probing its cell| and scores a
+    # dim-length distance per pair — profiled at sf0.1: 333k pairs
+    # ran on 5 of 32 cores, 1.4 s where the join alone costs 0.3 s.
+    # One cheap shuffle of the PRUNED lists (never the corpus; at
+    # scale nprobe/num_cells of it, and only when the scan is
+    # under-split) fans the pair expansion across the cluster.
+    par = spark.sparkContext.defaultParallelism
+    if lists.rdd.getNumPartitions() < par:
+        lists = lists.repartition(par)
     scored = lists.join(F.broadcast(probes), "cell").select(
         "query_id",
         F.col("vid").alias("neighbor_id"),
