@@ -138,6 +138,9 @@ def test_legacy_index_without_totality_marker_refuses(spark, kind):
     fs = FS.fs_for(p)
     man = json.loads(fs.read_text(p))
     del man["spec"]["sizes"]
+    # a genuinely pre-round-10 manifest predates spec_history (round
+    # 12) too; _read_manifest re-derives it from the mutated spec
+    man.pop("spec_history", None)
     fs.write_text_atomic(p, json.dumps(man, sort_keys=True))
     with pytest.raises(ValueError, match="rebuild"):
         idx.resolve(spark)
@@ -159,6 +162,7 @@ def test_legacy_simhash_without_docs_member_refuses(spark):
     fs = FS.fs_for(p)
     man = json.loads(fs.read_text(p))
     del man["spec"]["docs"]
+    man.pop("spec_history", None)  # legacy manifests predate it too
     fs.write_text_atomic(p, json.dumps(man, sort_keys=True))
     with pytest.raises(ValueError, match="rebuild"):
         idx.resolve(spark)
