@@ -578,6 +578,9 @@ def curate_increment_stream(
     neardup_jaccard_ppm: int = 500_000,
     num_buckets: int = 8,
     index_kind: str = "exact",
+    shingle_n: int = 3,
+    lsh_hashes: int = 16,
+    lsh_bands: int = 4,
     embedding_col: str | None = None,
     semantic_dist2_max: int = 300_000,
     semantic_nprobe: int = 3,
@@ -822,21 +825,30 @@ def curate_increment_stream(
             clean = gated.join(
                 F.broadcast(denied.select("doc_id")), "doc_id", "left_anti"
             )
+        # text-index spec from the stream config (round 12: shingle_n
+        # and the LSH banding are configurable so a
+        # `curated_store_migrate` can be followed by a stream restart
+        # with MATCHING parameters — a stale config would self-migrate
+        # the index right back via the rebuild arm below)
         if index_kind == "lsh":
-            idx = LshIndex(index_name, num_buckets=num_buckets)
+            idx = LshIndex(index_name, shingle_n, lsh_hashes, lsh_bands,
+                           num_buckets)
 
             def index_write(docs):
                 return lsh_index_write(
-                    docs, index_name, num_buckets=num_buckets, mode="md5"
+                    docs, index_name, shingle_n=shingle_n,
+                    num_hashes=lsh_hashes, bands=lsh_bands,
+                    num_buckets=num_buckets, mode="md5",
                 )
 
             index_append = lsh_index_append
         else:
-            idx = DedupIndex(index_name, 3, num_buckets)
+            idx = DedupIndex(index_name, shingle_n, num_buckets)
 
             def index_write(docs):
                 return dedup_index_write(
-                    docs, index_name, num_buckets=num_buckets
+                    docs, index_name, shingle_n=shingle_n,
+                    num_buckets=num_buckets,
                 )
 
             index_append = dedup_index_append
@@ -2269,3 +2281,162 @@ def _curate_increment_indexed(
     return out.unionByName(v(losers, "neardup_batch")).unionByName(
         v(admitted, "admitted")
     )
+
+
+def curated_store_migrate(
+    spark,
+    corpus_path,
+    new_index,
+    keep: int = 3,
+    run_log=None,
+    job_id: str = "store-migration",
+) -> dict:
+    """ONE-VERB index-spec migration for a LIVE curated store
+    (round 12 — the store-level composition of
+    :func:`~.operators.neardup_index.dedup_index_rebuild`):
+    changing the curation text index's parameters (shingle_n, LSH
+    banding, bucket count — or the exact↔LSH kind itself) previously
+    meant tearing the store down, because the stream's next batch
+    resolves the persisted index against its declared spec and
+    refuses on mismatch.
+
+    Under the store mutex (never interleaves with a batch or a
+    takedown): rebuild the index from the CORPUS — the source of
+    truth, same consistency rule the takedown and maintenance verbs
+    follow — under ``new_index``'s spec (one new epoch; pinned
+    pre-migration epochs stay resolvable via the manifest's
+    per-epoch ``spec_history``), then republish the ``_CURATED``
+    pair (unchanged corpus snapshot, new index epoch + spec) so
+    ``curated_view`` readers and the next stream batch resolve the
+    migrated state. The previous pair stays pinned exactly as a
+    refresh leaves it, so an in-flight pinned view survives the
+    migration. Semantic-channel pointers carry forward untouched.
+
+    ``new_index`` is a :class:`~.operators.neardup_index.DedupIndex`
+    or :class:`~.operators.neardup_index.LshIndex` whose ``name``
+    MUST equal the store's recorded index name (a different name is
+    a different store — refused loudly). Restart the stream with
+    MATCHING parameters (``curate_increment_stream(shingle_n=,
+    lsh_hashes=, lsh_bands=, index_kind=)``) in the same maintenance
+    window: the stream's round-7 self-migration arm rebuilds the
+    index under ITS configured spec whenever resolve refuses, so a
+    stream left on the old config would migrate the index right
+    back — this verb's value is doing the O(corpus) rebuild at a
+    chosen time under the store lock instead of surprising the next
+    nightly batch with it.
+
+    Reference analog: the M8 TRUNCATE+INSERT full-refresh scripts
+    (``dags/sql/cms/update_des_table/customers.sql:1-2``) — the
+    scheduled rebuild that replaces incremental state when its shape
+    changes, applied to the curation store's index arm. Returns a
+    receipt dict; replay-idempotent (a second run rebuilds onto yet
+    another epoch with identical content) and wrapped in the same
+    bounded :func:`~.fs.retry_pointer_conflicts` discipline as the
+    maintenance verbs."""
+    import datetime as _dt
+    import json as _json
+    import time as _time
+
+    from . import fs as _FS
+    from .operators.neardup_index import (
+        DedupIndex,
+        LshIndex,
+        dedup_index_rebuild,
+        lsh_index_rebuild,
+        set_index_pin,
+    )
+    from .sinks import TableGroup
+
+    if _read_curated_manifest(corpus_path) is None:
+        raise FileNotFoundError(
+            f"no _CURATED co-manifest under {corpus_path} — "
+            "curated_store_migrate operates on a curated store"
+        )
+
+    def _once() -> dict:
+        started = _dt.datetime.now()
+        t0 = _time.perf_counter()
+        man_path = FS.join(corpus_path, "_CURATED")
+        with _store_lock(corpus_path):
+            man = _curated_fields(_read_curated_manifest(corpus_path))
+            if new_index.name != man["index_name"]:
+                raise ValueError(
+                    f"curated_store_migrate: store {corpus_path} records "
+                    f"index {man['index_name']!r}, handle names "
+                    f"{new_index.name!r} — a different name is a different "
+                    "store; migration changes the SPEC, not the identity"
+                )
+            corpus_tbl = _corpus_table_from_manifest(corpus_path, man)
+            docs = corpus_tbl.read(spark).select("doc_id", "text")
+            if isinstance(new_index, LshIndex):
+                idx = lsh_index_rebuild(docs, new_index)
+            elif isinstance(new_index, DedupIndex):
+                idx = dedup_index_rebuild(docs, new_index)
+            else:
+                raise TypeError(
+                    "curated_store_migrate migrates the curation TEXT "
+                    f"index (DedupIndex/LshIndex); got {type(new_index)!r}"
+                )
+            new_epoch = idx.resolve(spark).epoch
+            group = TableGroup.wrap({"corpus": corpus_tbl}, man_path)
+            prev_man = _curated_fields(group.manifest())
+            snap = corpus_tbl.current_snapshot()
+            extras = {
+                "batch_id": man.get("batch_id"),
+                "migration": True,
+                "index_name": man["index_name"],
+                "index_kind": idx.spec()["kind"],
+                "index_epoch": new_epoch,
+                "index_spec": idx.spec(),
+            }
+            # carry the semantic channel + layout forward (extras are
+            # replaced wholesale — same rule as the takedown commit)
+            ivf = _sem_index_from_manifest(man)
+            ivf_epoch = None
+            if ivf is not None:
+                ivf_epoch = ivf.resolve(spark).epoch
+                extras["ivf_name"] = ivf.name
+                extras["ivf_epoch"] = ivf_epoch
+                extras["ivf_spec"] = man.get("ivf_spec", ivf.spec())
+            if man.get("corpus_layout") == "partitioned":
+                extras["corpus_layout"] = "partitioned"
+                extras["corpus_partition"] = man["corpus_partition"]
+            group.commit_pointers({"corpus": snap.name}, extras=extras)
+
+            pin_epochs = [new_epoch]
+            pin_snaps = [snap.name]
+            if prev_man is not None and prev_man["index_name"] == man["index_name"]:
+                pin_epochs.append(prev_man["index_epoch"])
+                pin_snaps.append(prev_man["corpus_snapshot"])
+            set_index_pin(spark, man["index_name"],
+                          f"curated:{corpus_path}", pin_epochs)
+            if ivf is not None and ivf_epoch is not None:
+                ivf_pins = [ivf_epoch]
+                if prev_man is not None and prev_man.get("ivf_name") == ivf.name:
+                    ivf_pins.append(prev_man["ivf_epoch"])
+                set_index_pin(spark, ivf.name, f"curated:{corpus_path}",
+                              ivf_pins)
+            corpus_tbl.vacuum(keep=keep, pinned=pin_snaps)
+            receipt = {
+                "index_name": man["index_name"],
+                "index_kind": idx.spec()["kind"],
+                "index_epoch": new_epoch,
+                "index_spec": idx.spec(),
+                "previous_spec": man["index_spec"],
+                "corpus_snapshot": snap.name,
+            }
+        if run_log is not None:
+            from .runlog import RunRecord
+
+            run_log.append(
+                spark,
+                RunRecord(
+                    job_id, "curated_store_migrate",
+                    started.strftime("%Y%m%d"), started,
+                    round(_time.perf_counter() - t0, 3),
+                    _json.dumps(receipt, sort_keys=True), True,
+                ),
+            )
+        return receipt
+
+    return _FS.retry_pointer_conflicts(_once, attempts=3)

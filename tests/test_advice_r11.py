@@ -352,3 +352,92 @@ def test_index_rebuild_spec_migration(spark):
         assert {r.doc_id for r in exact_probe(probe2, new).collect()} == {92}
     finally:
         set_index_pin(spark, "t_r12_rebuild_idx", "trainer-1", None)
+
+
+def test_curated_store_migrate_end_to_end(spark, tmp_path):
+    """Round-12: `curated_store_migrate` re-specs a LIVE curated
+    store's text index in one verb — the pair republishes, a stream
+    restarted with matching parameters continues catching dups of
+    pre-migration content THROUGH the migrated index (no inline
+    rebuild at the next batch), the previous pinned pair survives,
+    and a takedown still honors through the new spec."""
+    import datetime as dt
+
+    from ods_v3_dbt_spark.operators.neardup_index import DedupIndex
+    from ods_v3_dbt_spark.pipelines import (
+        corpus_takedown,
+        curate_increment_stream,
+        curated_store_migrate,
+        curated_view,
+    )
+
+    SCHEMA = "doc_id long, text string, ingest_ts timestamp"
+    corpus, decisions = tmp_path / "corpus", tmp_path / "dec"
+    T0 = dt.datetime(2024, 9, 1, 12, 0, 0)
+    d1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d2 = "one two three four five six seven eight nine ten eleven"
+
+    def batch(process, rows, bid):
+        process(spark.createDataFrame(rows, SCHEMA), bid)
+
+    name = "t_r12_migrate_idx"
+    p3 = curate_increment_stream(corpus, name, str(decisions), num_buckets=2)
+    batch(p3, [(1, d1, T0), (2, d2, T0)], 0)
+
+    # hold a pinned view of the pre-migration pair
+    _, _pinned_idx, pinned_man = curated_view(spark, corpus,
+                                              pin_id="trainer-m")
+    assert pinned_man["index_spec"]["shingle_n"] == 3
+
+    receipt = curated_store_migrate(
+        spark, corpus, DedupIndex(name, 5, 2))
+    assert receipt["index_spec"]["shingle_n"] == 5
+    assert receipt["previous_spec"]["shingle_n"] == 3
+
+    # a wrong-name handle is refused loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="different name"):
+        curated_store_migrate(spark, corpus, DedupIndex("other_idx", 5, 2))
+
+    # the republished pair resolves at the new spec
+    cdf, idx, man = curated_view(spark, corpus)
+    assert man["index_spec"]["shingle_n"] == 5
+    assert sorted(r.doc_id for r in cdf.collect()) == [1, 2]
+
+    # stream restarted with MATCHING parameters: an exact dup of
+    # pre-migration content is caught through the migrated index
+    p5 = curate_increment_stream(corpus, name, str(decisions),
+                                 num_buckets=2, shingle_n=5)
+    batch(p5, [(11, d1, T0),
+               (12, "fresh words that match nothing else at all ok", T0)], 1)
+    by_doc = {
+        r.doc_id: r.verdict
+        for r in spark.read.parquet(str(decisions)).collect()
+    }
+    assert by_doc[11] == "dup_exact_existing"
+    assert by_doc[12] == "admitted"
+    # and the index was NOT self-migrated/rebuilt back: still epoch'd
+    # forward from the migration (append only), spec unchanged
+    cur = DedupIndex(name, 5, 2).resolve(spark)
+    assert cur.epoch >= receipt["index_epoch"]
+
+    # the pinned pre-migration pair is still resolvable (old handle,
+    # pinned epoch — spec_history keeps it readable)
+    old_handle = DedupIndex(name, 3, 2)
+    assert old_handle.resolve(
+        spark, epoch=pinned_man["index_epoch"]
+    ).epoch == pinned_man["index_epoch"]
+
+    # takedown still honors through the migrated store
+    receipt2 = corpus_takedown(
+        spark, corpus, spark.createDataFrame([(1,)], "doc_id bigint"),
+        request_id="req-m",
+    )
+    assert receipt2["n_removed"] == 1
+    batch(p5, [(21, d1, T0)], 2)
+    by_doc = {
+        r.doc_id: r.verdict
+        for r in spark.read.parquet(str(decisions)).collect()
+    }
+    assert by_doc[21] == "denied"
