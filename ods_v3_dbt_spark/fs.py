@@ -479,6 +479,16 @@ def read_pointer(fs, ptr) -> str | None:
             if not is_dir and name.endswith(".ptr")
         )
         if not entries:
+            if saw_entries:
+                # the log EMPTIED mid-read: a concurrent table
+                # delete / store teardown removed it wholesale
+                # (retention always keeps the newest entry, so
+                # routine prunes never empty it). The table is
+                # going away — report nonexistent; the legacy file
+                # (a stale pre-migration value on a migrated store)
+                # must not resurface here (round-12 self-review,
+                # finding 3)
+                return None
             break
         saw_entries = True
         try:

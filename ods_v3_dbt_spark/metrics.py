@@ -55,14 +55,27 @@ class MetricsLog:
         # (round-11 judge watch item). Local paths resolve absolute;
         # URIs normalize trailing separators only (no filesystem
         # round-trip to guess at).
+        import os.path
+
         s = str(path)
         if "://" in s:
             scheme, rest = s.split("://", 1)
             self.path = f"{scheme}://{rest.rstrip('/')}"
         else:
-            import os.path
-
             self.path = os.path.normpath(os.path.abspath(s))
+        # The live-map KEY additionally unwraps file: URIs (the same
+        # rule _warehouse_path applies): 'file:///x' and '/x' name
+        # ONE table and must share one gauge series map — but
+        # self.path keeps the spelling the caller chose, because on a
+        # cluster whose defaultFS is HDFS a bare path and a file://
+        # URI are DIFFERENT I/O targets (round-12 self-review,
+        # finding 4).
+        k = self.path
+        for prefix in ("file://", "file:"):
+            if k.startswith(prefix):
+                k = os.path.normpath(k[len(prefix):])
+                break
+        self._key = k
 
     def emit(
         self,
@@ -85,10 +98,10 @@ class MetricsLog:
             1
         ).write.mode("append").parquet(self.path)
         with _LIVE_MU:
-            live = _LIVE.setdefault(self.path, {})
+            live = _LIVE.setdefault(self._key, {})
             for (job, task, stg, name, value, unit, ts) in rows:
                 live[(job, task, stg, name)] = (value, unit, ts)
-            _LIVE_WARMED.add(self.path)
+            _LIVE_WARMED.add(self._key)
 
     def read(self, spark: SparkSession) -> DataFrame:
         # ignoreMissingFiles: a concurrent compact() may retire an
@@ -169,8 +182,8 @@ class MetricsLog:
             "job_id task_id stage metric value unit emitted_at",
         )
         with _LIVE_MU:
-            live = dict(_LIVE.get(self.path) or {})
-            done = self.path in _LIVE_WARMED
+            live = dict(_LIVE.get(self._key) or {})
+            done = self._key in _LIVE_WARMED
         if not live and not done and spark is not None:
             try:
                 warmed = self.latest(spark)
@@ -185,13 +198,13 @@ class MetricsLog:
                     raise
                 warmed = []
             with _LIVE_MU:
-                store = _LIVE.setdefault(self.path, {})
+                store = _LIVE.setdefault(self._key, {})
                 for r in warmed:
                     store.setdefault(
                         (r.job_id, r.task_id, r.stage, r.metric),
                         (r.value, r.unit, r.emitted_at),
                     )
-                _LIVE_WARMED.add(self.path)
+                _LIVE_WARMED.add(self._key)
                 live = dict(store)
         return [
             Row(job, task, stg, name, value, unit, ts)

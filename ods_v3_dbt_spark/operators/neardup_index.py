@@ -178,12 +178,16 @@ def _read_manifest(spark: SparkSession, name: str) -> dict | None:
     return man
 
 
+_UNREAD = object()  # sentinel: caller did not supply the prior manifest
+
+
 def _commit_manifest(spark: SparkSession, name: str, epoch: int,
                      spec: dict, segments: list[int],
                      history: dict[str, list[int]],
                      tombs: list[int] | None = None,
                      tomb_history: dict[str, list[int]] | None = None,
-                     spec_history: dict[str, dict] | None = None) -> None:
+                     spec_history: dict[str, dict] | None = None,
+                     prev_man=_UNREAD) -> None:
     """THE commit point: one atomic pointer commit through the FS
     adapter (``fs.commit_pointer`` — in-place replace on
     rename-atomic stores, conditional-put log entry with max(seq)
@@ -200,11 +204,16 @@ def _commit_manifest(spark: SparkSession, name: str, epoch: int,
     epoch stays resolvable by an old-spec handle across a
     ``*_index_rebuild(new_spec)`` migration. Defaults to carrying
     each retained epoch's recorded spec forward (the new epoch gets
-    ``spec``) — transparent for every same-spec commit path."""
+    ``spec``) — transparent for every same-spec commit path; callers
+    pass ``prev_man`` (the manifest they already read under the index
+    lock — every call site has it) so the derivation costs no extra
+    storage read (round-12 self-review, finding 5)."""
     from ..fs import commit_pointer, fs_for
 
     if spec_history is None:
-        prev = _read_manifest(spark, name)
+        prev = (
+            _read_manifest(spark, name) if prev_man is _UNREAD else prev_man
+        )
         base = {} if prev is None else prev["spec_history"]
         spec_history = {e: base.get(e, spec) for e in history}
         spec_history[str(epoch)] = spec
@@ -746,7 +755,7 @@ def dedup_index_write(
         _write_exact_members(idx, new, docs, spark)
         lk.check()  # fencing: evicted writers must not flip
         _commit_manifest(spark, name, new, idx.spec(), [new], hist,
-                         [], tomb_hist)
+                         [], tomb_hist, prev_man=man)
         _gc_epochs(spark, name, _keep_epochs(hist, tomb_hist))
     return idx
 
@@ -853,7 +862,7 @@ def dedup_index_append(
             _write_exact_members(index, new_epoch, new_docs, spark)
         lk.check()  # fencing: evicted writers must not flip
         _commit_manifest(spark, index.name, new_epoch, index.spec(),
-                         segments, hist, tombs, tomb_hist)
+                         segments, hist, tombs, tomb_hist, prev_man=man)
         _gc_epochs(spark, index.name, _keep_epochs(hist, tomb_hist))
     return index
 
@@ -888,7 +897,7 @@ def dedup_index_compact(index: DedupIndex,
             _write_member(index._table(part, new_epoch), df, new_epoch)
         lk.check()
         _commit_manifest(spark, index.name, new_epoch, index.spec(),
-                         [new_epoch], hist, [], tomb_hist)
+                         [new_epoch], hist, [], tomb_hist, prev_man=man)
         _gc_epochs(spark, index.name, _keep_epochs(hist, tomb_hist))
     return index
 
@@ -959,7 +968,7 @@ def _tomb_delete(index, doc_ids: DataFrame, id_col: str,
         )
         lk.check()
         _commit_manifest(spark, index.name, new_epoch, index.spec(),
-                         cur.segments, hist, tombs, tomb_hist)
+                         cur.segments, hist, tombs, tomb_hist, prev_man=man)
         _gc_epochs(spark, index.name, _keep_epochs(hist, tomb_hist))
         overflow = len(tombs) >= index.compact_after
     if overflow and compact_fn is not None:
@@ -1236,7 +1245,7 @@ def lsh_index_write(
         _write_lsh_members(idx, new, docs, spark)
         lk.check()
         _commit_manifest(spark, name, new, idx.spec(), [new], hist,
-                         [], tomb_hist)
+                         [], tomb_hist, prev_man=man)
         _gc_epochs(spark, name, _keep_epochs(hist, tomb_hist))
     return idx
 
@@ -1324,7 +1333,7 @@ def lsh_index_append(
             _write_lsh_members(index, new_epoch, new_docs, spark)
         lk.check()
         _commit_manifest(spark, index.name, new_epoch, index.spec(),
-                         segments, hist, tombs, tomb_hist)
+                         segments, hist, tombs, tomb_hist, prev_man=man)
         _gc_epochs(spark, index.name, _keep_epochs(hist, tomb_hist))
     return index
 
@@ -1353,7 +1362,7 @@ def lsh_index_compact(index: LshIndex,
             _write_member(index._table(part, new_epoch), df, new_epoch)
         lk.check()
         _commit_manifest(spark, index.name, new_epoch, index.spec(),
-                         [new_epoch], hist, [], tomb_hist)
+                         [new_epoch], hist, [], tomb_hist, prev_man=man)
         _gc_epochs(spark, index.name, _keep_epochs(hist, tomb_hist))
     return index
 

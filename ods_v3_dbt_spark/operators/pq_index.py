@@ -230,7 +230,7 @@ def pq_index_write(
         )
         lk.check()
         _commit_manifest(spark, name, new, idx.spec(), [new], hist,
-                         [], tomb_hist)
+                         [], tomb_hist, prev_man=man)
         _gc_epochs(spark, name, _keep_epochs(hist, tomb_hist))
     return idx
 
@@ -307,7 +307,7 @@ def pq_index_append(
         )
         lk.check()
         _commit_manifest(spark, index.name, new_epoch, index.spec(),
-                         segments, hist, tombs, tomb_hist)
+                         segments, hist, tombs, tomb_hist, prev_man=man)
         _gc_epochs(spark, index.name, _keep_epochs(hist, tomb_hist))
     return index
 
@@ -383,9 +383,12 @@ def pq_index_topk(
     # ivf_index_topk (round 12): the pruned code lists collapse to a
     # few input splits while the broadcast join expands each row
     # ×|queries probing its cell|; fan the PRUNED lists (never the
-    # corpus) across the cluster before the pair expansion
+    # corpus) across the cluster before the pair expansion. Static
+    # split estimate (buckets × segments), never `.rdd` — under AQE
+    # that would finalize and partially execute a throwaway plan per
+    # probe (round-12 self-review, finding 6).
     par = spark.sparkContext.defaultParallelism
-    if lists.rdd.getNumPartitions() < par:
+    if index.num_buckets * len(cur.segments) < par:
         lists = lists.repartition(par)
     scored = lists.join(F.broadcast(qtabs), "cell").select(
         "query_id",
@@ -439,7 +442,7 @@ def pq_index_compact(index: PqIndex,
         )
         lk.check()
         _commit_manifest(spark, index.name, new_epoch, index.spec(),
-                         [new_epoch], hist, [], tomb_hist)
+                         [new_epoch], hist, [], tomb_hist, prev_man=man)
         _gc_epochs(spark, index.name, _keep_epochs(hist, tomb_hist))
     return index
 
@@ -570,6 +573,6 @@ def pq_index_refresh(
         )
         lk.check()
         _commit_manifest(spark, index.name, new_epoch, index.spec(),
-                         [new_epoch], hist, [], tomb_hist)
+                         [new_epoch], hist, [], tomb_hist, prev_man=man)
         _gc_epochs(spark, index.name, _keep_epochs(hist, tomb_hist))
     return {"recall_ppm": recall, "refreshed": True, "epoch": new_epoch}

@@ -139,7 +139,7 @@ def simhash_index_write(
         _write_member(idx._table("docs", new), docs.select("doc_id"), new)
         lk.check()
         _commit_manifest(spark, name, new, idx.spec(), [new], hist,
-                         [], tomb_hist)
+                         [], tomb_hist, prev_man=man)
         _gc_epochs(spark, name, _keep_epochs(hist, tomb_hist))
     return idx
 
@@ -192,7 +192,7 @@ def simhash_index_append(
         _write_member(index._table("docs", new_epoch), dmember, new_epoch)
         lk.check()
         _commit_manifest(spark, index.name, new_epoch, index.spec(),
-                         segments, hist, tombs, tomb_hist)
+                         segments, hist, tombs, tomb_hist, prev_man=man)
         _gc_epochs(spark, index.name, _keep_epochs(hist, tomb_hist))
     return index
 
@@ -222,7 +222,7 @@ def simhash_index_compact(index: SimhashIndex,
             )
         lk.check()
         _commit_manifest(spark, index.name, new_epoch, index.spec(),
-                         [new_epoch], hist, [], tomb_hist)
+                         [new_epoch], hist, [], tomb_hist, prev_man=man)
         _gc_epochs(spark, index.name, _keep_epochs(hist, tomb_hist))
     return index
 

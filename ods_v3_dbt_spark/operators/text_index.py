@@ -156,7 +156,7 @@ def bm25_index_write(
         _write_bm25_members(idx, new, corpus, spark, text_col, id_col)
         lk.check()
         _commit_manifest(spark, name, new, idx.spec(), [new], hist,
-                         [], tomb_hist)
+                         [], tomb_hist, prev_man=man)
         _gc_epochs(spark, name, _keep_epochs(hist, tomb_hist))
     return idx
 
@@ -240,7 +240,7 @@ def bm25_index_append(
                                 "text", "doc_id")
         lk.check()
         _commit_manifest(spark, index.name, new_epoch, index.spec(),
-                         segments, hist, tombs, tomb_hist)
+                         segments, hist, tombs, tomb_hist, prev_man=man)
         _gc_epochs(spark, index.name, _keep_epochs(hist, tomb_hist))
     return index
 
@@ -479,7 +479,7 @@ def bm25_index_compact(index: Bm25Index,
         )
         lk.check()
         _commit_manifest(spark, index.name, new_epoch, index.spec(),
-                         [new_epoch], hist, [], tomb_hist)
+                         [new_epoch], hist, [], tomb_hist, prev_man=man)
         _gc_epochs(spark, index.name, _keep_epochs(hist, tomb_hist))
     return index
 

@@ -153,7 +153,7 @@ def ivf_index_write(
         )
         lk.check()
         _commit_manifest(spark, name, new, idx.spec(), [new], hist,
-                         [], tomb_hist)
+                         [], tomb_hist, prev_man=man)
         _gc_epochs(spark, name, _keep_epochs(hist, tomb_hist))
     return idx
 
@@ -217,8 +217,7 @@ def ivf_index_append(
         lk.check()
         _commit_manifest(
             spark, index.name, new_epoch, index.spec(), segments, hist,
-            tombs, tomb_hist,
-        )
+            tombs, tomb_hist, prev_man=man)
         _gc_epochs(spark, index.name, _keep_epochs(hist, tomb_hist))
     return index
 
@@ -280,9 +279,14 @@ def ivf_index_topk(
     # ran on 5 of 32 cores, 1.4 s where the join alone costs 0.3 s.
     # One cheap shuffle of the PRUNED lists (never the corpus; at
     # scale nprobe/num_cells of it, and only when the scan is
-    # under-split) fans the pair expansion across the cluster.
+    # under-split) fans the pair expansion across the cluster. The
+    # split estimate is STATIC metadata (bucketed scans yield one
+    # partition per bucket per segment) — under AQE a
+    # `.rdd.getNumPartitions()` here would finalize and partially
+    # EXECUTE a throwaway plan per probe (round-12 self-review,
+    # finding 6).
     par = spark.sparkContext.defaultParallelism
-    if lists.rdd.getNumPartitions() < par:
+    if index.num_buckets * len(cur.segments) < par:
         lists = lists.repartition(par)
     scored = lists.join(F.broadcast(probes), "cell").select(
         "query_id",
@@ -367,7 +371,7 @@ def ivf_index_compact(index: IvfIndex,
         )
         lk.check()
         _commit_manifest(spark, index.name, new_epoch, index.spec(),
-                         [new_epoch], hist, [], tomb_hist)
+                         [new_epoch], hist, [], tomb_hist, prev_man=man)
         _gc_epochs(spark, index.name, _keep_epochs(hist, tomb_hist))
     return index
 
@@ -514,7 +518,7 @@ def ivf_index_refresh(
         )
         lk.check()
         _commit_manifest(spark, index.name, new_epoch, index.spec(),
-                         [new_epoch], hist, [], tomb_hist)
+                         [new_epoch], hist, [], tomb_hist, prev_man=man)
         _gc_epochs(spark, index.name, _keep_epochs(hist, tomb_hist))
     return {"recall_ppm": recall, "refreshed": True, "epoch": new_epoch}
 

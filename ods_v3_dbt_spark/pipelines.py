@@ -581,6 +581,7 @@ def curate_increment_stream(
     shingle_n: int = 3,
     lsh_hashes: int = 16,
     lsh_bands: int = 4,
+    lsh_mode: str = "md5",
     embedding_col: str | None = None,
     semantic_dist2_max: int = 300_000,
     semantic_nprobe: int = 3,
@@ -832,13 +833,13 @@ def curate_increment_stream(
         # the index right back via the rebuild arm below)
         if index_kind == "lsh":
             idx = LshIndex(index_name, shingle_n, lsh_hashes, lsh_bands,
-                           num_buckets)
+                           num_buckets, lsh_mode)
 
             def index_write(docs):
                 return lsh_index_write(
                     docs, index_name, shingle_n=shingle_n,
                     num_hashes=lsh_hashes, bands=lsh_bands,
-                    num_buckets=num_buckets, mode="md5",
+                    num_buckets=num_buckets, mode=lsh_mode,
                 )
 
             index_append = lsh_index_append
@@ -2317,8 +2318,8 @@ def curated_store_migrate(
     MUST equal the store's recorded index name (a different name is
     a different store — refused loudly). Restart the stream with
     MATCHING parameters (``curate_increment_stream(shingle_n=,
-    lsh_hashes=, lsh_bands=, index_kind=)``) in the same maintenance
-    window: the stream's round-7 self-migration arm rebuilds the
+    lsh_hashes=, lsh_bands=, lsh_mode=, index_kind=)``) in the same
+    maintenance window: the stream's round-7 self-migration arm rebuilds the
     index under ITS configured spec whenever resolve refuses, so a
     stream left on the old config would migrate the index right
     back — this verb's value is doing the O(corpus) rebuild at a

@@ -1421,6 +1421,13 @@ def export_jdbc(
                        properties=properties).save()
 
 
+#: session-local registration cache: (sc id, table name) → the
+#: snapshot-dir name this session's catalog entry points at. Lets
+#: BucketedTable._refresh verify freshness with ONE pointer read on
+#: the common path instead of a catalog DESCRIBE per read().
+_BT_REG_CACHE: dict[tuple, str | None] = {}
+
+
 class BucketedTable:
     """Catalog-registered Parquet table, hash-bucketed on the merge key.
 
@@ -1526,6 +1533,7 @@ class BucketedTable:
         bridge. Returns True if the table is registered (already or
         now), False if no surviving data exists."""
         if self.exists(spark):
+            self._refresh(spark)  # follow cross-session commits
             return True
         self._repair(spark)  # promote a crash-orphaned tombstone first
         from . import fs as FS
@@ -1576,8 +1584,54 @@ class BucketedTable:
             f"INTO {self.num_buckets} BUCKETS "
             f"LOCATION '{_loc(path)}'"
         )
+        nm = str(path.name)
+        _BT_REG_CACHE[(id(spark.sparkContext), self.name.lower())] = (
+            nm if nm.startswith("snap-") else None
+        )
+
+    def _refresh(self, spark: SparkSession) -> None:
+        """Re-point a STALE same-session catalog entry at the
+        committed snapshot (round-12 self-review, finding 1): the
+        catalog entry is re-created by the WRITER's session at commit
+        time, so another session that registered earlier still points
+        at a previous snapshot — it would read stale data for one
+        grace generation and fail once the sweep retires the dir.
+        Cost on the common path: ONE pointer read (no Spark job, no
+        catalog command) — the session-local registration cache
+        remembers which snapshot this session's entry points at, so
+        the catalog-command DESCRIBE runs only on a cache miss and a
+        re-register only when the pointer actually moved. Write-once
+        tables (the LSM index members) always cache-hit. Legacy flat
+        layouts (no pointer) have a stable root location and need no
+        refresh."""
+        if not self.exists(spark):
+            return
+        from . import fs as FS
+
+        live, _, _ = self._dirs(spark)
+        fs = FS.fs_for(live)
+        cur = self._current(fs, live)
+        if cur is None:
+            return
+        key = (id(spark.sparkContext), self.name.lower())
+        if _BT_REG_CACHE.get(key) == cur:
+            return
+        rows = (
+            spark.sql(f"DESCRIBE FORMATTED {self.name}")
+            .where("col_name = 'Location'")
+            .collect()
+        )
+        registered = str(rows[0][1]).rstrip("/") if rows else ""
+        if registered.endswith(cur):
+            _BT_REG_CACHE[key] = cur
+            return
+        path = live / cur
+        spark.sql(f"DROP TABLE IF EXISTS {self.name}")
+        self._register(spark, path, spark.read.parquet(str(path)).schema)
+        _BT_REG_CACHE[key] = cur
 
     def read(self, spark: SparkSession) -> DataFrame:
+        self._refresh(spark)  # follow cross-session commits
         return spark.table(self.name)
 
     def write(self, df: DataFrame) -> None:
@@ -1602,9 +1656,15 @@ class BucketedTable:
         live directory at any point, so the protocol is object-store
         safe end-to-end; a crash leaves either the old pointer intact
         (partial snapshot dir = invisible residue, cleared by the next
-        writer) or the new commit complete. The previous snapshot
-        survives until the NEXT write's residue sweep — in-flight
-        readers of the old catalog entry keep resolving. The catalog
+        writer's post-commit sweep) or the new commit complete. The
+        sweep that retires old snapshots runs AFTER the pointer
+        commit and retains the new commit's immediate predecessor, so
+        (a) an input DataFrame scanning the previous snapshot (a
+        cross-session writer whose catalog lags one commit) survives
+        its own write, and (b) readers pinned to the previous
+        snapshot get one full write cycle of grace; read()/attach()
+        additionally follow the pointer (``_refresh``) so a lagging
+        session never serves stale data. The catalog
         entry is re-created after the commit (brief same-session
         catalog-resolution window, documented; data is never at risk
         since all entries are external). The fencing check runs before
@@ -1645,23 +1705,21 @@ class BucketedTable:
                     or nm in ("_BUCKET_SPEC", "_SUCCESS")
                 )
             ]
-            # residue sweep (under the lock): catalog side entries are
-            # external → drops are catalog-only; dirs explicit. Retires
-            # (a) snapshot/staging dirs no pointer references — dead
-            # writers' partials and the previous epoch's grace copy —
-            # (b) tombstone-era side/tomb dirs, (c) legacy root files
-            # left by a crashed migration that already committed its
-            # pointer.
+            # pre-produce sweep: ONLY invisible residue (dot-staged
+            # dirs from dead writers, tombstone-era side/tomb dirs).
+            # Visible snapshot dirs are NOT touched here — the
+            # caller's input DataFrame may legitimately scan the
+            # PREVIOUS snapshot (a cross-session writer whose catalog
+            # lags one commit), and deleting it before the produce
+            # would fail that scan mid-write (round-12 self-review,
+            # finding 1). The snapshot sweep runs AFTER the pointer
+            # commit below, when the produce no longer reads anything.
             spark.sql(f"DROP TABLE IF EXISTS {side}")
             for (nm, is_dir, _) in fs.list(live):
-                if is_dir and nm.startswith((".stage-", "snap-")) and nm != cur:
+                if is_dir and nm.startswith(".stage-"):
                     fs.delete(live / nm)
             fs.delete(side_dir)
             fs.delete(tomb)
-            if cur is not None and legacy_files:
-                for nm in legacy_files:
-                    fs.delete(live / nm, recursive=False)
-                legacy_files = []
             seq = int(cur.split("-")[1]) + 1 if cur is not None else 1
             new = f"snap-{seq:08d}-{uuid.uuid4().hex[:12]}"
             migrating = cur is None and bool(legacy_files)
@@ -1699,9 +1757,19 @@ class BucketedTable:
             spark.sql(f"DROP TABLE IF EXISTS {side}")
             spark.sql(f"DROP TABLE IF EXISTS {self.name}")
             self._register(spark, live / new, df.schema)
-            # retire the migrated legacy root files only AFTER the
-            # catalog points at the snapshot (a crash here leaves
-            # harmless duplicates on disk that the next sweep clears;
-            # the catalog never resolves them again)
+            # POST-commit sweep (the produce no longer reads anything):
+            # retire every snapshot dir that is neither the new commit
+            # nor its immediate predecessor — dead writers' partials
+            # and epochs older than the one-generation reader grace —
+            # plus migrated legacy root files (a crash mid-sweep leaves
+            # harmless residue the next write's sweep clears; the
+            # catalog never resolves it again).
+            for (nm, is_dir, _) in fs.list(live):
+                if (
+                    is_dir
+                    and nm.startswith("snap-")
+                    and nm not in (new, cur)
+                ):
+                    fs.delete(live / nm)
             for nm in legacy_files:
                 fs.delete(live / nm, recursive=False)

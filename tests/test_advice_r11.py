@@ -441,3 +441,44 @@ def test_curated_store_migrate_end_to_end(spark, tmp_path):
         for r in spark.read.parquet(str(decisions)).collect()
     }
     assert by_doc[21] == "denied"
+
+
+def test_read_pointer_emptied_log_reports_none(tmp_path):
+    """A log dir that EMPTIES mid-read (concurrent table delete /
+    store teardown) reports the table nonexistent — never the stale
+    pre-migration legacy value, never the anomaly error reserved for
+    entries that persist but stay unreadable (round-12 self-review,
+    finding 3)."""
+
+    class EmptyingFS(FS.LocalFS):
+        def __init__(self):
+            self.calls = 0
+
+        def list(self, p):
+            self.calls += 1
+            if self.calls == 1:
+                return [(f"{1:020d}.ptr", False, 10)]
+            return []
+
+        def read_text(self, p):
+            if str(p).endswith(".ptr"):
+                raise FileNotFoundError(str(p))
+            return super().read_text(p)
+
+    ptr = tmp_path / "_CURRENT"
+    ptr.write_text("snap-legacy-stale")  # migrated store's stale file
+    assert FS.read_pointer(EmptyingFS(), ptr) is None
+
+
+def test_metricslog_file_uri_alias_shares_series(spark, tmp_path):
+    """'file:///x' and '/x' name ONE table: the live-map key unwraps
+    the file: scheme while self.path keeps the caller's spelling
+    (different I/O targets on HDFS-default clusters) — round-12
+    self-review, finding 4."""
+    bare = str(tmp_path / "m2")
+    a = MetricsLog(f"file://{bare}")
+    b = MetricsLog(bare)
+    assert a._key == b._key
+    assert a.path != b.path  # I/O spelling preserved
+    a.emit(spark, "j", "t", "s", {"y": (5.0, "rows")})
+    assert b.statsd_lines(None) == ["ods.j.t.s.y:5|g"]

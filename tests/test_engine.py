@@ -1066,6 +1066,56 @@ def test_bucketed_table_legacy_layout_migration(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_bucketed_table_stale_catalog_refresh_and_prev_input(spark):
+    """Round-12 self-review finding 1, pinned: (a) a session whose
+    catalog entry lags a cross-session commit follows the pointer on
+    read() instead of serving the stale snapshot; (b) a write whose
+    INPUT scans the previous snapshot succeeds — the old-snapshot
+    sweep runs post-commit, never under a live produce — and the
+    post-commit sweep then retires everything older than the new
+    commit's predecessor."""
+    import shutil
+
+    from ods_v3_dbt_spark.sinks import BucketedTable, _warehouse_path
+
+    name = "t_r12_stale"
+    wh = _warehouse_path(spark)
+    root = wh / name
+    shutil.rmtree(root, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        t = BucketedTable(name, ["k"], num_buckets=2)
+        t.write(spark.createDataFrame([(1, "v1")], "k long, v string"))
+        snap1 = (root / "_CURRENT").read_text()
+        t.write(spark.createDataFrame([(2, "v2")], "k long, v string"))
+        snap2 = (root / "_CURRENT").read_text()
+        assert (root / snap1).is_dir()  # previous retained (grace)
+
+        # (a) simulate the lagging session: force-register at snap-1
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        t._register(spark, root / snap1,
+                    spark.read.parquet(str(root / snap1)).schema)
+        assert {r.v for r in spark.table(name).collect()} == {"v1"}  # stale
+        assert {r.v for r in t.read(spark).collect()} == {"v2"}  # refreshed
+
+        # (b) a write whose input reads the PREVIOUS snapshot: the
+        # produce scans snap-1 while the write commits snap-3 — the
+        # sweep must not pull snap-1 out from under the scan
+        prev = spark.read.parquet(str(root / snap1)).selectExpr(
+            "k + 10 as k", "v"
+        )
+        t.write(prev)
+        assert {(r.k, r.v) for r in t.read(spark).collect()} == {(11, "v1")}
+        snaps = {d.name for d in root.iterdir() if d.name.startswith("snap-")}
+        snap3 = (root / "_CURRENT").read_text()
+        # post-commit sweep: new + its predecessor retained, older gone
+        assert snaps == {snap2, snap3}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(f"DROP TABLE IF EXISTS {name}__snap")
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_bucketed_table_tombstone_crash_repair(spark):
     """Round-4 advisor (sinks.py:495): the swap never passes through
     a state with NO complete data dir. Simulate a crash between the
