@@ -648,3 +648,107 @@ def retrieval_eval_binary(
             ),
         ).otherwise(F.lit(0)).cast("bigint").alias("recall_at_k_ppm"),
     )
+
+
+def bm25_rm3_topk(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    fb_k: int = 5,
+    expand_m: int = 3,
+    min_term_len: int = 4,
+    orig_milli: int = 600,
+    exp_milli: int = 400,
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "rational",
+) -> DataFrame:
+    """RM3-style pseudo-relevance feedback (Lavrenko & Croft's
+    relevance models, the Anserini/Indri default query expansion):
+    retrieve the top ``fb_k`` docs for the original query, mine
+    ``expand_m`` expansion terms from them, and re-score the corpus
+    against the INTERPOLATED query — original terms weighted
+    ``orig_milli``/1000, expansion terms ``exp_milli``/1000. The
+    vocabulary-mismatch fix every retrieval stack ships: docs about
+    the query's topic that share none of its literal terms become
+    reachable through the feedback docs' vocabulary.
+
+    Determinism discipline (what makes this hash-verifiable against
+    a DuckDB replay, dynamic expansion terms included):
+
+    * feedback selection is the already-exact :func:`bm25_topk`
+      (rank over bit-identical doubles);
+    * expansion scoring is INTEGER — total term frequency within the
+      feedback docs, ties broken by term — with a deterministic
+      ``min_term_len`` floor standing in for a stopword list and the
+      original terms excluded;
+    * the final score is a sum of PER-TERM MICRO-QUANTIZED integer
+      contributions: each term's weighted BM25 score rounds to
+      micro-units first, then sums as bigint — order-free by
+      construction, so the data-dependent term set needs no pinned
+      float fold order (the coalesce-chain trick the fixed-term
+      oracle uses cannot enumerate dynamic terms).
+
+    Driver state: ``fb_k`` doc ids + ``expand_m`` terms — scalar
+    class, same as the query-term sets the multiquery path already
+    collects. Corpus work: the feedback pass, one token scan of
+    ``fb_k`` docs, and the standard query-term-restricted scoring
+    pass — never a full-vocabulary corpus explode."""
+    terms = list(terms)
+    fb = bm25_topk(
+        docs, terms, k=fb_k, k1_milli=k1_milli, b_milli=b_milli,
+        text_col=text_col, id_col=id_col, mode=mode,
+    )
+    fb_ids = [r.doc_id for r in fb.select("doc_id").collect()]
+    toks = docs.filter(F.col(id_col).isin(fb_ids)).select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term")
+    )
+    cand = (
+        toks.filter(
+            (F.length("term") >= min_term_len)
+            & (~F.col("term").isin(terms))
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    exp = [
+        r.term
+        for r in cand.orderBy(F.col("w").desc(), F.col("term"))
+        .limit(expand_m)
+        .collect()
+    ]
+    all_terms = terms + exp
+    k1 = F.lit(k1_milli) / F.lit(1000.0)
+    b = F.lit(b_milli) / F.lit(1000.0)
+    tf, dfreq, stats = _bm25_tf_stats(docs, all_terms, text_col, id_col)
+    j = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+    avgdl = F.col("total_len") / F.col("n_docs")
+    ratio = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    idf = F.log(ratio + F.lit(1.0)) if mode == "ln" else ratio
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + (k1 * ((F.lit(1.0) - b) + (b * (F.col("dl") / avgdl))))
+    s = idf * ((tf_d * (k1 + F.lit(1.0))) / denom)
+    wmap = F.when(
+        F.col("term").isin(terms), F.lit(orig_milli)
+    ).otherwise(F.lit(exp_milli))
+    contrib = (
+        F.round((s * (wmap / F.lit(1000.0))) * F.lit(1000000.0))
+        .cast("bigint")
+    )
+    scored = (
+        j.select("doc_id", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("score_micro"))
+    )
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "doc_id", "score_micro")
+    )

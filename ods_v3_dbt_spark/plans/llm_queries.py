@@ -5858,6 +5858,86 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RM3_SQL = f"""
+    WITH {_BM25_CORE.strip()},
+    fb AS (
+      SELECT doc_id
+      FROM (SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+            FROM scored)
+      WHERE rank <= 5),
+    exp_cand AS (
+      SELECT t.term, COUNT(1) AS w
+      FROM tok t JOIN fb USING (doc_id)
+      WHERE len(t.term) >= 4
+        AND t.term NOT IN ('merge', 'scan', 'window')
+      GROUP BY t.term),
+    exp_terms AS (
+      SELECT term
+      FROM (SELECT term,
+                   ROW_NUMBER() OVER (ORDER BY w DESC, term) AS r
+            FROM exp_cand)
+      WHERE r <= 3),
+    allq AS (
+      SELECT term, 600 AS milli
+      FROM (VALUES ('merge'), ('scan'), ('window')) q(term)
+      UNION ALL
+      SELECT term, 400 AS milli FROM exp_terms),
+    tf2 AS (
+      SELECT t.doc_id, t.term, COUNT(1) AS tf
+      FROM tok t JOIN allq a ON a.term = t.term
+      GROUP BY 1, 2),
+    dfreq2 AS (SELECT term, COUNT(1) AS df FROM tf2 GROUP BY term),
+    per2 AS (
+      SELECT t.doc_id,
+             CAST(ROUND((((((s.n_docs - f.df) + 0.5) / (f.df + 0.5))
+               * ((CAST(t.tf AS DOUBLE) * ((1200 / 1000.0) + 1.0))
+                  / (CAST(t.tf AS DOUBLE)
+                     + ((1200 / 1000.0)
+                        * ((1.0 - (750 / 1000.0))
+                           + ((750 / 1000.0)
+                              * (d.dl / (s.total_len / s.n_docs))))))))
+               * (a.milli / 1000.0)) * 1000000.0) AS BIGINT) AS c
+      FROM tf2 t
+      JOIN allq a ON a.term = t.term
+      JOIN dfreq2 f ON f.term = t.term
+      JOIN dl d ON d.doc_id = t.doc_id
+      CROSS JOIN stats s),
+    scored2 AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
+      FROM per2 GROUP BY doc_id)
+    SELECT rank, doc_id, score_micro
+    FROM (SELECT doc_id, score_micro,
+                 ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+          FROM scored2)
+    WHERE rank <= 10
+    """
+
+
+@register("bm25_rm3_topk", _RM3_SQL)
+def bm25_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance-feedback retrieval, HASH-VERIFIED end to
+    end (operators/retrieval.py::bm25_rm3_topk): BM25 top-5 feedback
+    docs for the fixed 3-term query → top-3 expansion terms by
+    INTEGER in-feedback frequency (len ≥ 4, query terms excluded,
+    term-ordered ties) → re-score against the interpolated query
+    (0.6 original / 0.4 expansion). The final score sums PER-TERM
+    MICRO-QUANTIZED integer contributions — order-free by
+    construction, which is what lets the oracle replay a
+    DATA-DEPENDENT term set exactly (the fixed-term coalesce-chain
+    fold can't enumerate dynamic terms). The oracle replays all
+    three stages from raw tokens: feedback ranking on bit-identical
+    doubles, the integer expansion pick, and the weighted re-score —
+    so a drift anywhere in the expansion pipeline (selection order,
+    weight arithmetic, df of an expansion term) fails the hash.
+    Reference anchor: ranked retrieval over the ODS exports
+    (plugins/operators/ods_to_llb.py) — here with the vocabulary-
+    mismatch fix every retrieval stack ships."""
+    from ..operators.retrieval import bm25_rm3_topk as _rm3
+
+    return _rm3(load(spark, sf_dir, "documents"), list(_BM25_TERMS), k=10)
+
+
 _PRIORITY_SQL = """
     WITH base AS (
       SELECT doc_id,

@@ -43,6 +43,9 @@ SCALAR_BROADCAST_QUERIES = {
     "bm25_indexed_topk",          # 1-row summed segment stats
     "bm25_indexed_delete_topk",   # same stats crossJoin, tomb-corrected
     "bm25_indexed_multiquery",    # same 1-row stats crossJoin
+    "bm25_rm3_topk",              # same 1-row stats crossJoin (feedback
+    #                               pass + weighted re-score, both
+    #                               through _bm25_tf_stats)
     "embedding_ann_pq",           # 10-row query ADC-table broadcast
     "embedding_centroid_assign",  # 8-row centroid seed set
     "embedding_topk",             # small query-vector side
