@@ -103,6 +103,22 @@ def _anchor_drift(times: dict) -> float | None:
     )
 
 
+#: Calibration sanity bound (round-12 advisor, low): ``anchor_drift``
+#: is computed from three queries that are themselves gated, so a
+#: uniform ENGINE-wide regression inflates the drift stamp and
+#: self-cancels out of every calibrated ratio — the gate could never
+#: catch an across-the-board slowdown. Environment throttling on
+#: record tops out ≈1.43 (BENCH_r12), so a drift stamp beyond this
+#: bound is no longer credibly "the host", and calibration stops
+#: being allowed to forgive it: the gate fails (drift_sane=false)
+#: until the window is re-run clean or the regression is fixed.
+DRIFT_SANITY_MAX = 1.8
+#: Absolute backstop on the UNcalibrated geomean: 2× documented gate
+#: headroom × the sanity-bounded throttle. Even a "sane" drift stamp
+#: cannot stretch raw walls past this.
+RAW_GEOMEAN_MAX = 2.0 * DRIFT_SANITY_MAX
+
+
 def baseline_gate(times: dict, drift: float | None) -> dict:
     """Mechanized 2× gate (BASELINE.md noise protocol as code): per
     anchor query, the raw ratio vs its pinned baseline and the
@@ -111,7 +127,12 @@ def baseline_gate(times: dict, drift: float | None) -> dict:
     windows); suite-level geomeans of both; and ``gate_pass`` —
     calibrated geomean ≤ 1.0 would be strictly match-or-beat, the
     GATE is the documented 2× bound: geomean ≤ 2.0 AND no single
-    query over 2× calibrated."""
+    query over 2× calibrated AND (round-12 advisor) the calibration
+    itself is sane — ``anchor_drift ≤ DRIFT_SANITY_MAX`` and the raw
+    geomean under ``RAW_GEOMEAN_MAX`` — so calibration only forgives
+    plausible host throttling, never an engine-wide regression
+    (which inflates the drift stamp and would otherwise divide
+    itself away)."""
     ratios = {
         q: round(times[q] / ref, 3)
         for q, ref in ANCHOR_BASELINES.items()
@@ -121,16 +142,20 @@ def baseline_gate(times: dict, drift: float | None) -> dict:
     calibrated = {q: round(r / d, 3) for q, r in ratios.items()}
     raw_geo = _geomean(ratios.values())
     cal_geo = _geomean(calibrated.values())
+    drift_sane = d <= DRIFT_SANITY_MAX
     return {
         "baseline": {q: ANCHOR_BASELINES[q] for q in ratios},
         "baseline_ratio": ratios,
         "baseline_ratio_calibrated": calibrated,
         "baseline_geomean": raw_geo,
         "baseline_geomean_calibrated": cal_geo,
+        "drift_sane": drift_sane,
         "gate_pass": bool(
             cal_geo is not None
             and cal_geo <= 2.0
             and max(calibrated.values()) <= 2.0
+            and drift_sane
+            and raw_geo <= RAW_GEOMEAN_MAX
         ),
     }
 

@@ -442,6 +442,9 @@ def maintain_indexes(
     ivf_recall_floor_ppm: int = 900_000,
     ivf_recall_k: int = 10,
     ivf_nprobe: int = 3,
+    lsh_recall_floor_ppm: int = 900_000,
+    lsh_recall_threshold_ppm: int = 600_000,
+    lsh_recall_sample: int = 256,
     run_log=None,
     job_id: str = "index-maintenance",
     conflict_retries: int = 2,
@@ -460,6 +463,9 @@ def maintain_indexes(
             spark, indexes, fold_multi_segment=fold_multi_segment,
             ivf_recall_floor_ppm=ivf_recall_floor_ppm,
             ivf_recall_k=ivf_recall_k, ivf_nprobe=ivf_nprobe,
+            lsh_recall_floor_ppm=lsh_recall_floor_ppm,
+            lsh_recall_threshold_ppm=lsh_recall_threshold_ppm,
+            lsh_recall_sample=lsh_recall_sample,
             run_log=run_log, job_id=job_id,
         ),
         attempts=conflict_retries + 1,
@@ -473,6 +479,9 @@ def _maintain_indexes_once(
     ivf_recall_floor_ppm: int = 900_000,
     ivf_recall_k: int = 10,
     ivf_nprobe: int = 3,
+    lsh_recall_floor_ppm: int = 900_000,
+    lsh_recall_threshold_ppm: int = 600_000,
+    lsh_recall_sample: int = 256,
     run_log=None,
     job_id: str = "index-maintenance",
 ) -> list[dict]:
@@ -493,7 +502,13 @@ def _maintain_indexes_once(
     * every :class:`~.operators.vector_index.IvfIndex` additionally
       measures probe recall on a sample and re-clusters when it sags
       below ``ivf_recall_floor_ppm`` (``ivf_index_refresh`` — a
-      no-op write when healthy).
+      no-op write when healthy);
+    * every :class:`~.operators.neardup_index.LshIndex` measures
+      BANDING recall on a hash-ordered sample
+      (``lsh_index_recall_ppm`` — round-12 verdict task 5) and flags
+      ``recall_low`` below ``lsh_recall_floor_ppm``; no auto-action,
+      because widening banding recall means a new spec
+      (``lsh_index_rebuild``), an operator decision.
 
     Appends one run-log row per index when ``run_log`` is given
     (O11), with the action report as the result payload. Returns the
@@ -553,6 +568,22 @@ def _maintain_indexes_once(
             )
             rep["recall_ppm"] = out["recall_ppm"]
             rep["refreshed"] = out["refreshed"]
+        if isinstance(idx, LshIndex):
+            # banding-recall gauge (round-12 verdict task 5) — the
+            # LSH twin of the IVF recall gate, measure-and-flag only:
+            # banding recall is a SPEC property (hashes/bands), so
+            # the response to a sagging gauge is an operator-chosen
+            # lsh_index_rebuild with a wider spec, never an in-place
+            # refresh this job could pick unilaterally.
+            from .operators.neardup_index import lsh_index_recall_ppm
+
+            recall = lsh_index_recall_ppm(
+                spark, idx,
+                threshold_ppm=lsh_recall_threshold_ppm,
+                max_sample=lsh_recall_sample,
+            )
+            rep["recall_ppm"] = recall
+            rep["recall_low"] = recall < lsh_recall_floor_ppm
         rep["segments_after"] = len(idx.resolve(spark).segments)
         reports.append(rep)
         if run_log is not None:
@@ -570,6 +601,211 @@ def _maintain_indexes_once(
     return reports
 
 
+def _pointer_log_depth(fs, ptr) -> int:
+    """Commit-log depth of one pointer: entry count of the log-dir
+    protocol (``<ptr>.d/*.ptr`` — grows until retention trims), or 1
+    for a legacy single-file pointer, or 0 (never committed)."""
+    from .fs import _log_dir
+
+    d = _log_dir(ptr)
+    if fs.exists(d):
+        return len([n for (n, is_dir, _) in fs.list(d)
+                    if not is_dir and n.endswith(".ptr")])
+    return 1 if fs.exists(ptr) else 0
+
+
+def _stale_lock(fs, root) -> bool:
+    """True when a writer-lock file exists whose holder is dead — the
+    residue a crashed writer leaves (harmless: the next writer steals
+    it, but an audit should SEE it rather than infer it later)."""
+    from . import fs as FS
+    from .sinks import LOCK_MARKER, _holder_dead
+
+    lock = FS.join(root, LOCK_MARKER)
+    return bool(fs.exists(lock) and _holder_dead(fs, lock))
+
+
+def _audit_table(tbl) -> dict:
+    """Listing-only audit of one snapshot table (ParquetTable or
+    PartitionedTable): retained/reclaimable snapshots, pins, pointer
+    commit-log depth, dead-writer lock residue, and (partitioned)
+    orphan partition dirs no retained manifest references."""
+    from . import fs as FS
+    from .sinks import PartitionedTable
+
+    fs = tbl._fs()
+    hist = tbl.history()
+    cur = tbl.current_snapshot()
+    pinned = tbl.pinned_snapshots()
+    rep = {
+        "root": str(tbl.root),
+        "snapshots": len(hist),
+        "has_current": cur is not None,
+        "pinned": len(pinned),
+        # pool a vacuum could reclaim (subject to its keep window):
+        # every retained snapshot that is neither current nor pinned
+        "reclaimable_snapshots": len(
+            [p for p in hist if p != cur and p.name not in pinned]
+        ),
+        "pointer_log_depth": _pointer_log_depth(
+            fs, FS.join(tbl.root, "_CURRENT")
+        ),
+        "stale_lock": _stale_lock(fs, tbl.root),
+    }
+    if isinstance(tbl, PartitionedTable):
+        referenced = tbl._referenced_dirs()
+        parts_root = FS.join(tbl.root, "parts")
+        on_disk = (
+            [nm for (nm, is_dir, _) in fs.list(parts_root) if is_dir]
+            if fs.exists(parts_root)
+            else []
+        )
+        rep["partition_dirs"] = len(on_disk)
+        rep["orphan_partition_dirs"] = len(
+            [n for n in on_disk if n not in referenced]
+        )
+    return rep
+
+
+def _audit_index(spark: SparkSession, idx) -> dict:
+    """Listing-only audit of one persisted index: live segment/tomb
+    counts, retained-epoch and pin ledgers, spec-history depth,
+    manifest commit-log depth, member dirs on disk vs the manifest's
+    keep set (orphans = crashed-build residue the next writer's GC
+    would clear), and dead-holder residue on the index/pins locks."""
+    import re
+
+    from . import fs as FS
+    from .operators.neardup_index import (
+        _keep_epochs,
+        _manifest_path,
+        _read_manifest,
+        _read_pins,
+    )
+    from .sinks import _holder_dead, _warehouse_path
+
+    man = _read_manifest(spark, idx.name)
+    wh = _warehouse_path(spark)
+    fs = FS.fs_for(wh)
+    pat = re.compile(rf"^{re.escape(idx.name.lower())}__e(\d+)_")
+    member_epochs = sorted(
+        {
+            int(m.group(1))
+            for (nm, is_dir, _) in fs.list(wh)
+            if is_dir
+            for m in [pat.match(nm)]
+            if m
+        }
+    )
+    rep = {
+        "index": idx.name,
+        "kind": idx.spec()["kind"],
+        "exists": man is not None,
+    }
+    if man is None:
+        return rep
+    keep = _keep_epochs(man["history"], man.get("tomb_history"))
+    pins = _read_pins(spark, idx.name)
+    rep.update(
+        {
+            "live_epoch": man["epoch"],
+            "segments": len(man["segments"]),
+            "tombs": len(man.get("tombs", [])),
+            "retained_epochs": len(man["history"]),
+            "pinned_epochs": len({e for eps in pins.values() for e in eps}),
+            "spec_history_depth": len(man.get("spec_history", {})),
+            "member_epochs_on_disk": len(member_epochs),
+            "orphan_member_epochs": len(
+                [e for e in member_epochs if e not in keep]
+            ),
+            "manifest_log_depth": _pointer_log_depth(
+                fs, _manifest_path(spark, idx.name)
+            ),
+            "stale_lock": any(
+                fs.exists(p) and _holder_dead(fs, p)
+                for p in (
+                    FS.join(
+                        wh, f"{idx.name.lower()}__index_lock", "_LOCK"
+                    ),
+                    FS.join(
+                        wh, f"{idx.name.lower()}__pins_lock", "_LOCK"
+                    ),
+                )
+            ),
+        }
+    )
+    return rep
+
+
+def store_audit(
+    spark: SparkSession,
+    corpus_path,
+    indexes: Sequence | None = None,
+) -> dict:
+    """Read-only GC/retention pre-flight for a store (round-12
+    verdict task 7): the whole-store report the ops story previously
+    had to infer from individual verb receipts. LISTING-ONLY by
+    construction — no Spark job, no lock taken, no file written — so
+    it can run against a LIVE store at any cadence:
+
+    * every table (the corpus plus any ``__deny*`` sidecars):
+      retained vs reclaimable snapshots, pins, pointer commit-log
+      depth, dead-writer lock residue, and — partitioned layout —
+      orphan partition dirs no retained manifest references;
+    * every index (resolved from the ``_CURATED`` co-manifest when
+      one exists; pass ``indexes=`` handles for bare index audits):
+      live segments/tombs (the compaction pressure gauge), retained
+      + pinned epoch ledgers, spec-history depth, manifest log
+      depth, member epochs on disk vs the manifest keep set (orphans
+      = crashed-build residue), lock residue.
+
+    This is the dry-run for :func:`maintain_curated_store` (pass
+    ``audit_only=True`` there) — the numbers it reports are exactly
+    the work the maintenance verbs would do: ``reclaimable_snapshots``
+    → vacuum, ``segments``/``tombs`` > 1/0 → compact,
+    ``orphan_member_epochs``/``orphan_partition_dirs`` → the next
+    writer's GC, ``stale_lock`` → steal-on-contact. A store with no
+    ``_CURATED`` co-manifest audits as a bare snapshot table."""
+    from . import fs as FS
+    from .pipelines import (
+        _corpus_table_from_manifest,
+        _curated_fields,
+        _index_from_manifest,
+        _read_curated_manifest,
+        _sem_index_from_manifest,
+    )
+    from .sinks import ParquetTable
+
+    raw = _read_curated_manifest(corpus_path)
+    idx_targets = list(indexes or [])
+    if raw is not None:
+        man = _curated_fields(raw)
+        corpus_tbl = _corpus_table_from_manifest(corpus_path, man)
+        if not idx_targets:
+            idx_targets.append(_index_from_manifest(man))
+            sem = _sem_index_from_manifest(man)
+            if sem is not None:
+                idx_targets.append(sem)
+    else:
+        corpus_tbl = ParquetTable(corpus_path)
+    tables = {"corpus": _audit_table(corpus_tbl)}
+    for arm in ("__deny", "__deny_sig", "__deny_sem"):
+        t = ParquetTable(f"{corpus_path}{arm}")
+        if t.exists():
+            tables[f"deny{arm[6:] or ''}"] = _audit_table(t)
+    report = {
+        "store": str(corpus_path),
+        "curated": raw is not None,
+        "tables": tables,
+        "indexes": [_audit_index(spark, i) for i in idx_targets],
+        "curated_log_depth": _pointer_log_depth(
+            FS.fs_for(FS.join(corpus_path, "_CURATED")),
+            FS.join(corpus_path, "_CURATED"),
+        ),
+    }
+    return report
+
+
 def maintain_curated_store(
     spark: SparkSession,
     corpus_path,
@@ -579,6 +815,7 @@ def maintain_curated_store(
     run_log=None,
     job_id: str = "store-maintenance",
     conflict_retries: int = 2,
+    audit_only: bool = False,
 ) -> dict:
     """Retry shell around :func:`_maintain_curated_store_once`: store
     maintenance (index folds + corpus compaction + one `_CURATED`
@@ -588,9 +825,17 @@ def maintain_curated_store(
     :class:`~.fs.PointerCommitConflict` replays bounded times instead
     of killing the weekly fold (round-12 verdict task 3). Verbs with
     caller payloads (the curation batch itself, takedowns) are NOT
-    wrapped."""
+    wrapped.
+
+    ``audit_only=True`` is the DRY-RUN: it returns
+    :func:`store_audit`'s read-only report of exactly the work a
+    real pass would do (reclaimable snapshots, fragmented segments,
+    orphans, lock residue) and touches nothing — no store lock, no
+    commits."""
     from . import fs as FS
 
+    if audit_only:
+        return store_audit(spark, corpus_path)
     return FS.retry_pointer_conflicts(
         lambda: _maintain_curated_store_once(
             spark, corpus_path, target_file_bytes=target_file_bytes,

@@ -61,20 +61,53 @@ class MetricsLog:
         if "://" in s:
             scheme, rest = s.split("://", 1)
             self.path = f"{scheme}://{rest.rstrip('/')}"
+        elif s.startswith("file:"):
+            # single-slash Hadoop spelling 'file:/x' — keep the
+            # scheme (self.path stays the caller's I/O target), but
+            # the path part must still be absolute
+            rest = s[len("file:"):]
+            if not os.path.isabs(rest):
+                raise ValueError(
+                    f"MetricsLog file: URI must carry an absolute "
+                    f"path (got {s!r})"
+                )
+            self.path = "file:" + os.path.normpath(rest)
         else:
-            self.path = os.path.normpath(os.path.abspath(s))
+            # RELATIVE paths are refused outright (round-12 advisor,
+            # low): resolving against the construction-time CWD means
+            # the same spelling built under two CWDs names two
+            # different tables yet one must not split a gauge series
+            # — there is no stable root to normalize against, so the
+            # only safe behavior is to make the caller pick the
+            # absolute target explicitly.
+            if not os.path.isabs(s):
+                raise ValueError(
+                    "MetricsLog requires an absolute path or a URI "
+                    f"(got relative {s!r}): a relative path resolved "
+                    "against the current working directory would "
+                    "split one gauge series across CWDs"
+                )
+            self.path = os.path.normpath(s)
         # The live-map KEY additionally unwraps file: URIs (the same
         # rule _warehouse_path applies): 'file:///x' and '/x' name
         # ONE table and must share one gauge series map — but
         # self.path keeps the spelling the caller chose, because on a
         # cluster whose defaultFS is HDFS a bare path and a file://
         # URI are DIFFERENT I/O targets (round-12 self-review,
-        # finding 4).
+        # finding 4). Authority-form 'file://host/x' names a REMOTE
+        # target: it keeps its own key verbatim instead of being
+        # stripped to a relative 'host/x' (round-12 advisor, low) —
+        # only the empty ('file:///x') and 'localhost' authorities
+        # alias the local path.
         k = self.path
-        for prefix in ("file://", "file:"):
-            if k.startswith(prefix):
-                k = os.path.normpath(k[len(prefix):])
-                break
+        if k.startswith("file://"):
+            rest = k[len("file://"):]
+            if rest.startswith("/"):
+                k = os.path.normpath(rest)
+            elif rest.startswith("localhost/"):
+                k = os.path.normpath(rest[len("localhost"):])
+        elif k.startswith("file:"):
+            k = os.path.normpath(k[len("file:"):])
         self._key = k
 
     def emit(

@@ -1618,6 +1618,148 @@ def lsh_index_self_pairs(
     )
 
 
+def lsh_index_recall_stats(
+    index: LshIndex,
+    threshold_ppm: int = 600_000,
+    max_sample: int = 256,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Banding-recall TELEMETRY for the LSH text channel (round-12
+    verdict task 5): the IVF/PQ channels gauge probe recall and gate
+    refreshes on it, but LSH banding recall degrades just as silently
+    — if the doc-length/Jaccard distribution drifts so true near-dup
+    pairs stop colliding in any band, the candidate join quietly
+    stops SEEING them and the verify stage can't bring them back.
+    This measures that trade on a bounded sample, entirely from
+    persisted members (no re-shingling, no corpus pass):
+
+    * sample: the first ``max_sample`` live docs hash-ordered by
+      ``md5(doc_id)`` (deterministic, content-uncorrelated — a
+      doc_id-range sample would bias toward one ingest era);
+    * truth: exact-Jaccard pairs ≥ ``threshold_ppm`` WITHIN the
+      sample, from the persisted shingle/size members — the pairs
+      the index is supposed to surface;
+    * caught: the subset of truth colliding in ≥1 band bucket of the
+      persisted band table — what the candidate join would emit.
+
+    Returns ONE row ``(sampled_docs, truth_pairs, caught_pairs,
+    recall_ppm)`` with ``recall_ppm = 1e6·caught/truth`` (1e6 when
+    the sample holds no truth pairs — nothing to miss). Maintenance-
+    priced: every join is sample-bounded (≤ max_sample docs), the
+    only corpus-side touches are bucket-key member scans restricted
+    by a broadcast semi-join. The scalar consumers are
+    :func:`lsh_index_recall_ppm` (maintain_indexes report) and the
+    curation stream's telemetry cadence; the floor consumer's
+    response to a sagging gauge is :func:`lsh_index_rebuild` with
+    more bands (banding recall is a SPEC property — there is no
+    in-place refresh, unlike IVF centroids)."""
+    spark = spark or SparkSession.getActiveSession()
+    cur = index.resolve(spark)
+    sizes_m = _visible(cur, spark, "sizes")
+    sample = (
+        sizes_m.select("doc_id")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(max_sample)
+        .localCheckpoint()
+    )
+    sh = (
+        _visible(cur, spark, "shingles")
+        .select("doc_id", "sid")
+        .join(F.broadcast(sample), "doc_id", "left_semi")
+    )
+    s1, s2 = sh.alias("s1"), sh.alias("s2")
+    inter = (
+        s1.join(
+            s2,
+            (F.col("s1.sid") == F.col("s2.sid"))
+            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
+        )
+        .groupBy(
+            F.col("s1.doc_id").alias("doc_a"),
+            F.col("s2.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz = sizes_m.join(F.broadcast(sample), "doc_id", "left_semi")
+    pairs = inter.join(
+        F.broadcast(
+            sz.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_shingles").alias("size_a"))
+        ),
+        "doc_a",
+    ).join(
+        F.broadcast(
+            sz.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_shingles").alias("size_b"))
+        ),
+        "doc_b",
+    )
+    union = F.col("size_a") + F.col("size_b") - F.col("inter")
+    truth = (
+        pairs.withColumn(
+            "jacc_ppm",
+            F.round(F.col("inter") * 1000000.0 / union).cast("bigint"),
+        )
+        .filter(F.col("jacc_ppm") >= threshold_ppm)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    bands = (
+        _visible(cur, spark, "band_tbl")
+        .select("doc_id", "band_idx", "band_key")
+        .join(F.broadcast(sample), "doc_id", "left_semi")
+    )
+    b1, b2 = bands.alias("b1"), bands.alias("b2")
+    cand = (
+        b1.join(
+            b2,
+            (F.col("b1.band_idx") == F.col("b2.band_idx"))
+            & (F.col("b1.band_key") == F.col("b2.band_key"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(
+            F.col("b1.doc_id").alias("doc_a"),
+            F.col("b2.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    caught = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    # three 1-row aggregates fused by scalar crossJoins (the BM25-
+    # stats broadcast pattern — allowlisted nested-loop class)
+    return (
+        sample.agg(F.count(F.lit(1)).alias("sampled_docs"))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("truth_pairs")))
+        .crossJoin(caught.agg(F.count(F.lit(1)).alias("caught_pairs")))
+        .withColumn(
+            "recall_ppm",
+            F.when(F.col("truth_pairs") == 0, F.lit(1000000).cast("bigint"))
+            .otherwise(
+                F.round(
+                    F.col("caught_pairs") * 1000000.0
+                    / F.col("truth_pairs")
+                ).cast("bigint")
+            ),
+        )
+    )
+
+
+def lsh_index_recall_ppm(
+    spark: SparkSession,
+    index: LshIndex,
+    threshold_ppm: int = 600_000,
+    max_sample: int = 256,
+) -> int:
+    """Scalar spelling of :func:`lsh_index_recall_stats` for the
+    maintenance report and the stream's telemetry cadence — one
+    driver row (scalar class), same signature shape as
+    ``ivf_index_recall_ppm``."""
+    row = lsh_index_recall_stats(
+        index, threshold_ppm=threshold_ppm, max_sample=max_sample,
+        spark=spark,
+    ).collect()[0]
+    return int(row.recall_ppm)
+
+
 def index_self_pairs(
     index,
     threshold_ppm: int = 500_000,

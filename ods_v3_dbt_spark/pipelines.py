@@ -1122,6 +1122,29 @@ def curate_increment_stream(
                 spark, f"curation:{index_name}", "stream",
                 "semantic_recall", {mname: (float(recall), "ppm")},
             )
+        # LSH banding-recall gauge on the same cadence (round-12
+        # verdict task 5): the near channel's candidate join stops
+        # SEEING drifted near-dup pairs silently — emit the banded
+        # recall vs exact Jaccard on a hash-ordered sample so the
+        # operator sees the decay and can schedule a wider-spec
+        # lsh_index_rebuild. Sample bound shared with the semantic
+        # probe (maintenance-priced, ≤ recall_probe_sample docs).
+        if (
+            metrics_log is not None and recall_probe_every > 0
+            and int(batch_id) % recall_probe_every == 0
+            and isinstance(idx, LshIndex)
+        ):
+            from .operators.neardup_index import lsh_index_recall_ppm
+
+            brecall = lsh_index_recall_ppm(
+                spark, idx, threshold_ppm=neardup_jaccard_ppm,
+                max_sample=max(recall_probe_sample, 64),
+            )
+            metrics_log.emit(
+                spark, f"curation:{index_name}", "stream",
+                "banding_recall",
+                {"lsh_index_recall_ppm": (float(brecall), "ppm")},
+            )
         # CONSISTENT-VIEW co-manifest (round 5; round 6 rides
         # TableGroup): corpus and index commit independently (each
         # atomically, each replay-safe), so a reader sampling both

@@ -1547,3 +1547,104 @@ def ship_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v_c").alias("value_c"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Storage-protocol audit receipt (round-12 verdict task 7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "store_audit_counts",
+    """
+    SELECT CAST(2 AS BIGINT) AS corpus_snapshots,
+           CAST(1 AS BIGINT) AS corpus_reclaimable,
+           CAST(0 AS BIGINT) AS corpus_pinned,
+           CAST(1 AS BIGINT) AS corpus_pointer_log,
+           CAST(2 AS BIGINT) AS idx_segments,
+           CAST(1 AS BIGINT) AS idx_tombs,
+           CAST(2 AS BIGINT) AS idx_retained_epochs,
+           CAST(4 AS BIGINT) AS idx_member_epochs,
+           CAST(1 AS BIGINT) AS idx_orphan_epochs,
+           CAST(0 AS BIGINT) AS stale_locks
+    """,
+)
+def store_audit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``jobs.store_audit`` as a hash-checked receipt: a store is
+    rebuilt FROM ZERO through a fixed verb sequence — three corpus
+    snapshot writes + vacuum(keep=2), an index build + one O(batch)
+    append + one tombstone delete, plus one PLANTED orphan member
+    epoch (a crashed build's residue) — and the audit's counts over
+    it are pinned: 2 retained corpus snapshots (1 reclaimable), a
+    depth-1 legacy pointer, 2 live index segments + 1 tombstone
+    epoch, 2 retained manifest epochs referencing 3 member epochs on
+    disk plus the planted orphan (= 4 seen, 1 orphan), and zero lock
+    residue. The oracle is the literal expected receipt — every
+    value is a storage-protocol INVARIANT of the verb sequence (not
+    a data property), so a drift in snapshot retention, LSM segment
+    accounting, tombstone bookkeeping, GC keep-set derivation, or
+    orphan detection breaks the hash. The fixture resets its own
+    warehouse state first, so the receipt replays identically in any
+    session; the corpus/index content derives from the documents
+    table (scanned eagerly inside the fixture writes — the returned
+    frame is the driver-built receipt row, AUDIT_SUMMARY class)."""
+    import shutil
+
+    from .. import fs as FS
+    from ..jobs import store_audit
+    from ..operators.neardup_index import (
+        dedup_index_append,
+        dedup_index_delete,
+        dedup_index_write,
+    )
+    from ..sinks import ParquetTable, _warehouse_path
+
+    wh = _warehouse_path(spark)
+    idx_name = "storeaudit_fx_idx"
+    corpus_root = wh / "storeaudit_fx_corpus"
+    # RESET — the receipt must replay from zero in any session: wipe
+    # the fixture corpus dir, every warehouse entry of the fixture
+    # index (manifest/pins/locks/member dirs), and its catalog rows
+    shutil.rmtree(corpus_root, ignore_errors=True)
+    fs = FS.fs_for(wh)
+    for (nm, is_dir, _) in fs.list(wh):
+        if nm.startswith(idx_name):
+            fs.delete(wh / nm, recursive=is_dir)
+    for t in spark.catalog.listTables():
+        if t.name.lower().startswith(idx_name):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tbl = ParquetTable(corpus_root)
+    tbl.write(d.filter(F.col("doc_id") % 4 == 1))
+    tbl.write(d.filter((F.col("doc_id") % 4).isin(1, 2)))
+    tbl.write(d.filter(F.col("doc_id") % 4 != 0))
+    tbl.vacuum(keep=2)
+
+    idx = dedup_index_write(
+        d.filter(F.col("doc_id") % 3 != 0), idx_name, num_buckets=2,
+        compact_after=99,
+    )
+    dedup_index_append(idx, d.filter(F.col("doc_id") % 3 == 0))
+    dedup_index_delete(
+        idx, d.filter(F.col("doc_id") % 9 == 1).select("doc_id")
+    )
+    # planted orphan: a member-epoch dir no retained manifest keeps
+    (wh / f"{idx_name}__e99_fps").mkdir(parents=True, exist_ok=True)
+
+    rep = store_audit(spark, corpus_root, indexes=[idx])
+    c, (i,) = rep["tables"]["corpus"], rep["indexes"]
+    row = [(
+        c["snapshots"], c["reclaimable_snapshots"], c["pinned"],
+        c["pointer_log_depth"], i["segments"], i["tombs"],
+        i["retained_epochs"], i["member_epochs_on_disk"],
+        i["orphan_member_epochs"],
+        int(c["stale_lock"]) + int(i["stale_lock"]),
+    )]
+    return spark.createDataFrame(
+        row,
+        "corpus_snapshots bigint, corpus_reclaimable bigint, "
+        "corpus_pinned bigint, corpus_pointer_log bigint, "
+        "idx_segments bigint, idx_tombs bigint, "
+        "idx_retained_epochs bigint, idx_member_epochs bigint, "
+        "idx_orphan_epochs bigint, stale_locks bigint",
+    )

@@ -144,29 +144,62 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+#: Registry rows added in recent rounds (7 onward). The round-12
+#: verdict found the priority window frozen at its round-6 state, so
+#: no round-7..12 addition ever reached a driver sample — this tuple
+#: is the explicit ledger that restores (and now ENFORCES, via
+#: ``tests/test_round_window.py``) SURVEY's "new rows always enter
+#: the window that ships them" invariant. Convention from round 13
+#: on: every ``@register`` added in a round ALSO appends its name
+#: here and to ``_ROUND_WINDOW_PRIORITY``'s recent-additions block;
+#: names only retire from this ledger once a ``CORRECTNESS_r*.json``
+#: records them green (then they join the normal staleness rotation).
+_RECENT_ADDITIONS: tuple[str, ...] = (
+    # round 7 — tombstone-delete probes + SimHash index family
+    "dedup_index_delete_probe",
+    "dedup_index_delete_readd_probe",
+    "lsh_index_delete_probe",
+    "bm25_indexed_delete_topk",
+    "ivf_index_delete_topk",
+    "simhash_index_probe",
+    "simhash_index_delete_probe",
+    "ngram_jaccard_indexed_pairs",
+    "fact_delete_cascade_day",
+    "incremental_curation_semantic_decisions",
+    # round 8 — IVFADC (PQ) index family + indexed self-pair flavors
+    "pq_index_ann_topk",
+    "pq_index_delete_topk",
+    "hybrid_indexed_rrf_pq",
+    "semantic_dedup_indexed_cells",
+    "simhash_indexed_pairs",
+    "deny_neardup_decisions",
+    # round 10 — PQ curation channel + semantic deny
+    "deny_semantic_decisions",
+    "incremental_curation_pq_decisions",
+    # round 12 — RM3 feedback + spec-migration rebuild
+    "bm25_rm3_topk",
+    "dedup_index_rebuild_probe",
+    # round 13 — LSH banding-recall telemetry + store audit
+    "lsh_index_recall",
+    "store_audit_counts",
+)
+
 #: The driver's correctness gate hash-checks the FIRST 50 registry
 #: entries per round (CORRECTNESS_r01.json stopped at entry 50
 #: exactly). Registration order is therefore a scheduling decision:
 #: this list pins the names that lead the current round's checked
 #: window; everything else follows in registration order. Rounds 1-3
-#: are on record in CORRECTNESS_r0{1,2,3}.json (all 50/50 green);
-#: after round 3, 148/187 distinct queries had a driver-ever row.
-#: ROUND-6 WINDOW: the full round-6 blast radius — the LSM
-#: segment-append index redesign touches every persisted-index row
-#: (all four dedup/LSH probe rows resolve the new segment manifests;
-#: the curation rows drive appends + the pin-aware retention), the
-#: repetition left-join semantics change, and the three NEW rows
-#: (indexed BM25 over the persisted inverted index, BM25F field
-#: weights, proximity-windowed BM25) enter the window that ships
-#: them. The BM25 scan-path pair re-checks next to its indexed twin.
-#: Remaining slots rotate to the rows whose last driver sample is
-#: oldest (round 1, per the round-5 verdict's task 9 list):
-#: masked_extract / scalar_cleanse_strings / quality_assertion_metrics
-#: / rollup_month / max_freshness_probe plus the rest of the r1
-#: extract/rollup/cleansing probes, and the text/fingerprint family.
-#: Anchors and the historically-red dedup_keep_first_ordered keep
-#: their standing re-check slots. Names listed but not registered
-#: are ignored (the guard test asserts the list stays typo-free).
+#: are on record in CORRECTNESS_r0{1,2,3}.json (all 50/50 green).
+#: ROUND-13 WINDOW (the round-12 verdict's task 2 — the list had
+#: been frozen since round 6, so CORRECTNESS_r7..r12 re-sampled the
+#: same 50 rows): cheap warmup leads, then EVERY round-7..13
+#: addition (none has a driver-sample row yet — see
+#: ``_RECENT_ADDITIONS``), the three standing anchor re-checks, and
+#: the remaining slots backfilled with the rows whose last driver
+#: sample is oldest (round 1). Names listed but not registered are
+#: ignored (the guard test asserts the list stays typo-free);
+#: ``tests/test_round_window.py`` asserts every recent addition
+#: lands inside the first 50.
 _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (
     # Cheap single-scan aggregates lead: the suite's FIRST query
     # absorbs session-residual warmup (first-plan codegen, parquet
@@ -177,83 +210,39 @@ _ROUND_WINDOW_PRIORITY: tuple[str, ...] = (
     "fk_integrity_counts",
     "nation_revenue_share",
     "cube_returnflag_status",
-    "exists_late_orders",
-    "promo_revenue_ratio",
-    "top_supplier_revenue",
-    "large_volume_customers",
-    "unshipped_order_revenue",
-    "returned_item_customers",
-    "dow_hour_activity_profile",
-    "user_value_outliers",
-    "brand_distinct_buyers",
-    "token_positions_long",
-    # fuzzy (near-dup) eval-set decontamination enters the window
-    # that ships it; the user_value_variance r5 re-check yielded the
-    # slot (driver-green r5, untouched; its outliers twin stays)
-    "fuzzy_decontamination",
-    # anchors re-checked early (cheap, price at near-steady state)
+    # round-7..13 additions — every row _RECENT_ADDITIONS tracks, in
+    # ledger order (cheapest probes lead their family)
+    *_RECENT_ADDITIONS,
+    # anchors re-checked early (cheap, price at near-steady state);
+    # dedup_keep_first_ordered keeps its historically-red slot
     "pricing_summary",
     "revenue_by_customer",
     "dedup_keep_first_ordered",
-    # round-6 blast radius: the LSM segment redesign (delta-segment
-    # appends, per-segment probe fan-out, pin-aware retention) —
-    # every row that resolves an index manifest or drives an append
-    "dedup_index_probe",
-    "dedup_index_append_probe",
-    "lsh_index_probe",
-    "lsh_index_append_probe",
-    "incremental_curation_decisions",
-    "curation_pipeline_audit",
-    # left-join semantics change (short docs now keep their row)
-    "repetition_quality_flags",
-    # round-6 ADDITIONS (new queries always enter the window that
-    # ships them)
-    "bm25_indexed_topk",
-    "bm25f_topk_docs",
-    "bm25_window_topk",
-    "knn_graph_topk",
-    "bm25_indexed_multiquery",
-    # the scan-path BM25 family re-checks beside its indexed twin
-    "bm25_topk_docs",
-    "bm25_multiquery_topk",
-    "priority_weighted_sample",
-    # oldest driver rows (last sampled round 1 — the round-5
-    # verdict's task-9 rotation list, plus the rest of the r1
-    # extract/rollup/cleansing probes)
-    "masked_extract",
-    "scalar_cleanse_strings",
-    "quality_assertion_metrics",
-    "rollup_month",
-    "max_freshness_probe",
-    # round-6 SESSION-2 ADDITIONS (bigram-LM surprisal filter,
-    # line-level dedup with rebuilt-text hash, directional shingle
-    # containment) — new rows enter the window that ships them; the
-    # r1 fillers date_id_conversions / sentinel_date_repair /
-    # excel_cell_coercion_grid yielded these three slots (all three
-    # are driver-green on record and untouched by this session)
-    "bigram_lm_surprisal",
-    "line_dedup_rebuild",
-    "shingle_containment_pairs",
-    # persisted-IVF index probe (the ANN member of the indexed-
-    # maintenance family) and the indexed-hybrid capstone (BM25
-    # index + IVF index fused by RRF) — enter the window that ships
-    # them; the rollup_day / count_window_probe r1 fillers yielded
-    # the slots (driver-green on record)
-    "ivf_index_ann_topk",
-    "hybrid_indexed_rrf",
-    # round-6 LATE ADDITIONS (hybrid fusion / eval / split / quant /
-    # filtered search / personalized ranks) — new rows always enter
-    # the window that ships them; the text/fingerprint re-check
-    # fillers (text_stats, doc_fingerprint, token_bpe_counts,
-    # table_fingerprint_orders, dq_rule_violations,
-    # semantic_dedup_cells) yielded these six slots — all are
-    # driver-green on record and untouched by this round's changes
-    "hybrid_rrf_retrieval",
-    "retrieval_eval_mrr",
-    "leakage_safe_split",
-    "embedding_int8_quant",
-    "embedding_topk_filtered",
-    "personalized_pagerank",
+    # staleness rotation: rows whose last driver sample is ROUND 1
+    # (31 such rows exist; the 22 that fit this window's remaining
+    # slots — the rest lead the round-14 rotation)
+    "count_window_probe",
+    "rollup_day",
+    "column_profile_orders",
+    "customer_balance_quartiles",
+    "date_id_conversions",
+    "sentinel_date_repair",
+    "latest_order_per_customer",
+    "order_priority_count",
+    "orderpriority_quantiles",
+    "orders_price_histogram",
+    "regional_supplier_volume",
+    "top_customers_by_revenue",
+    "smallqty_part_revenue",
+    "dormant_customers",
+    "repeat_vs_churned_customers",
+    "events_asof_enrich",
+    "events_json_extract",
+    "events_tumbling_daily",
+    "sessionize_events",
+    "skewed_agg_salted",
+    "unpivot_lineitem_measures",
+    "user_event_type_pivot",
 )
 
 

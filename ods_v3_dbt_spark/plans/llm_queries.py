@@ -545,6 +545,74 @@ def ngram_jaccard_indexed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_self_pairs(idx, threshold_ppm=500000, spark=spark)
 
 
+_LSH_RECALL_SQL = f"""
+    WITH {_minhash_band_ctes(16, 4)},
+    smp AS (
+      SELECT doc_id FROM corpus
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      LIMIT 256
+    ),
+    ssh AS (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN smp USING (doc_id)
+    ),
+    ssz AS (SELECT doc_id, COUNT(1) AS n FROM ssh GROUP BY doc_id),
+    sinter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS i
+      FROM ssh a JOIN ssh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+      SELECT i.doc_a, i.doc_b
+      FROM sinter i
+      JOIN ssz sa ON sa.doc_id = i.doc_a
+      JOIN ssz sb ON sb.doc_id = i.doc_b
+      WHERE CAST(ROUND(i.i * 1000000.0 / (sa.n + sb.n - i.i)) AS BIGINT)
+            >= 600000
+    ),
+    sbands AS (SELECT b.* FROM bands b JOIN smp USING (doc_id)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sbands a JOIN sbands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    caught AS (
+      SELECT t.doc_a, t.doc_b FROM truth t
+      JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )
+    SELECT CAST((SELECT COUNT(1) FROM smp) AS BIGINT) AS sampled_docs,
+           CAST((SELECT COUNT(1) FROM truth) AS BIGINT) AS truth_pairs,
+           CAST((SELECT COUNT(1) FROM caught) AS BIGINT) AS caught_pairs,
+           CAST(CASE WHEN (SELECT COUNT(1) FROM truth) = 0 THEN 1000000
+                ELSE ROUND((SELECT COUNT(1) FROM caught) * 1000000.0
+                           / (SELECT COUNT(1) FROM truth))
+                END AS BIGINT) AS recall_ppm
+    """
+
+
+@register("lsh_index_recall", _LSH_RECALL_SQL)
+def lsh_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-recall telemetry over the persisted LSH index
+    (round-12 verdict task 5): exact-Jaccard truth pairs within a
+    256-doc md5-ordered sample vs the pairs the index's band table
+    would actually surface as candidates — the silent-degradation
+    gauge the IVF/PQ channels already have, now for the LSH text
+    channel. Runs entirely from persisted members (shingles, sizes,
+    bands — no re-shingling); the oracle recomputes the identical
+    sample, truth set, and band-collision candidate set from the
+    corpus, so recall is VALUE-verified, not assumed. Wired into
+    ``maintain_indexes`` (per-index report + ``recall_low`` flag)
+    and the curation stream's telemetry cadence
+    (``lsh_index_recall_ppm`` gauge through the metrics log)."""
+    from ..operators.neardup_index import lsh_index_recall_stats
+
+    idx = _capped_lsh_fixture_index(spark, sf_dir)
+    return lsh_index_recall_stats(
+        idx, threshold_ppm=600000, max_sample=256, spark=spark
+    )
+
+
 _SIMHASH_NEARDUP_SQL = f"""
     WITH {_CORPUS_SQL},
     words AS (

@@ -81,3 +81,38 @@ def test_baseline_gate_math():
     gate = bench.baseline_gate({"pricing_summary": 0.63}, drift=None)
     assert list(gate["baseline_ratio"]) == ["pricing_summary"]
     assert gate["gate_pass"] is True
+
+
+def test_gate_rejects_self_cancelling_uniform_regression():
+    """Round-12 advisor (low): anchor_drift is computed from three
+    gated queries, so an ENGINE-wide uniform slowdown inflates the
+    stamp and divides itself away — calibrated geomean stays 1.0.
+    The gate must still fail: calibration only forgives plausible
+    host throttling (drift ≤ DRIFT_SANITY_MAX), never a stamp no
+    host on record produced."""
+    bench = _load_bench()
+    # uniform 3× regression: drift stamp rides along at 3.0,
+    # calibrated geomean self-cancels to 1.0 — gate FAILS on sanity
+    times = {q: v * 3.0 for q, v in bench.ANCHOR_BASELINES.items()}
+    gate = bench.baseline_gate(times, drift=3.0)
+    assert gate["baseline_geomean_calibrated"] == 1.0
+    assert gate["drift_sane"] is False
+    assert gate["gate_pass"] is False
+
+    # the worst throttle on record (≈1.43) stays forgivable
+    times = {q: v * 1.43 for q, v in bench.ANCHOR_BASELINES.items()}
+    gate = bench.baseline_gate(times, drift=1.43)
+    assert gate["drift_sane"] is True
+    assert gate["gate_pass"] is True
+
+    # a sane drift stamp cannot stretch a larger regression under
+    # the gate either: with drift capped at DRIFT_SANITY_MAX and
+    # calibrated ratios capped at 2.0, raw walls are bounded by
+    # RAW_GEOMEAN_MAX — a 4× uniform slowdown fails however the
+    # stamp reads
+    times = {q: v * 4.0 for q, v in bench.ANCHOR_BASELINES.items()}
+    gate = bench.baseline_gate(times, drift=1.2)
+    assert gate["drift_sane"] is True
+    assert gate["baseline_geomean"] == 4.0
+    assert gate["baseline_geomean"] > bench.RAW_GEOMEAN_MAX
+    assert gate["gate_pass"] is False

@@ -66,6 +66,7 @@ SCALAR_BROADCAST_QUERIES = {
     "temperature_sampled_mixture",  # 1-row (total, wsum) pair
     "tfidf_top_terms",            # 1-row n_docs scalar
     "bigram_lm_surprisal",        # 1-row vocab-size (V) scalar
+    "lsh_index_recall",           # three 1-row audit counts crossed
 }
 
 
@@ -111,6 +112,9 @@ def test_suite_plan_invariants(spark):
         "link_graph_pagerank",
         "personalized_pagerank",  # same checkpoint-truncated final round
         "incremental_curation_decisions",
+        "store_audit_counts",  # driver-built storage-protocol receipt
+        #   row — the fixture's corpus/index scans run eagerly inside
+        #   the verb sequence; the audit itself is listing-only
     }
     scanless = {
         k for k, v in rep.items() if v.get("parquet_scans", 0) == 0

@@ -9,6 +9,7 @@ the priority list typo-free and loss-free.
 from __future__ import annotations
 
 from ods_v3_dbt_spark.plans.declared_queries import (
+    _RECENT_ADDITIONS,
     _REGISTRY,
     _ROUND_WINDOW_PRIORITY,
     registry,
@@ -32,9 +33,22 @@ def test_window_is_exactly_the_priority_list():
 
 
 def test_priority_fills_driver_window():
-    """Never waste a checked slot: the curated list should cover the
-    driver's window exactly (new queries slot in deliberately)."""
-    assert len(_ROUND_WINDOW_PRIORITY) == WINDOW
+    """Never waste a checked slot: the curated list must cover the
+    driver's 50-row window (entries past 50 just order the staleness
+    rotation's tail and roll forward next round)."""
+    assert len(_ROUND_WINDOW_PRIORITY) >= WINDOW
+
+
+def test_recent_additions_inside_driver_window():
+    """Round-12 verdict task 2: the window froze at its round-6 state
+    and no round-7..12 addition was ever driver-sampled. Every row in
+    the recent-additions ledger must sit inside the first 50 registry
+    entries until a CORRECTNESS_r*.json records it green."""
+    head = set(list(registry())[:WINDOW])
+    missing = [n for n in _RECENT_ADDITIONS if n not in head]
+    assert not missing, (
+        f"recent additions outside the driver's 50-row window: {missing}"
+    )
 
 
 def test_reordering_loses_nothing():
