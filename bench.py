@@ -160,6 +160,164 @@ def baseline_gate(times: dict, drift: float | None) -> dict:
     }
 
 
+def concurrency_section(spark, sf_dir: str, registry) -> dict:
+    """Concurrent-pipeline pricing (round-12 verdict task 6): the
+    reference deliberately OVERLAPS work (Airflow
+    ``max_active_runs=2``, dbt ``threads: 4``) while the engine's
+    locks were only ever tested for SAFETY — this arm prices them.
+    Three shapes, all inside one session (Spark's scheduler runs
+    jobs from concurrent driver threads):
+
+    * ``anchors``: four cheap anchor queries run back-to-back, then
+      the same four in four threads — ``speedup`` = sequential wall
+      ÷ concurrent wall (>1 means the scheduler actually overlaps
+      them; 4 independent scans should approach the core headroom);
+    * ``append_vs_probe``: an O(batch) index append racing a probe
+      of the SAME index — readers never take the writer lock, so the
+      probe's concurrent wall should sit near its solo wall
+      (``probe_interference`` = concurrent ÷ solo);
+    * ``two_writers``: two appends racing on one index — the index
+      writer lock serializes them, so the concurrent wall should
+      approach the SUM of solo walls (``lock_wait_s`` ≈ concurrent −
+      slower solo: the time the loser spent spinning on the lock).
+
+    Pure measurement — no pass/fail gate; the numbers land in
+    BENCH_SELF.json's ``concurrency`` key for round-over-round
+    comparison. Deadlock shows up as a hang (the driver's timeout
+    catches it), lost-update shows up in the row-count asserts."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from ods_v3_dbt_spark.operators.neardup_index import (
+        dedup_index_append,
+        dedup_index_write,
+        exact_probe,
+    )
+
+    names = [n for n in ("pricing_summary", "revenue_by_customer",
+                         "rollup_day", "rollup_month") if n in registry]
+
+    def run_query(n):
+        registry[n].spark(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    for n in names:
+        run_query(n)  # warm (plans compiled, footers cached)
+    t0 = time.perf_counter()
+    for n in names:
+        run_query(n)
+    seq = time.perf_counter() - t0
+    threads = [threading.Thread(target=run_query, args=(n,)) for n in names]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    conc = time.perf_counter() - t0
+    out: dict = {
+        "anchors": {
+            "names": names,
+            "sequential_s": round(seq, 3),
+            "concurrent_s": round(conc, 3),
+            "speedup": round(seq / conc, 2) if conc > 0 else None,
+        }
+    }
+
+    d = DQ.load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") % 5 == 0)
+    batches = [d.filter(F.col("doc_id") % 5 == m) for m in (1, 2, 3)]
+    probe_batch = d.filter(F.col("doc_id") % 5 == 4)
+    idx = dedup_index_write(base, "bench_conc_idx", num_buckets=8,
+                            compact_after=99)
+
+    def probe():
+        exact_probe(probe_batch, idx).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    probe()  # warm
+    t0 = time.perf_counter()
+    probe()
+    probe_solo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dedup_index_append(idx, batches[0])
+    append_solo = time.perf_counter() - t0
+
+    walls: dict = {}
+
+    def timed(key, fn):
+        t = time.perf_counter()
+        fn()
+        walls[key] = time.perf_counter() - t
+
+    pair = [
+        threading.Thread(
+            target=timed,
+            args=("append", lambda: dedup_index_append(idx, batches[1])),
+        ),
+        threading.Thread(target=timed, args=("probe", probe)),
+    ]
+    t0 = time.perf_counter()
+    for t in pair:
+        t.start()
+    for t in pair:
+        t.join()
+    out["append_vs_probe"] = {
+        "append_solo_s": round(append_solo, 3),
+        "probe_solo_s": round(probe_solo, 3),
+        "append_concurrent_s": round(walls["append"], 3),
+        "probe_concurrent_s": round(walls["probe"], 3),
+        "concurrent_wall_s": round(time.perf_counter() - t0, 3),
+        "probe_interference": round(walls["probe"] / probe_solo, 2)
+        if probe_solo > 0 else None,
+    }
+
+    halves = [
+        batches[2].filter(F.col("doc_id") % 2 == 0),
+        batches[2].filter(F.col("doc_id") % 2 == 1),
+    ]
+
+    def append_retry(h):
+        # the writer mutex is FAIL-FAST (ConcurrentWriteError), and
+        # the documented two-writer protocol is retry-after-winner —
+        # this prices exactly that loop
+        from ods_v3_dbt_spark.sinks import ConcurrentWriteError
+
+        while True:
+            try:
+                dedup_index_append(idx, h)
+                return
+            except ConcurrentWriteError:
+                time.sleep(0.05)
+
+    writers = [
+        threading.Thread(
+            target=timed, args=(f"w{i}", lambda h=h: append_retry(h))
+        )
+        for i, h in enumerate(halves)
+    ]
+    t0 = time.perf_counter()
+    for t in writers:
+        t.start()
+    for t in writers:
+        t.join()
+    two_wall = time.perf_counter() - t0
+    w = sorted((walls["w0"], walls["w1"]))
+    out["two_writers"] = {
+        "writer_walls_s": [round(x, 3) for x in w],
+        "concurrent_wall_s": round(two_wall, 3),
+        # the loser's wall = lock spin + its own append; estimate the
+        # spin by subtracting the winner's (≈ equal-sized) append —
+        # the serialization cost the writer mutex charges
+        # overlapping pipelines
+        "lock_wait_s": round(max(0.0, w[1] - w[0]), 3),
+        "append_solo_s": round(append_solo, 3),
+    }
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -528,6 +686,18 @@ def main() -> None:
 
         gc.collect()
 
+    # Concurrency arm (round-12 verdict task 6): runs after the
+    # registry loop so its anchor re-runs are cache-warm and its
+    # walls never pollute the per-query rows above. Opt-out via
+    # SPARK_GRAFT_BENCH_CONCURRENCY=0 (and skipped automatically for
+    # debug subsets that lack the anchor rows).
+    concurrency = None
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "1") != "0"
+        and "pricing_summary" in registry
+    ):
+        concurrency = concurrency_section(spark, sf_dir, registry)
+
     total = round(sum(times.values()), 3)
     drift = _anchor_drift(times)
     # mechanized 2× gate (round-12 verdict task 4): per-anchor pinned
@@ -543,6 +713,8 @@ def main() -> None:
         "sf": sf,
         "anchor_drift": drift,
     }
+    if concurrency is not None:
+        payload["concurrency"] = concurrency
     if gate is not None:
         payload.update(gate)
     # The driver's stdout capture keeps only a ~2 KB TAIL and parses

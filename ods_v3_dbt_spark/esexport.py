@@ -112,3 +112,165 @@ def metrics_es_bulk(spark: SparkSession, metrics_log,
         time_field="emitted_at",
         id_fields=("job_id", "task_id", "stage", "metric", "emitted_at"),
     )
+
+
+def _read_cursor(fs, path) -> dict:
+    if path is None or not fs.exists(path):
+        return {}
+    return json.loads(fs.read_text(path))
+
+
+def _post_bulk(endpoint: str, body: bytes, retries: int,
+               backoff_s: float, timeout_s: float) -> tuple[dict, int]:
+    """POST the NDJSON body to ``{endpoint}/_bulk`` with bounded
+    retry on throttle/transient classes (429 + 5xx — the statuses ES
+    documents as retryable), exponential backoff. Returns (parsed
+    response, attempts). Raises after the budget — shipping is
+    replay-idempotent (deterministic ``_id``), so the caller's next
+    scheduled run re-ships the same window safely."""
+    import time
+    import urllib.error
+    import urllib.request
+
+    url = endpoint.rstrip("/") + "/_bulk"
+    last: Exception | None = None
+    for attempt in range(1, retries + 2):
+        req = urllib.request.Request(
+            url, data=body, method="POST",
+            headers={"Content-Type": "application/x-ndjson"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                return json.loads(resp.read().decode() or "{}"), attempt
+        except urllib.error.HTTPError as e:
+            retryable = e.code == 429 or e.code >= 500
+            last = e
+            if not retryable or attempt == retries + 1:
+                raise
+        except urllib.error.URLError as e:  # conn refused / timeout
+            last = e
+            if attempt == retries + 1:
+                raise
+        time.sleep(backoff_s * (2 ** (attempt - 1)))
+    raise last  # unreachable; loop either returns or raises
+
+
+def ship_es_bulk(
+    spark: SparkSession,
+    endpoint: str,
+    run_log=None,
+    metrics_log=None,
+    cursor_path=None,
+    index_runlog: str = "ods-run-log",
+    index_metrics: str = "ods-task-metrics",
+    retries: int = 3,
+    backoff_s: float = 0.2,
+    timeout_s: float = 10.0,
+) -> dict:
+    """The TRANSPORT leg of the fluentd→Elasticsearch arm (round-12
+    verdict task 3 — ``esexport`` rendered the exact ``_bulk`` NDJSON
+    but nothing shipped it; the reference's fluentd actually POSTs,
+    ``fluent.conf:1-26``): render each attached log's window and POST
+    it, stdlib ``urllib`` only, with the same scheduled-verb
+    discipline as ``serve_prometheus``:
+
+    * **persisted cursor** (``cursor_path``, atomic JSON through the
+      :mod:`.fs` adapter): each arm records the max event time it
+      successfully shipped; the next run ships ``since=`` that
+      watermark. The window filter is ``>=`` (inclusive) BY DESIGN —
+      rows landing at exactly the watermark after a ship are caught
+      next run, and the boundary row re-ships onto the SAME ``_id``
+      (overwrite, never duplicate);
+    * **bounded retry** on 429/5xx/connection errors with
+      exponential backoff; a exhausted budget raises WITHOUT
+      advancing the cursor, so the scheduled replay re-ships the
+      whole window — idempotent by the deterministic ``_id``;
+    * a bulk response with ``"errors": true`` raises loudly (a
+      half-indexed window must not advance the watermark — the
+      replay overwrites the half that landed).
+
+    Driver-sized by the same argument as the renderers (operational
+    cardinality × a since-window). Returns a receipt:
+    ``{shipped_docs, runlog_docs, metrics_docs, attempts, cursor}``;
+    an empty window skips the POST entirely (``attempts: 0``)."""
+    from . import fs as FS
+
+    fs = FS.fs_for(cursor_path) if cursor_path is not None else None
+    cur = _read_cursor(fs, cursor_path) if fs is not None else {}
+
+    def _since(arm: str):
+        raw = cur.get(arm)
+        return dt.datetime.fromisoformat(raw) if raw else None
+
+    def _render(fn, log, index_base, arm):
+        # a not-yet-created table is an empty window (the first
+        # scheduled ship may precede the first emission); any OTHER
+        # read failure surfaces — same rule as metrics._live_rows
+        from pyspark.errors import AnalysisException
+
+        try:
+            return fn(spark, log, index_base=index_base,
+                      since=_since(arm))
+        except AnalysisException:
+            return []
+
+    lines: list[str] = []
+    counts = {"runlog_docs": 0, "metrics_docs": 0}
+    hi: dict[str, str] = dict(cur)
+    if run_log is not None:
+        chunk = _render(runlog_es_bulk, run_log, index_runlog, "runlog")
+        counts["runlog_docs"] = len(chunk) // 2
+        if chunk:
+            hi["runlog"] = max(
+                json.loads(src)["@timestamp"] for src in chunk[1::2]
+            )
+        lines += chunk
+    if metrics_log is not None:
+        chunk = _render(metrics_es_bulk, metrics_log, index_metrics,
+                        "metrics")
+        counts["metrics_docs"] = len(chunk) // 2
+        if chunk:
+            hi["metrics"] = max(
+                json.loads(src)["@timestamp"] for src in chunk[1::2]
+            )
+        lines += chunk
+
+    shipped = len(lines) // 2
+    attempts = 0
+    if shipped:
+        body = ("\n".join(lines) + "\n").encode()
+        resp, attempts = _post_bulk(
+            endpoint, body, retries=retries, backoff_s=backoff_s,
+            timeout_s=timeout_s,
+        )
+        if resp.get("errors"):
+            bad = [
+                it for it in resp.get("items", [])
+                if next(iter(it.values()), {}).get("status", 200) >= 300
+            ]
+            raise RuntimeError(
+                f"ES bulk indexed with errors ({len(bad)} failed items); "
+                "cursor NOT advanced — the next scheduled ship replays "
+                "the window onto the same _ids"
+            )
+        if fs is not None:
+            fs.mkdirs(FS.join(*_parent(cursor_path)))
+            fs.write_text_atomic(
+                cursor_path, json.dumps(hi, sort_keys=True)
+            )
+    return {
+        "shipped_docs": shipped,
+        **counts,
+        "attempts": attempts,
+        "cursor": hi,
+    }
+
+
+def _parent(path):
+    s = str(path)
+    if "://" in s:
+        base, _, _ = s.rpartition("/")
+        return (base,)
+    import os.path
+
+    return (os.path.dirname(s),)

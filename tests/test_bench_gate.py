@@ -116,3 +116,25 @@ def test_gate_rejects_self_cancelling_uniform_regression():
     assert gate["baseline_geomean"] == 4.0
     assert gate["baseline_geomean"] > bench.RAW_GEOMEAN_MAX
     assert gate["gate_pass"] is False
+
+
+def test_concurrency_section_shape(spark):
+    """Round-12 verdict task 6: the concurrency arm runs without
+    deadlock and reports the three shapes — overlapped anchors,
+    append-vs-probe (readers unblocked by the writer lock), and
+    two lock-serialized writers (retry-after-winner priced)."""
+    from ods_v3_dbt_spark.plans.declared_queries import registry
+
+    bench = _load_bench()
+    out = bench.concurrency_section(
+        spark, "/root/testdata/sf0.001", registry()
+    )
+    a = out["anchors"]
+    assert len(a["names"]) == 4
+    assert a["sequential_s"] > 0 and a["concurrent_s"] > 0
+    p = out["append_vs_probe"]
+    assert p["probe_solo_s"] > 0 and p["probe_concurrent_s"] > 0
+    w = out["two_writers"]
+    assert len(w["writer_walls_s"]) == 2
+    assert w["concurrent_wall_s"] >= max(w["writer_walls_s"]) - 0.05
+    assert w["lock_wait_s"] >= 0
