@@ -336,7 +336,14 @@ def main() -> None:
         # and those blocks live until their Python handles are GC'd,
         # so the suite needs real headroom (observed: heap OOM at
         # ~170 queries in, reading a sort spill, on the 1g default).
-        extra_conf={"spark.driver.memory": "8g"},
+        # SPARK_GRAFT_DRIVER_MEM overrides for bigger tiers: the sf1
+        # scale window OOM'd the 8g default once the capped-probe
+        # receipt row joined the set (bench_scale.py passes 12g).
+        extra_conf={
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "8g"
+            )
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -401,6 +408,56 @@ def main() -> None:
         t0 = time.perf_counter()
         LQ._fixture_index(spark, sf_dir, force=True)
         times["dedup_index_build"] = round(time.perf_counter() - t0, 3)
+    if "dedup_index_probe" in registry:
+        # Hot-shingle-CAPPED probe twin (scale profile, BASELINE.md
+        # §6): the exact probe's candidate volume is
+        # Σ_sid df_batch·df_corpus — with the fixtures' FIXED 31-word
+        # vocabulary EVERY shingle's df grows ∝ corpus (uniform, no
+        # Zipf tail), so the uncapped row scales super-linearly BY
+        # FIXTURE CONSTRUCTION (measured 19× at 10× data,
+        # BENCH_SCALE.json) and the boilerplate guard (df > 2% of
+        # corpus, floor 64) correctly does NOT bite — there is no hot
+        # tail to drop, only a uniformly saturating df. This row
+        # prices the guard's overhead (≈free); the scale-path answer
+        # for df-saturated corpora is the banded LSH probe
+        # (lsh_index_probe: measured 2.9× at 10×), which is why both
+        # probes are first-class.
+        from pyspark.sql import functions as F
+
+        from ods_v3_dbt_spark.operators.neardup_index import neardup_probe
+
+        idx0 = LQ._fixture_index(spark, sf_dir)
+        d0 = DQ.load(spark, sf_dir, "documents")
+        corpus0 = d0.filter(F.col("doc_id") % 3 != 0).select(
+            "doc_id", "text"
+        )
+        b0 = (
+            d0.filter(F.col("doc_id") % 3 == 0)
+            .select("doc_id", "text")
+            .unionByName(
+                corpus0.filter(F.col("doc_id") % 5 == 2).select(
+                    (F.col("doc_id") + 40000).alias("doc_id"),
+                    F.concat(
+                        F.col("text"), F.lit(" extra marker token")
+                    ).alias("text"),
+                )
+            )
+        )
+        cap = max(64, corpus0.count() // 50)
+        t0 = time.perf_counter()
+        neardup_probe(
+            b0, idx0, threshold_ppm=500_000, max_corpus_df=cap
+        ).write.format("noop").mode("overwrite").save()
+        times["dedup_index_probe_capped"] = round(
+            time.perf_counter() - t0, 3
+        )
+        # the two probe plans above localCheckpoint their batch
+        # shingle tables — drop the blocks before the next receipt
+        # row (at sf1 they tipped the 8g driver heap over)
+        spark.catalog.clearCache()
+        import gc as _gc
+
+        _gc.collect()
     if "incremental_curation_semantic_decisions" in registry:
         # the semantic channel's IVF corpus state — its own build row
         t0 = time.perf_counter()
