@@ -408,42 +408,38 @@ def main() -> None:
         t0 = time.perf_counter()
         LQ._fixture_index(spark, sf_dir, force=True)
         times["dedup_index_build"] = round(time.perf_counter() - t0, 3)
-    if "dedup_index_probe" in registry:
-        # Hot-shingle-CAPPED probe twin (scale profile, BASELINE.md
-        # §6): the exact probe's candidate volume is
-        # Σ_sid df_batch·df_corpus — with the fixtures' FIXED 31-word
-        # vocabulary EVERY shingle's df grows ∝ corpus (uniform, no
-        # Zipf tail), so the uncapped row scales super-linearly BY
-        # FIXTURE CONSTRUCTION (measured 19× at 10× data,
-        # BENCH_SCALE.json) and the boilerplate guard (df > 2% of
-        # corpus, floor 64) correctly does NOT bite — there is no hot
-        # tail to drop, only a uniformly saturating df. This row
-        # prices the guard's overhead (≈free); the scale-path answer
-        # for df-saturated corpora is the banded LSH probe
-        # (lsh_index_probe: measured 2.9× at 10×), which is why both
-        # probes are first-class.
+    if (
+        "dedup_index_probe" in registry
+        and os.environ.get("SPARK_GRAFT_SCALE_PROFILE") == "1"
+    ):
+        # Hot-shingle-CAPPED probe twin — SCALE-PROFILE ONLY
+        # (bench_scale.py sets the env; routine anchors/full tiers
+        # skip it so their documented cost stays put): the exact
+        # probe's candidate volume is Σ_sid df_batch·df_corpus — with
+        # the fixtures' FIXED 31-word vocabulary EVERY shingle's df
+        # grows ∝ corpus (uniform, no Zipf tail), so the uncapped row
+        # scales super-linearly BY FIXTURE CONSTRUCTION (measured 19×
+        # at 10× data, BENCH_SCALE.json) and the boilerplate guard
+        # (df > 2% of corpus, floor 64) correctly does NOT bite —
+        # there is no hot tail to drop, only a uniformly saturating
+        # df. This row prices the guard's overhead (≈free); the
+        # scale-path answer for df-saturated corpora is the banded
+        # LSH probe (lsh_index_probe: measured ~3× at 10×), which is
+        # why both probes are first-class.
         from pyspark.sql import functions as F
 
         from ods_v3_dbt_spark.operators.neardup_index import neardup_probe
 
         idx0 = LQ._fixture_index(spark, sf_dir)
-        d0 = DQ.load(spark, sf_dir, "documents")
-        corpus0 = d0.filter(F.col("doc_id") % 3 != 0).select(
-            "doc_id", "text"
+        # the registry row's EXACT batch (shared helper — the twin
+        # must never drift onto a different workload)
+        b0 = LQ._probe_batch(spark, sf_dir)
+        n_corpus = (
+            DQ.load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 3 != 0)
+            .count()
         )
-        b0 = (
-            d0.filter(F.col("doc_id") % 3 == 0)
-            .select("doc_id", "text")
-            .unionByName(
-                corpus0.filter(F.col("doc_id") % 5 == 2).select(
-                    (F.col("doc_id") + 40000).alias("doc_id"),
-                    F.concat(
-                        F.col("text"), F.lit(" extra marker token")
-                    ).alias("text"),
-                )
-            )
-        )
-        cap = max(64, corpus0.count() // 50)
+        cap = max(64, n_corpus // 50)
         t0 = time.perf_counter()
         neardup_probe(
             b0, idx0, threshold_ppm=500_000, max_corpus_df=cap

@@ -126,6 +126,8 @@ def run_tier(sf_dir: str, cpus: int) -> dict:
         "SPARK_GRAFT_BENCH_CONCURRENCY": "0",
         # 10× tier: the 8g default OOM'd on the sf1 receipt rows
         "SPARK_GRAFT_DRIVER_MEM": "12g",
+        # prices the capped-probe twin (scale-profile-only receipt)
+        "SPARK_GRAFT_SCALE_PROFILE": "1",
     })
     t0 = time.time()
     proc = subprocess.run(
@@ -149,10 +151,22 @@ def main() -> None:
     gen_1 = os.path.join(ROOT, ".scaledata", "sf1")
     driver_01 = os.environ.get("SPARK_GRAFT_DRIVER_SF01",
                                "/root/testdata/sf0.1")
-    for sf, out in ((0.1, gen_01), (1.0, gen_1)):
-        if not os.path.exists(os.path.join(out, "lineitem.parquet")):
-            from tools.gen_testdata import generate
+    from tools.gen_testdata import GEN_VERSION, generate
 
+    for sf, out in ((0.1, gen_01), (1.0, gen_1)):
+        # reuse ONLY a tier whose completion manifest (written last
+        # by the generator) matches this generator's version+seed —
+        # a crashed or stale-version .scaledata dir regenerates
+        # instead of silently polluting the ratios
+        man_path = os.path.join(out, "_GEN_MANIFEST.json")
+        ok = False
+        if os.path.exists(man_path):
+            with open(man_path) as f:
+                man = json.load(f)
+            ok = (man.get("version") == GEN_VERSION
+                  and man.get("seed") == 42 and man.get("sf") == sf)
+        if not ok:
+            print(f"== generating tier sf{sf} -> {out}", file=sys.stderr)
             generate(sf, out, seed=42)
 
     tiers: dict[str, dict] = {}
@@ -166,6 +180,13 @@ def main() -> None:
         q: round(t1[q] / t01[q], 2)
         for q in sorted(t01) if q in t1 and t01[q] > 0
     }
+    # no silent caps: a row missing from either tier (or rounding to
+    # 0.000 at sf0.1) produces no ratio and no flag — record exactly
+    # which rows fell out so the artifact can't read as total
+    # coverage when it isn't (round-13 self-review, finding 4)
+    ratio_dropped = sorted(
+        (set(t01) | set(t1)) - set(ratios)
+    )
     classes = {q: _class_of(q) for q in ratios}
     flags = sorted(
         q for q, r in ratios.items() if r > BOUNDS[classes[q]]
@@ -191,6 +212,7 @@ def main() -> None:
                       "tier_wall_s": v["tier_wall_s"]}
                   for k, v in tiers.items()},
         "ratios_sf1_over_sf01": ratios,
+        "ratio_dropped": ratio_dropped,
         "class": classes,
         "flags_super_linear": flags,
         "fidelity_gen_over_driver_sf01": fidelity,

@@ -1192,14 +1192,14 @@ def wds_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch AS (
       SELECT doc_id, text FROM newd
       UNION ALL
-      SELECT doc_id + 30000, text FROM existing WHERE doc_id % 5 = 1
+      SELECT doc_id + 100000000, text FROM existing WHERE doc_id % 5 = 1
       UNION ALL
-      SELECT doc_id + 40000, text || ' extra marker token'
+      SELECT doc_id + 200000000, text || ' extra marker token'
       FROM existing WHERE doc_id % 5 = 2
       UNION ALL
-      SELECT doc_id + 50000, text FROM newd WHERE doc_id % 7 = 0
+      SELECT doc_id + 300000000, text FROM newd WHERE doc_id % 7 = 0
       UNION ALL
-      SELECT doc_id + 60000, text || ' extra marker token'
+      SELECT doc_id + 400000000, text || ' extra marker token'
       FROM newd WHERE doc_id % 11 = 3),
     bfp AS (SELECT doc_id, md5(lower(trim(text))) AS fp, text FROM batch),
     efp AS (SELECT DISTINCT md5(lower(trim(text))) AS fp FROM existing),
@@ -1311,19 +1311,19 @@ def incremental_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFram
         newd
         .unionByName(
             existing.filter(F.col("doc_id") % 5 == 1)
-            .select((F.col("doc_id") + 30000).alias("doc_id"), "text")
+            .select((F.col("doc_id") + 100000000).alias("doc_id"), "text")
         )
         .unionByName(
             existing.filter(F.col("doc_id") % 5 == 2)
-            .select((F.col("doc_id") + 40000).alias("doc_id"), suffix.alias("text"))
+            .select((F.col("doc_id") + 200000000).alias("doc_id"), suffix.alias("text"))
         )
         .unionByName(
             newd.filter(F.col("doc_id") % 7 == 0)
-            .select((F.col("doc_id") + 50000).alias("doc_id"), "text")
+            .select((F.col("doc_id") + 300000000).alias("doc_id"), "text")
         )
         .unionByName(
             newd.filter(F.col("doc_id") % 11 == 3)
-            .select((F.col("doc_id") + 60000).alias("doc_id"), suffix.alias("text"))
+            .select((F.col("doc_id") + 400000000).alias("doc_id"), suffix.alias("text"))
         )
     )
     from ..pipelines import curate_increment
@@ -1350,9 +1350,9 @@ _SEM_CURATION_HEAD = f"""
     batch AS (
       SELECT doc_id, text FROM newd
       UNION ALL
-      SELECT doc_id + 30000, text FROM existing WHERE doc_id % 5 = 1
+      SELECT doc_id + 100000000, text FROM existing WHERE doc_id % 5 = 1
       UNION ALL
-      SELECT doc_id + 40000, text || ' extra marker token'
+      SELECT doc_id + 200000000, text || ' extra marker token'
       FROM existing WHERE doc_id % 5 = 2
       UNION ALL
       SELECT doc_id + 70000,
@@ -1366,10 +1366,10 @@ _SEM_CURATION_HEAD = f"""
       SELECT vec_id AS doc_id, {_Q} AS v
       FROM embeddings WHERE vec_id % 3 = 0
       UNION ALL
-      SELECT vec_id + 30000, {_Q}
+      SELECT vec_id + 100000000, {_Q}
       FROM embeddings WHERE vec_id % 3 <> 0 AND vec_id % 5 = 1
       UNION ALL
-      SELECT vec_id + 40000, {_Q}
+      SELECT vec_id + 200000000, {_Q}
       FROM embeddings WHERE vec_id % 3 <> 0 AND vec_id % 5 = 2
       UNION ALL
       SELECT vec_id + 70000,
@@ -1682,11 +1682,11 @@ def _sem_curation_fixture(spark: SparkSession, sf_dir: str):
         newd
         .unionByName(
             existing.filter(F.col("doc_id") % 5 == 1)
-            .select((F.col("doc_id") + 30000).alias("doc_id"), "text")
+            .select((F.col("doc_id") + 100000000).alias("doc_id"), "text")
         )
         .unionByName(
             existing.filter(F.col("doc_id") % 5 == 2)
-            .select((F.col("doc_id") + 40000).alias("doc_id"),
+            .select((F.col("doc_id") + 200000000).alias("doc_id"),
                     suffix.alias("text"))
         )
         .unionByName(
@@ -1710,12 +1710,12 @@ def _sem_curation_fixture(spark: SparkSession, sf_dir: str):
         .select(F.col("vec_id").alias("doc_id"), as_double.alias("embedding"))
         .unionByName(
             e.filter((F.col("vec_id") % 3 != 0) & (F.col("vec_id") % 5 == 1))
-            .select((F.col("vec_id") + 30000).alias("doc_id"),
+            .select((F.col("vec_id") + 100000000).alias("doc_id"),
                     as_double.alias("embedding"))
         )
         .unionByName(
             e.filter((F.col("vec_id") % 3 != 0) & (F.col("vec_id") % 5 == 2))
-            .select((F.col("vec_id") + 40000).alias("doc_id"),
+            .select((F.col("vec_id") + 200000000).alias("doc_id"),
                     as_double.alias("embedding"))
         )
         .unionByName(
@@ -1952,7 +1952,7 @@ def _appended_fixture_index(spark: SparkSession, sf_dir: str,
     batch AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
       UNION ALL
-      SELECT doc_id + 40000, text || ' extra marker token'
+      SELECT doc_id + 200000000, text || ' extra marker token'
       FROM corpus WHERE doc_id % 5 = 2),
     cw AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
@@ -2004,16 +2004,32 @@ def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     core pattern (plugins/operators/bccp_to_ods.py:198-201)."""
     from ..operators.neardup_index import neardup_probe
 
-    d = load(spark, sf_dir, "documents")
-    corpus = d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
-    batch = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text").unionByName(
-        corpus.filter(F.col("doc_id") % 5 == 2).select(
-            (F.col("doc_id") + 40000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" extra marker token")).alias("text"),
-        )
-    )
+    batch = _probe_batch(spark, sf_dir)
     idx = _fixture_index(spark, sf_dir)
     return neardup_probe(batch, idx, threshold_ppm=500_000)
+
+
+def _probe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup_index_probe row's batch — new docs (doc_id % 3 = 0)
+    plus planted suffix-token near-dups of corpus docs, re-keyed at
+    +200M (outside any generated tier's real-id range: the scale
+    fixtures reach doc_id 49999 at sf1, where the original +40000
+    offset collided with real batch ids and silently merged two
+    texts under one id — round-13 self-review, finding 1). Shared
+    with bench.py's capped-probe receipt row so the capped twin can
+    never drift onto a different workload (finding 5)."""
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    return d.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "text"
+    ).unionByName(
+        corpus.filter(F.col("doc_id") % 5 == 2).select(
+            (F.col("doc_id") + 200000000).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" extra marker token")
+            ).alias("text"),
+        )
+    )
 
 
 def _rebuilt_fixture_index(spark: SparkSession, sf_dir: str):
@@ -2061,7 +2077,7 @@ def _rebuilt_fixture_index(spark: SparkSession, sf_dir: str):
     batch AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
       UNION ALL
-      SELECT doc_id + 40000, text || ' extra marker token'
+      SELECT doc_id + 200000000, text || ' extra marker token'
       FROM corpus WHERE doc_id % 5 = 2),
     cw AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
@@ -2118,7 +2134,7 @@ def dedup_index_rebuild_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
     batch = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text").unionByName(
         corpus.filter(F.col("doc_id") % 5 == 2).select(
-            (F.col("doc_id") + 40000).alias("doc_id"),
+            (F.col("doc_id") + 200000000).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" extra marker token")).alias("text"),
         )
     )
@@ -2135,10 +2151,10 @@ def dedup_index_rebuild_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
       UNION ALL
-      SELECT doc_id + 40000, text || ' extra marker token'
+      SELECT doc_id + 200000000, text || ' extra marker token'
       FROM documents WHERE doc_id % 3 = 1 AND doc_id % 5 = 2
       UNION ALL
-      SELECT doc_id + 50000, text || ' extra marker token'
+      SELECT doc_id + 300000000, text || ' extra marker token'
       FROM documents WHERE doc_id % 3 = 2 AND doc_id % 5 = 3),
     cw AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
@@ -2197,12 +2213,12 @@ def dedup_index_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
         .unionByName(
             base.filter(F.col("doc_id") % 5 == 2).select(
-                (F.col("doc_id") + 40000).alias("doc_id"), suffix.alias("text")
+                (F.col("doc_id") + 200000000).alias("doc_id"), suffix.alias("text")
             )
         )
         .unionByName(
             delta.filter(F.col("doc_id") % 5 == 3).select(
-                (F.col("doc_id") + 50000).alias("doc_id"), suffix.alias("text")
+                (F.col("doc_id") + 300000000).alias("doc_id"), suffix.alias("text")
             )
         )
     )
@@ -2245,7 +2261,7 @@ def _lsh_probe_sql(num_hashes: int, bands: int, threshold_ppm: int,
     batch AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
       UNION ALL
-      SELECT doc_id + 40000, text || ' extra marker token'
+      SELECT doc_id + 200000000, text || ' extra marker token'
       FROM corpus WHERE doc_id % 5 = 2)"""
     return f"""
     WITH {head},
@@ -2323,7 +2339,7 @@ def lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
     batch = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text").unionByName(
         corpus.filter(F.col("doc_id") % 5 == 2).select(
-            (F.col("doc_id") + 40000).alias("doc_id"),
+            (F.col("doc_id") + 200000000).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" extra marker token")).alias("text"),
         )
     )
@@ -2339,10 +2355,10 @@ _LSH_APPEND_HEAD = """corpus AS (
     batch AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
       UNION ALL
-      SELECT doc_id + 40000, text || ' extra marker token'
+      SELECT doc_id + 200000000, text || ' extra marker token'
       FROM documents WHERE doc_id % 3 = 1 AND doc_id % 5 = 2
       UNION ALL
-      SELECT doc_id + 50000, text || ' extra marker token'
+      SELECT doc_id + 300000000, text || ' extra marker token'
       FROM documents WHERE doc_id % 3 = 2 AND doc_id % 5 = 3)"""
 
 
@@ -2377,12 +2393,12 @@ def lsh_index_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
         .unionByName(
             base.filter(F.col("doc_id") % 5 == 2).select(
-                (F.col("doc_id") + 40000).alias("doc_id"), suffix.alias("text")
+                (F.col("doc_id") + 200000000).alias("doc_id"), suffix.alias("text")
             )
         )
         .unionByName(
             delta.filter(F.col("doc_id") % 5 == 3).select(
-                (F.col("doc_id") + 50000).alias("doc_id"), suffix.alias("text")
+                (F.col("doc_id") + 300000000).alias("doc_id"), suffix.alias("text")
             )
         )
     )
@@ -2452,12 +2468,12 @@ def _delete_probe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
         .unionByName(
             base.filter(F.col("doc_id") % 5 == 2).select(
-                (F.col("doc_id") + 40000).alias("doc_id"), suffix.alias("text")
+                (F.col("doc_id") + 200000000).alias("doc_id"), suffix.alias("text")
             )
         )
         .unionByName(
             delta.filter(F.col("doc_id") % 5 == 3).select(
-                (F.col("doc_id") + 50000).alias("doc_id"), suffix.alias("text")
+                (F.col("doc_id") + 300000000).alias("doc_id"), suffix.alias("text")
             )
         )
     )
@@ -2472,10 +2488,10 @@ _DELETE_HEAD = """corpus AS (
     batch AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
       UNION ALL
-      SELECT doc_id + 40000, text || ' extra marker token'
+      SELECT doc_id + 200000000, text || ' extra marker token'
       FROM documents WHERE doc_id % 3 = 1 AND doc_id % 5 = 2
       UNION ALL
-      SELECT doc_id + 50000, text || ' extra marker token'
+      SELECT doc_id + 300000000, text || ' extra marker token'
       FROM documents WHERE doc_id % 3 = 2 AND doc_id % 5 = 3)"""
 
 
@@ -2617,10 +2633,10 @@ def _simhash_probe_sql(corpus_pred: str, max_hamming: int = 6) -> str:
     batch AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
       UNION ALL
-      SELECT doc_id + 30000, text FROM documents
+      SELECT doc_id + 100000000, text FROM documents
       WHERE doc_id % 3 <> 0 AND doc_id % 5 = 1
       UNION ALL
-      SELECT doc_id + 40000, text || ' extra marker token'
+      SELECT doc_id + 200000000, text || ' extra marker token'
       FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 2),
     {_simhash_sig_ctes("corpus", "c")},
     {_simhash_sig_ctes("batch", "b")}
@@ -2670,12 +2686,12 @@ def _simhash_probe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
         .unionByName(
             corpus.filter(F.col("doc_id") % 5 == 1).select(
-                (F.col("doc_id") + 30000).alias("doc_id"), "text"
+                (F.col("doc_id") + 100000000).alias("doc_id"), "text"
             )
         )
         .unionByName(
             corpus.filter(F.col("doc_id") % 5 == 2).select(
-                (F.col("doc_id") + 40000).alias("doc_id"),
+                (F.col("doc_id") + 200000000).alias("doc_id"),
                 F.concat(F.col("text"), F.lit(" extra marker token"))
                 .alias("text"),
             )
@@ -7177,7 +7193,7 @@ _CONTAINMENT_SQL = """
     WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT a.doc_id + 30000 AS doc_id, a.text || ' ' || b.text AS text
+      SELECT a.doc_id + 100000000 AS doc_id, a.text || ' ' || b.text AS text
       FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
       WHERE a.doc_id % 20 = 0),
     words AS (
@@ -7244,7 +7260,7 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 20 == 0)
         .join(nxt, "doc_id")
         .select(
-            (F.col("doc_id") + 30000).alias("doc_id"),
+            (F.col("doc_id") + 100000000).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" "), F.col("text2")).alias("text"),
         )
     )

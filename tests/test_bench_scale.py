@@ -30,17 +30,71 @@ def test_scale_rows_are_registered():
     assert not missing, missing
 
 
+#: Every row the scale window emits at HEAD: SCALE_ROWS plus the
+#: bench.py receipt rows their fixture triggers produce (the
+#: BENCH_SCALE.json ratio keys). A bench.py receipt rename or a new
+#: receipt row must be added here AND to LINEAR/PAIRS explicitly —
+#: _class_of()'s linear default would otherwise swallow it silently
+#: (round-13 self-review, finding 6).
+EMITTED_ROWS = {
+    "pricing_summary", "revenue_by_customer", "merge_upsert_single",
+    "rollup_day", "rollup_month", "minhash_lsh_neardup",
+    "ngram_jaccard_neardup", "embedding_cosine_neardup",
+    "simhash_neardup", "embedding_ann_lsh", "embedding_topk",
+    "bm25_indexed_topk", "dedup_index_probe", "lsh_index_probe",
+    "ivf_index_ann_topk", "pq_index_ann_topk",
+    "incremental_curation_semantic_decisions",
+    "incremental_curation_pq_decisions",
+    "dedup_index_append_probe", "neardup_components",
+    # bench.py receipt rows the triggers above produce
+    "dedup_index_build", "dedup_index_probe_capped",
+    "sem_ivf_index_build", "sem_ivf_probe", "sem_pq_index_build",
+    "lsh_index_build", "bm25_index_build", "ivf_index_build",
+    "pq_index_build",
+    "dedup_index_append_probe_base_build",
+    "dedup_index_append_probe_append",
+    "index_append_fixed_batch_small_base",
+    "index_append_fixed_batch_large_base",
+    "index_delete_fixed_batch_small_base",
+    "index_delete_fixed_batch_large_base",
+    "index_probe_8_segments", "index_probe_1_segment",
+    "corpus_append_partitioned", "corpus_append_monolithic",
+    "corpus_takedown_partitioned", "corpus_takedown_monolithic",
+}
+
+
 def test_every_measured_row_is_classed():
-    """Every row the harness can emit (registry rows + the bench.py
-    fixture-build receipt rows they trigger) resolves to a class, and
-    the PAIRS set is the banded/blocked-join family only."""
+    """Every row the scale window emits is EXPLICITLY classed —
+    membership in LINEAR or PAIRS, never _class_of()'s default — and
+    the class sets partition cleanly."""
     bs = _load("bench_scale")
-    for q in bs.SCALE_ROWS:
-        assert bs._class_of(q) in bs.BOUNDS
+    unclassed = sorted(EMITTED_ROWS - bs.LINEAR - bs.PAIRS)
+    assert not unclassed, unclassed
     assert bs.PAIRS.isdisjoint(bs.LINEAR)
+    assert set(bs.SCALE_ROWS) <= EMITTED_ROWS
+    for q in EMITTED_ROWS:
+        assert bs._class_of(q) in bs.BOUNDS
     # bounds ordered: pair rows get more head-room than linear, and
     # both sit far under the ~100× an unguarded all-pairs would show
     assert 10 < bs.BOUNDS["linear"] < bs.BOUNDS["pairs"] < 100
+
+
+def test_artifact_rows_all_classed_and_flagged_or_bounded():
+    """The committed BENCH_SCALE.json at HEAD: every measured ratio
+    row appears in EMITTED_ROWS (no receipt escaped the class pin),
+    nothing was silently dropped, and every unflagged row sits
+    inside its class bound."""
+    import json
+
+    bs = _load("bench_scale")
+    art = json.loads((ROOT / "BENCH_SCALE.json").read_text())
+    ratios = art["ratios_sf1_over_sf01"]
+    stray = sorted(set(ratios) - EMITTED_ROWS)
+    assert not stray, stray
+    assert art.get("ratio_dropped", []) == []
+    for q, r in ratios.items():
+        if q not in art["flags_super_linear"]:
+            assert r <= bs.BOUNDS[bs._class_of(q)], (q, r)
 
 
 def test_baseline_md_section6_matches_protocol():

@@ -79,17 +79,20 @@ def test_value_ranges_and_vocab(gen_dir):
 
 def test_driver_vocab_is_exact(gen_dir):
     """The generator's vocabulary IS the driver fixtures' 31 distinct
-    words — fixed across sf by design, which keeps the shingle-df
-    growth behavior of the scale tiers faithful to the fixtures."""
+    words — EQUALITY against the sf0.1 fixtures (the calibration
+    source), both directions: a phantom word in VOCAB would inflate
+    the shingle space and change the df-saturation behavior §6's
+    pairs-class reasoning depends on (round-13 self-review,
+    finding 7)."""
     import duckdb
 
     drv = set(
         r[0] for r in duckdb.connect().execute(
             "SELECT DISTINCT unnest(string_split(text,' ')) FROM "
-            f"read_parquet('{DRIVER}/documents.parquet')"
+            "read_parquet('/root/testdata/sf0.1/documents.parquet')"
         ).fetchall()
     )
-    assert drv <= set(VOCAB)
+    assert drv == set(VOCAB)
     assert len(VOCAB) == 31
 
 

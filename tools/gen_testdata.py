@@ -84,6 +84,12 @@ LANGS = ["en", "zh", "es", "fr", "de"]
 
 EPOCH = dt.datetime(1970, 1, 1)
 
+#: bump on ANY calibration/recipe change — the completion manifest
+#: records it, and bench_scale regenerates when it mismatches, so a
+#: stale .scaledata dir from an older generator can never silently
+#: pollute a scaling ratio (round-13 self-review, finding 3)
+GEN_VERSION = 2
+
 
 def _day_us(d: dt.date) -> int:
     return int((dt.datetime(d.year, d.month, d.day) - EPOCH)
@@ -249,6 +255,16 @@ def generate(sf: float, out: str, seed: int = 42) -> dict:
     }, pa.schema([("vec_id", pa.int64()),
                   ("embedding", pa.list_(pa.float32())),
                   ("label", pa.int32())]))
+    # completion manifest written LAST: its presence certifies every
+    # table above landed under exactly this (sf, seed, version) — the
+    # reuse check consumers key on, instead of probing one mid-order
+    # table file
+    manifest = {"sf": sf, "seed": seed, "version": GEN_VERSION,
+                "rows": counts}
+    tmp = os.path.join(out, "_GEN_MANIFEST.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(tmp, os.path.join(out, "_GEN_MANIFEST.json"))
     return counts
 
 
