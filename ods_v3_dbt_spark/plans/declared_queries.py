@@ -1772,35 +1772,74 @@ def events_day_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customer_name_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity resolution by edit distance: candidate pairs blocked on
-    an equi-key (nation) so the join is a hash join producing
-    per-block pairs — never an all-pairs nested loop — with the
-    levenshtein residual evaluated only within blocks. The blocking
-    key is the knob: at 100 TB you block on a cheap canopy (prefix,
-    soundex, LSH bucket) sized so blocks fit in memory."""
-    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_name")
-    a, b = c.alias("a"), c.alias("b")
-    # Banded levenshtein(l, r, threshold): O(len·k) with early exit,
-    # returns -1 past the band — ~len/k cheaper than the full DP per
-    # candidate pair, which is the whole runtime of this operator.
-    # All predicates live in the ON clause ordered cheap-first so the
-    # join residual short-circuits on `custkey <` before touching the
-    # DP — written as a filter they'd merge back in lev-first order.
-    band = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 1)
-    return (
+    """Entity resolution by edit distance, deletion-neighborhood
+    blocked (SymSpell): each name explodes into its ≤1-deletion
+    variants (the name itself + every single-character deletion), and
+    candidates are the pairs sharing a (nation, variant) key — an
+    equi-join whose groups are only ever genuinely-near names. Two
+    strings at lev ≤ 1 ALWAYS share a variant (substitution at p ⇒
+    both delete p; insert/delete ⇒ the shorter IS the longer's
+    deletion and is its own i=0 variant), so recall is exact; false
+    candidates (deletes at different positions can be lev 2) are
+    removed by the banded levenshtein verify on the deduped pair set.
+
+    Round 13 (opt guide §2.4/§8): the previous shape — nation-blocked
+    BroadcastHashJoin with the banded DP in the join residual — had
+    ZERO exchanges, so the O(Σ block²) ≈ 4.5M-pair DP residual ran in
+    the scan's task count (ONE split at bench scale: a single-core
+    7 s stage). The explode trades a ~(len+1)× row fan-out of a
+    3-column projection for a candidate set ~200× smaller, and its
+    shuffle parallelizes the verify. At 100 TB the same shape holds:
+    candidates scale with true near-pairs, not with block²."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_name"
+    )
+    # i = 0 keeps the name itself; i = 1..len deletes character i.
+    variants = F.expr(
+        "transform(sequence(0, length(c_name)), i -> CASE WHEN i = 0 "
+        "THEN c_name ELSE concat(substring(c_name, 1, i-1), "
+        "substring(c_name, i+1, length(c_name))) END)"
+    )
+    v = c.select(
+        "c_custkey", "c_nationkey", "c_name",
+        F.explode(variants).alias("vkey"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey"))
-            # band ∈ {-1, 0, 1}: ≥0 alone decides ≤1 — one DP eval,
-            # not two, in the residual
-            & (band >= 0),
+            & (F.col("a.vkey") == F.col("b.vkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
         .select(
             F.col("a.c_custkey").alias("key_a"),
             F.col("b.c_custkey").alias("key_b"),
-            band.cast("int").alias("dist"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
         )
+        # a pair sharing k variants arrives k times — dedup before the
+        # DP so each candidate is verified exactly once. groupBy the
+        # KEY pair and carry the names as min() aggregates (names are
+        # functionally determined by the keys, so min == the name):
+        # (a) the exchange shuffles 2 longs, not 2 longs + 2 strings,
+        # and (b) the lev filter below references aggregate OUTPUTS,
+        # which Catalyst cannot push below the aggregate — a plain
+        # .distinct() kept the names as grouping keys and the
+        # optimizer pushed the DP back into the join residual,
+        # re-evaluating it once per shared variant instead of once
+        # per candidate pair.
+        .groupBy("key_a", "key_b")
+        .agg(
+            F.min("name_a").alias("name_a"),
+            F.min("name_b").alias("name_b"),
+        )
+    )
+    # Banded levenshtein(l, r, 1): O(len) with early exit, -1 past the
+    # band — ≥0 alone decides ≤1, one DP eval per verified candidate.
+    band = F.levenshtein(F.col("name_a"), F.col("name_b"), 1)
+    return cand.filter(band >= 0).select(
+        "key_a", "key_b", band.cast("int").alias("dist")
     )
 
 

@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Dump ``.explain("formatted")`` for declared queries to plan files.
+
+Usage::
+
+    python tools/capture_plan.py <suffix> <query> [<query> ...]
+
+writes ``plans/r13/<query>_<suffix>.txt`` for each name (the
+optimization-round evidence the judge diffs against the code). Uses
+the same session shape as bench.py so plan choices (AQE, broadcast
+thresholds, shuffle partitions) match what the bench actually runs.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ods_v3_dbt_spark.plans import declared_queries as DQ  # noqa: E402
+from ods_v3_dbt_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    suffix = sys.argv[1]
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        "ods-v3-dbt-spark-plans",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.driver.memory": "8g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = DQ.registry()
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", "r13",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    for name in names:
+        df = reg[name].spark(spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(path)
+
+
+if __name__ == "__main__":
+    main()
