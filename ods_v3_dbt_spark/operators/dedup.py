@@ -155,20 +155,23 @@ def lsh_candidate_pairs(
     count-window formulation costs a sort per self-join side — 2×
     the uncapped pipeline, measured.)
     """
-    stacked = lsh_band_table(signatures, num_hashes, bands)
-    if max_bucket is not None:
-        # The band table feeds THREE consumers when the cap is on:
-        # the hot-key count and both self-join sides. Unpersisted,
-        # each recomputes the minhash-signature aggregation — the
-        # dominant cost of the whole pipeline — so the capped query
-        # paid ~1.8× the uncapped one (measured at sf0.1). Persist
-        # it once (memory-and-disk: at 100 TB the band table is
-        # corpus×bands small fixed-width rows, far below the shuffle
-        # the self-join pays anyway) and all three consumers read the
-        # cached signatures.
-        from pyspark import StorageLevel
+    # The band table feeds both self-join sides (plus the hot-key
+    # count when the cap is on). Unpersisted, EACH consumer
+    # recomputes the minhash-signature aggregation — the dominant
+    # cost of the whole pipeline (the capped flavor measured ~1.8×
+    # the uncapped one at sf0.1 for exactly this reason before the
+    # cap branch got its persist; round 13 extends the persist to
+    # the uncapped path, whose self-join was still signing the
+    # corpus TWICE). Persist once (memory-and-disk: at 100 TB the
+    # band table is corpus×bands small fixed-width rows, far below
+    # the shuffle the self-join pays anyway) and every consumer
+    # reads the cached band rows.
+    from pyspark import StorageLevel
 
-        stacked = stacked.persist(StorageLevel.MEMORY_AND_DISK)
+    stacked = lsh_band_table(signatures, num_hashes, bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if max_bucket is not None:
         hot = (
             stacked.groupBy("band_idx", "band_key")
             .agg(F.count(F.lit(1)).alias("__bn"))
@@ -467,7 +470,19 @@ def simhash_near_pairs(
     signature is always zero — round-2 ADVICE)."""
     if hash_bits is None:
         hash_bits = simhash_bits("xxhash")
-    keyed = sims.withColumn("block", F.shiftrightunsigned(F.col("simhash"), hash_bits - prefix_bits))
+    # ``keyed`` feeds BOTH self-join sides — unpersisted, each side
+    # recomputes the upstream signature aggregation (60 bit-sums over
+    # an md5 per word in the declared query: the dominant cost), so
+    # the corpus was signed twice per run. Persist the (doc_id,
+    # simhash, block) rows once — 3 fixed-width columns, far smaller
+    # than the word explode they replace (round 13, opt guide §2.4:
+    # two operations keyed the same way share one computation).
+    from pyspark import StorageLevel
+
+    keyed = sims.withColumn(
+        "block",
+        F.shiftrightunsigned(F.col("simhash"), hash_bits - prefix_bits),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(

@@ -594,6 +594,30 @@ def _write_member(tbl: BucketedTable, df: DataFrame, epoch: int) -> None:
     tbl.write(df.withColumn(EPOCH_COL, F.lit(epoch)))
 
 
+def _overlap_writes(*thunks) -> None:
+    """Run independent member writes as CONCURRENT driver threads
+    (opt guide §2.6: Spark's scheduler happily overlaps jobs from
+    several threads; FIFO scheduling back-fills the tail of one
+    write's job with the next one's tasks). A segment write is 2-4
+    member writes, each a small job with its own straggler tail and
+    fixed catalog/commit overhead — sequentially those serialize,
+    overlapped they share the idle cores. Each member lands in its
+    OWN table (distinct writer locks, distinct catalog entries), and
+    segment visibility is gated solely by the manifest commit AFTER
+    every write returns, so ordering between members never mattered
+    — the manifest is the only commit point. Exceptions propagate
+    (a failed member write must abort the commit)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        for f in futures:
+            f.result()
+
+
 def _seg_visible(cur: _Resolved, spark: SparkSession, table: BucketedTable,
                  seg: int, id_col: str = "doc_id") -> DataFrame:
     """One segment's member rows with applicable tombstones
@@ -701,26 +725,37 @@ def _write_exact_members(idx: DedupIndex, epoch: int, docs: DataFrame,
     second tokenize+explode, with an explicit zero row for every
     sub-shingle doc (:func:`_sizes_rows`). fps rows are DOC-AWARE
     (fp, doc_id) so a tombstone can retract one doc's fingerprint
-    without suppressing other docs that share the same text."""
-    _write_member(
-        idx._table("fps", epoch),
-        docs.select(
-            T.fingerprint_md5(F.col("text")).alias("fp"), "doc_id"
-        ).distinct(),
-        epoch,
-    )
-    sh_tbl = idx._table("shingles", epoch)
-    _write_member(
-        sh_tbl,
-        _shingle_table(docs, "text", "doc_id", idx.shingle_n)
-        .select("doc_id", "sid"),
-        epoch,
-    )
-    _write_member(
-        idx._table("sizes", epoch),
-        _sizes_rows(docs, sh_tbl.read(spark).drop(EPOCH_COL)),
-        epoch,
-    )
+    without suppressing other docs that share the same text.
+
+    The fps write and the shingles→sizes chain are independent (fps
+    never reads shingle state) — they run as overlapped driver
+    threads (:func:`_overlap_writes`), so the fingerprint scan
+    back-fills the shingle write's straggler tail instead of waiting
+    behind it."""
+    def _fps():
+        _write_member(
+            idx._table("fps", epoch),
+            docs.select(
+                T.fingerprint_md5(F.col("text")).alias("fp"), "doc_id"
+            ).distinct(),
+            epoch,
+        )
+
+    def _shingles_then_sizes():
+        sh_tbl = idx._table("shingles", epoch)
+        _write_member(
+            sh_tbl,
+            _shingle_table(docs, "text", "doc_id", idx.shingle_n)
+            .select("doc_id", "sid"),
+            epoch,
+        )
+        _write_member(
+            idx._table("sizes", epoch),
+            _sizes_rows(docs, sh_tbl.read(spark).drop(EPOCH_COL)),
+            epoch,
+        )
+
+    _overlap_writes(_fps, _shingles_then_sizes)
 
 
 def dedup_index_write(
@@ -822,28 +857,37 @@ def dedup_index_append(
         if compact:
             # fold: every live segment + the batch into ONE segment —
             # the scheduled O(corpus) rewrite that keeps K bounded and
-            # folds tombstones away physically
-            _write_member(
-                index._table("fps", new_epoch),
-                _visible(cur, spark, "fps")
-                .unionByName(
-                    new_docs.select(
-                        T.fingerprint_md5(F.col("text")).alias("fp"),
-                        "doc_id",
-                    )
-                )
-                .distinct(),
-                new_epoch,
-            )
+            # folds tombstones away physically. The three folds are
+            # mutually independent (sizes folds the per-segment sizes
+            # rows + the batch's _sizes_rows from sh_new — it never
+            # reads the freshly-written shingle table), so they
+            # overlap as driver threads (opt guide §2.6).
             sh_new = _shingle_table(
                 new_docs, "text", "doc_id", index.shingle_n
             ).select("doc_id", "sid")
-            _write_member(
-                index._table("shingles", new_epoch),
-                _visible(cur, spark, "shingles")
-                .unionByName(sh_new).distinct(),
-                new_epoch,
-            )
+
+            def _fold_fps():
+                _write_member(
+                    index._table("fps", new_epoch),
+                    _visible(cur, spark, "fps")
+                    .unionByName(
+                        new_docs.select(
+                            T.fingerprint_md5(F.col("text")).alias("fp"),
+                            "doc_id",
+                        )
+                    )
+                    .distinct(),
+                    new_epoch,
+                )
+
+            def _fold_shingles():
+                _write_member(
+                    index._table("shingles", new_epoch),
+                    _visible(cur, spark, "shingles")
+                    .unionByName(sh_new).distinct(),
+                    new_epoch,
+                )
+
             # sizes fold PRESERVES totality: the per-segment sizes
             # rows (each doc lives in exactly one segment, zero rows
             # included) union the batch's _sizes_rows — rebuilding
@@ -851,12 +895,15 @@ def dedup_index_append(
             # every n_shingles=0 row, so one compaction un-did the
             # membership guarantee and replays re-admitted
             # sub-shingle docs (round-9 ADVICE)
-            _write_member(
-                index._table("sizes", new_epoch),
-                _visible(cur, spark, "sizes")
-                .unionByName(_sizes_rows(new_docs, sh_new)),
-                new_epoch,
-            )
+            def _fold_sizes():
+                _write_member(
+                    index._table("sizes", new_epoch),
+                    _visible(cur, spark, "sizes")
+                    .unionByName(_sizes_rows(new_docs, sh_new)),
+                    new_epoch,
+                )
+
+            _overlap_writes(_fold_fps, _fold_shingles, _fold_sizes)
         else:
             # the O(batch) delta segment — corpus tables untouched
             _write_exact_members(index, new_epoch, new_docs, spark)
@@ -890,11 +937,16 @@ def dedup_index_compact(index: DedupIndex,
         tomb_hist = _retained_tomb_history(man, new_epoch, [], pins)
         _gc_epochs(spark, index.name,
                    _keep_epochs(hist, tomb_hist) - {new_epoch})
-        for part in index.PARTS:
+        def _fold(part):
             df = _visible(cur, spark, part)
             if part == "fps":
                 df = df.distinct()  # same text may recur across segments
             _write_member(index._table(part, new_epoch), df, new_epoch)
+
+        # per-part folds are mutually independent — overlap (§2.6)
+        _overlap_writes(*[
+            (lambda p=part: _fold(p)) for part in index.PARTS
+        ])
         lk.check()
         _commit_manifest(spark, index.name, new_epoch, index.spec(),
                          [new_epoch], hist, [], tomb_hist, prev_man=man)
@@ -1187,28 +1239,44 @@ def _write_lsh_members(idx: LshIndex, epoch: int, docs: DataFrame,
     land bucketed on the candidate-join keys."""
     from .dedup import lsh_band_table, minhash_signatures
 
-    _write_member(
-        idx._table("fps", epoch),
-        docs.select(
-            T.fingerprint_md5(F.col("text")).alias("fp"), "doc_id"
-        ).distinct(),
-        epoch,
-    )
-    sh = _shingle_table(docs, "text", "doc_id", idx.shingle_n).persist()
-    sh_tbl = idx._table("shingles", epoch)
-    _write_member(sh_tbl, sh.select("doc_id", "sid"), epoch)
-    _write_member(
-        idx._table("sizes", epoch),
-        _sizes_rows(docs, sh_tbl.read(spark).drop(EPOCH_COL)),
-        epoch,
-    )
-    sigs = minhash_signatures(sh, idx.num_hashes, idx.mode)
-    _write_member(
-        idx._table("band_tbl", epoch),
-        lsh_band_table(sigs, idx.num_hashes, idx.bands),
-        epoch,
-    )
-    sh.unpersist()
+    def _fps():
+        _write_member(
+            idx._table("fps", epoch),
+            docs.select(
+                T.fingerprint_md5(F.col("text")).alias("fp"), "doc_id"
+            ).distinct(),
+            epoch,
+        )
+
+    def _shingle_chain():
+        # the shingle write materializes the persisted ``sh`` once;
+        # sizes (reads the written table back) and bands (derive
+        # from the now-cached ``sh``) are then independent of each
+        # other — overlap them too (opt guide §2.6)
+        sh = _shingle_table(docs, "text", "doc_id",
+                            idx.shingle_n).persist()
+        sh_tbl = idx._table("shingles", epoch)
+        _write_member(sh_tbl, sh.select("doc_id", "sid"), epoch)
+
+        def _sizes():
+            _write_member(
+                idx._table("sizes", epoch),
+                _sizes_rows(docs, sh_tbl.read(spark).drop(EPOCH_COL)),
+                epoch,
+            )
+
+        def _bands():
+            sigs = minhash_signatures(sh, idx.num_hashes, idx.mode)
+            _write_member(
+                idx._table("band_tbl", epoch),
+                lsh_band_table(sigs, idx.num_hashes, idx.bands),
+                epoch,
+            )
+
+        _overlap_writes(_sizes, _bands)
+        sh.unpersist()
+
+    _overlap_writes(_fps, _shingle_chain)
 
 
 def lsh_index_write(
@@ -1287,47 +1355,64 @@ def lsh_index_append(
         if compact:
             from .dedup import lsh_band_table, minhash_signatures
 
+            # sh_new is checkpointed, so the four folds below share
+            # its materialization and are mutually independent —
+            # overlapped driver threads (opt guide §2.6)
             sh_new = _shingle_table(
                 new_docs, "text", "doc_id", index.shingle_n
             ).localCheckpoint()
-            _write_member(
-                index._table("fps", new_epoch),
-                _visible(cur, spark, "fps")
-                .unionByName(
-                    new_docs.select(
-                        T.fingerprint_md5(F.col("text")).alias("fp"),
-                        "doc_id",
+
+            def _fold_fps():
+                _write_member(
+                    index._table("fps", new_epoch),
+                    _visible(cur, spark, "fps")
+                    .unionByName(
+                        new_docs.select(
+                            T.fingerprint_md5(F.col("text")).alias("fp"),
+                            "doc_id",
+                        )
                     )
+                    .distinct(),
+                    new_epoch,
                 )
-                .distinct(),
-                new_epoch,
-            )
-            _write_member(
-                index._table("shingles", new_epoch),
-                _visible(cur, spark, "shingles")
-                .unionByName(sh_new.select("doc_id", "sid"))
-                .distinct(),
-                new_epoch,
-            )
+
+            def _fold_shingles():
+                _write_member(
+                    index._table("shingles", new_epoch),
+                    _visible(cur, spark, "shingles")
+                    .unionByName(sh_new.select("doc_id", "sid"))
+                    .distinct(),
+                    new_epoch,
+                )
+
             # totality-preserving sizes fold — see dedup_index_append
-            _write_member(
-                index._table("sizes", new_epoch),
-                _visible(cur, spark, "sizes")
-                .unionByName(
-                    _sizes_rows(new_docs, sh_new.select("doc_id", "sid"))
-                ),
-                new_epoch,
-            )
-            bands_new = lsh_band_table(
-                minhash_signatures(sh_new, index.num_hashes, index.mode),
-                index.num_hashes,
-                index.bands,
-            )
-            _write_member(
-                index._table("band_tbl", new_epoch),
-                _visible(cur, spark, "band_tbl")
-                .unionByName(bands_new).distinct(),
-                new_epoch,
+            def _fold_sizes():
+                _write_member(
+                    index._table("sizes", new_epoch),
+                    _visible(cur, spark, "sizes")
+                    .unionByName(
+                        _sizes_rows(new_docs, sh_new.select("doc_id", "sid"))
+                    ),
+                    new_epoch,
+                )
+
+            def _fold_bands():
+                bands_new = lsh_band_table(
+                    minhash_signatures(
+                        sh_new, index.num_hashes, index.mode
+                    ),
+                    index.num_hashes,
+                    index.bands,
+                )
+                _write_member(
+                    index._table("band_tbl", new_epoch),
+                    _visible(cur, spark, "band_tbl")
+                    .unionByName(bands_new).distinct(),
+                    new_epoch,
+                )
+
+            _overlap_writes(
+                _fold_fps, _fold_shingles, _fold_sizes, _fold_bands
             )
         else:
             _write_lsh_members(index, new_epoch, new_docs, spark)
@@ -1355,11 +1440,17 @@ def lsh_index_compact(index: LshIndex,
         tomb_hist = _retained_tomb_history(man, new_epoch, [], pins)
         _gc_epochs(spark, index.name,
                    _keep_epochs(hist, tomb_hist) - {new_epoch})
-        for part in index.PARTS:
+
+        def _fold(part):
             df = _visible(cur, spark, part)
             if part == "fps":
                 df = df.distinct()
             _write_member(index._table(part, new_epoch), df, new_epoch)
+
+        # per-part folds are mutually independent — overlap (§2.6)
+        _overlap_writes(*[
+            (lambda p=part: _fold(p)) for part in index.PARTS
+        ])
         lk.check()
         _commit_manifest(spark, index.name, new_epoch, index.spec(),
                          [new_epoch], hist, [], tomb_hist, prev_man=man)

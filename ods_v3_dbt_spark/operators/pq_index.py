@@ -63,6 +63,7 @@ from .neardup_index import (
     _seg_visible,
     _tomb_delete,
     _visible,
+    _overlap_writes,
     _write_member,
 )
 from .similarity import (
@@ -218,15 +219,23 @@ def pq_index_write(
         codes, cents, books = _train(
             c, num_cells, num_subs, num_codes, dim_count
         )
-        _write_member(
-            idx._table("centroids", new), _centroid_df(spark, cents), new
-        )
-        _write_member(idx._table("books", new), _books_df(spark, books), new)
-        _write_member(
-            idx._table("codes", new),
-            codes.select("vid", F.col("cell").cast("int").alias("cell"),
-                         "codes"),
-            new,
+        # centroids/books (tiny driver literals) and codes are
+        # independent members — overlapped (opt guide §2.6)
+        _overlap_writes(
+            lambda: _write_member(
+                idx._table("centroids", new),
+                _centroid_df(spark, cents), new,
+            ),
+            lambda: _write_member(
+                idx._table("books", new), _books_df(spark, books), new
+            ),
+            lambda: _write_member(
+                idx._table("codes", new),
+                codes.select("vid",
+                             F.col("cell").cast("int").alias("cell"),
+                             "codes"),
+                new,
+            ),
         )
         lk.check()
         _commit_manifest(spark, name, new, idx.spec(), [new], hist,
@@ -294,16 +303,20 @@ def pq_index_append(
                         "codes")
                 .unionByName(codes_new)
             )
-        _write_member(index._table("codes", new_epoch), codes_new, new_epoch)
-        _write_member(
-            index._table("centroids", new_epoch),
-            _centroid_df(spark, cents),
-            new_epoch,
-        )
-        _write_member(
-            index._table("books", new_epoch),
-            _books_df(spark, books),
-            new_epoch,
+        _overlap_writes(
+            lambda: _write_member(
+                index._table("codes", new_epoch), codes_new, new_epoch
+            ),
+            lambda: _write_member(
+                index._table("centroids", new_epoch),
+                _centroid_df(spark, cents),
+                new_epoch,
+            ),
+            lambda: _write_member(
+                index._table("books", new_epoch),
+                _books_df(spark, books),
+                new_epoch,
+            ),
         )
         lk.check()
         _commit_manifest(spark, index.name, new_epoch, index.spec(),

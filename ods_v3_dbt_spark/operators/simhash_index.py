@@ -51,6 +51,7 @@ from .neardup_index import (
     _seg_visible,
     _tomb_delete,
     _visible,
+    _overlap_writes,
     _write_member,
 )
 
@@ -134,9 +135,18 @@ def simhash_index_write(
         _gc_epochs(spark, name, _keep_epochs(hist, tomb_hist) - {new})
         docs = corpus.select(F.col(id_col).alias("doc_id"),
                              F.col(text_col).alias("text"))
-        _write_member(idx._table("sigs", new), _sigs(idx, docs, "text",
-                                                     "doc_id"), new)
-        _write_member(idx._table("docs", new), docs.select("doc_id"), new)
+        # sigs and docs members are independent — overlapped driver
+        # threads (opt guide §2.6); the manifest commit below is the
+        # only visibility point
+        _overlap_writes(
+            lambda: _write_member(
+                idx._table("sigs", new),
+                _sigs(idx, docs, "text", "doc_id"), new,
+            ),
+            lambda: _write_member(
+                idx._table("docs", new), docs.select("doc_id"), new
+            ),
+        )
         lk.check()
         _commit_manifest(spark, name, new, idx.spec(), [new], hist,
                          [], tomb_hist, prev_man=man)
@@ -188,8 +198,14 @@ def simhash_index_append(
         if compact:
             delta = _visible(cur, spark, "sigs").unionByName(delta)
             dmember = _visible(cur, spark, "docs").unionByName(dmember)
-        _write_member(index._table("sigs", new_epoch), delta, new_epoch)
-        _write_member(index._table("docs", new_epoch), dmember, new_epoch)
+        _overlap_writes(
+            lambda: _write_member(
+                index._table("sigs", new_epoch), delta, new_epoch
+            ),
+            lambda: _write_member(
+                index._table("docs", new_epoch), dmember, new_epoch
+            ),
+        )
         lk.check()
         _commit_manifest(spark, index.name, new_epoch, index.spec(),
                          segments, hist, tombs, tomb_hist, prev_man=man)
@@ -214,12 +230,14 @@ def simhash_index_compact(index: SimhashIndex,
         tomb_hist = _retained_tomb_history(man, new_epoch, [], pins)
         _gc_epochs(spark, index.name,
                    _keep_epochs(hist, tomb_hist) - {new_epoch})
-        for part in index.PARTS:
-            _write_member(
-                index._table(part, new_epoch),
-                _visible(cur, spark, part),
+        _overlap_writes(*[
+            (lambda p=part: _write_member(
+                index._table(p, new_epoch),
+                _visible(cur, spark, p),
                 new_epoch,
-            )
+            ))
+            for part in index.PARTS
+        ])
         lk.check()
         _commit_manifest(spark, index.name, new_epoch, index.spec(),
                          [new_epoch], hist, [], tomb_hist, prev_man=man)

@@ -54,6 +54,7 @@ from .neardup_index import (
     _seg_visible,
     _tomb_delete,
     _visible,
+    _overlap_writes,
     _write_member,
 )
 
@@ -103,32 +104,43 @@ def _write_bm25_members(idx: Bm25Index, epoch: int, docs: DataFrame,
     bucket-local re-read, doclen and the 1-row stats from a second
     scan-stage pass."""
     tok = _tokenized(docs, text_col, id_col)
-    post_tbl = idx._table("postings", epoch)
-    _write_member(
-        post_tbl,
-        tok.groupBy("term", "doc_id").agg(
-            F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
-        ),
-        epoch,
-    )
-    _write_member(
-        idx._table("dfreq", epoch),
-        post_tbl.read(spark).groupBy("term").agg(
-            F.count(F.lit(1)).alias("df")
-        ),
-        epoch,
-    )
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("dl"),
     )
-    _write_member(idx._table("doclen", epoch), base, epoch)
-    _write_member(
-        idx._table("stats", epoch),
-        base.agg(
-            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
-        ).select(F.lit("s").alias("stat_key"), "n_docs", "total_len"),
-        epoch,
+
+    # postings→dfreq is a dependent chain (df derives from the
+    # written postings' bucket-local read-back); doclen and the 1-row
+    # stats both derive from ``base`` directly — three independent
+    # groups, overlapped as driver threads (opt guide §2.6)
+    def _postings_then_dfreq():
+        post_tbl = idx._table("postings", epoch)
+        _write_member(
+            post_tbl,
+            tok.groupBy("term", "doc_id").agg(
+                F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+            ),
+            epoch,
+        )
+        _write_member(
+            idx._table("dfreq", epoch),
+            post_tbl.read(spark).groupBy("term").agg(
+                F.count(F.lit(1)).alias("df")
+            ),
+            epoch,
+        )
+
+    _overlap_writes(
+        _postings_then_dfreq,
+        lambda: _write_member(idx._table("doclen", epoch), base, epoch),
+        lambda: _write_member(
+            idx._table("stats", epoch),
+            base.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").alias("total_len"),
+            ).select(F.lit("s").alias("stat_key"), "n_docs", "total_len"),
+            epoch,
+        ),
     )
 
 
@@ -199,42 +211,50 @@ def bm25_index_append(
         _gc_epochs(spark, index.name,
                    _keep_epochs(hist, tomb_hist) - {new_epoch})
         if compact:
-            tok = _tokenized(new_docs, "text", "doc_id")
-            post_new = tok.groupBy("term", "doc_id").agg(
-                F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
-            )
-            post_tbl = index._table("postings", new_epoch)
-            _write_member(
-                post_tbl,
-                _visible(cur, spark, "postings").unionByName(post_new),
-                new_epoch,
-            )
-            _write_member(
-                index._table("dfreq", new_epoch),
-                post_tbl.read(spark).groupBy("term").agg(
-                    F.count(F.lit(1)).alias("df")
-                ),
-                new_epoch,
-            )
-            base = new_docs.select(
-                "doc_id",
-                F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
-                .alias("dl"),
-            )
-            doclen_tbl = index._table("doclen", new_epoch)
-            _write_member(
-                doclen_tbl,
-                _visible(cur, spark, "doclen").unionByName(base),
-                new_epoch,
-            )
-            _write_member(
-                index._table("stats", new_epoch),
-                doclen_tbl.read(spark).agg(
-                    F.count(F.lit(1)).alias("n_docs"),
-                    F.sum("dl").alias("total_len"),
-                ).select(F.lit("s").alias("stat_key"), "n_docs", "total_len"),
-                new_epoch,
-            )
+            # two dependent chains (postings→dfreq, doclen→stats),
+            # mutually independent — overlapped (opt guide §2.6)
+            def _fold_postings_dfreq():
+                tok = _tokenized(new_docs, "text", "doc_id")
+                post_new = tok.groupBy("term", "doc_id").agg(
+                    F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+                )
+                post_tbl = index._table("postings", new_epoch)
+                _write_member(
+                    post_tbl,
+                    _visible(cur, spark, "postings").unionByName(post_new),
+                    new_epoch,
+                )
+                _write_member(
+                    index._table("dfreq", new_epoch),
+                    post_tbl.read(spark).groupBy("term").agg(
+                        F.count(F.lit(1)).alias("df")
+                    ),
+                    new_epoch,
+                )
+
+            def _fold_doclen_stats():
+                base = new_docs.select(
+                    "doc_id",
+                    F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+                    .alias("dl"),
+                )
+                doclen_tbl = index._table("doclen", new_epoch)
+                _write_member(
+                    doclen_tbl,
+                    _visible(cur, spark, "doclen").unionByName(base),
+                    new_epoch,
+                )
+                _write_member(
+                    index._table("stats", new_epoch),
+                    doclen_tbl.read(spark).agg(
+                        F.count(F.lit(1)).alias("n_docs"),
+                        F.sum("dl").alias("total_len"),
+                    ).select(F.lit("s").alias("stat_key"), "n_docs",
+                             "total_len"),
+                    new_epoch,
+                )
+
+            _overlap_writes(_fold_postings_dfreq, _fold_doclen_stats)
         else:
             _write_bm25_members(index, new_epoch, new_docs, spark,
                                 "text", "doc_id")
@@ -454,29 +474,36 @@ def bm25_index_compact(index: Bm25Index,
         tomb_hist = _retained_tomb_history(man, new_epoch, [], pins)
         _gc_epochs(spark, index.name,
                    _keep_epochs(hist, tomb_hist) - {new_epoch})
-        post_tbl = index._table("postings", new_epoch)
-        _write_member(
-            post_tbl, _visible(cur, spark, "postings"), new_epoch
-        )
-        _write_member(
-            index._table("dfreq", new_epoch),
-            post_tbl.read(spark).groupBy("term").agg(
-                F.count(F.lit(1)).alias("df")
-            ),
-            new_epoch,
-        )
-        doclen_tbl = index._table("doclen", new_epoch)
-        _write_member(
-            doclen_tbl, _visible(cur, spark, "doclen"), new_epoch
-        )
-        _write_member(
-            index._table("stats", new_epoch),
-            doclen_tbl.read(spark).agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("dl").alias("total_len"),
-            ).select(F.lit("s").alias("stat_key"), "n_docs", "total_len"),
-            new_epoch,
-        )
+        def _fold_postings_dfreq():
+            post_tbl = index._table("postings", new_epoch)
+            _write_member(
+                post_tbl, _visible(cur, spark, "postings"), new_epoch
+            )
+            _write_member(
+                index._table("dfreq", new_epoch),
+                post_tbl.read(spark).groupBy("term").agg(
+                    F.count(F.lit(1)).alias("df")
+                ),
+                new_epoch,
+            )
+
+        def _fold_doclen_stats():
+            doclen_tbl = index._table("doclen", new_epoch)
+            _write_member(
+                doclen_tbl, _visible(cur, spark, "doclen"), new_epoch
+            )
+            _write_member(
+                index._table("stats", new_epoch),
+                doclen_tbl.read(spark).agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("dl").alias("total_len"),
+                ).select(F.lit("s").alias("stat_key"), "n_docs",
+                         "total_len"),
+                new_epoch,
+            )
+
+        # the two chains are mutually independent — overlap (§2.6)
+        _overlap_writes(_fold_postings_dfreq, _fold_doclen_stats)
         lk.check()
         _commit_manifest(spark, index.name, new_epoch, index.spec(),
                          [new_epoch], hist, [], tomb_hist, prev_man=man)

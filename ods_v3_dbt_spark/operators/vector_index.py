@@ -58,6 +58,7 @@ from .neardup_index import (
     _seg_visible,
     _tomb_delete,
     _visible,
+    _overlap_writes,
     _write_member,
 )
 from .similarity import _int_matrix_sql, _l2q_cells, _l2q_dist2, quantize_embedding
@@ -143,13 +144,19 @@ def ivf_index_write(
         tomb_hist = _retained_tomb_history(man, new, [], pins)
         _gc_epochs(spark, name, _keep_epochs(hist, tomb_hist) - {new})
         asg, _ref_lit, cents = _l2q_cells(c, num_cells)
-        _write_member(
-            idx._table("centroids", new), _centroid_df(spark, cents), new
-        )
-        _write_member(
-            idx._table("assign", new),
-            asg.select("vid", "v", F.col("cell").cast("int").alias("cell")),
-            new,
+        # centroids (tiny driver literal) and assign are independent
+        # members — overlapped driver threads (opt guide §2.6)
+        _overlap_writes(
+            lambda: _write_member(
+                idx._table("centroids", new),
+                _centroid_df(spark, cents), new,
+            ),
+            lambda: _write_member(
+                idx._table("assign", new),
+                asg.select("vid", "v",
+                           F.col("cell").cast("int").alias("cell")),
+                new,
+            ),
         )
         lk.check()
         _commit_manifest(spark, name, new, idx.spec(), [new], hist,
@@ -208,11 +215,15 @@ def ivf_index_append(
                 .select("vid", "v", F.col("cell").cast("int").alias("cell"))
                 .unionByName(asg_new)
             )
-        _write_member(index._table("assign", new_epoch), asg_new, new_epoch)
-        _write_member(
-            index._table("centroids", new_epoch),
-            _centroid_df(spark, cents),
-            new_epoch,
+        _overlap_writes(
+            lambda: _write_member(
+                index._table("assign", new_epoch), asg_new, new_epoch
+            ),
+            lambda: _write_member(
+                index._table("centroids", new_epoch),
+                _centroid_df(spark, cents),
+                new_epoch,
+            ),
         )
         lk.check()
         _commit_manifest(

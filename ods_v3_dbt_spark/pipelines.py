@@ -179,9 +179,14 @@ def curate_corpus(
     #    globally unique (shard · 2⁴⁰ + local_bin); row counts are
     #    untouched, so the audit contract is unchanged.
     t = train.withColumn("n_tokens", T.token_count(F.col("text")))
+    # Persisted: the audit count below plus any caller aggregates
+    # (curation_pipeline_audit reads bin_id/n_tokens stats) would
+    # otherwise each replay the per-shard packing window — measured
+    # 3× packing recomputation on the audit row (round 13, opt
+    # guide §5 "reused AND expensive to recompute").
     train_packed = pack_sequences(
         t, pack_tokens=pack_tokens, num_shards=pack_shards
-    )
+    ).persist()
 
     audit = CurationAudit(
         n_input=n_input,

@@ -5074,10 +5074,14 @@ def curation_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     train, heldout, audit = P.curate_corpus(
         corpus_with_dups(spark, sf_dir), eval_docs
     )
-    n_bins = train.select("bin_id").distinct().count()
-    train_tokens = train.agg(
-        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("s")
-    ).collect()[0].s
+    # one aggregate job over the (persisted) packed train for both
+    # audit stats — bin_id is never null (shard·2⁴⁰ + local bin), so
+    # countDistinct ≡ the former select·distinct·count (round 13)
+    stats = train.agg(
+        F.countDistinct("bin_id").alias("nb"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("s"),
+    ).collect()[0]
+    n_bins, train_tokens = stats.nb, stats.s
     a = audit.as_dict()
     row = [
         (

@@ -118,6 +118,43 @@ def test_gate_rejects_self_cancelling_uniform_regression():
     assert gate["gate_pass"] is False
 
 
+def test_gate_host_drift_probe_cannot_self_cancel():
+    """Round 13: with the ENGINE-INDEPENDENT probe drift supplied,
+    calibration divides by host speed alone — an engine-wide uniform
+    regression leaves host_drift at 1.0 and fails the gate outright,
+    with no sanity-cap heuristic needed; a genuinely throttled window
+    (probes and anchors both 3×) still calibrates clean, deeper than
+    the legacy DRIFT_SANITY_MAX could ever forgive."""
+    bench = _load_bench()
+    # engine 3× slower, host clean → calibrated stays 3.0 → FAIL
+    times = {q: v * 3.0 for q, v in bench.ANCHOR_BASELINES.items()}
+    gate = bench.baseline_gate(times, drift=3.0, host_drift=1.0)
+    assert gate["baseline_geomean_calibrated"] == 3.0
+    assert gate["gate_pass"] is False
+
+    # genuine 3× host throttle (probe agrees) → calibrated 1.0 → PASS
+    gate = bench.baseline_gate(times, drift=3.0, host_drift=3.0)
+    assert gate["baseline_geomean_calibrated"] == 1.0
+    assert gate["drift_sane"] is True
+    assert gate["gate_pass"] is True
+
+    # an implausible probe reading must not calibrate the gate
+    gate = bench.baseline_gate(times, drift=3.0, host_drift=40.0)
+    assert gate["drift_sane"] is False
+    assert gate["gate_pass"] is False
+
+
+def test_drift_probe_shape(spark):
+    """The probe runs pure-Spark synthetic work (range/xxhash64,
+    keyed repartition, a lineitem scan) — no engine operators — and
+    returns one positive wall per pinned calibration row."""
+    bench = _load_bench()
+    probes = bench.drift_probe(spark, "/root/testdata/sf0.001")
+    assert set(probes) == set(bench.DRIFT_PROBE_CALIBRATION)
+    assert all(v > 0 for v in probes.values())
+    assert bench._host_drift(probes) > 0
+
+
 def test_concurrency_section_shape(spark):
     """Round-12 verdict task 6: the concurrency arm runs without
     deadlock and reports the three shapes — overlapped anchors,

@@ -56,6 +56,20 @@ def test_audit_detects_residue(spark, tmp_path):
     # dead-writer lock residue (pid 999999999 cannot exist: > pid_max)
     (tmp_path / "corpus" / LOCK_MARKER).write_text("999999999-dead 0.0")
 
+    # isolate from residue: the repo-level warehouse survives across
+    # pytest sessions, and a re-run's build would RETAIN the previous
+    # run's epoch (reader grace) — the audit would then honestly
+    # count live + retained + orphan = 3 and the fresh-build
+    # assertions below would misfire
+    import shutil
+
+    wh = _warehouse_path(spark)
+    for p in wh.glob("t_audit_residue_idx*"):
+        if p.is_dir():
+            shutil.rmtree(p, ignore_errors=True)
+        else:
+            p.unlink(missing_ok=True)
+
     idx = dedup_index_write(
         spark.createDataFrame(
             [(1, "a b c d e"), (2, "f g h i j")], "doc_id long, text string"
