@@ -372,10 +372,14 @@ def _gc_epochs(spark: SparkSession, name: str, parts_keep: set[int]) -> None:
         m = pat.match(nm)
         if m and int(m.group(1)) not in parts_keep and is_dir:
             fs.delete(wh / nm)
-    for t in spark.catalog.listTables():
-        m = pat.match(t.name.lower())
+    # SHOW TABLES, not catalog.listTables(): the latter fetches full
+    # per-table metadata over py4j and measured 1.7-2.8 s at a
+    # 60-table catalog vs 0.05-0.17 s for SHOW TABLES — and this
+    # sweep runs twice per index write/append/delete (round 13)
+    for r in spark.sql("SHOW TABLES").collect():
+        m = pat.match(r.tableName.lower())
         if m and int(m.group(1)) not in parts_keep:
-            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+            spark.sql(f"DROP TABLE IF EXISTS {r.tableName}")
 
 
 class _Member:

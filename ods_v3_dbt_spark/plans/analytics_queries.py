@@ -1609,9 +1609,9 @@ def store_audit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for (nm, is_dir, _) in fs.list(wh):
         if nm.startswith(idx_name):
             fs.delete(wh / nm, recursive=is_dir)
-    for t in spark.catalog.listTables():
-        if t.name.lower().startswith(idx_name):
-            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    for r in spark.sql("SHOW TABLES").collect():  # cheap vs listTables
+        if r.tableName.lower().startswith(idx_name):
+            spark.sql(f"DROP TABLE IF EXISTS {r.tableName}")
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     tbl = ParquetTable(corpus_root)
