@@ -610,14 +610,36 @@ def _overlap_writes(*thunks) -> None:
     segment visibility is gated solely by the manifest commit AFTER
     every write returns, so ordering between members never mattered
     — the manifest is the only commit point. Exceptions propagate
-    (a failed member write must abort the commit)."""
+    (a failed member write must abort the commit).
+
+    Under py4j pinned-thread mode (the default) each Python worker
+    thread maps to a FRESH JVM thread whose thread-local active
+    session is unset, so ``SparkSession.getActiveSession()`` — which
+    the fs adapter uses to build a HadoopFS for ``scheme://``
+    warehouses — returns None inside the pool. Each worker therefore
+    re-binds the caller's session as its JVM active session first
+    (caught by ``test_uri_warehouse``'s index lifecycle)."""
     from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import SparkSession
 
     if len(thunks) == 1:
         thunks[0]()
         return
+    s = SparkSession.getActiveSession()
+
+    def _run(t):
+        if s is not None:
+            try:
+                s._jvm.org.apache.spark.sql.SparkSession.setActiveSession(
+                    s._jsparkSession
+                )
+            except Exception:
+                pass  # non-classic sessions: fs paths carry no URIs
+        t()
+
     with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
-        futures = [pool.submit(t) for t in thunks]
+        futures = [pool.submit(_run, t) for t in thunks]
         for f in futures:
             f.result()
 
