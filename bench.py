@@ -159,6 +159,33 @@ ANCHOR_BASELINES = {
 }
 
 
+def _run_sem_ivf_probe(spark, sf_dir: str, sem_ivf) -> None:
+    """The sem_ivf_probe anchor's exact workload (stage 3.5 of the
+    semantic curation chain alone): the batch-survivor embeddings'
+    k=1/nprobe=3 probe of the prebuilt IVF index, through the noop
+    sink. Shared by the timed row and the wave-struck outlier
+    re-measure — the two must never drift onto different work."""
+    from pyspark.sql import functions as F
+
+    from ods_v3_dbt_spark.operators.vector_index import ivf_index_topk
+    from ods_v3_dbt_spark.plans import declared_queries as _DQ
+
+    qe = (
+        _DQ.load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 3 == 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.expr(
+                "transform(embedding, x -> cast(x as double))"
+            ).alias("embedding"),
+        )
+    )
+    ivf_index_topk(
+        spark, sem_ivf, qe, k=1, nprobe=3,
+        vec_col="embedding", id_col="doc_id",
+    ).write.format("noop").mode("overwrite").save()
+
+
 def _geomean(vals) -> float | None:
     import math
 
@@ -573,25 +600,8 @@ def main() -> None:
         # prebuilt IVF index — so the composition row's cost reads as
         # text chain + THIS, and a semantic-probe regression can't
         # hide inside the (intrinsically larger) decision-chain row.
-        from pyspark.sql import functions as F
-
-        from ods_v3_dbt_spark.operators.vector_index import ivf_index_topk
-
-        qe = (
-            DQ.load(spark, sf_dir, "embeddings")
-            .filter(F.col("vec_id") % 3 == 0)
-            .select(
-                F.col("vec_id").alias("doc_id"),
-                F.expr(
-                    "transform(embedding, x -> cast(x as double))"
-                ).alias("embedding"),
-            )
-        )
         t0 = time.perf_counter()
-        ivf_index_topk(
-            spark, sem_ivf, qe, k=1, nprobe=3,
-            vec_col="embedding", id_col="doc_id",
-        ).write.format("noop").mode("overwrite").save()
+        _run_sem_ivf_probe(spark, sf_dir, sem_ivf)
         times["sem_ivf_probe"] = round(time.perf_counter() - t0, 3)
     if "incremental_curation_pq_decisions" in registry:
         # the PQ semantic channel's IVFADC corpus state — build
@@ -894,6 +904,18 @@ def main() -> None:
                 t0 = time.perf_counter()
                 LQ._fixture_index(spark, sf_dir, force=True)
                 retries[q] = round(time.perf_counter() - t0, 3)
+            elif q == "sem_ivf_probe":
+                # a probe is a pure read — re-running it measures the
+                # same work (unlike an append, whose idempotent replay
+                # would time the no-op fast path). The fixture index is
+                # attach-warm by now; observed: one wave-struck
+                # sem_ivf_probe (14.2 s vs 3.5 s in surrounding
+                # windows) failed the whole gate with no retry path.
+                sem_ivf = LQ._sem_ivf_fixture_index(spark, sf_dir)
+                t0 = time.perf_counter()
+                _run_sem_ivf_probe(spark, sf_dir, sem_ivf)
+                retries[q] = round(time.perf_counter() - t0, 3)
+                spark.catalog.clearCache()
     gate_times = {**times, **{
         q: min(times[q], t) for q, t in retries.items()
     }}
