@@ -71,6 +71,7 @@ from .similarity import (
     _int_matrix_sql,
     _l2q_cells,
     _l2q_dist2,
+    _scan_par_floor,
     pq_encode,
     pq_train_encode,
     quantize_embedding,
@@ -207,7 +208,9 @@ def pq_index_write(
     idx = PqIndex(name, num_cells, num_subs, num_codes, dim_count,
                   num_buckets, compact_after)
     spark = vectors.sparkSession
-    c = _quantized(vectors, vec_col, id_col)
+    # parallelism floor: training + argmin encode are scan-stage
+    # expression work (similarity._scan_par_floor — no-op at scale)
+    c = _scan_par_floor(_quantized(vectors, vec_col, id_col))
     with _index_lock(spark, name) as lk:
         man = _read_manifest(spark, name)
         cur = man["epoch"] if man else 0
@@ -260,7 +263,9 @@ def pq_index_append(
     with _index_lock(spark, index.name) as lk:
         man = _read_manifest(spark, index.name)
         cur = index.resolve(spark)
-        probe = _quantized(new_vectors, vec_col, id_col)
+        # floor the batch before the idempotence anti-joins so the
+        # checkpoint (and the encode off it) inherits the fan-out
+        probe = _scan_par_floor(_quantized(new_vectors, vec_col, id_col))
         for t, seg in zip(cur.codes.tables, cur.segments):
             probe = probe.join(
                 _seg_visible(cur, spark, t, seg, "vid").select("vid"),
@@ -556,7 +561,7 @@ def pq_index_refresh(
             "refreshed": False,
             "epoch": index.resolve(spark).epoch,
         }
-    c = _quantized(vectors, vec_col, id_col)
+    c = _scan_par_floor(_quantized(vectors, vec_col, id_col))
     with _index_lock(spark, index.name) as lk:
         man = _read_manifest(spark, index.name)
         cur = index.resolve(spark)

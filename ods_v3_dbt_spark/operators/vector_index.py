@@ -61,7 +61,12 @@ from .neardup_index import (
     _overlap_writes,
     _write_member,
 )
-from .similarity import _int_matrix_sql, _l2q_cells, _l2q_dist2, quantize_embedding
+from .similarity import (
+    _int_matrix_sql,
+    _l2q_cells,
+    _l2q_dist2,
+    quantize_embedding,
+)
 
 
 @dataclass(frozen=True)
@@ -134,6 +139,11 @@ def ivf_index_write(
     epoch; one atomic manifest commit."""
     idx = IvfIndex(name, num_cells, num_buckets, compact_after)
     spark = vectors.sparkSession
+    # NOTE: no _scan_par_floor here — measured (round 13, interleaved
+    # in-session A/B): the IVF assignment's per-row work (8 cells ×
+    # 64 dims) is light enough that the floor's extra exchange COSTS
+    # ~0.2-0.3 s more than the single-core scan stage saves; the PQ
+    # paths (32-codeword argmin per subvector row) are where it pays.
     c = _quantized(vectors, vec_col, id_col)
     with _index_lock(spark, name) as lk:
         man = _read_manifest(spark, name)

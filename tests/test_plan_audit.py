@@ -748,7 +748,12 @@ def test_pq_ivfadc_job_budget(spark):
     budgets below bound that with headroom while failing loudly if a
     per-consumer recompute or extra materialization sneaks back in."""
     sc = spark.sparkContext
-    budgets = {"embedding_ann_pq": 11, "embedding_ann_ivfadc": 15}
+    # +1 each (round 13): similarity._scan_par_floor fans a narrow
+    # single-file corpus scan out before the argmin-encode stages —
+    # one deliberate extra exchange (= one AQE stage-job) at fixture
+    # scale, a no-op on wide inputs; same-window A/B measured
+    # embedding_ann_pq 4.8 → 2.7 s for that job
+    budgets = {"embedding_ann_pq": 12, "embedding_ann_ivfadc": 16}
     for name, budget in budgets.items():
         group = f"jobbudget-{name}"
         sc.setJobGroup(group, "")
