@@ -765,6 +765,25 @@ def test_pq_ivfadc_job_budget(spark):
         assert jobs <= budget, (name, jobs, budget)
 
 
+def test_components_job_budget(spark):
+    """Round-13 regression pin: connected_components fuses the
+    fixed-point signature into each star round's checkpoint job via
+    observe() — one action per round, not two. neardup_components at
+    this fixture runs 29 jobs fused (35 with the separate per-round
+    signature collect); the budget fails loudly if a second
+    per-round action sneaks back in, with headroom for AQE stage-job
+    variance."""
+    sc = spark.sparkContext
+    group = "jobbudget-neardup_components"
+    sc.setJobGroup(group, "")
+    try:
+        DQ.registry()["neardup_components"].spark(spark, SF).count()
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+    assert jobs <= 32, jobs
+
+
 def test_lsh_index_probe_band_join_bucketed(spark):
     """The LSH index probe: the corpus band table is bucketed on
     EXACTLY the candidate-join keys (band_idx, band_key) — a
