@@ -141,7 +141,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..sinks import BucketedTable, _warehouse_path, _writer_lock
+from ..sinks import BucketedTable, _warehouse_path, _writer_lock, _overlap_writes
 from .dedup import _shingle_table
 
 #: per-row epoch tag — the segment a row belongs to; lets a test (or
@@ -596,52 +596,6 @@ class DedupIndex:
 def _write_member(tbl: BucketedTable, df: DataFrame, epoch: int) -> None:
     """Land one member table with every row tagged by its segment."""
     tbl.write(df.withColumn(EPOCH_COL, F.lit(epoch)))
-
-
-def _overlap_writes(*thunks) -> None:
-    """Run independent member writes as CONCURRENT driver threads
-    (opt guide §2.6: Spark's scheduler happily overlaps jobs from
-    several threads; FIFO scheduling back-fills the tail of one
-    write's job with the next one's tasks). A segment write is 2-4
-    member writes, each a small job with its own straggler tail and
-    fixed catalog/commit overhead — sequentially those serialize,
-    overlapped they share the idle cores. Each member lands in its
-    OWN table (distinct writer locks, distinct catalog entries), and
-    segment visibility is gated solely by the manifest commit AFTER
-    every write returns, so ordering between members never mattered
-    — the manifest is the only commit point. Exceptions propagate
-    (a failed member write must abort the commit).
-
-    Under py4j pinned-thread mode (the default) each Python worker
-    thread maps to a FRESH JVM thread whose thread-local active
-    session is unset, so ``SparkSession.getActiveSession()`` — which
-    the fs adapter uses to build a HadoopFS for ``scheme://``
-    warehouses — returns None inside the pool. Each worker therefore
-    re-binds the caller's session as its JVM active session first
-    (caught by ``test_uri_warehouse``'s index lifecycle)."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    from pyspark.sql import SparkSession
-
-    if len(thunks) == 1:
-        thunks[0]()
-        return
-    s = SparkSession.getActiveSession()
-
-    def _run(t):
-        if s is not None:
-            try:
-                s._jvm.org.apache.spark.sql.SparkSession.setActiveSession(
-                    s._jsparkSession
-                )
-            except Exception:
-                pass  # non-classic sessions: fs paths carry no URIs
-        t()
-
-    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
-        futures = [pool.submit(_run, t) for t in thunks]
-        for f in futures:
-            f.result()
 
 
 def _seg_visible(cur: _Resolved, spark: SparkSession, table: BucketedTable,

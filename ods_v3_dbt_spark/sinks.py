@@ -965,6 +965,51 @@ class PartitionedTable:
             return {v: (stats[v][0], after[v][0]) for v in sorted(victims)}
 
 
+def _overlap_writes(*thunks):
+    """Run independent snapshot/member writes as CONCURRENT driver
+    threads (opt guide §2.6: Spark's scheduler happily overlaps jobs
+    from several threads; FIFO scheduling back-fills the tail of one
+    write's job with the next one's tasks). Each write lands in its
+    OWN table (distinct writer locks, distinct catalog entries or
+    snapshot dirs), and visibility is gated solely by the manifest /
+    pointer commit AFTER every thread returns, so ordering between
+    the writes never mattered — the manifest is the only commit
+    point. Exceptions propagate (a failed write must abort the
+    commit). Returns the thunks' results in argument order.
+
+    Under py4j pinned-thread mode (the default) each Python worker
+    thread maps to a FRESH JVM thread whose thread-local active
+    session is unset, so ``SparkSession.getActiveSession()`` — which
+    the fs adapter uses to build a HadoopFS for ``scheme://``
+    warehouses — returns None inside the pool. Each worker therefore
+    re-binds the caller's session as its JVM active session first
+    (caught by ``test_uri_warehouse``'s index lifecycle).
+
+    Lived in operators/neardup_index.py for the index member writes;
+    hoisted here (round 13) so TableGroup.commit shares it — the
+    group's member snapshots are exactly this shape of independent
+    write."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    s = SparkSession.getActiveSession()
+
+    def _run(t):
+        if s is not None:
+            try:
+                s._jvm.org.apache.spark.sql.SparkSession.setActiveSession(
+                    s._jsparkSession
+                )
+            except Exception:
+                pass  # non-classic sessions: fs paths carry no URIs
+        return t()
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(_run, t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 class TableGroup:
     """N named snapshot-swap tables + ONE atomic commit — the
     multi-table transaction (round-6 verdict task 3).
@@ -1082,10 +1127,16 @@ class TableGroup:
         fs.mkdirs(self.root)
         with _writer_lock(self.root) as lk:
             prev = self.manifest()
-            assignment = {}
-            for name in self.names:
-                snap = self.tables[name].write(dfs[name])
-                assignment[name] = snap.name
+            # member snapshots are independent until the manifest
+            # flip — overlapped driver threads (see _overlap_writes)
+            snaps = _overlap_writes(*[
+                (lambda n=name: self.tables[n].write(dfs[n]))
+                for name in self.names
+            ])
+            assignment = {
+                name: snap.name
+                for name, snap in zip(self.names, snaps)
+            }
             man = {
                 "tables": assignment,
                 "prev": prev["tables"] if prev else None,
