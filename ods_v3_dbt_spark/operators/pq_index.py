@@ -47,7 +47,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .neardup_index import (
@@ -71,6 +71,7 @@ from .similarity import (
     _int_matrix_sql,
     _l2q_cells,
     _l2q_dist2,
+    _pair_scan_floor,
     _scan_par_floor,
     pq_encode,
     pq_train_encode,
@@ -351,8 +352,13 @@ def pq_index_topk(
     ``ivfadc_topk`` over the same corpus/train split: (query_id,
     neighbor_id, adc_d2, rank)."""
     cur = index.resolve(spark, epoch=epoch)
-    cents = _read_centroids(spark, cur)
-    books = _read_books(spark, cur)
+    # centroids and books are tiny INDEPENDENT member reads — two
+    # sequential collect jobs were ~0.25 s of a ~1.3 s warm probe;
+    # overlapped driver threads halve that wall (opt guide §2.6)
+    cents, books = _overlap_writes(
+        lambda: _read_centroids(spark, cur),
+        lambda: _read_books(spark, cur),
+    )
     sub_dim = index.dim_count // index.num_subs
     ref_lit = F.expr(_int_matrix_sql(cents))
     q = _quantized(queries, vec_col, id_col)
@@ -368,27 +374,38 @@ def pq_index_topk(
             )
         ).alias("cell"),
     )
-    # materialize the per-(query, cell) residual BEFORE the table
-    # build: Catalyst's CollapseProject would otherwise inline the
-    # residual zip_with into _adc_tables' consumer, where the outer
-    # per-sub slice re-evaluates it num_subs× per row (and before
-    # the slice hoist in _adc_tables, num_subs×num_codes× — the
-    # measured 9.6-of-14 s hot spot at 667 sf0.1 queries; ~2 s for
-    # both stages after). The checkpoint is query-sized: nprobe rows
-    # of dim_count bigints per query.
-    qr = probes.select(
+    # ONE materialization for the whole query side (round 14; was
+    # two localCheckpoints + a distinct-collect = three driver-bound
+    # jobs per probe): the residual is bound ONCE per row as a
+    # higher-order-function variable (transform over a one-element
+    # array — the Catalyst common-subexpression idiom), so
+    # _adc_tables' per-sub slices reference the EVALUATED residual
+    # instead of re-evaluating the zip_with num_subs× per row (the
+    # CollapseProject hazard the first checkpoint used to block);
+    # the probed-cell set and probe-row count ride the checkpoint's
+    # materialization via observe() (the components trick) instead
+    # of a separate distinct-collect action. The checkpoint is
+    # query-sized: nprobe rows of num_subs×num_codes bigints per
+    # query.
+    obs = Observation()
+    qtabs = probes.select(
         "query_id",
         F.col("cell").cast("int").alias("cell"),
-        _residual(F.col("__qv"), F.col("cell"), ref_lit).alias("__qr"),
-    ).localCheckpoint()
-    qtabs = qr.select(
-        "query_id",
-        "cell",
-        _adc_tables(F.col("__qr"), books, sub_dim).alias("tabs"),
-    ).localCheckpoint()
-    probed_cells = sorted(
-        r.cell for r in qtabs.select("cell").distinct().collect()
-    )
+        F.element_at(
+            F.transform(
+                F.array(_residual(F.col("__qv"), F.col("cell"), ref_lit)),
+                lambda r: _adc_tables(r, books, sub_dim),
+            ),
+            1,
+        ).alias("tabs"),
+    ).observe(
+        obs,
+        F.collect_set("cell").alias("cells"),
+        F.count(F.lit(1)).alias("n"),
+    ).localCheckpoint(eager=True)
+    got = obs.get  # filled by the checkpoint's materialization
+    probed_cells = sorted(int(c) for c in got["cells"])
+    n_probe_rows = int(got["n"])
     seg_lists = [
         _seg_visible(cur, spark, t, seg, "vid")
         .filter(F.col("cell").isin(probed_cells))
@@ -397,17 +414,18 @@ def pq_index_topk(
     lists = seg_lists[0]
     for sl in seg_lists[1:]:
         lists = lists.unionByName(sl)
-    # scoring parallelism floor — same profile-backed fix as
-    # ivf_index_topk (round 12): the pruned code lists collapse to a
-    # few input splits while the broadcast join expands each row
-    # ×|queries probing its cell|; fan the PRUNED lists (never the
-    # corpus) across the cluster before the pair expansion. Static
-    # split estimate (buckets × segments), never `.rdd` — under AQE
+    # scoring parallelism floor — data-proportional (round 14; see
+    # similarity._pair_scan_floor): fan the PRUNED lists (never the
+    # corpus) across the cluster before the pair expansion, but only
+    # when the expanded work is worth the exchange. Static split
+    # estimate (live buckets × segments), never `.rdd` — under AQE
     # that would finalize and partially execute a throwaway plan per
     # probe (round-12 self-review, finding 6).
-    par = spark.sparkContext.defaultParallelism
-    if index.num_buckets * len(cur.segments) < par:
-        lists = lists.repartition(par)
+    lists = _pair_scan_floor(
+        lists, n_probe_rows, len(probed_cells) or 1,
+        min(len(probed_cells) or 1, index.num_buckets)
+        * len(cur.segments),
+    )
     scored = lists.join(F.broadcast(qtabs), "cell").select(
         "query_id",
         F.col("vid").alias("neighbor_id"),

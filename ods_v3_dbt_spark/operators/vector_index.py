@@ -42,7 +42,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .neardup_index import (
@@ -65,6 +65,7 @@ from .similarity import (
     _int_matrix_sql,
     _l2q_cells,
     _l2q_dist2,
+    _pair_scan_floor,
     quantize_embedding,
 )
 
@@ -265,10 +266,13 @@ def ivf_index_topk(
     cents = _read_centroids(spark, cur)
     ref_lit = F.expr(_int_matrix_sql(cents))
     q = _quantized(queries, vec_col, id_col)
-    # localCheckpoint: the probe table feeds the probed-cells collect
+    # localCheckpoint: the probe table feeds the probed-cells lookup
     # AND the scoring join — without it the quantize+argmin subtree
     # (batch-sized when the curation loop probes a whole micro-batch)
-    # computes twice
+    # computes twice. The probed-cell set and probe-row count ride
+    # the checkpoint's materialization via observe() (round 14, the
+    # components trick) instead of a separate distinct-collect job.
+    obs = Observation()
     probes = q.select(
         F.col("vid").alias("query_id"),
         F.col("v").alias("__qv"),
@@ -280,10 +284,14 @@ def ivf_index_topk(
                 lambda s: s.getField("cell").cast("int"),
             )
         ).alias("cell"),
-    ).localCheckpoint()
-    probed_cells = sorted(
-        r.cell for r in probes.select("cell").distinct().collect()
-    )
+    ).observe(
+        obs,
+        F.collect_set("cell").alias("cells"),
+        F.count(F.lit(1)).alias("n"),
+    ).localCheckpoint(eager=True)
+    got = obs.get  # filled by the checkpoint's materialization
+    probed_cells = sorted(int(c) for c in got["cells"])
+    n_probe_rows = int(got["n"])
     seg_lists = [
         _seg_visible(cur, spark, t, seg, "vid")
         .filter(F.col("cell").isin(probed_cells))
@@ -299,16 +307,19 @@ def ivf_index_topk(
     # dim-length distance per pair — profiled at sf0.1: 333k pairs
     # ran on 5 of 32 cores, 1.4 s where the join alone costs 0.3 s.
     # One cheap shuffle of the PRUNED lists (never the corpus; at
-    # scale nprobe/num_cells of it, and only when the scan is
-    # under-split) fans the pair expansion across the cluster. The
-    # split estimate is STATIC metadata (bucketed scans yield one
-    # partition per bucket per segment) — under AQE a
+    # scale nprobe/num_cells of it) fans the pair expansion across
+    # the cluster — DATA-proportionally since round 14
+    # (similarity._pair_scan_floor: a single-query probe of a tiny
+    # list must not pay an exchange + 32-task scheduling). The split
+    # estimate is STATIC metadata — under AQE a
     # `.rdd.getNumPartitions()` here would finalize and partially
     # EXECUTE a throwaway plan per probe (round-12 self-review,
     # finding 6).
-    par = spark.sparkContext.defaultParallelism
-    if index.num_buckets * len(cur.segments) < par:
-        lists = lists.repartition(par)
+    lists = _pair_scan_floor(
+        lists, n_probe_rows, len(probed_cells) or 1,
+        min(len(probed_cells) or 1, index.num_buckets)
+        * len(cur.segments),
+    )
     scored = lists.join(F.broadcast(probes), "cell").select(
         "query_id",
         F.col("vid").alias("neighbor_id"),

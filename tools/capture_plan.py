@@ -5,7 +5,8 @@ Usage::
 
     python tools/capture_plan.py <suffix> <query> [<query> ...]
 
-writes ``plans/r13/<query>_<suffix>.txt`` for each name (the
+writes ``plans/<round>/<query>_<suffix>.txt`` for each name —
+``<round>`` from ``$SPARK_GRAFT_PLAN_ROUND`` (default ``r14``) — (the
 optimization-round evidence the judge diffs against the code). Uses
 the same session shape as bench.py so plan choices (AQE, broadcast
 thresholds, shuffle partitions) match what the bench actually runs.
@@ -37,7 +38,7 @@ def main() -> None:
     reg = DQ.registry()
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r13",
+        "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
