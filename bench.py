@@ -975,6 +975,11 @@ def main() -> None:
         # engine-independent probe drift (round 13) — what the gate
         # calibrates by; anchor_drift stays for ≤r12 continuity
         "host_drift": host_drift,
+        # raw probe walls (round-14 verdict item 6): the gate's
+        # calibration must be reproducible from the DRIVER's artifact
+        # alone (host_drift = geomean(wall / DRIFT_PROBE_CALIBRATION)),
+        # and future constant re-derivations need driver-side windows
+        "drift_probes": probes,
     }
     if retries:
         # wave-struck anchors re-measured once; gate prices the min

@@ -55,6 +55,11 @@ SCALE_ROWS = [
     "incremental_curation_pq_decisions",
     "dedup_index_append_probe",
     "neardup_components",
+    # round-14 additions (round-13 verdict item 7): the SymSpell
+    # editdist rewrite's asymptotic claim (candidates ∝ true
+    # near-pair density, not block²) and the PQ parallelism floor's
+    # no-op-on-wide-input claim both need a measured 10× ratio
+    "customer_name_editdist_pairs",
 ]
 
 #: wall ∝ rows (one shuffle pass, fixed key cardinality, or an
@@ -100,6 +105,10 @@ PAIRS = {
     "embedding_ann_lsh", "lsh_index_probe", "neardup_components",
     "dedup_index_probe", "dedup_index_append_probe",
     "dedup_index_probe_capped",
+    # SymSpell blocking: candidate pairs grow with shared deletion
+    # variants — near-linear on random names, but classed PAIRS so a
+    # variant-collision blowup is flagged, not excused
+    "customer_name_editdist_pairs",
 }
 
 #: class → max allowed sf0.1→sf1 wall ratio at 10× rows on fixed

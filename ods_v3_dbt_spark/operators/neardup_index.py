@@ -598,6 +598,22 @@ def _write_member(tbl: BucketedTable, df: DataFrame, epoch: int) -> None:
     tbl.write(df.withColumn(EPOCH_COL, F.lit(epoch)))
 
 
+def _ckpt_nonempty(df: DataFrame) -> tuple[DataFrame, bool]:
+    """``localCheckpoint`` + row-count observation in ONE job (the
+    connected-components observe() trick, round 14): the append and
+    delete verbs previously paid a separate ``take(1)`` action
+    against the freshly materialized checkpoint just to learn
+    whether the batch was empty — one extra driver-bound job per
+    index mutation. Returns ``(checkpointed_df, nonempty)``."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = df.observe(
+        obs, F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=True)
+    return out, int(obs.get["n"]) > 0
+
+
 def _seg_visible(cur: _Resolved, spark: SparkSession, table: BucketedTable,
                  seg: int, id_col: str = "doc_id") -> DataFrame:
     """One segment's member rows with applicable tombstones
@@ -808,17 +824,16 @@ def dedup_index_append(
     with _index_lock(spark, index.name) as lk:
         man = _read_manifest(spark, index.name)
         cur = index.resolve(spark)
-        new_docs = _not_yet_indexed(
+        new_docs, nonempty = _ckpt_nonempty(_not_yet_indexed(
             new_docs.select(
                 F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
             ),
             cur, spark,
-        ).localCheckpoint()
-        if not new_docs.take(1):
+        ))
+        if not nonempty:
             # nothing genuinely new (full-replay after a completed
             # append, or an all-dup batch): skip everything — the
-            # checkpoint already materialized, so the probe costs one
-            # row fetch
+            # emptiness probe rode the checkpoint's own job
             return index
         new_epoch = cur.epoch + 1
         compact = len(cur.segments) >= index.compact_after
@@ -982,8 +997,8 @@ def _tomb_delete(index, doc_ids: DataFrame, id_col: str,
             .localCheckpoint()
         )
         dead = _live_subset(ids, cur, spark, live_member, live_id)
-        dead = dead.distinct().localCheckpoint()
-        if not dead.take(1):
+        dead, nonempty = _ckpt_nonempty(dead.distinct())
+        if not nonempty:
             return index
         new_epoch = cur.epoch + 1
         tombs = [te for te, _ in cur.tombs] + [new_epoch]
@@ -1315,13 +1330,13 @@ def lsh_index_append(
     with _index_lock(spark, index.name) as lk:
         man = _read_manifest(spark, index.name)
         cur = index.resolve(spark)
-        new_docs = _not_yet_indexed(
+        new_docs, nonempty = _ckpt_nonempty(_not_yet_indexed(
             new_docs.select(
                 F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
             ),
             cur, spark,
-        ).localCheckpoint()
-        if not new_docs.take(1):
+        ))
+        if not nonempty:
             return index  # see dedup_index_append: no-op fast path
         new_epoch = cur.epoch + 1
         compact = len(cur.segments) >= index.compact_after

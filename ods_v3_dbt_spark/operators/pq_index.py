@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .neardup_index import (
+    _ckpt_nonempty,
     DedupIndex,
     _commit_manifest,
     _gc_epochs,
@@ -272,8 +273,8 @@ def pq_index_append(
                 _seg_visible(cur, spark, t, seg, "vid").select("vid"),
                 "vid", "left_anti",
             )
-        batch = probe.localCheckpoint()
-        if not batch.take(1):
+        batch, nonempty = _ckpt_nonempty(probe)
+        if not nonempty:
             return index
         new_epoch = cur.epoch + 1
         compact = len(cur.segments) >= index.compact_after

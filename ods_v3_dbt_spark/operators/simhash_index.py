@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from .dedup import simhash64, simhash_bits
 from .neardup_index import (
+    _ckpt_nonempty,
     DedupIndex,
     _commit_manifest,
     _gc_epochs,
@@ -181,8 +182,8 @@ def simhash_index_append(
                 _seg_visible(cur, spark, t, seg).select("doc_id"),
                 "doc_id", "left_anti",
             )
-        new_docs = probe.localCheckpoint()
-        if not new_docs.take(1):
+        new_docs, nonempty = _ckpt_nonempty(probe)
+        if not nonempty:
             return index
         new_epoch = cur.epoch + 1
         compact = len(cur.segments) >= index.compact_after

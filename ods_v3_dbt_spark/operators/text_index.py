@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .neardup_index import (
+    _ckpt_nonempty,
     EPOCH_COL,
     DedupIndex,
     _commit_manifest,
@@ -198,8 +199,8 @@ def bm25_index_append(
                 _seg_visible(cur, spark, t, seg).select("doc_id"),
                 "doc_id", "left_anti",
             )
-        new_docs = probe.localCheckpoint()
-        if not new_docs.take(1):
+        new_docs, nonempty = _ckpt_nonempty(probe)
+        if not nonempty:
             return index
         new_epoch = cur.epoch + 1
         compact = len(cur.segments) >= index.compact_after

@@ -2213,23 +2213,31 @@ def _curate_increment_indexed(
         .select("doc_id", "sid")
         .localCheckpoint()
     )
-    if isinstance(index, LshIndex):
-        # sub-linear stage 3: band-collision candidates + restricted
-        # exact verify (lsh_index_probe shingles r2 itself — it needs
-        # shingle TEXT for the minhash family, which bsh's sid
-        # surrogates deliberately drop); _resolved pins the probe to
-        # THIS plan's epoch
-        probe_hits = lsh_index_probe(r2, index, threshold_ppm,
-                                     _resolved=ridx)
-    else:
-        probe_hits = _probe_shingles(bsh, ridx, threshold_ppm)
-    dne = probe_hits.select("doc_id").distinct().localCheckpoint()
-    r3 = r2.select("doc_id").join(F.broadcast(dne), "doc_id", "left_anti")
+    def _text_probe() -> DataFrame:
+        if isinstance(index, LshIndex):
+            # sub-linear stage 3: band-collision candidates +
+            # restricted exact verify (lsh_index_probe shingles r2
+            # itself — it needs shingle TEXT for the minhash family,
+            # which bsh's sid surrogates deliberately drop);
+            # _resolved pins the probe to THIS plan's epoch
+            probe_hits = lsh_index_probe(r2, index, threshold_ppm,
+                                         _resolved=ridx)
+        else:
+            probe_hits = _probe_shingles(bsh, ridx, threshold_ppm)
+        return probe_hits.select("doc_id").distinct().localCheckpoint()
 
     # stage 3.5 — SEMANTIC channel: survivors with embeddings probe
     # the persisted vector index; top-1 within the radius is a near-
     # PARAPHRASE of an admitted corpus doc and gets its own verdict.
-    # Precedence: an exact or shingle near-dup never reaches here.
+    # Precedence: an exact or shingle near-dup never reaches here —
+    # enforced by SUBTRACTING the text-probe hits from the semantic
+    # hits below, which lets the two probes run CONCURRENTLY
+    # (round-13 verdict item 4, opt guide §2.6): they hit DIFFERENT
+    # indexes (text shingle/LSH tables vs the vector index) and are
+    # pure reads, independent until the decision join. Probing with
+    # r2 instead of r3 = r2 ∖ dne and then removing dne afterwards
+    # yields the exact same verdict set: dns = hits(r2) ∖ dne ≡
+    # hits(r2 ∖ dne), because hits(·) filters row-wise by doc_id.
     # Two index flavors (round-9 verdict task 9): an IvfIndex probes
     # cell-pruned inverted lists of FULL quantized vectors (exact
     # integer L2² inside the probed cells), a PqIndex probes the
@@ -2245,29 +2253,46 @@ def _curate_increment_indexed(
     if ivf_index is not None:
         from .operators.pq_index import PqIndex, pq_index_topk
         from .operators.vector_index import ivf_index_topk
+        from .sinks import _overlap_writes
 
-        q = batch_embeddings.select("doc_id", "embedding").join(
-            F.broadcast(r3), "doc_id"
-        )
-        if isinstance(ivf_index, PqIndex):
-            top1 = pq_index_topk(
-                spark, ivf_index, q, k=1, nprobe=semantic_nprobe,
-                vec_col="embedding", id_col="doc_id",
+        def _sem_probe() -> DataFrame:
+            q = batch_embeddings.select("doc_id", "embedding").join(
+                F.broadcast(r2.select("doc_id")), "doc_id"
             )
-            dist_col = "adc_d2"
-        else:
-            top1 = ivf_index_topk(
-                spark, ivf_index, q, k=1, nprobe=semantic_nprobe,
-                vec_col="embedding", id_col="doc_id",
+            if isinstance(ivf_index, PqIndex):
+                top1 = pq_index_topk(
+                    spark, ivf_index, q, k=1, nprobe=semantic_nprobe,
+                    vec_col="embedding", id_col="doc_id",
+                )
+                dist_col = "adc_d2"
+            else:
+                top1 = ivf_index_topk(
+                    spark, ivf_index, q, k=1, nprobe=semantic_nprobe,
+                    vec_col="embedding", id_col="doc_id",
+                )
+                dist_col = "dist2"
+            return (
+                top1.filter(F.col(dist_col) <= semantic_dist2_max)
+                .select(F.col("query_id").alias("doc_id"))
+                .distinct()
+                .localCheckpoint()
             )
-            dist_col = "dist2"
-        dns = (
-            top1.filter(F.col(dist_col) <= semantic_dist2_max)
-            .select(F.col("query_id").alias("doc_id"))
-            .distinct()
-            .localCheckpoint()
+
+        dne, sem_hits = _overlap_writes(_text_probe, _sem_probe)
+        # precedence join: a text near-dup never gets the semantic
+        # verdict (both inputs are checkpointed batch-sized id
+        # lists, so the anti-join is a shallow broadcast hop — the
+        # dee/deb no-checkpoint rationale above)
+        dns = sem_hits.join(F.broadcast(dne), "doc_id", "left_anti")
+        r3 = (
+            r2.select("doc_id")
+            .join(F.broadcast(dne), "doc_id", "left_anti")
+            .join(F.broadcast(dns), "doc_id", "left_anti")
         )
-        r3 = r3.join(F.broadcast(dns), "doc_id", "left_anti")
+    else:
+        dne = _text_probe()
+        r3 = r2.select("doc_id").join(F.broadcast(dne), "doc_id",
+                                      "left_anti")
 
     # stage 4: near-dups among stage-1-3 SURVIVORS only — restrict
     # the shingle table to r3 before the self-join so a rejected doc

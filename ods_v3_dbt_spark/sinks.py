@@ -1123,6 +1123,19 @@ class TableGroup:
                 f"TableGroup.commit must cover exactly the members: "
                 f"missing={sorted(missing)}, unknown={sorted(extra)}"
             )
+        # the overlap below relies on member writes taking DISTINCT
+        # writer locks (round-13 advisor: TableGroup.wrap accepts
+        # caller-placed tables, and two members sharing a root would
+        # nondeterministically fail fast on lock contention where the
+        # old sequential commit succeeded) — check the invariant
+        # instead of assuming it
+        roots = [str(t.root) for t in self.tables.values()]
+        if len(set(roots)) != len(roots):
+            raise ValueError(
+                "TableGroup.commit: member tables must have distinct "
+                f"roots (got {sorted(roots)}) — concurrent member "
+                "writes take per-root writer locks"
+            )
         fs = self._fs()
         fs.mkdirs(self.root)
         with _writer_lock(self.root) as lk:
@@ -1756,12 +1769,22 @@ class BucketedTable:
         """Bucketed snapshot write + pointer commit (round-12 verdict
         task 1 — the tombstone dir-swap is retired).
 
-        Pre-repartitions on the bucket keys so each task holds exactly
-        one bucket's rows → one file per bucket, not
-        ``tasks × buckets`` shards (the classic bucketed-write
-        small-file trap). A merge result is usually already hash-
-        partitioned on the key from its own shuffle, so this
-        repartition reuses the existing exchange.
+        Pre-repartitions on the bucket keys — WITHOUT pinning the
+        partition count (round 14): a key-only repartition stays
+        AQE-coalescible, so a tiny member table (an O(batch) index
+        delta segment at bench scale) writes from ONE task instead
+        of ``num_buckets`` mostly-empty ones (measured: the index
+        build/append rows ran FASTER at 8 cores than 32 — 32-way
+        task scheduling on KB-sized members was the overhead), while
+        a large snapshot still fans out to however many
+        advisory-sized tasks its bytes deserve — scale-adaptive by
+        construction, no local-core constant anywhere. Rows that
+        share a key hash always land in one task, so every bucket is
+        written by exactly one task (a handful of files per bucket
+        when the shuffle partition count exceeds the coalesced task
+        count — bucketed scans group files by bucket id, so probe
+        locality is unchanged). A merge result already hash-
+        partitioned on the key reuses its own exchange as before.
 
         The snapshot lands as an external SIDE table (Spark refuses to
         overwrite a table its own plan reads — UNSUPPORTED_OVERWRITE —
@@ -1855,7 +1878,7 @@ class BucketedTable:
             # never-referenced snapshot dir (zero renames)
             target_dir = live / (f".stage-{new}" if migrating else new)
             (
-                df.repartition(self.num_buckets, *[df[k] for k in self.keys])
+                df.repartition(*[df[k] for k in self.keys])
                 .write.format("parquet")
                 .bucketBy(self.num_buckets, self.keys[0], *self.keys[1:])
                 .sortBy(self.keys[0], *self.keys[1:])

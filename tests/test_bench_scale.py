@@ -46,6 +46,7 @@ EMITTED_ROWS = {
     "incremental_curation_semantic_decisions",
     "incremental_curation_pq_decisions",
     "dedup_index_append_probe", "neardup_components",
+    "customer_name_editdist_pairs",
     # bench.py receipt rows the triggers above produce
     "dedup_index_build", "dedup_index_probe_capped",
     "sem_ivf_index_build", "sem_ivf_probe", "sem_pq_index_build",

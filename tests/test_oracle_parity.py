@@ -1,19 +1,62 @@
 """Every declared query must hash-match its DuckDB oracle — the same
 check the driver runs (CORRECTNESS_r{N}.json), mirrored locally at
-sf0.001 so regressions are caught pre-round."""
+sf0.001 so regressions are caught pre-round.
+
+DEFAULT TIER (round-13 verdict item 2 — the full 237-row sweep alone
+cost ~25 min and pushed ``pytest tests/`` past the driver's budget,
+so ``tests_ok`` went unverifiable): a deterministic ~40% sample —
+every BASELINE.md anchor row, every recently-added query
+(``_RECENT_ADDITIONS``: the rows most likely to regress), and a
+stable 25% name-hash slice of everything else (so every query is
+permanently in or permanently out, and NEW queries get sampled
+automatically). The FULL sf0.001 sweep stays one env var away:
+
+    SPARK_GRAFT_PARITY_ALL=1 python -m pytest tests/test_oracle_parity.py
+
+Run the full sweep before any round ends, after adding or touching
+queries (the sf0.01 twin is ``test_oracle_parity_full.py``, opt-in
+via SPARK_GRAFT_FULL_PARITY=1).
+"""
 
 from __future__ import annotations
 
+import os
+import zlib
+
 import pytest
 
-from ods_v3_dbt_spark.plans.declared_queries import registry
+from ods_v3_dbt_spark.plans.declared_queries import (
+    _RECENT_ADDITIONS,
+    registry,
+)
 
 from .conftest import SF_SMOKE
 from .oracle_harness import compare, duck_connection
 
 _REG = registry()
-_WITH_ORACLE = sorted(name for name, qd in _REG.items() if qd.oracle is not None)
-_ROWS_ONLY = sorted(name for name, qd in _REG.items() if qd.oracle is None)
+_ALL = os.environ.get("SPARK_GRAFT_PARITY_ALL")
+
+
+def _sampled(name: str) -> bool:
+    """Deterministic default-tier membership (module docstring):
+    anchors + recent additions + a stable 25% crc32 slice."""
+    if _ALL:
+        return True
+    from bench import ANCHORS
+
+    if name in ANCHORS or name in _RECENT_ADDITIONS:
+        return True
+    return zlib.crc32(name.encode()) % 4 == 0
+
+
+_WITH_ORACLE = sorted(
+    name for name, qd in _REG.items()
+    if qd.oracle is not None and _sampled(name)
+)
+_ROWS_ONLY = sorted(
+    name for name, qd in _REG.items()
+    if qd.oracle is None and _sampled(name)
+)
 
 
 @pytest.fixture(scope="module")
