@@ -133,8 +133,11 @@ def run_tier(sf_dir: str, cpus: int) -> dict:
         "SPARK_GRAFT_CPUS": str(cpus),
         "SPARK_GRAFT_ONLY": ",".join(SCALE_ROWS),
         "SPARK_GRAFT_BENCH_CONCURRENCY": "0",
-        # 10× tier: the 8g default OOM'd on the sf1 receipt rows
-        "SPARK_GRAFT_DRIVER_MEM": "12g",
+        # 10× tier: the 8g default OOM'd on the sf1 receipt rows;
+        # 12g was marginal once the round-14 overlapped curation
+        # probes allowed TWO broadcast builds in flight (one OOM in
+        # two sf1 windows) — 16g on the 128 GB sandbox
+        "SPARK_GRAFT_DRIVER_MEM": "16g",
         # prices the capped-probe twin (scale-profile-only receipt)
         "SPARK_GRAFT_SCALE_PROFILE": "1",
     })
